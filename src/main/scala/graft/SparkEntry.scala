@@ -1,13 +1,530 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dsl.FilterDsl
+import graft.ops.{Clean, Projection, Reshape, Windows}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
+  * SQL-expressible. Operator IDs (S*, P*, J*, A*, W*, R*, O*, F*, X*) refer
+  * to SURVEY.md §2's inventory tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Table loader. `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which
+    * Spark refuses natively; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true and we convert here with
+    * floor ns->us division — identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    * cast, so oracle comparisons stay exact. */
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Pricing-summary style aggregation: scan -> pushed filter -> hash agg. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_a1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Parity queries (SURVEY.md §2). Aliases match oracleSql exactly —
+  // the driver's compare sorts columns by name and hashes values.
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S3 + P1/P2/P4: parquet scan with pushed filter + projection
+    "q_s3_scan_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 30 && col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // P4: comparison predicate conjunction (eq/neq/lt/gte)
+    "q_p4_predicates" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+          col("l_discount") > 0.05 && col("l_returnflag") =!= "N")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+    }),
+
+    // P5: case-insensitive TEXT comparison (reference COLLATE NOCASE)
+    "q_p5_ci_like" -> ((s, dir) => {
+      t(s, dir, "part")
+        .where(lower(col("p_type")).like("%om%") || lower(col("p_brand")) === "brand#13")
+        .select(col("p_partkey"), col("p_type"), col("p_brand"))
+    }),
+
+    // P6/P7/P8/P9: the JSON filter DSL compiled to Column predicates:
+    // base AND ($or group OR group), case-insensitive text, value casting
+    "q_p6_dsl_or" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val filters = """{"l_quantity": {"gte": "30"},
+                        "$or": [{"l_returnflag": "a"},
+                                {"l_linestatus": {"like": "f%"}}]}"""
+      li.where(FilterDsl.compileJson(filters, li.schema))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+    }),
+
+    // P3: drop all-null columns (presentation-time sparse-dim pruning)
+    "q_p3_drop_null_cols" -> ((s, dir) => {
+      val df = t(s, dir, "region")
+        .withColumn("empty_dim", lit(null).cast("string"))
+        .withColumn("full_dim", lit("x"))
+      Projection.dropAllNullColumns(df)
+    }),
+
+    // A1-ish flagship: pricing summary (scan -> filter -> hash agg)
+    "q_a1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A1: group-by MAX (the versioning core's aggregate shape)
+    "q_a1_groupby_max" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(max(col("event_id")).as("max_event_id"),
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // A2: per-column stats — n_non_nulls + n_unique in ONE pass (metadata op)
+    "q_a2_column_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(col("l_orderkey")).as("nn_orderkey"),
+        countDistinct(col("l_orderkey")).as("nu_orderkey"),
+        count(col("l_returnflag")).as("nn_returnflag"),
+        countDistinct(col("l_returnflag")).as("nu_returnflag"),
+        count(col("l_quantity")).as("nn_quantity"),
+        countDistinct(col("l_quantity")).as("nu_quantity"))
+    }),
+
+    // A3: grouped min/max/count (info report shape)
+    "q_a3_minmax" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min(year(col("o_orderdate"))).cast("long").as("min_year"),
+          max(year(col("o_orderdate"))).cast("long").as("max_year"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A4/R4: pivot / cross-tab with explicit value list
+    "q_a4_pivot" -> ((s, dir) => {
+      Reshape.pivotWide(t(s, dir, "orders"), Seq("o_orderpriority"),
+          "o_orderstatus", Seq("O", "F", "P"), count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_finished"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+    }),
+
+    // A5: duplicate-key detection (validation contract)
+    "q_a5_dup_detect" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+    }),
+
+    // A6: null-count checks (nullability validation shape)
+    "q_a6_null_counts" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_value"),
+        (count(lit(1)) - count(col("value"))).as("n_null_value"))
+    }),
+
+    // A7: DISTINCT projection
+    "q_a7_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }),
+
+    // J1: broadcast equi-join (template-join shape: fact x small dim)
+    "q_j1_broadcast_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // J2: modular-arithmetic join (stacked-block key: row % n)
+    "q_j2_mod_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("nk", pmod(col("l_orderkey"), lit(25)))
+      val n = t(s, dir, "nation")
+      li.join(broadcast(n), col("nk") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // J3/W3: staging snapshot — latest row per group via window dedup
+    "q_j3_snapshot_latest" -> ((s, dir) => {
+      Windows.latestPerGroup(t(s, dir, "events"),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("latest_event_id"),
+          col("event_type"), round(col("value"), 2).as("value"))
+    }),
+
+    // J4: left-semi probe (staged-table existence shape)
+    "q_j4_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    // J4b: left-anti (NOT EXISTS)
+    "q_j4_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // W1: forward-fill down a partition (ffill + leading default)
+    "q_w1_ffill" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "click", col("value")))
+      Windows.ffill(e, "v", Seq("user_id"), Seq("ts", "event_id"),
+          default = Some(lit(-1.0)))
+        .select(col("user_id"), col("event_id"), round(col("v"), 2).as("v"))
+    }),
+
+    // W2: row numbering with a total order
+    "q_w2_row_number" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // R1: melt / unpivot wide->long (the ETL's core reshape)
+    "q_r1_melt" -> ((s, dir) => {
+      Reshape.melt(
+          t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(10)) === 0),
+          idCols = Seq("l_orderkey", "l_linenumber"),
+          valueCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          varName = "measure", valueName = "val")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("measure"), round(col("val"), 2).as("val"))
+    }),
+
+    // R3: sheet union (vertical concat with provenance column)
+    "q_r3_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Reshape.sheetUnion(Seq(
+          "open" -> o.where(col("o_orderstatus") === "O").select(col("o_orderkey"), col("o_totalprice")),
+          "finished" -> o.where(col("o_orderstatus") === "F").select(col("o_orderkey"), col("o_totalprice"))),
+        sheetCol = "bucket")
+    }),
+
+    // R5: rename + constant stamp
+    "q_r5_rename_const" -> ((s, dir) => {
+      Reshape.renameAndStamp(t(s, dir, "region"),
+        renames = Map("r_name" -> "region_name"),
+        constants = Map("source" -> "tpch", "unit" -> "n/a"))
+    }),
+
+    // O1/O2: ORDER BY + LIMIT on a unique key
+    "q_o1_order_limit" -> ((s, dir) => {
+      t(s, dir, "orders").orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice")).limit(100)
+    }),
+
+    // O3: keyset (cursor) pagination
+    "q_o3_keyset_page" -> ((s, dir) => {
+      Windows.keysetPage(t(s, dir, "orders"), "o_orderkey", Some(500L), 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // O4: top-k (TakeOrderedAndProject)
+    "q_o4_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice")).limit(50)
+    }),
+
+    // F1: note-tag cleaning (regexp_replace + trim; label untouched rule
+    // is exercised in the ScalaTest suite)
+    "q_f1_note_clean" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          Clean.removeNoteTags(
+            concat(col("p_name"), lit(" [note 3] tail [NOTE 12]"))).as("cleaned"))
+    }),
+
+    // F2/F3: split/extract around delimiters + literal replace
+    "q_f2_split_extract" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("prio_num"),
+          regexp_replace(col("o_orderpriority"), "NOT SPECIFIED", "NONE").as("prio_clean"))
+    }),
+
+    // F5: numeric coercion with null-on-failure (to_numeric coerce) + JSON
+    "q_f5_coerce" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          expr("try_cast(event_type AS double)").as("not_a_number"))
+    }),
+
+    // F7: timestamp parse + date parts
+    "q_f7_timestamp" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+    }),
+
+    // F8: modulo block-cycling key
+    "q_f8_pmod" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          pmod(col("l_orderkey"), lit(7)).as("block"))
+    }),
+
+    // F9: conditional tagging (when/otherwise)
+    "q_f9_case" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") > 300000, lit("high"))
+            .when(col("o_totalprice") > 100000, lit("mid"))
+            .otherwise(lit("low")))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    // W4: tumbling time-window aggregation (batch form of the streaming op)
+    "q_w4_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — identical aliases, identical semantics.
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_s3_scan_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'A'""",
+
+    "q_p4_predicates" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_quantity, l_discount
+         FROM lineitem
+         WHERE l_quantity >= 10 AND l_quantity <= 20
+           AND l_discount > 0.05 AND l_returnflag <> 'N'""",
+
+    "q_p5_ci_like" ->
+      """SELECT p_partkey, p_type, p_brand FROM part
+         WHERE lower(p_type) LIKE '%om%' OR lower(p_brand) = 'brand#13'""",
+
+    "q_p6_dsl_or" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_returnflag, l_linestatus, l_quantity
+         FROM lineitem
+         WHERE l_quantity >= 30
+           AND (lower(l_returnflag) = 'a' OR lower(l_linestatus) LIKE 'f%')""",
+
+    "q_p3_drop_null_cols" ->
+      """SELECT r_regionkey, r_name, 'x' AS full_dim FROM region""",
+
+    "q_a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q_a1_groupby_max" ->
+      """SELECT event_type, max(event_id) AS max_event_id, count(*) AS n,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type""",
+
+    "q_a2_column_stats" ->
+      """SELECT count(l_orderkey) AS nn_orderkey,
+         count(DISTINCT l_orderkey) AS nu_orderkey,
+         count(l_returnflag) AS nn_returnflag,
+         count(DISTINCT l_returnflag) AS nu_returnflag,
+         count(l_quantity) AS nn_quantity,
+         count(DISTINCT l_quantity) AS nu_quantity
+         FROM lineitem""",
+
+    "q_a3_minmax" ->
+      """SELECT o_orderpriority,
+         CAST(min(year(o_orderdate)) AS BIGINT) AS min_year,
+         CAST(max(year(o_orderdate)) AS BIGINT) AS max_year,
+         count(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q_a4_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+         FROM orders GROUP BY o_orderpriority""",
+
+    "q_a5_dup_detect" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS n
+         FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1""",
+
+    "q_a6_null_counts" ->
+      """SELECT count(*) AS n_rows, count(value) AS n_value,
+         count(*) - count(value) AS n_null_value FROM events""",
+
+    "q_a7_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+
+    "q_j1_broadcast_join" ->
+      """SELECT p_brand,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+
+    "q_j2_mod_join" ->
+      """SELECT n_name, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN nation ON l_orderkey % 25 = n_nationkey
+         GROUP BY n_name""",
+
+    "q_j3_snapshot_latest" ->
+      """SELECT user_id, event_id AS latest_event_id, event_type,
+         round(value, 2) AS value
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
+
+    "q_j4_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE EXISTS (SELECT 1 FROM customer
+                       WHERE c_custkey = o_custkey AND c_acctbal > 5000)""",
+
+    "q_j4_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_w1_ffill" ->
+      """SELECT user_id, event_id,
+         round(coalesce(
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           -1.0), 2) AS v
+         FROM (SELECT *, CASE WHEN event_type = 'click' THEN value END AS v
+               FROM events)""",
+
+    "q_w2_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+         FROM orders""",
+
+    "q_r1_melt" ->
+      """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0)
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                'l_quantity' AS measure, round(l_quantity, 2) AS val FROM f
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                'l_extendedprice', round(l_extendedprice, 2) FROM f
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                'l_discount', round(l_discount, 2) FROM f
+         UNION ALL
+         SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                'l_tax', round(l_tax, 2) FROM f""",
+
+    "q_r3_union" ->
+      """SELECT o_orderkey, o_totalprice, 'open' AS bucket
+         FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'finished' AS bucket
+         FROM orders WHERE o_orderstatus = 'F'""",
+
+    "q_r5_rename_const" ->
+      """SELECT r_regionkey, r_name AS region_name, 'tpch' AS source,
+         'n/a' AS unit FROM region""",
+
+    "q_o1_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 100""",
+
+    "q_o3_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey > 500 ORDER BY o_orderkey LIMIT 100""",
+
+    "q_o4_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+
+    "q_f1_note_clean" ->
+      """SELECT p_partkey,
+         trim(regexp_replace(p_name || ' [note 3] tail [NOTE 12]',
+              '(?i)\[\s*note\s+\d+\s*\]', '', 'g')) AS cleaned
+         FROM part""",
+
+    "q_f2_split_extract" ->
+      """SELECT o_orderkey,
+         regexp_extract(o_orderpriority, '^(\d+)', 1) AS prio_num,
+         regexp_replace(o_orderpriority, 'NOT SPECIFIED', 'NONE') AS prio_clean
+         FROM orders""",
+
+    "q_f5_coerce" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         TRY_CAST(event_type AS DOUBLE) AS not_a_number
+         FROM events""",
+
+    "q_f7_timestamp" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders""",
+
+    "q_f8_pmod" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_orderkey % 7 AS block FROM lineitem""",
+
+    "q_f9_case" ->
+      """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+                     WHEN o_totalprice > 100000 THEN 'mid'
+                     ELSE 'low' END AS bucket, count(*) AS n
+         FROM orders GROUP BY 1""",
+
+    "q_w4_time_window" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                         '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2"""
+  )
 }

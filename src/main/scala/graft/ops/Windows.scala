@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY.md §2.6) plus keyset pagination
+  * (§2.8). Each is expressed with Spark's Window API so Catalyst plans a
+  * single shuffle on the partition keys. */
+object Windows {
+
+  /** Forward-fill nulls down a partition in `orderCols` order, with an
+    * optional default for the leading run (reference: ffill + fillna at
+    * transformations.py:494-503). */
+  def ffill(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+            orderCols: Seq[String], default: Option[Column] = None): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = last(col(valueCol), ignoreNulls = true).over(w)
+    df.withColumn(valueCol, default.fold(filled)(d => coalesce(filled, d)))
+  }
+
+  /** Latest row per group: row_number()==1 over (partition, order desc).
+    * This is the staging snapshot core (reference: MAX(ingest_ts) GROUP BY
+    * at read_write.py:362-372, re-expressed as a window dedup).
+    * `orderCols` must be a total order (include a unique tiebreaker). */
+  def latestPerGroup(df: DataFrame, partitionCols: Seq[String],
+                     orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Keyset (cursor) pagination: WHERE key > cursor ORDER BY key LIMIT n
+    * (reference: app.py:132-147). Catalyst plans this TakeOrderedAndProject
+    * after a pushed-down range filter — no global sort at scale. */
+  def keysetPage(df: DataFrame, keyCol: String, cursor: Option[Long],
+                 limit: Int): DataFrame = {
+    val base = cursor.fold(df)(c => df.filter(col(keyCol) > lit(c)))
+    base.orderBy(col(keyCol)).limit(limit)
+  }
+}

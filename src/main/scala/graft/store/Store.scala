@@ -1,0 +1,206 @@
+package graft.store
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Versioned store: RAW zone + ingest log + PROD snapshot + metadata.
+  *
+  * Physical layout under a root directory (one per data collection):
+  *   {root}/{collection}_raw/          RAW zone, append-only parquet,
+  *                                     partitioned by table_name (partition
+  *                                     pruning on the mandatory predicate)
+  *   {root}/{collection}_prod/         PROD snapshot, overwritten on stage,
+  *                                     partitioned by table_name
+  *   {root}/_ingest_log/               provenance (small)
+  *   {root}/_metadata/                 per-column stats (small)
+  *
+  * Mirrors the reference's SQLite zones (read_write.py:267-404) but scales:
+  * RAW appends are partitioned parquet writes, the snapshot is a window
+  * dedup over a broadcast ingest log, and table_name partitioning gives the
+  * query layer pruned directory scans instead of full-table WHERE filters.
+  */
+final class Store(spark: SparkSession, root: String, collection: String) {
+  import Store._
+
+  private def p(sub: String) = s"$root/$sub"
+  val rawPath: String = p(s"${collection}_raw")
+  val prodPath: String = p(s"${collection}_prod")
+  val logPath: String = p("_ingest_log")
+  val metadataPath: String = p("_metadata")
+
+  private def exists(path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
+  }
+
+  // ------------------------------------------------------------ bootstrap
+
+  /** Idempotent init (reference: bootstrap.py:8-44). Parquet needs no DDL;
+    * we only ensure the log exists so readers never hit a missing path. */
+  def initialize(): Unit =
+    if (!exists(logPath)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], logSchema)
+        .write.mode("overwrite").parquet(logPath)
+    }
+
+  def isStaged: Boolean = exists(prodPath)
+
+  // ---------------------------------------------------------- ingest path
+
+  def readLog(): DataFrame =
+    if (exists(logPath)) spark.read.schema(logSchema).parquet(logPath)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
+
+  /** Next ingest id: max+1 read-modify-write on the driver. Single-writer
+    * assumption, same as the reference's sqlite autoincrement
+    * (utils.py:194; SURVEY.md §7.4 risk 3). */
+  def nextIngestId(): Long = {
+    val m = readLog().agg(max("ingest_id")).head()
+    if (m.isNullAt(0)) 1L else m.getLong(0) + 1L
+  }
+
+  /** Transactional-ish RAW append (reference: ingest_frame,
+    * read_write.py:267-337): log row first with success=0, then the data
+    * append tagged with ingest_id, then flip success=1. A crash mid-append
+    * leaves success=0 and the staging join ignores the partial data — this
+    * ordering is the crash-safety story and is preserved exactly. */
+  def ingest(df: DataFrame, tableName: String, url: String = "",
+             description: String = "",
+             ingestTs: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+    val id = nextIngestId()
+    appendLogRow(id, ingestTs, tableName, url, description, success = 0)
+    df.withColumn("ingest_id", lit(id))
+      .withColumn("table_name", lit(tableName))
+      .write.mode("append").partitionBy("table_name").parquet(rawPath)
+    setLogSuccess(id)
+    id
+  }
+
+  private def appendLogRow(id: Long, ts: Timestamp, tableName: String,
+                           url: String, description: String, success: Int): Unit = {
+    val row = Row(id, ts, collection, tableName, url, description, success)
+    spark.createDataFrame(java.util.List.of(row), logSchema)
+      .write.mode("append").parquet(logPath)
+  }
+
+  /** Rewrite of the small log flipping one row's success flag. */
+  private def setLogSuccess(id: Long): Unit = {
+    val updated = readLog()
+      .withColumn("success",
+        when(col("ingest_id") === id, lit(1)).otherwise(col("success")))
+      .collect()  // log is tiny (one row per ingest); safe on the driver
+    val tmp = p("_ingest_log_tmp")
+    spark.createDataFrame(java.util.Arrays.asList(updated: _*), logSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(logPath).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(logPath))
+  }
+
+  def readRaw(): DataFrame = spark.read.parquet(rawPath)
+
+  // ---------------------------------------------------------- staging path
+
+  /** The as-of snapshot frame: latest successful ingest per table_name with
+    * ingest_ts <= cutoff (reference: raw_to_prod CTE, read_write.py:357-391,
+    * written cleanly per SURVEY.md §7.4 risk 6).
+    *
+    * Plan shape at scale: the log is tiny -> the winning (ingest_id,
+    * table_name) set is computed with one window over the broadcast log,
+    * then RAW joins it broadcast on ingest_id. No shuffle of RAW at all;
+    * partition pruning by table_name still applies downstream.
+    */
+  def snapshot(cutoff: Option[Timestamp] = None): DataFrame = {
+    val log0 = readLog().filter(col("success") === 1)
+    val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
+    val w = Window.partitionBy("table_name")
+      .orderBy(col("ingest_ts").desc, col("ingest_id").desc)
+    val winners = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("ingest_id"), col("ingest_ts"))
+    readRaw().join(broadcast(winners), Seq("ingest_id"))
+  }
+
+  /** Materialize the snapshot into PROD with a stable `row_uid` for keyset
+    * pagination (reference rowid, app.py:138-147; SURVEY.md §7.3).
+    * row_uid = ingest_id * 2^32 + row — stable across identical stages,
+    * unique because `row` is unique within one (ingest, table). */
+  def stage(cutoff: Option[Timestamp] = None): Unit = {
+    val snap = snapshot(cutoff)
+    val withUid =
+      if (snap.columns.contains("row"))
+        snap.withColumn("row_uid",
+          col("ingest_id") * lit(4294967296L) + col("row").cast("long"))
+      else
+        snap.withColumn("row_uid",
+          col("ingest_id") * lit(4294967296L) + monotonically_increasing_id())
+    withUid.write.mode("overwrite").partitionBy("table_name").parquet(prodPath)
+    writeMetadata(readProd())
+  }
+
+  def readProd(): DataFrame = spark.read.parquet(prodPath)
+
+  // ------------------------------------------------------------- metadata
+
+  /** Per-(table, column) stats: n_non_nulls, n_unique, dtype (reference:
+    * read_write.py:464-531). One aggregation pass for all columns of all
+    * tables: groupBy(table_name).agg(count, approx/exact distinct per col),
+    * then melt to long — never a per-column job.
+    *
+    * Uses exact countDistinct to mirror the reference's nunique(); at
+    * 100 TB swap `exact = false` for approx_count_distinct. */
+  def columnStats(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val dataCols = df.columns.filterNot(c =>
+      c == "table_name" || graft.model.CanonicalSchema.serviceColumns.contains(c))
+    val aggs = dataCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn__$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"nu__$c"))
+    }
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val wide = df.groupBy(col("table_name")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    // melt driver-side over the column axis (column count is small + fixed)
+    val perCol = dataCols.map { c =>
+      wide.select(
+        col("table_name"),
+        lit(c).as("column_name"),
+        col(s"nn__$c").cast("long").as("n_non_nulls"),
+        col(s"nu__$c").cast("long").as("n_unique"),
+        lit(dtypes(c)).as("dtype"))
+    }
+    perCol.reduce(_.unionByName(_))
+  }
+
+  private def writeMetadata(prod: DataFrame): Unit =
+    columnStats(prod).coalesce(1).write.mode("overwrite").parquet(metadataPath)
+
+  def readMetadata(): DataFrame = spark.read.parquet(metadataPath)
+
+  /** Queryable columns for a table: non-empty, non-DATETIME (reference:
+    * validation.py:216-220 — queryability gated on _metadata presence). */
+  def queryableColumns(tableName: String): Set[String] =
+    readMetadata()
+      .filter(col("table_name") === tableName && col("n_non_nulls") > 0 &&
+        col("dtype") =!= "timestamp")
+      .select("column_name").collect().map(_.getString(0)).toSet + "table_name"
+}
+
+object Store {
+  /** Provenance log schema (reference: utils.py:191-203). */
+  val logSchema: StructType = StructType(Seq(
+    StructField("ingest_id", LongType, nullable = false),
+    StructField("ingest_ts", TimestampType, nullable = false),
+    StructField("data_collection", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("url", StringType, nullable = true),
+    StructField("table_description", StringType, nullable = true),
+    StructField("success", IntegerType, nullable = false)))
+}
