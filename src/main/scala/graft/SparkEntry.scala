@@ -322,6 +322,128 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // K1/K2/J3 end-to-end: ingest two versions through the store, stage,
+    // and read back the snapshot — the versioning core as one round trip
+    "q_store_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      val store = new graft.store.Store(s, tmp, "demo")
+      store.initialize()
+      val r = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      store.ingest(r.withColumn("version", lit(1L)), "regions",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      store.ingest(r.withColumn("version", lit(2L)), "regions",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      store.snapshot()
+        .select(col("r_regionkey"), col("r_name"), col("version"))
+    }),
+
+    // X: exact deduplication — hash-groupBy on content digest
+    "q_x_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // X: content fingerprint of normalized text
+    "q_x_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.fingerprintMd5(col("text")).as("fp"))
+    }),
+
+    // X: token counting — whitespace + BPE-ish pre-tokenizer
+    "q_x_token_count" -> ((s, dir) => {
+      import graft.text.TextOps
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws"),
+          size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
+    }),
+
+    // X: quality scoring (length / punctuation / stopword features)
+    "q_x_quality" -> ((s, dir) => {
+      val f = graft.text.TextOps.qualityFeatures(col("text"))
+      t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), f("n_chars").as("n_chars"),
+          f("n_tokens").as("n_tokens"), f("punct_ratio").as("punct_ratio"),
+          f("stopword_ratio").as("stopword_ratio"),
+          f("mean_word_len").as("mean_word_len"))
+    }),
+
+    // X: language identification (stopword-marker heuristic)
+    "q_x_lang_id" -> ((s, dir) => {
+      import graft.text.TextOps
+      val toks = TextOps.tokens(col("text"))
+      t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"), TextOps.langId(toks).as("lang_pred"),
+          round(TextOps.langScore(toks, "en"), 4).as("s_en"))
+    }),
+
+    // X: n-gram Jaccard similarity — exact pairwise over a probe subset
+    "q_x_jaccard_pairs" -> ((s, dir) => {
+      import graft.text.TextOps
+      val sub = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("st"))
+      sub.as("a").join(sub.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("a.st"), col("b.st"))).cast("double") /
+            size(array_union(col("a.st"), col("b.st"))).cast("double"))
+        .where(col("jaccard") >= 0.4)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // X: MinHash + LSH near-duplicate pairs (banded candidate join +
+    // exact-Jaccard verify) — rows-only check, hashes are Spark-specific
+    "q_x_dedup_minhash" -> ((s, dir) => {
+      graft.text.TextOps.minhashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.2)
+    }),
+
+    // X: SimHash signatures via a custom Catalyst expression — rows-only
+    "q_x_simhash" -> ((s, dir) => {
+      import graft.functions.TextExpressions
+      t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TextExpressions.simhash64(
+            graft.text.TextOps.tokens(col("text"))).as("sig"))
+    }),
+
+    // X: rolling-hash fingerprint via a custom Catalyst expression — rows-only
+    "q_x_rolling_fingerprint" -> ((s, dir) => {
+      import graft.functions.TextExpressions
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextExpressions.rolling_hash(
+            graft.text.TextOps.normalizeText(col("text"))).as("fp"))
+    }),
+
+    // X: brute-force cosine top-k similarity search
+    "q_x_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.VectorOps.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    }),
+
+    // X: IVF-partitioned approximate top-k (the scale path) — rows-only
+    "q_x_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.VectorOps.ivfTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    }),
+
+    // X: multimodal column plumbing — binary payload + typed metadata,
+    // batched per-partition feature extraction (decode stubbed)
+    "q_x_multimodal" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(
+        Multimodal.documentsAsMedia(s,
+          t(s, dir, "documents").repartition(col("doc_id")))).toDF()
     })
   )
 
@@ -525,6 +647,93 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
                          '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q_store_roundtrip" ->
+      """SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS version FROM region""",
+
+    "q_x_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text)""",
+
+    "q_x_fingerprint" ->
+      """SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+
+    "q_x_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+         FROM documents""",
+
+    "q_x_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents)
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(len(list_filter(toks, x -> x IN
+               ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE
+                 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           round(length(text)::DOUBLE / greatest(len(toks), 1), 4) AS mean_word_len
+         FROM t""",
+
+    "q_x_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / greatest(len(toks), 1) AS s_en,
+           len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','que','est','pour')))::DOUBLE / greatest(len(toks), 1) AS s_fr,
+           len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','que','es','para')))::DOUBLE / greatest(len(toks), 1) AS s_es,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ein','eine','ist','zu','den','von')))::DOUBLE / greatest(len(toks), 1) AS s_de,
+           len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4')))::DOUBLE / greatest(len(toks), 1) AS s_zh
+         FROM t)
+         SELECT doc_id,
+           CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0 THEN 'en'
+                WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh AND s_de > 0 THEN 'de'
+                WHEN s_zh >= s_en AND s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_de AND s_zh > 0 THEN 'zh'
+                ELSE 'und' END AS lang_pred,
+           round(s_en, 4) AS s_en
+         FROM s""",
+
+    "q_x_jaccard_pairs" ->
+      """WITH s AS (SELECT doc_id,
+           list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS st
+         FROM documents WHERE doc_id % 50 = 0)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.st, b.st))::DOUBLE
+                 / len(list_distinct(a.st || b.st)), 4) AS jaccard
+         FROM s a, s b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.st, b.st))::DOUBLE
+               / len(list_distinct(a.st || b.st)) >= 0.4""",
+
+    "q_x_ann_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
+                    FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5""",
+
+    "q_x_multimodal" ->
+      """SELECT doc_id AS media_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+         md5(text) AS sig,
+         CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INTEGER) AS width,
+         CAST(16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS INTEGER) AS height
+         FROM documents"""
   )
 }

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the LLM-pipeline text operators that
+  * built-in functions can't express efficiently (SURVEY.md §7.5).
+  *
+  * Both are deterministic pure functions evaluated per-row inside the
+  * executor (no UDF serialization overhead, null-safe, usable from SQL
+  * after [[TextExpressions.register]]).
+  */
+
+/** 64-bit SimHash of a token array: each token is xxhash64'd, bit
+  * positions vote +1/-1 weighted by occurrence, the sign forms the output
+  * bit. Near-duplicate documents differ in few bits (compare via
+  * hamming distance on the result). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a shingle array: each shingle is xxhash64'd once,
+  * then `numPerm` permutations are derived with a multiply-add universal
+  * hash family (odd multiplier + offset per permutation); the output is
+  * the array of per-permutation minima.
+  *
+  * A single tight loop per row — O(shingles) string hashes +
+  * O(shingles * numPerm) long arithmetic. The equivalent built-in
+  * higher-order-function expression tree re-evaluates the inner lambda
+  * per permutation in interpreted mode, which is catastrophically slower;
+  * this is exactly the "custom Expression beats composition" case. */
+case class MinHashSignature(child: Expression, numPerm: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private val B = -7046029254386353131L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var p = 0
+        while (p < numPerm) {
+          val v = h * (2L * p + 1L) + p * B
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Karp-Rabin polynomial rolling hash over a string's UTF-8 bytes:
+  * h = sum(byte_i * B^i) in wrapping 64-bit arithmetic, B = 1000003.
+  * A cheap order-sensitive document fingerprint. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val B = 1000003L
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < bytes.length) {
+      h += (bytes(i) & 0xffL) * pow
+      pow *= B
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graftx.{toColumn, toExpression}
+
+  def simhash64(c: Column): Column = toColumn(SimHash64(toExpression(c)))
+  def rolling_hash(c: Column): Column = toColumn(RollingHash(toExpression(c)))
+  def minhash_signature(c: Column, numPerm: Int): Column =
+    toColumn(MinHashSignature(toExpression(c), numPerm))
+
+  /** Register both for use inside SQL / expr() strings. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest of the events stream (SURVEY.md §7.5 —
+  * the reference has no streaming; this is the beyond-parity extension).
+  *
+  * The transforms are defined once and shared by batch and streaming
+  * (same DataFrame code path), so the batch oracle checks in SparkEntry
+  * validate the streaming logic too.
+  */
+object StreamOps {
+
+  /** events schema as read from the driver's parquet (ts arrives as ns
+    * epoch long under spark.sql.legacy.parquet.nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Normalize the raw events frame (ns long -> timestamp). */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window aggregation with a watermark for late data —
+    * identical logic batch or stream. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon —
+    * exactly-once-per-event semantics over an at-least-once source. */
+  def dedupedStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Open the events directory as a file stream. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    normalize(spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir))
+
+  /** Wire a streaming query to an in-memory sink (used by tests; a real
+    * deployment points this at kafka/parquet with a checkpoint). */
+  def toMemorySink(df: DataFrame, name: String,
+                   mode: OutputMode = OutputMode.Append()): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime("1 second"))
+}

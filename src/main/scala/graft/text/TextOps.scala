@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for large-scale training-data
+  * pipelines (SURVEY.md §7.5 — beyond reference parity, first-class).
+  *
+  * Everything here is built from codegen'd Catalyst expressions (no UDFs);
+  * the shapes are designed for the 100 TB path: per-row column transforms,
+  * one shuffle on band hashes for LSH candidate generation, broadcast of
+  * the small stopword lists.
+  */
+object TextOps {
+
+  // ------------------------------------------------------------ tokenizing
+
+  /** Lowercase, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** BPE-ish subword split: word chunks + standalone punctuation,
+    * mirroring common pre-tokenizers. */
+  def bpeishTokens(c: Column): Column =
+    regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  def wordShingles(toks: Column, n: Int): Column = {
+    // sequence(0, size-n) drives a slice per start offset; empty/short
+    // docs produce an empty array rather than nulls
+    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    transform(starts, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature — a custom Catalyst expression (one tight loop per
+    * row; see [[graft.functions.MinHashSignature]] for why composition of
+    * built-in higher-order functions is not viable here). */
+  def minhashSignature(shingles: Column, numPerm: Int): Column =
+    graft.functions.TextExpressions.minhash_signature(shingles, numPerm)
+
+  /** LSH band hashes: the signature is cut into `bands` bands of
+    * `rowsPerBand` and each band is hashed; documents sharing any band
+    * hash become candidate pairs. */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(concat_ws(",",
+        slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))), j))
+
+  /** Candidate near-duplicate pairs via MinHash+LSH banding, verified with
+    * exact Jaccard over the shingle sets.
+    *
+    * Scale shape: the only wide shuffle is the self-join on
+    * (band_index, band_hash) — exactly the join that stays balanced at
+    * 100 TB because band hashes distribute uniformly. The exact-verify
+    * join rejoins shingle sets by id (shuffle on id). */
+  def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numPerm: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    // repartition by id up front: small inputs arrive as one file = one
+    // partition, and the signature compute is per-row CPU-bound — spread
+    // it across the cluster before doing any work
+    val withSig = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        wordShingles(tokens(col("text")), shingleN).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .withColumn("sig", minhashSignature(col("shingles"), numPerm))
+      .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
+    val banded = withSig.select(col("id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = withSig.select(col("id"),
+      array_distinct(col("shingles")).as("sset"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- language id
+
+  /** Tiny per-language stopword markers for the n-gram/stopword heuristic.
+    * Deterministic and broadcast as literals into the plan. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "que", "est", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "que", "es", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"))
+
+  /** Stopword-hit score for one language: fraction of tokens that are in
+    * the language's stopword list. */
+  def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang).map(lit): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Predicted language: argmax of the per-language scores with a fixed
+    * priority order (en, fr, es, de, zh) for ties; 'und' when no marker
+    * hits at all. */
+  def langId(toks: Column): Column = {
+    val order = Seq("en", "fr", "es", "de", "zh")
+    val scores = order.map(l => langScore(toks, l))
+    val best = greatest(scores: _*)
+    // foldRight nests later languages in the otherwise-branch, so the
+    // first language in priority order wins ties
+    order.zip(scores).foldRight(lit("und"): Column) {
+      case ((l, s), acc) => when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ----------------------------------------------------------- quality score
+
+  /** Heuristic quality features + composite score (length, punctuation
+    * ratio, stopword ratio, mean word length). */
+  def qualityFeatures(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[^\\w\\s]", ""))).cast("double")
+    Map(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> size(toks).cast("long"),
+      "punct_ratio" -> round(nPunct / greatest(nChars, lit(1.0)), 4),
+      "stopword_ratio" -> round(langScore(toks, "en"), 4),
+      "mean_word_len" -> round(nChars / greatest(size(toks).cast("double"), lit(1.0)), 4))
+  }
+
+  // ----------------------------------------------------------- fingerprints
+
+  /** Content fingerprint of whitespace-normalized text (md5 — stable
+    * across engines for the exact-dedup path). */
+  def fingerprintMd5(text: Column): Column = md5(normalizeText(text))
+}

@@ -1,0 +1,98 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]) —
+  * SURVEY.md §7.5. Brute-force cosine top-k as the exact baseline, and an
+  * IVF-style partitioned variant as the 100 TB scale path.
+  *
+  * All arithmetic is built-in higher-order functions (zip_with/aggregate)
+  * so it stays inside codegen; vectors are cast to double once.
+  */
+object VectorOps {
+
+  /** Cast a float vector column to double for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: every query row scored against every
+    * candidate row, ranked per query.
+    *
+    * Scale shape: the query side is SMALL (a probe batch) and broadcast;
+    * candidates stream through executors once — no shuffle of the big
+    * side, one window per query partition for the top-k. For very large k
+    * batches switch to the IVF variant below. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    // small inputs arrive as one file = one partition; the scoring is
+    // per-row CPU-bound, so spread the candidate side first
+    val cand = candidates.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cand_vec"))
+      .repartition(col("cand_id"))
+      .withColumn("cand_norm", norm(col("cand_vec")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q_vec"),
+      norm(asDouble(col(vecCol))).as("q_norm"))
+    val scored = cand.crossJoin(broadcast(q))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("cand_vec"), col("q_vec")) / (col("cand_norm") * col("q_norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round(col("cos"), 4).as(("cos")))
+  }
+
+  /** IVF-style approximate search: vectors are assigned to their nearest
+    * coarse centroid (the inverted lists); a query probes only the
+    * `nprobe` nearest lists.
+    *
+    * Centroids here are a deterministic seed subset of the data (a real
+    * deployment would k-means them); the mechanics — broadcast centroid
+    * assignment, partition-pruned probing, per-list top-k — are the
+    * 100 TB path: the candidate scan drops from N to N*nprobe/nlist. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val base = vectors.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cand_vec")).repartition(col("cand_id"))
+    val centroids = base.where(col("cand_id") < nlist)
+      .select(col("cand_id").as("centroid_id"), col("cand_vec").as("c_vec"))
+    // assign every vector to its nearest centroid (broadcast centroids)
+    val assigned = base.crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col("cand_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cand_id")).orderBy(col("d").desc, col("centroid_id"))))
+      .where(col("rn") === 1)
+      .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
+    // queries probe their nprobe nearest centroids
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q_vec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("centroid_id"))))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+    // score only within probed lists
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("cand_vec"), col("q_vec")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+}

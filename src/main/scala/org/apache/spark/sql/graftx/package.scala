@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Shim into Spark's private[sql] Expression<->Column bridges, needed to
+  * expose custom Catalyst expressions as user-facing Columns on Spark 4's
+  * ColumnNode API (the public `new Column(expr)` constructor of Spark 3 is
+  * gone). Kept to two one-liners so the private-API surface is minimal. */
+package object graftx {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
