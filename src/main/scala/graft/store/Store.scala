@@ -82,7 +82,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     id
   }
 
-  private def appendLogRow(id: Long, ts: Timestamp, tableName: String,
+  private[store] def appendLogRow(id: Long, ts: Timestamp, tableName: String,
                            url: String, description: String, success: Int): Unit = {
     val row = Row(id, ts, collection, tableName, url, description, success)
     spark.createDataFrame(java.util.List.of(row), logSchema)

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Reshape / clean / window / projection operator contracts
+  * (reference: tests/test_transformations.py, FIXTURES.md §3-§5). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("melt: n_ids x n_value_cols records, values preserved") {
+    val wide = Seq(("la", 1.0, 2.0), ("lb", 3.0, 4.0))
+      .toDF("label", "2019", "2020")
+    val long = Reshape.melt(wide, Seq("label"), Seq("2019", "2020"), "year", "value")
+    assert(long.count() == 4)
+    val la2020 = long.filter($"label" === "la" && $"year" === "2020")
+      .select("value").as[Double].head()
+    assert(la2020 == 2.0)
+  }
+
+  test("sheetUnion stamps the sheet name as a dimension") {
+    val a = Seq(("x", 1.0)).toDF("label", "value")
+    val b = Seq(("y", 2.0)).toDF("label", "value")
+    val u = Reshape.sheetUnion(Seq("2019" -> a, "2020" -> b), "year")
+    assert(u.select("year").as[String].collect().sorted.toSeq == Seq("2019", "2020"))
+  }
+
+  test("transposeSmall flips a ragged matrix with padding") {
+    val m = Vector(Vector("h", "a", "b"), Vector("r1", "1"))
+    assert(Reshape.transposeSmall(m) ==
+      Vector(Vector("h", "r1"), Vector("a", "1"), Vector("b", "")))
+  }
+
+  test("note tags cleaned everywhere except label") {
+    val df = Seq(("AA [note 1]", "BB [Note 22] x", 1.0))
+      .toDF("label", "fuel", "value")
+    val cleaned = Clean.cleanStringColumns(df)
+    val row = cleaned.head()
+    assert(row.getString(0) == "AA [note 1]") // label untouched
+    assert(row.getString(1) == "BB  x")       // tag stripped + trimmed
+  }
+
+  test("numeric coercion: suppression symbols become null") {
+    val df = Seq("1.5", "..", "-", "2").toDF("v")
+    val got = df.select(Clean.coerceDouble($"v").as("d")).as[Option[Double]]
+      .collect().toSeq
+    assert(got == Seq(Some(1.5), None, None, Some(2.0)))
+  }
+
+  test("unit extraction from parentheses") {
+    val df = Seq("Natural gas (GWh)").toDF("s")
+    val r = df.select(Clean.unitFromParens($"s"), Clean.beforeParens($"s")).head()
+    assert(r.getString(0) == "GWh" && r.getString(1) == "Natural gas")
+  }
+
+  test("ffill carries last non-null down the partition with default head") {
+    val df = Seq(
+      ("u", 1, None: Option[Double]), ("u", 2, Some(5.0)),
+      ("u", 3, None), ("u", 4, None), ("v", 1, None))
+      .toDF("k", "ord", "v")
+    val got = Windows.ffill(df, "v", Seq("k"), Seq("ord"), Some(lit(-1.0)))
+      .orderBy("k", "ord").select("v").as[Double].collect().toSeq
+    assert(got == Seq(-1.0, 5.0, 5.0, 5.0, -1.0))
+  }
+
+  test("latestPerGroup keeps exactly the max-order row per key") {
+    val df = Seq(("a", 1, "old"), ("a", 2, "new"), ("b", 9, "only"))
+      .toDF("k", "ver", "payload")
+    val got = Windows.latestPerGroup(df, Seq("k"), Seq(col("ver")))
+      .select("k", "payload").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "new"), ("b", "only")))
+  }
+
+  test("keyset pagination: cursor exclusive, ordered, limited") {
+    val df = (1 to 100).toDF("id")
+    val page = Windows.keysetPage(df, "id", Some(40L), 10)
+      .select("id").as[Int].collect().toSeq
+    assert(page == (41 to 50))
+  }
+
+  test("dropAllNullColumns prunes only fully-null columns") {
+    val df = Seq((1, None: Option[String], Some("x")), (2, None, None))
+      .toDF("id", "empty", "sparse")
+    assert(Projection.dropAllNullColumns(df).columns.toSeq == Seq("id", "sparse"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.store
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Versioning / staging semantics (reference: read_write.py:267-404,
+  * FIXTURES.md §7). */
+class StoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshStore(): Store = {
+    val root = Files.createTempDirectory("graft_store_spec_").toString
+    val st = new Store(spark, root, "t")
+    st.initialize()
+    st
+  }
+
+  private def frame(version: Int) =
+    Seq((0, "a", version), (1, "b", version)).toDF("row", "label", "version")
+
+  test("snapshot returns the latest successful ingest per table") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(frame(2), "tbl", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    val versions = st.snapshot().select("version").as[Int].collect().toSet
+    assert(versions == Set(2))
+  }
+
+  test("as-of cutoff returns the older version") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(frame(2), "tbl", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    val asOf = st.snapshot(Some(Timestamp.valueOf("2026-01-01 12:00:00")))
+    assert(asOf.select("version").as[Int].collect().toSet == Set(1))
+  }
+
+  test("ingest ids are assigned sequentially") {
+    val st = freshStore()
+    val id1 = st.ingest(frame(1), "tbl")
+    val id2 = st.ingest(frame(2), "tbl2")
+    assert(id1 == 1L && id2 == 2L)
+  }
+
+  test("tables version independently") {
+    val st = freshStore()
+    st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(frame(2), "a", ingestTs = Timestamp.valueOf("2026-01-03 00:00:00"))
+    st.ingest(frame(7), "b", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    val got = st.snapshot().select("table_name", "version").as[(String, Int)]
+      .collect().toSet
+    assert(got == Set(("a", 2), ("b", 7)))
+  }
+
+  test("a crashed ingest (success=0) is invisible to the snapshot") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    // simulate a crash mid-ingest: log row written, data appended, but the
+    // success flag never flipped (reference: read_write.py:297-336)
+    st.appendLogRow(99L, Timestamp.valueOf("2026-01-02 00:00:00"), "tbl",
+      "", "", success = 0)
+    frame(2).withColumn("ingest_id", lit(99L))
+      .withColumn("table_name", lit("tbl"))
+      .write.mode("append").partitionBy("table_name").parquet(st.rawPath)
+    assert(st.snapshot().select("version").as[Int].collect().toSet == Set(1))
+  }
+
+  test("stage materializes prod with a stable row_uid and metadata") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    val prod = st.readProd()
+    assert(prod.columns.contains("row_uid"))
+    assert(prod.select("row_uid").distinct().count() == 2)
+    val meta = st.readMetadata()
+    val labelStats = meta.filter(col("column_name") === "label")
+      .select("n_non_nulls", "n_unique").as[(Long, Long)].head()
+    assert(labelStats == ((2L, 2L)))
+    assert(st.queryableColumns("tbl").contains("label"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Structured Streaming smoke: the streaming pipeline over the driver's
+  * events parquet must agree with the batch form of the same transform. */
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // FileStreamSource needs a directory; stage the driver's events file
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streamed windowed counts equal the batch computation") {
+    val batch = StreamOps.windowedCounts(
+      StreamOps.normalize(spark.read.schema(StreamOps.eventsSchema)
+        .parquet(s"$streamDir/events.parquet")))
+    val expected = batch.count()
+
+    val stream = StreamOps.windowedCounts(
+      StreamOps.readEventsStream(spark, streamDir))
+    // complete mode: emit full aggregation state each trigger (append would
+    // hold rows until the watermark passes, which never happens on a
+    // finite file stream)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_counts").count()
+      assert(got == expected)
+      assert(expected > 0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed event_ids") {
+    val deduped = StreamOps.dedupedStream(
+      StreamOps.readEventsStream(spark, streamDir))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_events").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_events").count()
+      val distinct = spark.read.schema(StreamOps.eventsSchema)
+        .parquet(s"$streamDir/events.parquet").select("event_id").distinct().count()
+      assert(n == distinct)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.TextExpressions
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("word shingles: n-grams in order, short docs yield empty") {
+    val df = Seq("a b c d", "a").toDF("text")
+    val got = df.select(
+      TextOps.wordShingles(TextOps.tokens($"text"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("minhash: identical docs identical sigs; disjoint docs differ") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps",
+      "zz yy xx ww vv").toDF("text")
+    val sigs = df.select(TextOps.minhashSignature(
+        TextOps.wordShingles(TextOps.tokens($"text"), 2), 32).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).length == 32)
+  }
+
+  test("minhashDedupPairs finds near-duplicates, skips unrelated") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.minhashDedupPairs(docs, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 32, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: near-dup docs have small hamming distance") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the quick brown fox jumps over the lazy cat again and again",
+      "completely unrelated words about spark catalyst expressions here")
+      .toDF("text")
+    val sigs = df.select(TextExpressions.simhash64(TextOps.tokens($"text")).as("s"))
+      .as[Long].collect()
+    assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
+  }
+
+  test("rolling hash is order-sensitive, md5 fingerprint normalizes whitespace") {
+    val df = Seq(("a b c", "c b a", "a  b   c")).toDF("x", "y", "z")
+    val r = df.select(
+      TextExpressions.rolling_hash($"x"), TextExpressions.rolling_hash($"y"),
+      TextOps.fingerprintMd5($"x"), TextOps.fingerprintMd5($"z")).head()
+    assert(r.getLong(0) != r.getLong(1))      // order matters
+    assert(r.getString(2) == r.getString(3))  // whitespace normalized away
+  }
+
+  test("langId picks the language with the strongest stopword signal") {
+    val df = Seq("the cat and the dog is in the house",
+      "le chat et le chien est pour la maison",
+      "qwerty zxcvb").toDF("text")
+    val got = df.select(TextOps.langId(TextOps.tokens($"text")).as("l"))
+      .as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "und"))
+  }
+
+  test("quality features: counts and ratios") {
+    val df = Seq("The cat, the dog!").toDF("text")
+    val f = TextOps.qualityFeatures($"text")
+    val r = df.select(f("n_chars").as("c"), f("n_tokens").as("t"),
+      f("punct_ratio").as("p"), f("stopword_ratio").as("s")).head()
+    assert(r.getLong(0) == 17 && r.getLong(1) == 4)
+    assert(r.getDouble(2) > 0 && r.getDouble(3) == 0.5)
+  }
+}

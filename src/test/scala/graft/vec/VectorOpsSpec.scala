@@ -1,0 +1,40 @@
+package graft.vec
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.0f)))   // close-ish to 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val a = VectorOps.asDouble($"embedding")
+    val self = vecs.select(round(VectorOps.cosine(a, a), 6).as("c"))
+      .as[Double].collect()
+    assert(self.forall(_ == 1.0))
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self") {
+    val got = VectorOps.bruteForceTopK(vecs, vecs.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 2L))
+  }
+
+  test("ivfTopK returns k ranked neighbors per query") {
+    val got = VectorOps.ivfTopK(vecs, vecs.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 2, nlist = 3, nprobe = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got.head == 1L && got.length == 2)
+  }
+}
