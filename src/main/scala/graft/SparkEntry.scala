@@ -402,7 +402,7 @@ object SparkEntry {
     "q_x_dedup_minhash" -> ((s, dir) => {
       graft.text.TextOps.minhashDedupPairs(
         t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.2)
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
     }),
 
     // X: SimHash signatures via a custom Catalyst expression — rows-only

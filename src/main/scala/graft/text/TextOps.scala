@@ -55,17 +55,24 @@ object TextOps {
   /** Candidate near-duplicate pairs via MinHash+LSH banding, verified with
     * exact Jaccard over the shingle sets.
     *
-    * Scale shape: the only wide shuffle is the self-join on
-    * (band_index, band_hash) — exactly the join that stays balanced at
-    * 100 TB because band hashes distribute uniformly. The exact-verify
-    * join rejoins shingle sets by id (shuffle on id). */
+    * Scale shape (the 100 TB path):
+    *  1. signatures: one CPU-bound pass, repartitioned by id;
+    *  2. band self-join on (band_index, band_hash) — the only wide
+    *     shuffle, uniform because band hashes distribute uniformly;
+    *  3. `maxBucket` caps pathological buckets: a band value shared by
+    *     hundreds of documents carries no dedup information but would
+    *     produce O(n^2) pairs — standard LSH practice is to drop them
+    *     (they resurface through their other, more selective bands);
+    *  4. a cheap signature-agreement estimate (64 long comparisons)
+    *     prefilters pairs BEFORE shuffling the much heavier shingle
+    *     sets for the exact-Jaccard verify. */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerm: Int = 64,
-                        bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                        bands: Int = 8, threshold: Double = 0.5,
+                        maxBucket: Int = 100): DataFrame = {
     val rowsPerBand = numPerm / bands
     // repartition by id up front: small inputs arrive as one file = one
-    // partition, and the signature compute is per-row CPU-bound — spread
-    // it across the cluster before doing any work
+    // partition, and the signature compute is per-row CPU-bound
     val withSig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
@@ -74,8 +81,14 @@ object TextOps {
       .where(size(col("shingles")) > 0)
       .withColumn("sig", minhashSignature(col("shingles"), numPerm))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
+      .cache() // reused by the banding, estimate, and verify branches
     val banded = withSig.select(col("id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .where(col("bucket_n") <= maxBucket)
+      .select(col("id"), col("band_idx"), col("band_hash"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -83,9 +96,21 @@ object TextOps {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // signature-agreement estimate: unbiased Jaccard estimator, 64 longs
+    // per side instead of the full shingle sets
+    val sigs = withSig.select(col("id"), col("sig"))
+    val estimated = candidates
+      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerm)
+      .where(col("est") >= threshold * 0.5)
+      .select(col("id_a"), col("id_b"))
     val sets = withSig.select(col("id"),
       array_distinct(col("shingles")).as("sset"))
-    candidates
+    estimated
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
       .withColumn("jaccard",
