@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.CanonicalSchema
+import graft.ops.Projection
+
+/** Export sinks (reference: export_table / export_all,
+  * read_write.py:96-240): one logical table -> a single CSV/Parquet file
+  * named {collection}_{table}_{date}.{ext}, or a whole-collection bulk
+  * export. The reference's XLSX writer needs a spreadsheet codec that the
+  * offline build doesn't ship; the "workbook" flavor here writes one CSV
+  * per logical table into a directory (sheet-per-file), behind the same
+  * API, so a POI-backed writer can slot in without changing callers. */
+object Export {
+
+  val formats: Set[String] = Set("csv", "parquet", "workbook")
+
+  /** Shape a PROD slice for export: service columns and all-null sparse
+    * dimensions dropped (read_write.py:498-500). */
+  private def shape(slice: DataFrame): DataFrame =
+    Projection.dropAllNullColumns(
+      slice.drop(CanonicalSchema.serviceColumns :+ "ingest_ts": _*))
+
+  private def fileName(collection: String, table: String, date: String,
+                       ext: String): String =
+    s"${collection}_${table.replace(".", "_")}_$date.$ext"
+
+  /** Export one logical table. `date` is injected for determinism
+    * (the reference stamps today's date, read_write.py:120). */
+  def exportTable(prod: DataFrame, collection: String, table: String,
+                  outDir: String, format: String = "csv",
+                  date: String = java.time.LocalDate.now.toString): String = {
+    require(formats(format), s"unsupported export format '$format'")
+    val slice = shape(prod.where(col("table_name") === table))
+    val target = s"$outDir/${fileName(collection, table, date, format)}"
+    format match {
+      case "parquet" => writeSingle(slice, target, "parquet")
+      case _         => writeSingle(slice, target, "csv")
+    }
+    target
+  }
+
+  /** Bulk export: every staged table, one file each — or one directory of
+    * per-table CSVs for the workbook flavor (read_write.py:162-240). */
+  def exportAll(prod: DataFrame, collection: String, outDir: String,
+                format: String = "csv",
+                date: String = java.time.LocalDate.now.toString): Seq[String] = {
+    val tables = prod.select("table_name").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    format match {
+      case "workbook" =>
+        val dir = s"$outDir/${collection}_all_$date"
+        tables.map { t =>
+          writeSingle(shape(prod.where(col("table_name") === t)),
+            s"$dir/$t.csv", "csv")
+          s"$dir/$t.csv"
+        }
+      case _ => tables.map(t => exportTable(prod, collection, t, outDir, format, date))
+    }
+  }
+
+  /** Write a small result as ONE file with the exact requested name.
+    * Export slices are user-facing extracts (bounded by the table size a
+    * human asked for), so coalesce(1) + rename of the part file is the
+    * right trade-off here — bulk data movement stays parquet-partitioned
+    * in the store, never through this path. */
+  private def writeSingle(df: DataFrame, target: String, format: String): Unit = {
+    val tmp = target + ".tmpdir"
+    val writer = df.coalesce(1).write.mode("overwrite")
+    (format match {
+      case "csv" => writer.option("header", "true")
+      case _     => writer
+    }).format(format).save(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new org.apache.hadoop.fs.Path(target)
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+}

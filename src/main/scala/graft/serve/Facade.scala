@@ -1,0 +1,93 @@
+package graft.serve
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Config, Transform, Validate}
+import graft.etl.Config.TableConfig
+import graft.io.{Export, WorkbookReader}
+import graft.io.WorkbookReader.Workbook
+import graft.store.Store
+
+/** The user-facing library facade — the reference's Python facade + CLI
+  * verbs (facade.py, cli.py) as one object: ingest, stage, query, export,
+  * info. A long-lived SparkSession + Store pair backs every verb.
+  */
+final class Facade(spark: SparkSession, root: String, collection: String) {
+
+  val store = new Store(spark, root, collection)
+  store.initialize()
+  lazy val queryService = new QueryService(spark, store)
+
+  /** Ingest one logical table from a workbook through transform ->
+    * validate -> RAW append (the §3.3 write path). Returns the ingest id. */
+  def ingest(wb: Workbook, cfg: TableConfig,
+             template: Option[DataFrame] = None,
+             ingestTs: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
+    val frame = cfg.kind match {
+      case Config.MultiSheet =>
+        Transform.processMultiSheetsToFrame(spark, wb, cfg, template)
+      case _ =>
+        Transform.processSheetToFrame(spark, wb, cfg, template)
+    }
+    val validated = Validate.validateSchema(frame, cfg.table,
+      schemaFor(frame, cfg.table))
+    store.ingest(validated, cfg.table,
+      url = cfg.url.getOrElse(""),
+      description = cfg.description.getOrElse(""), ingestTs = ingestTs)
+  }
+
+  /** The canonical schema restricted to the columns this frame produced
+    * (the wide schema is sparse; validation enforces dtypes/nullability on
+    * the populated subset and rejects columns outside the declared set). */
+  private def schemaFor(frame: DataFrame, table: String) = {
+    import org.apache.spark.sql.types._
+    val canonical = graft.model.CanonicalSchema.struct
+    val cols = ("table_name" +: frame.columns.toIndexedSeq).distinct
+    StructType(cols.map { c =>
+      canonical.fields.find(_.name == c)
+        .getOrElse(StructField(c, StringType, nullable = true))
+    })
+  }
+
+  /** Snapshot RAW -> PROD as of an optional cutoff; rebuilds metadata. */
+  def stage(cutoff: Option[Timestamp] = None): Unit = store.stage(cutoff)
+
+  /** Query PROD with the JSON filter DSL (the §3.1 read path). */
+  def query(table: String, filtersJson: String = "{}",
+            limit: Int = queryService.DefaultLimit,
+            cursor: Option[Long] = None): QueryService#Page =
+    queryService.query(table, filtersJson, limit, cursor)
+
+  /** Export one table or the whole collection. */
+  def exportTable(table: String, outDir: String, format: String = "csv"): String =
+    Export.exportTable(store.readProd(), collection, table, outDir, format)
+  def exportAll(outDir: String, format: String = "csv"): Seq[String] =
+    Export.exportAll(store.readProd(), collection, outDir, format)
+
+  /** Info report: per staged table, ingest provenance + year range + row
+    * count (reference: process.py:318-390, the A3 aggregate). */
+  def info(): DataFrame = {
+    val prod = store.readProd()
+    val perTable = prod.groupBy(col("table_name")).agg(
+      min(col("year")).as("min_year"), max(col("year")).as("max_year"),
+      count(lit(1)).as("n_rows"),
+      max(col("ingest_id")).as("ingest_id"))
+    val log = store.readLog().select(col("ingest_id"), col("ingest_ts"),
+      col("url"), col("table_description"))
+    perTable.join(broadcast(log), Seq("ingest_id"), "left")
+      .orderBy(col("table_name"))
+  }
+
+  /** Metadata cross-tab: column -> table "X" marks (reference:
+    * process.py:262-271, the A4 pivot). */
+  def metadataOverview(): DataFrame = {
+    val meta = store.readMetadata().where(col("n_non_nulls") > 0)
+    val tables = meta.select("table_name").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    graft.ops.Reshape.pivotWide(meta, Seq("column_name"), "table_name",
+      tables, first(lit("X")))
+  }
+}

@@ -26,6 +26,11 @@ import org.apache.spark.sql.types._
 final class Store(spark: SparkSession, root: String, collection: String) {
   import Store._
 
+  // table_name partition values are strings like "1.1" / "5.6.J"; Spark's
+  // partition-column type inference would read "1.1" back as a Double.
+  // Pin partition columns to string for this session.
+  spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
   private def p(sub: String) = s"$root/$sub"
   val rawPath: String = p(s"${collection}_raw")
   val prodPath: String = p(s"${collection}_prod")

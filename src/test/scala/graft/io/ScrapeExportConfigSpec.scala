@@ -1,0 +1,93 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.etl.Config
+
+class ScrapeSpec extends AnyFunSuite {
+
+  private val page =
+    """<html><body>
+      |<a href="/docs/dukes_1.1.xlsx">DUKES 1.1: Aggregate energy balances</a>
+      |<a href="https://host/dukes_5.6.xls"><span>DUKES 5.6 electricity</span></a>
+      |<a href="/docs/annex_J.1.xlsx">DUKES J.1 annex</a>
+      |<a href="/not_data.pdf">Some PDF 9.9</a>
+      |</body></html>""".stripMargin
+
+  test("chapter scraper extracts table numbers, descriptions, absolute urls") {
+    val got = Scrape.scrapeUrls("dukes", "https://gov.example/chapter1", _ => page)
+    assert(got.keySet == Set("1.1", "5.6", "J.1"))
+    assert(got("1.1").url == "https://gov.example/docs/dukes_1.1.xlsx")
+    assert(got("5.6").url == "https://host/dukes_5.6.xls")
+    assert(got("1.1").description.contains("Aggregate energy balances"))
+  }
+
+  test("unknown collection rejected") {
+    intercept[IllegalArgumentException](
+      Scrape.scrapeUrls("nope", "u", _ => page))
+  }
+}
+
+class ExportSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val prod = Seq(
+    ("1.1", 2019, "Gas", Some(1.5), None: Option[String], 1L),
+    ("1.1", 2020, "Coal", Some(2.5), None, 2L),
+    ("2.1", 2019, "Oil", Some(3.5), None, 3L))
+    .toDF("table_name", "year", "fuel", "value", "sector", "row_uid")
+
+  test("exportTable writes ONE csv with the reference naming, shaped") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val path = Export.exportTable(prod, "dukes", "1.1", out, "csv", date = "2026-08-12")
+    assert(path.endsWith("dukes_1_1_2026-08-12.csv"))
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(lines.head == "table_name,year,fuel,value") // service + all-null cols gone
+    assert(lines.length == 3)
+  }
+
+  test("exportAll workbook flavor: one csv per table in a dated dir") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val paths = Export.exportAll(prod, "dukes", out, "workbook", date = "2026-08-12")
+    assert(paths.map(_.split("/").last).sorted == Seq("1.1.csv", "2.1.csv"))
+  }
+
+  test("parquet export round-trips") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val path = Export.exportTable(prod, "dukes", "2.1", out, "parquet")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1)
+    assert(back.select("fuel").as[String].head() == "Oil")
+  }
+}
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("config json parses into typed table configs") {
+    val cfgs = Config.parse(
+      """{"1.1": {"f": "single_sheet", "sheet_name": "1.1",
+                  "drop_cols": ["Notes"], "has_multi_headers": true},
+          "5.1": {"f": "multi_sheet", "sheet_regex": "^20",
+                  "transpose_first": true, "fixed_header": 2},
+          "5.6": {"f": "process_dukes_5_6"}}""")
+    assert(cfgs("1.1").kind == Config.SingleSheet)
+    assert(cfgs("1.1").dropCols == Seq("Notes"))
+    assert(cfgs("1.1").hasMultiHeaders)
+    assert(cfgs("5.1").kind == Config.MultiSheet)
+    assert(cfgs("5.1").transposeFirst && cfgs("5.1").fixedHeader.contains(2))
+    assert(cfgs("5.6").kind == Config.Custom("process_dukes_5_6"))
+  }
+
+  test("data-sheet predicate: numeric default, custom regex, bad regex") {
+    assert(Config.isDataSheet("1.1", None))
+    assert(Config.isDataSheet("5.6.J", None))
+    assert(!Config.isDataSheet("Contents", None))
+    assert(Config.isDataSheet("Contents", Some("^Cont")))
+    intercept[IllegalArgumentException](Config.isDataSheet("x", Some("[")))
+  }
+}
