@@ -437,6 +437,39 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
+    // X: embedding-cosine near-duplicate pairs over a probe subset
+    "q_x_embed_dup" -> ((s, dir) => {
+      import graft.vec.VectorOps
+      val sub = t(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .repartition(col("vec_id"))
+      val a = sub.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = sub.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+        .where(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // X: Structured Streaming executed for real — file stream -> watermark
+    // -> tumbling window agg -> memory sink; same oracle as the batch form
+    "q_x_stream_window" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_q_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val agg = StreamOps.windowedCounts(
+        StreamOps.readEventsStream(s, streamDir.toString))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_win").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_win")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // X: multimodal column plumbing — binary payload + typed metadata,
     // batched per-partition feature extraction (decode stubbed)
     "q_x_multimodal" -> ((s, dir) => {
@@ -727,6 +760,20 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_embed_dup" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos
+         FROM s a, s b
+         WHERE a.vec_id < b.vec_id
+           AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.3""",
+
+    "q_x_stream_window" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                         '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
 
     "q_x_multimodal" ->
       """SELECT doc_id AS media_id,
