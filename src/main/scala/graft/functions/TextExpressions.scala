@@ -89,6 +89,52 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Fused shingle+MinHash: slides a `shingleN`-token window over the token
+  * array, materializes each shingle string ONCE, hashes it once, and folds
+  * the `numPerm` permuted minima — no intermediate shingle array, no
+  * per-permutation lambda re-evaluation. This is the hot path of MinHash
+  * dedup (one evaluation per document), hence a single tight loop. */
+case class MinHashShingles(child: Expression, shingleN: Int, numPerm: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_shingles"
+
+  private val B = -7046029254386353131L
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i + shingleN <= n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](shingleN)
+      var j = 0
+      var ok = true
+      while (j < shingleN) {
+        if (toks.isNullAt(i + j)) ok = false
+        else parts(j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      if (ok) {
+        val shingle = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+        val h = XxHash64Function.hash(shingle, StringType, 42L)
+        var p = 0
+        while (p < numPerm) {
+          val v = h * (2L * p + 1L) + p * B
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
 /** Karp-Rabin polynomial rolling hash over a string's UTF-8 bytes:
   * h = sum(byte_i * B^i) in wrapping 64-bit arithmetic, B = 1000003.
   * A cheap order-sensitive document fingerprint. */
@@ -122,6 +168,8 @@ object TextExpressions {
   def rolling_hash(c: Column): Column = toColumn(RollingHash(toExpression(c)))
   def minhash_signature(c: Column, numPerm: Int): Column =
     toColumn(MinHashSignature(toExpression(c), numPerm))
+  def minhash_shingles(tokens: Column, shingleN: Int, numPerm: Int): Column =
+    toColumn(MinHashShingles(toExpression(tokens), shingleN, numPerm))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

@@ -45,12 +45,14 @@ object TextOps {
     graft.functions.TextExpressions.minhash_signature(shingles, numPerm)
 
   /** LSH band hashes: the signature is cut into `bands` bands of
-    * `rowsPerBand` and each band is hashed; documents sharing any band
-    * hash become candidate pairs. */
+    * `rowsPerBand`; each band folds its longs with a polynomial mix
+    * (seeded by the band index) — pure long arithmetic, no string
+    * round-trips. */
   def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      j => xxhash64(concat_ws(",",
-        slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))), j))
+      j => aggregate(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
+        j.cast("long") + 1442695040888963407L,
+        (acc, x) => acc * lit(6364136223846793005L) + x))
 
   /** Candidate near-duplicate pairs via MinHash+LSH banding, verified with
     * exact Jaccard over the shingle sets.
@@ -72,16 +74,20 @@ object TextOps {
                         maxBucket: Int = 100): DataFrame = {
     val rowsPerBand = numPerm / bands
     // repartition by id up front: small inputs arrive as one file = one
-    // partition, and the signature compute is per-row CPU-bound
-    val withSig = docs
+    // partition, and the signature compute is per-row CPU-bound. The
+    // signature comes from the fused shingle+hash expression (one tight
+    // loop per document); shingle SETS are only materialized later, for
+    // the handful of candidate pairs that survive the estimate filter.
+    val base = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
+      .where(size(tokens(col("text"))) >= shingleN)
+    val withSig = base
       .select(col("id"),
-        wordShingles(tokens(col("text")), shingleN).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .withColumn("sig", minhashSignature(col("shingles"), numPerm))
+        graft.functions.TextExpressions.minhash_shingles(
+          tokens(col("text")), shingleN, numPerm).as("sig"))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
-      .cache() // reused by the banding, estimate, and verify branches
+      .cache() // reused by the banding and estimate branches
     val banded = withSig.select(col("id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .withColumn("bucket_n", count(lit(1)).over(
@@ -108,8 +114,13 @@ object TextOps {
           lit(0), (acc, v) => acc + v).cast("double") / numPerm)
       .where(col("est") >= threshold * 0.5)
       .select(col("id_a"), col("id_b"))
-    val sets = withSig.select(col("id"),
-      array_distinct(col("shingles")).as("sset"))
+    // exact-verify sets: computed ONLY for ids that appear in surviving
+    // candidate pairs (a left-semi probe), not for the whole corpus
+    val survivorIds = estimated.select(col("id_a").as("id"))
+      .union(estimated.select(col("id_b").as("id"))).distinct()
+    val sets = base.join(survivorIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(wordShingles(tokens(col("text")), shingleN)).as("sset"))
     estimated
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
