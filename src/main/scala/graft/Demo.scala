@@ -48,13 +48,18 @@ object Demo {
     val id1 = facade.ingest(Workbook(Vector("1.1" -> sheet)), cfg,
       Some(template), ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
     println(s"ingested v1 as ingest_id=$id1")
-    // re-publish (revision) — the snapshot should serve only this version
+    facade.stage()
+    println("staged snapshot (latest successful version per table)")
+
+    // re-publish (revision) — incremental stage rewrites ONLY this
+    // table's partition via dynamic partition overwrite
     val id2 = facade.ingest(Workbook(Vector("1.1" -> sheet)), cfg,
       Some(template), ingestTs = Timestamp.valueOf("2026-02-01 00:00:00"))
     println(s"ingested v2 as ingest_id=$id2")
-
-    facade.stage()
-    println("staged snapshot (latest successful version per table)")
+    val changed = facade.store.stageIncremental()
+    println(s"incremental stage rewrote partitions: ${changed.mkString(", ")}")
+    println(s"second incremental stage (no changes): " +
+      s"${facade.store.stageIncremental().mkString(", ")} (nothing)")
 
     val page = facade.query("1.1",
       """{"year": {"gte": 2020}, "fuel": {"like": "%gas%"}}""")

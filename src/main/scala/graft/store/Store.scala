@@ -152,6 +152,56 @@ final class Store(spark: SparkSession, root: String, collection: String) {
 
   def readProd(): DataFrame = spark.read.parquet(prodPath)
 
+  /** Incremental stage: rewrite ONLY the table_name partitions whose
+    * winning ingest changed since the last stage, via dynamic partition
+    * overwrite. At 100 TB a full snapshot rebuild (the reference's
+    * DROP + CREATE AS SELECT, read_write.py:398) rewrites everything on
+    * every re-publish of one table; this touches just the changed
+    * partitions and leaves the rest of PROD untouched.
+    *
+    * Falls back to a full stage when PROD does not exist yet. */
+  def stageIncremental(cutoff: Option[Timestamp] = None): Seq[String] = {
+    if (!isStaged) { stage(cutoff); return Seq("*") }
+    // winners per table under the cutoff (tiny frame, driver-collectable)
+    val w = Window.partitionBy("table_name")
+      .orderBy(col("ingest_ts").desc, col("ingest_id").desc)
+    val log0 = readLog().filter(col("success") === 1)
+    val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
+    val winners = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("table_name"), col("ingest_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val current = readProd().groupBy("table_name")
+      .agg(max("ingest_id").as("ingest_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val changed = winners.filter { case (t, id) => !current.get(t).contains(id) }
+      .keys.toSeq.sorted
+    if (changed.isEmpty) return Nil
+
+    val winnerIds = winners.filter { case (t, _) => changed.contains(t) }
+      .values.toSeq
+    val raw = readRaw()
+    val tsLookup = log.select(col("ingest_id"), col("ingest_ts")).distinct()
+    val slice = raw
+      .where(col("table_name").isin(changed.map(x => x: Any): _*))
+      .where(col("ingest_id").isin(winnerIds.map(x => x: Any): _*))
+      .join(broadcast(tsLookup), Seq("ingest_id"))
+      .withColumn("row_uid",
+        if (raw.columns.contains("row"))
+          col("ingest_id") * lit(4294967296L) + col("row").cast("long")
+        else col("ingest_id") * lit(4294967296L) + monotonically_increasing_id())
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      slice.write.mode("overwrite").partitionBy("table_name").parquet(prodPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    writeMetadata(readProd())
+    changed
+  }
+
   // ------------------------------------------------------------- metadata
 
   /** Per-(table, column) stats: n_non_nulls, n_unique, dtype (reference:

@@ -42,6 +42,51 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** One closed user session: events separated by gaps <= `gap`. */
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp, n_events: Long,
+                               sum_value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Stateful sessionization with flatMapGroupsWithState: per user, an
+    * open session accumulates until an event arrives more than `gapMs`
+    * after the previous one (or the state times out), then the closed
+    * session is emitted. The custom-state analogue of the windowed aggs
+    * above — state is partitioned by user, so it scales with distinct
+    * users, not events. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L):
+      org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts"), col("value")).as[EventRow]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[UserSession]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            st = st match {
+              case null => SessionState(t, t, 1L, e.value)
+              case s if t - s.last <= gapMs =>
+                SessionState(s.start, t, s.n + 1, s.sum + e.value)
+              case s =>
+                closed += UserSession(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last), s.n,
+                  math.round(s.sum * 100.0) / 100.0)
+                SessionState(t, t, 1L, e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
   /** Open the events directory as a file stream. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     normalize(spark.readStream.schema(eventsSchema)

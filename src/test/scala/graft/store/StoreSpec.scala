@@ -70,6 +70,24 @@ class StoreSpec extends AnyFunSuite {
     assert(st.snapshot().select("version").as[Int].collect().toSet == Set(1))
   }
 
+  test("incremental stage rewrites only changed table partitions") {
+    val st = freshStore()
+    st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(frame(5), "b", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    // re-publish only table a
+    st.ingest(frame(2), "a", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    val changed = st.stageIncremental()
+    assert(changed == Seq("a"))
+    val got = st.readProd().select("table_name", "version").as[(String, Int)]
+      .collect().toSet
+    assert(got == Set(("a", 2), ("b", 5)))
+    // no change -> nothing rewritten
+    assert(st.stageIncremental() == Nil)
+    // row_uid stays unique and stable
+    assert(st.readProd().select("row_uid").distinct().count() == 4)
+  }
+
   test("stage materializes prod with a stable row_uid and metadata") {
     val st = freshStore()
     st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))

@@ -39,6 +39,27 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions at the gap, keeps state per user") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: two sessions separated by a 2h gap
+      (1L, "2026-01-01 10:00:00", 1.0), (1L, "2026-01-01 10:10:00", 2.0),
+      (1L, "2026-01-01 13:00:00", 3.0),
+      // user 2: one session, stays open (never emitted in append mode)
+      (2L, "2026-01-01 10:00:00", 5.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts_s")))
+    val sessions = StreamOps.sessionize(events, gapMs = 30 * 60 * 1000L)
+    // batch Datasets run flatMapGroupsWithState eagerly (no stream needed)
+    val closed = sessions.collect()
+    assert(closed.length == 1)
+    val s = closed.head
+    assert(s.user_id == 1L && s.n_events == 2 && s.sum_value == 3.0)
+    assert(s.session_start.toString.startsWith("2026-01-01 10:00:00"))
+    assert(s.session_end.toString.startsWith("2026-01-01 10:10:00"))
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val deduped = StreamOps.dedupedStream(
       StreamOps.readEventsStream(spark, streamDir))
