@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.Config
+import graft.io.WorkbookReader
+import graft.serve.{Facade, HttpApi}
+
+/** Command-line surface — the reference's Typer CLI verbs (cli.py) over
+  * the facade:
+  *
+  * {{{
+  * graft.Cli <root> <collection> ingest <workbookCsvDir> <configJsonPath> <table>
+  * graft.Cli <root> <collection> stage [cutoffTs]
+  * graft.Cli <root> <collection> stage-incremental
+  * graft.Cli <root> <collection> query <table> [filtersJson] [limit] [cursor]
+  * graft.Cli <root> <collection> export <table> <outDir> [csv|parquet]
+  * graft.Cli <root> <collection> export-all <outDir> [csv|parquet|workbook]
+  * graft.Cli <root> <collection> info
+  * graft.Cli <root> <collection> serve [port]
+  * }}}
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: Cli <root> <collection> <verb> [args...]")
+    val Array(root, collection, verb) = args.take(3)
+    val rest = args.drop(3)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName(s"graft-$collection")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val facade = new Facade(spark, root, collection)
+
+    verb match {
+      case "ingest" =>
+        val Array(wbDir, cfgPath, table) = rest.take(3)
+        val wb = WorkbookReader.fromCsvDir(wbDir)
+        val cfgs = Config.parse(
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(cfgPath)), "UTF-8"))
+        val cfg = cfgs.getOrElse(table,
+          throw new IllegalArgumentException(s"table '$table' not in config"))
+        val id = facade.ingest(wb, cfg)
+        println(s"ingested '$table' as ingest_id=$id")
+
+      case "stage" =>
+        val cutoff = rest.headOption.map(java.sql.Timestamp.valueOf)
+        facade.stage(cutoff)
+        println("staged")
+
+      case "stage-incremental" =>
+        val changed = facade.store.stageIncremental()
+        println(s"rewrote: ${if (changed.isEmpty) "(nothing)" else changed.mkString(", ")}")
+
+      case "query" =>
+        val table = rest(0)
+        val filters = rest.lift(1).getOrElse("{}")
+        val limit = rest.lift(2).map(_.toInt).getOrElse(facade.queryService.DefaultLimit)
+        val cursor = rest.lift(3).map(_.toLong)
+        val page = facade.query(table, filters, limit, cursor)
+        page.data.show(limit, truncate = false)
+        println(s"next_cursor: ${page.nextCursor.getOrElse("null")}")
+
+      case "export" =>
+        val Array(table, outDir) = rest.take(2)
+        val fmt = rest.lift(2).getOrElse("csv")
+        println("wrote " + facade.exportTable(table, outDir, fmt))
+
+      case "export-all" =>
+        val outDir = rest(0)
+        val fmt = rest.lift(1).getOrElse("csv")
+        facade.exportAll(outDir, fmt).foreach(p => println("wrote " + p))
+
+      case "info" =>
+        facade.info().show(truncate = false)
+
+      case "serve" =>
+        val api = new HttpApi(facade, collection)
+        val port = api.start(rest.headOption.map(_.toInt).getOrElse(8080))
+        println(s"serving http://127.0.0.1:$port/data/$collection  (ctrl-c to stop)")
+        Thread.currentThread.join()
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown verb '$other'")
+    }
+    if (verb != "serve") spark.stop()
+  }
+}

@@ -1,0 +1,109 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.Row
+
+import graft.dsl.FilterDsl
+
+/** REST serving layer — the reference's `GET /data/{collection}` endpoint
+  * (app.py:42-185) over the JDK's built-in HTTP server (zero-dependency,
+  * driver-embedded; a production deployment would sit the same handler
+  * behind a real server).
+  *
+  * Contract (mirroring the reference):
+  *   GET /data/{collection}?table_name=T&filters={json}&limit=N&cursor=C
+  *     -> {"data": [...records...], "next_cursor": N|null,
+  *         "table_name": T}
+  *   errors: 404 unknown collection/table, 400 malformed filter JSON,
+  *   422 invalid filters (unknown column/op/cast), 500 engine errors.
+  */
+final class HttpApi(facade: Facade, collection: String) {
+
+  private var server: HttpServer = _
+
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/data/", handle _)
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/data/")
+      if (path != collection) { respond(ex, 404, err(s"unknown collection '$path'")); return }
+      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val table = params.get("table_name") match {
+        case Some(t) => t
+        case None => respond(ex, 422, err("table_name is required")); return
+      }
+      val filters = params.getOrElse("filters", "{}")
+      val limit = params.get("limit").map(_.toInt).getOrElse(facade.queryService.DefaultLimit)
+      val cursor = params.get("cursor").map(_.toLong)
+
+      // malformed JSON -> 400 (app.py:92-97); semantic errors -> 422
+      try graft.dsl.Json.parse(filters)
+      catch { case e: Exception => respond(ex, 400, err(s"malformed filters JSON: ${e.getMessage}")); return }
+
+      val page =
+        try facade.query(table, filters, limit, cursor)
+        catch {
+          case e: FilterDsl.DslException => respond(ex, 422, err(e.getMessage)); return
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.contains("not staged") =>
+            respond(ex, 404, err(e.getMessage)); return
+        }
+      val records = page.data.collect().map(rowToJson(page.data.schema.fieldNames, _))
+      val cursorJson = page.nextCursor.map(_.toString).getOrElse("null")
+      respond(ex, 200,
+        s"""{"table_name": ${jstr(table)}, "next_cursor": $cursorJson, "data": [${records.mkString(",")}]}""")
+    } catch {
+      case e: Throwable => respond(ex, 500, err(s"internal error: ${e.getMessage}"))
+    }
+  }
+
+  // ------------------------------------------------------------- plumbing
+
+  private def parseQuery(q: String): Map[String, String] =
+    q.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, UTF_8)
+    }.toMap
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def rowToJson(names: Seq[String], r: Row): String =
+    names.zipWithIndex.map { case (n, i) =>
+      val v =
+        if (r.isNullAt(i)) "null"
+        else r.get(i) match {
+          case s: String => jstr(s)
+          case t: java.sql.Timestamp => jstr(t.toString)
+          case d: java.sql.Date => jstr(d.toString)
+          case other => other.toString
+        }
+      s"${jstr(n)}: $v"
+    }.mkString("{", ",", "}")
+
+  private def err(msg: String): String = s"""{"error": ${jstr(msg)}}"""
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
