@@ -17,9 +17,19 @@ object Bench {
     // warm up executors/codegen so the first timed query isn't charged
     // for session initialization
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(s"bench-$name", name,
+            interruptOnCancel = true)
+          fn(spark, sfDir).count(): Unit
+        } catch { case _: Throwable => () })
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutSec * 1000)
+      if (t.isAlive) spark.sparkContext.cancelJobGroup(s"bench-$name")
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

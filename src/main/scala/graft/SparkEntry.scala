@@ -437,6 +437,14 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
+    // X: corpus word frequencies — explode + hash agg + top-k
+    "q_x_word_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20)
+    }),
+
     // X: embedding-cosine near-duplicate pairs over a probe subset
     "q_x_embed_dup" -> ((s, dir) => {
       import graft.vec.VectorOps
@@ -760,6 +768,12 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_word_freq" ->
+      """SELECT w AS word, count(*) AS n
+         FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+               FROM documents)
+         GROUP BY w ORDER BY n DESC, w LIMIT 20""",
 
     "q_x_embed_dup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)

@@ -17,11 +17,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query timeout: a single wedged query must not stall the whole
+    // correctness run. The query runs under a job group on a worker
+    // thread; on timeout the group's Spark jobs are cancelled and we
+    // move on.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val t = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(s"verify-$name", name,
+            interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        })
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutSec * 1000)
+      if (t.isAlive) {
+        System.err.println(s"[verify] $name timed out after ${timeoutSec}s — cancelling")
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        t.join(30000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
