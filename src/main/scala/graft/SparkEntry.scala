@@ -437,6 +437,23 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
+    // X: salted two-phase aggregation — the hot-key mitigation pattern;
+    // semantics-preserving, so the oracle is the plain GROUP BY
+    "q_x_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedSumCount(
+          t(s, dir, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", saltFrom = col("l_orderkey"), saltBuckets = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
+    }),
+
+    // X: random-hyperplane LSH cosine buckets + exact verify — rows-only
+    "q_x_ann_lsh_pairs" -> ((s, dir) => {
+      graft.vec.VectorOps.lshCosinePairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, nBits = 8, threshold = 0.25)
+    }),
+
     // X: corpus word frequencies — explode + hash agg + top-k
     "q_x_word_freq" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -768,6 +785,10 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n FROM lineitem GROUP BY l_returnflag""",
 
     "q_x_word_freq" ->
       """SELECT w AS word, count(*) AS n

@@ -79,6 +79,14 @@ object Config {
     }
   }
 
+  /** Sub-table name normalisation: a trailing letter fused to the number
+    * becomes an upper-cased dotted suffix, e.g. "4.4a" -> "4.4.A"
+    * (reference: transformations.py:106-110; pinned by
+    * tests/test_transformations.py:166-195). */
+  def normalizeTableName(name: String): String =
+    "^([0-9]+(?:\\.[0-9]+)*)\\.?([a-zA-Z])$".r
+      .replaceAllIn(name, m => m.group(1) + "." + m.group(2).toUpperCase)
+
   /** Sheet-name data predicate: match the regex if given, else purely
     * numeric-ish names (reference: _is_data_sheet,
     * transformations.py:171-186). */

@@ -55,6 +55,47 @@ object VectorOps {
         col("cand_id").as("neighbor_id"), round(col("cos"), 4).as(("cos")))
   }
 
+  /** Random-hyperplane LSH bucketing for cosine similarity: `nBits`
+    * deterministic pseudo-hyperplanes (component signs derived from
+    * xxhash64 of (plane, dimension)) map each vector to a bit signature;
+    * vectors sharing a signature bucket are near-duplicate candidates.
+    * The embedding-space analogue of MinHash banding: one shuffle on the
+    * bucket key, exact cosine verify inside buckets only. */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    // sign pattern of plane p = hash(p * dim + i) parity — deterministic,
+    // no stored model
+    val planes: Seq[Column] = (0 until nBits).map { p =>
+      val signs: Column = aggregate(
+        zip_with(vec, lit((0 until dim).map(i =>
+            if (((p.toLong * dim + i) * 2654435761L >>> 16 & 1L) == 1L) 1.0 else -1.0).toArray),
+          (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(signs >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** Cosine near-duplicate pairs via hyperplane-LSH buckets + exact
+    * verify (threshold on true cosine). */
+  def lshCosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nBits: Int = 12,
+                     threshold: Double = 0.3, maxBucket: Int = 200): DataFrame = {
+    val sig = vectors
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), dim, nBits))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .where(col("bn") <= maxBucket)
+      .select(col("id"), col("v"), col("bucket"))
+    sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF-style approximate search: vectors are assigned to their nearest
     * coarse centroid (the inverted lists); a query probes only the
     * `nprobe` nearest lists.

@@ -83,6 +83,13 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfgs("5.6").kind == Config.Custom("process_dukes_5_6"))
   }
 
+  test("table-name normalisation: fused letter suffix -> dotted upper") {
+    assert(Config.normalizeTableName("4.4a") == "4.4.A")
+    assert(Config.normalizeTableName("1.3.b") == "1.3.B")
+    assert(Config.normalizeTableName("5.6") == "5.6")
+    assert(Config.normalizeTableName("J.1") == "J.1")
+  }
+
   test("data-sheet predicate: numeric default, custom regex, bad regex") {
     assert(Config.isDataSheet("1.1", None))
     assert(Config.isDataSheet("5.6.J", None))

@@ -31,6 +31,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 4L, 2L))
   }
 
+  test("hyperplane LSH: identical vectors share a bucket, pairs verified by cosine") {
+    val dupVecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f)), (1L, Array(1.0f, 0.0f, 0.2f)),
+      (2L, Array(-0.5f, 0.9f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorOps.lshCosinePairs(dupVecs, "vec_id", "embedding",
+        dim = 3, nBits = 6, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("ivfTopK returns k ranked neighbors per query") {
     val got = VectorOps.ivfTopK(vecs, vecs.where($"vec_id" === 0),
         "vec_id", "embedding", k = 2, nlist = 3, nprobe = 3)
