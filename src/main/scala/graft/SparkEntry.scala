@@ -405,6 +405,20 @@ object SparkEntry {
         shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
     }),
 
+    // X: staged dedup pipeline — exact-collapse then MinHash over unique
+    // representatives (the web-corpus shape) — rows-only
+    "q_x_dedup_pipeline" -> ((s, dir) => {
+      val (groups, pairs) = graft.text.TextOps.nearDupPipeline(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      // one frame for the gate: group stats + near-dup pair count
+      groups.agg(
+        count(lit(1)).as("n_unique_texts"),
+        sum(col("n_copies")).as("n_docs"),
+        max(col("n_copies")).as("max_copies"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_near_dup_pairs")))
+    }),
+
     // X: SimHash signatures via a custom Catalyst expression — rows-only
     "q_x_simhash" -> ((s, dir) => {
       import graft.functions.TextExpressions

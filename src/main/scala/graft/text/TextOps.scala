@@ -131,6 +131,38 @@ object TextOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Staged dedup pipeline — the 100 TB shape: exact duplicates are
+    * collapsed FIRST with a cheap fingerprint group (a web-scale corpus is
+    * dominated by byte-identical copies; running MinHash over them wastes
+    * O(copies^2) candidate pairs inside every band bucket), then MinHash
+    * LSH runs over unique representatives only.
+    *
+    * Returns (exactGroups, nearDupPairs): exactGroups maps every doc to
+    * its representative (`keep_id`) with the group size; nearDupPairs are
+    * near-duplicate pairs BETWEEN representatives. Full pair expansion is
+    * a join of the two — rarely wanted at scale. */
+  def nearDupPipeline(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val fingerprinted = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("fp", fingerprintMd5(col("text")))
+    val groups = fingerprinted
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val representatives = fingerprinted
+      .join(broadcastIfSmall(groups.select(col("fp"), col("keep_id"))), Seq("fp"))
+      .where(col("id") === col("keep_id"))
+      .select(col("id"), col("text"))
+    val pairs = minhashDedupPairs(representatives, "id", "text",
+      shingleN, numPerm, bands, threshold)
+    (groups, pairs)
+  }
+
+  /** The fingerprint->representative map is usually small relative to the
+    * corpus but not guaranteed broadcastable; let AQE decide instead of
+    * forcing it. Kept as a seam for deployments that know their dup rate. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+
   // ------------------------------------------------------------- language id
 
   /** Tiny per-language stopword markers for the n-gram/stopword heuristic.
