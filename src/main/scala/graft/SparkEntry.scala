@@ -451,6 +451,20 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
+    // X: point-in-time (as-of) join — each event joined to the latest
+    // order of its customer at or before the event time; the leakage-free
+    // feature-join primitive
+    "q_x_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+      graft.ops.AsOf.join(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          leftId = Seq("event_id"), rightTiebreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+    }),
+
     // X: salted two-phase aggregation — the hot-key mitigation pattern;
     // semantics-preserving, so the oracle is the plain GROUP BY
     "q_x_salted_agg" -> ((s, dir) => {
@@ -799,6 +813,19 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_asof_join" ->
+      """WITH j AS (
+           SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC NULLS LAST,
+                             o.o_orderkey DESC NULLS LAST) AS rn
+           FROM events e LEFT JOIN orders o
+             ON e.user_id = o.o_custkey
+            AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         SELECT event_id, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+         FROM j WHERE rn = 1""",
 
     "q_x_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

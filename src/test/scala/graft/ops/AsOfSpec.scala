@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, "u", ts("2026-01-10 00:00:00")),
+    (2L, "u", ts("2026-01-20 00:00:00")),
+    (3L, "v", ts("2026-01-05 00:00:00")),  // before any right row for v
+    (4L, "w", ts("2026-01-10 00:00:00")))  // key with no right rows
+    .toDF("eid", "k", "t")
+
+  private lazy val right = Seq(
+    ("u", ts("2026-01-01 00:00:00"), 100L),
+    ("u", ts("2026-01-15 00:00:00"), 101L),
+    ("v", ts("2026-01-08 00:00:00"), 200L))
+    .toDF("k2", "rt", "version")
+
+  test("as-of join picks the latest right row at or before left time") {
+    val got = AsOf.join(left, right, "k", "k2", "t", "rt", Seq("eid"),
+        rightTiebreak = Seq("version"))
+      .select("eid", "version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(
+      1L -> Some(100L),  // 01-15 is after 01-10 -> falls back to 01-01
+      2L -> Some(101L),  // latest <= 01-20
+      3L -> None,        // only future right rows
+      4L -> None))       // no right rows at all
+  }
+
+  test("tolerance bounds how stale the match may be") {
+    val got = AsOf.join(left, right, "k", "k2", "t", "rt", Seq("eid"),
+        rightTiebreak = Seq("version"),
+        tolerance = Some(expr("INTERVAL 6 DAYS")))
+      .select("eid", "version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // eid 1: only match is 9 days stale -> dropped; eid 2: 5 days -> kept
+    assert(got(1L).isEmpty && got(2L).contains(101L))
+  }
+
+  test("exact tie on right time resolved by the tiebreak column") {
+    val r2 = Seq(("u", ts("2026-01-01 00:00:00"), 1L),
+      ("u", ts("2026-01-01 00:00:00"), 2L)).toDF("k2", "rt", "version")
+    val got = AsOf.join(left.where($"eid" === 1), r2, "k", "k2", "t", "rt",
+        Seq("eid"), rightTiebreak = Seq("version"))
+      .select("version").as[Long].head()
+    assert(got == 2L)
+  }
+}
