@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic bounded-memory column sampling: keep the k values with
+  * the smallest MurmurHash3 of their string form (a bottom-k sketch — a
+  * uniform sample that is stable across runs, partitionings, and
+  * cluster sizes, unlike reservoir sampling with RNG state).
+  *
+  * Used by the metadata subsystem to attach example values per column
+  * (`Store.columnStats(sampleK = ...)`): collect_list is unbounded
+  * memory at 100 TB; this is O(k) per group in one pass and merges
+  * associatively, so Catalyst plans it with map-side partials.
+  */
+object Sampling {
+
+  final case class BottomKBuf(hashes: Seq[Long], values: Seq[String])
+
+  final class BottomKByHash(k: Int)
+      extends Aggregator[String, BottomKBuf, Seq[String]] {
+
+    override def zero: BottomKBuf = BottomKBuf(Nil, Nil)
+
+    private def insert(b: BottomKBuf, h: Long, v: String): BottomKBuf = {
+      if (b.hashes.length >= k && h >= b.hashes.last) return b
+      if (b.hashes.contains(h)) return b // dedup identical values
+      val idx = b.hashes.indexWhere(_ > h) match {
+        case -1 => b.hashes.length
+        case i  => i
+      }
+      BottomKBuf(
+        (b.hashes.take(idx) :+ h) ++ b.hashes.drop(idx).take(k - idx - 1),
+        (b.values.take(idx) :+ v) ++ b.values.drop(idx).take(k - idx - 1))
+    }
+
+    override def reduce(b: BottomKBuf, a: String): BottomKBuf =
+      if (a == null) b
+      else insert(b, MurmurHash3.stringHash(a, 42).toLong & 0xffffffffL, a)
+
+    override def merge(x: BottomKBuf, y: BottomKBuf): BottomKBuf =
+      y.hashes.zip(y.values).foldLeft(x) { case (acc, (h, v)) => insert(acc, h, v) }
+
+    override def finish(b: BottomKBuf): Seq[String] = b.values
+
+    override def bufferEncoder: Encoder[BottomKBuf] = Encoders.product[BottomKBuf]
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Column form, usable inside any agg(...) alongside built-ins. */
+  def bottomKSample(c: Column, k: Int): Column =
+    udaf(new BottomKByHash(k)).apply(c.cast("string"))
+}

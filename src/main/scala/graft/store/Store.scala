@@ -211,25 +211,31 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     *
     * Uses exact countDistinct to mirror the reference's nunique(); at
     * 100 TB swap `exact = false` for approx_count_distinct. */
-  def columnStats(df: DataFrame, exact: Boolean = true): DataFrame = {
+  def columnStats(df: DataFrame, exact: Boolean = true,
+                  sampleK: Int = 0): DataFrame = {
     val dataCols = df.columns.filterNot(c =>
       c == "table_name" || graft.model.CanonicalSchema.serviceColumns.contains(c))
     val aggs = dataCols.flatMap { c =>
       Seq(
         count(col(c)).as(s"nn__$c"),
         (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
-          .as(s"nu__$c"))
+          .as(s"nu__$c")) ++
+        (if (sampleK > 0)
+          Seq(graft.functions.Sampling.bottomKSample(col(c), sampleK).as(s"sm__$c"))
+        else Nil)
     }
     val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val wide = df.groupBy(col("table_name")).agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     // melt driver-side over the column axis (column count is small + fixed)
     val perCol = dataCols.map { c =>
       wide.select(
-        col("table_name"),
-        lit(c).as("column_name"),
-        col(s"nn__$c").cast("long").as("n_non_nulls"),
-        col(s"nu__$c").cast("long").as("n_unique"),
-        lit(dtypes(c)).as("dtype"))
+        Seq(
+          col("table_name"),
+          lit(c).as("column_name"),
+          col(s"nn__$c").cast("long").as("n_non_nulls"),
+          col(s"nu__$c").cast("long").as("n_unique"),
+          lit(dtypes(c)).as("dtype")) ++
+          (if (sampleK > 0) Seq(col(s"sm__$c").as("sample_values")) else Nil): _*)
     }
     perCol.reduce(_.unionByName(_))
   }
