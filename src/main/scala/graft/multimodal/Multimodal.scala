@@ -52,6 +52,49 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, scales, and re-encodes;
+    * the fake projects the byte stream to the target size deterministically
+    * (stride sampling), so the output SHAPE (a payload of exactly w*h
+    * bytes) is what a codec would produce. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    if (payload.isEmpty) return out
+    var i = 0
+    while (i < out.length) {
+      out(i) = payload((i.toLong * payload.length / out.length).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling: a real implementation seeks keyframes; the fake
+    * cuts `n` evenly-spaced fixed-width windows from the byte stream. */
+  def frameSampleStub(payload: Array[Byte], n: Int, frameLen: Int = 16): Seq[Array[Byte]] =
+    (0 until n).map { i =>
+      val start = if (n == 1) 0 else (i.toLong * math.max(payload.length - frameLen, 0) / math.max(n - 1, 1)).toInt
+      payload.slice(start, math.min(start + frameLen, payload.length))
+    }
+
+  final case class MediaFrames(media_id: Long, n_frames: Int,
+                               frame_sigs: Seq[String], thumb_len: Int)
+
+  /** Batched resize + frame-sample pass — same mapPartitions shape as
+    * [[extractFeatures]], emitting per-frame signatures and the resized
+    * thumbnail length. */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int = 4,
+                   thumbW: Int = 32, thumbH: Int = 32): Dataset[MediaFrames] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val frames = frameSampleStub(r.payload, nFrames)
+        val sigs = frames.map(f => md.digest(f).map("%02x".format(_)).mkString)
+        val thumb = resizeStub(r.payload, thumbW, thumbH)
+        MediaFrames(r.media_id, frames.length, sigs, thumb.length)
+      }
+    }
+  }
+
   /** Lift the documents table into the media shape (text bytes as the
     * opaque payload) — the driver's stand-in for a binary media column. */
   def documentsAsMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

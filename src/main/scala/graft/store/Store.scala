@@ -133,6 +133,17 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     readRaw().join(broadcast(winners), Seq("ingest_id"))
   }
 
+  /** Append-style view: ALL successful ingests up to the cutoff. Streamed
+    * event tables are append logs — every micro-batch belongs to the
+    * dataset — unlike versioned reference tables where only the latest
+    * publication wins (snapshot). Same crash-safety: success=0 batches
+    * are invisible. */
+  def appendedRows(cutoff: Option[Timestamp] = None): DataFrame = {
+    val log0 = readLog().filter(col("success") === 1)
+    val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
+    readRaw().join(broadcast(log.select("ingest_id")), Seq("ingest_id"), "left_semi")
+  }
+
   /** Materialize the snapshot into PROD with a stable `row_uid` for keyset
     * pagination (reference rowid, app.py:138-147; SURVEY.md §7.3).
     * row_uid = ingest_id * 2^32 + row — stable across identical stages,

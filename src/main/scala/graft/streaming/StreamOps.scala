@@ -92,6 +92,19 @@ object StreamOps {
     normalize(spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir))
 
+  /** Stream-to-store ingest: each micro-batch lands in the versioned RAW
+    * zone through the same transactional path as batch ingest (log row
+    * first, success flip after), so crash-recovery and as-of semantics
+    * hold for streamed data too. Use with `.trigger(...)` and a
+    * checkpoint in deployment; tests drive it with processAllAvailable. */
+  def ingestStream(events: DataFrame, store: graft.store.Store,
+                   tableName: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          store.ingest(batch, tableName, url = s"stream:batch=$batchId"): Unit
+      }
+
   /** Wire a streaming query to an in-memory sink (used by tests; a real
     * deployment points this at kafka/parquet with a checkpoint). */
   def toMemorySink(df: DataFrame, name: String,

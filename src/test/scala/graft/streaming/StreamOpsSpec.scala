@@ -60,6 +60,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(s.session_end.toString.startsWith("2026-01-01 10:10:00"))
   }
 
+  test("stream-to-store ingest: every micro-batch lands in the append view") {
+    // two files -> two micro-batches (maxFilesPerTrigger=1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("e1.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("e2.parquet"))
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_store_").toString
+    val store = new graft.store.Store(spark, root, "ev")
+    store.initialize()
+    val stream = StreamOps.readEventsStream(spark, dir.toString)
+      .select("event_id", "user_id", "event_type", "value")
+    val q = StreamOps.ingestStream(stream, store, "events").start()
+    try q.processAllAvailable() finally q.stop()
+    val perFile = spark.read.schema(StreamOps.eventsSchema)
+      .parquet(s"$dir/e1.parquet").count()
+    // append view holds BOTH batches; the versioned snapshot would keep
+    // only the latest (that semantic is for reference tables)
+    assert(store.appendedRows().count() == 2 * perFile)
+    assert(store.readLog().filter(
+      org.apache.spark.sql.functions.col("url").startsWith("stream:")).count() >= 2)
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val deduped = StreamOps.dedupedStream(
       StreamOps.readEventsStream(spark, streamDir))
