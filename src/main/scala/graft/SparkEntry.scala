@@ -451,6 +451,17 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
+    // X: stateful gap sessionization (flatMapGroupsWithState) — closed
+    // sessions only; oracle is the SQL gaps-and-islands formulation
+    "q_x_sessionize" -> ((s, dir) => {
+      graft.streaming.StreamOps.sessionize(
+          t(s, dir, "events"), gapMs = 30 * 60 * 1000L).toDF()
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // X: point-in-time (as-of) join — each event joined to the latest
     // order of its customer at or before the event time; the leakage-free
     // feature-join primitive
@@ -813,6 +824,25 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+         g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM g),
+         agg AS (SELECT user_id, sid,
+                   strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(t), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   max(sid) OVER (PARTITION BY user_id) AS max_sid
+                 FROM s GROUP BY user_id, sid)
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM agg WHERE sid < max_sid""",
 
     "q_x_asof_join" ->
       """WITH j AS (
