@@ -24,6 +24,16 @@ final class HttpApi(facade: Facade, collection: String) {
 
   private var server: HttpServer = _
 
+  // table -> latest description, driver-cached (the reference plucks it
+  // from the first data row per request, app.py:171; ours comes from the
+  // provenance log without a per-request job)
+  private lazy val descriptions: Map[String, String] =
+    facade.store.readLog()
+      .orderBy(org.apache.spark.sql.functions.col("ingest_id"))
+      .select("table_name", "table_description").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/data/", handle _)
@@ -61,8 +71,9 @@ final class HttpApi(facade: Facade, collection: String) {
         }
       val records = page.data.collect().map(rowToJson(page.data.schema.fieldNames, _))
       val cursorJson = page.nextCursor.map(_.toString).getOrElse("null")
+      val desc = jstr(descriptions.getOrElse(table, ""))
       respond(ex, 200,
-        s"""{"table_name": ${jstr(table)}, "next_cursor": $cursorJson, "data": [${records.mkString(",")}]}""")
+        s"""{"table_name": ${jstr(table)}, "table_description": $desc, "next_cursor": $cursorJson, "data": [${records.mkString(",")}]}""")
     } catch {
       case e: Throwable => respond(ex, 500, err(s"internal error: ${e.getMessage}"))
     }

@@ -24,7 +24,8 @@ class HttpApiSpec extends AnyFunSuite {
       (0, "Coal", 2019, "Gas", 1.0), (1, "Coal", 2020, "Gas", 2.0),
       (2, "Oil", 2020, "Coal", 3.0), (3, "Oil", 2021, "coal", 4.0))
       .toDF("row", "label", "year", "fuel", "value")
-    st.ingest(df, "1.1", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(df, "1.1", description = "Test balances",
+      ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
     st.stage()
     val facade = new Facade(spark, root, "dukes")
     val a = new HttpApi(facade, "dukes")
@@ -44,6 +45,7 @@ class HttpApiSpec extends AnyFunSuite {
     val (code, body) = get(s"/data/dukes?table_name=1.1&filters=${enc("""{"fuel":"gas"}""")}")
     assert(code == 200)
     assert(body.contains(""""table_name": "1.1""""))
+    assert(body.contains(""""table_description": "Test balances""""))
     assert(body.contains(""""next_cursor": null"""))
     assert(body.contains(""""year": 2019""") && body.contains(""""year": 2020"""))
     assert(!body.contains("2021")) // filtered out (case-insensitive eq on 'gas')
