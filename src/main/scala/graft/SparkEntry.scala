@@ -156,6 +156,22 @@ object SparkEntry {
       t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
     }),
 
+    // A8 (beyond-parity): ROLLUP hierarchy totals in one pass
+    "q_a8_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // A2b: approx_count_distinct — the 100 TB swap for exact stats;
+    // sketch values are engine-specific -> rows-only
+    "q_a2b_column_stats_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("nu_orderkey_approx"),
+        approx_count_distinct(col("l_partkey")).as("nu_partkey_approx"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     // J1: broadcast equi-join (template-join shape: fact x small dim)
     "q_j1_broadcast_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -623,6 +639,11 @@ object SparkEntry {
 
     "q_a7_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+
+    "q_a8_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
 
     "q_j1_broadcast_join" ->
       """SELECT p_brand,
