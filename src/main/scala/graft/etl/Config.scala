@@ -34,6 +34,7 @@ object Config {
       // sheet-name dimension for multi-sheet tables)
       varName: String = "year",
       sheetDim: String = "year",
+      firstYear: Option[String] = None,
       postprocess: Option[String] = None,
       url: Option[String] = None,
       description: Option[String] = None)
@@ -73,6 +74,7 @@ object Config {
         unit = str("unit"),
         varName = str("var_name").getOrElse("year"),
         sheetDim = str("sheet_dim").getOrElse("year"),
+        firstYear = str("first_year"),
         postprocess = str("postprocess"),
         url = str("url"),
         description = str("description"))

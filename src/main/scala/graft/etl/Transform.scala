@@ -118,6 +118,28 @@ object Transform {
     Reshape.sheetUnion(frames, cfg.sheetDim)
   }
 
+  /** Whole-table custom flows by name (the reference's ad-hoc 5.6 / 5.10
+    * pipelines, transformations.py:558-631): ordinary functions composing
+    * the operator library, dispatched from config `f` names that aren't
+    * single_sheet / multi_sheet. */
+  type CustomFlow = (SparkSession, Workbook, TableConfig, Option[DataFrame]) => DataFrame
+  val customFlows: Map[String, CustomFlow] = Map(
+    "stacked_summaries" -> ((spark, wb, cfg, template) => {
+      val sheetName = cfg.sheetName.getOrElse(wb.sheetNames.head)
+      val read = WorkbookReader.read(spark,
+        Workbook(Vector(sheetName -> wb(sheetName))),
+        hasMultiHeaders = cfg.hasMultiHeaders, fixedHeader = cfg.fixedHeader)(sheetName)
+      val tpl = template.getOrElse(
+        throw new IllegalArgumentException("stacked_summaries needs a template"))
+      val firstCol = read.columns.filterNot(_ == "row").head
+      val blockSize = tpl.count().toInt
+      processStackedSummaries(read, tpl,
+        yearTag = when(col(firstCol).rlike("\\d{4}\\s*summary"),
+          regexp_extract(col(firstCol), "(\\d{4})\\s*summary", 1)),
+        blockSize = blockSize,
+        firstYear = cfg.firstYear.getOrElse(""))
+    }))
+
   // ------------------------------------------------- stacked summaries flow
 
   /** Composite flow for stacked repeating blocks with interim title rows
@@ -133,9 +155,15 @@ object Transform {
       .withColumn("row_raw", col("row"))
     val filled = Windows.ffill(tagged, "year", Seq.empty, Seq("row_raw"),
       default = Some(lit(firstYear)))
+    // drop the interim title rows FIRST, then re-number consecutively —
+    // title rows would otherwise shift the parity of the modular key
+    // (the reference resets the index before the mod join,
+    // transformations.py:509-522)
     val keyed = filled
       .filter(!col(table.columns.filterNot(_ == "row").head).contains("summary"))
-      .withColumn("row_mod", pmod(col("row_raw"), lit(blockSize)))
+      .withColumn("row_seq", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("row_raw"))) - 1)
+      .withColumn("row_mod", pmod(col("row_seq"), lit(blockSize)))
     keyed.join(broadcast(template.withColumnRenamed("row", "row_mod")),
       Seq("row_mod"), "inner")
   }

@@ -29,7 +29,11 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     val frame = cfg.kind match {
       case Config.MultiSheet =>
         Transform.processMultiSheetsToFrame(spark, wb, cfg, template)
-      case _ =>
+      case Config.Custom(name) =>
+        val flow = Transform.customFlows.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown custom transform '$name'"))
+        flow(spark, wb, cfg, template)
+      case Config.SingleSheet =>
         Transform.processSheetToFrame(spark, wb, cfg, template)
     }
     val validated = Validate.validateSchema(frame, cfg.table,

@@ -94,6 +94,29 @@ class TransformSpec extends AnyFunSuite {
     assert(v == "8")
   }
 
+  test("stacked-summaries custom flow: ffill year tags + modular block join") {
+    // two stacked year blocks of 2 data rows each, separated by a title row
+    val sheet = Vector(
+      Vector("BLOCK", "A", "B"),
+      Vector("r1", "1", "2"),      // rows 0-1: first (untagged) block -> 2019
+      Vector("r2", "3", "4"),
+      Vector("2020 summary", "", ""),
+      Vector("r1", "5", "6"),
+      Vector("r2", "7", "8"))
+    val template = Seq((0, "row one"), (1, "row two")).toDF("row", "label")
+    val cfg = Config.TableConfig("5.6", Config.Custom("stacked_summaries"),
+      sheetName = Some("s"), firstYear = Some("2019"))
+    val got = Transform.customFlows("stacked_summaries")(
+      spark, Workbook(Vector("s" -> sheet)), cfg, Some(template))
+    // title row excluded by the summary filter; block rows join the
+    // template on row % blockSize and carry the filled year
+    val years = got.select("year").collect().map(_.getString(0)).toSet
+    assert(years == Set("2019", "2020"))
+    val r = got.filter($"year" === "2020" && $"label" === "row two")
+      .select("A").collect()
+    assert(r.length == 1 && r.head.getString(0) == "7")
+  }
+
   test("postprocess hook: year_numeric drops unparseable years") {
     val dirty = Vector(Vector("ROWHDR", "2019", "Notes"),
       Vector("r1", "1", "x"))
