@@ -123,7 +123,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     * partition pruning by table_name still applies downstream.
     */
   def snapshot(cutoff: Option[Timestamp] = None): DataFrame = {
-    val log0 = readLog().filter(col("success") === 1)
+    val log0 = readLog().filter(col("success") === 1 && col("data_collection") === collection)
     val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
     val w = Window.partitionBy("table_name")
       .orderBy(col("ingest_ts").desc, col("ingest_id").desc)
@@ -139,7 +139,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     * publication wins (snapshot). Same crash-safety: success=0 batches
     * are invisible. */
   def appendedRows(cutoff: Option[Timestamp] = None): DataFrame = {
-    val log0 = readLog().filter(col("success") === 1)
+    val log0 = readLog().filter(col("success") === 1 && col("data_collection") === collection)
     val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
     readRaw().join(broadcast(log.select("ingest_id")), Seq("ingest_id"), "left_semi")
   }
@@ -176,7 +176,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     // winners per table under the cutoff (tiny frame, driver-collectable)
     val w = Window.partitionBy("table_name")
       .orderBy(col("ingest_ts").desc, col("ingest_id").desc)
-    val log0 = readLog().filter(col("success") === 1)
+    val log0 = readLog().filter(col("success") === 1 && col("data_collection") === collection)
     val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
     val winners = log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

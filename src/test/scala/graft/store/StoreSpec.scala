@@ -70,6 +70,20 @@ class StoreSpec extends AnyFunSuite {
     assert(st.snapshot().select("version").as[Int].collect().toSet == Set(1))
   }
 
+  test("two collections sharing a root version independently") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_multi_").toString
+    val a = new Store(spark, root, "alpha"); a.initialize()
+    val b = new Store(spark, root, "beta"); b.initialize()
+    // same table_name in both collections; beta's ingest is NEWER
+    a.ingest(frame(1), "1.1", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    b.ingest(frame(9), "1.1", ingestTs = Timestamp.valueOf("2026-01-05 00:00:00"))
+    // beta's newer ingest must not steal alpha's winner slot for "1.1"
+    assert(a.snapshot().select("version").as[Int].collect().toSet == Set(1))
+    assert(b.snapshot().select("version").as[Int].collect().toSet == Set(9))
+    // ingest ids remain globally unique across the shared log
+    assert(a.readLog().select("ingest_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("incremental stage rewrites only changed table partitions") {
     val st = freshStore()
     st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
