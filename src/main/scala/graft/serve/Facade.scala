@@ -56,8 +56,12 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     })
   }
 
-  /** Snapshot RAW -> PROD as of an optional cutoff; rebuilds metadata. */
-  def stage(cutoff: Option[Timestamp] = None): Unit = store.stage(cutoff)
+  /** Snapshot RAW -> PROD as of an optional cutoff; rebuilds metadata and
+    * invalidates the serving caches. */
+  def stage(cutoff: Option[Timestamp] = None): Unit = {
+    store.stage(cutoff)
+    queryService.refresh()
+  }
 
   /** Query PROD with the JSON filter DSL (the §3.1 read path). */
   def query(table: String, filtersJson: String = "{}",

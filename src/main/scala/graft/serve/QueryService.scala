@@ -25,9 +25,16 @@ final class QueryService(spark: SparkSession, store: Store) {
   val DefaultLimit = 1000   // reference: app.py:18
   val MaxLimit = 5000       // reference: app.py:19
 
-  private lazy val prod: DataFrame = store.readProd()
+  // re-resolved per request: a cached DataFrame would pin the parquet
+  // file listing and break (or serve stale data) after a re-stage
+  // overwrites PROD; schema/queryable maps stay driver-cached and are
+  // dropped via refresh()
+  private def prod: DataFrame = store.readProd()
   private lazy val queryableCache =
     scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  /** Invalidate driver-side caches after a re-stage. */
+  def refresh(): Unit = queryableCache.clear()
 
   final case class Page(data: DataFrame, nextCursor: Option[Long])
 
@@ -38,12 +45,13 @@ final class QueryService(spark: SparkSession, store: Store) {
       tableName, store.queryableColumns(tableName))
     require(queryable.size > 1, s"table '$tableName' is not staged")
 
-    val pred = FilterDsl.compileJson(filtersJson, prod.schema, Some(queryable))
+    val snapshot = prod
+    val pred = FilterDsl.compileJson(filtersJson, snapshot.schema, Some(queryable))
     val clamped = math.min(math.max(limit, 1), MaxLimit)
 
     // mandatory partition predicate (reference: facade.py:138) — prunes the
     // table_name partition directories before the filter even runs
-    val base = prod
+    val base = snapshot
       .where(col("table_name") === tableName)
       .where(pred)
     val page = graft.ops.Windows.keysetPage(base, "row_uid", cursor, clamped)

@@ -78,7 +78,9 @@ object StreamOps {
               case s =>
                 closed += UserSession(userId, new java.sql.Timestamp(s.start),
                   new java.sql.Timestamp(s.last), s.n,
-                  math.round(s.sum * 100.0) / 100.0)
+                  // HALF_UP on BigDecimal = away from zero for both signs,
+                  // matching SQL round() semantics
+                  BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
                 SessionState(t, t, 1L, e.value)
             }
           }

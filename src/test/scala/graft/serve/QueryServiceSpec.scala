@@ -51,6 +51,21 @@ class QueryServiceSpec extends AnyFunSuite {
     assert(all == Set(0, 1, 2, 3))
   }
 
+  test("queries see fresh data after a re-stage (no stale file listing)") {
+    val root = Files.createTempDirectory("graft_qs_restage_").toString
+    val st = new Store(spark, root, "dukes")
+    st.initialize()
+    val f = new Facade(spark, root, "dukes")
+    def frame(v: Double) = Seq((0, "Coal", 2019, "Gas", Some(v)))
+      .toDF("row", "label", "year", "fuel", "value")
+    st.ingest(frame(1.0), "1.1", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    f.stage()
+    assert(f.query("1.1").data.select("value").collect().head.getDouble(0) == 1.0)
+    st.ingest(frame(2.0), "1.1", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    f.stage()
+    assert(f.query("1.1").data.select("value").collect().head.getDouble(0) == 2.0)
+  }
+
   test("unknown table rejected") {
     val e = intercept[IllegalArgumentException](service.query("9.9"))
     assert(e.getMessage.contains("not staged"))
