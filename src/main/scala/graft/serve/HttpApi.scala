@@ -56,18 +56,22 @@ final class HttpApi(facade: Facade, collection: String) {
       val filters = params.getOrElse("filters", "{}")
       val limit = params.get("limit").map(_.toInt).getOrElse(facade.queryService.DefaultLimit)
       val cursor = params.get("cursor").map(_.toLong)
+      val cols = params.get("cols").map(_.split(",").map(_.trim).toSeq)
 
       // malformed JSON -> 400 (app.py:92-97); semantic errors -> 422
       try graft.dsl.Json.parse(filters)
       catch { case e: Exception => respond(ex, 400, err(s"malformed filters JSON: ${e.getMessage}")); return }
 
       val page =
-        try facade.query(table, filters, limit, cursor)
+        try facade.queryService.query(table, filters, limit, cursor, cols)
         catch {
           case e: FilterDsl.DslException => respond(ex, 422, err(e.getMessage)); return
           case e: IllegalArgumentException if e.getMessage != null &&
               e.getMessage.contains("not staged") =>
             respond(ex, 404, err(e.getMessage)); return
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.contains("unknown column") =>
+            respond(ex, 422, err(e.getMessage)); return
         }
       val records = page.data.collect().map(rowToJson(page.data.schema.fieldNames, _))
       val cursorJson = page.nextCursor.map(_.toString).getOrElse("null")

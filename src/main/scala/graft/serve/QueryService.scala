@@ -39,7 +39,8 @@ final class QueryService(spark: SparkSession, store: Store) {
   final case class Page(data: DataFrame, nextCursor: Option[Long])
 
   def query(tableName: String, filtersJson: String = "{}",
-            limit: Int = DefaultLimit, cursor: Option[Long] = None): Page = {
+            limit: Int = DefaultLimit, cursor: Option[Long] = None,
+            cols: Option[Seq[String]] = None): Page = {
     require(store.isStaged, s"collection is not staged")
     val queryable = queryableCache.getOrElseUpdate(
       tableName, store.queryableColumns(tableName))
@@ -49,11 +50,21 @@ final class QueryService(spark: SparkSession, store: Store) {
     val pred = FilterDsl.compileJson(filtersJson, snapshot.schema, Some(queryable))
     val clamped = math.min(math.max(limit, 1), MaxLimit)
 
+    // optional column projection (reference: generate_select_sql cols,
+    // utils.py:244) — validated against the schema; filters may still
+    // reference unprojected columns (WHERE over the full row, SELECT of
+    // the subset), so the predicate applies before the select; Catalyst
+    // prunes the scan to the union of filter + projected columns
+    cols.foreach(_.foreach(c => require(snapshot.columns.contains(c),
+      s"unknown column '$c'")))
+
     // mandatory partition predicate (reference: facade.py:138) — prunes the
     // table_name partition directories before the filter even runs
-    val base = snapshot
+    val filtered = snapshot
       .where(col("table_name") === tableName)
       .where(pred)
+    val base = cols.fold(filtered)(cs =>
+      filtered.select((cs ++ Seq("row_uid", "table_name")).distinct.map(col): _*))
     val page = graft.ops.Windows.keysetPage(base, "row_uid", cursor, clamped)
 
     // page shaping happens on the collected page (<= 5000 rows), exactly

@@ -213,6 +213,68 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     changed
   }
 
+  /** Retention vacuum: rewrite RAW keeping only each table's newest
+    * `retainVersions` successful ingests (plus any in-flight success=0
+    * rows are dropped too — they are invisible anyway and a crashed
+    * ingest would otherwise leak storage forever). As-of queries older
+    * than the retained window stop resolving — that is the point of a
+    * retention policy. Returns the ingest ids that were purged.
+    *
+    * Scale shape: the keep-set comes from the tiny log; RAW is rewritten
+    * only for table partitions that actually lose rows, via dynamic
+    * partition overwrite. */
+  def vacuum(retainVersions: Int = 2): Seq[Long] = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val w = Window.partitionBy("table_name")
+      .orderBy(col("ingest_ts").desc, col("ingest_id").desc)
+    val mine = readLog().filter(col("data_collection") === collection)
+    val ranked = mine.filter(col("success") === 1)
+      .withColumn("__rn", row_number().over(w))
+    val keepIds = ranked.filter(col("__rn") <= retainVersions)
+      .select("ingest_id").collect().map(_.getLong(0)).toSet
+    val allIds = mine.select("ingest_id").collect().map(_.getLong(0)).toSet
+    val purge = (allIds -- keepIds).toSeq.sorted
+    if (purge.isEmpty) return Nil
+
+    // tables that lose rows -> dynamic-overwrite only those partitions
+    val affected = readRaw()
+      .where(col("ingest_id").isin(purge.map(x => x: Any): _*))
+      .select("table_name").distinct().collect().map(_.getString(0)).toSeq
+    if (affected.nonEmpty) {
+      // a path cannot be read and overwritten in the same job: rewrite
+      // the surviving rows of affected partitions into a staging dir,
+      // then swap the partition directories
+      val staging = p(s"${collection}_raw_vacuum_tmp")
+      val kept = readRaw()
+        .where(col("table_name").isin(affected.map(x => x: Any): _*))
+        .where(col("ingest_id").isin(keepIds.toSeq.map(x => x: Any): _*))
+      kept.write.mode("overwrite").partitionBy("table_name").parquet(staging)
+      val fs = new org.apache.hadoop.fs.Path(rawPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { t =>
+        val dst = new org.apache.hadoop.fs.Path(s"$rawPath/table_name=$t")
+        val src = new org.apache.hadoop.fs.Path(s"$staging/table_name=$t")
+        fs.delete(dst, true)
+        // a partition whose every ingest was purged has no staging dir
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    // prune the log rows of purged ingests (keep the log an accurate
+    // catalog of what is physically present)
+    val keptLog = readLog()
+      .filter(!(col("ingest_id").isin(purge.map(x => x: Any): _*)))
+      .collect()
+    val tmp = p("_ingest_log_tmp")
+    spark.createDataFrame(java.util.Arrays.asList(keptLog: _*), logSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs2 = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new org.apache.hadoop.fs.Path(logPath), true)
+    fs2.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(logPath))
+    purge
+  }
+
   // ------------------------------------------------------------- metadata
 
   /** Per-(table, column) stats: n_non_nulls, n_unique, dtype (reference:

@@ -66,6 +66,16 @@ class QueryServiceSpec extends AnyFunSuite {
     assert(f.query("1.1").data.select("value").collect().head.getDouble(0) == 2.0)
   }
 
+  test("column projection narrows the page, filters still see all columns") {
+    val page = service.query("1.1", """{"fuel": "gas", "year": {"gte": 2020}}""",
+      cols = Some(Seq("label", "year")))
+    assert(page.data.columns.contains("label"))
+    assert(!page.data.columns.contains("fuel"))
+    assert(page.data.count() == 1) // only (Coal, 2020, Gas) passes both filters
+    intercept[IllegalArgumentException](
+      service.query("1.1", "{}", cols = Some(Seq("nope"))))
+  }
+
   test("unknown table rejected") {
     val e = intercept[IllegalArgumentException](service.query("9.9"))
     assert(e.getMessage.contains("not staged"))

@@ -102,6 +102,25 @@ class StoreSpec extends AnyFunSuite {
     assert(st.readProd().select("row_uid").distinct().count() == 4)
   }
 
+  test("vacuum keeps newest N versions per table, purges the rest") {
+    val st = freshStore()
+    st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(frame(2), "a", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    st.ingest(frame(3), "a", ingestTs = Timestamp.valueOf("2026-01-03 00:00:00"))
+    st.ingest(frame(7), "b", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    val purged = st.vacuum(retainVersions = 2)
+    assert(purged == Seq(1L)) // only a's oldest version leaves
+    // snapshot still serves the latest; as-of beyond retention is gone
+    assert(st.snapshot().select("version").as[Int].collect().toSet == Set(3, 7))
+    val asOfOld = st.snapshot(Some(Timestamp.valueOf("2026-01-01 12:00:00")))
+    assert(asOfOld.select("version").as[Int].collect().toSet == Set(7))
+    // physically purged from RAW and the log
+    assert(st.readRaw().select("version").as[Int].collect().toSet == Set(2, 3, 7))
+    assert(st.readLog().count() == 3)
+    // idempotent
+    assert(st.vacuum(retainVersions = 2) == Nil)
+  }
+
   test("stage materializes prod with a stable row_uid and metadata") {
     val st = freshStore()
     st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
