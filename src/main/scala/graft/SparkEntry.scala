@@ -260,6 +260,18 @@ object SparkEntry {
         constants = Map("source" -> "tpch", "unit" -> "n/a"))
     }),
 
+    // §2.9 beyond-parity: set operations (the reference only has union)
+    "q_set_ops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val topQty = li.where(col("l_quantity") >= 45).select(col("l_orderkey")).distinct()
+      val discounted = li.where(col("l_discount") >= 0.08).select(col("l_orderkey")).distinct()
+      val both = topQty.intersect(discounted)
+        .withColumn("set_op", lit("intersect"))
+      val onlyTop = topQty.except(discounted)
+        .withColumn("set_op", lit("except"))
+      both.unionByName(onlyTop)
+    }),
+
     // O1/O2: ORDER BY + LIMIT on a unique key
     "q_o1_order_limit" -> ((s, dir) => {
       t(s, dir, "orders").orderBy(col("o_orderkey"))
@@ -715,6 +727,13 @@ object SparkEntry {
     "q_r5_rename_const" ->
       """SELECT r_regionkey, r_name AS region_name, 'tpch' AS source,
          'n/a' AS unit FROM region""",
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45),
+            b AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= 0.08)
+         SELECT l_orderkey, 'intersect' AS set_op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+         UNION ALL
+         SELECT l_orderkey, 'except' AS set_op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""",
 
     "q_o1_order_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
