@@ -66,7 +66,7 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
   /** Query PROD with the JSON filter DSL (the §3.1 read path). */
   def query(table: String, filtersJson: String = "{}",
             limit: Int = queryService.DefaultLimit,
-            cursor: Option[Long] = None): QueryService#Page =
+            cursor: Option[Long] = None): QueryService.Page =
     queryService.query(table, filtersJson, limit, cursor)
 
   /** Export one table or the whole collection. */

@@ -36,7 +36,7 @@ final class QueryService(spark: SparkSession, store: Store) {
   /** Invalidate driver-side caches after a re-stage. */
   def refresh(): Unit = queryableCache.clear()
 
-  final case class Page(data: DataFrame, nextCursor: Option[Long])
+  import QueryService.Page
 
   def query(tableName: String, filtersJson: String = "{}",
             limit: Int = DefaultLimit, cursor: Option[Long] = None,
@@ -86,4 +86,10 @@ final class QueryService(spark: SparkSession, store: Store) {
     }.getOrElse(kept.columns)
     Page(kept.select(nonNullCounts.map(col).toIndexedSeq: _*), nextCursor)
   }
+}
+
+object QueryService {
+  /** One page of results + the keyset cursor for the next page. */
+  final case class Page(data: org.apache.spark.sql.DataFrame,
+                        nextCursor: Option[Long])
 }
