@@ -88,19 +88,23 @@ object TextOps {
           tokens(col("text")), shingleN, numPerm).as("sig"))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
       .cache() // reused by the banding and estimate branches
+    // bucket-local pair generation: group ids per (band, hash), drop
+    // oversized buckets (no dedup signal, O(n^2) pairs), and emit the
+    // pairs by array combinatorics INSIDE each bounded bucket — one
+    // shuffle instead of window + self-join + join-shuffles; output is
+    // bounded by maxBucket^2 per bucket
     val banded = withSig.select(col("id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .where(col("bucket_n") <= maxBucket)
-      .select(col("id"), col("band_idx"), col("band_hash"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val candidates = buckets
+      .select(explode(expr(
+        """flatten(transform(ids,
+             x -> transform(filter(ids, y -> y > x),
+                            y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     // signature-agreement estimate: unbiased Jaccard estimator, 64 longs
     // per side instead of the full shingle sets
