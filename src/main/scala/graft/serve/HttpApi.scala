@@ -54,8 +54,13 @@ final class HttpApi(facade: Facade, collection: String) {
         case None => respond(ex, 422, err("table_name is required")); return
       }
       val filters = params.getOrElse("filters", "{}")
-      val limit = params.get("limit").map(_.toInt).getOrElse(facade.queryService.DefaultLimit)
-      val cursor = params.get("cursor").map(_.toLong)
+      val (limit, cursor) =
+        try (
+          params.get("limit").map(_.toInt).getOrElse(facade.queryService.DefaultLimit),
+          params.get("cursor").map(_.toLong))
+        catch { case _: NumberFormatException =>
+          respond(ex, 422, err("limit and cursor must be integers")); return
+        }
       val cols = params.get("cols").map(_.split(",").map(_.trim).toSeq)
 
       // malformed JSON -> 400 (app.py:92-97); semantic errors -> 422

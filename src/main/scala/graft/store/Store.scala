@@ -109,7 +109,11 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(logPath))
   }
 
-  def readRaw(): DataFrame = spark.read.parquet(rawPath)
+  def readRaw(): DataFrame = {
+    require(exists(rawPath),
+      s"collection '$collection' has no ingested data yet (RAW zone empty)")
+    spark.read.parquet(rawPath)
+  }
 
   // ---------------------------------------------------------- staging path
 

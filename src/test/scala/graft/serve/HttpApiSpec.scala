@@ -68,5 +68,7 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get(s"/data/dukes?table_name=1.1&filters=${enc("""{"bogus": 1}""")}")._1 == 422)
     assert(get(s"/data/dukes?table_name=1.1&filters=${enc("""{"year": {"like": "x"}}""")}")._1 == 422)
     assert(get("/data/dukes")._1 == 422) // table_name required
+    assert(get("/data/dukes?table_name=1.1&limit=abc")._1 == 422)
+    assert(get("/data/dukes?table_name=1.1&cursor=1.5")._1 == 422)
   }
 }

@@ -24,6 +24,12 @@ class StoreSpec extends AnyFunSuite {
   private def frame(version: Int) =
     Seq((0, "a", version), (1, "b", version)).toDF("row", "label", "version")
 
+  test("snapshot before any ingest fails with a clear message") {
+    val st = freshStore()
+    val e = intercept[IllegalArgumentException](st.snapshot().count())
+    assert(e.getMessage.contains("no ingested data"))
+  }
+
   test("snapshot returns the latest successful ingest per table") {
     val st = freshStore()
     st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
