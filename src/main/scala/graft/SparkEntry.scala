@@ -504,6 +504,19 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
     }),
 
+    // X: the as-of join again, through the CUSTOM LogicalPlan + Strategy +
+    // sort-merge SparkPlan (O(1) state per partition, for unbounded
+    // history) — same oracle as the composed form
+    "q_x_asof_custom_plan" -> ((s, dir) => {
+      graft.ops.AsOf.joinExact(
+          t(s, dir, "events"), t(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightTiebreak = Some("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"))
+    }),
+
     // X: salted two-phase aggregation — the hot-key mitigation pattern;
     // semantics-preserving, so the oracle is the plain GROUP BY
     "q_x_salted_agg" -> ((s, dir) => {
@@ -885,6 +898,19 @@ object SparkEntry {
          FROM agg WHERE sid < max_sid""",
 
     "q_x_asof_join" ->
+      """WITH j AS (
+           SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                  row_number() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_orderdate DESC NULLS LAST,
+                             o.o_orderkey DESC NULLS LAST) AS rn
+           FROM events e LEFT JOIN orders o
+             ON e.user_id = o.o_custkey
+            AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+         SELECT event_id, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS asof_date
+         FROM j WHERE rn = 1""",
+
+    "q_x_asof_custom_plan" ->
       """WITH j AS (
            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
                   row_number() OVER (PARTITION BY e.event_id

@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** The custom-operator form: a dedicated LogicalPlan + Strategy +
+    * sort-merge SparkPlan ([[graft.plans.AsOfJoinExec]]) that merges each
+    * co-partitioned sorted partition in one pass with O(1) buffered
+    * state — use over [[join]] when history per key is unbounded (the
+    * composed form materializes every historical match before its top-1
+    * truncation). Registers the planner strategy on first use.
+    * Key columns must be long-typed, time columns timestamp/long. */
+  def joinExact(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String,
+                leftTime: String, rightTime: String,
+                rightTiebreak: Option[String] = None): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column '$name' not found"))
+    org.apache.spark.sql.graftx.ofRows(spark,
+      graft.plans.AsOfJoin(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        rightTiebreak.map(attr(rPlan, _))))
+  }
+
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,

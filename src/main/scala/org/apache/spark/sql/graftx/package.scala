@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftx {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom logical plan (Dataset.ofRows is
+    * private[sql]; needed to surface custom operators like the as-of
+    * join's logical node through the public Dataset API). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -48,6 +48,46 @@ class AsOfSpec extends AnyFunSuite {
     assert(got(1L).isEmpty && got(2L).contains(101L))
   }
 
+  test("custom sort-merge plan agrees with the composed form") {
+    // long keys (the custom plan's documented restriction)
+    val l = Seq((1L, 10L, ts("2026-01-10 00:00:00")),
+      (2L, 10L, ts("2026-01-20 00:00:00")),
+      (3L, 20L, ts("2026-01-05 00:00:00")),
+      (4L, 30L, ts("2026-01-10 00:00:00")))
+      .toDF("eid", "k", "t")
+    val r = Seq((10L, ts("2026-01-01 00:00:00"), 100L),
+      (10L, ts("2026-01-15 00:00:00"), 101L),
+      (20L, ts("2026-01-08 00:00:00"), 200L))
+      .toDF("k2", "rt", "version")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("eid", "version").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val composed = collectPairs(
+      AsOf.join(l, r, "k", "k2", "t", "rt", Seq("eid"), Seq("version")))
+    val custom = collectPairs(
+      AsOf.joinExact(l, r, "k", "k2", "t", "rt", Some("version")))
+    assert(custom == composed)
+    assert(custom == Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("custom plan agrees with the composed form on the events/orders tables") {
+    val spark2 = spark
+    val e = spark2.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = e.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val o = spark2.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "o_orderkey").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    val composed = norm(AsOf.join(ev, o, "user_id", "o_custkey", "ts",
+      "o_orderdate", Seq("event_id"), Seq("o_orderkey")))
+    val custom = norm(AsOf.joinExact(ev, o, "user_id", "o_custkey", "ts",
+      "o_orderdate", Some("o_orderkey")))
+    assert(custom == composed)
+    assert(custom.size == 1000)
+  }
+
   test("exact tie on right time resolved by the tiebreak column") {
     val r2 = Seq(("u", ts("2026-01-01 00:00:00"), 1L),
       ("u", ts("2026-01-01 00:00:00"), 2L)).toDF("k2", "rt", "version")
