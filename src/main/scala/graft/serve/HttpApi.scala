@@ -78,7 +78,8 @@ final class HttpApi(facade: Facade, collection: String) {
               e.getMessage.contains("unknown column") =>
             respond(ex, 422, err(e.getMessage)); return
         }
-      val records = page.data.collect().map(rowToJson(page.data.schema.fieldNames, _))
+      val records = page.data.collect()
+        .map(rowToJson(page.data.schema.fieldNames.toIndexedSeq, _))
       val cursorJson = page.nextCursor.map(_.toString).getOrElse("null")
       val desc = jstr(descriptions.getOrElse(table, ""))
       respond(ex, 200,
