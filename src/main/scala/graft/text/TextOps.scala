@@ -71,16 +71,19 @@ object TextOps {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerm: Int = 64,
                         bands: Int = 8, threshold: Double = 0.5,
-                        maxBucket: Int = 100): DataFrame = {
+                        maxBucket: Int = 100,
+                        repartitionInput: Boolean = true): DataFrame = {
     val rowsPerBand = numPerm / bands
     // repartition by id up front: small inputs arrive as one file = one
     // partition, and the signature compute is per-row CPU-bound. The
     // signature comes from the fused shingle+hash expression (one tight
     // loop per document); shingle SETS are only materialized later, for
     // the handful of candidate pairs that survive the estimate filter.
-    val base = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(col("id"))
+    // Callers whose input is already spread across partitions (e.g. the
+    // cached output of the exact-collapse window in nearDupPipeline) pass
+    // repartitionInput=false to skip the redundant shuffle of the texts.
+    val projected = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = (if (repartitionInput) projected.repartition(col("id")) else projected)
       .where(size(tokens(col("text"))) >= shingleN)
     val withSig = base
       .select(col("id"),
@@ -148,24 +151,35 @@ object TextOps {
   def nearDupPipeline(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): (DataFrame, DataFrame) = {
-    val fingerprinted = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    // One shuffle on fp does the whole exact-collapse: row_number picks the
+    // min-id representative and count-over-partition carries the group size,
+    // so there is no groupBy + join-back (which would shuffle the corpus
+    // twice). The collapsed frame is persisted because BOTH outputs — the
+    // group stats and the MinHash stage (which reads its input twice:
+    // signatures + exact-verify shingle sets) — derive from it; without the
+    // persist the fingerprint pass over the full corpus re-runs ~3×.
+    // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing.
+    val byFp = Window.partitionBy(col("fp"))
+    val reps = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("fp", fingerprintMd5(col("text")))
-    val groups = fingerprinted
-      .groupBy(col("fp"))
-      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
-    val representatives = fingerprinted
-      .join(broadcastIfSmall(groups.select(col("fp"), col("keep_id"))), Seq("fp"))
-      .where(col("id") === col("keep_id"))
-      .select(col("id"), col("text"))
-    val pairs = minhashDedupPairs(representatives, "id", "text",
-      shingleN, numPerm, bands, threshold)
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .withColumn("rn", row_number().over(byFp.orderBy(col("id"))))
+      .where(col("rn") === 1)
+      .drop("rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager materialization: downstream branches (group stats, signatures,
+    // exact-verify sets) run CONCURRENTLY inside one consumer query and
+    // would otherwise race to populate the cache, each recomputing the
+    // window pass. One count() here = the stage barrier a checkpoint would
+    // give between collapse and MinHash.
+    reps.count()
+    val groups = reps.select(col("fp"), col("id").as("keep_id"), col("n_copies"))
+    val pairs = minhashDedupPairs(reps.select(col("id"), col("text")), "id", "text",
+      shingleN, numPerm, bands, threshold, repartitionInput = true)
     (groups, pairs)
   }
-
-  /** The fingerprint->representative map is usually small relative to the
-    * corpus but not guaranteed broadcastable; let AQE decide instead of
-    * forcing it. Kept as a seam for deployments that know their dup rate. */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
   // ------------------------------------------------------------- language id
 

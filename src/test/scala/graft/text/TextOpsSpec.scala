@@ -42,6 +42,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupPipeline: exact groups collapse, near-dups found between reps") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "alpha  beta gamma delta epsilon zeta eta theta"),  // exact dup of 1 (ws-normalized)
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),    // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val (groups, pairs) = TextOps.nearDupPipeline(docs, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 32, threshold = 0.3)
+    val g = groups.select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (2L, 1L), (3L, 1L)))   // 1 absorbs 5; min id kept
+    val p = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p == Set((1L, 2L)))                       // between representatives only
+  }
+
   test("simhash: near-dup docs have small hamming distance") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val df = Seq(
