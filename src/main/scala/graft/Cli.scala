@@ -16,7 +16,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> query <table> [filtersJson] [limit] [cursor]
   * graft.Cli <root> <collection> export <table> <outDir> [csv|parquet]
   * graft.Cli <root> <collection> export-all <outDir> [csv|parquet|workbook]
-  * graft.Cli <root> <collection> info
+  * graft.Cli <root> <collection> info [--table T] [--vers] [--meta]
   * graft.Cli <root> <collection> serve [port]
   * }}}
   */
@@ -79,7 +79,19 @@ object Cli {
         facade.exportAll(outDir, fmt).foreach(p => println("wrote " + p))
 
       case "info" =>
-        facade.info().show(truncate = false)
+        // reference cli.py:110-166: default = staged-table stats; --vers =
+        // ingested version list; --meta = queryable columns + dtypes;
+        // --table scopes either to one table
+        val table = rest.sliding(2).collectFirst {
+          case Array("--table", t) => t
+          case Array("-t", t) => t
+        }
+        if (rest.contains("--vers") || rest.contains("-v"))
+          facade.versions(table).show(truncate = false)
+        else if (rest.contains("--meta") || rest.contains("-m"))
+          facade.metadata(table).show(truncate = false)
+        else
+          facade.info().show(truncate = false)
 
       case "serve" =>
         val api = new HttpApi(facade, collection)

@@ -38,9 +38,11 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     }
     val validated = Validate.validateSchema(frame, cfg.table,
       schemaFor(frame, cfg.table))
-    store.ingest(validated, cfg.table,
+    val id = store.ingest(validated, cfg.table,
       url = cfg.url.getOrElse(""),
       description = cfg.description.getOrElse(""), ingestTs = ingestTs)
+    fireRefresh() // table descriptions may have changed
+    id
   }
 
   /** The canonical schema restricted to the columns this frame produced
@@ -56,11 +58,41 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     })
   }
 
+  // Serving layers (HttpApi) register cache-invalidation hooks here so a
+  // stage/ingest after server start is visible without a restart.
+  private val refreshHooks = scala.collection.mutable.Buffer.empty[() => Unit]
+  def onRefresh(hook: () => Unit): Unit = refreshHooks += hook
+  private def fireRefresh(): Unit = refreshHooks.foreach(_())
+
   /** Snapshot RAW -> PROD as of an optional cutoff; rebuilds metadata and
     * invalidates the serving caches. */
   def stage(cutoff: Option[Timestamp] = None): Unit = {
     store.stage(cutoff)
     queryService.refresh()
+    fireRefresh()
+  }
+
+  /** Ingested-versions list (reference: facade.versions ->
+    * get_data_versions, etl/process.py:337-392): distinct successful
+    * (table_name, ingest_ts), newest first per table, optionally filtered
+    * by table. */
+  def versions(table: Option[String] = None): DataFrame = {
+    val log = store.readLog()
+      .filter(col("success") === 1)
+    val scoped = table.fold(log)(t => log.filter(col("table_name") === t))
+    scoped.select(col("table_name"), col("ingest_ts")).distinct()
+      .orderBy(col("table_name").asc, col("ingest_ts").desc)
+  }
+
+  /** Per-table column metadata for staged data (reference: facade.metadata,
+    * facade.py:88-110): queryable columns + inferred dtypes/stats. With no
+    * table, the whole metadata frame (the CLI's --meta over all tables). */
+  def metadata(table: Option[String] = None): DataFrame = {
+    require(store.isStaged,
+      s"Data collection '$collection' is not staged. Run stage first.")
+    val meta = store.readMetadata()
+    table.fold(meta)(t => meta.filter(col("table_name") === t))
+      .orderBy(col("table_name"), col("column_name"))
   }
 
   /** Query PROD with the JSON filter DSL (the §3.1 read path). */

@@ -26,20 +26,53 @@ final class HttpApi(facade: Facade, collection: String) {
 
   // table -> latest description, driver-cached (the reference plucks it
   // from the first data row per request, app.py:171; ours comes from the
-  // provenance log without a per-request job)
-  private lazy val descriptions: Map[String, String] =
-    facade.store.readLog()
-      .orderBy(org.apache.spark.sql.functions.col("ingest_id"))
-      .select("table_name", "table_description").collect()
-      .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
-      .toMap
+  // provenance log without a per-request job). Invalidated through the
+  // facade's refresh hooks, so ingests/stages after server start show up.
+  @volatile private var descriptionsCache: Option[Map[String, String]] = None
+  facade.onRefresh(() => descriptionsCache = None)
+
+  private def descriptions: Map[String, String] = descriptionsCache match {
+    case Some(m) => m
+    case None =>
+      val m = facade.store.readLog()
+        .orderBy(org.apache.spark.sql.functions.col("ingest_id"))
+        .select("table_name", "table_description").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+        .toMap
+      descriptionsCache = Some(m)
+      m
+  }
 
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/data/", handle _)
+    server.createContext("/metadata/", handleMetadata _)
     server.setExecutor(null)
     server.start()
     server.getAddress.getPort
+  }
+
+  /** GET /metadata/{collection}?table_name=T — per-column metadata for a
+    * staged table (reference app.py:189-222). table_name optional here
+    * (omitting it returns every table's columns). */
+  private def handleMetadata(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/metadata/")
+      if (path != collection) { respond(ex, 404, err(s"unknown collection '$path'")); return }
+      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val meta =
+        try facade.metadata(params.get("table_name"))
+        catch { case e: IllegalArgumentException =>
+          respond(ex, 404, err(e.getMessage)); return }
+      val rows = meta.collect()
+      if (rows.isEmpty && params.contains("table_name")) {
+        respond(ex, 404, err(s"unknown table '${params("table_name")}'")); return
+      }
+      val records = rows.map(rowToJson(meta.schema.fieldNames.toIndexedSeq, _))
+      respond(ex, 200, s"""{"data": [${records.mkString(",")}]}""")
+    } catch {
+      case e: Throwable => respond(ex, 500, err(s"internal error: ${e.getMessage}"))
+    }
   }
 
   def stop(): Unit = if (server != null) server.stop(0)

@@ -58,9 +58,45 @@ final class Store(spark: SparkSession, root: String, collection: String) {
 
   // ---------------------------------------------------------- ingest path
 
-  def readLog(): DataFrame =
+  def readLog(): DataFrame = {
+    recoverLogIfNeeded()
     if (exists(logPath)) spark.read.schema(logSchema).parquet(logPath)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
+  }
+
+  /** Crash recovery for [[rewriteLog]]: if a crash landed between the two
+    * renames, the live log is missing but the backup is intact — restore
+    * it. The reference gets this atomicity for free from SQLite; on a
+    * filesystem the backup-swap is the equivalent. */
+  private def recoverLogIfNeeded(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logP = new org.apache.hadoop.fs.Path(logPath)
+    val fs = logP.getFileSystem(conf)
+    val bakP = new org.apache.hadoop.fs.Path(p("_ingest_log_bak"))
+    if (!exists(logPath) && fs.exists(bakP)) {
+      fs.delete(logP, true) // an empty/partial dir would block the rename
+      fs.rename(bakP, logP): Unit
+    }
+  }
+
+  /** Replace the (tiny, driver-held) log with `rows`, never leaving a
+    * window with no recoverable log: write tmp -> move live to backup ->
+    * move tmp in -> drop backup. A crash before the first rename keeps the
+    * old log; between the renames, readLog restores the backup. */
+  private def rewriteLog(rows: Array[Row]): Unit = {
+    val tmp = p("_ingest_log_tmp")
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), logSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logP = new org.apache.hadoop.fs.Path(logPath)
+    val fs = logP.getFileSystem(conf)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val bakP = new org.apache.hadoop.fs.Path(p("_ingest_log_bak"))
+    fs.delete(bakP, true)
+    if (fs.exists(logP)) fs.rename(logP, bakP)
+    fs.rename(tmpP, logP)
+    fs.delete(bakP, true): Unit
+  }
 
   /** Next ingest id: max+1 read-modify-write on the driver. Single-writer
     * assumption, same as the reference's sqlite autoincrement
@@ -100,13 +136,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
       .withColumn("success",
         when(col("ingest_id") === id, lit(1)).otherwise(col("success")))
       .collect()  // log is tiny (one row per ingest); safe on the driver
-    val tmp = p("_ingest_log_tmp")
-    spark.createDataFrame(java.util.Arrays.asList(updated: _*), logSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(logPath).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(logPath))
+    rewriteLog(updated)
   }
 
   def readRaw(): DataFrame = {
@@ -153,17 +183,38 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     * row_uid = ingest_id * 2^32 + row — stable across identical stages,
     * unique because `row` is unique within one (ingest, table). */
   def stage(cutoff: Option[Timestamp] = None): Unit = {
-    val snap = snapshot(cutoff)
-    val withUid =
-      if (snap.columns.contains("row"))
-        snap.withColumn("row_uid",
-          col("ingest_id") * lit(4294967296L) + col("row").cast("long"))
-      else
-        snap.withColumn("row_uid",
-          col("ingest_id") * lit(4294967296L) + monotonically_increasing_id())
+    val withUid = withRowUid(snapshot(cutoff))
     withUid.write.mode("overwrite").partitionBy("table_name").parquet(prodPath)
     writeMetadata(readProd())
   }
+
+  /** row_uid assignment. Canonical frames carry `row` (unique within one
+    * (ingest, table)) → ingest_id * 2^32 + row, stable across identical
+    * stages. Frames WITHOUT `row` get a zipWithIndex fallback: the global
+    * index is collision-free by construction (monotonically_increasing_id
+    * is not — its high bits are the partition id, so any row beyond
+    * partition 0 bled out of the 2^32 slot and into another ingest's uid
+    * range). zipWithIndex costs one extra count job and no shuffle — the
+    * scalable shape; a row_number window over (ingest, table) would sort
+    * each whole table inside a single partition.
+    *
+    * Uniqueness contract is per table (pagination always carries the
+    * mandatory table_name predicate, and one table partition is written by
+    * exactly one winning ingest), which the global index satisfies even
+    * when an index value exceeds 2^32. */
+  private def withRowUid(df: DataFrame): DataFrame =
+    if (df.columns.contains("row"))
+      df.withColumn("row_uid",
+        col("ingest_id") * lit(4294967296L) + col("row").cast("long"))
+    else {
+      val schema = df.schema.add("__idx", LongType, nullable = false)
+      val indexed = df.sparkSession.createDataFrame(
+        df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
+      indexed
+        .withColumn("row_uid", col("ingest_id") * lit(4294967296L) + col("__idx"))
+        .drop("__idx")
+    }
 
   def readProd(): DataFrame = spark.read.parquet(prodPath)
 
@@ -197,14 +248,10 @@ final class Store(spark: SparkSession, root: String, collection: String) {
       .values.toSeq
     val raw = readRaw()
     val tsLookup = log.select(col("ingest_id"), col("ingest_ts")).distinct()
-    val slice = raw
+    val slice = withRowUid(raw
       .where(col("table_name").isin(changed.map(x => x: Any): _*))
       .where(col("ingest_id").isin(winnerIds.map(x => x: Any): _*))
-      .join(broadcast(tsLookup), Seq("ingest_id"))
-      .withColumn("row_uid",
-        if (raw.columns.contains("row"))
-          col("ingest_id") * lit(4294967296L) + col("row").cast("long")
-        else col("ingest_id") * lit(4294967296L) + monotonically_increasing_id())
+      .join(broadcast(tsLookup), Seq("ingest_id")))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
@@ -269,13 +316,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     val keptLog = readLog()
       .filter(!(col("ingest_id").isin(purge.map(x => x: Any): _*)))
       .collect()
-    val tmp = p("_ingest_log_tmp")
-    spark.createDataFrame(java.util.Arrays.asList(keptLog: _*), logSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs2 = new org.apache.hadoop.fs.Path(logPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs2.delete(new org.apache.hadoop.fs.Path(logPath), true)
-    fs2.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(logPath))
+    rewriteLog(keptLog)
     purge
   }
 

@@ -71,4 +71,23 @@ class FacadeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ov("fuel") == "X" && ov("value") == "X")
   }
+
+  test("versions lists distinct successful ingest timestamps, newest first") {
+    val cfg = TableConfig("1.1", Config.SingleSheet, sheetName = Some("1.1"),
+      url = Some("https://example/dukes_1.1.xlsx"), description = Some("Balances v2"))
+    facade.ingest(Workbook(Vector("1.1" -> sheet)), cfg, Some(template),
+      ingestTs = Timestamp.valueOf("2026-03-01 00:00:00"))
+    val vs = facade.versions(Some("1.1")).collect()
+      .map(r => r.getTimestamp(1).toString)
+    assert(vs.toSeq == Seq("2026-03-01 00:00:00.0", "2026-01-01 00:00:00.0"))
+    assert(facade.versions(Some("9.9")).count() == 0)
+    assert(facade.versions(None).count() == 2)
+  }
+
+  test("metadata verb returns per-table queryable columns") {
+    val m = facade.metadata(Some("1.1"))
+    val cols = m.select("column_name").collect().map(_.getString(0)).toSet
+    assert(cols.contains("fuel") && cols.contains("value"))
+    assert(facade.metadata(None).count() >= m.count())
+  }
 }

@@ -16,7 +16,7 @@ class HttpApiSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private lazy val (api, port): (HttpApi, Int) = {
+  private lazy val (facade, api, port): (Facade, HttpApi, Int) = {
     val root = Files.createTempDirectory("graft_http_").toString
     val st = new Store(spark, root, "dukes")
     st.initialize()
@@ -27,9 +27,9 @@ class HttpApiSpec extends AnyFunSuite {
     st.ingest(df, "1.1", description = "Test balances",
       ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
     st.stage()
-    val facade = new Facade(spark, root, "dukes")
-    val a = new HttpApi(facade, "dukes")
-    (a, a.start())
+    val f = new Facade(spark, root, "dukes")
+    val a = new HttpApi(f, "dukes")
+    (f, a, a.start())
   }
 
   private val client = HttpClient.newHttpClient()
@@ -70,5 +70,27 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get("/data/dukes")._1 == 422) // table_name required
     assert(get("/data/dukes?table_name=1.1&limit=abc")._1 == 422)
     assert(get("/data/dukes?table_name=1.1&cursor=1.5")._1 == 422)
+  }
+
+  test("metadata endpoint: per-column metadata, 404 for unknowns") {
+    val (code, body) = get("/metadata/dukes?table_name=1.1")
+    assert(code == 200)
+    assert(body.contains(""""column_name": "label""""))
+    assert(body.contains(""""column_name": "fuel""""))
+    assert(get("/metadata/dukes")._1 == 200) // whole-collection form
+    assert(get("/metadata/nope")._1 == 404)
+    assert(get("/metadata/dukes?table_name=9.9")._1 == 404)
+  }
+
+  // keep last: mutates the staged data the earlier fixtures rely on
+  test("description cache refreshes after a post-start ingest + stage") {
+    val df2 = Seq((0, "Coal", 2022, "Gas", 9.0))
+      .toDF("row", "label", "year", "fuel", "value")
+    facade.store.ingest(df2, "1.1", description = "Fresh description",
+      ingestTs = Timestamp.valueOf("2026-02-01 00:00:00"))
+    facade.stage()
+    val (code, body) = get("/data/dukes?table_name=1.1&limit=1")
+    assert(code == 200)
+    assert(body.contains(""""table_description": "Fresh description""""))
   }
 }

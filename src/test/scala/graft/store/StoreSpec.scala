@@ -140,4 +140,39 @@ class StoreSpec extends AnyFunSuite {
     assert(labelStats == ((2L, 2L)))
     assert(st.queryableColumns("tbl").contains("label"))
   }
+
+  test("log rewrite crash window: backup restored on next read") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    // simulate a crash between rewriteLog's two renames: the live log has
+    // been moved to the backup and the replacement never landed
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logP = new org.apache.hadoop.fs.Path(st.logPath)
+    val fs = logP.getFileSystem(conf)
+    assert(fs.rename(logP, new org.apache.hadoop.fs.Path(st.logPath + "_bak")))
+    assert(st.readLog().count() == 1)       // recovered, not empty
+    assert(st.snapshot().count() == 2)      // provenance intact
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(st.logPath + "_bak")))
+  }
+
+  test("row-less multi-partition frame stages with collision-free row_uids") {
+    val st = freshStore()
+    // no `row` column, spread across many partitions so the fallback path
+    // must survive rows living beyond partition 0 (the old
+    // monotonically_increasing_id scheme bled across ingest uid ranges)
+    val big = spark.range(0, 10000).repartition(16)
+      .select(col("id").cast("int").as("k"), concat(lit("v"), col("id")).as("label"))
+    st.ingest(big, "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(big, "tbl2", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    val prod = st.readProd()
+    assert(prod.count() == 20000)
+    assert(prod.select("row_uid").distinct().count() == 20000)
+    // incremental path takes the same fallback
+    st.ingest(big, "tbl2", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    val changed = st.stageIncremental()
+    assert(changed == Seq("tbl2"))
+    val prod2 = st.readProd()
+    assert(prod2.select("row_uid").distinct().count() == prod2.count())
+  }
 }
