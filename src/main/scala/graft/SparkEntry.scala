@@ -479,11 +479,12 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
-    // X: stateful gap sessionization (flatMapGroupsWithState) — closed
-    // sessions only; oracle is the SQL gaps-and-islands formulation
+    // X: gap sessionization, batch path (gaps-and-islands windows; the
+    // streaming path keeps flatMapGroupsWithState) — closed sessions only;
+    // oracle is the same SQL formulation
     "q_x_sessionize" -> ((s, dir) => {
-      graft.streaming.StreamOps.sessionize(
-          t(s, dir, "events"), gapMs = 30 * 60 * 1000L).toDF()
+      graft.streaming.StreamOps.sessionizeBatch(
+          t(s, dir, "events"), gapMs = 30 * 60 * 1000L)
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),

@@ -89,6 +89,38 @@ object StreamOps {
       }
   }
 
+  /** Batch sessionization — the gaps-and-islands window formulation: lag
+    * flags session breaks, a running sum numbers sessions, one aggregate
+    * closes them. Bounded state end to end — no per-user materialization,
+    * so a hot user with millions of events spills through the sort rather
+    * than OOMing a task (routing batch through flatMapGroupsWithState
+    * would hold each user's events in one in-memory Seq). Streaming keeps
+    * the fMGWS path above; batch callers use this one.
+    *
+    * Emits CLOSED sessions only (each user's last session is still open),
+    * matching the streaming semantics. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val flagged = events.select(col("user_id"), col("ts"), col("value"))
+      .withColumn("brk",
+        when(prevTs.isNull ||
+          unix_micros(col("ts")) - unix_micros(prevTs) > gapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(cum))
+    flagged
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("max_sid", max(col("sid")).over(Window.partitionBy(col("user_id"))))
+      .where(col("sid") < col("max_sid"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Open the events directory as a file stream. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     normalize(spark.readStream.schema(eventsSchema)

@@ -96,36 +96,87 @@ object VectorOps {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Per-row centroid ranking as a PURE PROJECTION: the centroids are a
+    * driver-held array (they are tiny by construction — nlist vectors),
+    * inlined as literals, so ranking them per row needs no join, no
+    * window, no shuffle — it runs inside whole-stage codegen over the
+    * scan. Returns an array of centroid ids ordered best-first.
+    * Ordering matches the previous window form: cosine desc, id asc. */
+  private def centroidRanking(vec: Column,
+                              cents: Seq[(Long, Array[Double])]): Column = {
+    val vNorm = norm(vec)
+    val ranked = array(cents.map { case (cid, cv) =>
+      val cNorm = math.sqrt(cv.map(x => x * x).sum)
+      val d = dot(vec, typedLit(cv.toSeq)) / (vNorm * lit(cNorm))
+      // array_sort is ascending on the first field: negate the cosine;
+      // ties fall through to centroid_id ascending — the old tie-break
+      struct((-d).as("negd"), lit(cid).as("centroid_id"))
+    }: _*)
+    transform(array_sort(ranked), s => s.getField("centroid_id"))
+  }
+
+  /** Driver-side k-means refinement of the coarse centroids. Each
+    * iteration is one aggregation with map-side combine: assignment is the
+    * literal projection above (no shuffle), then posexplode(vector) ->
+    * groupBy (centroid, dim) mean moves at most nlist*dim rows per task.
+    * The collected model is nlist*dim doubles — trivially driver-sized. */
+  def kmeansCentroids(vectors: DataFrame, vecCol: String,
+                      init: Seq[(Long, Array[Double])],
+                      iters: Int): Seq[(Long, Array[Double])] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val assigned = vectors
+        .select(asDouble(col(vecCol)).as("v"))
+        .withColumn("centroid_id",
+          element_at(centroidRanking(col("v"), cents), 1))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val byId = means.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        byId.get(cid) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            cid -> m
+          case None => cid -> old // empty list keeps its seed
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF-style approximate search: vectors are assigned to their nearest
     * coarse centroid (the inverted lists); a query probes only the
     * `nprobe` nearest lists.
     *
-    * Centroids here are a deterministic seed subset of the data (a real
-    * deployment would k-means them); the mechanics — broadcast centroid
-    * assignment, partition-pruned probing, per-list top-k — are the
-    * 100 TB path: the candidate scan drops from N to N*nprobe/nlist. */
+    * Centroids seed from a deterministic subset of the data, optionally
+    * refined with `kmeansIters` k-means sweeps. Assignment and probing are
+    * literal projections (no join, no window, no shuffle — the centroid
+    * model is driver-held and inlined); the probe join against the small
+    * broadcast query side is the ONLY exchange, so the candidate scan
+    * drops from N to N*nprobe/nlist and nothing is shuffled N*nlist-wide. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
     val base = vectors.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cand_vec")).repartition(col("cand_id"))
-    val centroids = base.where(col("cand_id") < nlist)
-      .select(col("cand_id").as("centroid_id"), col("cand_vec").as("c_vec"))
-    // assign every vector to its nearest centroid (broadcast centroids)
-    val assigned = base.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("cand_vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cand_id")).orderBy(col("d").desc, col("centroid_id"))))
-      .where(col("rn") === 1)
-      .select(col("cand_id"), col("cand_vec"), col("centroid_id"))
-    // queries probe their nprobe nearest centroids
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("q_vec"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("centroid_id"))))
-      .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+    val seed = base.where(col("cand_id") < nlist)
+      .select(col("cand_id"), col("cand_vec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    val cents = kmeansCentroids(base, "cand_vec", seed, kmeansIters)
+    // nearest list per vector: one projection over the scan
+    val assigned = base.withColumn("centroid_id",
+      element_at(centroidRanking(col("cand_vec"), cents), 1))
+    // nprobe nearest lists per query: same projection + slice + explode
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("centroid_id",
+        explode(slice(centroidRanking(col("q_vec"), cents), 1, nprobe)))
     // score only within probed lists
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .where(col("cand_id") =!= col("query_id"))

@@ -60,6 +60,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(s.session_end.toString.startsWith("2026-01-01 10:10:00"))
   }
 
+  test("batch gaps-and-islands sessionization agrees with the stateful form") {
+    // real events slice: both implementations must close identical sessions
+    val events = StreamOps.normalize(spark.read
+      .schema(StreamOps.eventsSchema).parquet(s"$streamDir/events.parquet"))
+    // compare at second precision (as the oracle does): the stateful path
+    // carries session bounds through java.sql.Timestamp millis while the
+    // batch path keeps the source's full microseconds
+    def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("session_start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+      org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("session_end"), "yyyy-MM-dd HH:mm:ss").as("e"),
+      org.apache.spark.sql.functions.col("n_events"),
+      org.apache.spark.sql.functions.col("sum_value"))
+    val stateful = shape(StreamOps.sessionize(events).toDF())
+    val batch = shape(StreamOps.sessionizeBatch(events))
+    assert(batch.count() > 0)
+    assert(stateful.exceptAll(batch).isEmpty && batch.exceptAll(stateful).isEmpty)
+  }
+
   test("stream-to-store ingest: every micro-batch lands in the append view") {
     // two files -> two micro-batches (maxFilesPerTrigger=1)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_")

@@ -48,4 +48,23 @@ class VectorOpsSpec extends AnyFunSuite {
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
     assert(got.head == 1L && got.length == 2)
   }
+
+  test("ivfTopK with k-means refinement still finds the nearest neighbor") {
+    val got = VectorOps.ivfTopK(vecs, vecs.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2, kmeansIters = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got.head == 1L && got.length == 2)
+  }
+
+  test("ivf assignment plan has no exchange before the probe join") {
+    // the whole point of the literal-projection assignment: ranking
+    // centroids per row adds NO shuffle — the only exchanges in the final
+    // plan are the explicit input spread, the broadcast, and the top-k
+    // window by query
+    val plan = VectorOps.ivfTopK(vecs, vecs.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 2, nlist = 3, nprobe = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("crossjoin"),
+      s"centroid assignment should not cross-join:\n$plan")
+  }
 }
