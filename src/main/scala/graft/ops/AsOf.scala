@@ -31,7 +31,8 @@ object AsOf {
     * state — use over [[join]] when history per key is unbounded (the
     * composed form materializes every historical match before its top-1
     * truncation). Registers the planner strategy on first use.
-    * Key columns must be long-typed, time columns timestamp/long. */
+    * Key/time columns may be any orderable type (long/timestamp/int/
+    * date/string/double run unboxed; others via interpreted ordering). */
   def joinExact(left: DataFrame, right: DataFrame,
                 leftKey: String, rightKey: String,
                 leftTime: String, rightTime: String,

@@ -20,9 +20,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * history depth.
   *
   * Left-outer semantics: unmatched left rows emit nulls on the right.
-  * Restriction (by construction of the driver tables; documented): key
-  * attributes must be long-comparable and time attributes
-  * timestamp/long — comparisons use Ordering on the underlying long.
+  * Key/time comparisons are type-dispatched: long/timestamp/int/date/
+  * string/double get a primitive unboxed path; any other orderable type
+  * falls back to Catalyst's interpreted ordering. Keys and times are
+  * assumed non-null (as in the composed form, where a null never
+  * satisfies the inequality).
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Attribute, rightKey: Attribute,
@@ -67,8 +69,31 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       rightTiebreak.map(tb =>
         SortOrder(tb, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
-  private def longAt(row: InternalRow, attr: Attribute, offset: Int): Long =
-    row.getLong(offset)
+  /** Type-dispatched row-to-row comparator: primitive access for the
+    * physically-long/int/string/double types (no boxing in the merge
+    * loop), interpreted ordering for anything else orderable. */
+  private def comparator(dt: org.apache.spark.sql.types.DataType):
+      (InternalRow, Int, InternalRow, Int) => Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (a, i, b, j) => java.lang.Long.compare(a.getLong(i), b.getLong(j))
+      case IntegerType | DateType =>
+        (a, i, b, j) => java.lang.Integer.compare(a.getInt(i), b.getInt(j))
+      case ShortType =>
+        (a, i, b, j) => java.lang.Short.compare(a.getShort(i), b.getShort(j))
+      case StringType =>
+        (a, i, b, j) => a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      case DoubleType =>
+        (a, i, b, j) => java.lang.Double.compare(a.getDouble(i), b.getDouble(j))
+      case FloatType =>
+        (a, i, b, j) => java.lang.Float.compare(a.getFloat(i), b.getFloat(j))
+      case other =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(other)
+        (a, i, b, j) => ord.compare(a.get(i, other), b.get(j, other))
+    }
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
@@ -78,6 +103,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rWidth = right.output.length
     require(lKeyIdx >= 0 && lTimeIdx >= 0 && rKeyIdx >= 0 && rTimeIdx >= 0,
       "as-of join attributes not found in child output")
+    // types must share a physical representation (e.g. TIMESTAMP and
+    // TIMESTAMP_NTZ are both micros-as-long — comparable cross-side)
+    def family(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | TimestampType | TimestampNTZType => "long"
+        case IntegerType | DateType => "int"
+        case other => other.toString
+      }
+    }
+    require(family(leftKey.dataType) == family(rightKey.dataType),
+      s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+    require(family(leftTime.dataType) == family(rightTime.dataType),
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val keyCmp = comparator(leftKey.dataType)
+    val timeCmp = comparator(leftTime.dataType)
 
     left.execute().zipPartitions(right.execute()) { (leftIter, rightIter) =>
       val rightBuf = rightIter.buffered
@@ -85,25 +126,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       // one buffered candidate per partition: the latest right row whose
       // (key, time) is <= the current left row's
-      var candKey = 0L
       var cand: InternalRow = null
 
       leftIter.map { lRow =>
-        val k = lRow.getLong(lKeyIdx)
-        val t = lRow.getLong(lTimeIdx)
-        // advance the right side up to (k, t)
+        // advance the right side up to (lKey, lTime)
         var continue = true
         while (continue && rightBuf.hasNext) {
           val head = rightBuf.head
-          val rk = head.getLong(rKeyIdx)
-          val rt = head.getLong(rTimeIdx)
-          if (rk < k || (rk == k && rt <= t)) {
+          val kc = keyCmp(head, rKeyIdx, lRow, lKeyIdx)
+          if (kc < 0 || (kc == 0 && timeCmp(head, rTimeIdx, lRow, lTimeIdx) <= 0)) {
             val consumed = rightBuf.next()
-            if (rk == k) { cand = consumed.copy(); candKey = rk }
+            if (kc == 0) cand = consumed.copy()
             continue = true
           } else continue = false
         }
-        val matched = cand != null && candKey == k
+        val matched = cand != null && keyCmp(cand, rKeyIdx, lRow, lKeyIdx) == 0
         joined(lRow, if (matched) cand else nulls)
       }
     }

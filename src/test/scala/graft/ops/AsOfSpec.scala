@@ -49,7 +49,7 @@ class AsOfSpec extends AnyFunSuite {
   }
 
   test("custom sort-merge plan agrees with the composed form") {
-    // long keys (the custom plan's documented restriction)
+    // long keys (the primitive fast path)
     val l = Seq((1L, 10L, ts("2026-01-10 00:00:00")),
       (2L, 10L, ts("2026-01-20 00:00:00")),
       (3L, 20L, ts("2026-01-05 00:00:00")),
@@ -86,6 +86,27 @@ class AsOfSpec extends AnyFunSuite {
       "o_orderdate", Some("o_orderkey")))
     assert(custom == composed)
     assert(custom.size == 1000)
+  }
+
+  test("custom plan handles string keys and int times") {
+    // generalized type dispatch: string key compare + int time compare
+    val l = Seq(("ua", 10, 1L), ("ua", 20, 2L), ("vb", 5, 3L), ("wc", 10, 4L))
+      .toDF("k", "t", "eid")
+    val r = Seq(("ua", 1, 100L), ("ua", 15, 101L), ("vb", 8, 200L))
+      .toDF("k2", "rt", "version")
+    val got = AsOf.joinExact(l, r, "k", "k2", "t", "rt", Some("version"))
+      .select("eid", "version").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(got == Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("custom plan rejects mismatched key types with a clear error") {
+    val l = Seq((1L, 10, 1L)).toDF("k", "t", "eid")
+    val r = Seq(("10", 1, 100L)).toDF("k2", "rt", "version")
+    val e = intercept[Exception] {
+      AsOf.joinExact(l, r, "k", "k2", "t", "rt", None).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("exact tie on right time resolved by the tiebreak column") {
