@@ -10,12 +10,12 @@ import graft.serve.{Facade, HttpApi}
   * the facade:
   *
   * {{{
-  * graft.Cli <root> <collection> ingest <workbookCsvDir> <configJsonPath> <table>
+  * graft.Cli <root> <collection> ingest <workbook.xlsx|csvDir> <configJsonPath> <table>
   * graft.Cli <root> <collection> stage [cutoffTs]
   * graft.Cli <root> <collection> stage-incremental
   * graft.Cli <root> <collection> query <table> [filtersJson] [limit] [cursor]
-  * graft.Cli <root> <collection> export <table> <outDir> [csv|parquet]
-  * graft.Cli <root> <collection> export-all <outDir> [csv|parquet|workbook]
+  * graft.Cli <root> <collection> export <table> <outDir> [csv|parquet|xlsx]
+  * graft.Cli <root> <collection> export-all <outDir> [csv|parquet|xlsx|workbook]
   * graft.Cli <root> <collection> info [--table T] [--vers] [--meta]
   * graft.Cli <root> <collection> serve [port]
   * }}}
@@ -41,7 +41,9 @@ object Cli {
     verb match {
       case "ingest" =>
         val Array(wbDir, cfgPath, table) = rest.take(3)
-        val wb = WorkbookReader.fromCsvDir(wbDir)
+        val wb =
+          if (wbDir.endsWith(".xlsx")) WorkbookReader.fromXlsx(wbDir)
+          else WorkbookReader.fromCsvDir(wbDir)
         val cfgs = Config.parse(
           new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(cfgPath)), "UTF-8"))

@@ -7,15 +7,15 @@ import graft.model.CanonicalSchema
 import graft.ops.Projection
 
 /** Export sinks (reference: export_table / export_all,
-  * read_write.py:96-240): one logical table -> a single CSV/Parquet file
-  * named {collection}_{table}_{date}.{ext}, or a whole-collection bulk
-  * export. The reference's XLSX writer needs a spreadsheet codec that the
-  * offline build doesn't ship; the "workbook" flavor here writes one CSV
-  * per logical table into a directory (sheet-per-file), behind the same
-  * API, so a POI-backed writer can slot in without changing callers. */
+  * core/read_write.py:96-240): one logical table -> a single
+  * CSV/Parquet/XLSX file named {collection}_{table}_{date}.{ext}, or a
+  * whole-collection bulk export — for xlsx a single workbook with one
+  * sheet per table (read_write.py:218-230), via the dependency-free
+  * [[Xlsx]] codec. The "workbook" flavor (one CSV per table in a
+  * directory) is kept for plain-text consumers. */
 object Export {
 
-  val formats: Set[String] = Set("csv", "parquet", "workbook")
+  val formats: Set[String] = Set("csv", "parquet", "xlsx", "workbook")
 
   /** Shape a PROD slice for export: service columns and all-null sparse
     * dimensions dropped (read_write.py:498-500). */
@@ -37,10 +37,20 @@ object Export {
     val target = s"$outDir/${fileName(collection, table, date, format)}"
     format match {
       case "parquet" => writeSingle(slice, target, "parquet")
-      case _         => writeSingle(slice, target, "csv")
+      case "xlsx" =>
+        new java.io.File(outDir).mkdirs()
+        Xlsx.write(target, Seq(table -> sheetRows(slice)))
+      case _ => writeSingle(slice, target, "csv")
     }
     target
   }
+
+  /** header + data rows for one xlsx sheet (export slices are bounded
+    * human-facing extracts; the collect here is the same driver-side step
+    * pandas' to_excel takes in the reference). */
+  private def sheetRows(slice: DataFrame): Seq[Seq[Any]] =
+    slice.columns.toSeq.asInstanceOf[Seq[Any]] +:
+      slice.collect().toSeq.map(_.toSeq)
 
   /** Bulk export: every staged table, one file each — or one directory of
     * per-table CSVs for the workbook flavor (read_write.py:162-240). */
@@ -57,6 +67,13 @@ object Export {
             s"$dir/$t.csv", "csv")
           s"$dir/$t.csv"
         }
+      case "xlsx" =>
+        // one workbook, one sheet per table (read_write.py:218-230)
+        val target = s"$outDir/${collection}_$date.xlsx"
+        new java.io.File(outDir).mkdirs()
+        Xlsx.write(target,
+          tables.map(t => t -> sheetRows(shape(prod.where(col("table_name") === t)))))
+        Seq(target)
       case _ => tables.map(t => exportTable(prod, collection, t, outDir, format, date))
     }
   }

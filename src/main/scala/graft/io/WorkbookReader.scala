@@ -13,10 +13,10 @@ import org.apache.spark.sql.types._
   * 0-based `row` position materialized *before* parallelization so row
   * identity survives any shuffle (SURVEY.md §7.4 risk 1).
   *
-  * Offline build: no Excel jar ships with the image, so the physical
-  * decode is abstracted as a sheet matrix `Vector[Vector[String]]` with a
-  * CSV-directory loader (one file per sheet) as the concrete source. An
-  * Excel decoder plugs in behind the same `Workbook` shape.
+  * The physical decode is abstracted as a sheet matrix
+  * `Vector[Vector[String]]` with two concrete sources: a real .xlsx
+  * decoder ([[Xlsx]], dependency-free zip+StAX) and a CSV directory
+  * (one file per sheet) for plain-text fixtures.
   */
 object WorkbookReader {
 
@@ -80,6 +80,10 @@ object WorkbookReader {
       }
     }.toMap
   }
+
+  /** Concrete loader: a real .xlsx workbook via the dependency-free
+    * [[Xlsx]] codec (the reference's pandas read_excel analogue). */
+  def fromXlsx(path: String): Workbook = Xlsx.read(path)
 
   /** Concrete loader: a directory of CSV files, one per sheet, sheet name =
     * file basename. Simple quoted-CSV split, driver-side. */

@@ -64,6 +64,27 @@ class ExportSpec extends AnyFunSuite {
     assert(back.count() == 1)
     assert(back.select("fuel").as[String].head() == "Oil")
   }
+
+  test("xlsx export round-trips through the decoder, sheet named by table") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val path = Export.exportTable(prod, "dukes", "1.1", out, "xlsx", date = "2026-08-12")
+    assert(path.endsWith("dukes_1_1_2026-08-12.xlsx"))
+    val wb = WorkbookReader.fromXlsx(path)
+    assert(wb.sheetNames == Vector("1.1"))
+    val sheet = wb("1.1")
+    assert(sheet.head == Vector("table_name", "year", "fuel", "value"))
+    assert(sheet(1) == Vector("1.1", "2019", "Gas", "1.5"))
+    assert(sheet.length == 3)
+  }
+
+  test("bulk xlsx export: ONE workbook, one sheet per table") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val paths = Export.exportAll(prod, "dukes", out, "xlsx", date = "2026-08-12")
+    assert(paths.map(_.split("/").last) == Seq("dukes_2026-08-12.xlsx"))
+    val wb = WorkbookReader.fromXlsx(paths.head)
+    assert(wb.sheetNames == Vector("1.1", "2.1"))
+    assert(wb("2.1")(1)(2) == "Oil")
+  }
 }
 
 class ConfigSpec extends AnyFunSuite {
