@@ -18,10 +18,28 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> export-all <outDir> [csv|parquet|xlsx|workbook]
   * graft.Cli <root> <collection> info [--table T] [--vers] [--meta]
   * graft.Cli <root> <collection> serve [port]
+  * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
 object Cli {
   def main(args: Array[String]): Unit = {
+    // `config` manages persisted defaults and needs no Spark session or
+    // collection (reference: cli.py:41-64)
+    if (args.headOption.contains("config")) {
+      val rest = args.drop(1)
+      def flag(name: String) = rest.sliding(2).collectFirst {
+        case Array(`name`, v) => v
+      }
+      if (rest.contains("--show-current")) println(Settings.showCurrent())
+      else {
+        val root = flag("--root")
+        val exp = flag("--export-path")
+        if (root.isEmpty && exp.isEmpty)
+          println("Nothing to change. Use --root and/or --export-path or --show-current.")
+        else { Settings.set(root, exp); println("Configuration updated.") }
+      }
+      return
+    }
     require(args.length >= 3, "usage: Cli <root> <collection> <verb> [args...]")
     val Array(root, collection, verb) = args.take(3)
     val rest = args.drop(3)

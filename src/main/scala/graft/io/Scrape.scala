@@ -54,6 +54,26 @@ object Scrape {
       base.resolve(href).toString
     }
 
+  /** Chapter key for a table number (reference: core/utils.py:30-55) —
+    * used to group scraped links by publication chapter. Accepts raw table
+    * names ("1.2.3") or key form ("dukes_1_2_3"). Numeric tables map to
+    * chapter_{first digit}; letter tables follow the published exceptions
+    * (annex I/J sit in chapter 1, E.1/F.3/F.4 in 3, F.2 in 4). */
+  def tableToChapter(tableNumber: String, collection: String = "dukes"): String = {
+    require(tableNumber.nonEmpty, "empty table number")
+    val raw =
+      if (tableNumber.startsWith(collection + "_"))
+        tableNumber.stripPrefix(collection + "_").replace('_', '.')
+      else tableNumber
+    val first = raw.charAt(0)
+    if (first.isDigit) s"chapter_$first"
+    else if (first == 'I' || first == 'J') "chapter_1"
+    else if (raw == "E.1" || raw == "F.3" || raw == "F.4") "chapter_3"
+    else if (raw == "F.2") "chapter_4"
+    else throw new IllegalArgumentException(
+      s"no chapter mapping for table '$raw'")
+  }
+
   /** Scraper registry keyed by collection. */
   val registry: Map[String, UrlScraper] =
     Seq(new ChapterPageScraper("dukes")).map(s => s.collection -> s).toMap

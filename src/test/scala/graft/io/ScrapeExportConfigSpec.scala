@@ -26,6 +26,18 @@ class ScrapeSpec extends AnyFunSuite {
     assert(got("1.1").description.contains("Aggregate energy balances"))
   }
 
+  test("table_to_chapter: numeric, key-form, and letter-table exceptions") {
+    assert(Scrape.tableToChapter("1.2.3") == "chapter_1")
+    assert(Scrape.tableToChapter("5.6") == "chapter_5")
+    assert(Scrape.tableToChapter("dukes_1_2_3") == "chapter_1")
+    assert(Scrape.tableToChapter("I.1") == "chapter_1")
+    assert(Scrape.tableToChapter("J.1") == "chapter_1")
+    assert(Scrape.tableToChapter("E.1") == "chapter_3")
+    assert(Scrape.tableToChapter("F.3") == "chapter_3")
+    assert(Scrape.tableToChapter("F.2") == "chapter_4")
+    intercept[IllegalArgumentException](Scrape.tableToChapter("Z.9"))
+  }
+
   test("unknown collection rejected") {
     intercept[IllegalArgumentException](
       Scrape.scrapeUrls("nope", "u", _ => page))
