@@ -400,6 +400,21 @@ object SparkEntry {
           f("mean_word_len").as("mean_word_len"))
     }),
 
+    // X: PII-ish redaction (urls then emails -> typed placeholders)
+    "q_x_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.redact(col("text")).as("redacted"))
+    }),
+
+    // X: token repetition ratio (degenerate-document quality flag)
+    "q_x_repetition" -> ((s, dir) => {
+      import graft.text.TextOps
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.repetitionRatio(TextOps.tokens(col("text"))).as("rep_ratio"))
+    }),
+
     // X: language identification (stopword-marker heuristic)
     "q_x_lang_id" -> ((s, dir) => {
       import graft.text.TextOps
@@ -811,6 +826,23 @@ object SparkEntry {
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+
+    "q_x_redact" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS redacted
+         FROM documents""",
+
+    "q_x_repetition" ->
+      """WITH t AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents)
+         SELECT doc_id,
+           round(1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 4)
+             AS rep_ratio
+         FROM t""",
 
     "q_x_token_count" ->
       """SELECT doc_id,

@@ -260,7 +260,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    writeMetadata(readProd())
+    writeMetadataIncremental(changed)
     changed
   }
 
@@ -360,6 +360,25 @@ final class Store(spark: SparkSession, root: String, collection: String) {
 
   private def writeMetadata(prod: DataFrame): Unit =
     columnStats(prod).coalesce(1).write.mode("overwrite").parquet(metadataPath)
+
+  /** Incremental metadata rebuild: column stats are independent per
+    * (table_name, column), so after a partial stage only the CHANGED
+    * tables' stats are recomputed — a partition-pruned scan — and merged
+    * with the untouched tables' existing rows. A full-PROD rescan per
+    * incremental stage would erase most of stageIncremental's win at
+    * 100 TB. The merged frame is driver-materialized (it is tables *
+    * columns small) before overwriting the path it was read from. */
+  private def writeMetadataIncremental(changedTables: Seq[String]): Unit = {
+    val anyChanged = changedTables.map(x => x: Any)
+    val fresh = columnStats(
+      readProd().where(col("table_name").isin(anyChanged: _*)))
+    val kept = readMetadata()
+      .where(!col("table_name").isin(anyChanged: _*))
+    val merged = kept.unionByName(fresh)
+    val rows = merged.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
+      .coalesce(1).write.mode("overwrite").parquet(metadataPath)
+  }
 
   def readMetadata(): DataFrame = spark.read.parquet(metadataPath)
 

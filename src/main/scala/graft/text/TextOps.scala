@@ -229,6 +229,27 @@ object TextOps {
       "mean_word_len" -> round(nChars / greatest(size(toks).cast("double"), lit(1.0)), 4))
   }
 
+  // ------------------------------------------------------------- redaction
+
+  /** RE2-compatible patterns (no backrefs/lookaround) so the engine and
+    * any SQL oracle agree character-for-character. */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Scrub PII-ish spans with typed placeholders — the pre-training
+    * redaction step. URLs first (a URL may embed an @-credential and must
+    * win as a whole), then bare emails. Pure codegen'd regexp_replace. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
+
+  /** Token repetition ratio: 1 - distinct/total — high values flag the
+    * degenerate repeated-boilerplate documents a quality filter drops. */
+  def repetitionRatio(toks: Column): Column =
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 4)
+
   // ----------------------------------------------------------- fingerprints
 
   /** Content fingerprint of whitespace-normalized text (md5 — stable

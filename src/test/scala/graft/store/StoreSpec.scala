@@ -141,6 +141,27 @@ class StoreSpec extends AnyFunSuite {
     assert(st.queryableColumns("tbl").contains("label"))
   }
 
+  test("incremental stage rebuilds metadata only for changed tables, equivalently") {
+    val st = freshStore()
+    st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(frame(1), "b", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    // re-publish only table b with different content
+    st.ingest(Seq((0, "x", 7), (1, "x", 7), (2, "y", 7)).toDF("row", "label", "version"),
+      "b", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    assert(st.stageIncremental() == Seq("b"))
+    // merged metadata must equal a from-scratch recompute over PROD
+    val expect = st.columnStats(st.readProd())
+      .collect().map(_.toSeq).toSet
+    val got = st.readMetadata().collect().map(_.toSeq).toSet
+    assert(got == expect)
+    // and reflect the new content of b (label has 2 uniques now)
+    val bLabel = st.readMetadata()
+      .filter(col("table_name") === "b" && col("column_name") === "label")
+      .select("n_unique").as[Long].head()
+    assert(bLabel == 2L)
+  }
+
   test("log rewrite crash window: backup restored on next read") {
     val st = freshStore()
     st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))

@@ -87,6 +87,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq("en", "fr", "und"))
   }
 
+  test("redact scrubs urls (first, whole) and emails with typed placeholders") {
+    val df = Seq(
+      "mail me at a.user+tag@example.co.uk please",
+      "see https://ex.com/p?user=x@y.com for info",
+      "clean text stays").toDF("text")
+    val got = df.select(TextOps.redact($"text").as("r")).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail me at <EMAIL> please",
+      "see <URL> for info",   // the @ inside the URL never leaks as <EMAIL>
+      "clean text stays"))
+  }
+
+  test("repetition ratio flags degenerate docs, zero for all-distinct") {
+    val df = Seq("spam spam spam spam", "all words are different").toDF("text")
+    val got = df.select(
+      TextOps.repetitionRatio(TextOps.tokens($"text")).as("r")).as[Double].collect()
+    assert(got(0) == 0.75 && got(1) == 0.0)
+  }
+
   test("quality features: counts and ratios") {
     val df = Seq("The cat, the dog!").toDF("text")
     val f = TextOps.qualityFeatures($"text")
