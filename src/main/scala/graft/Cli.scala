@@ -10,7 +10,7 @@ import graft.serve.{Facade, HttpApi}
   * the facade:
   *
   * {{{
-  * graft.Cli <root> <collection> ingest <workbook.xlsx|csvDir> <configJsonPath> <table>
+  * graft.Cli <root> <collection> ingest <workbook.xlsx|csvDir> <configJsonPath> <table[,table...]|all>
   * graft.Cli <root> <collection> stage [cutoffTs]
   * graft.Cli <root> <collection> stage-incremental
   * graft.Cli <root> <collection> query <table> [filtersJson] [limit] [cursor]
@@ -58,17 +58,24 @@ object Cli {
 
     verb match {
       case "ingest" =>
-        val Array(wbDir, cfgPath, table) = rest.take(3)
+        // one table, a comma-separated list, or "all" (reference
+        // cli.py:70-88: repeated --table vs ingest_all_tables)
+        val Array(wbDir, cfgPath, tableArg) = rest.take(3)
         val wb =
           if (wbDir.endsWith(".xlsx")) WorkbookReader.fromXlsx(wbDir)
           else WorkbookReader.fromCsvDir(wbDir)
         val cfgs = Config.parse(
           new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(cfgPath)), "UTF-8"))
-        val cfg = cfgs.getOrElse(table,
-          throw new IllegalArgumentException(s"table '$table' not in config"))
-        val id = facade.ingest(wb, cfg)
-        println(s"ingested '$table' as ingest_id=$id")
+        val tables =
+          if (tableArg == "all") cfgs.keys.toSeq.sorted
+          else tableArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        tables.foreach { table =>
+          val cfg = cfgs.getOrElse(table,
+            throw new IllegalArgumentException(s"table '$table' not in config"))
+          val id = facade.ingest(wb, cfg)
+          println(s"ingested '$table' as ingest_id=$id")
+        }
 
       case "stage" =>
         val cutoff = rest.headOption.map(java.sql.Timestamp.valueOf)

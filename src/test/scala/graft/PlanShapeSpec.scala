@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.Store
+
+/** Plan-shape guards for the scale-critical properties: these assert WHAT
+  * Catalyst planned, not just what the query returned, so a regression
+  * that silently de-optimizes (filter stops reaching the scan, broadcast
+  * turns into a shuffle, top-1 window loses its partial limit) fails CI
+  * even while results stay correct. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val store: Store = {
+    val root = Files.createTempDirectory("graft_planshape_").toString
+    val st = new Store(spark, root, "ps")
+    st.initialize()
+    val df = (0 until 2000).map(i =>
+        (i, s"label$i", 2000 + i % 20, s"fuel${i % 5}", i * 1.0))
+      .toDF("row", "label", "year", "fuel", "value")
+    st.ingest(df, "1.1", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(df, "2.1", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    st
+  }
+
+  test("mandatory table predicate prunes PROD partitions at the scan") {
+    val q = store.readProd().where(col("table_name") === "1.1")
+      .where(col("year") === 2005).select("label", "value")
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    // partition pruning: the table_name predicate is a PartitionFilter,
+    // not a post-scan Filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*table_name[^\\]]*\\].*"),
+      plan.take(1200))
+    // data predicate pushed to the reader
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(year)"),
+      plan.take(1200))
+  }
+
+  test("column pruning: a two-column projection reads a two-column schema") {
+    val q = store.readProd().where(col("table_name") === "1.1")
+      .select("label", "value")
+    val plan = q.queryExecution.executedPlan.toString.replaceAll("\\s+", " ")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("MISSING")
+    assert(readSchema.contains("label") && readSchema.contains("value") &&
+      !readSchema.contains("year") && !readSchema.contains("fuel"),
+      s"ReadSchema was: $readSchema")
+  }
+
+  test("snapshot join broadcasts the log winners — RAW is never shuffled") {
+    val snap = store.snapshot()
+    snap.count()
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    // the RAW scan must feed the join with no Exchange in between — the
+    // tiny log may shuffle inside its own broadcast subtree (32 rows),
+    // but the big side streams straight from the parquet scan. In the
+    // printed tree the RAW branch sits between the join node and the
+    // BroadcastExchange of the build side.
+    val jx = plan.indexOf("BroadcastHashJoin")
+    val bx = plan.indexOf("BroadcastExchange", jx)
+    assert(jx >= 0 && bx > jx, plan.take(1200))
+    val rawSide = plan.substring(jx, bx)
+    assert(rawSide.contains("FileScan parquet"), rawSide)
+    assert(!rawSide.contains("Exchange hashpartitioning"), rawSide)
+  }
+
+  test("composed as-of join keeps the partial top-1 (WindowGroupLimit)") {
+    val left = (1 to 100).map(i => (i.toLong, i.toLong % 5,
+      Timestamp.valueOf(s"2026-01-${i % 27 + 1} 00:00:00"))).toDF("eid", "k", "t")
+    val right = (1 to 50).map(i => (i.toLong % 5,
+      Timestamp.valueOf(s"2026-01-${i % 27 + 1} 00:00:00"), i.toLong)).toDF("k2", "rt", "v")
+    val q = graft.ops.AsOf.join(left, right, "k", "k2", "t", "rt", Seq("eid"), Seq("v"))
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+}

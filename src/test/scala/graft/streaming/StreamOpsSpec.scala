@@ -106,6 +106,34 @@ class StreamOpsSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("url").startsWith("stream:")).count() >= 2)
   }
 
+  test("checkpointed ingest resumes without reprocessing earlier batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("e1.parquet"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_store_").toString
+    val store = new graft.store.Store(spark, root, "ev")
+    store.initialize()
+    def run(): Unit = {
+      val stream = StreamOps.readEventsStream(spark, dir.toString)
+        .select("event_id", "user_id", "event_type", "value")
+      val q = StreamOps.ingestStream(stream, store, "events")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first run consumes e1
+    val perFile = spark.read.schema(StreamOps.eventsSchema)
+      .parquet(s"$dir/e1.parquet").count()
+    assert(store.appendedRows().count() == perFile)
+    // "restart": a new query on the same checkpoint sees only the new file
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("e2.parquet"))
+    run()
+    assert(store.appendedRows().count() == 2 * perFile) // e1 NOT re-ingested
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val deduped = StreamOps.dedupedStream(
       StreamOps.readEventsStream(spark, streamDir))
