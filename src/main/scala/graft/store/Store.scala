@@ -54,7 +54,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
         .write.mode("overwrite").parquet(logPath)
     }
 
-  def isStaged: Boolean = exists(prodPath)
+  def isStaged: Boolean = { recoverDirIfNeeded(prodPath); exists(prodPath) }
 
   // ---------------------------------------------------------- ingest path
 
@@ -184,8 +184,40 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     * unique because `row` is unique within one (ingest, table). */
   def stage(cutoff: Option[Timestamp] = None): Unit = {
     val withUid = withRowUid(snapshot(cutoff))
-    withUid.write.mode("overwrite").partitionBy("table_name").parquet(prodPath)
+    // never overwrite PROD in place: a failed stage job (or a crash
+    // mid-commit) must leave the previous snapshot intact. Write the new
+    // snapshot beside it, then backup-swap (same discipline as the log).
+    val tmp = prodPath + "_tmp"
+    withUid.write.mode("overwrite").partitionBy("table_name").parquet(tmp)
+    swapDir(tmp, prodPath)
     writeMetadata(readProd())
+  }
+
+  /** Swap a freshly-written directory into place, keeping the previous
+    * one recoverable at every instant: live -> _bak, tmp -> live, drop
+    * _bak. [[recoverDirIfNeeded]] heals the crash window between the two
+    * renames. */
+  private def swapDir(tmp: String, live: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val fs = liveP.getFileSystem(conf)
+    val bakP = new org.apache.hadoop.fs.Path(live + "_bak")
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(bakP, true)
+    if (fs.exists(liveP)) fs.rename(liveP, bakP)
+    fs.rename(tmpP, liveP)
+    fs.delete(bakP, true): Unit
+  }
+
+  private def recoverDirIfNeeded(live: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val fs = liveP.getFileSystem(conf)
+    val bakP = new org.apache.hadoop.fs.Path(live + "_bak")
+    if (!exists(live) && fs.exists(bakP)) {
+      fs.delete(liveP, true)
+      fs.rename(bakP, liveP): Unit
+    }
   }
 
   /** row_uid assignment. Canonical frames carry `row` (unique within one
@@ -216,7 +248,10 @@ final class Store(spark: SparkSession, root: String, collection: String) {
         .drop("__idx")
     }
 
-  def readProd(): DataFrame = spark.read.parquet(prodPath)
+  def readProd(): DataFrame = {
+    recoverDirIfNeeded(prodPath)
+    spark.read.parquet(prodPath)
+  }
 
   /** Incremental stage: rewrite ONLY the table_name partitions whose
     * winning ingest changed since the last stage, via dynamic partition

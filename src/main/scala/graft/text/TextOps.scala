@@ -90,7 +90,12 @@ object TextOps {
         graft.functions.TextExpressions.minhash_shingles(
           tokens(col("text")), shingleN, numPerm).as("sig"))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
-      .cache() // reused by the banding and estimate branches
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization: the banding branch and the two signature
+    // probes all sit in ONE consumer query; left lazy they race to fill
+    // the cache and the CPU-bound signature pass over the whole corpus
+    // runs 2-3x. One count() = one pass, everyone else reads the cache.
+    withSig.count()
     // bucket-local pair generation: group ids per (band, hash), drop
     // oversized buckets (no dedup signal, O(n^2) pairs), and emit the
     // pairs by array combinatorics INSIDE each bounded bucket — one

@@ -176,6 +176,23 @@ class StoreSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(st.logPath + "_bak")))
   }
 
+  test("prod swap crash window: backup restored on next read") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prodP = new org.apache.hadoop.fs.Path(st.prodPath)
+    val fs = prodP.getFileSystem(conf)
+    // simulate a crash between swapDir's renames
+    assert(fs.rename(prodP, new org.apache.hadoop.fs.Path(st.prodPath + "_bak")))
+    assert(st.isStaged)                     // recovery ran
+    assert(st.readProd().count() == 2)      // previous snapshot intact
+    // re-stage over the recovered dir still works
+    st.ingest(frame(2), "tbl", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    st.stage()
+    assert(st.readProd().select("version").as[Int].collect().toSet == Set(2))
+  }
+
   test("row-less multi-partition frame stages with collision-free row_uids") {
     val st = freshStore()
     // no `row` column, spread across many partitions so the fallback path
