@@ -462,6 +462,19 @@ object SparkEntry {
         .crossJoin(pairs.agg(count(lit(1)).as("n_near_dup_pairs")))
     }),
 
+    // X: near-dup pairs -> connected components -> dedup clusters (the
+    // keep/drop step of a real dedup pipeline) — rows-only
+    "q_x_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.text.TextOps.minhashDedupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      val kl = graft.ops.ConnectedComponents.keepList(pairs, "id_a", "id_b")
+      kl.agg(
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_clustered_docs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    }),
+
     // X: SimHash signatures via a custom Catalyst expression — rows-only
     "q_x_simhash" -> ((s, dir) => {
       import graft.functions.TextExpressions
