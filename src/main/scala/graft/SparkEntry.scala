@@ -440,6 +440,28 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // X: split-leakage guard — near-dup pairs (probe-subset Jaccard, same
+    // definition as q_x_jaccard_pairs) straddling a deterministic
+    // train/test split
+    "q_x_split_leakage" -> ((s, dir) => {
+      import graft.text.TextOps
+      val docs = t(s, dir, "documents")
+      val sub = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("st"))
+      val pairs = sub.as("a").join(sub.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("a.st"), col("b.st"))).cast("double") /
+            size(array_union(col("a.st"), col("b.st"))).cast("double"))
+        .where(col("jaccard") >= 0.3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val assignments = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 8, lit("train"))
+          .otherwise(lit("test")).as("split"))
+      TextOps.splitLeakage(pairs, assignments, "doc_id", "split")
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+    }),
+
     // X: MinHash + LSH near-duplicate pairs (banded candidate join +
     // exact-Jaccard verify) — rows-only check, hashes are Spark-specific
     "q_x_dedup_minhash" -> ((s, dir) => {
@@ -910,6 +932,24 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND len(list_intersect(a.st, b.st))::DOUBLE
                / len(list_distinct(a.st || b.st)) >= 0.4""",
+
+    "q_x_split_leakage" ->
+      """WITH s AS (SELECT doc_id,
+           list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS st
+         FROM documents WHERE doc_id % 50 = 0),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM s a, s b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.st, b.st))::DOUBLE
+                     / len(list_distinct(a.st || b.st)) >= 0.3),
+         asg AS (SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS split
+                 FROM documents)
+         SELECT p.id_a, p.id_b, a1.split AS split_a, a2.split AS split_b
+         FROM p
+         JOIN asg a1 ON p.id_a = a1.doc_id
+         JOIN asg a2 ON p.id_b = a2.doc_id
+         WHERE a1.split <> a2.split""",
 
     "q_x_ann_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -234,6 +234,21 @@ object TextOps {
       "mean_word_len" -> round(nChars / greatest(size(toks).cast("double"), lit(1.0)), 4))
   }
 
+  // ------------------------------------------------------------ split guard
+
+  /** Train/test split-leakage guard: near-duplicate pairs that straddle
+    * the split boundary — the contamination a dedup-aware splitter must
+    * eliminate before eval numbers mean anything. `pairs` comes from any
+    * of the near-dup detectors; `assignments` maps id -> split label.
+    * Two broadcast-able joins; the pair list is the small side by
+    * construction. */
+  def splitLeakage(pairs: DataFrame, assignments: DataFrame,
+                   idCol: String, splitCol: String): DataFrame =
+    pairs
+      .join(assignments.select(col(idCol).as("id_a"), col(splitCol).as("split_a")), "id_a")
+      .join(assignments.select(col(idCol).as("id_b"), col(splitCol).as("split_b")), "id_b")
+      .where(col("split_a") =!= col("split_b"))
+
   // ------------------------------------------------------------- redaction
 
   /** RE2-compatible patterns (no backrefs/lookaround) so the engine and

@@ -106,6 +106,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(0) == 0.75 && got(1) == 0.0)
   }
 
+  test("splitLeakage reports only pairs that straddle the split") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val asg = Seq((1L, "train"), (2L, "test"),   // leak
+                  (3L, "train"), (4L, "train"),  // same split
+                  (5L, "test"), (6L, "train"))   // leak (reversed)
+      .toDF("doc_id", "split")
+    val got = TextOps.splitLeakage(pairs, asg, "doc_id", "split")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (5L, 6L)))
+  }
+
   test("quality features: counts and ratios") {
     val df = Seq("The cat, the dog!").toDF("text")
     val f = TextOps.qualityFeatures($"text")
