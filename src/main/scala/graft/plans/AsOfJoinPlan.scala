@@ -69,6 +69,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       rightTiebreak.map(tb =>
         SortOrder(tb, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
+  // the merge streams left rows through unchanged, so the left child's
+  // hash-clustering and (key, time) sort order survive — declaring them
+  // lets a downstream groupBy/window/join on the same key reuse this
+  // exchange instead of shuffling again
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   /** Type-dispatched row-to-row comparator: primitive access for the
     * physically-long/int/string/double types (no boxing in the merge
     * loop), interpreted ordering for anything else orderable. */

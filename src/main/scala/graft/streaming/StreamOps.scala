@@ -110,12 +110,17 @@ object StreamOps {
           unix_micros(col("ts")) - unix_micros(prevTs) > gapMs * 1000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(cum))
+      // the user's LAST session id, computed on the same user_id
+      // partitioning the lag/sum windows already established — carrying
+      // it into the aggregate avoids a third exchange for a post-agg
+      // max-over-user window
+      .withColumn("max_sid", max(col("sid")).over(Window.partitionBy(col("user_id"))))
     flagged
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
-      .withColumn("max_sid", max(col("sid")).over(Window.partitionBy(col("user_id"))))
+        round(sum(col("value")), 2).as("sum_value"),
+        max(col("max_sid")).as("max_sid"))
       .where(col("sid") < col("max_sid"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))

@@ -100,6 +100,31 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("custom plan's declared output partitioning is reused downstream") {
+    val l = Seq((1L, 10L, ts("2026-01-10 00:00:00")),
+      (2L, 10L, ts("2026-01-20 00:00:00")),
+      (3L, 20L, ts("2026-01-05 00:00:00")))
+      .toDF("eid", "k", "t")
+    val r = Seq((10L, ts("2026-01-01 00:00:00"), 100L))
+      .toDF("k2", "rt", "version")
+    // a groupBy on the join key directly after the custom plan must ride
+    // the join's hash-clustering: exactly the two child exchanges, none
+    // added for the aggregation
+    val q = AsOf.joinExact(l, r, "k", "k2", "t", "rt", None)
+      .groupBy("k").count()
+    q.collect()
+    // AQE prints Final and Initial sections — count the final plan only
+    val full = q.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 child exchanges, got $exchanges:\n${plan.take(1500)}")
+    // and the aggregate sits directly on the join (same codegen stage side)
+    assert(plan.contains("AsOfJoin"), plan.take(1500))
+  }
+
   test("custom plan rejects mismatched key types with a clear error") {
     val l = Seq((1L, 10, 1L)).toDF("k", "t", "eid")
     val r = Seq(("10", 1, 100L)).toDF("k2", "rt", "version")
