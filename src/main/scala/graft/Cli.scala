@@ -10,6 +10,8 @@ import graft.serve.{Facade, HttpApi}
   * the facade:
   *
   * {{{
+  * (the <root> and <outDir> positionals accept '-' = persisted default
+  *  from `graft.Cli config`)
   * graft.Cli <root> <collection> ingest <workbook.xlsx|csvDir> <configJsonPath> <table[,table...]|all>
   * graft.Cli <root> <collection> stage [cutoffTs]
   * graft.Cli <root> <collection> stage-incremental
@@ -28,7 +30,7 @@ object Cli {
     if (args.headOption.contains("config")) {
       val rest = args.drop(1)
       def flag(name: String) = rest.sliding(2).collectFirst {
-        case Array(`name`, v) => v
+        case Array(`name`, v) if !v.startsWith("--") => v
       }
       if (rest.contains("--show-current")) println(Settings.showCurrent())
       else {
@@ -41,7 +43,11 @@ object Cli {
       return
     }
     require(args.length >= 3, "usage: Cli <root> <collection> <verb> [args...]")
-    val Array(root, collection, verb) = args.take(3)
+    // '-' as the root positional resolves the persisted default from
+    // `graft.Cli config --root ...` (reference: settings read from
+    // config.ini on every CLI run)
+    val Array(rootArg, collection, verb) = args.take(3)
+    val root = if (rootArg == "-") Settings.defaultRoot else rootArg
     val rest = args.drop(3)
 
     val spark = SparkSession.builder()
@@ -96,12 +102,13 @@ object Cli {
         println(s"next_cursor: ${page.nextCursor.getOrElse("null")}")
 
       case "export" =>
-        val Array(table, outDir) = rest.take(2)
+        val Array(table, outDirArg) = rest.take(2)
+        val outDir = if (outDirArg == "-") Settings.defaultExportDir else outDirArg
         val fmt = rest.lift(2).getOrElse("csv")
         println("wrote " + facade.exportTable(table, outDir, fmt))
 
       case "export-all" =>
-        val outDir = rest(0)
+        val outDir = if (rest(0) == "-") Settings.defaultExportDir else rest(0)
         val fmt = rest.lift(1).getOrElse("csv")
         facade.exportAll(outDir, fmt).foreach(p => println("wrote " + p))
 

@@ -67,6 +67,7 @@ object Export {
             s"$dir/$t.csv", "csv")
           s"$dir/$t.csv"
         }
+      case "xlsx" if tables.isEmpty => Seq.empty // nothing staged, no file
       case "xlsx" =>
         // one workbook, one sheet per table (read_write.py:218-230)
         val target = s"$outDir/${collection}_$date.xlsx"

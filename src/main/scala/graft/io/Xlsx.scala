@@ -88,6 +88,12 @@ object Xlsx {
           case null | None | "" => // gap
           case b: Boolean =>
             sb.append(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+          // non-finite doubles are not legal OOXML numeric cells (Excel
+          // rejects the file) — fall through to the inline-string arm
+          case d: Double if !java.lang.Double.isFinite(d) =>
+            sb.append(s"""<c r="$ref" t="inlineStr"><is><t>$d</t></is></c>""")
+          case f: Float if !java.lang.Float.isFinite(f) =>
+            sb.append(s"""<c r="$ref" t="inlineStr"><is><t>$f</t></is></c>""")
           case x @ (_: Int | _: Long | _: Short | _: Byte | _: Float |
                     _: Double | _: java.math.BigDecimal | _: BigDecimal) =>
             sb.append(s"""<c r="$ref"><v>$x</v></c>""")
@@ -248,7 +254,10 @@ object Xlsx {
           curRow = Option(r.getAttributeValue(null, "r"))
             .map(_.toInt - 1).getOrElse(curRow + 1)
           maxRow = math.max(maxRow, curRow)
+          curCol = -1 // column position resets per ROW, not per cell
         case "c" =>
+          // the r attribute is OPTIONAL in OOXML: an r-less cell sits one
+          // past the previous cell in the same row
           curCol = Option(r.getAttributeValue(null, "r"))
             .map(colIndex).getOrElse(curCol + 1)
           cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
@@ -261,7 +270,7 @@ object Xlsx {
       case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
         case "v" => inV = false
         case "t" => inIsT = false
-        case "c" => endCell(); curCol = -1; cellType = ""; text.clear()
+        case "c" => endCell(); cellType = ""; text.clear()
         case _ =>
       }
       case _ =>

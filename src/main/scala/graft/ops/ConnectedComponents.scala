@@ -21,9 +21,14 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** (id, cluster_id) for every vertex appearing in `pairs`, where
-    * cluster_id is the smallest vertex id in the component. */
+    * cluster_id is the smallest vertex id in the component.
+    *
+    * Throws if the fixpoint is not reached within `maxIter` sweeps
+    * (diameter > maxIter): silently returning partial labels would keep
+    * multiple representatives per component — invisible under-dedup.
+    * Raise `maxIter` for pathologically chain-shaped graphs. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxIter: Int = 20): DataFrame = {
+               maxIter: Int = 50): DataFrame = {
     // localCheckpoint (not persist): an iterative frame's LINEAGE doubles
     // per sweep even when the data is cached, and analyzing/printing the
     // accumulated plan OOMs the driver after ~10 sweeps. Checkpointing
@@ -64,6 +69,9 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter sweeps " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -71,7 +79,7 @@ object ConnectedComponents {
     * (min id) is kept, the rest are dropped. Documents that never appear
     * in a pair are implicitly kept and not listed. */
   def keepList(pairs: DataFrame, aCol: String, bCol: String,
-               maxIter: Int = 20): DataFrame =
+               maxIter: Int = 50): DataFrame =
     clusters(pairs, aCol, bCol, maxIter)
       .withColumn("keep", col("id") === col("cluster_id"))
 }

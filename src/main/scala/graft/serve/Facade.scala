@@ -77,8 +77,10 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * (table_name, ingest_ts), newest first per table, optionally filtered
     * by table. */
   def versions(table: Option[String] = None): DataFrame = {
+    // scope to THIS collection: the log file is shared by every
+    // collection under the root (same filter every other log reader uses)
     val log = store.readLog()
-      .filter(col("success") === 1)
+      .filter(col("success") === 1 && col("data_collection") === collection)
     val scoped = table.fold(log)(t => log.filter(col("table_name") === t))
     scoped.select(col("table_name"), col("ingest_ts")).distinct()
       .orderBy(col("table_name").asc, col("ingest_ts").desc)

@@ -46,13 +46,18 @@ final class Store(spark: SparkSession, root: String, collection: String) {
   // ------------------------------------------------------------ bootstrap
 
   /** Idempotent init (reference: bootstrap.py:8-44). Parquet needs no DDL;
-    * we only ensure the log exists so readers never hit a missing path. */
-  def initialize(): Unit =
+    * we only ensure the log exists so readers never hit a missing path.
+    * Recovery MUST run first: after a crash inside the log swap the live
+    * log is missing but the backup holds the real provenance — writing a
+    * fresh empty log here would bury it and let ingest ids be reused. */
+  def initialize(): Unit = {
+    recoverLogIfNeeded()
     if (!exists(logPath)) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], logSchema)
         .write.mode("overwrite").parquet(logPath)
     }
+  }
 
   def isStaged: Boolean = { recoverDirIfNeeded(prodPath); exists(prodPath) }
 

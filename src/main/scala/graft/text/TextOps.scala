@@ -79,9 +79,11 @@ object TextOps {
     // signature comes from the fused shingle+hash expression (one tight
     // loop per document); shingle SETS are only materialized later, for
     // the handful of candidate pairs that survive the estimate filter.
-    // Callers whose input is already spread across partitions (e.g. the
-    // cached output of the exact-collapse window in nearDupPipeline) pass
-    // repartitionInput=false to skip the redundant shuffle of the texts.
+    // repartitionInput=false is an opt-out for callers who KNOW their
+    // input is well spread — note that a cached frame downstream of a
+    // small shuffle is usually NOT (AQE coalesces it to a few
+    // partitions, serializing the signature pass), which is why
+    // nearDupPipeline keeps the default true.
     val projected = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val base = (if (repartitionInput) projected.repartition(col("id")) else projected)
       .where(size(tokens(col("text"))) >= shingleN)

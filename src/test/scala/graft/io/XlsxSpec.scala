@@ -58,6 +58,48 @@ class XlsxSpec extends AnyFunSuite {
     for (i <- 0 until 1000) assert(Xlsx.colIndex(Xlsx.colRef(i) + "7") == i)
   }
 
+  test("cells without r attributes advance positionally within the row") {
+    // the r attribute on <c> is optional in OOXML; writers that omit it
+    // place cells sequentially — they must not collapse onto column A
+    val path = tmpFile()
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path), UTF_8)
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(UTF_8)); zos.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c><v>1</v></c><c><v>2</v></c><c r="E1"><v>5</v></c><c><v>6</v></c></row><row><c><v>7</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val wb = Xlsx.read(path)
+    assert(wb("S") == Vector(
+      Vector("1", "2", "", "", "5", "6"),   // positional, then E1 jump, then E1+1
+      Vector("7")))                          // second row restarts at A
+  }
+
+  test("non-finite doubles export as strings, not corrupt numeric cells") {
+    val path = tmpFile()
+    Xlsx.write(path, Seq("s" -> Seq(
+      Seq(1.5, Double.NaN, Double.PositiveInfinity))))
+    val got = Xlsx.read(path)("s")
+    assert(got == Vector(Vector("1.5", "NaN", "Infinity")))
+    // and the numeric cell is still numeric (no t attribute)
+    val zf = new java.util.zip.ZipFile(path)
+    val sheet = scala.io.Source.fromInputStream(
+      zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml"))).mkString
+    zf.close()
+    assert(sheet.contains("""<c r="A1"><v>1.5</v></c>"""))
+    assert(sheet.contains("inlineStr"))
+    assert(!sheet.contains("<v>NaN</v>"))
+  }
+
   test("sharedStrings workbooks (the Excel/pandas shape) are read") {
     // hand-roll a minimal xlsx that uses t="s" cells + a sharedStrings
     // table with a rich-text run, as real Excel files do

@@ -32,6 +32,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got.length == n && got.forall(_._2 == 1L))
   }
 
+  test("non-convergence within maxIter throws instead of under-deduping") {
+    val pairs = (1 until 8).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b") // diameter 7 > maxIter 3
+    val e = intercept[IllegalStateException](
+      ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 3).count())
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("keepList keeps exactly one representative per component") {
     val pairs = Seq((5L, 6L), (6L, 7L), (30L, 31L)).toDF("id_a", "id_b")
     val kl = ConnectedComponents.keepList(pairs, "id_a", "id_b")

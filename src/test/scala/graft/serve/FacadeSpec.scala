@@ -82,6 +82,12 @@ class FacadeSpec extends AnyFunSuite {
     assert(vs.toSeq == Seq("2026-03-01 00:00:00.0", "2026-01-01 00:00:00.0"))
     assert(facade.versions(Some("9.9")).count() == 0)
     assert(facade.versions(None).count() == 2)
+    // a sibling collection in the same root must not leak into the list
+    val other = new graft.store.Store(spark,
+      facade.store.rawPath.stripSuffix("/dukes_raw"), "other")
+    other.ingest(Seq((0, "z")).toDF("row", "label"), "1.1",
+      ingestTs = Timestamp.valueOf("2026-04-01 00:00:00"))
+    assert(facade.versions(Some("1.1")).count() == 2)
   }
 
   test("metadata verb returns per-table queryable columns") {

@@ -176,6 +176,22 @@ class StoreSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(st.logPath + "_bak")))
   }
 
+  test("initialize after a log-swap crash restores the backup, not an empty log") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logP = new org.apache.hadoop.fs.Path(st.logPath)
+    val fs = logP.getFileSystem(conf)
+    assert(fs.rename(logP, new org.apache.hadoop.fs.Path(st.logPath + "_bak")))
+    // a process RESTART constructs a new Store and calls initialize()
+    // first — it must recover, never bury the backup under an empty log
+    // (which would reset ingest ids and corrupt winner resolution)
+    val restarted = new Store(spark, st.rawPath.stripSuffix("/t_raw"), "t")
+    restarted.initialize()
+    assert(restarted.readLog().count() == 1)
+    assert(restarted.nextIngestId() == 2L)
+  }
+
   test("prod swap crash window: backup restored on next read") {
     val st = freshStore()
     st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
