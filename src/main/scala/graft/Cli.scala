@@ -47,7 +47,9 @@ object Cli {
     // `graft.Cli config --root ...` (reference: settings read from
     // config.ini on every CLI run)
     val Array(rootArg, collection, verb) = args.take(3)
-    val root = if (rootArg == "-") Settings.defaultRoot else rootArg
+    def orDefault(arg: String, default: => String) =
+      if (arg == "-") default else arg
+    val root = orDefault(rootArg, Settings.defaultRoot)
     val rest = args.drop(3)
 
     val spark = SparkSession.builder()
@@ -103,12 +105,12 @@ object Cli {
 
       case "export" =>
         val Array(table, outDirArg) = rest.take(2)
-        val outDir = if (outDirArg == "-") Settings.defaultExportDir else outDirArg
+        val outDir = orDefault(outDirArg, Settings.defaultExportDir)
         val fmt = rest.lift(2).getOrElse("csv")
         println("wrote " + facade.exportTable(table, outDir, fmt))
 
       case "export-all" =>
-        val outDir = if (rest(0) == "-") Settings.defaultExportDir else rest(0)
+        val outDir = orDefault(rest(0), Settings.defaultExportDir)
         val fmt = rest.lift(1).getOrElse("csv")
         facade.exportAll(outDir, fmt).foreach(p => println("wrote " + p))
 
@@ -117,8 +119,8 @@ object Cli {
         // ingested version list; --meta = queryable columns + dtypes;
         // --table scopes either to one table
         val table = rest.sliding(2).collectFirst {
-          case Array("--table", t) => t
-          case Array("-t", t) => t
+          case Array("--table", t) if !t.startsWith("-") => t
+          case Array("-t", t) if !t.startsWith("-") => t
         }
         if (rest.contains("--vers") || rest.contains("-v"))
           facade.versions(table).show(truncate = false)

@@ -50,7 +50,11 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    // maxIter + 1 total sweeps: labels stabilize after `diameter` sweeps
+    // and one MORE sweep is needed to observe zero changes, so a graph
+    // with diameter == maxIter must still be allowed its confirmation
+    // sweep (the scaladoc contract is "throws if diameter > maxIter")
+    while (!converged && iter <= maxIter) {
       // min label over the closed neighborhood: own label + each
       // neighbor's current label
       val neighborLabels = edges

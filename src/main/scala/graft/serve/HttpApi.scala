@@ -34,8 +34,12 @@ final class HttpApi(facade: Facade, collection: String) {
   private def descriptions: Map[String, String] = descriptionsCache match {
     case Some(m) => m
     case None =>
+      import org.apache.spark.sql.functions.col
+      // scope to THIS collection's successful ingests — the log is
+      // shared by every collection under the root
       val m = facade.store.readLog()
-        .orderBy(org.apache.spark.sql.functions.col("ingest_id"))
+        .where(col("data_collection") === collection && col("success") === 1)
+        .orderBy(col("ingest_id"))
         .select("table_name", "table_description").collect()
         .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
         .toMap

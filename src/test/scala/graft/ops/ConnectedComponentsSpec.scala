@@ -38,6 +38,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](
       ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 3).count())
     assert(e.getMessage.contains("maxIter"))
+    // diameter exactly == maxIter converges (the confirmation sweep is
+    // granted on top of the budget, per the documented contract)
+    val ok = ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 7)
+      .as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L))
   }
 
   test("keepList keeps exactly one representative per component") {

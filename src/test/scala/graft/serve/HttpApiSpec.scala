@@ -93,4 +93,18 @@ class HttpApiSpec extends AnyFunSuite {
     assert(code == 200)
     assert(body.contains(""""table_description": "Fresh description""""))
   }
+
+  test("sibling collection's descriptions never leak into this collection") {
+    // same root, same table name, LATER ingest id, different description
+    val root = facade.store.rawPath.stripSuffix("/dukes_raw")
+    val other = new Store(spark, root, "other")
+    other.ingest(
+      Seq((0, "z")).toDF("row", "label"), "1.1",
+      description = "WRONG collection description",
+      ingestTs = Timestamp.valueOf("2026-05-01 00:00:00"))
+    facade.stage() // invalidates the description cache
+    val (_, body) = get("/data/dukes?table_name=1.1&limit=1")
+    assert(body.contains(""""table_description": "Fresh description""""))
+    assert(!body.contains("WRONG collection description"))
+  }
 }
