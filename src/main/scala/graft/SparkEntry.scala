@@ -400,6 +400,16 @@ object SparkEntry {
           f("mean_word_len").as("mean_word_len"))
     }),
 
+    // X: benchmark decontamination flags (normalized exact match against
+    // a stand-in eval set: every 97th document)
+    "q_x_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TextOps.contaminationFlags(
+          docs, docs.where(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", "text")
+        .select(col("id").as("doc_id"), col("contaminated"))
+    }),
+
     // X: PII-ish redaction (urls then emails -> typed placeholders)
     "q_x_redact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -861,6 +871,15 @@ object SparkEntry {
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents""",
+
+    "q_x_decontaminate" ->
+      """WITH f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
+         SELECT f.doc_id,
+           CAST(b.fp IS NOT NULL AS INT) AS contaminated
+         FROM f LEFT JOIN b ON f.fp = b.fp""",
 
     "q_x_redact" ->
       """SELECT doc_id,

@@ -236,6 +236,34 @@ object TextOps {
       "mean_word_len" -> round(nChars / greatest(size(toks).cast("double"), lit(1.0)), 4))
   }
 
+  // -------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination flags: 1 for every document whose
+    * whitespace-normalized text exactly matches a benchmark document —
+    * the eval-set contamination sweep run before training. Matching is by
+    * [[fingerprintMd5]]; the benchmark fingerprint set is the small side
+    * (broadcast-able), documents stream through once. Near-dup-level
+    * decontamination composes this with [[minhashDedupPairs]] across the
+    * two corpora. */
+  def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         benchTextCol: String): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"), fingerprintMd5(col(textCol)).as("fp"))
+    val benchFps = benchmark
+      .select(fingerprintMd5(col(benchTextCol)).as("fp")).distinct()
+      .withColumn("__hit", lit(1))
+    fps.join(benchFps, Seq("fp"), "left")
+      .select(col("id"), col("__hit").isNotNull.cast("int").as("contaminated"))
+  }
+
+  /** The docs frame with benchmark-contaminated rows removed (a
+    * broadcast-able left-anti join on the fingerprint). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    textCol: String, benchTextCol: String): DataFrame =
+    docs.join(
+      benchmark.select(fingerprintMd5(col(benchTextCol)).as("__fp")).distinct(),
+      fingerprintMd5(col(textCol)) === col("__fp"), "left_anti")
+
   // ------------------------------------------------------------ split guard
 
   /** Train/test split-leakage guard: near-duplicate pairs that straddle

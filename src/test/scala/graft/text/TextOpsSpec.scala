@@ -106,6 +106,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(0) == 0.75 && got(1) == 0.0)
   }
 
+  test("decontamination: normalized exact matches flagged and removable") {
+    val docs = Seq((1L, "The  Quick fox"), (2L, "unrelated text"),
+      (3L, "other content here")).toDF("doc_id", "text")
+    val bench = Seq("the quick fox", "benchmark only").toDF("q")
+    val flags = TextOps.contaminationFlags(docs, bench, "doc_id", "text", "q")
+      .as[(Long, Int)].collect().toMap
+    assert(flags == Map(1L -> 1, 2L -> 0, 3L -> 0)) // ws/case-insensitive hit
+    val clean = TextOps.decontaminate(docs, bench, "text", "q")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("splitLeakage reports only pairs that straddle the split") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val asg = Seq((1L, "train"), (2L, "test"),   // leak
