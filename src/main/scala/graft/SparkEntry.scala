@@ -400,6 +400,18 @@ object SparkEntry {
           f("mean_word_len").as("mean_word_len"))
     }),
 
+    // X: the full corpus-preprocessing composition (language -> quality ->
+    // redact -> exact dedup -> near-dup clusters -> decontaminate), audited
+    // per stage — rows-only
+    "q_x_corpus_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (_, audit) = graft.text.CorpusPipeline.preprocess(
+        docs, "doc_id", "text",
+        benchmark = Some(docs.where(pmod(col("doc_id"), lit(97)) === 0)))
+      audit.toDF("stage", "n_rows")
+    }),
+
     // X: benchmark decontamination flags (normalized exact match against
     // a stand-in eval set: every 97th document)
     "q_x_decontaminate" -> ((s, dir) => {
