@@ -32,10 +32,16 @@ object CorpusPipeline {
   def preprocess(docs: DataFrame, idCol: String, textCol: String,
                  benchmark: Option[DataFrame] = None,
                  t: Thresholds = Thresholds()): (DataFrame, Seq[(String, Long)]) = {
-    val spark = docs.sparkSession
     val audit = Seq.newBuilder[(String, Long)]
+    // each audited boundary is localCheckpoint'ed: the count then reads
+    // the materialized blocks and — critically — every later stage starts
+    // from them too, so stage N's work runs once instead of being
+    // re-executed by every downstream count (sequential audits otherwise
+    // recompute the whole prefix chain per stage)
     def step(name: String, df: DataFrame): DataFrame = {
-      audit += name -> df.count(); df
+      val mat = df.localCheckpoint()
+      audit += name -> mat.count()
+      mat
     }
 
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
