@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preprocessing — the composition a pipeline
@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * expensive pairwise stages (MinHash, connected components) run over the
   * smallest possible survivor set. Returns the cleaned corpus plus a
   * per-stage row-count audit (the numbers a data lead asks for).
+  *
+  * Audit cost model: the row-local prefix (language/quality) is audited
+  * with ONE map-side aggregate over the input — re-evaluating the cheap
+  * per-row predicates in a count costs a scan, not the full-corpus
+  * localCheckpoint WRITE per stage it used to cost (~5x write
+  * amplification at 100 TB). The near-dup and decontamination counts ride
+  * the final materialization via `observe()`. The single surviving
+  * checkpoint, at `exactKept`, is load-bearing: that frame is re-read by
+  * the MinHash stage (twice internally) and by the anti-join.
   */
 object CorpusPipeline {
 
@@ -27,44 +36,40 @@ object CorpusPipeline {
 
   /** Run the full pipeline. `benchmark` is the eval corpus to
     * decontaminate against (None skips the stage). The audit frame has
-    * one row per stage with the surviving row count — computed with one
-    * count per stage boundary, which is the honest price of an audit. */
+    * one row per stage with the surviving row count. */
   def preprocess(docs: DataFrame, idCol: String, textCol: String,
                  benchmark: Option[DataFrame] = None,
                  t: Thresholds = Thresholds()): (DataFrame, Seq[(String, Long)]) = {
-    val audit = Seq.newBuilder[(String, Long)]
-    // each audited boundary is localCheckpoint'ed: the count then reads
-    // the materialized blocks and — critically — every later stage starts
-    // from them too, so stage N's work runs once instead of being
-    // re-executed by every downstream count (sequential audits otherwise
-    // recompute the whole prefix chain per stage)
-    def step(name: String, df: DataFrame): DataFrame = {
-      val mat = df.localCheckpoint()
-      audit += name -> mat.count()
-      mat
-    }
-
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    audit += "input" -> base.count()
 
     val toks = TextOps.tokens(col("text"))
-    val langKept = step("language",
-      base.where(TextOps.langId(toks).isin(t.languages.map(x => x: Any): _*)))
-
+    val langOk = TextOps.langId(toks).isin(t.languages.map(x => x: Any): _*)
     val q = TextOps.qualityFeatures(col("text"))
-    val qualityKept = step("quality", langKept
-      .where(q("n_tokens") >= t.minTokens &&
-        q("punct_ratio") <= t.maxPunctRatio &&
-        TextOps.repetitionRatio(toks) <= t.maxRepetitionRatio))
+    val qualOk = q("n_tokens") >= t.minTokens &&
+      q("punct_ratio") <= t.maxPunctRatio &&
+      TextOps.repetitionRatio(toks) <= t.maxRepetitionRatio
 
-    val redacted = qualityKept.withColumn("text", TextOps.redact(col("text")))
+    // audit of the row-local prefix: one aggregate pass, no checkpoints
+    val prefix = base.agg(
+      count(lit(1)).as("input"),
+      count(when(langOk, 1)).as("language"),
+      count(when(langOk && qualOk, 1)).as("quality")).head()
 
-    // exact collapse: keep the min-id representative per normalized text
+    val redacted = base.where(langOk).where(qualOk)
+      .withColumn("text", TextOps.redact(col("text")))
+
+    // exact collapse: keep the min-id representative per normalized text.
+    // This is the ONE checkpoint the pipeline keeps — exactKept feeds both
+    // the MinHash stage and the near-dup anti-join, so materializing it
+    // once prevents the whole filter+window prefix from re-running per
+    // consumer; its count reads the materialized blocks (nearly free).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(TextOps.fingerprintMd5(col("text"))).orderBy(col("id"))
-    val exactKept = step("exact_dedup", redacted
+    val exactKept = redacted
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn"))
+      .where(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    val exactCount = exactKept.count()
 
     // near-dup clusters over survivors; drop non-representatives
     val pairs = TextOps.minhashDedupPairs(exactKept, "id", "text",
@@ -72,13 +77,36 @@ object CorpusPipeline {
     val dropIds = graft.ops.ConnectedComponents
       .keepList(pairs, "id_a", "id_b")
       .where(!col("keep")).select(col("id"))
-    val nearKept = step("near_dedup",
-      exactKept.join(dropIds, Seq("id"), "left_anti"))
+    // near-dup survivor count rides the final action via observe() —
+    // no extra execution of the anti-join just to count it
+    val nearObs = Observation()
+    val nearKept = exactKept.join(dropIds, Seq("id"), "left_anti")
+      .observe(nearObs, count(lit(1)).as("n"))
+
+    val audit = Seq.newBuilder[(String, Long)]
+    audit += "input" -> prefix.getLong(0)
+    audit += "language" -> prefix.getLong(1)
+    audit += "quality" -> prefix.getLong(2)
+    audit += "exact_dedup" -> exactCount
 
     val clean = benchmark match {
-      case Some(b) => step("decontaminate",
-        TextOps.decontaminate(nearKept, b, "text", "text"))
-      case None => nearKept
+      // the corpus text was redacted upstream, so the benchmark side must
+      // pass through the SAME redaction before the fingerprint compare —
+      // otherwise a contaminated doc whose benchmark twin contains a
+      // URL/email gets a different fingerprint and silently escapes
+      // removal (under-decontamination, the one failure mode this stage
+      // exists to prevent)
+      case Some(b) =>
+        val c = TextOps.decontaminate(nearKept,
+          b.withColumn("text", TextOps.redact(col("text"))), "text", "text")
+        val n = c.count() // one action: also fills nearObs
+        audit += "near_dedup" -> nearObs.get("n").asInstanceOf[Number].longValue()
+        audit += "decontaminate" -> n
+        c
+      case None =>
+        val n = nearKept.count()
+        audit += "near_dedup" -> n
+        nearKept
     }
     (clean, audit.result())
   }

@@ -87,17 +87,20 @@ object TextOps {
     val projected = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val base = (if (repartitionInput) projected.repartition(col("id")) else projected)
       .where(size(tokens(col("text"))) >= shingleN)
+    // eager localCheckpoint, not persist+count: the banding branch and the
+    // two signature probes all sit in ONE consumer query; left lazy they
+    // race to materialize and the CPU-bound signature pass over the whole
+    // corpus runs 2-3x. Checkpointing materializes once (MEMORY_AND_DISK
+    // blocks) AND — unlike a Dataset.persist, whose CacheManager entry is
+    // strongly held until an explicit unpersist — the blocks are released
+    // by the ContextCleaner once the frame is unreferenced, so repeated
+    // calls from a long-lived session don't accumulate cached blocks.
     val withSig = base
       .select(col("id"),
         graft.functions.TextExpressions.minhash_shingles(
           tokens(col("text")), shingleN, numPerm).as("sig"))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager materialization: the banding branch and the two signature
-    // probes all sit in ONE consumer query; left lazy they race to fill
-    // the cache and the CPU-bound signature pass over the whole corpus
-    // runs 2-3x. One count() = one pass, everyone else reads the cache.
-    withSig.count()
+      .localCheckpoint()
     // bucket-local pair generation: group ids per (band, hash), drop
     // oversized buckets (no dedup signal, O(n^2) pairs), and emit the
     // pairs by array combinatorics INSIDE each bounded bucket — one
@@ -159,15 +162,19 @@ object TextOps {
                       shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
     // One shuffle on fp does the whole exact-collapse: row_number picks the
     // min-id representative and count-over-partition carries the group size,
     // so there is no groupBy + join-back (which would shuffle the corpus
-    // twice). The collapsed frame is persisted because BOTH outputs — the
-    // group stats and the MinHash stage (which reads its input twice:
-    // signatures + exact-verify shingle sets) — derive from it; without the
-    // persist the fingerprint pass over the full corpus re-runs ~3×.
-    // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing.
+    // twice). The collapsed frame is eagerly localCheckpoint'ed because
+    // BOTH outputs — the group stats and the MinHash stage (which reads
+    // its input twice: signatures + exact-verify shingle sets) — derive
+    // from it; unmaterialized, the fingerprint window pass over the full
+    // corpus re-runs ~3× (downstream branches run CONCURRENTLY inside one
+    // consumer query and race to recompute the subtree). Checkpoint, not
+    // persist: blocks are MEMORY_AND_DISK either way (spills instead of
+    // OOMing at 100 TB), but a checkpoint's blocks are released by the
+    // ContextCleaner when the frame becomes unreferenced, so repeated
+    // pipeline calls in a long-lived session don't leak cache entries.
     val byFp = Window.partitionBy(col("fp"))
     val reps = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("fp", fingerprintMd5(col("text")))
@@ -175,13 +182,7 @@ object TextOps {
       .withColumn("rn", row_number().over(byFp.orderBy(col("id"))))
       .where(col("rn") === 1)
       .drop("rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager materialization: downstream branches (group stats, signatures,
-    // exact-verify sets) run CONCURRENTLY inside one consumer query and
-    // would otherwise race to populate the cache, each recomputing the
-    // window pass. One count() here = the stage barrier a checkpoint would
-    // give between collapse and MinHash.
-    reps.count()
+      .localCheckpoint()
     val groups = reps.select(col("fp"), col("id").as("keep_id"), col("n_copies"))
     val pairs = minhashDedupPairs(reps.select(col("id"), col("text")), "id", "text",
       shingleN, numPerm, bands, threshold, repartitionInput = true)

@@ -10,6 +10,13 @@ package object graftx {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** True when the session-shared Dataset cache has no entries — the
+    * observable for "this operator does not leak persisted frames"
+    * (CacheManager entries are strongly held until an explicit unpersist,
+    * unlike checkpoint blocks, which the ContextCleaner releases on GC). */
+  def datasetCacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Build a DataFrame from a custom logical plan (Dataset.ofRows is
     * private[sql]; needed to surface custom operators like the as-of
     * join's logical node through the public Dataset API). */

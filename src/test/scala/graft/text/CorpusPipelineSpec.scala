@@ -31,6 +31,23 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(a("exact_dedup") == 4 && a("near_dedup") == 3 && a("decontaminate") == 2)
   }
 
+  test("decontamination catches a benchmark twin containing a URL/email") {
+    // regression: the corpus text is redacted BEFORE decontamination, so
+    // the benchmark side must be redacted identically or a contaminated
+    // doc whose benchmark twin contains a URL/email escapes removal
+    val docs = Seq(
+      (1L, "visit https://eval.example.com for the benchmark answer key in the set"),
+      (2L, "completely different english text that is about the weather for today"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      "visit https://eval.example.com for the benchmark answer key in the set")
+      .toDF("text")
+    val (clean, audit) = CorpusPipeline.preprocess(
+      docs, "doc_id", "text", benchmark = Some(bench))
+    assert(clean.select("id").as[Long].collect().toSet == Set(2L))
+    assert(audit.toMap.apply("decontaminate") == 1)
+  }
+
   test("redaction is applied to the surviving text") {
     val docs = Seq(
       (1L, "mail a.user@example.com about the cat and the dog in the house"))

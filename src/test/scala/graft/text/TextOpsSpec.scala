@@ -57,6 +57,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p == Set((1L, 2L)))                       // between representatives only
   }
 
+  test("dedup path leaves no Dataset-cache entries behind (no persist leak)") {
+    // regression: withSig/reps used Dataset.persist without unpersist —
+    // CacheManager entries are strongly held, so every pipeline call from
+    // a long-lived serving session leaked cached blocks. They are now
+    // localCheckpoints (ContextCleaner-managed); after materializing both
+    // outputs the session-level cache must not have grown.
+    import org.apache.spark.sql.graftx.datasetCacheIsEmpty
+    val before = datasetCacheIsEmpty(spark)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val (groups, pairs) = TextOps.nearDupPipeline(docs, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 32, threshold = 0.3)
+    groups.count(); pairs.count()
+    assert(before && datasetCacheIsEmpty(spark),
+      "nearDupPipeline must not register CacheManager entries")
+  }
+
   test("simhash: near-dup docs have small hamming distance") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val df = Seq(
