@@ -135,10 +135,38 @@ object Xlsx {
     acc - 1
   }
 
-  private def escape(s: String): String = s.flatMap {
-    case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
-    case '"' => "&quot;"; case c => c.toString
+  /** Chars outside the XML 1.0 legal set (#x9 #xA #xD, #x20-#xD7FF,
+    * #xE000-#xFFFD) cannot be written even entity-escaped — a worksheet
+    * part containing one is rejected by Excel and conforming parsers.
+    * OOXML's convention is the `_xHHHH_` encoding (decoded on read by
+    * [[unescapeOoxml]]); scraped free text is exactly where NUL/control
+    * bytes show up, so this is load-bearing for the export path. */
+  private def xmlLegal(c: Char): Boolean =
+    c == '\t' || c == '\n' || c == '\r' ||
+      (c >= 0x20 && c <= 0xD7FF) || (c >= 0xE000 && c <= 0xFFFD)
+
+  private def escape(s: String): String = {
+    // protect literal text that LOOKS like an _xHHHH_ escape (encode its
+    // leading underscore as _x005F_, Excel's own convention) so read-back
+    // decoding cannot corrupt it
+    val safe =
+      if (s.contains("_x")) "_(?=x[0-9A-Fa-f]{4}_)".r.replaceAllIn(s, "_x005F_")
+      else s
+    safe.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"
+      case c if !xmlLegal(c) => f"_x${c.toInt}%04X_"
+      case c => c.toString
+    }
   }
+
+  /** Decode OOXML `_xHHHH_` escapes produced by [[escape]] (and by other
+    * writers — Excel itself emits them for control chars). */
+  private[io] def unescapeOoxml(s: String): String =
+    if (!s.contains("_x")) s
+    else "_x([0-9A-Fa-f]{4})_".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
 
   // ------------------------------------------------------------------ read
 
@@ -216,7 +244,8 @@ object Xlsx {
         case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" => inT = true
         case XMLStreamConstants.CHARACTERS if inT => cur.append(r.getText)
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "t" => inT = false
-        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" => out += cur.toString
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+          out += unescapeOoxml(cur.toString)
         case _ =>
       } finally r.close()
       out.result()
@@ -243,6 +272,7 @@ object Xlsx {
           val idx = raw.trim.toInt
           if (idx >= 0 && idx < shared.length) shared(idx) else ""
         case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+        case "inlineStr" => unescapeOoxml(raw)
         case _ => raw
       }
       rows.getOrElseUpdate(curRow, scala.collection.mutable.Map.empty)

@@ -111,13 +111,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rWidth = right.output.length
     require(lKeyIdx >= 0 && lTimeIdx >= 0 && rKeyIdx >= 0 && rTimeIdx >= 0,
       "as-of join attributes not found in child output")
-    // types must share a physical representation (e.g. TIMESTAMP and
-    // TIMESTAMP_NTZ are both micros-as-long — comparable cross-side)
+    // Cross-side type mixing is allowed ONLY where the values share both a
+    // physical representation AND a unit: TIMESTAMP vs TIMESTAMP_NTZ are
+    // both micros-as-long. A raw LongType (epoch millis? sequence
+    // numbers?) must NOT be lumped with timestamps — it would merge-join
+    // arbitrary units against micros and produce wrong matches with no
+    // error — so anything else requires exact dataType equality.
     def family(dt: org.apache.spark.sql.types.DataType): String = {
       import org.apache.spark.sql.types._
       dt match {
-        case LongType | TimestampType | TimestampNTZType => "long"
-        case IntegerType | DateType => "int"
+        case TimestampType | TimestampNTZType => "timestamp_micros"
         case other => other.toString
       }
     }

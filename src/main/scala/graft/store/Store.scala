@@ -23,13 +23,15 @@ import org.apache.spark.sql.types._
   * dedup over a broadcast ingest log, and table_name partitioning gives the
   * query layer pruned directory scans instead of full-table WHERE filters.
   */
-final class Store(spark: SparkSession, root: String, collection: String) {
+/** @param exactStatsMaxRows row-count threshold for the metadata pass:
+  *   tables at or under it get exact `countDistinct` (mirrors the
+  *   reference's nunique()), larger ones get `approx_count_distinct` —
+  *   at 100 TB an exact distinct is an O(distinct-values) shuffle per
+  *   stage for stats nobody reads at full precision. The count that
+  *   gates the switch is parquet-footer metadata, not a scan. */
+final class Store(spark: SparkSession, root: String, collection: String,
+                  exactStatsMaxRows: Long = Store.DefaultExactStatsMaxRows) {
   import Store._
-
-  // table_name partition values are strings like "1.1" / "5.6.J"; Spark's
-  // partition-column type inference would read "1.1" back as a Double.
-  // Pin partition columns to string for this session.
-  spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
   private def p(sub: String) = s"$root/$sub"
   val rawPath: String = p(s"${collection}_raw")
@@ -41,6 +43,23 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
+  }
+
+  /** Read a table_name-partitioned zone with partition-column type
+    * inference OFF, scoped to this read only (partition discovery runs
+    * eagerly inside `load`). Partition values are strings like "1.1" /
+    * "5.6.J" — inference would read "1.1" back as a Double — but pinning
+    * the flag session-wide from a constructor would silently change every
+    * other read in the session. */
+  private def readPartitioned(path: String): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   // ------------------------------------------------------------ bootstrap
@@ -147,7 +166,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
   def readRaw(): DataFrame = {
     require(exists(rawPath),
       s"collection '$collection' has no ingested data yet (RAW zone empty)")
-    spark.read.parquet(rawPath)
+    readPartitioned(rawPath)
   }
 
   // ---------------------------------------------------------- staging path
@@ -255,7 +274,7 @@ final class Store(spark: SparkSession, root: String, collection: String) {
 
   def readProd(): DataFrame = {
     recoverDirIfNeeded(prodPath)
-    spark.read.parquet(prodPath)
+    readPartitioned(prodPath)
   }
 
   /** Incremental stage: rewrite ONLY the table_name partitions whose
@@ -367,8 +386,11 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     * tables: groupBy(table_name).agg(count, approx/exact distinct per col),
     * then melt to long — never a per-column job.
     *
-    * Uses exact countDistinct to mirror the reference's nunique(); at
-    * 100 TB swap `exact = false` for approx_count_distinct. */
+    * Exact countDistinct mirrors the reference's nunique();
+    * `exact = false` switches to approx_count_distinct. The staging flow
+    * (stage / stageIncremental) picks the mode from `exactStatsMaxRows`
+    * via [[statsExactness]], so big collections take the approx path
+    * without the caller having to remember. */
   def columnStats(df: DataFrame, exact: Boolean = true,
                   sampleK: Int = 0): DataFrame = {
     val dataCols = df.columns.filterNot(c =>
@@ -398,8 +420,14 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     perCol.reduce(_.unionByName(_))
   }
 
+  /** Exact distinct mirrors the reference below the threshold; above it
+    * the approx sketch avoids the O(distinct-values) shuffle. The gating
+    * count on a fresh parquet read is answered from footer metadata. */
+  private def statsExactness(slice: DataFrame): Boolean =
+    slice.count() <= exactStatsMaxRows
+
   private def writeMetadata(prod: DataFrame): Unit =
-    columnStats(prod).coalesce(1).write.mode("overwrite").parquet(metadataPath)
+    writeMetadataAtomic(columnStats(prod, exact = statsExactness(prod)))
 
   /** Incremental metadata rebuild: column stats are independent per
     * (table_name, column), so after a partial stage only the CHANGED
@@ -410,17 +438,29 @@ final class Store(spark: SparkSession, root: String, collection: String) {
     * columns small) before overwriting the path it was read from. */
   private def writeMetadataIncremental(changedTables: Seq[String]): Unit = {
     val anyChanged = changedTables.map(x => x: Any)
-    val fresh = columnStats(
-      readProd().where(col("table_name").isin(anyChanged: _*)))
+    val slice = readProd().where(col("table_name").isin(anyChanged: _*))
+    val fresh = columnStats(slice, exact = statsExactness(slice))
     val kept = readMetadata()
       .where(!col("table_name").isin(anyChanged: _*))
     val merged = kept.unionByName(fresh)
     val rows = merged.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), merged.schema)
-      .coalesce(1).write.mode("overwrite").parquet(metadataPath)
+    writeMetadataAtomic(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), merged.schema))
   }
 
-  def readMetadata(): DataFrame = spark.read.parquet(metadataPath)
+  /** Metadata writes go through the same tmp + backup-swap discipline as
+    * the log and PROD: an in-place overwrite deletes first, so a crash
+    * mid-write would lose all metadata until a full stage() rebuild. */
+  private def writeMetadataAtomic(stats: DataFrame): Unit = {
+    val tmp = metadataPath + "_tmp"
+    stats.coalesce(1).write.mode("overwrite").parquet(tmp)
+    swapDir(tmp, metadataPath)
+  }
+
+  def readMetadata(): DataFrame = {
+    recoverDirIfNeeded(metadataPath)
+    spark.read.parquet(metadataPath)
+  }
 
   /** Queryable columns for a table: non-empty, non-DATETIME (reference:
     * validation.py:216-220 — queryability gated on _metadata presence). */
@@ -432,6 +472,12 @@ final class Store(spark: SparkSession, root: String, collection: String) {
 }
 
 object Store {
+  /** Default cut-over from exact countDistinct to approx_count_distinct
+    * in the metadata pass: small enough that the exact path never becomes
+    * the dominant shuffle of a stage, large enough that every
+    * reference-scale collection keeps reference-identical stats. */
+  val DefaultExactStatsMaxRows: Long = 10000000L
+
   /** Provenance log schema (reference: utils.py:191-203). */
   val logSchema: StructType = StructType(Seq(
     StructField("ingest_id", LongType, nullable = false),

@@ -74,6 +74,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!rawSide.contains("Exchange hashpartitioning"), rawSide)
   }
 
+  test("approx column stats plan has no exact-distinct aggregation") {
+    // exact mode plans a two-level distinct per column — an Exchange on
+    // (table_name, value), i.e. an O(distinct-values) shuffle; the approx
+    // mode must plan as plain partial/final HLL aggregates with no
+    // distinct expansion of any kind (neither the two-level rewrite nor
+    // a multi-distinct Expand)
+    val exactPlan = store.columnStats(store.readProd(), exact = true)
+      .queryExecution.executedPlan.toString
+    val approxPlan = store.columnStats(store.readProd(), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("count(distinct"), exactPlan.take(800))
+    assert(approxPlan.contains("approx_count_distinct"), approxPlan.take(800))
+    assert(!approxPlan.contains("count(distinct") && !approxPlan.contains("Expand"),
+      approxPlan.take(800))
+  }
+
   test("composed as-of join keeps the partial top-1 (WindowGroupLimit)") {
     val left = (1 to 100).map(i => (i.toLong, i.toLong % 5,
       Timestamp.valueOf(s"2026-01-${i % 27 + 1} 00:00:00"))).toDF("eid", "k", "t")

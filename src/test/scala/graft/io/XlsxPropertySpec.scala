@@ -16,7 +16,13 @@ class XlsxPropertySpec extends AnyFunSuite {
     5 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(cs => Some(cs.mkString)),
     4 -> Gen.nonEmptyListOf(Gen.oneOf(
       'a', '<', '>', '&', '"', '\'', ' ', 'é', '中', '€', ';', ','))
-      .map(cs => Some(cs.mkString)))
+      .map(cs => Some(cs.mkString)),
+    // XML-1.0-illegal control chars (scraped free text) must _xHHHH_-encode
+    // on write and decode on read; a literal escape-lookalike must survive
+    2 -> Gen.nonEmptyListOf(Gen.oneOf(
+      ' ', '\u0000', '\u0001', '\u000B', '\u001F', 'a'))
+      .map(cs => Some(cs.mkString)),
+    1 -> Gen.const(Some("_x0041_ literal not an A")))
 
   private val genSheet: Gen[List[List[Option[String]]]] = for {
     nRows <- Gen.choose(1, 8)

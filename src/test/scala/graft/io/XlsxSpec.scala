@@ -32,6 +32,26 @@ class XlsxSpec extends AnyFunSuite {
     assert(wb("notes") == Vector(Vector("only one cell")))
   }
 
+  test("XML-illegal control chars _xHHHH_-encode on write and decode on read") {
+    // scraped free text carries NUL/control bytes; written raw they make
+    // the worksheet part XML-1.0-malformed (Excel and conforming parsers
+    // reject it — our own StAX reader throws). Literal text that looks
+    // like an escape must survive the round-trip unchanged.
+    val path = tmpFile()
+    Xlsx.write(path, Seq("s" -> Seq(
+      Seq("a\u0000b\u001Fc\u000B", "_x0041_ not an A", "tab\tok\nnewline"))))
+    val s = Xlsx.read(path)("s")
+    assert(s(0) == Vector("a\u0000b\u001Fc\u000B", "_x0041_ not an A", "tab\tok\nnewline"))
+    // and the raw worksheet bytes contain no illegal control characters
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val e = zf.getEntry("xl/worksheets/sheet1.xml")
+      val xml = new String(zf.getInputStream(e).readAllBytes(), UTF_8)
+      assert(!xml.exists(c => c < 0x20 && c != '\t' && c != '\n' && c != '\r'), "raw control char leaked")
+      assert(xml.contains("_x0000_") && xml.contains("_x005F_x0041_"))
+    } finally zf.close()
+  }
+
   test("empty and skipped rows keep their absolute positions") {
     val path = tmpFile()
     Xlsx.write(path, Seq("s" -> Seq(

@@ -134,6 +134,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("custom plan rejects a raw long time against a timestamp time") {
+    // LongType used to be lumped into the timestamp family: a long in
+    // arbitrary units (epoch millis, sequence numbers) would silently
+    // merge-join against micros-as-long timestamps with wrong matches.
+    // Only TIMESTAMP vs TIMESTAMP_NTZ share representation AND unit.
+    val l = Seq((10L, 5L, 1L)).toDF("k", "t", "eid")
+    val r = Seq((10L, ts("2026-01-01 00:00:00"), 100L)).toDF("k2", "rt", "version")
+    val e = intercept[Exception] {
+      AsOf.joinExact(l, r, "k", "k2", "t", "rt", None).collect()
+    }
+    assert(e.getMessage.contains("as-of time types differ"), e.getMessage)
+  }
+
   test("exact tie on right time resolved by the tiebreak column") {
     val r2 = Seq(("u", ts("2026-01-01 00:00:00"), 1L),
       ("u", ts("2026-01-01 00:00:00"), 2L)).toDF("k2", "rt", "version")

@@ -162,6 +162,41 @@ class StoreSpec extends AnyFunSuite {
     assert(bLabel == 2L)
   }
 
+  test("stage threads the exact/approx stats threshold through to metadata") {
+    val root = Files.createTempDirectory("graft_store_approx_").toString
+    // threshold 0: every table takes the approx_count_distinct path
+    val st = new Store(spark, root, "t", exactStatsMaxRows = 0L)
+    st.initialize()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    // approx stats on tiny cardinalities are exact in value — the mode
+    // switch must not change what small-collection users read back
+    val labelStats = st.readMetadata().filter(col("column_name") === "label")
+      .select("n_non_nulls", "n_unique").as[(Long, Long)].head()
+    assert(labelStats == ((2L, 2L)))
+    // incremental restage takes the same threshold-gated path
+    st.ingest(Seq((0, "x", 7), (1, "x", 7), (2, "y", 7)).toDF("row", "label", "version"),
+      "tbl", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    assert(st.stageIncremental() == Seq("tbl"))
+    val after = st.readMetadata().filter(col("column_name") === "label")
+      .select("n_non_nulls", "n_unique").as[(Long, Long)].head()
+    assert(after == ((3L, 2L)))
+  }
+
+  test("metadata swap crash window: backup restored on next read") {
+    val st = freshStore()
+    st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaP = new org.apache.hadoop.fs.Path(st.metadataPath)
+    val fs = metaP.getFileSystem(conf)
+    // simulate a crash between the metadata swapDir renames
+    assert(fs.rename(metaP, new org.apache.hadoop.fs.Path(st.metadataPath + "_bak")))
+    assert(st.readMetadata().count() > 0)   // recovered, not lost
+    assert(st.queryableColumns("tbl").contains("label"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(st.metadataPath + "_bak")))
+  }
+
   test("log rewrite crash window: backup restored on next read") {
     val st = freshStore()
     st.ingest(frame(1), "tbl", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
