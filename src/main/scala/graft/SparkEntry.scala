@@ -519,6 +519,22 @@ object SparkEntry {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
     }),
 
+    // X: connected components (star contraction) over a deterministic
+    // synthetic graph — 5 stars (nation -> region hub) + a 500-node chain
+    // (consecutive custkeys), the two adversarial shapes — oracle-checked
+    // against a DuckDB recursive-CTE min-label closure
+    "q_x_cc_oracle" -> ((s, dir) => {
+      val stars = t(s, dir, "nation")
+        .select((col("n_nationkey") + 100).cast("long").as("id_a"),
+          col("n_regionkey").cast("long").as("id_b"))
+      val chain = t(s, dir, "customer")
+        .where(col("c_custkey") < 500)
+        .select((col("c_custkey") + 1000).cast("long").as("id_a"),
+          (col("c_custkey") + 1001).cast("long").as("id_b"))
+      graft.ops.ConnectedComponents.clusters(stars.union(chain), "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     // X: SimHash signatures via a custom Catalyst expression — rows-only
     "q_x_simhash" -> ((s, dir) => {
       import graft.functions.TextExpressions
@@ -981,6 +997,29 @@ object SparkEntry {
          JOIN asg a1 ON p.id_a = a1.doc_id
          JOIN asg a2 ON p.id_b = a2.doc_id
          WHERE a1.split <> a2.split""",
+
+    "q_x_cc_oracle" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT CAST(n_nationkey + 100 AS BIGINT) AS u,
+                  CAST(n_regionkey AS BIGINT) AS v
+           FROM nation
+           UNION ALL
+           SELECT CAST(c_custkey + 1000 AS BIGINT),
+                  CAST(c_custkey + 1001 AS BIGINT)
+           FROM customer WHERE c_custkey < 500
+         ),
+         edges AS (
+           SELECT u, v FROM pairs WHERE u <> v
+           UNION
+           SELECT v, u FROM pairs WHERE u <> v
+         ),
+         reach AS (
+           SELECT u AS id, v AS lab FROM edges
+           UNION
+           SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+         )
+         SELECT id, least(MIN(lab), id) AS cluster_id
+         FROM reach GROUP BY id ORDER BY id""",
 
     "q_x_ann_brute" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -2,81 +2,101 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over a pair list — the step that turns near-dup
   * PAIRS (MinHash/SimHash/embedding outputs) into dedup CLUSTERS with a
   * canonical representative, completing the dedup story: pairs ->
   * clusters -> keep list.
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with its own id; each sweep relabels to the minimum label in
-  * its closed neighborhood; fixpoint when no label changes. Each sweep is
-  * one join + one aggregation, both shuffling on the vertex id — no
-  * driver-side graph, no per-partition state, so it runs at corpus scale.
-  * Sweeps needed = graph diameter; dedup graphs are near-star-shaped
-  * (duplicates of one document), so this converges in a few sweeps —
-  * `maxIter` guards the pathological chain.
+  * Algorithm: alternating big-star / small-star contraction (the
+  * MapReduce-era two-phase algorithm; see "Connected Components in
+  * MapReduce and Beyond", Kiveris et al., SOCC'14 — public literature).
+  * Each round rewires every vertex's larger neighbors (large-star), then
+  * its smaller neighbors (small-star), to the minimum of its neighborhood;
+  * the edge set contracts to disjoint stars rooted at each component's
+  * minimum id in O(log n) rounds. Every round is a groupBy + a
+  * co-partitioned join on the vertex id — no driver-side graph, no
+  * per-partition state.
+  *
+  * Why not min-label propagation: that converges in O(diameter) sweeps,
+  * which is fine for the star-shaped graphs exact-dup clusters form but a
+  * scale-killer on chain-shaped near-dup graphs (a 10k-link chain = 10k
+  * shuffles). Star contraction handles both in a few dozen shuffles at
+  * any corpus size.
   */
 object ConnectedComponents {
 
-  /** (id, cluster_id) for every vertex appearing in `pairs`, where
-    * cluster_id is the smallest vertex id in the component.
+  /** (id, cluster_id) for every vertex appearing in a non-self pair,
+    * where cluster_id is the smallest vertex id in the component.
     *
-    * Throws if the fixpoint is not reached within `maxIter` sweeps
-    * (diameter > maxIter): silently returning partial labels would keep
-    * multiple representatives per component — invisible under-dedup.
-    * Raise `maxIter` for pathologically chain-shaped graphs. */
+    * Throws if the fixpoint is not reached within `maxIter` contraction
+    * rounds: silently returning partial labels would keep multiple
+    * representatives per component — invisible under-dedup. The default
+    * budget of 50 rounds covers any graph up to ~2^50 vertices with wide
+    * margin (rounds needed ≈ log2(n)). */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
                maxIter: Int = 50): DataFrame = {
     // localCheckpoint (not persist): an iterative frame's LINEAGE doubles
-    // per sweep even when the data is cached, and analyzing/printing the
-    // accumulated plan OOMs the driver after ~10 sweeps. Checkpointing
-    // truncates the plan to the materialized result each round.
-    // the pair list is often an expensive subtree (a whole MinHash
-    // pipeline); checkpoint it ONCE so the two direction-unions below
-    // don't each recompute it
-    val p = pairs.select(col(aCol), col(bCol)).localCheckpoint()
-    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // static across sweeps
-    edges.count()
-
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
+    // per round even when the data is cached, and analyzing/printing the
+    // accumulated plan OOMs the driver after ~10 rounds. Checkpointing
+    // truncates the plan to the materialized result each round. The pair
+    // list is often an expensive subtree (a whole MinHash pipeline);
+    // checkpoint it ONCE so the vertex scan and the first round don't
+    // each recompute it.
+    val p = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
       .localCheckpoint()
+    // all labeled vertices (self-pairs are dropped above; vertices outside
+    // any pair are implicitly their own component and not listed — same
+    // contract as the keep list)
+    val vertices = p.select(col("u")).union(p.select(col("v")))
+      .distinct().localCheckpoint()
+
+    // canonical undirected edges oriented (u > v)
+    var cur = p
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
 
     var iter = 0
     var converged = false
-    // maxIter + 1 total sweeps: labels stabilize after `diameter` sweeps
-    // and one MORE sweep is needed to observe zero changes, so a graph
-    // with diameter == maxIter must still be allowed its confirmation
-    // sweep (the scaladoc contract is "throws if diameter > maxIter")
-    while (!converged && iter <= maxIter) {
-      // min label over the closed neighborhood: own label + each
-      // neighbor's current label
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "n_label"), Seq("dst"))
-        .select(col("src").as("id"), col("n_label").as("cand"))
-      val next = labels
-        .select(col("id"), col("label").as("cand"))
-        .union(neighborLabels)
-        .groupBy("id").agg(min("cand").as("label"))
+    while (!converged && iter < maxIter) {
+      // large-star: every vertex connects its LARGER neighbors to the
+      // minimum of its closed neighborhood
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star: every remaining center connects its smaller neighbors
+      // (and itself) to the minimum among them; ls is already oriented
+      // u > v, so the center's smaller neighborhood is exactly its v-set
+      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      // fixpoint: the canonical edge set is unchanged. Both sides are
+      // distinct, so equal counts + empty one-way difference <=> equal.
+      converged = next.count() == cur.count() &&
+        next.except(cur).isEmpty
+      cur = next
       iter += 1
     }
-    edges.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"connected components did not converge in $maxIter sweeps " +
-        "(component diameter exceeds maxIter); raise maxIter")
-    labels.select(col("id"), col("label").as("cluster_id"))
+      s"connected components did not converge in $maxIter contraction " +
+        "rounds; raise maxIter")
+    // fixpoint is a disjoint union of stars rooted at each component's
+    // minimum: non-roots appear exactly once as u, roots only as v
+    vertices
+      .join(cur.withColumnRenamed("u", "id").withColumnRenamed("v", "root"),
+        vertices("u") === col("id"), "left")
+      .select(vertices("u").as("id"), coalesce(col("root"), vertices("u")).as("cluster_id"))
   }
 
   /** Keep/drop verdict per near-dup vertex: the cluster representative

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -23,24 +24,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("long path converges within the diameter bound") {
-    val n = 12
+  test("10k-node chain converges in O(log n) rounds, far under the default budget") {
+    // the adversarial shape for label propagation (diameter = n, i.e.
+    // 10k sweeps); star contraction must close it in ~log2(n) rounds —
+    // maxIter = 20 would throw loudly if it regressed to diameter-bound
+    val n = 10000
     val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
-    val got = ConnectedComponents.clusters(pairs, "id_a", "id_b")
-      .as[(Long, Long)].collect()
-    assert(got.length == n && got.forall(_._2 == 1L))
+    val got = ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 20)
+    assert(got.count() == n)
+    assert(got.where(col("cluster_id") =!= 1L).isEmpty)
   }
 
   test("non-convergence within maxIter throws instead of under-deduping") {
-    val pairs = (1 until 8).map(i => (i.toLong, (i + 1).toLong))
-      .toDF("id_a", "id_b") // diameter 7 > maxIter 3
+    val pairs = (1 until 16).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b") // needs more than one contraction round
     val e = intercept[IllegalStateException](
-      ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 3).count())
+      ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 1).count())
     assert(e.getMessage.contains("maxIter"))
-    // diameter exactly == maxIter converges (the confirmation sweep is
-    // granted on top of the budget, per the documented contract)
-    val ok = ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 7)
+    val ok = ConnectedComponents.clusters(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect()
     assert(ok.forall(_._2 == 1L))
   }
