@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the reported
+  * per-query value is the MEDIAN and `spread` carries max-min per query,
+  * so a real regression is distinguishable from run-to-run variance
+  * (single-shot timings swung ±25% on identical code across rounds).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +16,7 @@ object Bench {
     // comma-separated query-name filter for local iteration; empty = all
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val nRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,7 +34,9 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only.contains(k) }
-    val results = selected.map { case (name, fn) =>
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
       // a query that throws (or times out) must NOT masquerade as a fast
       // success — record per-query ok and surface it in the JSON
@@ -40,15 +52,29 @@ object Bench {
       t.start()
       t.join(timeoutSec * 1000)
       if (t.isAlive) spark.sparkContext.cancelJobGroup(s"bench-$name")
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def r3(d: Double): Double = math.round(d * 1000).toDouble / 1000
+
+    val results = selected.toSeq.map { case (name, fn) =>
+      val runs = (1 to nRuns).map(_ => runOnce(name, fn))
+      val times = runs.map(_._1)
+      (name, median(times), times.max - times.min, runs.forall(_._2))
+    }
+    val qs = results.map { case (k, m, _, _) => s"\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, (_, o)) => s"\"" + k + "\":" + o }
+    val spreads = results.map { case (k, _, sp, _) => s"\"" + k + "\":" + r3(sp) }
       .mkString("{", ",", "}")
-    val nFailed = results.count { case (_, (_, o)) => !o }
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, _, _, o) => s"\"" + k + "\":" + o }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(!_._4)
+    val total = r3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"n_failed":$nFailed,"sf":"$sfDir","queries":$qs,"spread":$spreads,"ok":$oks}""")
     spark.stop()
   }
 }

@@ -148,19 +148,38 @@ object VectorOps {
     cents
   }
 
+  /** Recall@k of an approximate top-k frame against the exact one (both
+    * in the (query_id, rank, neighbor_id, cos) shape the searchers emit):
+    * the fraction of exact (query, neighbor) pairs the approximate result
+    * found. The measurement behind the default `kmeansIters` below — see
+    * COVERAGE.md's recall table. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): Double = {
+    val total = exact.count()
+    if (total == 0) return 1.0
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .count()
+    hits.toDouble / total
+  }
+
   /** IVF-style approximate search: vectors are assigned to their nearest
     * coarse centroid (the inverted lists); a query probes only the
     * `nprobe` nearest lists.
     *
     * Centroids seed from a deterministic subset of the data, optionally
-    * refined with `kmeansIters` k-means sweeps. Assignment and probing are
+    * refined with `kmeansIters` k-means sweeps. The default of 2 sweeps
+    * comes from measured recall@5 vs [[bruteForceTopK]] on the sf0.1
+    * embeddings (graft.dev.IvfRecall; table in COVERAGE.md): 0 iters
+    * 0.74, 2 iters 0.78, 5 iters 0.81 at +35% build time — two sweeps
+    * take most of the lift at ~10% extra cost. Assignment and probing are
     * literal projections (no join, no window, no shuffle — the centroid
     * model is driver-held and inlined); the probe join against the small
     * broadcast query side is the ONLY exchange, so the candidate scan
     * drops from N to N*nprobe/nlist and nothing is shuffled N*nlist-wide. */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              kmeansIters: Int = 0): DataFrame = {
+              kmeansIters: Int = 2): DataFrame = {
     val base = vectors.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cand_vec")).repartition(col("cand_id"))
     val seed = base.where(col("cand_id") < nlist)

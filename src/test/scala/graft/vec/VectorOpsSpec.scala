@@ -56,6 +56,19 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.head == 1L && got.length == 2)
   }
 
+  test("ivf recall@5 vs brute force stays above the floor on real embeddings") {
+    // the default kmeansIters was chosen from graft.dev.IvfRecall
+    // measurements (COVERAGE.md); this pins a floor so a regression in
+    // seeding/assignment/probing shows up as a recall drop, not silently
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 16)
+    val exact = VectorOps.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    val approx = VectorOps.ivfTopK(emb, q, "vec_id", "embedding", 5)
+    val r = VectorOps.recallAtK(approx, exact)
+    assert(r >= 0.85, f"recall@5 = $r%.4f below floor")
+  }
+
   test("ivf assignment plan has no exchange before the probe join") {
     // the whole point of the literal-projection assignment: ranking
     // centroids per row adds NO shuffle — the only exchanges in the final
