@@ -567,6 +567,17 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
+    // X: IVF with nprobe = nlist — exhaustive probing must reproduce the
+    // exact brute-force top-k, which oracle-gates the whole IVF machinery
+    // (centroid seeding, k-means refinement, assignment, probe join)
+    // against the same SQL as q_x_ann_brute
+    "q_x_ann_ivf_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.VectorOps.ivfTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 16)
+    }),
+
     // X: gap sessionization, batch path (gaps-and-islands windows; the
     // streaming path keeps flatMapGroupsWithState) — closed sessions only;
     // oracle is the same SQL formulation
@@ -1022,6 +1033,20 @@ object SparkEntry {
          FROM reach GROUP BY id ORDER BY id""",
 
     "q_x_ann_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
+                    FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5""",
+
+    // exhaustive IVF must equal the exact brute-force ranking
+    "q_x_ann_ivf_exhaustive" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                       CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
