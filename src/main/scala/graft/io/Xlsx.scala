@@ -219,7 +219,7 @@ object Xlsx {
     val out = Seq.newBuilder[(String, String)]
     try while (r.hasNext) {
       if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
-        val name = r.getAttributeValue(null, "name")
+        val name = unescapeOoxml(r.getAttributeValue(null, "name"))
         // the r:id attribute lives in the relationships namespace
         val rid = (0 until r.getAttributeCount)
           .collectFirst { case i if r.getAttributeLocalName(i) == "id" =>

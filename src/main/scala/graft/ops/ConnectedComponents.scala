@@ -58,7 +58,8 @@ object ConnectedComponents {
       .distinct().localCheckpoint()
 
     var iter = 0
-    var converged = false
+    var curCount = cur.count()
+    var converged = curCount == 0
     while (!converged && iter < maxIter) {
       // large-star: every vertex connects its LARGER neighbors to the
       // minimum of its closed neighborhood
@@ -82,9 +83,14 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
       // fixpoint: the canonical edge set is unchanged. Both sides are
-      // distinct, so equal counts + empty one-way difference <=> equal.
-      converged = next.count() == cur.count() &&
-        next.except(cur).isEmpty
+      // distinct, so equal counts + empty one-way difference <=> equal;
+      // the previous round's count is reused and the difference probe is
+      // a left-anti join (cheaper than except — no re-distinct), so the
+      // check costs one count + one short-circuited anti join per round.
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("u", "v"), "left_anti").isEmpty
+      curCount = nextCount
       cur = next
       iter += 1
     }
