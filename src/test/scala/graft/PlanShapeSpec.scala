@@ -90,6 +90,21 @@ class PlanShapeSpec extends AnyFunSuite {
       approxPlan.take(800))
   }
 
+  test("decontaminate plans a broadcast left-anti join (corpus never shuffles)") {
+    // at 100 TB the corpus is the streaming side and the benchmark
+    // fingerprint set is tiny — a shuffled anti join here would be the
+    // most expensive mistake in the whole preprocessing pipeline
+    val docs = (0 until 1000).map(i => (i.toLong, s"doc text number $i with words"))
+      .toDF("id", "text")
+    val bench = Seq("doc text number 5 with words").toDF("text")
+    val q = graft.text.TextOps.decontaminate(docs, bench, "text", "text")
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
   test("composed as-of join keeps the partial top-1 (WindowGroupLimit)") {
     val left = (1 to 100).map(i => (i.toLong, i.toLong % 5,
       Timestamp.valueOf(s"2026-01-${i % 27 + 1} 00:00:00"))).toDF("eid", "k", "t")
