@@ -164,9 +164,31 @@ final class Store(spark: SparkSession, root: String, collection: String,
   }
 
   def readRaw(): DataFrame = {
+    recoverRawPartitionsIfNeeded()
     require(exists(rawPath),
       s"collection '$collection' has no ingested data yet (RAW zone empty)")
     readPartitioned(rawPath)
+  }
+
+  /** Heal vacuum's per-partition backup-swap crash windows: a
+    * `_bak_table_name=T` dir with no live partition means the swap was
+    * interrupted after the backup rename — restore it (the log was not
+    * rewritten yet, so the restored rows are exactly what the log still
+    * catalogs, and a re-run of vacuum purges them again). A backup WITH a
+    * live partition means the swap completed and only the cleanup was
+    * lost — drop it. */
+  private def recoverRawPartitionsIfNeeded(): Unit = {
+    val rawP = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = rawP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rawP)) return
+    fs.listStatus(rawP).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("_bak_table_name=")) {
+        val live = new org.apache.hadoop.fs.Path(rawP, name.stripPrefix("_bak_"))
+        if (fs.exists(live)) fs.delete(st.getPath, true)
+        else fs.rename(st.getPath, live): Unit
+      }
+    }
   }
 
   // ---------------------------------------------------------- staging path
@@ -364,9 +386,18 @@ final class Store(spark: SparkSession, root: String, collection: String,
       affected.foreach { t =>
         val dst = new org.apache.hadoop.fs.Path(s"$rawPath/table_name=$t")
         val src = new org.apache.hadoop.fs.Path(s"$staging/table_name=$t")
-        fs.delete(dst, true)
+        // backup-swap, never delete-then-rename: a crash between a delete
+        // and the rename would lose the partition outright (the kept rows
+        // would exist only in the staging dir). The _bak name starts with
+        // an underscore, so a half-finished swap is invisible to partition
+        // discovery; [[recoverRawPartitionsIfNeeded]] heals both crash
+        // windows on the next read.
+        val bak = new org.apache.hadoop.fs.Path(s"$rawPath/_bak_table_name=$t")
+        fs.delete(bak, true)
+        if (fs.exists(dst)) fs.rename(dst, bak)
         // a partition whose every ingest was purged has no staging dir
         if (fs.exists(src)) fs.rename(src, dst)
+        fs.delete(bak, true)
       }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }

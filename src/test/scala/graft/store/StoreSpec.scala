@@ -244,6 +244,30 @@ class StoreSpec extends AnyFunSuite {
     assert(st.readProd().select("version").as[Int].collect().toSet == Set(2))
   }
 
+  test("vacuum partition-swap crash windows heal on the next read") {
+    val st = freshStore()
+    st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.ingest(frame(2), "a", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    st.ingest(frame(7), "b", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rawP = new org.apache.hadoop.fs.Path(st.rawPath)
+    val fs = rawP.getFileSystem(conf)
+    // window 1: crash after live -> _bak, before staging -> live. The old
+    // delete-then-rename scheme would have LOST partition a here.
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"${st.rawPath}/table_name=a"),
+      new org.apache.hadoop.fs.Path(s"${st.rawPath}/_bak_table_name=a")))
+    assert(st.readRaw().where(col("table_name") === "a").count() == 4) // healed
+    // vacuum re-runs cleanly over the restored partition
+    assert(st.vacuum(retainVersions = 1) == Seq(1L))
+    assert(st.readRaw().where(col("table_name") === "a")
+      .select("version").as[Int].collect().toSet == Set(2))
+    // window 2: crash after the swap, before backup cleanup — the stale
+    // backup must be dropped, not restored over the fresh partition
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${st.rawPath}/_bak_table_name=b"))
+    assert(st.readRaw().where(col("table_name") === "b").count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${st.rawPath}/_bak_table_name=b")))
+  }
+
   test("row-less multi-partition frame stages with collision-free row_uids") {
     val st = freshStore()
     // no `row` column, spread across many partitions so the fallback path
