@@ -38,6 +38,7 @@ final class Store(spark: SparkSession, root: String, collection: String,
   val prodPath: String = p(s"${collection}_prod")
   val logPath: String = p("_ingest_log")
   val metadataPath: String = p("_metadata")
+  val stageStatePath: String = p(s"_stage_state_$collection")
 
   private def exists(path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -237,6 +238,44 @@ final class Store(spark: SparkSession, root: String, collection: String,
     withUid.write.mode("overwrite").partitionBy("table_name").parquet(tmp)
     swapDir(tmp, prodPath)
     writeMetadata(readProd())
+    // commit marker LAST: the staged winner set. stageIncremental compares
+    // against this (not against PROD), so a crash anywhere above leaves a
+    // stale marker and the next incremental re-does the affected tables —
+    // idempotent extra work, never silently-stale metadata.
+    writeStageState(logWinners(cutoff))
+  }
+
+  /** Winning (table_name -> ingest_id) under the cutoff, from the tiny
+    * log — the same window the snapshot joins on. */
+  private def logWinners(cutoff: Option[Timestamp]): Map[String, Long] = {
+    val w = Window.partitionBy("table_name")
+      .orderBy(col("ingest_ts").desc, col("ingest_id").desc)
+    val log0 = readLog().filter(col("success") === 1 && col("data_collection") === collection)
+    val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("table_name"), col("ingest_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def writeStageState(winners: Map[String, Long]): Unit = {
+    val schema = StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("ingest_id", LongType, nullable = false)))
+    val rows = winners.toSeq.sortBy(_._1).map { case (t, id) => Row(t, id) }
+    val tmp = stageStatePath + "_tmp"
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    swapDir(tmp, stageStatePath)
+  }
+
+  /** The winner set as of the last COMPLETED stage (None when no marker
+    * exists — pre-marker directories fall back to scanning PROD). */
+  private def readStageState(): Option[Map[String, Long]] = {
+    recoverDirIfNeeded(stageStatePath)
+    if (!exists(stageStatePath)) None
+    else Some(spark.read.parquet(stageStatePath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   /** Swap a freshly-written directory into place, keeping the previous
@@ -310,17 +349,19 @@ final class Store(spark: SparkSession, root: String, collection: String,
   def stageIncremental(cutoff: Option[Timestamp] = None): Seq[String] = {
     if (!isStaged) { stage(cutoff); return Seq("*") }
     // winners per table under the cutoff (tiny frame, driver-collectable)
-    val w = Window.partitionBy("table_name")
-      .orderBy(col("ingest_ts").desc, col("ingest_id").desc)
-    val log0 = readLog().filter(col("success") === 1 && col("data_collection") === collection)
-    val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
-    val winners = log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("table_name"), col("ingest_id"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val current = readProd().groupBy("table_name")
-      .agg(max("ingest_id").as("ingest_id"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val winners = logWinners(cutoff)
+    // compare against the commit marker of the last completed stage, not
+    // against PROD: a crash between the PROD write and the metadata write
+    // would leave PROD already updated, and a PROD-derived comparison
+    // would then report "no change" and never refresh the stale metadata.
+    // The marker is also O(tables) to read where the PROD aggregation was
+    // a full ingest_id column scan. Pre-marker directories fall back to
+    // the PROD scan once; the marker is written on the way out.
+    val current = readStageState().getOrElse {
+      readProd().groupBy("table_name")
+        .agg(max("ingest_id").as("ingest_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     val changed = winners.filter { case (t, id) => !current.get(t).contains(id) }
       .keys.toSeq.sorted
     if (changed.isEmpty) return Nil
@@ -328,6 +369,8 @@ final class Store(spark: SparkSession, root: String, collection: String,
     val winnerIds = winners.filter { case (t, _) => changed.contains(t) }
       .values.toSeq
     val raw = readRaw()
+    val log0 = readLog().filter(col("success") === 1 && col("data_collection") === collection)
+    val log = cutoff.fold(log0)(ts => log0.filter(col("ingest_ts") <= lit(ts)))
     val tsLookup = log.select(col("ingest_id"), col("ingest_ts")).distinct()
     val slice = withRowUid(raw
       .where(col("table_name").isin(changed.map(x => x: Any): _*))
@@ -342,6 +385,7 @@ final class Store(spark: SparkSession, root: String, collection: String,
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     writeMetadataIncremental(changed)
+    writeStageState(winners)
     changed
   }
 

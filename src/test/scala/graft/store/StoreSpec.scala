@@ -244,6 +244,38 @@ class StoreSpec extends AnyFunSuite {
     assert(st.readProd().select("version").as[Int].collect().toSet == Set(2))
   }
 
+  test("incremental stage re-does work after a crash between prod and metadata writes") {
+    val st = freshStore()
+    st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
+    st.stage()
+    st.ingest(Seq((0, "x", 7), (1, "x", 7), (2, "y", 7)).toDF("row", "label", "version"),
+      "a", ingestTs = Timestamp.valueOf("2026-01-02 00:00:00"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(st.metadataPath).getFileSystem(conf)
+    def cp(src: String, dst: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src),
+        fs, new org.apache.hadoop.fs.Path(dst), false, conf): Unit
+    }
+    // snapshot pre-stage metadata + commit marker
+    cp(st.metadataPath, st.metadataPath + "_pre")
+    cp(st.stageStatePath, st.stageStatePath + "_pre")
+    assert(st.stageIncremental() == Seq("a"))
+    // simulate a crash right after the PROD partition overwrite: PROD has
+    // the new data but metadata and the commit marker were never written
+    cp(st.metadataPath + "_pre", st.metadataPath)
+    cp(st.stageStatePath + "_pre", st.stageStatePath)
+    // a PROD-derived comparison would report "no change" here and leave
+    // the stale metadata forever; the marker comparison re-does the table
+    assert(st.stageIncremental() == Seq("a"))
+    val aLabel = st.readMetadata()
+      .filter(col("table_name") === "a" && col("column_name") === "label")
+      .select("n_unique").as[Long].head()
+    assert(aLabel == 2L)
+    // and the healed state converges: nothing left to do
+    assert(st.stageIncremental() == Nil)
+  }
+
   test("vacuum partition-swap crash windows heal on the next read") {
     val st = freshStore()
     st.ingest(frame(1), "a", ingestTs = Timestamp.valueOf("2026-01-01 00:00:00"))
