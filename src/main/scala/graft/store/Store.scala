@@ -37,7 +37,11 @@ final class Store(spark: SparkSession, root: String, collection: String,
   val rawPath: String = p(s"${collection}_raw")
   val prodPath: String = p(s"${collection}_prod")
   val logPath: String = p("_ingest_log")
-  val metadataPath: String = p("_metadata")
+  // the log is shared across collections under one root (ingest ids stay
+  // globally unique, rows carry data_collection); metadata and the stage
+  // marker are per-collection — a shared metadata path would let one
+  // collection's stage() bury another's stats
+  val metadataPath: String = p(s"_metadata_$collection")
   val stageStatePath: String = p(s"_stage_state_$collection")
 
   private def exists(path: String): Boolean = {

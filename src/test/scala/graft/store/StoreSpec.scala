@@ -88,6 +88,16 @@ class StoreSpec extends AnyFunSuite {
     assert(b.snapshot().select("version").as[Int].collect().toSet == Set(9))
     // ingest ids remain globally unique across the shared log
     assert(a.readLog().select("ingest_id").as[Long].collect().toSet == Set(1L, 2L))
+    // metadata is per-collection: staging one collection must not bury
+    // the other's stats
+    a.stage(); b.stage()
+    assert(a.readMetadata().select("table_name").distinct().count() == 1)
+    val aVer = a.readMetadata()
+      .filter(col("column_name") === "version").select("n_unique").as[Long].head()
+    val bVer = b.readMetadata()
+      .filter(col("column_name") === "version").select("n_unique").as[Long].head()
+    assert(aVer == 1L && bVer == 1L)
+    assert(a.metadataPath != b.metadataPath)
   }
 
   test("incremental stage rewrites only changed table partitions") {
