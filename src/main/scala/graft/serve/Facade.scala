@@ -72,6 +72,16 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     fireRefresh()
   }
 
+  /** Incremental re-stage: rewrites only tables whose winning ingest
+    * changed (beyond reference parity — the reference rebuilds PROD
+    * wholesale). Serving caches are invalidated only when something
+    * actually changed. Returns the rewritten table names. */
+  def stageIncremental(cutoff: Option[Timestamp] = None): Seq[String] = {
+    val changed = store.stageIncremental(cutoff)
+    if (changed.nonEmpty) { queryService.refresh(); fireRefresh() }
+    changed
+  }
+
   /** Ingested-versions list (reference: facade.versions ->
     * get_data_versions, etl/process.py:337-392): distinct successful
     * (table_name, ingest_ts), newest first per table, optionally filtered

@@ -126,6 +126,34 @@ object StreamOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming corpus preprocessing — the continuous-ingestion path of
+    * the training-data pipeline: the row-local prefix of
+    * [[graft.text.CorpusPipeline]] (language filter, quality filter,
+    * redaction — identical Column expressions, so the batch oracle checks
+    * validate the streaming logic) plus exact dedup on the content
+    * fingerprint within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`, so fingerprint state is evicted
+    * as the watermark advances instead of growing forever). The pairwise
+    * stages (MinHash, connected components, decontamination) stay batch:
+    * they need global corpus visibility by nature. */
+  def preprocessDocsStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text",
+      t: graft.text.CorpusPipeline.Thresholds = graft.text.CorpusPipeline.Thresholds(),
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.text.TextOps
+    val toks = TextOps.tokens(col(textCol))
+    val q = TextOps.qualityFeatures(col(textCol))
+    docs
+      .where(TextOps.langId(toks).isin(t.languages.map(x => x: Any): _*))
+      .where(q("n_tokens") >= t.minTokens &&
+        q("punct_ratio") <= t.maxPunctRatio &&
+        TextOps.repetitionRatio(toks) <= t.maxRepetitionRatio)
+      .withColumn(textCol, TextOps.redact(col(textCol)))
+      .withColumn("fp", TextOps.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Open the events directory as a file stream. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     normalize(spark.readStream.schema(eventsSchema)

@@ -134,6 +134,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(store.appendedRows().count() == 2 * perFile) // e1 NOT re-ingested
   }
 
+  test("streaming corpus preprocessing filters, redacts, and dedups by fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_docs_stream_")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+        "mail a.user@example.com about the cat and the dog in the house"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 10:01:00"),
+        "mail  A.USER@example.com about the cat and the dog in the house"), // ws/case dup of 1 post-redact? (case differs pre-redact)
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 10:02:00"),
+        "le chat et le chien est pour la maison"),                          // french -> dropped
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 10:03:00"), "a b"),       // too short
+      (5L, java.sql.Timestamp.valueOf("2026-01-01 10:04:00"),
+        "completely different english text that is about the weather for today"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(docsDir.resolve("_staging").toString)
+    // FileStreamSource lists top-level files only: lift the part file out
+    // of the directory .write.parquet produced
+    val part = java.nio.file.Files.list(docsDir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, docsDir.resolve("d1.parquet"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(docsDir.toString)
+    val q = StreamOps.preprocessDocsStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("docs_clean").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("docs_clean")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      // docs 1 and 2 share a fingerprint once the email is redacted and
+      // whitespace/case normalize away — exactly one survives; 3 (french)
+      // and 4 (too short) are filtered; 5 is kept
+      assert(got.size == 2 && got.contains(5L))
+      assert(got.contains(1L) ^ got.contains(2L))
+      val redacted = got.collect { case (k, v) if k <= 2L => v }.head
+      assert(redacted.contains("<EMAIL>") && !redacted.contains("@"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val deduped = StreamOps.dedupedStream(
       StreamOps.readEventsStream(spark, streamDir))
