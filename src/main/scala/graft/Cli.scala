@@ -91,7 +91,7 @@ object Cli {
         println("staged")
 
       case "stage-incremental" =>
-        val changed = facade.store.stageIncremental()
+        val changed = facade.stageIncremental()
         println(s"rewrote: ${if (changed.isEmpty) "(nothing)" else changed.mkString(", ")}")
 
       case "query" =>
