@@ -47,6 +47,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ok.forall(_._2 == 1L))
   }
 
+  test("random graphs match a driver-side union-find (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 50)
+      m <- Gen.choose(1, 100)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+    def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) if a != b =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      case _ => }
+      // min-root labels for vertices appearing in a non-self pair
+      edges.collect { case (a, b) if a != b => Seq(a, b) }.flatten
+        .distinct.map(v => v -> find(v)).toMap
+    }
+    val prop = Prop.forAll(genEdges) { edges =>
+      val df = edges.toDF("id_a", "id_b")
+      val got = ConnectedComponents.clusters(df, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(edges)
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("keepList keeps exactly one representative per component") {
     val pairs = Seq((5L, 6L), (6L, 7L), (30L, 31L)).toDF("id_a", "id_b")
     val kl = ConnectedComponents.keepList(pairs, "id_a", "id_b")
