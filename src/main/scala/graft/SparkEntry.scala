@@ -627,7 +627,8 @@ object SparkEntry {
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
     }),
 
-    // X: random-hyperplane LSH cosine buckets + exact verify — rows-only
+    // X: random-hyperplane LSH cosine buckets + exact verify — oracle-gated
+    // (the deterministic sign pattern is reproduced in SQL)
     "q_x_ann_lsh_pairs" -> ((s, dir) => {
       graft.vec.VectorOps.lshCosinePairs(
         t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1044,6 +1045,38 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    // hyperplane-LSH buckets are pure deterministic arithmetic (sign
+    // pattern from ((p*dim+i) * 2654435761) >> 16 & 1), so the whole
+    // bucket+verify path is SQL-expressible
+    "q_x_ann_lsh_pairs" ->
+      """WITH planes AS (
+           SELECT p.range AS p, i.range AS i,
+                  CASE WHEN ((p.range * 64 + i.range) * 2654435761 >> 16) & 1 = 1
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM range(8) p, range(64) i
+         ),
+         proj AS (
+           SELECT e.vec_id, pl.p,
+                  SUM(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.s) AS d
+           FROM embeddings e, planes pl
+           GROUP BY e.vec_id, pl.p
+         ),
+         sigs AS (
+           SELECT vec_id,
+                  SUM(CASE WHEN d >= 0 THEN CAST(1 << p AS BIGINT) ELSE 0 END) AS bucket
+           FROM proj GROUP BY vec_id
+         ),
+         sized AS (
+           SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bn FROM sigs
+         ),
+         keep AS (SELECT vec_id, bucket FROM sized WHERE bn <= 200)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4) AS cos
+         FROM keep a JOIN keep b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         JOIN embeddings ea ON ea.vec_id = a.vec_id
+         JOIN embeddings eb ON eb.vec_id = b.vec_id
+         WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE) >= 0.25""",
 
     // exhaustive IVF must equal the exact brute-force ranking
     "q_x_ann_ivf_exhaustive" ->
