@@ -492,6 +492,25 @@ object SparkEntry {
         shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
     }),
 
+    // X: MinHash+LSH on groups of IDENTICAL synthesized texts — jaccard
+    // is exactly 1.0 and token sets are disjoint across groups, so LSH
+    // detection is deterministic (identical signatures share every band
+    // bucket) and the expected pair set is SQL-computable. Oracle-gates
+    // the full machinery: fused shingle+hash expression, banding, bucket
+    // grouping, pair generation, estimate prefilter, exact verify.
+    "q_x_dedup_minhash_identical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      // ~5 docs per group at any scale factor (bucket cap is 100)
+      val nGroups = math.max(docs.count() / 5, 1L)
+      val src = docs
+        .withColumn("grp", pmod(col("doc_id"), lit(nGroups)))
+        .withColumn("text", concat_ws(" ",
+          transform(sequence(lit(0), lit(9)),
+            i => concat(lit("t"), col("grp"), lit("_"), i))))
+      graft.text.TextOps.minhashDedupPairs(src, "doc_id", "text",
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.9)
+    }),
+
     // X: staged dedup pipeline — exact-collapse then MinHash over unique
     // representatives (the web-corpus shape) — rows-only
     "q_x_dedup_pipeline" -> ((s, dir) => {
@@ -1045,6 +1064,13 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_dedup_minhash_identical" ->
+      """WITH n AS (SELECT GREATEST(count(*) // 5, 1) AS g FROM documents),
+         d AS (SELECT doc_id, doc_id % (SELECT g FROM n) AS grp FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(1.0 AS DOUBLE) AS jaccard
+         FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id""",
 
     // hyperplane-LSH buckets are pure deterministic arithmetic (sign
     // pattern from ((p*dim+i) * 2654435761) >> 16 & 1), so the whole
