@@ -563,7 +563,11 @@ object SparkEntry {
             graft.text.TextOps.tokens(col("text"))).as("sig"))
     }),
 
-    // X: rolling-hash fingerprint via a custom Catalyst expression — rows-only
+    // X: rolling-hash fingerprint via a custom Catalyst expression —
+    // oracle-gated: the Karp-Rabin polynomial in wrapping 64-bit
+    // arithmetic is reproduced in SQL with a recursive CTE over character
+    // positions and HUGEINT mod-2^64 emulation (driver text is ASCII, so
+    // codepoints equal UTF-8 bytes)
     "q_x_rolling_fingerprint" -> ((s, dir) => {
       import graft.functions.TextExpressions
       t(s, dir, "documents")
@@ -1064,6 +1068,28 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_rolling_fingerprint" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+           FROM documents
+         ),
+         r AS (
+           SELECT doc_id, t, 1 AS i, CAST(0 AS HUGEINT) AS h,
+                  CAST(1 AS HUGEINT) AS pow
+           FROM s
+           UNION ALL
+           SELECT doc_id, t, i + 1,
+                  (h + unicode(substr(t, i, 1)) * pow)
+                    % CAST('18446744073709551616' AS HUGEINT),
+                  (pow * 1000003) % CAST('18446744073709551616' AS HUGEINT)
+           FROM r WHERE i <= len(t)
+         )
+         SELECT doc_id,
+           CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN h - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE h END AS BIGINT) AS fp
+         FROM r WHERE i = len(t) + 1""",
 
     "q_x_dedup_minhash_identical" ->
       """WITH n AS (SELECT GREATEST(count(*) // 5, 1) AS g FROM documents),
