@@ -402,7 +402,12 @@ object SparkEntry {
 
     // X: the full corpus-preprocessing composition (language -> quality ->
     // redact -> exact dedup -> near-dup clusters -> decontaminate), audited
-    // per stage — rows-only
+    // per stage. Oracle-gated end-to-end: every stage is SQL-expressible
+    // (the near-dup stage via brute-force Jaccard + recursive-CTE
+    // components, exactly like q_x_dedup_clusters), so the DuckDB oracle
+    // recomputes the whole composition INCLUDING stage ordering — a wrong
+    // order (e.g. decontaminating against un-redacted benchmark text)
+    // changes the audit counts and fails the hash.
     "q_x_corpus_pipeline" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -446,6 +451,31 @@ object SparkEntry {
           round(TextOps.langScore(toks, "en"), 4).as("s_en"))
     }),
 
+    // X: deterministic stratified sampling — bottom-k md5 rank per
+    // stratum: uniform, engine-reproducible (oracle computes the exact
+    // same set), and nested across k. The balanced-slice draw of a
+    // training-mix builder.
+    "q_x_stratified_sample" -> ((s, dir) => {
+      graft.functions.Sampling.stratifiedSample(
+          t(s, dir, "orders"), Seq("o_orderpriority"), "o_orderkey", k = 10)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // X: BM25 ranked retrieval — the lexical search used to pull topical
+    // slices from a corpus; postings pruned by a broadcast query-term
+    // semi-join BEFORE the corpus-wide shuffle. Scores rounded before
+    // ranking (ties by doc id) so the ranking is engine-reproducible.
+    "q_x_bm25" -> ((s, dir) => {
+      graft.text.TextOps.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          queries = Seq(
+            "qa" -> "hash join merge",
+            "qb" -> "stream window batch",
+            "qc" -> "vector column scan"),
+          k = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -485,7 +515,12 @@ object SparkEntry {
     }),
 
     // X: MinHash + LSH near-duplicate pairs (banded candidate join +
-    // exact-Jaccard verify) — rows-only check, hashes are Spark-specific
+    // exact-Jaccard verify). Oracle-gated: the exact-Jaccard verify makes
+    // the OUTPUT equal "all pairs with exact shingle-Jaccard >= t"
+    // whenever LSH recall is total — and the synthetic near-dup pairs all
+    // sit at J >= 0.9 (recall 1-4e-8 per pair at r=4,b=16) with nothing
+    // between 0.35 and 0.9, so DuckDB's brute-force all-pairs Jaccard is
+    // a deterministic ground truth for the whole banding machinery.
     "q_x_dedup_minhash" -> ((s, dir) => {
       graft.text.TextOps.minhashDedupPairs(
         t(s, dir, "documents"), "doc_id", "text",
@@ -512,7 +547,9 @@ object SparkEntry {
     }),
 
     // X: staged dedup pipeline — exact-collapse then MinHash over unique
-    // representatives (the web-corpus shape) — rows-only
+    // representatives (the web-corpus shape). Oracle-gated: every output
+    // number is SQL-derivable (md5 fingerprint groups + brute-force
+    // exact-Jaccard pairs among min-id representatives).
     "q_x_dedup_pipeline" -> ((s, dir) => {
       val (groups, pairs) = graft.text.TextOps.nearDupPipeline(
         t(s, dir, "documents"), "doc_id", "text",
@@ -526,16 +563,16 @@ object SparkEntry {
     }),
 
     // X: near-dup pairs -> connected components -> dedup clusters (the
-    // keep/drop step of a real dedup pipeline) — rows-only
+    // keep/drop step of a real dedup pipeline). Oracle-gated per-document:
+    // DuckDB recomputes the pair graph by brute-force exact Jaccard and
+    // closes it with a recursive CTE, so every (id, cluster_id, keep)
+    // verdict — not just the counts — is checked.
     "q_x_dedup_clusters" -> ((s, dir) => {
       val pairs = graft.text.TextOps.minhashDedupPairs(
         t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
-      val kl = graft.ops.ConnectedComponents.keepList(pairs, "id_a", "id_b")
-      kl.agg(
-        countDistinct(col("cluster_id")).as("n_clusters"),
-        count(lit(1)).as("n_clustered_docs"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+      graft.ops.ConnectedComponents.keepList(pairs, "id_a", "id_b")
+        .orderBy("id")
     }),
 
     // X: connected components (star contraction) over a deterministic
@@ -561,6 +598,25 @@ object SparkEntry {
         .select(col("doc_id"),
           TextExpressions.simhash64(
             graft.text.TextOps.tokens(col("text"))).as("sig"))
+    }),
+
+    // X: SimHash hamming-radius dedup on groups of IDENTICAL synthesized
+    // texts: within a group the signatures are equal (hamming 0, always
+    // within radius 3 -> caught via the pigeonhole chunk guarantee);
+    // across groups the token sets are disjoint so signatures are
+    // effectively independent 64-bit values (P(hamming <= 3) ~ 2e-15) —
+    // the expected pair set is SQL-computable, oracle-gating the chunk
+    // banding, bucket pair generation, and exact bit_count verify.
+    "q_x_simhash_dedup_identical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nGroups = math.max(docs.count() / 5, 1L)
+      val src = docs
+        .withColumn("grp", pmod(col("doc_id"), lit(nGroups)))
+        .withColumn("text", concat_ws(" ",
+          transform(sequence(lit(0), lit(9)),
+            i => concat(lit("t"), col("grp"), lit("_"), i))))
+      graft.text.TextOps.simhashNearDupPairs(src, "doc_id", "text",
+        shingleN = 3, maxHamming = 3)
     }),
 
     // X: rolling-hash fingerprint via a custom Catalyst expression —
@@ -599,6 +655,35 @@ object SparkEntry {
       graft.vec.VectorOps.ivfTopK(
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
         nlist = 16, nprobe = 16)
+    }),
+
+    // X: product-quantization ANN (8 subspaces, 64-entry codebooks, ADC
+    // lookup search) — approximate by design, rows-only; the machinery is
+    // oracle-gated by the exhaustive variant below
+    "q_x_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.vec.VectorOps.pqTrain(
+        emb, "vec_id", "embedding", m = 8, ksub = 64, iters = 2)
+      graft.vec.VectorOps.pqTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, model)
+    }),
+
+    // X: PQ with ksub = N and zero refinement sweeps — every candidate
+    // sub-vector IS a codebook entry, so encoding is lossless and the ADC
+    // distance equals the exact squared L2: the whole train/encode/table/
+    // lookup/rank machinery must reproduce the brute-force L2 top-k,
+    // which DuckDB computes directly (same subspace-grouped summation so
+    // the doubles agree bit-for-bit)
+    // (candidates capped at 500 ids so the deliberately-quadratic
+    // lossless encode — O(N * ksub) with ksub = N — stays constant-cost
+    // across scale factors; the cap is mirrored in the oracle SQL)
+    "q_x_ann_pq_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      val n = emb.count().toInt
+      val model = graft.vec.VectorOps.pqTrain(
+        emb, "vec_id", "embedding", m = 8, ksub = n, iters = 0)
+      graft.vec.VectorOps.pqTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, model)
     }),
 
     // X: gap sessionization, batch path (gaps-and-islands windows; the
@@ -1003,6 +1088,44 @@ object SparkEntry {
            round(s_en, 4) AS s_en
          FROM s""",
 
+    "q_x_stratified_sample" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                       o_orderkey) AS rn
+         FROM orders)
+         SELECT o_orderpriority, o_orderkey, o_totalprice
+         FROM r WHERE rn <= 10""",
+
+    "q_x_bm25" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('qa', 'hash'), ('qa', 'join'), ('qa', 'merge'),
+           ('qb', 'stream'), ('qb', 'window'), ('qb', 'batch'),
+           ('qc', 'vector'), ('qc', 'column'), ('qc', 'scan')),
+         base AS (SELECT doc_id AS id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         d AS (SELECT id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM base),
+         tf AS (SELECT id, term, dl, count(*)::DOUBLE AS tf
+                FROM d WHERE term IN (SELECT DISTINCT term FROM q)
+                GROUP BY id, term, dl),
+         stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)::DOUBLE) AS avgdl
+                   FROM base),
+         dfreq AS (SELECT term, count(DISTINCT id)::DOUBLE AS df FROM tf GROUP BY term),
+         scored AS (SELECT q.query_id, tf.id,
+             round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4) AS score
+           FROM tf JOIN q ON tf.term = q.term
+           JOIN dfreq f ON f.term = tf.term, stats s
+           GROUP BY q.query_id, tf.id),
+         r AS (SELECT query_id, id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, score
+         FROM r WHERE rank <= 10""",
+
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,
            list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS st
@@ -1098,6 +1221,149 @@ object SparkEntry {
                 CAST(1.0 AS DOUBLE) AS jaccard
          FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id""",
 
+    "q_x_simhash_dedup_identical" ->
+      """WITH n AS (SELECT GREATEST(count(*) // 5, 1) AS g FROM documents),
+         d AS (SELECT doc_id, doc_id % (SELECT g FROM n) AS grp FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(0 AS INT) AS hamming
+         FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id""",
+
+    // brute-force exact 3-shingle Jaccard over all pairs: ground truth for
+    // the LSH path (the exact-verify step makes the Spark output equal
+    // this set whenever banding recall is total — see the query comment)
+    "q_x_dedup_minhash" ->
+      """WITH s AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+         FROM s WHERE len(tk) >= 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(a.ss || b.ss)), 4) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.ss, b.ss))::DOUBLE
+               / len(list_distinct(a.ss || b.ss)) >= 0.5""",
+
+    // same pair graph closed with a recursive CTE -> per-doc cluster and
+    // keep/drop verdict (min id per component is kept)
+    "q_x_dedup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+         FROM s WHERE len(tk) >= 3),
+         p AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM sh a, sh b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.ss, b.ss))::DOUBLE
+                     / len(list_distinct(a.ss || b.ss)) >= 0.5),
+         edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         reach AS (
+           SELECT u AS id, v AS lab FROM edges
+           UNION
+           SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+         ),
+         c AS (SELECT id, least(MIN(lab), id) AS cluster_id
+               FROM reach GROUP BY id)
+         SELECT id, cluster_id, id = cluster_id AS keep
+         FROM c ORDER BY id""",
+
+    // the WHOLE preprocessing composition recomputed in SQL: language and
+    // quality flags on raw text, redaction, md5-fingerprint exact collapse
+    // on redacted text, near-dup components via brute-force Jaccard +
+    // recursive CTE, then decontamination against the REDACTED benchmark
+    // fingerprints — stage ordering included
+    "q_x_corpus_pipeline" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id AS id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM documents
+         ),
+         sc AS (
+           SELECT id, text, toks,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / greatest(len(toks),1) AS s_en,
+             len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','que','est','pour')))::DOUBLE / greatest(len(toks),1) AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','que','es','para')))::DOUBLE / greatest(len(toks),1) AS s_es,
+             len(list_filter(toks, x -> x IN ('der','die','das','und','ein','eine','ist','zu','den','von')))::DOUBLE / greatest(len(toks),1) AS s_de,
+             len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4')))::DOUBLE / greatest(len(toks),1) AS s_zh
+           FROM base
+         ),
+         flags AS (
+           SELECT id, text,
+             (s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0) AS lang_ok,
+             (CAST(len(toks) AS BIGINT) >= 5
+              AND round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / greatest(length(text),1), 4) <= 0.3
+              AND round(1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks),1), 4) <= 0.6) AS qual_ok
+           FROM sc
+         ),
+         red AS (
+           SELECT id,
+             regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS rtext
+           FROM flags WHERE lang_ok AND qual_ok
+         ),
+         rfp AS (SELECT id, rtext,
+                   md5(trim(regexp_replace(lower(rtext), '\s+', ' ', 'g'))) AS f
+                 FROM red),
+         reps AS (SELECT f, min(id) AS id FROM rfp GROUP BY f),
+         rept AS (SELECT r.id, rfp.rtext FROM reps r JOIN rfp ON rfp.id = r.id),
+         rsh AS (SELECT id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+           FROM (SELECT id, string_split(trim(regexp_replace(lower(rtext), '\s+', ' ', 'g')), ' ') AS tk FROM rept)
+           WHERE len(tk) >= 3),
+         p AS (SELECT a.id AS u, b.id AS v FROM rsh a, rsh b
+               WHERE a.id < b.id
+                 AND len(list_intersect(a.ss, b.ss))::DOUBLE
+                     / len(list_distinct(a.ss || b.ss)) >= 0.5),
+         edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         reach AS (SELECT u AS id, v AS lab FROM edges
+                   UNION
+                   SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+         dropped AS (SELECT id FROM (SELECT id, least(MIN(lab), id) AS cid
+                                     FROM reach GROUP BY id) t
+                     WHERE id <> cid),
+         nearkept AS (SELECT r.id, rfp.f FROM reps r JOIN rfp ON rfp.id = r.id
+                      WHERE r.id NOT IN (SELECT id FROM dropped)),
+         bench AS (SELECT DISTINCT md5(trim(regexp_replace(lower(
+             regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           ), '\s+', ' ', 'g'))) AS f
+           FROM documents WHERE doc_id % 97 = 0)
+         SELECT 'input' AS stage, (SELECT count(*) FROM base) AS n_rows
+         UNION ALL SELECT 'language', (SELECT count(*) FROM flags WHERE lang_ok)
+         UNION ALL SELECT 'quality', (SELECT count(*) FROM flags WHERE lang_ok AND qual_ok)
+         UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM reps)
+         UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM nearkept)
+         UNION ALL SELECT 'decontaminate',
+           (SELECT count(*) FROM nearkept WHERE f NOT IN (SELECT f FROM bench))""",
+
+    // fingerprint-group stats + exact-Jaccard pairs among min-id
+    // representatives reproduce all four pipeline counters
+    "q_x_dedup_pipeline" ->
+      """WITH fp AS (SELECT doc_id, text,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+         FROM documents),
+         g AS (SELECT f, min(doc_id) AS id, count(*) AS n_copies
+               FROM fp GROUP BY f),
+         rt AS (SELECT g.id, fp.text FROM g JOIN fp ON fp.doc_id = g.id),
+         s AS (SELECT id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM rt),
+         sh AS (SELECT id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+         FROM s WHERE len(tk) >= 3),
+         np AS (SELECT count(*) AS n FROM sh a, sh b
+                WHERE a.id < b.id
+                  AND len(list_intersect(a.ss, b.ss))::DOUBLE
+                      / len(list_distinct(a.ss || b.ss)) >= 0.5)
+         SELECT (SELECT count(*) FROM g) AS n_unique_texts,
+                (SELECT CAST(sum(n_copies) AS BIGINT) FROM g) AS n_docs,
+                (SELECT max(n_copies) FROM g) AS max_copies,
+                (SELECT n FROM np) AS n_near_dup_pairs""",
+
     // hyperplane-LSH buckets are pure deterministic arithmetic (sign
     // pattern from ((p*dim+i) * 2654435761) >> 16 & 1), so the whole
     // bucket+verify path is SQL-expressible
@@ -1129,6 +1395,26 @@ object SparkEntry {
          JOIN embeddings ea ON ea.vec_id = a.vec_id
          JOIN embeddings eb ON eb.vec_id = b.vec_id
          WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE) >= 0.25""",
+
+    // exhaustive PQ must equal the exact squared-L2 ranking; the nested
+    // comprehension mirrors the subspace-grouped summation order so the
+    // double arithmetic matches Spark's bit-for-bit
+    "q_x_ann_pq_exhaustive" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_sum([ list_sum([ (c.embedding[(j*8)+i]::DOUBLE
+                                    - q.embedding[(j*8)+i]::DOUBLE)^2
+                                   for i in range(1, 9) ])
+                        for j in range(0, 8) ]) AS d
+           FROM embeddings c, q
+           WHERE c.vec_id < 500 AND c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(d, 4) AS dist
+         FROM r WHERE rank <= 5""",
 
     // exhaustive IVF must equal the exact brute-force ranking
     "q_x_ann_ivf_exhaustive" ->

@@ -54,4 +54,30 @@ object Sampling {
   /** Column form, usable inside any agg(...) alongside built-ins. */
   def bottomKSample(c: Column, k: Int): Column =
     udaf(new BottomKByHash(k)).apply(c.cast("string"))
+
+  /** Deterministic stratified ROW sample: the k rows per stratum with the
+    * smallest md5 of their id — the per-source / per-language balanced
+    * slice a training-mix builder draws from a 100 TB corpus. md5 rank is
+    * uniform AND engine-stable, so the selected set is reproducible
+    * across runs, partitionings, cluster sizes, and engines (unlike
+    * rand()-based sampling), and it composes: re-running with a larger k
+    * extends the previous sample instead of replacing it (bottom-k sets
+    * are nested).
+    *
+    * One shuffle on the stratum key; row_number is a streaming window
+    * (no frame buffering). For pathologically hot strata the usual salt
+    * (rank within (stratum, salt) at k/nSalts each, then re-rank the
+    * survivors) bounds the per-task sort — the same discipline as
+    * [[graft.ops.Skew.saltedAgg]]. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame,
+                       strataCols: Seq[String], idCol: String,
+                       k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, md5, row_number}
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

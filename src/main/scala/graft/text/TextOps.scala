@@ -67,10 +67,17 @@ object TextOps {
     *     (they resurface through their other, more selective bands);
     *  4. a cheap signature-agreement estimate (64 long comparisons)
     *     prefilters pairs BEFORE shuffling the much heavier shingle
-    *     sets for the exact-Jaccard verify. */
+    *     sets for the exact-Jaccard verify.
+    *
+    * Band-count default: the LSH S-curve crosses 50% detection near
+    * (1/bands)^(bands/numPerm); with 64 perms, bands=16 (4 rows/band)
+    * centers that at J≈0.5 — matching the default `threshold` — while
+    * bands=8 (8 rows/band) centers at J≈0.77 and silently LOSES most
+    * pairs in [0.5, 0.75] (recall ~3% at J=0.5). Callers tuning
+    * `threshold` should keep rowsPerBand ≈ log(bands)/-log(threshold). */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numPerm: Int = 64,
-                        bands: Int = 8, threshold: Double = 0.5,
+                        bands: Int = 16, threshold: Double = 0.5,
                         maxBucket: Int = 100,
                         repartitionInput: Boolean = true): DataFrame = {
     val rowsPerBand = numPerm / bands
@@ -101,24 +108,9 @@ object TextOps {
           tokens(col("text")), shingleN, numPerm).as("sig"))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
       .localCheckpoint()
-    // bucket-local pair generation: group ids per (band, hash), drop
-    // oversized buckets (no dedup signal, O(n^2) pairs), and emit the
-    // pairs by array combinatorics INSIDE each bounded bucket — one
-    // shuffle instead of window + self-join + join-shuffles; output is
-    // bounded by maxBucket^2 per bucket
     val banded = withSig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val buckets = banded
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-    val candidates = buckets
-      .select(explode(expr(
-        """flatten(transform(ids,
-             x -> transform(filter(ids, y -> y > x),
-                            y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val candidates = bucketPairs(banded, maxBucket)
     // signature-agreement estimate: unbiased Jaccard estimator, 64 longs
     // per side instead of the full shingle sets
     val sigs = withSig.select(col("id"), col("sig"))
@@ -146,6 +138,84 @@ object TextOps {
           size(array_union(col("set_a"), col("set_b"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Bucket-local candidate-pair generation shared by the MinHash and
+    * SimHash LSH paths: group ids per (band, hash), drop oversized
+    * buckets (a band value shared by hundreds of documents carries no
+    * dedup signal but would produce O(n^2) pairs), and emit the pairs by
+    * array combinatorics INSIDE each bounded bucket — one shuffle instead
+    * of window + self-join + join-shuffles; output is bounded by
+    * maxBucket^2 per bucket. Input: (id, band_idx, band_hash). */
+  private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids,
+             x -> transform(filter(ids, y -> y > x),
+                            y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** SimHash near-duplicate pairs: ALL pairs whose 64-bit shingle-SimHash
+    * signatures differ in at most `maxHamming` bits, found by splitting
+    * the signature into `maxHamming + 1` equal-width chunks and matching
+    * on any chunk — by pigeonhole, two signatures within the radius MUST
+    * agree on at least one whole chunk, so banding recall is total BY
+    * CONSTRUCTION (not probabilistic like MinHash banding); the exact
+    * `bit_count(xor)` check then filters the chunk-collision false
+    * positives. Output: (id_a, id_b, hamming).
+    *
+    * Complements [[minhashDedupPairs]]: MinHash estimates set Jaccard
+    * (order-free), SimHash hamming tracks weighted feature overlap with a
+    * fixed 64-bit sketch per document — 8 bytes of state regardless of
+    * document size, the cheapest near-dup index that exists.
+    *
+    * Scale: one CPU-bound signature pass, one shuffle on (chunk_idx,
+    * chunk_value) — same shape as the MinHash path. Chunk keys carry
+    * 64/(maxHamming+1) bits of entropy (16 bits at the default radius 3);
+    * at billions of documents a single 16-bit table saturates and the
+    * standard fix is the block-combination scheme of Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling" (WWW'07) — combine
+    * chunk PAIRS into wider keys at the cost of C(chunks, 2) tables.
+    * `maxBucket` bounds the damage of saturated buckets meanwhile; note
+    * that unlike MinHash (where a dropped bucket's pairs resurface
+    * through other bands) dropping a bucket here can lose pairs whose
+    * other chunks are all dirty, so the cap defaults high and the audit
+    * is the bucket-size distribution, not silence. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, maxHamming: Int = 3,
+                          maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && 64 % (maxHamming + 1) == 0,
+      s"maxHamming + 1 must divide 64, got $maxHamming")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1L
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .where(size(tokens(col("text"))) >= shingleN)
+    // eager localCheckpoint for the same reason as the MinHash path: the
+    // banding branch and the signature probe share one consumer query
+    val withSig = base
+      .select(col("id"),
+        graft.functions.TextExpressions.simhash64(
+          wordShingles(tokens(col("text")), shingleN)).as("sig"))
+      .localCheckpoint()
+    // (sig >> (j*width)) & mask: the arithmetic shift's sign-extension is
+    // masked off, so it equals the logical shift for every chunk
+    val banded = withSig.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nChunks - 1}), j -> (sig >> (j * $width)) & $mask)"))
+        .as(Seq("band_idx", "band_hash")))
+    val sigs = withSig.select(col("id"), col("sig"))
+    bucketPairs(banded, maxBucket)
+      .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+      .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Staged dedup pipeline — the 100 TB shape: exact duplicates are
@@ -187,6 +257,67 @@ object TextOps {
     val pairs = minhashDedupPairs(reps.select(col("id"), col("text")), "id", "text",
       shingleN, numPerm, bands, threshold, repartitionInput = true)
     (groups, pairs)
+  }
+
+  // ------------------------------------------------------------- bm25 search
+
+  /** BM25 ranked retrieval over the corpus for a fixed set of queries —
+    * the lexical search a data-curation pipeline uses to pull topical
+    * slices out of a 100 TB corpus (and the baseline every embedding
+    * retriever is measured against).
+    *
+    * Scoring is the Lucene formulation:
+    *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   s(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *
+    * Scale shape: the corpus is exploded to (doc, term) postings ONCE and
+    * immediately semi-joined against the BROADCAST query-term set — the
+    * only corpus-wide shuffle groups the few surviving postings, so the
+    * cost tracks matches, not corpus size. Document frequencies are
+    * per-query-term (a tiny aggregate), corpus stats one scalar row; both
+    * broadcast back. Top-k is a per-query window over candidates only.
+    *
+    * Scores are rounded to 4 decimals BEFORE ranking (ties then break by
+    * doc id) so rankings are reproducible across engines and runs. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // query terms normalized exactly like document tokens
+    val qdf = queries
+      .flatMap { case (qid, qt) =>
+        qt.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }
+      .toDF("query_id", "term")
+    val tf = base.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qdf.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term")
+      .agg(countDistinct(col("id")).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("score"))
   }
 
   // ------------------------------------------------------------- language id

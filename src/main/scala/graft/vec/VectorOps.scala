@@ -163,6 +163,145 @@ object VectorOps {
     hits.toDouble / total
   }
 
+  // ------------------------------------------------------ product quantization
+
+  /** Squared L2 distance (the PQ training/search metric). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** A trained product-quantization model: the vector space is split into
+    * `m` subspaces of `subDim` dimensions; each subspace has its own
+    * codebook of `ksub` centroids. A vector encodes to `m` small ints —
+    * at dim=64/m=8/ksub=256 that is 8 bytes per vector instead of 256,
+    * the 32x compression that lets a 100 TB embedding corpus fit a
+    * memory-resident ANN tier. (Jegou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011.) */
+  final case class PqModel(m: Int, subDim: Int,
+                           codebooks: Seq[Seq[Array[Double]]]) {
+    def ksub: Int = codebooks.head.length
+  }
+
+  /** (id, subspace, sv) — every vector split into its m sub-vectors; a
+    * pure projection + posexplode, no shuffle. */
+  private def subVectors(vectors: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $subDim + 1, $subDim))"))
+        .as(Seq("subspace", "sv")))
+
+  /** Codebooks as a small broadcast-able frame (subspace, code, cv). */
+  private def codebookDf(vectors: DataFrame, model: PqModel): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }.toDF("subspace", "code", "cv")
+  }
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): a BROADCAST
+    * join against the tiny codebook plus a min_by aggregate — never a
+    * literal-inlined centroid array (ksub=256 x subDim doubles inlined
+    * per subspace would blow past codegen limits), never a wide shuffle.
+    * Ties break toward the smaller code deterministically. */
+  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("subspace"))
+      .withColumn("d", l2sq(col("sv"), col("cv")))
+      .groupBy(col("id"), col("subspace"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** Train PQ codebooks: per-subspace k-means under squared L2, seeded
+    * from the sub-vectors of the first `ksub` ids (deterministic — the
+    * same discipline as the IVF seeds). Each sweep is one broadcast-join
+    * assignment + one mean aggregate with map-side combine; the model
+    * (m * ksub * subDim doubles) is collected driver-side, trivially
+    * small. `iters = 0` keeps the seeds as-is — with ksub >= the number
+    * of distinct sub-vectors that makes encoding LOSSLESS, the property
+    * the exhaustive oracle gate exploits. */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 256, iters: Int = 2): PqModel = {
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val subs = subVectors(vectors, idCol, vecCol, m, subDim)
+      .localCheckpoint() // reused every sweep: split once, not per sweep
+    val seedRows = subs.where(col("id") < ksub)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    var model = PqModel(m, subDim,
+      (0 until m).map(j => seedRows.filter(_._2 == j).sortBy(_._1).map(_._3).toSeq))
+    for (_ <- 0 until iters) {
+      val means = assignCodes(subs, codebookDf(vectors, model))
+        .join(subs, Seq("id", "subspace"))
+        .select(col("subspace"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("subspace"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      model = PqModel(m, subDim, model.codebooks.zipWithIndex.map { case (cb, j) =>
+        cb.zipWithIndex.map { case (old, c) =>
+          byKey.get((j, c)) match {
+            case Some(rows) =>
+              val nv = old.clone()
+              rows.foreach(r => nv(r.getInt(2)) = r.getDouble(3))
+              nv
+            case None => old // empty cell keeps its seed
+          }
+        }
+      })
+    }
+    model
+  }
+
+  /** Encode every vector to its m codebook codes: (id, codes array<int>).
+    * Broadcast-join assignment + one groupBy(id) to fold the m codes back
+    * into ordered arrays — the whole corpus is touched twice, shuffled
+    * once on id. */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame =
+    assignCodes(subVectors(vectors, idCol, vecCol, model.m, model.subDim),
+      codebookDf(vectors, model))
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(subspace, code))), s -> s.code)")
+        .as("codes"))
+
+  /** PQ asymmetric-distance (ADC) top-k: each query precomputes, driver-
+    * side, its m x ksub table of squared distances to every codebook
+    * entry; a candidate's approximate distance is then m table lookups
+    * over its 8-byte code — the float vectors are never touched at search
+    * time. The tables ride a broadcast; the only wide operation is the
+    * per-query top-k window over scored candidates. */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, model: PqModel): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val encoded = pqEncode(vectors, idCol, vecCol, model)
+      .withColumnRenamed("id", "cand_id")
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"), asDouble(col(vecCol)).as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tables = qRows.toSeq.map { case (qid, qv) =>
+      val t = model.codebooks.zipWithIndex.map { case (cb, j) =>
+        val qs = qv.slice(j * model.subDim, (j + 1) * model.subDim)
+        cb.map(cv => cv.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum).toSeq
+      }
+      (qid, t)
+    }.toDF("query_id", "tables")
+    val scored = encoded.crossJoin(broadcast(tables))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("codes"), col("tables"),
+            (c, tab) => element_at(tab, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cand_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round(col("dist"), 4).as("dist"))
+  }
+
   /** IVF-style approximate search: vectors are assigned to their nearest
     * coarse centroid (the inverted lists); a query probes only the
     * `nprobe` nearest lists.

@@ -105,6 +105,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("bm25 prunes postings with a broadcast semi-join before the shuffle") {
+    // at 100 TB the exploded postings list is the corpus times avg doc
+    // length — it must be cut down to query-term matches by a BROADCAST
+    // left-semi join on the tiny query-term set BEFORE the (id, term)
+    // aggregation shuffles anything
+    val docs = (0 until 500).map(i => (i.toLong, s"alpha beta w$i gamma"))
+      .toDF("id", "text")
+    val q = graft.text.TextOps.bm25TopK(docs, "id", "text",
+      queries = Seq("q1" -> "alpha gamma"), k = 5)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    val semi = plan.indexOf("BroadcastHashJoin")
+    assert(semi >= 0 && plan.contains("LeftSemi"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("composed as-of join keeps the partial top-1 (WindowGroupLimit)") {
     val left = (1 to 100).map(i => (i.toLong, i.toLong % 5,
       Timestamp.valueOf(s"2026-01-${i % 27 + 1} 00:00:00"))).toDF("eid", "k", "t")

@@ -32,6 +32,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("b") == Seq("z"))
   }
 
+  test("stratified sample: k per stratum, partition-invariant, nested in k") {
+    val df = (1 to 300).map(i => (s"s${i % 3}", i.toLong)).toDF("g", "id")
+    def ids(parts: Int, k: Int): Set[Long] =
+      Sampling.stratifiedSample(df.repartition(parts), Seq("g"), "id", k)
+        .select("id").as[Long].collect().toSet
+    val k5 = ids(1, 5)
+    assert(k5.size == 15)                       // 5 per each of 3 strata
+    assert(ids(11, 5) == k5)                    // layout-independent
+    val k8 = ids(4, 8)
+    assert(k8.size == 24 && k5.subsetOf(k8))    // bottom-k sets are nested
+  }
+
+  test("stratified sample returns whole strata smaller than k") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id")
+    val got = Sampling.stratifiedSample(df, Seq("g"), "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
   test("columnStats with sampleK attaches sample values in the one pass") {
     val df = Seq(("1.1", 2019, "Gas"), ("1.1", 2020, "Coal"))
       .toDF("table_name", "year", "fuel")

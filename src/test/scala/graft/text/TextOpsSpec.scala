@@ -89,6 +89,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
   }
 
+  test("simhashNearDupPairs: total recall within the hamming radius") {
+    // identical texts -> hamming 0 (must be found: the pigeonhole chunk
+    // guarantee, not luck); disjoint texts -> effectively random 64-bit
+    // signatures, far outside radius 3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+        shingleN = 2, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 7L, 0), (2L, 7L, 0)))
+  }
+
+  test("simhashNearDupPairs rejects radii that don't divide the signature") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
   test("rolling hash is order-sensitive, md5 fingerprint normalizes whitespace") {
     val df = Seq(("a b c", "c b a", "a  b   c")).toDF("x", "y", "z")
     val r = df.select(
@@ -96,6 +119,31 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.fingerprintMd5($"x"), TextOps.fingerprintMd5($"z")).head()
     assert(r.getLong(0) != r.getLong(1))      // order matters
     assert(r.getString(2) == r.getString(3))  // whitespace normalized away
+  }
+
+  test("bm25: term-dense docs rank first, term-free docs are absent") {
+    val docs = Seq(
+      (1L, "spark spark spark catalyst"),          // dense in 'spark'
+      (2L, "spark runs on a cluster of machines"), // one hit, longer doc
+      (3L, "nothing relevant here at all"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text",
+        queries = Seq("q1" -> "spark"), k = 10)
+      .orderBy("rank")
+      .select("id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))  // 3 never scored
+  }
+
+  test("bm25: multi-term queries sum per-term contributions") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val scores = TextOps.bm25TopK(docs, "doc_id", "text",
+        queries = Seq("q" -> "alpha beta"), k = 10)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    // doc 1 matches both terms: strictly higher than single-term matches,
+    // which tie with each other by symmetry
+    assert(scores(1L) > scores(2L) && scores(2L) == scores(3L))
   }
 
   test("langId picks the language with the strongest stopword signal") {

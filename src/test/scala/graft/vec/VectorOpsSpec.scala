@@ -69,6 +69,42 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r >= 0.85, f"recall@5 = $r%.4f below floor")
   }
 
+  test("pq: exhaustive codebooks make ADC search exactly the L2 ranking") {
+    // ksub >= N with zero sweeps: every candidate sub-vector IS a
+    // codebook entry, encoding is lossless, and the ADC distance equals
+    // exact squared L2 — the property the oracle gate relies on
+    val dim4 = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f, 1.0f)),
+      (1L, Array(0.9f, 0.1f, 2.0f, 1.0f)),
+      (2L, Array(0.0f, 3.0f, -1.0f, 0.5f)),
+      (3L, Array(1.1f, -0.1f, 2.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val model = VectorOps.pqTrain(dim4, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 0)
+    val got = VectorOps.pqTopK(dim4, dim4.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 3, model)
+      .orderBy("rank").select("neighbor_id", "dist")
+      .as[(Long, Double)].collect().toSeq
+    // exact squared L2 from 0: d(1)=0.02, d(3)=0.03, d(2)=19.25
+    assert(got.map(_._1) == Seq(1L, 3L, 2L))
+    assert(math.abs(got.head._2 - 0.02) < 1e-9)
+  }
+
+  test("pq encode: m small codes per vector, identical vectors share codes") {
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f, 2.0f, 1.0f)),
+      (2L, Array(-1.0f, 2.0f, 0.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val model = VectorOps.pqTrain(dup, "vec_id", "embedding",
+      m = 2, ksub = 2, iters = 1)
+    val codes = VectorOps.pqEncode(dup, "vec_id", "embedding", model)
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+    assert(codes(0L) == codes(1L))
+    assert(codes(0L) != codes(2L))
+  }
+
   test("ivf assignment plan has no exchange before the probe join") {
     // the whole point of the literal-projection assignment: ranking
     // centroids per row adds NO shuffle — the only exchanges in the final
