@@ -546,6 +546,31 @@ object SparkEntry {
         shingleN = 3, numPerm = 64, bands = 16, threshold = 0.9)
     }),
 
+    // X: cross-corpus MinHash near-dup pairs (incremental dedup: new data
+    // vs an existing index, banding BETWEEN the corpora). Oracle-gated
+    // like the self-join path: exact-verify makes the output equal
+    // brute-force cross-side Jaccard when banding recall is total.
+    "q_x_dedup_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TextOps.minhashCrossDupPairs(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", shingleN = 3, numPerm = 64, bands = 16,
+        threshold = 0.5)
+    }),
+
+    // X: near-dup-level benchmark decontamination — exact fingerprint
+    // matches AND MinHash near-dups of the benchmark are dropped (the
+    // every-50th-doc benchmark includes a doc with a near-dup twin in the
+    // corpus, so both removal paths are exercised and oracle-checked)
+    "q_x_decontaminate_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TextOps.decontaminateNearDup(
+          docs, docs.where(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", "text", shingleN = 3, threshold = 0.5)
+        .select(col("doc_id"))
+    }),
+
     // X: staged dedup pipeline — exact-collapse then MinHash over unique
     // representatives (the web-corpus shape). Oracle-gated: every output
     // number is SQL-derivable (md5 fingerprint groups + brute-force
@@ -1245,6 +1270,43 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND len(list_intersect(a.ss, b.ss))::DOUBLE
                / len(list_distinct(a.ss || b.ss)) >= 0.5""",
+
+    // brute-force exact Jaccard BETWEEN the two parity halves
+    "q_x_dedup_cross" ->
+      """WITH s AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+         FROM s WHERE len(tk) >= 3)
+         SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(a.ss || b.ss)), 4) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+           AND len(list_intersect(a.ss, b.ss))::DOUBLE
+               / len(list_distinct(a.ss || b.ss)) >= 0.5""",
+
+    // exact fingerprint matches of the benchmark plus brute-force
+    // cross-side near-dups of it, both removed
+    "q_x_decontaminate_neardup" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         ek AS (SELECT d.doc_id, d.text FROM documents d
+                WHERE md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) NOT IN
+                  (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) FROM bench)),
+         esh AS (SELECT doc_id,
+             list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk FROM ek)
+           WHERE len(tk) >= 3),
+         bsh AS (SELECT doc_id,
+             list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk FROM bench)
+           WHERE len(tk) >= 3),
+         hits AS (SELECT DISTINCT a.doc_id FROM esh a, bsh b
+                  WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+                        / len(list_distinct(a.ss || b.ss)) >= 0.5)
+         SELECT doc_id FROM ek
+         WHERE doc_id NOT IN (SELECT doc_id FROM hits)""",
 
     // same pair graph closed with a recursive CTE -> per-doc cluster and
     // keep/drop verdict (min id per component is kept)

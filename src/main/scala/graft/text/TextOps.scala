@@ -91,23 +91,8 @@ object TextOps {
     // small shuffle is usually NOT (AQE coalesces it to a few
     // partitions, serializing the signature pass), which is why
     // nearDupPipeline keeps the default true.
-    val projected = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val base = (if (repartitionInput) projected.repartition(col("id")) else projected)
-      .where(size(tokens(col("text"))) >= shingleN)
-    // eager localCheckpoint, not persist+count: the banding branch and the
-    // two signature probes all sit in ONE consumer query; left lazy they
-    // race to materialize and the CPU-bound signature pass over the whole
-    // corpus runs 2-3x. Checkpointing materializes once (MEMORY_AND_DISK
-    // blocks) AND — unlike a Dataset.persist, whose CacheManager entry is
-    // strongly held until an explicit unpersist — the blocks are released
-    // by the ContextCleaner once the frame is unreferenced, so repeated
-    // calls from a long-lived session don't accumulate cached blocks.
-    val withSig = base
-      .select(col("id"),
-        graft.functions.TextExpressions.minhash_shingles(
-          tokens(col("text")), shingleN, numPerm).as("sig"))
-      .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
-      .localCheckpoint()
+    val base = tokenFiltered(docs, idCol, textCol, shingleN, repartitionInput)
+    val withSig = signatures(base, shingleN, numPerm, bands, rowsPerBand)
     val banded = withSig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val candidates = bucketPairs(banded, maxBucket)
@@ -140,6 +125,34 @@ object TextOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** (id, text) with short docs dropped and the input spread by id (small
+    * inputs arrive as one file = one partition, and the signature compute
+    * is per-row CPU-bound). */
+  private def tokenFiltered(docs: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, repartitionInput: Boolean): DataFrame = {
+    val projected = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    (if (repartitionInput) projected.repartition(col("id")) else projected)
+      .where(size(tokens(col("text"))) >= shingleN)
+  }
+
+  /** (id, sig, bands), eagerly localCheckpoint'ed — NOT persist+count: the
+    * banding branch and the signature probes all sit in ONE consumer
+    * query; left lazy they race to materialize and the CPU-bound
+    * signature pass over the whole corpus runs 2-3x. Checkpointing
+    * materializes once (MEMORY_AND_DISK blocks) AND — unlike a
+    * Dataset.persist, whose CacheManager entry is strongly held until an
+    * explicit unpersist — the blocks are released by the ContextCleaner
+    * once the frame is unreferenced, so repeated calls from a long-lived
+    * session don't accumulate cached blocks. */
+  private def signatures(base: DataFrame, shingleN: Int, numPerm: Int,
+                         bands: Int, rowsPerBand: Int): DataFrame =
+    base
+      .select(col("id"),
+        graft.functions.TextExpressions.minhash_shingles(
+          tokens(col("text")), shingleN, numPerm).as("sig"))
+      .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
+      .localCheckpoint()
+
   /** Bucket-local candidate-pair generation shared by the MinHash and
     * SimHash LSH paths: group ids per (band, hash), drop oversized
     * buckets (a band value shared by hundreds of documents carries no
@@ -158,6 +171,89 @@ object TextOps {
                             y -> struct(x AS id_a, y AS id_b))))""")).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+
+  /** Cross-corpus MinHash near-duplicate pairs: (left id, right id)
+    * pairs with exact shingle-Jaccard >= threshold, candidates found by
+    * banding BETWEEN the two corpora — the incremental-dedup /
+    * near-dup-decontamination shape: new data (or a training corpus) is
+    * checked against an existing index (or an eval benchmark) WITHOUT
+    * re-pairing either side against itself.
+    *
+    * Scale: when the right side is small (a benchmark, a daily delta) its
+    * banded signatures broadcast and the big left side never shuffles at
+    * all — candidates stream out of the scan; only the (small) candidate
+    * pair set is ever exchanged. Both sides bounded, the band join is the
+    * only wide operation. Same total-recall-at-high-J property as the
+    * self-join path (r=4 bands), same exact-verify final filter. */
+  def minhashCrossDupPairs(left: DataFrame, right: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, numPerm: Int = 64,
+                           bands: Int = 16, threshold: Double = 0.5,
+                           broadcastRight: Boolean = true): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val lBase = tokenFiltered(left, idCol, textCol, shingleN, repartitionInput = true)
+    val rBase = tokenFiltered(right, idCol, textCol, shingleN, repartitionInput = true)
+    val lSig = signatures(lBase, shingleN, numPerm, bands, rowsPerBand)
+    val rSig = signatures(rBase, shingleN, numPerm, bands, rowsPerBand)
+    def banded(sig: DataFrame): DataFrame =
+      sig.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val rBanded0 = banded(rSig).withColumnRenamed("id", "id_r")
+    val rBanded = if (broadcastRight) broadcast(rBanded0) else rBanded0
+    val candidates = banded(lSig).withColumnRenamed("id", "id_l")
+      .join(rBanded, Seq("band_idx", "band_hash"))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+    // signature-agreement estimate, then exact verify over shingle sets —
+    // both computed only for surviving candidates
+    val estimated = candidates
+      .join(lSig.select(col("id").as("id_l"), col("sig").as("sig_l")), "id_l")
+      .join(rSig.select(col("id").as("id_r"), col("sig").as("sig_r")), "id_r")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_l"), col("sig_r"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerm)
+      .where(col("est") >= threshold * 0.5)
+      .select(col("id_l"), col("id_r"))
+    def sets(base: DataFrame, ids: DataFrame): DataFrame =
+      base.join(ids, Seq("id"), "left_semi")
+        .select(col("id"),
+          array_distinct(wordShingles(tokens(col("text")), shingleN)).as("sset"))
+    val lSets = sets(lBase, estimated.select(col("id_l").as("id")).distinct())
+    val rSets = sets(rBase, estimated.select(col("id_r").as("id")).distinct())
+    estimated
+      .join(lSets.select(col("id").as("id_l"), col("sset").as("set_l")), "id_l")
+      .join(rSets.select(col("id").as("id_r"), col("sset").as("set_r")), "id_r")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
+          size(array_union(col("set_l"), col("set_r"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Near-dup-level benchmark decontamination: drops documents that
+    * EXACTLY match a benchmark doc (normalized fingerprint — catches
+    * short docs below the shingle floor too) or are NEAR-duplicates of
+    * one (cross-corpus MinHash at `threshold`) — the sweep labs actually
+    * run before training, since eval contamination rarely survives
+    * verbatim. Both probes broadcast the benchmark side; the corpus
+    * streams through once per probe and is never shuffled. */
+  def decontaminateNearDup(docs: DataFrame, benchmark: DataFrame,
+                           idCol: String, textCol: String, benchTextCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val exact = decontaminate(docs, benchmark, textCol, benchTextCol)
+    // the benchmark side only needs SOME deterministic id; it is small by
+    // assumption, so the single-partition window is a non-issue
+    val bench = benchmark.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(benchTextCol))).cast("long").as(idCol),
+      col(benchTextCol).as(textCol))
+    val hitIds = minhashCrossDupPairs(
+        exact.select(col(idCol), col(textCol)), bench,
+        idCol = idCol, textCol = textCol,
+        shingleN = shingleN, threshold = threshold)
+      .select(col("id_l").as("__hit_id")).distinct()
+    exact.join(hitIds, col(idCol) === col("__hit_id"), "left_anti")
+  }
 
   /** SimHash near-duplicate pairs: ALL pairs whose 64-bit shingle-SimHash
     * signatures differ in at most `maxHamming` bits, found by splitting

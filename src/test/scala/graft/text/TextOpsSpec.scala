@@ -57,6 +57,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p == Set((1L, 2L)))                       // between representatives only
   }
 
+  test("minhashCrossDupPairs pairs across corpora, never within one") {
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (5L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text") // 3 and 5 are dups WITHIN left: must not pair
+    val right = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu xi"),
+      (4L, "totally unrelated content about completely different things here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.minhashCrossDupPairs(left, right, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 32, threshold = 0.3)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("decontaminateNearDup drops exact AND near matches of the benchmark") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),  // near-dup of bench
+      (2L, "quick   brown fox jumps over the lazy dog daily says me"),           // exact (ws-normalized)
+      (3L, "one two three four five six seven eight nine ten eleven twelve"))    // unrelated
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu xi",
+      "quick brown fox jumps over the lazy dog daily says me").toDF("q")
+    val kept = TextOps.decontaminateNearDup(docs, bench, "doc_id", "text", "q",
+        shingleN = 2, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("dedup path leaves no Dataset-cache entries behind (no persist leak)") {
     // regression: withSig/reps used Dataset.persist without unpersist —
     // CacheManager entries are strongly held, so every pipeline call from
