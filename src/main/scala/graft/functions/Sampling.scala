@@ -68,16 +68,24 @@ object Sampling {
     * (no frame buffering). For pathologically hot strata the usual salt
     * (rank within (stratum, salt) at k/nSalts each, then re-rank the
     * survivors) bounds the per-task sort — the same discipline as
-    * [[graft.ops.Skew.saltedAgg]]. */
+    * [[graft.ops.Skew.saltedAgg]].
+    *
+    * `idCol` MUST be unique within each stratum: duplicate ids tie on the
+    * whole window ordering (md5(id), id), so which physical row wins the
+    * tie would depend on partition scan order — determinism of the
+    * selected ROW SET holds only when ids are unique. Callers with
+    * duplicate ids should dedup first (or sample the id set, not rows). */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame,
                        strataCols: Seq[String], idCol: String,
                        k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, md5, row_number}
+    val rn = "__graft_stratified_rn"
+    require(!df.columns.contains(rn), s"stratifiedSample: input already has a $rn column")
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .drop("__rn")
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= k)
+      .drop(rn)
   }
 }

@@ -145,13 +145,15 @@ object TextOps {
     * once the frame is unreferenced, so repeated calls from a long-lived
     * session don't accumulate cached blocks. */
   private def signatures(base: DataFrame, shingleN: Int, numPerm: Int,
-                         bands: Int, rowsPerBand: Int): DataFrame =
-    base
+                         bands: Int, rowsPerBand: Int,
+                         checkpoint: Boolean = true): DataFrame = {
+    val sig = base
       .select(col("id"),
         graft.functions.TextExpressions.minhash_shingles(
           tokens(col("text")), shingleN, numPerm).as("sig"))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
-      .localCheckpoint()
+    if (checkpoint) sig.localCheckpoint() else sig
+  }
 
   /** Bucket-local candidate-pair generation shared by the MinHash and
     * SimHash LSH paths: group ids per (band, hash), drop oversized
@@ -184,29 +186,53 @@ object TextOps {
     * all — candidates stream out of the scan; only the (small) candidate
     * pair set is ever exchanged. Both sides bounded, the band join is the
     * only wide operation. Same total-recall-at-high-J property as the
-    * self-join path (r=4 bands), same exact-verify final filter. */
+    * self-join path (r=4 bands), same exact-verify final filter.
+    *
+    * `checkpointLeft` (default false): by default the big left side's
+    * signatures are NOT materialized — they stream through the band join
+    * once, only the (small) candidate pair set is pinned, and the
+    * estimate stage recomputes signatures for candidate survivors alone
+    * via a semi-probe. At 100 TB that trades a second (filtered) scan of
+    * the left corpus for not writing the full corpus's signatures to
+    * executor storage — the right default when candidates are rare.
+    * Set true to materialize the left signatures once and reuse them
+    * (the self-join discipline), e.g. when most of the left side is
+    * expected to be a candidate. The small right side is always
+    * checkpointed (it has two consumers either way). */
   def minhashCrossDupPairs(left: DataFrame, right: DataFrame,
                            idCol: String, textCol: String,
                            shingleN: Int = 3, numPerm: Int = 64,
                            bands: Int = 16, threshold: Double = 0.5,
-                           broadcastRight: Boolean = true): DataFrame = {
+                           broadcastRight: Boolean = true,
+                           checkpointLeft: Boolean = false): DataFrame = {
     val rowsPerBand = numPerm / bands
     val lBase = tokenFiltered(left, idCol, textCol, shingleN, repartitionInput = true)
     val rBase = tokenFiltered(right, idCol, textCol, shingleN, repartitionInput = true)
-    val lSig = signatures(lBase, shingleN, numPerm, bands, rowsPerBand)
+    val lSig = signatures(lBase, shingleN, numPerm, bands, rowsPerBand,
+      checkpoint = checkpointLeft)
     val rSig = signatures(rBase, shingleN, numPerm, bands, rowsPerBand)
     def banded(sig: DataFrame): DataFrame =
       sig.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val rBanded0 = banded(rSig).withColumnRenamed("id", "id_r")
     val rBanded = if (broadcastRight) broadcast(rBanded0) else rBanded0
-    val candidates = banded(lSig).withColumnRenamed("id", "id_l")
+    val candidates0 = banded(lSig).withColumnRenamed("id", "id_l")
       .join(rBanded, Seq("band_idx", "band_hash"))
       .select(col("id_l"), col("id_r"))
       .distinct()
+    // with lazy left signatures, pin the small candidate set instead so
+    // the full-corpus scan runs exactly once per consumer chain
+    val candidates = if (checkpointLeft) candidates0 else candidates0.localCheckpoint()
+    val lSigForEst =
+      if (checkpointLeft) lSig.select(col("id").as("id_l"), col("sig").as("sig_l"))
+      else signatures(
+          lBase.join(candidates.select(col("id_l").as("id")).distinct(),
+            Seq("id"), "left_semi"),
+          shingleN, numPerm, bands, rowsPerBand, checkpoint = false)
+        .select(col("id").as("id_l"), col("sig").as("sig_l"))
     // signature-agreement estimate, then exact verify over shingle sets —
     // both computed only for surviving candidates
     val estimated = candidates
-      .join(lSig.select(col("id").as("id_l"), col("sig").as("sig_l")), "id_l")
+      .join(lSigForEst, "id_l")
       .join(rSig.select(col("id").as("id_r"), col("sig").as("sig_r")), "id_r")
       .withColumn("est",
         aggregate(zip_with(col("sig_l"), col("sig_r"),
@@ -288,7 +314,11 @@ object TextOps {
       s"maxHamming + 1 must divide 64, got $maxHamming")
     val nChunks = maxHamming + 1
     val width = 64 / nChunks
-    val mask = (1L << width) - 1L
+    // maxHamming=0 means one 64-bit chunk: (1L << 64) wraps to 1 (Scala
+    // shifts mod 64), which would zero the mask and collapse every
+    // band_hash into one oversized bucket that the cap then drops — the
+    // exact-signature case would silently return no pairs
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(col("id"))
       .where(size(tokens(col("text"))) >= shingleN)

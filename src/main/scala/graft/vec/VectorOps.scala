@@ -212,13 +212,14 @@ object VectorOps {
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
 
   /** Train PQ codebooks: per-subspace k-means under squared L2, seeded
-    * from the sub-vectors of the first `ksub` ids (deterministic — the
-    * same discipline as the IVF seeds). Each sweep is one broadcast-join
-    * assignment + one mean aggregate with map-side combine; the model
-    * (m * ksub * subDim doubles) is collected driver-side, trivially
-    * small. `iters = 0` keeps the seeds as-is — with ksub >= the number
-    * of distinct sub-vectors that makes encoding LOSSLESS, the property
-    * the exhaustive oracle gate exploits. */
+    * from the sub-vectors of the `ksub` smallest ids (deterministic — the
+    * same discipline as the IVF seeds, and robust to sparse or offset id
+    * spaces: seeds are picked by rank, not by assuming ids are dense from
+    * 0). Each sweep is one broadcast-join assignment + one mean aggregate
+    * with map-side combine; the model (m * ksub * subDim doubles) is
+    * collected driver-side, trivially small. `iters = 0` keeps the seeds
+    * as-is — with ksub >= the number of distinct sub-vectors that makes
+    * encoding LOSSLESS, the property the exhaustive oracle gate exploits. */
   def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, ksub: Int = 256, iters: Int = 2): PqModel = {
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
@@ -226,9 +227,17 @@ object VectorOps {
     val subDim = dim / m
     val subs = subVectors(vectors, idCol, vecCol, m, subDim)
       .localCheckpoint() // reused every sweep: split once, not per sweep
-    val seedRows = subs.where(col("id") < ksub)
+    // ksub-smallest ids via TakeOrdered (no full sort, no shuffle), then a
+    // broadcast semi-probe for their sub-vectors
+    val seedIds = vectors.select(col(idCol).cast("long").as("id"))
+      .orderBy(col("id")).limit(ksub)
+    val seedRows = subs.join(broadcast(seedIds), Seq("id"), "left_semi")
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .map(r => (r.getAs[Number](0).longValue, r.getInt(1), r.getSeq[Double](2).toArray))
+    val perSubspace = seedRows.groupBy(_._2).view.mapValues(_.length).toMap
+    require(perSubspace.size == m && perSubspace.values.forall(_ > 0),
+      s"pqTrain: seed probe returned ${seedRows.length} rows across " +
+        s"${perSubspace.size}/$m subspaces — is $idCol castable to long?")
     var model = PqModel(m, subDim,
       (0 until m).map(j => seedRows.filter(_._2 == j).sortBy(_._1).map(_._3).toSeq))
     for (_ <- 0 until iters) {

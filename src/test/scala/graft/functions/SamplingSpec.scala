@@ -44,6 +44,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(k8.size == 24 && k5.subsetOf(k8))    // bottom-k sets are nested
   }
 
+  test("stratified sample works when the input has a __rn column, rejects its own temp name") {
+    val df = Seq(("a", 1L, 9), ("a", 2L, 8)).toDF("g", "id", "__rn")
+    val got = Sampling.stratifiedSample(df, Seq("g"), "id", 1)
+    assert(got.columns.toSeq == Seq("g", "id", "__rn") && got.count() == 1)
+    val clash = df.withColumnRenamed("__rn", "__graft_stratified_rn")
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(clash, Seq("g"), "id", 1)
+    }
+  }
+
   test("stratified sample returns whole strata smaller than k") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id")
     val got = Sampling.stratifiedSample(df, Seq("g"), "id", 10)

@@ -136,6 +136,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 0), (1L, 7L, 0), (2L, 7L, 0)))
   }
 
+  test("simhashNearDupPairs: maxHamming=0 finds exact-signature twins") {
+    // width=64 is the full-signature chunk: the mask must be all-ones
+    // (a naive (1L << 64) - 1 wraps to 0 and collapses every bucket)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+        shingleN = 2, maxHamming = 0)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
+
+  test("minhashCrossDupPairs: checkpointLeft=true matches the streaming default") {
+    val left = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu xi"),
+      (4L, "totally unrelated content about completely different things here"))
+      .toDF("doc_id", "text")
+    def run(ckpt: Boolean) = TextOps.minhashCrossDupPairs(
+        left, right, "doc_id", "text",
+        shingleN = 2, numPerm = 64, bands = 32, threshold = 0.3,
+        checkpointLeft = ckpt)
+      .select("id_l", "id_r", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val streamed = run(false)
+    assert(streamed == run(true))
+    assert(streamed.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("simhashNearDupPairs rejects radii that don't divide the signature") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

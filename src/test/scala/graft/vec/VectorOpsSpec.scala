@@ -105,6 +105,25 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(codes(0L) != codes(2L))
   }
 
+  test("pq train: offset/sparse ids still seed full codebooks") {
+    // ids far from 0 and non-contiguous: seeds are the ksub SMALLEST ids
+    // by rank, not rows with id < ksub (which here would be none)
+    val dim4 = Seq(
+      (1000000L, Array(0.1f, 0.2f, 1.0f, 0.0f)),
+      (1000007L, Array(0.2f, 0.3f, 1.1f, 0.1f)),
+      (2000003L, Array(4.0f, -1.0f, 0.5f, 2.0f)),
+      (3000009L, Array(-2.0f, 0.7f, -0.3f, 1.5f)))
+      .toDF("vec_id", "embedding")
+    val model = VectorOps.pqTrain(dim4, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 0)
+    assert(model.codebooks.forall(_.length == 4))
+    // exhaustive ksub keeps ADC search the exact L2 ranking
+    val got = VectorOps.pqTopK(dim4, dim4.where($"vec_id" === 1000000L),
+        "vec_id", "embedding", k = 2, model)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got.head == 1000007L)
+  }
+
   test("ivf assignment plan has no exchange before the probe join") {
     // the whole point of the literal-projection assignment: ranking
     // centroids per row adds NO shuffle — the only exchanges in the final
