@@ -400,6 +400,15 @@ object SparkEntry {
           f("mean_word_len").as("mean_word_len"))
     }),
 
+    // X: self-trained bigram LM scoring — the perplexity-filter analogue;
+    // all statistics from one exploded bigram frame
+    "q_x_lm_score" -> ((s, dir) => {
+      graft.text.TextOps.bigramLogProbScores(
+          t(s, dir, "documents").repartition(col("doc_id")),
+          "doc_id", "text", k = 0.5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // X: the full corpus-preprocessing composition (language -> quality ->
     // redact -> exact dedup -> near-dup clusters -> decontaminate), audited
     // per stage. Oracle-gated end-to-end: every stage is SQL-expressible
@@ -425,6 +434,16 @@ object SparkEntry {
           docs, docs.where(pmod(col("doc_id"), lit(97)) === 0),
           "doc_id", "text", "text")
         .select(col("id").as("doc_id"), col("contaminated"))
+    }),
+
+    // X: n-gram-overlap decontamination (the GPT-3 scheme): docs sharing
+    // ANY 5-gram with the benchmark subset — broadcast benchmark grams,
+    // corpus side streams through one scan
+    "q_x_decontaminate_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TextOps.ngramOverlapIds(
+        docs, docs.where(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", "text", n = 5)
     }),
 
     // X: PII-ish redaction (urls then emails -> typed placeholders)
@@ -461,6 +480,15 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // X: weighted training-mix draw — per-language target counts, md5
+    // bottom-k per stratum; absent strata are whitelisted out
+    "q_x_training_mix" -> ((s, dir) => {
+      graft.functions.Sampling.trainingMix(
+          t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 50, "de" -> 20, "zh" -> 10))
+        .select(col("lang"), col("doc_id"), col("source"))
+    }),
+
     // X: BM25 ranked retrieval — the lexical search used to pull topical
     // slices from a corpus; postings pruned by a broadcast query-term
     // semi-join BEFORE the corpus-wide shuffle. Scores rounded before
@@ -474,6 +502,18 @@ object SparkEntry {
             "qc" -> "vector column scan"),
           k = 10)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // X: concat-and-chunk sequence packing — the global token-stream
+    // prefix sum done as a two-phase distributed scan (range shuffle +
+    // per-partition windows + tiny driver prefix), never a
+    // single-partition window
+    "q_x_pack_sequences" -> ((s, dir) => {
+      import graft.text.{Packing, TextOps}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", ctxLen = 512)
     }),
 
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
@@ -1054,6 +1094,17 @@ object SparkEntry {
            CAST(b.fp IS NOT NULL AS INT) AS contaminated
          FROM f LEFT JOIN b ON f.fp = b.fp""",
 
+    "q_x_decontaminate_ngram" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+         FROM tok),
+         bg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0)
+         SELECT DISTINCT g.doc_id FROM g JOIN bg USING (ng)""",
+
     "q_x_redact" ->
       """SELECT doc_id,
          regexp_replace(
@@ -1092,6 +1143,22 @@ object SparkEntry {
            round(length(text)::DOUBLE / greatest(len(toks), 1), 4) AS mean_word_len
          FROM t""",
 
+    "q_x_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS s
+           FROM tok WHERE len(w) >= 2),
+         p AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM p0),
+         b AS (SELECT bg, count(*) AS c_bg FROM p GROUP BY bg),
+         u AS (SELECT w1, count(*) AS c_w1 FROM p GROUP BY w1),
+         v AS (SELECT count(*) AS nv FROM u)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c_bg + 0.5) / (c_w1 + 0.5 * v.nv))), 4) AS avg_logprob
+         FROM p JOIN b USING (bg) JOIN u USING (w1) CROSS JOIN v
+         GROUP BY doc_id""",
+
     "q_x_lang_id" ->
       """WITH t AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
@@ -1122,6 +1189,14 @@ object SparkEntry {
          SELECT o_orderpriority, o_orderkey, o_totalprice
          FROM r WHERE rn <= 10""",
 
+    "q_x_training_mix" ->
+      """WITH r AS (SELECT lang, doc_id, source,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents WHERE lang IN ('en', 'de', 'zh'))
+         SELECT lang, doc_id, source FROM r
+         WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END""",
+
     "q_x_bm25" ->
       """WITH q(query_id, term) AS (VALUES
            ('qa', 'hash'), ('qa', 'join'), ('qa', 'merge'),
@@ -1150,6 +1225,19 @@ object SparkEntry {
                FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, score
          FROM r WHERE rank <= 10""",
+
+    "q_x_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_tokens AS BIGINT) AS start_offset
+         FROM tok WHERE n_tokens > 0)
+         SELECT doc_id, n_tokens, start_offset,
+           start_offset // 512 AS seq_first,
+           (start_offset + n_tokens - 1) // 512 AS seq_last
+         FROM c""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,

@@ -88,4 +88,38 @@ object Sampling {
       .where(col(rn) <= k)
       .drop(rn)
   }
+
+  /** Deterministic training-mix draw: per-stratum TARGET COUNTS instead
+    * of one global k — the domain-weighting step of a pre-training mix
+    * ("30k docs of en, 10k of de, ..."). Same md5 bottom-k selection as
+    * [[stratifiedSample]], so the same guarantees hold: reproducible
+    * across runs/partitionings/engines, nested under growing targets,
+    * requires `idCol` unique per stratum. Strata absent from `targets`
+    * are dropped (an explicit mix is a whitelist); strata smaller than
+    * their target return whole (callers wanting upsampling/epoch logic
+    * own that policy — the engine stays a one-pass selector).
+    *
+    * One broadcast of the tiny target map, one shuffle on the stratum
+    * key — identical cost shape to stratifiedSample. */
+  def trainingMix(df: org.apache.spark.sql.DataFrame,
+                  stratumCol: String, idCol: String,
+                  targets: Map[String, Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, md5, row_number}
+    require(targets.nonEmpty, "trainingMix: empty target map")
+    require(targets.values.forall(_ >= 0), "trainingMix: negative target count")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rn = "__graft_mix_rn"
+    val tk = "__graft_mix_k"
+    require(!df.columns.contains(rn) && !df.columns.contains(tk),
+      s"trainingMix: input already has a $rn/$tk column")
+    val targetDf = targets.toSeq.toDF(stratumCol, tk)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(targetDf), Seq(stratumCol))
+      .withColumn(rn, row_number().over(w))
+      .where(col(rn) <= col(tk))
+      .drop(rn, tk)
+  }
 }

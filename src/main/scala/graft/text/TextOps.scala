@@ -494,6 +494,41 @@ object TextOps {
       "mean_word_len" -> round(nChars / greatest(size(toks).cast("double"), lit(1.0)), 4))
   }
 
+  /** Add-k-smoothed bigram language-model score per document, trained on
+    * the corpus itself — the statistical analogue of a perplexity filter
+    * (CCNet trains KenLM on a trusted corpus; without external models the
+    * self-trained variant flags the same tail: documents whose token
+    * transitions are improbable under the corpus distribution, i.e.
+    * boilerplate soup, lorem-ipsum, and mojibake score low).
+    *
+    * P(w2|w1) = (C(w1 w2) + k) / (C(w1 .) + k * V), V = distinct
+    * left-context vocabulary; every statistic derives from ONE exploded
+    * bigram frame, localCheckpoint'd because four consumers share it
+    * (bigram counts, context counts, the vocab scalar, and the scoring
+    * join). The count tables are vocab-sized (Zipf), far smaller than
+    * the corpus; the scoring joins shuffle on bigram/context keys whose
+    * stopword skew is exactly what AQE skew-join splitting is for.
+    * Returns (id, n_bigrams, avg_logprob) for docs with >= 2 tokens. */
+  def bigramLogProbScores(docs: DataFrame, idCol: String, textCol: String,
+                          k: Double = 0.5): DataFrame = {
+    require(k > 0, s"bigramLogProbScores: smoothing k must be > 0, got $k")
+    val pairs = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        expr("slice(w, 1, size(w) - 1)"), expr("slice(w, 2, size(w) - 1)"))).as("p"))
+      .select(col("id"), col("p.0").as("w1"),
+        concat_ws(" ", col("p.0"), col("p.1")).as("bg"))
+      .localCheckpoint()
+    val bCounts = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val uCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    val v = uCounts.count()
+    pairs.join(bCounts, "bg").join(uCounts, "w1")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log((col("c_bg") + k) / (col("c_w1") + k * v))), 4).as("avg_logprob"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Benchmark decontamination flags: 1 for every document whose
@@ -521,6 +556,42 @@ object TextOps {
     docs.join(
       benchmark.select(fingerprintMd5(col(benchTextCol)).as("__fp")).distinct(),
       fingerprintMd5(col(textCol)) === col("__fp"), "left_anti")
+
+  /** N-gram-overlap decontamination ids (the GPT-3 appendix-C scheme,
+    * Brown et al. 2020: a training doc is contaminated if it shares ANY
+    * word n-gram with any benchmark doc — canonically n=13; lower n for
+    * short benchmarks). Returns the distinct contaminated doc ids;
+    * compose with a left_anti to remove, or a flag join to audit.
+    *
+    * Scale: the benchmark's distinct n-gram set is small by assumption
+    * and BROADCASTS; the corpus side streams through one scan — shingle
+    * explode, broadcast LEFT SEMI, then a distinct bounded by the hit
+    * count. No corpus-side wide shuffle at any size; this is strictly
+    * cheaper than the MinHash cross path and catches partial-overlap
+    * contamination (one shared passage) that whole-doc fingerprints and
+    * document-level Jaccard both miss. */
+  def ngramOverlapIds(docs: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String, benchTextCol: String,
+                      n: Int = 13): DataFrame = {
+    require(n >= 1, s"ngramOverlapIds: n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(wordShingles(tokens(col(benchTextCol)), n)).as("__ng"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(wordShingles(tokens(col(textCol)), n)).as("__ng"))
+      .join(broadcast(benchGrams), Seq("__ng"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** Remove n-gram-contaminated docs: [[ngramOverlapIds]] + anti join. */
+  def decontaminateNgramOverlap(docs: DataFrame, benchmark: DataFrame,
+                                idCol: String, textCol: String,
+                                benchTextCol: String, n: Int = 13): DataFrame = {
+    val hits = ngramOverlapIds(docs, benchmark, idCol, textCol, benchTextCol, n)
+      .withColumnRenamed(idCol, "__hit_id")
+    docs.join(broadcast(hits), col(idCol) === col("__hit_id"), "left_anti")
+  }
 
   // ------------------------------------------------------------ split guard
 

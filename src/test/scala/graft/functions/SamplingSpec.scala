@@ -44,6 +44,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(k8.size == 24 && k5.subsetOf(k8))    // bottom-k sets are nested
   }
 
+  test("trainingMix: per-stratum targets, whitelist semantics, nested draws") {
+    val df = (1 to 300).map(i => (s"s${i % 3}", i.toLong)).toDF("g", "id")
+    val got = Sampling.trainingMix(df, "g", "id", Map("s0" -> 5, "s1" -> 2))
+      .select("g", "id").as[(String, Long)].collect().groupBy(_._1)
+    assert(got.keySet == Set("s0", "s1"))           // s2 absent -> dropped
+    assert(got("s0").length == 5 && got("s1").length == 2)
+    // same md5 bottom-k discipline as stratifiedSample, so draws compose
+    val k5 = Sampling.stratifiedSample(df, Seq("g"), "id", 5)
+      .where($"g" === "s0").select("id").as[Long].collect().toSet
+    assert(got("s0").map(_._2).toSet == k5)
+    val grown = Sampling.trainingMix(df, "g", "id", Map("s0" -> 9))
+      .select("id").as[Long].collect().toSet
+    assert(k5.subsetOf(grown))
+  }
+
   test("stratified sample works when the input has a __rn column, rejects its own temp name") {
     val df = Seq(("a", 1L, 9), ("a", 2L, 8)).toDF("g", "id", "__rn")
     val got = Sampling.stratifiedSample(df, Seq("g"), "id", 1)

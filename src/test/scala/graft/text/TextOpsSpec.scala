@@ -73,6 +73,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("bigramLogProbScores: hand-computed add-k score, short docs dropped") {
+    // "a b c b c": bigrams (a b):1 (b c):2 (c b):1; left counts a:1 b:2 c:1;
+    // V=3, k=0.5 -> avg = (ln(1.5/2.5) + 2*ln(2.5/3.5) + ln(1.5/2.5))/4
+    val docs = Seq((1L, "a b c b c"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.bigramLogProbScores(docs, "doc_id", "text", k = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 4L, -0.4236)))
+    // higher-probability transitions score higher: a doc of common
+    // transitions beats a doc of singleton transitions
+    val corpus = (Seq.fill(5)("x y") ++ Seq("p q")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val scores = TextOps.bigramLogProbScores(corpus, "doc_id", "text")
+      .select("id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(scores(0L) > scores(5L))
+  }
+
+  test("ngramOverlapIds flags any shared n-gram; decontaminate removes those docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox appears in completely new text here"), // shares one 3-gram
+      (3L, "nothing in common with anything else at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox runs far away").toDF("btext")
+    val idsDf = TextOps.ngramOverlapIds(docs, bench, "doc_id", "text", "btext", n = 3)
+    assert(idsDf.as[Long].collect().toSet == Set(1L, 2L))
+    // the benchmark gram set must broadcast: corpus side streams, no wide join
+    val plan = idsDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    val kept = TextOps.decontaminateNgramOverlap(docs, bench, "doc_id", "text", "btext", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("decontaminateNearDup drops exact AND near matches of the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),  // near-dup of bench
