@@ -440,7 +440,8 @@ object SparkEntry {
     // ANY 5-gram with the benchmark subset — broadcast benchmark grams,
     // corpus side streams through one scan
     "q_x_decontaminate_ngram" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // spread the single-file scan before the CPU-bound shingle explode
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
       graft.text.TextOps.ngramOverlapIds(
         docs, docs.where(pmod(col("doc_id"), lit(37)) === 0),
         "doc_id", "text", "text", n = 5)

@@ -135,6 +135,44 @@ case class MinHashShingles(child: Expression, shingleN: Int, numPerm: Int)
     copy(child = newChild)
 }
 
+/** Word n-gram shingles (n consecutive tokens joined by a space) as one
+  * tight loop per row. The built-in equivalent —
+  * `transform(sequence(0, size-n), i -> concat_ws(' ', slice(toks, i+1, n)))`
+  * — is a higher-order function with no codegen: it re-evaluates an
+  * interpreted lambda per start offset, which dominates corpus-wide
+  * shingle scans (measured ~3.4 s of a 3.6 s query at sf0.1). Null
+  * tokens are skipped within a shingle, matching concat_ws. */
+case class WordShingles(child: Expression, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(shingleN >= 1, s"word_shingles: n must be >= 1, got $shingleN")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = math.max(0, n - shingleN + 1)
+    val res = new Array[Any](out)
+    var i = 0
+    while (i < out) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](shingleN)
+      var j = 0
+      while (j < shingleN) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      res(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Karp-Rabin polynomial rolling hash over a string's UTF-8 bytes:
   * h = sum(byte_i * B^i) in wrapping 64-bit arithmetic, B = 1000003.
   * A cheap order-sensitive document fingerprint. */
@@ -170,6 +208,8 @@ object TextExpressions {
     toColumn(MinHashSignature(toExpression(c), numPerm))
   def minhash_shingles(tokens: Column, shingleN: Int, numPerm: Int): Column =
     toColumn(MinHashShingles(toExpression(tokens), shingleN, numPerm))
+  def word_shingles(tokens: Column, shingleN: Int): Column =
+    toColumn(WordShingles(toExpression(tokens), shingleN))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

@@ -27,14 +27,12 @@ object TextOps {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space). */
-  def wordShingles(toks: Column, n: Int): Column = {
-    // sequence(0, size-n) drives a slice per start offset; empty/short
-    // docs produce an empty array rather than nulls
-    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    transform(starts, i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-  }
+  /** Word n-gram shingles (n consecutive tokens joined by a space);
+    * empty/short docs produce an empty array. A fused expression — the
+    * transform(sequence)/slice/concat_ws composition is an interpreted
+    * higher-order function and dominated corpus-wide shingle scans. */
+  def wordShingles(toks: Column, n: Int): Column =
+    graft.functions.TextExpressions.word_shingles(toks, n)
 
   // ---------------------------------------------------------------- minhash
 
