@@ -481,6 +481,16 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // X: deterministic corpus shuffle — global rank by md5(doc_id) via
+    // the two-phase distributed scan, never a single-partition window
+    "q_x_global_shuffle" -> ((s, dir) => {
+      graft.ops.Scans.globalRowNumber(
+          t(s, dir, "documents")
+            .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k")),
+          "k", "shuffle_pos")
+        .select(col("doc_id"), col("shuffle_pos"))
+    }),
+
     // X: weighted training-mix draw — per-language target counts, md5
     // bottom-k per stratum; absent strata are whitelisted out
     "q_x_training_mix" -> ((s, dir) => {
@@ -1189,6 +1199,12 @@ object SparkEntry {
          FROM orders)
          SELECT o_orderpriority, o_orderkey, o_totalprice
          FROM r WHERE rn <= 10""",
+
+    "q_x_global_shuffle" ->
+      """SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                AS BIGINT) AS shuffle_pos
+         FROM documents""",
 
     "q_x_training_mix" ->
       """WITH r AS (SELECT lang, doc_id, source,
