@@ -154,6 +154,34 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming benchmark decontamination: drop arriving docs that share
+    * any word n-gram with the (static) benchmark — the ingest-time guard
+    * that keeps eval contamination out of a continuously-growing corpus
+    * instead of re-sweeping it in batch.
+    *
+    * The batch shape (explode + semi-join + collapse + anti-join) is a
+    * stream self-join, which Structured Streaming rejects; the streaming
+    * shape must decide contamination PER ROW. The benchmark's distinct
+    * gram set — small by the same assumption that lets the batch path
+    * broadcast it — is collected once at plan time and the check becomes
+    * one codegen'd `arrays_overlap` against it: stateless, shuffle-free,
+    * any stream rate. Works identically on batch frames. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String, benchTextCol: String,
+                          n: Int = 13): DataFrame = {
+    import graft.text.TextOps
+    require(!benchmark.isStreaming,
+      "decontaminateStream: benchmark side must be static")
+    val grams = benchmark
+      .select(explode(TextOps.wordShingles(
+        TextOps.tokens(col(benchTextCol)), n)).as("__ng"))
+      .distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted
+    docs.where(!arrays_overlap(
+      TextOps.wordShingles(TextOps.tokens(col(textCol)), n),
+      typedlit(grams.toSeq)))
+  }
+
   /** Open the events directory as a file stream. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     normalize(spark.readStream.schema(eventsSchema)

@@ -176,6 +176,39 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_stream_")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // shares 3-grams
+      (2L, "a quick brown fox appears in completely new text"),
+      (3L, "nothing in common with anything else at all"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val bench = Seq("the quick brown fox runs far away").toDF("btext")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamOps.decontaminateStream(stream, bench, "text", "btext", n = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("docs_decon").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("docs_decon").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(3L))
+      // agrees with the batch-shape operator on the same data
+      val batchKept = graft.text.TextOps.decontaminateNgramOverlap(
+          spark.read.parquet(dir.resolve("d1.parquet").toString), bench,
+          "doc_id", "text", "btext", n = 3)
+        .select("doc_id").as[Long].collect().toSet
+      assert(batchKept == got)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val deduped = StreamOps.dedupedStream(
       StreamOps.readEventsStream(spark, streamDir))
