@@ -762,6 +762,20 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, model)
     }),
 
+    // X: PQ + exact re-rank, oracle-gated the inverse way of the
+    // exhaustive query: the model is deliberately LOSSY (ksub=16) but the
+    // ADC shortlist covers every candidate, so the exact re-rank must
+    // reproduce the true L2 top-k bit-for-bit — a wrong metric, dropped
+    // candidate, or bad tie-break in the refine stage fails the hash
+    "q_x_ann_pq_refined" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      val model = graft.vec.VectorOps.pqTrain(
+        emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 0)
+      graft.vec.VectorOps.pqTopKRefined(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, model, refine = 100)
+    }),
+
     // X: gap sessionization, batch path (gaps-and-islands windows; the
     // streaming path keeps flatMapGroupsWithState) — closed sessions only;
     // oracle is the same SQL formulation
@@ -1566,6 +1580,23 @@ object SparkEntry {
     // exhaustive PQ must equal the exact squared-L2 ranking; the nested
     // comprehension mirrors the subspace-grouped summation order so the
     // double arithmetic matches Spark's bit-for-bit
+    "q_x_ann_pq_refined" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_sum([ list_sum([ (c.embedding[(j*8)+i]::DOUBLE
+                                    - q.embedding[(j*8)+i]::DOUBLE)^2
+                                   for i in range(1, 9) ])
+                        for j in range(0, 8) ]) AS d
+           FROM embeddings c, q
+           WHERE c.vec_id < 500 AND c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(d, 4) AS dist
+         FROM r WHERE rank <= 5""",
+
     "q_x_ann_pq_exhaustive" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -35,7 +35,13 @@ object PqRecall {
       val approx = VectorOps.pqTopK(vecs, queries, "vec_id", "embedding", k, model)
       val r = VectorOps.recallAtK(approx, exact)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"ksub=$ksub%d iters=$iters%d recall@$k%d=${r}%.4f train+search=${sec}%.1fs")
+      val t1 = System.nanoTime()
+      val refined = VectorOps.pqTopKRefined(vecs, queries, "vec_id", "embedding",
+        k, model, refine = 4)
+      val rRef = VectorOps.recallAtK(refined, exact)
+      val secRef = (System.nanoTime() - t1) / 1e9
+      println(f"ksub=$ksub%d iters=$iters%d recall@$k%d=${r}%.4f " +
+        f"(refined x4: ${rRef}%.4f) train+search=${sec}%.1fs refined=${secRef}%.1fs")
     }
     spark.stop()
   }

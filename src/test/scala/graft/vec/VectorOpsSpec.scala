@@ -124,6 +124,25 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.head == 1000007L)
   }
 
+  test("pq refined re-rank: exhaustive shortlist equals exact, recall never drops") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 8)
+    val exact = VectorOps.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    // deliberately lossy model: plain ADC misranks, the re-rank repairs
+    val model = VectorOps.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0)
+    val plain = VectorOps.recallAtK(
+      VectorOps.pqTopK(emb, q, "vec_id", "embedding", 5, model), exact)
+    val refined = VectorOps.recallAtK(
+      VectorOps.pqTopKRefined(emb, q, "vec_id", "embedding", 5, model, refine = 4), exact)
+    assert(refined >= plain, f"refined $refined%.4f < plain $plain%.4f")
+    // shortlist covering every candidate -> must BE the exact neighbor set
+    val full = VectorOps.recallAtK(
+      VectorOps.pqTopKRefined(emb, q, "vec_id", "embedding", 5, model, refine = 100), exact)
+    assert(full == 1.0, f"exhaustive-shortlist recall $full%.4f != 1.0")
+  }
+
   test("ivf assignment plan has no exchange before the probe join") {
     // the whole point of the literal-projection assignment: ranking
     // centroids per row adds NO shuffle — the only exchanges in the final
