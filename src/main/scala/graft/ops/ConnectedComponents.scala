@@ -29,13 +29,23 @@ object ConnectedComponents {
   /** (id, cluster_id) for every vertex appearing in a non-self pair,
     * where cluster_id is the smallest vertex id in the component.
     *
+    * Small graphs short-circuit to a driver-side union-find: the pair
+    * list is usually MUCH smaller than the corpus (it is the output of
+    * capped LSH banding, not the input data), and when the canonical
+    * edge set fits `localThreshold` rows a single collect + union-find
+    * replaces ~log2(n) contraction rounds of 4-6 Spark jobs each — the
+    * same hybrid GraphFrames ships for its connected components. The
+    * distributed path takes over above the threshold (or for non-integral
+    * id types), so scale is never capped by the fast path; pass
+    * `localThreshold = 0` to force contraction.
+    *
     * Throws if the fixpoint is not reached within `maxIter` contraction
     * rounds: silently returning partial labels would keep multiple
     * representatives per component — invisible under-dedup. The default
     * budget of 50 rounds covers any graph up to ~2^50 vertices with wide
     * margin (rounds needed ≈ log2(n)). */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxIter: Int = 50): DataFrame = {
+               maxIter: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
     // localCheckpoint (not persist): an iterative frame's LINEAGE doubles
     // per round even when the data is cached, and analyzing/printing the
     // accumulated plan OOMs the driver after ~10 rounds. Checkpointing
@@ -59,6 +69,11 @@ object ConnectedComponents {
 
     var iter = 0
     var curCount = cur.count()
+    val idType = vertices.schema.head.dataType
+    val integralId = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    if (integralId && curCount <= localThreshold) return clustersLocal(cur, idType)
     var converged = curCount == 0
     while (!converged && iter < maxIter) {
       // large-star: every vertex connects its LARGER neighbors to the
@@ -105,11 +120,41 @@ object ConnectedComponents {
       .select(vertices("u").as("id"), coalesce(col("root"), vertices("u")).as("cluster_id"))
   }
 
+  /** Driver-side union-find over a collected canonical edge set (u > v,
+    * deduped, bounded by `localThreshold`). Union-by-min keeps each
+    * root the component minimum, matching the contraction fixpoint
+    * exactly; path compression keeps it near-linear. */
+  private def clustersLocal(edges: DataFrame,
+                            idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    val labels = es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+      .toArray.distinct.map(x => (x, find(x)))
+    labels.toSeq.toDF("id", "cluster_id")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
+  }
+
   /** Keep/drop verdict per near-dup vertex: the cluster representative
     * (min id) is kept, the rest are dropped. Documents that never appear
     * in a pair are implicitly kept and not listed. */
   def keepList(pairs: DataFrame, aCol: String, bCol: String,
-               maxIter: Int = 50): DataFrame =
-    clusters(pairs, aCol, bCol, maxIter)
+               maxIter: Int = 50, localThreshold: Long = 1L << 20): DataFrame =
+    clusters(pairs, aCol, bCol, maxIter, localThreshold)
       .withColumn("keep", col("id") === col("cluster_id"))
 }

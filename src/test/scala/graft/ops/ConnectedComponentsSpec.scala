@@ -16,12 +16,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (10L, 11L), (10L, 12L),            // star on 10
       (20L, 21L))
       .toDF("id_a", "id_b")
-    val got = ConnectedComponents.clusters(pairs, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(
-      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L,
-      20L -> 20L, 21L -> 20L))
+    // both paths: driver union-find (small graph) and forced contraction
+    for (th <- Seq(1L << 20, 0L)) {
+      val got = ConnectedComponents.clusters(pairs, "id_a", "id_b",
+          localThreshold = th)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L), s"localThreshold=$th")
+    }
   }
 
   test("10k-node chain converges in O(log n) rounds, far under the default budget") {
@@ -31,7 +35,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val n = 10000
     val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
-    val got = ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 20)
+    val got = ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 20,
+      localThreshold = 0)
     assert(got.count() == n)
     assert(got.where(col("cluster_id") =!= 1L).isEmpty)
   }
@@ -40,7 +45,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val pairs = (1 until 16).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b") // needs more than one contraction round
     val e = intercept[IllegalStateException](
-      ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 1).count())
+      ConnectedComponents.clusters(pairs, "id_a", "id_b", maxIter = 1,
+        localThreshold = 0).count())
     assert(e.getMessage.contains("maxIter"))
     val ok = ConnectedComponents.clusters(pairs, "id_a", "id_b")
       .as[(Long, Long)].collect()
@@ -72,7 +78,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
     val prop = Prop.forAll(genEdges) { edges =>
       val df = edges.toDF("id_a", "id_b")
-      val got = ConnectedComponents.clusters(df, "id_a", "id_b")
+      // forced-contraction path; the local union-find path is itself the
+      // oracle here, so exercising it would be circular
+      val got = ConnectedComponents.clusters(df, "id_a", "id_b",
+          localThreshold = 0)
         .as[(Long, Long)].collect().toMap
       got == unionFind(edges)
     }
