@@ -32,7 +32,12 @@ object CorpusPipeline {
       minTokens: Long = 5,
       maxPunctRatio: Double = 0.3,
       maxRepetitionRatio: Double = 0.6,
-      nearDupThreshold: Double = 0.5)
+      nearDupThreshold: Double = 0.5,
+      // Some(n): also drop docs sharing ANY word n-gram with the
+      // benchmark (GPT-3 appendix-C decontamination) — catches the
+      // partial-overlap contamination (one embedded eval passage) that
+      // whole-doc fingerprints and doc-level Jaccard both pass through
+      ngramOverlapN: Option[Int] = None)
 
   /** Run the full pipeline. `benchmark` is the eval corpus to
     * decontaminate against (None skips the stage). The audit frame has
@@ -97,12 +102,30 @@ object CorpusPipeline {
       // removal (under-decontamination, the one failure mode this stage
       // exists to prevent)
       case Some(b) =>
-        val c = TextOps.decontaminate(nearKept,
-          b.withColumn("text", TextOps.redact(col("text"))), "text", "text")
-        val n = c.count() // one action: also fills nearObs
-        audit += "near_dedup" -> nearObs.get("n").asInstanceOf[Number].longValue()
-        audit += "decontaminate" -> n
-        c
+        val bRed = b.withColumn("text", TextOps.redact(col("text")))
+        val c0 = TextOps.decontaminate(nearKept, bRed, "text", "text")
+        t.ngramOverlapN match {
+          case Some(ng) =>
+            // the n-gram stage consumes its input twice (gram probe +
+            // anti join), so the exact-decontaminated frame must
+            // materialize or the whole upstream (including the MinHash
+            // pair subtree) would re-run per consumer; its count then
+            // reads the materialized blocks and fills nearObs
+            val pinned = c0.localCheckpoint()
+            val nExact = pinned.count()
+            val c = TextOps.decontaminateNgramOverlap(
+              pinned, bRed, "id", "text", "text", ng)
+            val nFinal = c.count()
+            audit += "near_dedup" -> nearObs.get("n").asInstanceOf[Number].longValue()
+            audit += "decontaminate" -> nExact
+            audit += "decontaminate_ngram" -> nFinal
+            c
+          case None =>
+            val n = c0.count() // one action: also fills nearObs
+            audit += "near_dedup" -> nearObs.get("n").asInstanceOf[Number].longValue()
+            audit += "decontaminate" -> n
+            c0
+        }
       case None =>
         val n = nearKept.count()
         audit += "near_dedup" -> n

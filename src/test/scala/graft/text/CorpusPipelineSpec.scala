@@ -48,6 +48,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(audit.toMap.apply("decontaminate") == 1)
   }
 
+  test("optional n-gram stage drops partial-overlap contamination the others pass") {
+    // doc 1 embeds one benchmark 5-gram inside otherwise-unique text:
+    // fingerprints differ, doc-level Jaccard is far below the near-dup
+    // threshold — only the n-gram stage catches it
+    val docs = Seq(
+      (1L, "the story continues and it mentions secret benchmark answer phrase four of the many puzzles in that archive"),
+      (2L, "completely different english text that is about the weather for today"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      "the eval set contains secret benchmark answer phrase four among its questions")
+      .toDF("text")
+    val off = CorpusPipeline.preprocess(docs, "doc_id", "text",
+      benchmark = Some(bench))
+    assert(off._1.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    val (clean, audit) = CorpusPipeline.preprocess(docs, "doc_id", "text",
+      benchmark = Some(bench),
+      t = CorpusPipeline.Thresholds(ngramOverlapN = Some(5)))
+    assert(clean.select("id").as[Long].collect().toSet == Set(2L))
+    val m = audit.toMap
+    assert(m("decontaminate") == 2 && m("decontaminate_ngram") == 1)
+  }
+
   test("dedup guarantee: no high-similarity pair survives, no family drops to zero") {
     // 8 families of 5 near-identical variants (pairwise Jaccard ~0.9,
     // far above the LSH detection floor, so recall is deterministic-1):
