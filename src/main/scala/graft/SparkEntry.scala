@@ -527,6 +527,37 @@ object SparkEntry {
       Packing.packSequences(docs, "doc_id", "n_tokens", ctxLen = 512)
     }),
 
+    // X: per-source contamination report — the audit a data lead reads
+    // before a training run; composes the n-gram guard with a grouped
+    // rate rollup
+    "q_x_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val hits = graft.text.TextOps.ngramOverlapIds(
+          docs, docs.where(pmod(col("doc_id"), lit(37)) === 0),
+          "doc_id", "text", "text", n = 5)
+        .withColumn("hit", lit(1))
+      docs.join(hits, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count(col("hit")).cast("long").as("n_contaminated"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 4).as("rate"))
+    }),
+
+    // X: token-length distribution per language — corpus shape stats
+    // (exact interpolated percentiles match DuckDB's quantile_cont)
+    "q_x_token_dist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"))
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -1256,6 +1287,34 @@ object SparkEntry {
                FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, score
          FROM r WHERE rank <= 10""",
+
+    "q_x_contamination_report" ->
+      """WITH tok AS (SELECT doc_id, source,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+         FROM tok),
+         bg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0),
+         hits AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (ng))
+         SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+           round(count(h.doc_id)::DOUBLE / count(*), 4) AS rate
+         FROM tok t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         GROUP BY t.source""",
+
+    "q_x_token_dist" ->
+      """WITH tok AS (SELECT lang,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+         FROM tok GROUP BY lang""",
 
     "q_x_pack_sequences" ->
       """WITH tok AS (SELECT doc_id,
