@@ -527,6 +527,15 @@ object SparkEntry {
       Packing.packSequences(docs, "doc_id", "n_tokens", ctxLen = 512)
     }),
 
+    // X: repeated verbatim passages (exact-substring-dedup core): every
+    // position of a 10-gram appearing in >= 2 distinct docs
+    "q_x_repeated_passages" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      graft.text.TextOps.repeatedPassages(docs, "doc_id", "text",
+          n = 10, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // X: per-source contamination report — the audit a data lead reads
     // before a training run; composes the n-gram guard with a grouped
     // rate rollup
@@ -1287,6 +1296,19 @@ object SparkEntry {
                FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id, score
          FROM r WHERE rank <= 10""",
+
+    "q_x_repeated_passages" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 9, 0)),
+             i -> struct_pack(pos := i - 1, ng := array_to_string(list_slice(w, i, i + 9), ' ')))) AS s
+           FROM tok),
+         g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.ng AS ng FROM g0),
+         hot AS (SELECT ng FROM (SELECT DISTINCT ng, doc_id FROM g)
+                 GROUP BY ng HAVING count(*) >= 2)
+         SELECT g.doc_id, g.pos, md5(g.ng) AS gram_md5
+         FROM g JOIN hot USING (ng)""",
 
     "q_x_contamination_report" ->
       """WITH tok AS (SELECT doc_id, source,

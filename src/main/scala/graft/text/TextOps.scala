@@ -582,6 +582,38 @@ object TextOps {
       .distinct()
   }
 
+  /** Repeated-passage detection: every position where a word n-gram
+    * occurs verbatim in >= `minDocs` DISTINCT documents — the
+    * Spark-shaped core of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22, which finds
+    * repeated >= 50-token spans with a suffix array; fixed-length n-gram
+    * matching finds every repeated span of length >= n at a fraction of
+    * the machinery — adjacent flagged positions chain into the longer
+    * span). Output: (id, pos, gram_md5) per flagged position, pos
+    * 0-based in token space; callers clip or collapse the spans.
+    *
+    * Scale: one fused-shingle scan, one (gram, id)-distinct + count
+    * shuffle — global by nature, exactly like the suffix-array sort it
+    * replaces, but partitioned by gram hash with map-side combine. The
+    * gram text never leaves the executors (md5 in place); the scan is
+    * repeated for the position join rather than checkpointing the full
+    * exploded corpus. */
+  def repeatedPassages(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"repeatedPassages: need n >= 1, minDocs >= 2; got n=$n, minDocs=$minDocs")
+    def grams(d: DataFrame): DataFrame = d.select(col(idCol).as("id"),
+      posexplode(wordShingles(tokens(col(textCol)), n)).as(Seq("pos", "ng")))
+    // two-stage distinct-count (distinct pairs, then count) — no Expand
+    val hot = grams(docs).select(col("ng"), col("id")).distinct()
+      .groupBy(col("ng")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("ng"))
+    grams(docs).join(hot, Seq("ng"), "left_semi")
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        md5(col("ng")).as("gram_md5"))
+  }
+
   /** Remove n-gram-contaminated docs: [[ngramOverlapIds]] + anti join. */
   def decontaminateNgramOverlap(docs: DataFrame, benchmark: DataFrame,
                                 idCol: String, textCol: String,

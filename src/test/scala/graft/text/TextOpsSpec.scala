@@ -106,6 +106,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("repeatedPassages flags shared n-gram positions, singletons stay silent") {
+    // docs 1 and 2 share the passage "x y z" at different positions;
+    // doc 3 repeats a gram only WITHIN itself (1 distinct doc -> silent)
+    val docs = Seq(
+      (1L, "a b x y z c"),
+      (2L, "x y z d e f"),
+      (3L, "p q r p q r"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repeatedPassages(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .select("id", "pos").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 0L)))
+  }
+
   test("decontaminateNearDup drops exact AND near matches of the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),  // near-dup of bench
