@@ -536,6 +536,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // X: maximal repeated spans — gaps-and-islands collapse of the
+    // flagged positions; the clip list exact-substring dedup consumes
+    "q_x_repeated_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      graft.text.TextOps.repeatedSpans(docs, "doc_id", "text",
+          n = 10, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // X: per-source contamination report — the audit a data lead reads
     // before a training run; composes the n-gram guard with a grouped
     // rate rollup
@@ -1309,6 +1318,24 @@ object SparkEntry {
                  GROUP BY ng HAVING count(*) >= 2)
          SELECT g.doc_id, g.pos, md5(g.ng) AS gram_md5
          FROM g JOIN hot USING (ng)""",
+
+    "q_x_repeated_spans" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 9, 0)),
+             i -> struct_pack(pos := i - 1, ng := array_to_string(list_slice(w, i, i + 9), ' ')))) AS s
+           FROM tok),
+         g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.ng AS ng FROM g0),
+         hot AS (SELECT ng FROM (SELECT DISTINCT ng, doc_id FROM g)
+                 GROUP BY ng HAVING count(*) >= 2),
+         flagged AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (ng)),
+         isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM flagged)
+         SELECT doc_id, min(pos) AS start_token, max(pos) + 10 AS end_token,
+           CAST(count(*) AS BIGINT) AS n_grams
+         FROM isl GROUP BY doc_id, island""",
 
     "q_x_contamination_report" ->
       """WITH tok AS (SELECT doc_id, source,

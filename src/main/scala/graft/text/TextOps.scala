@@ -614,6 +614,25 @@ object TextOps {
         md5(col("ng")).as("gram_md5"))
   }
 
+  /** Collapse [[repeatedPassages]] positions into maximal repeated SPANS
+    * per document: a run of consecutive flagged positions p..q means
+    * tokens [p, q + n) repeat verbatim elsewhere — the (start_token,
+    * end_token) clip list exact-substring dedup hands to the trimmer.
+    * Classic gaps-and-islands: pos - row_number(pos) is constant within
+    * a run; one per-doc window (parallel across docs), one group-by. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 20, minDocs: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    repeatedPassages(docs, idCol, textCol, n, minDocs)
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("start_token"),
+        (max(col("pos")) + n).as("end_token"),
+        count(lit(1)).cast("long").as("n_grams"))
+      .drop("__island")
+  }
+
   /** Remove n-gram-contaminated docs: [[ngramOverlapIds]] + anti join. */
   def decontaminateNgramOverlap(docs: DataFrame, benchmark: DataFrame,
                                 idCol: String, textCol: String,

@@ -121,6 +121,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("trainingMix broadcasts the target map — one stratum shuffle only") {
+    val df = (0 until 600).map(i => (s"s${i % 3}", i.toLong)).toDF("g", "id")
+    val q = graft.functions.Sampling.trainingMix(df, "g", "id",
+      Map("s0" -> 5, "s1" -> 2))
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("repeatedPassages counts distinct docs without an Expand node") {
+    // count(distinct id) per gram via Expand would double the exploded
+    // corpus in flight; the two-stage distinct + count must not plan one
+    val docs = (0 until 200).map(i => (i.toLong, s"a b c d e f g w$i"))
+      .toDF("id", "text")
+    val q = graft.text.TextOps.repeatedPassages(docs, "id", "text",
+      n = 3, minDocs = 2)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1200))
+  }
+
   test("composed as-of join keeps the partial top-1 (WindowGroupLimit)") {
     val left = (1 to 100).map(i => (i.toLong, i.toLong % 5,
       Timestamp.valueOf(s"2026-01-${i % 27 + 1} 00:00:00"))).toDF("eid", "k", "t")

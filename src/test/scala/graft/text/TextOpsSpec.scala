@@ -119,6 +119,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (2L, 0L)))
   }
 
+  test("repeatedSpans chains consecutive flagged positions into one maximal span") {
+    // shared passage "x y z w" = two overlapping 3-grams at consecutive
+    // positions -> ONE span of 2 grams covering tokens [2, 6) in doc 1
+    val docs = Seq(
+      (1L, "a b x y z w c"),
+      (2L, "x y z w d e f"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repeatedSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 6L, 2L), (2L, 0L, 4L, 2L)))
+  }
+
   test("decontaminateNearDup drops exact AND near matches of the benchmark") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),  // near-dup of bench
