@@ -527,6 +527,19 @@ object SparkEntry {
       Packing.packSequences(docs, "doc_id", "n_tokens", ctxLen = 512)
     }),
 
+    // X: incremental corpus dedup — a new batch (doc_id%10=3) against
+    // the rest as the existing corpus: in-batch exact collapse, exact
+    // anti-join vs corpus fingerprints, near-dup removal via the
+    // cross-corpus MinHash path (corpus streams, batch broadcasts)
+    "q_x_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val nw = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("doc_id"), col("text"))
+      val ex = docs.where(pmod(col("doc_id"), lit(10)) =!= 3)
+        .select(col("doc_id"), col("text"))
+      graft.text.TextOps.dedupIncremental(nw, ex, "doc_id", "text")
+    }),
+
     // X: repeated verbatim passages (exact-substring-dedup core): every
     // position of a 10-gram appearing in >= 2 distinct docs
     "q_x_repeated_passages" -> ((s, dir) => {
@@ -1318,6 +1331,32 @@ object SparkEntry {
                  GROUP BY ng HAVING count(*) >= 2)
          SELECT g.doc_id, g.pos, md5(g.ng) AS gram_md5
          FROM g JOIN hot USING (ng)""",
+
+    "q_x_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, text,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         newd AS (SELECT * FROM d WHERE doc_id % 10 = 3),
+         ex AS (SELECT * FROM d WHERE doc_id % 10 <> 3),
+         batch AS (SELECT doc_id, text, w, fp FROM (
+             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM newd) WHERE rn = 1),
+         s1 AS (SELECT b.doc_id, b.text, b.w FROM batch b
+                WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.fp = b.fp)),
+         sn AS (SELECT doc_id, text,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS st FROM s1),
+         se AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+               i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS st FROM ex),
+         hits AS (SELECT DISTINCT n.doc_id FROM sn n, se e
+                  WHERE len(n.st) > 0 AND len(e.st) > 0
+                    AND len(list_intersect(n.st, e.st))::DOUBLE
+                        / len(list_distinct(n.st || e.st)) >= 0.5)
+         SELECT s.doc_id, s.text FROM sn s
+         LEFT JOIN hits h ON s.doc_id = h.doc_id
+         WHERE h.doc_id IS NULL""",
 
     "q_x_repeated_spans" ->
       """WITH tok AS (SELECT doc_id,

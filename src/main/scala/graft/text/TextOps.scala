@@ -642,6 +642,41 @@ object TextOps {
     docs.join(broadcast(hits), col(idCol) === col("__hit_id"), "left_anti")
   }
 
+  /** Incremental corpus dedup — the daily-batch shape: collapse exact
+    * dups WITHIN the new batch (min-id representative), then drop
+    * everything already represented in the existing corpus, exactly
+    * (fingerprint anti-join against the corpus fingerprint set) and
+    * nearly ([[minhashCrossDupPairs]] with the big corpus as the
+    * streaming left side and the small batch broadcast).
+    *
+    * Scale: the existing corpus is scanned, never shuffled (the batch's
+    * banded signatures broadcast); the fingerprint set for the exact
+    * stage is one md5 per corpus doc — at the 100 TB tier that set is
+    * itself big, so it rides a shuffled anti-join automatically once it
+    * exceeds the broadcast threshold, which is the right plan either
+    * way. Near-dups WITHIN the batch are intentionally out of scope —
+    * batches get the full [[CorpusPipeline.preprocess]] treatment; this
+    * operator answers only "is it new relative to the corpus". */
+  def dedupIncremental(newDocs: DataFrame, existing: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprintMd5(col(textCol))).orderBy(col(idCol))
+    val batch = newDocs
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val exactNew = batch.join(
+      existing.select(fingerprintMd5(col(textCol)).as("__fp")).distinct(),
+      fingerprintMd5(col(textCol)) === col("__fp"), "left_anti")
+    val nearHits = minhashCrossDupPairs(
+        existing.select(col(idCol), col(textCol)),
+        exactNew.select(col(idCol), col(textCol)),
+        idCol = idCol, textCol = textCol,
+        shingleN = shingleN, threshold = threshold)
+      .select(col("id_r").as("__hit_id")).distinct()
+    exactNew.join(nearHits, col(idCol) === col("__hit_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------ split guard
 
   /** Train/test split-leakage guard: near-duplicate pairs that straddle

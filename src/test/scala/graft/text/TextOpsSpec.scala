@@ -119,6 +119,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (2L, 0L)))
   }
 
+  test("dedupIncremental: batch collapse, exact-vs-corpus, near-vs-corpus") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"),
+      (2L, "the quick brown fox jumps over the lazy dog every single day"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu nu"), // exact corpus dup
+      (11L, "alpha beta gamma delta epsilon zeta eta theta kappa lambda mu xi"), // near corpus dup
+      (12L, "entirely fresh content about something completely different here"),
+      (13L, "entirely  fresh content about something COMPLETELY different here"), // ws/case dup of 12
+      (14L, "another genuinely novel document with its own unique words"))
+      .toDF("doc_id", "text")
+    val kept = TextOps.dedupIncremental(batch, existing, "doc_id", "text",
+        shingleN = 2, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 14L))
+  }
+
   test("repeatedSpans chains consecutive flagged positions into one maximal span") {
     // shared passage "x y z w" = two overlapping 3-grams at consecutive
     // positions -> ONE span of 2 grams covering tokens [2, 6) in doc 1
