@@ -558,6 +558,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // X: exact-substring dedup applied — repeated 10-grams clipped
+    // everywhere except the gram's min-id doc (one canonical copy
+    // survives corpus-wide)
+    "q_x_clip_repeated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      graft.text.TextOps.clipRepeated(docs, "doc_id", "text", n = 10, minDocs = 2)
+    }),
+
     // X: per-source contamination report — the audit a data lead reads
     // before a training run; composes the n-gram guard with a grouped
     // rate rollup
@@ -1375,6 +1383,28 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS start_token, max(pos) + 10 AS end_token,
            CAST(count(*) AS BIGINT) AS n_grams
          FROM isl GROUP BY doc_id, island""",
+
+    "q_x_clip_repeated" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 9, 0)),
+             i -> struct_pack(pos := i - 1, ng := array_to_string(list_slice(w, i, i + 9), ' ')))) AS s
+           FROM tok),
+         g AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.ng AS ng FROM g0),
+         hot AS (SELECT ng, min(doc_id) AS mind
+                 FROM (SELECT DISTINCT ng, doc_id FROM g)
+                 GROUP BY ng HAVING count(*) >= 2),
+         clips AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (ng)
+                   WHERE g.doc_id <> hot.mind),
+         agg AS (SELECT doc_id, list(pos) AS ps FROM clips GROUP BY doc_id)
+         SELECT t.doc_id,
+           CASE WHEN t.w IS NULL THEN NULL ELSE
+             coalesce(array_to_string(list_transform(list_filter(generate_series(1, len(w)),
+               i -> len(list_filter(coalesce(a.ps, []::BIGINT[]),
+                          p -> i - 1 >= p AND i - 1 < p + 10)) = 0),
+               i -> w[i]), ' '), '') END AS text
+         FROM tok t LEFT JOIN agg a USING (doc_id)""",
 
     "q_x_contamination_report" ->
       """WITH tok AS (SELECT doc_id, source,

@@ -633,6 +633,43 @@ object TextOps {
       .drop("__island")
   }
 
+  /** Apply exact-substring dedup: clip every repeated n-gram occurrence
+    * EXCEPT the one in the gram's minimum-id document, so exactly one
+    * copy of each repeated passage survives corpus-wide (Lee et al.
+    * ACL'22 keep-one discipline, with min-id as the deterministic
+    * canonical choice — the same representative rule the cluster dedup
+    * uses). Returns (id, text) with text in normalized token form —
+    * clipped docs lose the covered tokens, untouched docs pass through
+    * normalized, so the output space is uniform.
+    *
+    * The clip rebuild is a per-token filter against the doc's (usually
+    * tiny) clip-position list; docs with no clips skip it entirely via
+    * the left join. Same scan/shuffle shape as [[repeatedPassages]] plus
+    * one broadcast-sized join of the clip lists. */
+  def clipRepeated(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"clipRepeated: need n >= 1, minDocs >= 2; got n=$n, minDocs=$minDocs")
+    def grams(d: DataFrame): DataFrame = d.select(col(idCol).as("id"),
+      posexplode(wordShingles(tokens(col(textCol)), n)).as(Seq("pos", "ng")))
+    val hot = grams(docs).select(col("ng"), col("id")).distinct()
+      .groupBy(col("ng"))
+      .agg(count(lit(1)).as("nd"), min(col("id")).as("__min_id"))
+      .where(col("nd") >= minDocs)
+      .select(col("ng"), col("__min_id"))
+    val clips = grams(docs).join(hot, Seq("ng"))
+      .where(col("id") =!= col("__min_id"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("pos").cast("long"))).as("__clips"))
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(clips, Seq("id"), "left")
+      .withColumn("__c", coalesce(col("__clips"), array().cast("array<long>")))
+      .withColumn("text", expr(
+        s"""array_join(filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),
+              (t, i) -> !exists(__c, p -> i >= p AND i < p + $n)), ' ')"""))
+      .select(col("id").as(idCol), col("text"))
+  }
+
   /** Remove n-gram-contaminated docs: [[ngramOverlapIds]] + anti join. */
   def decontaminateNgramOverlap(docs: DataFrame, benchmark: DataFrame,
                                 idCol: String, textCol: String,

@@ -137,6 +137,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Set(12L, 14L))
   }
 
+  test("clipRepeated keeps one canonical copy of a repeated passage (min-id doc)") {
+    val docs = Seq(
+      (1L, "a b x y z w c"),     // min-id owner of "x y z w": keeps it
+      (2L, "x y z w d e f"),     // repeated occurrence: clipped
+      (3L, "p q r s t u v"))     // untouched, passes through normalized
+      .toDF("doc_id", "text")
+    val got = TextOps.clipRepeated(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "a b x y z w c")
+    assert(got(2L) == "d e f")
+    assert(got(3L) == "p q r s t u v")
+  }
+
   test("repeatedSpans chains consecutive flagged positions into one maximal span") {
     // shared passage "x y z w" = two overlapping 3-grams at consecutive
     // positions -> ONE span of 2 grams covering tokens [2, 6) in doc 1
