@@ -597,6 +597,19 @@ object SparkEntry {
           round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"))
     }),
 
+    // X: frozen-LM cross scoring (the CCNet shape): train the bigram LM
+    // on the corpus (doc_id%10<>3), score the held-out batch against it;
+    // unseen bigrams fall back to the pure smoothing mass
+    "q_x_lm_score_cross" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val lm = graft.text.TextOps.bigramLmTrain(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 3), "doc_id", "text")
+      graft.text.TextOps.bigramLmScore(
+          docs.where(pmod(col("doc_id"), lit(10)) === 3), "doc_id", "text",
+          lm, k = 0.5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -1252,6 +1265,27 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(ln((c_bg + 0.5) / (c_w1 + 0.5 * v.nv))), 4) AS avg_logprob
          FROM p JOIN b USING (bg) JOIN u USING (w1) CROSS JOIN v
+         GROUP BY doc_id""",
+
+    "q_x_lm_score_cross" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         pc0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS s
+           FROM tok WHERE doc_id % 10 <> 3 AND len(w) >= 2),
+         pc AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM pc0),
+         b AS (SELECT bg, count(*) AS c_bg FROM pc GROUP BY bg),
+         u AS (SELECT w1, count(*) AS c_w1 FROM pc GROUP BY w1),
+         v AS (SELECT count(*) AS nv FROM u),
+         pn0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS s
+           FROM tok WHERE doc_id % 10 = 3 AND len(w) >= 2),
+         pn AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM pn0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((coalesce(c_bg, 0) + 0.5)
+                        / (coalesce(c_w1, 0) + 0.5 * v.nv))), 4) AS avg_logprob
+         FROM pn LEFT JOIN b USING (bg) LEFT JOIN u USING (w1) CROSS JOIN v
          GROUP BY doc_id""",
 
     "q_x_lang_id" ->

@@ -509,22 +509,58 @@ object TextOps {
     * Returns (id, n_bigrams, avg_logprob) for docs with >= 2 tokens. */
   def bigramLogProbScores(docs: DataFrame, idCol: String, textCol: String,
                           k: Double = 0.5): DataFrame = {
-    require(k > 0, s"bigramLogProbScores: smoothing k must be > 0, got $k")
-    val pairs = docs
+    val lm = bigramLmTrain(docs, idCol, textCol)
+    bigramLmScore(docs, idCol, textCol, lm, k)
+  }
+
+  /** A trained bigram LM: bigram counts, left-context counts, and the
+    * left-context vocabulary size. Both frames are localCheckpoint'd —
+    * vocab-sized (Zipf), reused by every scoring call, and a frozen
+    * model must not recompute (or shift) when the training corpus frame
+    * changes underneath it. */
+  final case class BigramLm(bigramCounts: DataFrame, contextCounts: DataFrame,
+                            vocabSize: Long)
+
+  /** (id, w1, bg) bigram explode of docs with >= 2 tokens. */
+  private def bigramPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= 2)
       .select(col("id"), explode(arrays_zip(
         expr("slice(w, 1, size(w) - 1)"), expr("slice(w, 2, size(w) - 1)"))).as("p"))
       .select(col("id"), col("p.0").as("w1"),
         concat_ws(" ", col("p.0"), col("p.1")).as("bg"))
-      .localCheckpoint()
+
+  /** Train the corpus bigram statistics once; score any number of
+    * frames against the frozen model with [[bigramLmScore]] — the CCNet
+    * discipline (train the LM on a trusted corpus, score candidates
+    * against it) without the external model dependency. */
+  def bigramLmTrain(corpus: DataFrame, idCol: String, textCol: String): BigramLm = {
+    val pairs = bigramPairs(corpus, idCol, textCol).localCheckpoint()
     val bCounts = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .localCheckpoint()
     val uCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
-    val v = uCounts.count()
-    pairs.join(bCounts, "bg").join(uCounts, "w1")
+      .localCheckpoint()
+    BigramLm(bCounts, uCounts, uCounts.count())
+  }
+
+  /** Score docs under a trained model: avg add-k log P(w2|w1) per doc.
+    * Bigrams and contexts unseen in training fall back to the pure
+    * smoothing mass (k / (k * V)) via the outer joins — the standard
+    * open-vocabulary treatment. Returns (id, n_bigrams, avg_logprob)
+    * for docs with >= 2 tokens. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    lm: BigramLm, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"bigramLmScore: smoothing k must be > 0, got $k")
+    bigramPairs(docs, idCol, textCol)
+      .join(lm.bigramCounts, Seq("bg"), "left")
+      .join(lm.contextCounts, Seq("w1"), "left")
+      .withColumn("c_bg", coalesce(col("c_bg"), lit(0L)))
+      .withColumn("c_w1", coalesce(col("c_w1"), lit(0L)))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(avg(log((col("c_bg") + k) / (col("c_w1") + k * v))), 4).as("avg_logprob"))
+        round(avg(log((col("c_bg") + k) / (col("c_w1") + k * lm.vocabSize))), 4)
+          .as("avg_logprob"))
   }
 
   // -------------------------------------------------------- decontamination

@@ -89,6 +89,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scores(0L) > scores(5L))
   }
 
+  test("frozen bigram LM: in-domain text outscores out-of-domain, OOV gets smoothing mass") {
+    val corpus = Seq.tabulate(5)(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val lm = TextOps.bigramLmTrain(corpus, "doc_id", "text")
+    val probe = Seq(
+      (100L, "the cat sat on the mat"),     // in-domain
+      (101L, "zz qq ww ee rr tt"))          // fully OOV
+      .toDF("doc_id", "text")
+    val scores = TextOps.bigramLmScore(probe, "doc_id", "text", lm)
+      .select("id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(scores(100L) > scores(101L))
+    // OOV bigram AND context: every term is the pure smoothing mass
+    // ln(k / (k * V)) = -ln(V); V = 4 contexts (the, cat, sat, on)
+    assert(math.abs(scores(101L) - (-math.log(lm.vocabSize))) < 1e-3)
+  }
+
   test("ngramOverlapIds flags any shared n-gram; decontaminate removes those docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
