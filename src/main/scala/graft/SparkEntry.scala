@@ -836,6 +836,24 @@ object SparkEntry {
     // (candidates capped at 500 ids so the deliberately-quadratic
     // lossless encode — O(N * ksub) with ksub = N — stays constant-cost
     // across scale factors; the cap is mirrored in the oracle SQL)
+    // X: IVF-PQ (IVFADC) — the billion-scale ANN shape: coarse lists +
+    // PQ-coded residuals + per-(query,list) ADC tables
+    "q_x_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.VectorOps.ivfPqTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    }),
+
+    // X: IVFADC exhaustive gate — nprobe=nlist + lossless residual
+    // codebooks: ADC must equal exact squared L2 bit-for-bit
+    "q_x_ann_ivfpq_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      val n = emb.count().toInt
+      graft.vec.VectorOps.ivfPqTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5,
+        nlist = 4, nprobe = 4, m = 8, ksub = n, kmeansIters = 0, pqIters = 0)
+    }),
+
     "q_x_ann_pq_exhaustive" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
       val n = emb.count().toInt
@@ -1791,6 +1809,23 @@ object SparkEntry {
     // exhaustive PQ must equal the exact squared-L2 ranking; the nested
     // comprehension mirrors the subspace-grouped summation order so the
     // double arithmetic matches Spark's bit-for-bit
+    "q_x_ann_ivfpq_exhaustive" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_sum([ list_sum([ (c.embedding[(j*8)+i]::DOUBLE
+                                    - q.embedding[(j*8)+i]::DOUBLE)^2
+                                   for i in range(1, 9) ])
+                        for j in range(0, 8) ]) AS d
+           FROM embeddings c, q
+           WHERE c.vec_id < 500 AND c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(d, 4) AS dist
+         FROM r WHERE rank <= 5""",
+
     "q_x_ann_pq_refined" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,

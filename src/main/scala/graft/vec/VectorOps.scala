@@ -345,6 +345,93 @@ object VectorOps {
         col("neighbor_id"), round(col("dist"), 4).as("dist"))
   }
 
+  /** IVF-PQ ("IVFADC", Jégou et al. TPAMI'11 §IV — the Faiss default at
+    * billion scale): the coarse IVF quantizer partitions vectors into
+    * `nlist` inverted lists, each vector's RESIDUAL (v - centroid) is
+    * PQ-encoded to m bytes, and a query probes its `nprobe` nearest
+    * lists with a per-(query, list) ADC table built from the query's
+    * residual to that centroid. The residual trick is what makes PQ
+    * codes sharp: residuals cluster near zero, so the same ksub entries
+    * quantize a much smaller cell of space.
+    *
+    * Scale: assignment and residuals are literal projections over the
+    * scan (no shuffle — nlist is small by design); the PQ model and the
+    * nQ * nprobe ADC tables are driver-sized and broadcast; candidates
+    * are scored only inside probed lists (N * nprobe / nlist of the
+    * corpus) through their 8-byte codes. The only wide operation is the
+    * per-query top-k window.
+    *
+    * Exactness identity the exhaustive gate exploits: ||q - v||^2 ==
+    * ||(q - c) - (v - c)||^2 for v in list c, so with nprobe = nlist and
+    * a lossless codebook (ksub >= distinct residual sub-vectors, 0
+    * sweeps) ADC reproduces exact squared L2. */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 64, kmeansIters: Int = 2,
+                pqIters: Int = 2): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cand_vec"))
+      .repartition(col("cand_id"))
+    val seed = base.where(col("cand_id") < nlist)
+      .select(col("cand_id"), col("cand_vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).toSeq
+    val cents = kmeansCentroids(base, "cand_vec", seed, kmeansIters)
+    def centVec(cid: Column): Column =
+      cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (id, cv)) =>
+        when(cid === id, typedLit(cv.toSeq)).otherwise(acc)
+      }
+    // assignment + residual: pure projections; checkpointed because the
+    // frame feeds the PQ training sweeps, the encode, AND the list join
+    val resid = base
+      .withColumn("centroid_id",
+        element_at(centroidRanking(col("cand_vec"), cents), 1))
+      .withColumn("residual",
+        zip_with(col("cand_vec"), centVec(col("centroid_id")), (x, c) => x - c))
+      .localCheckpoint()
+    val model = pqTrain(resid, "cand_id", "residual", m, ksub, pqIters)
+    val encoded = pqEncode(resid, "cand_id", "residual", model)
+      .withColumnRenamed("id", "cand_id")
+      .join(resid.select(col("cand_id"), col("centroid_id")), "cand_id")
+    // driver-side: nprobe nearest lists per query (cosine ranking, the
+    // ivfTopK discipline), one ADC table per (query, probed list) from
+    // the query's residual to that centroid
+    val qRows = queries.select(col(idCol).cast("long").as("qid"),
+        asDouble(col(vecCol)).as("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    val probeTables = qRows.toSeq.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (cosD(qv, cv), cid, cv) }
+        .sortBy { case (c, cid, _) => (-c, cid) }
+        .take(nprobe)
+        .map { case (_, cid, cv) =>
+          val qRes = qv.zip(cv).map { case (x, c) => x - c }
+          val tab = model.codebooks.zipWithIndex.map { case (cb, j) =>
+            val qs = qRes.slice(j * model.subDim, (j + 1) * model.subDim)
+            cb.map(e => e.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum).toSeq
+          }
+          (qid, cid, tab)
+        }
+    }.toDF("query_id", "centroid_id", "tables")
+    val scored = encoded.join(broadcast(probeTables), Seq("centroid_id"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("codes"), col("tables"),
+            (c, tab) => element_at(tab, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cand_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), round(col("dist"), 4).as("dist"))
+  }
+
   /** IVF-style approximate search: vectors are assigned to their nearest
     * coarse centroid (the inverted lists); a query probes only the
     * `nprobe` nearest lists.

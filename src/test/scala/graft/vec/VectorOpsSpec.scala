@@ -143,6 +143,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(full == 1.0, f"exhaustive-shortlist recall $full%.4f != 1.0")
   }
 
+  test("ivfpq: exhaustive setting equals exact L2; realistic setting holds a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.where($"vec_id" < 8)
+    val exact = VectorOps.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    val n = emb.count().toInt
+    val exhaustive = VectorOps.ivfPqTopK(emb, q, "vec_id", "embedding", k = 5,
+      nlist = 4, nprobe = 4, m = 8, ksub = n, kmeansIters = 0, pqIters = 0)
+    assert(VectorOps.recallAtK(exhaustive, exact) == 1.0)
+    // regression tripwire, not a quality claim: the synthetic embeddings
+    // are near-random unit vectors (no cluster structure for PQ to
+    // exploit), measured 0.30 recall@5 at these settings
+    val real = VectorOps.ivfPqTopK(emb, q, "vec_id", "embedding", k = 5,
+      nlist = 4, nprobe = 4, m = 8, ksub = 64)
+    assert(VectorOps.recallAtK(real, exact) >= 0.25)
+  }
+
   test("ivf assignment plan has no exchange before the probe join") {
     // the whole point of the literal-projection assignment: ranking
     // centroids per row adds NO shuffle — the only exchanges in the final
