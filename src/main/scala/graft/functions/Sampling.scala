@@ -114,7 +114,11 @@ object Sampling {
     val tk = "__graft_mix_k"
     require(!df.columns.contains(rn) && !df.columns.contains(tk),
       s"trainingMix: input already has a $rn/$tk column")
+    // cast the target keys to the column's own type: joining a string
+    // key frame against e.g. an int stratum column would otherwise
+    // silently coerce both sides (and can miss matches)
     val targetDf = targets.toSeq.toDF(stratumCol, tk)
+      .withColumn(stratumCol, col(stratumCol).cast(df.schema(stratumCol).dataType))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.join(broadcast(targetDf), Seq(stratumCol))
