@@ -610,6 +610,22 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // X: binned range join — lineitems shipping within 7 days of a probe
+    // set of order dates; the equi-join rewrite of a non-equi condition
+    // Spark would otherwise plan as BroadcastNestedLoop
+    "q_x_range_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01")).cast("long").as("pd"))
+      val iv = t(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("s0"))
+        .withColumn("e0", col("s0") + 7)
+      graft.ops.RangeJoin.pointInInterval(li, iv, "pd", "s0", "e0", binSize = 7)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"), col("pd"))
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -1498,6 +1514,16 @@ object SparkEntry {
            start_offset // 512 AS seq_first,
            (start_offset + n_tokens - 1) // 512 AS seq_last
          FROM c""",
+
+    "q_x_range_join" ->
+      """WITH p AS (SELECT l_orderkey, l_linenumber,
+           CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS pd
+         FROM lineitem),
+         iv AS (SELECT o_orderkey,
+           CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s0
+         FROM orders WHERE o_orderkey % 1000 = 0)
+         SELECT p.l_orderkey, p.l_linenumber, iv.o_orderkey, p.pd
+         FROM p JOIN iv ON p.pd >= iv.s0 AND p.pd < iv.s0 + 7""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,
