@@ -11,7 +11,9 @@ object ScaleProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_x_dedup_pipeline", "q_x_dedup_minhash", "q_x_lang_id",
-        "q_x_quality", "q_x_multimodal", "q_x_word_freq", "q_x_dedup_exact")
+        "q_x_quality", "q_x_multimodal", "q_x_word_freq", "q_x_dedup_exact",
+        "q_x_pack_sequences", "q_x_decontaminate_ngram", "q_x_lm_score",
+        "q_x_repeated_passages", "q_x_dedup_incremental", "q_x_range_join")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.ansi.enabled", "false")
