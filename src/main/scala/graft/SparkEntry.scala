@@ -481,6 +481,29 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // X: weighted stratified sample (Efraimidis-Spirakis A-Res on an
+    // md5-derived uniform), quality-weighted by doc length — rows-only:
+    // selection order depends on unrounded pow(), which differs by ulps
+    // across libm implementations; the machinery is oracle-gated by the
+    // unit-weight variant below and spec'd for weight sensitivity
+    "q_x_weighted_sample" -> ((s, dir) => {
+      graft.functions.Sampling.weightedSample(
+          t(s, dir, "documents")
+            .withColumn("wt", coalesce(col("n_chars"), lit(1L)).cast("double")),
+          Seq("lang"), "doc_id", "wt", k = 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+
+    // X: unit-weight A-Res — key reduces to the md5-derived uniform
+    // itself, so the selection is exactly the top-k by hex prefix and
+    // DuckDB reproduces it bit-for-bit (no transcendentals in play)
+    "q_x_weighted_sample_unit" -> ((s, dir) => {
+      graft.functions.Sampling.weightedSample(
+          t(s, dir, "documents").withColumn("wt", lit(1.0)),
+          Seq("lang"), "doc_id", "wt", k = 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+    }),
+
     // X: deterministic corpus shuffle — global rank by md5(doc_id) via
     // the two-phase distributed scan, never a single-partition window
     "q_x_global_shuffle" -> ((s, dir) => {
@@ -1351,6 +1374,14 @@ object SparkEntry {
          FROM orders)
          SELECT o_orderpriority, o_orderkey, o_totalprice
          FROM r WHERE rn <= 10""",
+
+    "q_x_weighted_sample_unit" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) DESC,
+                      md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+         SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20""",
 
     "q_x_global_shuffle" ->
       """SELECT doc_id,

@@ -126,4 +126,39 @@ object Sampling {
       .where(col(rn) <= col(tk))
       .drop(rn, tk)
   }
+
+  /** Deterministic WEIGHTED stratified sample — Efraimidis–Spirakis
+    * A-Res ("Weighted random sampling with a reservoir", IPL 2006): per
+    * stratum, keep the k rows with the largest u^(1/w), where u is a
+    * uniform derived from md5(id) (the first 13 hex digits over 16^13 —
+    * 52 bits, exactly representable in a double). Selection probability
+    * rises with weight, the draw is reproducible across runs,
+    * partitionings and engines (no rand()), sets are nested in k (keys
+    * are fixed per row), and rows with non-positive weight are never
+    * selected. The quality-weighted training-mix draw: weight by a
+    * quality or LM score and heavy documents enter the mix more often,
+    * without ever being guaranteed or excluded.
+    *
+    * Same cost shape as [[stratifiedSample]]: one stratum shuffle, one
+    * streaming window. `idCol` must be unique per stratum (ties on the
+    * full ordering would be layout-dependent). */
+  def weightedSample(df: org.apache.spark.sql.DataFrame,
+                     strataCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rn = "__graft_ws_rn"
+    val key = "__graft_ws_key"
+    require(!df.columns.contains(rn) && !df.columns.contains(key),
+      s"weightedSample: input already has a $rn/$key column")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double") / math.pow(16.0, 13)
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col(key).desc, md5(col(idCol).cast("string")), col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn(key, pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn(rn, row_number().over(w))
+      .where(col(rn) <= k)
+      .drop(rn, key)
+  }
 }

@@ -59,6 +59,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(k5.subsetOf(grown))
   }
 
+  test("weighted sample: deterministic, nested, weight-sensitive, zero-weight excluded") {
+    // 50 strata, each one heavy doc (w=50) among 49 light (w=1):
+    // P(heavy wins the single slot) = 50/99 per stratum — assert a loose
+    // band around it, plus the deterministic-machinery guarantees
+    val df = (0 until 50).flatMap { s =>
+      (0 until 50).map(i => (s"g$s", (s * 100 + i).toLong, if (i == 0) 50.0 else 1.0))
+    }.toDF("g", "id", "wt")
+    def ids(parts: Int, k: Int): Set[Long] =
+      Sampling.weightedSample(df.repartition(parts), Seq("g"), "id", "wt", k)
+        .select("id").as[Long].collect().toSet
+    val one = ids(1, 1)
+    assert(ids(13, 1) == one)                      // layout-invariant
+    assert(one.size == 50)                         // one per stratum
+    val heavyWins = one.count(_ % 100 == 0)
+    assert(heavyWins > 10 && heavyWins < 45, s"heavy won $heavyWins/50")
+    assert(one.subsetOf(ids(7, 3)))                // nested in k
+    val zeroed = df.withColumn("wt", when($"id" % 100 === 0, 0.0).otherwise($"wt"))
+    val noHeavy = Sampling.weightedSample(zeroed, Seq("g"), "id", "wt", 3)
+      .select("id").as[Long].collect()
+    assert(!noHeavy.exists(_ % 100 == 0))          // w <= 0 never selected
+  }
+
   test("stratified sample works when the input has a __rn column, rejects its own temp name") {
     val df = Seq(("a", 1L, 9), ("a", 2L, 8)).toDF("g", "id", "__rn")
     val got = Sampling.stratifiedSample(df, Seq("g"), "id", 1)
