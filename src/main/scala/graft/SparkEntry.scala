@@ -649,6 +649,25 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"), col("pd"))
     }),
 
+    // X: Bloom-prefiltered semi join — exact EXISTS semantics, corpus
+    // side pruned at the scan by the reference side's Bloom filter
+    "q_x_bloom_semi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").where(col("p_size") >= 45)
+      graft.ops.BloomJoin.semiJoin(li, p, "l_partkey", "p_partkey")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"))
+    }),
+
+    // X: Bloom-prefiltered anti join — filter-cleared rows are kept
+    // without joining; only possible-members pay the exact anti join
+    "q_x_bloom_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+      graft.ops.BloomJoin.antiJoin(o, c, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -1555,6 +1574,16 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 1000 = 0)
          SELECT p.l_orderkey, p.l_linenumber, iv.o_orderkey, p.pd
          FROM p JOIN iv ON p.pd >= iv.s0 AND p.pd < iv.s0 + 7""",
+
+    "q_x_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM part
+                       WHERE p_partkey = l_partkey AND p_size >= 45)""",
+
+    "q_x_bloom_anti" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM customer
+                           WHERE c_custkey = o_custkey AND c_acctbal > 9000)""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,
