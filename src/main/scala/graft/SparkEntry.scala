@@ -668,6 +668,16 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"))
     }),
 
+    // X: z-order clustering — layout rewrite preserves content exactly;
+    // the multi-dim filter that the layout would prune at the footer
+    "q_x_zorder" -> ((s, dir) => {
+      val z = graft.ops.Zorder.cluster(
+        t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), numPartitions = 8)
+      z.where(col("l_partkey") < 200 && col("l_suppkey") < 40)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -1584,6 +1594,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE NOT EXISTS (SELECT 1 FROM customer
                            WHERE c_custkey = o_custkey AND c_acctbal > 9000)""",
+
+    "q_x_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+         WHERE l_partkey < 200 AND l_suppkey < 40""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,
