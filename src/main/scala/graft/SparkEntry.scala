@@ -678,6 +678,22 @@ object SparkEntry {
           col("l_partkey"), col("l_suppkey"))
     }),
 
+    // X: exact heavy hitters in two narrow passes (Misra-Gries candidate
+    // sweep, then one tiny agg over candidates — no full-key shuffle)
+    "q_x_heavy_hitters" -> ((s, dir) => {
+      graft.functions.Sketches.heavyHitters(
+        t(s, dir, "lineitem"), "l_suppkey", support = 0.0105)
+    }),
+
+    // X: HLL distinct per group — sparse-mode sketches are exact at this
+    // cardinality, so the estimate hash-matches DuckDB's exact distinct
+    "q_x_hll_distinct" -> ((s, dir) => {
+      import graft.functions.Sketches
+      Sketches.hllSketches(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_suppkey")
+        .select(col("l_returnflag"),
+          hll_sketch_estimate(col("hll")).as("distinct_supp"))
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -1598,6 +1614,16 @@ object SparkEntry {
     "q_x_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
          WHERE l_partkey < 200 AND l_suppkey < 40""",
+
+    "q_x_heavy_hitters" ->
+      """SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem
+         WHERE l_suppkey IS NOT NULL
+         GROUP BY 1
+         HAVING count(*) > 0.0105 * (SELECT count(*) FROM lineitem)""",
+
+    "q_x_hll_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp
+         FROM lineitem GROUP BY 1""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,

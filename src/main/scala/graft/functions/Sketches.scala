@@ -1,0 +1,98 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable sketch summaries — the incremental-statistics layer a 100 TB
+  * store needs: per-batch sketches are tiny, linear (merge = union), and
+  * answer corpus-wide questions WITHOUT rescanning old batches. A new
+  * ingest updates global distinct counts / frequency estimates at
+  * O(batch) cost; the exact alternative re-shuffles the full corpus per
+  * refresh.
+  *
+  * - Distinct counts: DataSketches HLL via Spark's `hll_sketch_agg` /
+  *   `hll_union_agg` (codegen'd aggs, binary sketch columns). Sparse-mode
+  *   HLL is EXACT below ~2^(lgK-3) distinct values and within ~1.6% /
+  *   sqrt(2^lgK) beyond.
+  * - Frequency: count-min (one-sided overestimates, linear merge).
+  * - Heavy hitters: EXACT top items in two narrow passes — a Misra-Gries
+  *   candidate sweep (`stat.freqItems`, guaranteed superset, no shuffle of
+  *   the key domain) then one tiny exact agg over candidates only. The
+  *   single-pass exact `GROUP BY key HAVING count > s*N` shuffles every
+  *   distinct key; this shuffles at most 1/support + 1 groups. */
+object Sketches {
+
+  // ------------------------------------------------------------------
+  // HLL distinct
+  // ------------------------------------------------------------------
+
+  /** One HLL sketch per group over `valueCol` — the per-batch summary to
+    * persist next to the batch. */
+  def hllSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lgK).as("hll"))
+
+  /** Merge per-batch sketch frames (same group columns) into one estimate
+    * per group — distinct-so-far without touching any batch's rows. */
+  def hllMergedEstimate(batches: Seq[DataFrame], groupCols: Seq[String],
+                        sketchCol: String = "hll"): DataFrame = {
+    require(batches.nonEmpty, "hllMergedEstimate: no batches")
+    batches.reduce(_ unionAll _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("distinct_est"))
+  }
+
+  // ------------------------------------------------------------------
+  // Exact heavy hitters, two narrow passes
+  // ------------------------------------------------------------------
+
+  /** Keys occurring in strictly more than `support` of `df`'s rows, with
+    * exact counts. Pass 1: Misra-Gries candidates (superset guarantee at
+    * half the final support — frequent keys cannot be missed). Pass 2:
+    * exact counts for candidates + the total in ONE agg whose key space
+    * is the candidate list, not the full key domain. */
+  def heavyHitters(df: DataFrame, keyCol: String, support: Double): DataFrame = {
+    require(support > 1e-4 && support < 1.0,
+      s"heavyHitters: support must be in (1e-4, 1), got $support")
+    val cands = df.stat.freqItems(Seq(keyCol), support / 2)
+      .head.getSeq[Any](0)
+    // non-candidates collapse into the NULL group, so the agg still sees
+    // every row (the total) while keying at most 1/support + 1 groups
+    val keyed = df.select(
+      when(col(keyCol).isin(cands: _*), col(keyCol)).as("k"))
+    val counts = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+    // global window over the tiny candidate frame (<= 1/support + 1 rows)
+    counts.withColumn("__n", sum("cnt").over())
+      .where(col("k").isNotNull && col("cnt") > col("__n") * support)
+      .drop("__n")
+  }
+
+  // ------------------------------------------------------------------
+  // Count-min frequency
+  // ------------------------------------------------------------------
+
+  /** Build a count-min sketch over `key` — overestimates by at most
+    * eps * N with probability `confidence`, never underestimates. */
+  def cmsBytes(df: DataFrame, key: String, eps: Double = 1e-4,
+               confidence: Double = 0.99, seed: Int = 42): Array[Byte] =
+    df.select(count_min_sketch(col(key), lit(eps), lit(confidence), lit(seed))
+      .as("cms")).head.getAs[Array[Byte]](0)
+
+  /** Linear merge: the sketch of a union is the cell-wise sum. Sketches
+    * must share eps/confidence/seed. */
+  def cmsMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = CountMinSketch.readFrom(new ByteArrayInputStream(a))
+    sa.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(b)))
+    val out = new java.io.ByteArrayOutputStream()
+    sa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Driver-side point estimate for one key. */
+  def cmsEstimate(bytes: Array[Byte], item: Any): Long =
+    CountMinSketch.readFrom(new ByteArrayInputStream(bytes)).estimateCount(item)
+}

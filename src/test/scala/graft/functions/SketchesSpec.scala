@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 3 "ingest batches" sharing a skewed key space
+  private def batch(seed: Long): DataFrame = spark.range(4000).select(
+    (col("id") % 4).cast("string").as("grp"),
+    pmod(col("id") * 2654435761L + seed, lit(700L)).as("v"))
+
+  test("HLL: merged per-batch sketches equal the one-shot global estimate") {
+    val batches = Seq(batch(0), batch(1), batch(2))
+    val perBatch = batches.map(b => Sketches.hllSketches(b, Seq("grp"), "v"))
+    val merged = Sketches.hllMergedEstimate(perBatch, Seq("grp"))
+      .as[(String, Long)].collect().toMap
+    val global = Sketches.hllSketches(batches.reduce(_ unionAll _), Seq("grp"), "v")
+      .select(col("grp"), hll_sketch_estimate(col("hll")).as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == global)
+  }
+
+  test("HLL: sparse mode is exact at small cardinality, close at large") {
+    val exactSmall = spark.range(300).select(col("id").as("v"))
+    val gotSmall = Sketches.hllSketches(exactSmall.withColumn("g", lit("a")),
+        Seq("g"), "v")
+      .select(hll_sketch_estimate(col("hll"))).head.getLong(0)
+    assert(gotSmall == 300L)
+
+    val big = spark.range(50000).select(col("id").as("v"), lit("a").as("g"))
+    val gotBig = Sketches.hllSketches(big, Seq("g"), "v")
+      .select(hll_sketch_estimate(col("hll"))).head.getLong(0)
+    assert(math.abs(gotBig - 50000L) < 2500, s"estimate $gotBig off by > 5%")
+  }
+
+  test("heavyHitters: exact counts, exact membership vs the full GROUP BY") {
+    // 1000 rows of key 1, 400 of key 2, uniform tail over 100 keys
+    val skewed = spark.range(1000).select(lit(1L).as("k"))
+      .unionAll(spark.range(400).select(lit(2L).as("k")))
+      .unionAll(spark.range(2000).select(pmod(col("id"), lit(100L)).as("k")))
+    val got = Sketches.heavyHitters(skewed, "k", support = 0.05)
+      .as[(Long, Long)].collect().toMap
+    val n = skewed.count()
+    val want = skewed.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > n * 0.05).as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.contains(1L) && got.contains(2L))
+    // tail keys (~20-34 rows each) must not appear
+    assert(got.keySet.forall(k => k == 1L || k == 2L))
+  }
+
+  test("heavyHitters: no hitters -> empty frame with the right schema") {
+    val uniform = spark.range(10000).select(col("id").as("k"))
+    val got = Sketches.heavyHitters(uniform, "k", support = 0.01)
+    assert(got.columns.toSeq == Seq("k", "cnt"))
+    assert(got.count() == 0)
+  }
+
+  test("CMS: never underestimates, merge of halves equals the global build") {
+    val left = batch(0)
+    val right = batch(1)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBytes(left, "v"), Sketches.cmsBytes(right, "v"))
+    val global = Sketches.cmsBytes(left.unionAll(right), "v")
+    val truth = left.unionAll(right).groupBy("v").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    for (k <- truth.keys.take(50)) {
+      val est = Sketches.cmsEstimate(merged, k)
+      assert(est >= truth(k), s"CMS underestimated key $k: $est < ${truth(k)}")
+      assert(est == Sketches.cmsEstimate(global, k),
+        s"merged sketch diverges from global at key $k")
+      // eps=1e-4 on 8000 rows: overestimate bound ~ 1 count
+      assert(est <= truth(k) + 2, s"CMS overestimate too large at $k: $est vs ${truth(k)}")
+    }
+  }
+}
