@@ -1066,6 +1066,26 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.documentsAsMedia(s,
           t(s, dir, "documents").repartition(col("doc_id")))).toDF()
+    }),
+
+    // X: REAL image-header metadata decode — documents wrapped in actual
+    // PNG containers whose dimensions derive from row fields; the parser
+    // must read back exactly what the header encodes (no pixel decode)
+    "q_x_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+        .map { case (id, text, nChars) =>
+          Multimodal.MediaRow(id,
+            Multimodal.fakePng((1 + nChars % 512).toInt, (1 + id % 512).toInt,
+              text.getBytes("UTF-8")),
+            "image/png", "synth")
+        }
+      Multimodal.extractImageMeta(media).toDF()
+        .select(col("media_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
     })
   )
 
@@ -2075,6 +2095,11 @@ object SparkEntry {
          md5(text) AS sig,
          CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INTEGER) AS width,
          CAST(16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS INTEGER) AS height
+         FROM documents""",
+
+    "q_x_image_meta" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+         1 + n_chars % 512 AS width, 1 + doc_id % 512 AS height
          FROM documents"""
   )
 }

@@ -36,4 +36,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr(2L).n_frames == 3)   // 1-byte payload still yields frames
     assert(Multimodal.resizeStub(Array.emptyByteArray, 4, 4).length == 16)
   }
+
+  test("imageMeta: real header parse for PNG/GIF/BMP/JPEG, None for opaque bytes") {
+    // PNG via our own container writer (round-trips by construction)
+    assert(Multimodal.imageMeta(Multimodal.fakePng(640, 480, Array[Byte](1, 2)))
+      .contains(("png", 640, 480)))
+    // GIF89a, 320x200 little-endian
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0, 0, 0)
+    assert(Multimodal.imageMeta(gif).contains(("gif", 320, 200)))
+    // BMP: 'BM' + header; width 100 at offset 18, height -50 (top-down) at 22
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(18) = 100
+    bmp(22) = (-50 & 0xff).toByte; bmp(23) = 0xff.toByte; bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte
+    assert(Multimodal.imageMeta(bmp).contains(("bmp", 100, 50)))
+    // JPEG: SOI, APP0 segment (skipped), SOF0 with height 77 width 33
+    val jpeg = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46,
+      0xff, 0xc0, 0x00, 0x0b, 8, 0, 77, 0, 33, 3, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.imageMeta(jpeg).contains(("jpeg", 33, 77)))
+    // opaque bytes -> None, never a throw (also: too-short payloads)
+    assert(Multimodal.imageMeta("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.imageMeta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.imageMeta(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00)).isEmpty)
+  }
+
+  test("extractImageMeta: recognized rows carry dims, opaque rows carry nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.fakePng(8, 9, "x".getBytes), "image/png", "s"),
+      Multimodal.MediaRow(2L, "plain text".getBytes, "text/plain", "s"))
+    val got = Multimodal.extractImageMeta(rows.toDS()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).format == "png" && got(1L).width == 8 && got(1L).height == 9)
+    assert(got(2L).format == null && got(2L).width == null)
+  }
 }
