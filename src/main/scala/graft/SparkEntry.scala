@@ -654,7 +654,9 @@ object SparkEntry {
     "q_x_bloom_semi" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val p = t(s, dir, "part").where(col("p_size") >= 45)
-      graft.ops.BloomJoin.semiJoin(li, p, "l_partkey", "p_partkey")
+      // expectedItems passed explicitly: skips the sizing count() pass
+      graft.ops.BloomJoin.semiJoin(li, p, "l_partkey", "p_partkey",
+        expectedItems = 20000)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           col("l_partkey"))
     }),
@@ -664,7 +666,8 @@ object SparkEntry {
     "q_x_bloom_anti" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer").where(col("c_acctbal") > 9000)
-      graft.ops.BloomJoin.antiJoin(o, c, "o_custkey", "c_custkey")
+      graft.ops.BloomJoin.antiJoin(o, c, "o_custkey", "c_custkey",
+        expectedItems = 20000)
         .select(col("o_orderkey"), col("o_custkey"))
     }),
 
@@ -692,6 +695,13 @@ object SparkEntry {
       Sketches.hllSketches(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_suppkey")
         .select(col("l_returnflag"),
           hll_sketch_estimate(col("hll")).as("distinct_supp"))
+    }),
+
+    // X: sliding-window chunking — context-window prep; overlapping
+    // 64-token windows at stride 48, >= 1 chunk per doc
+    "q_x_chunk_docs" -> ((s, dir) => {
+      graft.text.TextOps.chunkDocs(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, overlap = 16)
     }),
 
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
@@ -1644,6 +1654,19 @@ object SparkEntry {
     "q_x_hll_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_supp
          FROM lineitem GROUP BY 1""",
+
+    "q_x_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         n AS (SELECT doc_id, toks,
+           1 + greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT)) AS nc
+         FROM t),
+         c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+         SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+           CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS chunk_tokens
+         FROM c""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,

@@ -27,6 +27,30 @@ object TextOps {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))
 
+  /** Sliding-window chunking: split each document into `chunkSize`-token
+    * windows advancing by `chunkSize - overlap`, the context-window prep
+    * step between cleaning and packing. Every document yields >= 1 chunk
+    * (short docs one partial chunk); consecutive chunks share `overlap`
+    * tokens so no boundary context is lost. Pure per-row explode over
+    * codegen'd array ops — embarrassingly parallel, chunk count per row
+    * bounded by n_tokens/stride, no shuffle. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkDocs: chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunkDocs: overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(ceil((size(col("__toks")) - chunkSize) / lit(stride.toDouble)),
+          lit(0L)).cast("long"))))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)), " ").as("chunk_text"),
+        size(slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize))).cast("long").as("chunk_tokens"))
+  }
+
   /** Word n-gram shingles (n consecutive tokens joined by a space);
     * empty/short docs produce an empty array. A fused expression — the
     * transform(sequence)/slice/concat_ws composition is an interpreted

@@ -374,4 +374,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 17 && r.getLong(1) == 4)
     assert(r.getDouble(2) > 0 && r.getDouble(3) == 0.5)
   }
+
+  test("chunkDocs: overlapping windows, stride arithmetic, short docs") {
+    val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // doc 1: stride 3, nChunks = 1 + ceil((10-4)/3) = 3 -> starts 0,3,6
+    assert(got(1L).map(_._3) == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(got(1L).map(_._4) == Seq(4L, 4L, 4L))
+    // short doc: one partial chunk
+    assert(got(2L) == Seq((2L, 0L, "a b", 2L)))
+    // boundary tokens shared: consecutive chunks overlap by exactly 1
+    assert(got(1L)(0)._3.split(" ").last == got(1L)(1)._3.split(" ").head)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+  }
 }
