@@ -374,6 +374,7 @@ object VectorOps {
     val base = vectors.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cand_vec"))
       .repartition(col("cand_id"))
+      .localCheckpoint() // seed + k-means sweeps + residual projection
     // nlist smallest ids by RANK (TakeOrdered — robust to sparse/offset
     // id spaces, the same discipline as the PQ seeds)
     val seed = base.orderBy(col("cand_id")).limit(nlist)
@@ -453,6 +454,10 @@ object VectorOps {
               kmeansIters: Int = 2): DataFrame = {
     val base = vectors.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cand_vec")).repartition(col("cand_id"))
+      // consumed by the seed TakeOrdered, every k-means sweep, AND the
+      // final assignment — each a separate job that would otherwise
+      // re-scan and re-shuffle the full vector table
+      .localCheckpoint()
     // seed from the nlist SMALLEST ids by rank (TakeOrdered — robust to
     // sparse/offset id spaces; for dense ids this is the same set as the
     // old id < nlist filter, so the measured numbers stand): first-ids
