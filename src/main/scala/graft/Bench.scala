@@ -52,7 +52,14 @@ object Bench {
       t.start()
       t.join(timeoutSec * 1000)
       if (t.isAlive) spark.sparkContext.cancelJobGroup(s"bench-$name")
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // localCheckpoint()ed frames register as persistent RDDs and live
+      // until GC; across ~100 queries in one session the accumulated
+      // blocks caused eviction churn that quadrupled later dedup queries.
+      // Nothing is shared across queries, so drop them outside the timer.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (elapsed, ok)
     }
 
     def median(xs: Seq[Double]): Double = {

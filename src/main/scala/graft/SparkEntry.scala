@@ -983,6 +983,29 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // W5: gap-based sessions via the BUILT-IN session_window (merges
+    // while next < prev + gap, i.e. breaks at diff >= gap) — the
+    // declarative sibling of the stateful sessionize above
+    "q_w5_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // X: Bloom-prefiltered decontamination — identical results to the
+    // broadcast fingerprint anti-join, for benchmark sides too large to
+    // broadcast; the corpus scan drops cleared rows before any join
+    "q_x_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TextOps.decontaminateBloom(docs,
+          docs.where(pmod(col("doc_id"), lit(97)) === 0), "text", "text",
+          expectedItems = 2000)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // X: point-in-time (as-of) join — each event joined to the latest
     // order of its customer at or before the event time; the leakage-free
     // feature-join primitive
@@ -2042,6 +2065,27 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_w5_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
+         g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                              OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM g)
+         SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, sid""",
+
+    "q_x_decontaminate_bloom" ->
+      """WITH f AS (SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 97 = 0)
+         SELECT doc_id, source FROM f
+         WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.fp = f.fp)""",
 
     "q_x_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),

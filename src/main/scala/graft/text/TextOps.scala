@@ -615,6 +615,22 @@ object TextOps {
       benchmark.select(fingerprintMd5(col(benchTextCol)).as("__fp")).distinct(),
       fingerprintMd5(col(textCol)) === col("__fp"), "left_anti")
 
+  /** [[decontaminate]] for a benchmark side too large to broadcast: the
+    * benchmark fingerprints collapse into a Bloom filter probed at the
+    * corpus scan (`ops.BloomJoin.antiJoin`), so rows the filter clears —
+    * almost all of them — never reach a join, and only possible hits pay
+    * the exact anti join. Results are identical to [[decontaminate]];
+    * the one-sided filter error only routes rows, it never drops or
+    * keeps one wrongly. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+                         textCol: String, benchTextCol: String,
+                         expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val d = docs.withColumn("__fp", fingerprintMd5(col(textCol)))
+    val b = benchmark.select(fingerprintMd5(col(benchTextCol)).as("__bfp")).distinct()
+    graft.ops.BloomJoin.antiJoin(d, b, "__fp", "__bfp", expectedItems, fpp)
+      .drop("__fp")
+  }
+
   /** N-gram-overlap decontamination ids (the GPT-3 appendix-C scheme,
     * Brown et al. 2020: a training doc is contaminated if it shares ANY
     * word n-gram with any benchmark doc — canonically n=13; lower n for

@@ -353,6 +353,12 @@ class TextOpsSpec extends AnyFunSuite {
     val clean = TextOps.decontaminate(docs, bench, "text", "q")
       .select("doc_id").as[Long].collect().toSet
     assert(clean == Set(2L, 3L))
+    // the bloom-prefiltered path returns EXACTLY the broadcast path's rows
+    val cleanBloom = TextOps.decontaminateBloom(docs, bench, "text", "q")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanBloom == clean)
+    assert(TextOps.decontaminateBloom(docs, bench, "text", "q")
+      .columns.toSeq == docs.columns.toSeq) // helper columns dropped
   }
 
   test("splitLeakage reports only pairs that straddle the split") {
