@@ -49,6 +49,19 @@ object Synth10x {
     replicate(orders, Seq("o_orderkey", "o_custkey"))
       .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // fact/dim tables for the join-family probes (bloom, zorder, heavy
+    // hitters): fact keys replicate shifted; the dim key spaces replicate
+    // matching the fact shifts so join selectivities are scale-invariant
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    replicate(li, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .coalesce(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    replicate(part, Seq("p_partkey"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/part.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    replicate(cust, Seq("c_custkey"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     println(s"synthesized ${factor}x corpus at $out")
     spark.stop()
   }
