@@ -143,6 +143,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), plan.take(1200))
   }
 
+  test("bloom semi join: might_contain filters BEFORE the join, on the scan side") {
+    val big = spark.range(20000).select(col("id").as("row_id"),
+      pmod(col("id"), lit(500)).as("k"))
+    val small = (0L until 50L).map(i => (i * 7, i)).toDF("sk", "tag")
+    val q = graft.ops.BloomJoin.semiJoin(big, small, "k", "sk")
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    // the probe must sit below the join (prefilter at the scan), so in the
+    // bottom-up plan string the deepest Filter with might_contain appears
+    // AFTER the join node's line
+    val joinIdx = plan.indexOf("Join")
+    val probeIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"might_contain not under the join:\n${plan.take(1500)}")
+  }
+
+  test("zorder cluster plans exactly one wide exchange (the range shuffle)") {
+    val df = spark.range(20000).select(col("id"),
+      pmod(col("id"), lit(97)).as("x"), pmod(col("id"), lit(89)).as("y"))
+    val q = graft.ops.Zorder.cluster(df, Seq("x", "y"), numPartitions = 8)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(plan.contains("rangepartitioning"), plan.take(1200))
+    assert(exchanges == 1, s"expected 1 exchange, found $exchanges:\n${plan.take(1500)}")
+  }
+
+  test("heavy hitters: the exact pass aggregates candidates, never the key domain") {
+    val skewed = spark.range(5000).select(
+      when(col("id") < 2000, lit(1L)).otherwise(col("id")).as("k"))
+    val q = graft.functions.Sketches.heavyHitters(skewed, "k", support = 0.2)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    // the candidate membership probe compiles to a scan-side In/InSet
+    // filter feeding the agg — no join against a key-domain frame
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan.take(1500))
+  }
+
   test("composed as-of join keeps the partial top-1 (WindowGroupLimit)") {
     val left = (1 to 100).map(i => (i.toLong, i.toLong % 5,
       Timestamp.valueOf(s"2026-01-${i % 27 + 1} 00:00:00"))).toDF("eid", "k", "t")
