@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The evaluation kernels behind the custom text expressions, as static
+  * methods so `doGenCode` can call them directly from generated Java
+  * (a standalone Scala object emits static forwarders): whole-stage
+  * codegen keeps the surrounding operator fused and pays one static
+  * call per row instead of CodegenFallback's interpreted
+  * Expression.eval dispatch. */
+object HashOps {
+
+  private final val B = -7046029254386353131L
+  private val space = UTF8String.fromString(" ")
+
+  def simhash64(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhashSignature(arr: ArrayData, numPerm: Int): ArrayData = {
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var p = 0
+        while (p < numPerm) {
+          val v = h * (2L * p + 1L) + p * B
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  def minhashShingles(toks: ArrayData, shingleN: Int, numPerm: Int): ArrayData = {
+    val n = toks.numElements()
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i + shingleN <= n) {
+      val parts = new Array[UTF8String](shingleN)
+      var j = 0
+      var ok = true
+      while (j < shingleN) {
+        if (toks.isNullAt(i + j)) ok = false
+        else parts(j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      if (ok) {
+        val shingle = UTF8String.concatWs(space, parts: _*)
+        val h = XxHash64Function.hash(shingle, StringType, 42L)
+        var p = 0
+        while (p < numPerm) {
+          val v = h * (2L * p + 1L) + p * B
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  def wordShingles(toks: ArrayData, shingleN: Int): ArrayData = {
+    val n = toks.numElements()
+    val out = math.max(0, n - shingleN + 1)
+    val res = new Array[Any](out)
+    var i = 0
+    while (i < out) {
+      val parts = new Array[UTF8String](shingleN)
+      var j = 0
+      while (j < shingleN) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      res(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val P = 1000003L
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < bytes.length) {
+      h += (bytes(i) & 0xffL) * pow
+      pow *= P
+      i += 1
+    }
+    h
+  }
+}
