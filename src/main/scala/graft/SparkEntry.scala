@@ -1074,6 +1074,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
+    // X: SemDeDup — k-means-clustered semantic dedup, oracle-gated at
+    // kmeansIters=0 where the rank-seeded assignment is SQL-expressible
+    // (argmax cosine over the nlist smallest-id vectors, tie -> smaller
+    // centroid id; within-cluster pairs only)
+    "q_x_semdedup" -> ((s, dir) => {
+      graft.vec.VectorOps.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 8, threshold = 0.3, kmeansIters = 0)
+        .select(col("id"), col("cluster"), col("keep"))
+    }),
+
     // X: Structured Streaming executed for real — file stream -> watermark
     // -> tumbling window agg -> memory sink; same oracle as the batch form
     "q_x_stream_window" -> ((s, dir) => {
@@ -2149,6 +2160,29 @@ object SparkEntry {
          FROM s a, s b
          WHERE a.vec_id < b.vec_id
            AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.3""",
+
+    "q_x_semdedup" ->
+      """WITH cents AS (
+           SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           ORDER BY vec_id LIMIT 8),
+         scored AS (
+           SELECT b.vec_id AS id, c.cid,
+             CAST(list_cosine_similarity(b.embedding, c.cvec) AS DOUBLE) AS cos
+           FROM embeddings b, cents c),
+         asg AS (
+           SELECT id, cid AS cluster FROM (
+             SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+             FROM scored) WHERE rn = 1),
+         dup AS (
+           SELECT DISTINCT yb.id AS id
+           FROM asg ya JOIN asg yb ON ya.cluster = yb.cluster AND ya.id < yb.id
+           JOIN embeddings ea ON ea.vec_id = ya.id
+           JOIN embeddings eb ON eb.vec_id = yb.id
+           WHERE CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE) >= 0.3)
+         SELECT asg.id, asg.cluster,
+           (dup.id IS NULL) AS keep
+         FROM asg LEFT JOIN dup ON asg.id = dup.id""",
 
     "q_x_stream_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),

@@ -489,4 +489,50 @@ object VectorOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv 2303.09540):
+    * semantic near-duplicate pruning on embeddings. K-means partitions
+    * the corpus into `nlist` clusters; pairs are scored by cosine WITHIN
+    * each cluster only, and a document is marked a duplicate when a
+    * smaller-id document of the same cluster sits at cosine >=
+    * `threshold`. The paper drops all but the member farthest from the
+    * centroid per epsilon-group; any one-survivor rule is admissible, and
+    * keep-smallest-id is the engine-reproducible one (same convention as
+    * the exact/MinHash dedup family). Output: (id, cluster, keep).
+    *
+    * Scale: the clustering BOUNDS the quadratic term — candidate pairs
+    * form per cluster (mean size N/nlist), never across the corpus, which
+    * is the paper's own trick for running on 5B documents (they use 50k
+    * clusters). Assignment is the same literal-projection as [[ivfTopK]]
+    * (centroid model driver-held and inlined — one scan, no shuffle), so
+    * the only wide operations are the cluster-key self-join and the
+    * duplicate-id collapse. Raise `nlist` with corpus size so clusters
+    * stay partition-sized; `kmeansIters = 0` keeps the deterministic
+    * rank-based seeds (the oracle-gate configuration). */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, threshold: Double = 0.9,
+               kmeansIters: Int = 2): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+      // seed TakeOrdered, each k-means sweep, and the assignment all
+      // re-consume the scan — same discipline as ivfTopK
+      .localCheckpoint()
+    val seed = base.orderBy(col("id")).limit(nlist)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    val cents = kmeansCentroids(base, "v", seed, kmeansIters)
+    val assigned = base.withColumn("cluster",
+      element_at(centroidRanking(col("v"), cents), 1))
+    val dupIds = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cluster"))
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("__dup").isNull.as("keep"))
+  }
 }

@@ -171,4 +171,51 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("crossjoin"),
       s"centroid assignment should not cross-join:\n$plan")
   }
+
+  test("semDedup: identical vectors collapse to the smallest id, distinct ones survive") {
+    // ids 10/11/12 are identical (scaled copies — same direction), id 13
+    // is orthogonal; one cluster per seed with iters=0
+    val df = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(2.0f, 0.0f, 0.0f)),
+      (12L, Array(0.5f, 0.0f, 0.0f)),
+      (13L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.semDedup(df, "vec_id", "embedding",
+        nlist = 2, threshold = 0.99, kmeansIters = 0)
+      .orderBy("id").select("id", "keep").as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((10L, true), (11L, false), (12L, false), (13L, true)))
+  }
+
+  test("semDedup: cross-cluster near-duplicates are NOT flagged (clustering bounds pairs)") {
+    // two near-identical vectors seeded into DIFFERENT clusters (both are
+    // seeds): semantic dedup is within-cluster by design — the pair must
+    // survive, documenting the approximation the paper accepts
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.semDedup(df, "vec_id", "embedding",
+        nlist = 2, threshold = 0.9, kmeansIters = 0)
+      .select("keep").as[Boolean].collect().toSeq
+    assert(got == Seq(true, true))
+  }
+
+  test("semDedup: cluster column is the nearest rank-seed, keep-rule is pairwise-exists") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // seed of cluster 0
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // seed of cluster 1
+      (5L, Array(0.1f, 0.9f, 0.0f)),   // lands in cluster 1
+      (9L, Array(0.9f, 0.1f, 0.0f)))   // lands in cluster 0
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.semDedup(df, "vec_id", "embedding",
+        nlist = 2, threshold = 0.95, kmeansIters = 0)
+      .orderBy("id").select("id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) ==
+      Seq(0L -> 0L, 1L -> 1L, 5L -> 1L, 9L -> 0L))
+    // cos(0, 9) = cos(1, 5) ~= 0.993 >= 0.95: the larger id of each pair drops
+    assert(got.map(r => r._1 -> r._3) ==
+      Seq(0L -> true, 1L -> true, 5L -> false, 9L -> false))
+  }
 }
