@@ -182,40 +182,13 @@ object VectorOps {
     def ksub: Int = codebooks.head.length
   }
 
-  /** (id, subspace, sv) — every vector split into its m sub-vectors; a
-    * pure projection + posexplode, no shuffle. */
-  private def subVectors(vectors: DataFrame, idCol: String, vecCol: String,
-                         m: Int, subDim: Int): DataFrame =
-    vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .select(col("id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), j -> slice(v, j * $subDim + 1, $subDim))"))
-        .as(Seq("subspace", "sv")))
-
-  /** Codebooks as a small broadcast-able frame (subspace, code, cv). */
-  private def codebookDf(vectors: DataFrame, model: PqModel): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
-    }.toDF("subspace", "code", "cv")
-  }
-
-  /** Nearest-codebook-entry assignment per (vector, subspace): a BROADCAST
-    * join against the tiny codebook plus a min_by aggregate — never a
-    * literal-inlined centroid array (ksub=256 x subDim doubles inlined
-    * per subspace would blow past codegen limits), never a wide shuffle.
-    * Ties break toward the smaller code deterministically. */
-  private def assignCodes(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(broadcast(cb), Seq("subspace"))
-      .withColumn("d", l2sq(col("sv"), col("cv")))
-      .groupBy(col("id"), col("subspace"))
-      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-
   /** Train PQ codebooks: per-subspace k-means under squared L2, seeded
     * from the sub-vectors of the `ksub` smallest ids (deterministic — the
     * same discipline as the IVF seeds, and robust to sparse or offset id
     * spaces: seeds are picked by rank, not by assuming ids are dense from
-    * 0). Each sweep is one broadcast-join assignment + one mean aggregate
+    * 0). Each sweep is one [[PqEncodeExpr]] assignment PROJECTION (a
+    * tight per-row loop, codebook passed as a codegen reference object —
+    * zero exchanges, no N x m x ksub row blowup) + one mean aggregate
     * with map-side combine; the model (m * ksub * subDim doubles) is
     * collected driver-side, trivially small. `iters = 0` keeps the seeds
     * as-is — with ksub >= the number of distinct sub-vectors that makes
@@ -225,25 +198,28 @@ object VectorOps {
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val subs = subVectors(vectors, idCol, vecCol, m, subDim)
-      .localCheckpoint() // reused every sweep: split once, not per sweep
-    // ksub-smallest ids via TakeOrdered (no full sort, no shuffle), then a
-    // broadcast semi-probe for their sub-vectors
-    val seedIds = vectors.select(col(idCol).cast("long").as("id"))
-      .orderBy(col("id")).limit(ksub)
-    val seedRows = subs.join(broadcast(seedIds), Seq("id"), "left_semi")
-      .collect()
-      .map(r => (r.getAs[Number](0).longValue, r.getInt(1), r.getSeq[Double](2).toArray))
-    val perSubspace = seedRows.groupBy(_._2).view.mapValues(_.length).toMap
-    require(perSubspace.size == m && perSubspace.values.forall(_ > 0),
-      s"pqTrain: seed probe returned ${seedRows.length} rows across " +
-        s"${perSubspace.size}/$m subspaces — is $idCol castable to long?")
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+      .localCheckpoint() // seed TakeOrdered + every sweep share one scan
+    // ksub-smallest ids via TakeOrdered (no full sort, no shuffle)
+    val seedRows = base.orderBy(col("id")).limit(ksub).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(seedRows.nonEmpty,
+      s"pqTrain: no seed vectors — is $idCol castable to long?")
     var model = PqModel(m, subDim,
-      (0 until m).map(j => seedRows.filter(_._2 == j).sortBy(_._1).map(_._3).toSeq))
+      (0 until m).map(j => seedRows.toSeq.map { case (_, v) =>
+        java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim) }))
     for (_ <- 0 until iters) {
-      val means = assignCodes(subs, codebookDf(vectors, model))
-        .join(subs, Seq("id", "subspace"))
-        .select(col("subspace"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      val means = base
+        .select(col("v"),
+          posexplode(PqExpressions.encode(col("v"), model))
+            .as(Seq("subspace", "code")))
+        .select(col("subspace"), col("code"),
+          posexplode(slice(col("v"),
+              col("subspace") * lit(subDim) + lit(1), lit(subDim)))
+            .as(Seq("dim", "x")))
         .groupBy(col("subspace"), col("code"), col("dim"))
         .agg(avg(col("x")).as("mean"))
         .collect()
@@ -264,16 +240,13 @@ object VectorOps {
   }
 
   /** Encode every vector to its m codebook codes: (id, codes array<int>).
-    * Broadcast-join assignment + one groupBy(id) to fold the m codes back
-    * into ordered arrays — the whole corpus is touched twice, shuffled
-    * once on id. */
+    * A single [[PqEncodeExpr]] projection over one scan — no join, no
+    * shuffle, no per-subspace row explosion; the corpus is touched
+    * exactly once and the encode loop runs inside whole-stage codegen. */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
                model: PqModel): DataFrame =
-    assignCodes(subVectors(vectors, idCol, vecCol, model.m, model.subDim),
-      codebookDf(vectors, model))
-      .groupBy(col("id"))
-      .agg(expr("transform(array_sort(collect_list(struct(subspace, code))), s -> s.code)")
-        .as("codes"))
+    vectors.select(col(idCol).cast("long").as("id"),
+      PqExpressions.encode(asDouble(col(vecCol)), model).as("codes"))
 
   /** PQ asymmetric-distance (ADC) top-k: each query precomputes, driver-
     * side, its m x ksub table of squared distances to every codebook
