@@ -704,6 +704,17 @@ object SparkEntry {
         "doc_id", "text", chunkSize = 64, overlap = 16)
     }),
 
+    // X: C4-style global line dedup — the test corpus has no newlines, so
+    // the query first folds every 10 tokens into a line (same regex in
+    // the oracle); first occurrence corpus-wide survives, later copies
+    // drop, docs reassemble in order (empty docs kept)
+    "q_x_dedup_lines" -> ((s, dir) => {
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){9}\\S+) ", "$1\n").as("text"))
+      graft.text.TextOps.dedupLines(multi, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text"))
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -1701,6 +1712,22 @@ object SparkEntry {
            array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
            CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS chunk_tokens
          FROM c""",
+
+    "q_x_dedup_lines" ->
+      """WITH m AS (SELECT doc_id,
+           regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10), 'g') AS t
+         FROM documents),
+         x AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(string_split(t, chr(10)))),
+             i -> {'pos': i, 'line': string_split(t, chr(10))[i]})) AS s
+         FROM m),
+         k AS (SELECT doc_id, s.pos AS pos, s.line AS line,
+           row_number() OVER (PARTITION BY s.line ORDER BY doc_id, s.pos) AS rn
+         FROM x),
+         r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+               FROM k WHERE rn = 1 OR trim(line) = '' GROUP BY doc_id)
+         SELECT m.doc_id, coalesce(r.text, '') AS text
+         FROM m LEFT JOIN r ON m.doc_id = r.doc_id""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,

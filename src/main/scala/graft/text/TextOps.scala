@@ -51,6 +51,39 @@ object TextOps {
           lit(chunkSize))).cast("long").as("chunk_tokens"))
   }
 
+  /** C4-style global line dedup (Raffel et al. JMLR'20 §2.2 discards
+    * all but one occurrence of any repeated span; RefinedWeb applies the
+    * same rule per line): every non-blank line keeps only its FIRST
+    * occurrence corpus-wide — first by (doc id, line position), the
+    * engine-reproducible order — and later copies are dropped; blank
+    * lines always survive. Documents are reassembled in original line
+    * order, and a document whose every line was dropped comes back with
+    * empty text instead of vanishing. Output: (id, textCol).
+    *
+    * Scale: one shuffle keyed on the line text for the first-occurrence
+    * window (row_number is a streaming frame — no buffering), one
+    * shuffle on doc id to reassemble; no joins besides the final
+    * broadcast-shaped left join that restores empty docs. A single
+    * boilerplate line repeated across a large fraction of a 100 TB
+    * corpus is one hot window partition — prefilter such lines with a
+    * frequency pass if the corpus is known to carry one. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val firstSeen = Window.partitionBy(col("line")).orderBy(col("id"), col("pos"))
+    val kept = lines.withColumn("rn", row_number().over(firstSeen))
+      .where(col("rn") === 1 || trim(col("line")) === "")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"),
+        sep).as("__text"))
+    docs.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Word n-gram shingles (n consecutive tokens joined by a space);
     * empty/short docs produce an empty array. A fused expression — the
     * transform(sequence)/slice/concat_ws composition is an interpreted

@@ -398,4 +398,27 @@ class TextOpsSpec extends AnyFunSuite {
       TextOps.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 4)
     }
   }
+
+  test("dedupLines: first occurrence survives, later copies drop, docs reassemble in order") {
+    val df = Seq(
+      (1L, "alpha\nshared\nomega"),
+      (2L, "shared\nunique"),   // "shared" first seen in doc 1 -> dropped here
+      (3L, "rep\nrep"),         // within-doc repeat: second copy drops
+      (4L, "alpha\nshared"))    // every line already seen -> empty text
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupLines(df, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha\nshared\nomega"),
+      (2L, "unique"),
+      (3L, "rep"),
+      (4L, "")))
+  }
+
+  test("dedupLines: blank lines always survive, even repeated") {
+    val df = Seq((1L, "a\n\nb"), (2L, "\n\nc")).toDF("doc_id", "text")
+    val got = TextOps.dedupLines(df, "doc_id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a\n\nb"), (2L, "\n\nc")))
+  }
 }
