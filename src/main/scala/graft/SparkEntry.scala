@@ -523,6 +523,15 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("source"))
     }),
 
+    // X: temperature-scaled mix — per-language targets total*sqrt(n)/sum,
+    // shares snapped to 6 decimals on both sides so the floor agrees
+    "q_x_temperature_mix" -> ((s, dir) => {
+      graft.functions.Sampling.temperatureMix(
+          t(s, dir, "documents"), "lang", "doc_id",
+          total = 200, alpha = 0.5)
+        .select(col("lang"), col("doc_id"), col("source"))
+    }),
+
     // X: BM25 ranked retrieval — the lexical search used to pull topical
     // slices from a corpus; postings pruned by a broadcast query-term
     // semi-join BEFORE the corpus-wide shuffle. Scores rounded before
@@ -1054,6 +1063,20 @@ object SparkEntry {
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n"))
     }),
 
+    // X: salted equi-join (hot-fact-key mitigation) — results must equal
+    // the plain join, which is exactly what the oracle checks
+    "q_x_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_orderkey"), col("l_quantity"))
+      val dim = t(s, dir, "part")
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(fact, dim, "partkey",
+          saltFrom = col("l_orderkey"), saltBuckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     // X: random-hyperplane LSH cosine buckets + exact verify — oracle-gated
     // (the deterministic sign pattern is reproduced in SQL)
     "q_x_ann_lsh_pairs" -> ((s, dir) => {
@@ -1516,6 +1539,19 @@ object SparkEntry {
          FROM documents WHERE lang IN ('en', 'de', 'zh'))
          SELECT lang, doc_id, source FROM r
          WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END""",
+
+    "q_x_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         s AS (SELECT sum(sqrt(n)) AS ps FROM c),
+         tgt AS (SELECT lang,
+           CAST(floor(200 * round(sqrt(n) / ps, 6) + 1e-9) AS BIGINT) AS k
+         FROM c, s),
+         r AS (SELECT lang, doc_id, source,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+         SELECT r.lang, r.doc_id, r.source
+         FROM r JOIN tgt USING (lang) WHERE rn <= k""",
 
     "q_x_bm25" ->
       """WITH q(query_id, term) AS (VALUES
@@ -2173,6 +2209,11 @@ object SparkEntry {
     "q_x_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
          count(*) AS n FROM lineitem GROUP BY l_returnflag""",
+
+    "q_x_salted_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
 
     "q_x_word_freq" ->
       """SELECT w AS word, count(*) AS n

@@ -127,6 +127,40 @@ object Sampling {
       .drop(rn, tk)
   }
 
+  /** Temperature-scaled training-mix draw: per-stratum targets derived
+    * from the corpus counts as total * n_i^alpha / sum_j n_j^alpha — the
+    * multilingual temperature-sampling rule (alpha = 1/T; mBERT/XLM-R
+    * style, alpha in [0.3, 0.7] upweights low-resource strata relative
+    * to their raw share; alpha = 1 is proportional, alpha = 0 uniform).
+    * Selection reuses [[trainingMix]]'s md5 bottom-k, so the draw keeps
+    * every determinism guarantee.
+    *
+    * Cross-engine reproducibility of the TARGETS: shares are snapped to
+    * 6 decimals (round-half-up, DuckDB's round()) before the floor, so
+    * last-ulp pow/sum differences between engines cannot flip a target;
+    * alpha = 0.5 keeps the power itself exactly rounded on both sides
+    * (IEEE sqrt) — other alphas ride Math.pow and stay deterministic
+    * within the JVM, which is the guarantee that matters for re-runs.
+    * Counts are collected driver-side (one row per stratum — tiny). */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame,
+                     stratumCol: String, idCol: String,
+                     total: Int, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(total >= 0, s"temperatureMix: negative total $total")
+    require(alpha >= 0, s"temperatureMix: negative alpha $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
+      .sortBy(_._1)
+    val pows = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val powSum = pows.map(_._2).sum
+    val targets = pows.map { case (s, p) =>
+      val share = math.floor(p / powSum * 1e6 + 0.5) / 1e6
+      s -> math.floor(total * share + 1e-9).toInt
+    }.toMap
+    trainingMix(df, stratumCol, idCol, targets)
+  }
+
   /** Deterministic WEIGHTED stratified sample — Efraimidis–Spirakis
     * A-Res ("Weighted random sampling with a reservoir", IPL 2006): per
     * stratum, keep the k rows with the largest u^(1/w), where u is a

@@ -108,4 +108,33 @@ class SamplingSpec extends AnyFunSuite {
       .select("sample_values").as[Seq[String]].head()
     assert(fuelSamples.toSet == Set("Gas", "Coal"))
   }
+
+  test("temperatureMix: alpha interpolates targets between uniform and proportional") {
+    // counts 36 ("big") and 4 ("small"): exact shares at every alpha below
+    val df = ((1 to 36).map(i => (i.toLong, "big")) ++
+        (1 to 4).map(i => (100L + i, "small")))
+      .toDF("doc_id", "lang")
+    def targetsAt(alpha: Double, total: Int): Map[String, Long] =
+      Sampling.temperatureMix(df, "lang", "doc_id", total, alpha)
+        .groupBy("lang").count()
+        .as[(String, Long)].collect().toMap
+    // alpha=0.5: sqrt 6 vs 2 -> shares 0.75/0.25 of 8 = 6/2
+    assert(targetsAt(0.5, 8) == Map("big" -> 6L, "small" -> 2L))
+    // alpha=1: proportional 0.9/0.1 of 10 = 9/1
+    assert(targetsAt(1.0, 10) == Map("big" -> 9L, "small" -> 1L))
+    // alpha=0: uniform 0.5/0.5 of 4 = 2/2 — low-resource fully leveled
+    assert(targetsAt(0.0, 4) == Map("big" -> 2L, "small" -> 2L))
+  }
+
+  test("temperatureMix: strata smaller than their target return whole; draw is deterministic") {
+    val df = ((1 to 50).map(i => (i.toLong, "en")) ++ (1 to 2).map(i => (1000L + i, "rare")))
+      .toDF("doc_id", "lang")
+    // alpha=0 with total=20 wants 10 per stratum; rare has only 2 rows
+    val got = Sampling.temperatureMix(df, "lang", "doc_id", total = 20, alpha = 0.0)
+    assert(got.where($"lang" === "rare").count() == 2L)
+    assert(got.where($"lang" === "en").count() == 10L)
+    val again = Sampling.temperatureMix(df, "lang", "doc_id", total = 20, alpha = 0.0)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }

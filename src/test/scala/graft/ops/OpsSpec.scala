@@ -86,4 +86,42 @@ class OpsSpec extends AnyFunSuite {
       .toDF("id", "empty", "sparse")
     assert(Projection.dropAllNullColumns(df).columns.toSeq == Seq("id", "sparse"))
   }
+
+  test("saltedJoin equals the plain join for inner and left, including unmatched rows") {
+    import spark.implicits._
+    val fact = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "c", 30.0), (9L, "d", 40.0))
+      .toDF("k", "tag", "v")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val got = Skew.saltedJoin(fact, dim, "k", saltFrom = col("tag"),
+          saltBuckets = 4, joinType = jt)
+        .select("k", "tag", "v", "name")
+        .as[(Long, String, Double, Option[String])].collect().toSet
+      val want = fact.join(dim, Seq("k"), jt)
+        .select("k", "tag", "v", "name")
+        .as[(Long, String, Double, Option[String])].collect().toSet
+      assert(got == want, s"joinType=$jt")
+    }
+  }
+
+  test("saltedJoin spreads a hot key over multiple salt buckets") {
+    import spark.implicits._
+    // 100 rows of one hot key: the salt derived from row identity must
+    // split them across buckets — that is the entire point
+    val fact = (0 until 100).map(i => (1L, s"row$i")).toDF("k", "rid")
+    val dim = Seq((1L, "one")).toDF("k", "name")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col("rid")), lit(8L)))
+    val nBuckets = salted.select("__salt").distinct().count()
+    assert(nBuckets > 4, s"hot key landed in only $nBuckets/8 buckets")
+    // and the join result is still exactly 100 rows
+    assert(Skew.saltedJoin(fact, dim, "k", col("rid"), 8).count() == 100L)
+  }
+
+  test("saltedJoin rejects join types whose semantics replication would break") {
+    val df = Seq((1L, "x")).toDF("k", "a")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, "k", col("a"), 4, joinType = "full_outer")
+    }
+  }
 }
