@@ -690,6 +690,24 @@ object SparkEntry {
           col("l_partkey"), col("l_suppkey"))
     }),
 
+    // X: small-files compaction — a REAL write/compact/read round trip:
+    // documents sprayed into 32 tiny files, compacted to ~half the bytes
+    // per file, read back and aggregated; the oracle aggregates the
+    // original table, so any row lost or duplicated in the rewrite+swap
+    // fails the hash
+    "q_x_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_compact_")
+        .toString + "/docs"
+      t(s, dir, "documents").repartition(32).write.mode("overwrite").parquet(tmp)
+      val bytes = new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.length).sum
+      graft.ops.Compaction.compact(s, tmp, math.max(1L, bytes / 2))
+      s.read.parquet(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // X: exact heavy hitters in two narrow passes (Misra-Gries candidate
     // sweep, then one tiny agg over candidates — no full-key shuffle)
     "q_x_heavy_hitters" -> ((s, dir) => {
@@ -2214,6 +2232,11 @@ object SparkEntry {
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+
+    "q_x_compact" ->
+      """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang""",
 
     "q_x_word_freq" ->
       """SELECT w AS word, count(*) AS n

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+
+  test("compact folds many small files into the planned count, content intact") {
+    val dir = freshDir()
+    val df = (1 to 5000).map(i => (i.toLong, s"val_$i", i % 7)).toDF("id", "s", "g")
+    df.repartition(40).write.parquet(dir)
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.length).sum
+    val target = math.max(1L, totalBytes / 3)
+    val planned = Compaction.planFiles(spark, dir, target)
+    val stats = Compaction.compact(spark, dir, target)
+    assert(stats.filesBefore == 40)
+    assert(stats.filesAfter == planned.toLong)
+    assert(stats.filesAfter < stats.filesBefore)
+    val back = spark.read.parquet(dir).as[(Long, String, Int)].collect().toSet
+    assert(back == df.as[(Long, String, Int)].collect().toSet)
+    // swap left no debris
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles.map(_.getName).toSet == Set("t"))
+  }
+
+  test("compact with sortBy produces non-overlapping key ranges per file") {
+    val dir = freshDir()
+    (1 to 4000).map(i => (i.toLong, i % 13)).toDF("k", "v")
+      .repartition(20).write.parquet(dir)
+    Compaction.compact(spark, dir, targetBytes = 1L, sortBy = Seq("k"))
+    // targetBytes=1 caps nothing (one file per input byte is clamped by
+    // row count); what matters: per-file min/max ranges must not overlap
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"file ranges overlap: $a vs $b")
+    }
+  }
+
+  test("planFiles: ceil(bytes/target), floor of one file") {
+    val dir = freshDir()
+    (1 to 100).map(i => (i, i)).toDF("a", "b").coalesce(1).write.parquet(dir)
+    assert(Compaction.planFiles(spark, dir, Long.MaxValue) == 1)
+    intercept[IllegalArgumentException] {
+      Compaction.planFiles(spark, dir, 0L)
+    }
+  }
+}
