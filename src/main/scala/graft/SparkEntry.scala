@@ -731,6 +731,16 @@ object SparkEntry {
         "doc_id", "text", chunkSize = 64, overlap = 16)
     }),
 
+    // X: unicode NFC normalization (custom expression; Spark has no
+    // built-in) — the corpus is ASCII, so the query first decomposes
+    // every 'a' into 'a' + combining acute (U+0301) and the normalizer
+    // must recompose it; the oracle does the same via nfc_normalize
+    "q_x_unicode_normalize" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextExpressions.unicode_normalize(
+          regexp_replace(col("text"), "a", "a\u0301"), "NFC").as("norm_text"))
+    }),
+
     // X: C4-style global line dedup — the test corpus has no newlines, so
     // the query first folds every 10 tokens into a line (same regex in
     // the oracle); first occurrence corpus-wide survives, later copies
@@ -1766,6 +1776,11 @@ object SparkEntry {
            array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
            CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS chunk_tokens
          FROM c""",
+
+    "q_x_unicode_normalize" ->
+      """SELECT doc_id,
+         nfc_normalize(replace(text, 'a', 'a' || chr(769))) AS norm_text
+         FROM documents""",
 
     "q_x_dedup_lines" ->
       """WITH m AS (SELECT doc_id,

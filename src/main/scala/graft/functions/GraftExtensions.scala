@@ -41,5 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashShingles].getName, "minhash"),
       (children: Seq[Expression]) => MinHashShingles(children.head,
         intArg(children(1), "shingleN"), intArg(children(2), "numPerm"))))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => UnicodeNormalize(children.head,
+        children.lift(1).map {
+          case Literal(s, _) => String.valueOf(s)
+          case other => throw new IllegalArgumentException(
+            s"form must be a string literal, got: $other")
+        }.getOrElse("NFC"))))
   }
 }

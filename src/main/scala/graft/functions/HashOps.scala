@@ -100,6 +100,16 @@ object HashOps {
     new GenericArrayData(res)
   }
 
+  /** Unicode normalization via java.text.Normalizer. The form is passed
+    * as its enum NAME so generated code stays a plain static call; the
+    * valueOf lookup is cached by the JVM enum machinery. */
+  def unicodeNormalize(s: UTF8String, form: String): UTF8String = {
+    val str = s.toString
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     val P = 1000003L

@@ -108,6 +108,31 @@ case class WordShingles(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD via java.text.Normalizer) —
+  * the corpus-cleaning step that folds visually-identical byte sequences
+  * together BEFORE fingerprinting/dedup (decomposed vs precomposed
+  * accents would otherwise defeat exact-hash dedup). Spark has no
+  * built-in for this; already-normalized strings (the overwhelming case
+  * in a clean corpus) return the input buffer untouched. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unicode_normalize: unknown form $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.unicodeNormalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.HashOps.unicodeNormalize($c, "$form")""")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** Karp-Rabin polynomial rolling hash over a string's UTF-8 bytes:
   * h = sum(byte_i * B^i) in wrapping 64-bit arithmetic, B = 1000003.
   * A cheap order-sensitive document fingerprint. */
@@ -137,6 +162,8 @@ object TextExpressions {
     toColumn(MinHashShingles(toExpression(tokens), shingleN, numPerm))
   def word_shingles(tokens: Column, shingleN: Int): Column =
     toColumn(WordShingles(toExpression(tokens), shingleN))
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    toColumn(UnicodeNormalize(toExpression(c), form))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

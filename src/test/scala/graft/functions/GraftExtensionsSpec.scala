@@ -47,4 +47,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT minhash(split(text,' '), length(text), 16) FROM docs2").collect())
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("unicode_normalize: NFC composes, NFD decomposes, NFKC folds compatibility forms") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val decomposed = "cafe\u0301"  // e + combining acute
+    val composed = "caf\u00e9"     // precomposed e-acute
+    val ligature = "\ufb01le"      // fi-ligature + "le"
+    val df = Seq(decomposed, ligature).toDF("s")
+    def norm(form: String) =
+      df.select(TextExpressions.unicode_normalize(col("s"), form).as("n"))
+        .as[String].collect().toSeq
+    assert(norm("NFC") == Seq(composed, ligature)) // e1 composes, ligature kept
+    assert(norm("NFKC") == Seq(composed, "file"))  // ligature folds
+    assert(norm("NFD").head == decomposed)         // already decomposed
+    // null-safe + already-normalized strings pass through
+    val withNull = Seq(Some("plain"), None).toDF("s")
+    assert(withNull.select(TextExpressions.unicode_normalize(col("s")).as("n"))
+      .as[Option[String]].collect().toSet == Set(Some("plain"), None))
+    intercept[IllegalArgumentException] {
+      TextExpressions.unicode_normalize(col("s"), "NFX")
+    }
+  }
+
+  test("unicode_normalize callable from SQL with and without a form argument") {
+    import spark.implicits._
+    Seq("caf\u00e9").toDF("s").createOrReplaceTempView("udocs")
+    val r = spark.sql(
+      "SELECT unicode_normalize(s), unicode_normalize(s, 'NFD') FROM udocs").head()
+    assert(r.getString(0) == "caf\u00e9" && r.getString(1) == "cafe\u0301")
+  }
 }
