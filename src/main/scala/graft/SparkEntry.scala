@@ -390,6 +390,29 @@ object SparkEntry {
           size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
     }),
 
+    // X: REAL BPE — merges learned from the corpus itself (deterministic
+    // tie-breaks), then every doc encoded to subwords. Approximation-free
+    // but not SQL-expressible (iterative merges) -> rows-only; the
+    // plumbing is oracle-gated by q_x_bpe_chars below
+    "q_x_bpe_tokens" -> ((s, dir) => {
+      import graft.text.{Bpe, TextOps}
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 100)
+      docs.select(col("doc_id"),
+        Bpe.tokenCount(TextOps.tokens(col("text")), merges).as("n_subwords"),
+        array_join(slice(Bpe.encode(TextOps.tokens(col("text")), merges),
+          1, 12), " ").as("head_subwords"))
+    }),
+
+    // X: the zero-merge degenerate case IS SQL-expressible — subword
+    // count must equal the character count of the concatenated tokens,
+    // gating the whole tokenize/encode/count path against DuckDB
+    "q_x_bpe_chars" -> ((s, dir) => {
+      import graft.text.{Bpe, TextOps}
+      t(s, dir, "documents").select(col("doc_id"),
+        Bpe.tokenCount(TextOps.tokens(col("text")), Nil).as("n_chars_bpe"))
+    }),
+
     // X: quality scoring (length / punctuation / stopword features)
     "q_x_quality" -> ((s, dir) => {
       val f = graft.text.TextOps.qualityFeatures(col("text"))
@@ -1462,6 +1485,12 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+         FROM documents""",
+
+    "q_x_bpe_chars" ->
+      """SELECT doc_id,
+         CAST(len(replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ', '')) AS BIGINT)
+           AS n_chars_bpe
          FROM documents""",
 
     "q_x_quality" ->
