@@ -731,6 +731,20 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // X: KLL quantile sketch — mergeable percentiles (rows-only: KLL
+    // compaction is randomized, estimates vary within the rank-error
+    // bound run to run; the bound itself is spec-asserted)
+    "q_x_kll_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val sk = graft.functions.Sketches.kllBytes(
+        t(s, dir, "lineitem"), "l_extendedprice")
+      Seq((
+        graft.functions.Sketches.kllQuantile(sk, 0.5),
+        graft.functions.Sketches.kllQuantile(sk, 0.95),
+        graft.functions.Sketches.kllQuantile(sk, 0.99)))
+        .toDF("p50", "p95", "p99")
+    }),
+
     // X: exact heavy hitters in two narrow passes (Misra-Gries candidate
     // sweep, then one tiny agg over candidates — no full-key shuffle)
     "q_x_heavy_hitters" -> ((s, dir) => {

@@ -95,4 +95,65 @@ object Sketches {
   /** Driver-side point estimate for one key. */
   def cmsEstimate(bytes: Array[Byte], item: Any): Long =
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes)).estimateCount(item)
+
+  // ------------------------------------------------------------------
+  // KLL quantiles
+  // ------------------------------------------------------------------
+
+  /** KLL quantile sketch over `valueCol` (DataSketches KllDoublesSketch;
+    * Agarwal et al. "Mergeable Summaries" lineage) — the third leg of
+    * the mergeable-metadata trio: HLL answers distinct, count-min
+    * answers frequency, KLL answers PERCENTILES across batches without
+    * rescanning them. Rank error ~1.65/k single-sided (k=200 -> ~0.8%).
+    *
+    * Shape: one sketch per partition built in a streaming pass
+    * (`mapPartitions`, no shuffle, one serialization per PARTITION —
+    * never per row), merged driver-side; each sketch is a few KB. The
+    * same mechanics as a 1000-executor cluster building per-task
+    * sketches and reducing them. Nulls and NaNs are skipped. */
+  def kllBytes(df: DataFrame, valueCol: String, k: Int = 200): Array[Byte] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.select(col(valueCol).cast("double").as("v"))
+      .na.drop("any", Seq("v"))
+      .as[Double]
+      .mapPartitions { it =>
+        val sk = KllDoublesSketch.newHeapInstance(k)
+        it.foreach(v => if (!v.isNaN) sk.update(v))
+        Iterator(sk.toByteArray)
+      }(org.apache.spark.sql.Encoders.BINARY)
+      .collect()
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    parts.foreach(b => merged.merge(KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(b))))
+    merged.toByteArray
+  }
+
+  /** Linear merge (union) of two KLL sketches. */
+  def kllMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+    sa.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+    sa.toByteArray
+  }
+
+  /** Quantile estimate at rank q in [0, 1] (inclusive rule). */
+  def kllQuantile(bytes: Array[Byte], q: Double): Double = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    require(!sk.isEmpty, "kllQuantile: empty sketch")
+    sk.getQuantile(q)
+  }
+
+  /** Normalized rank of a value in [0, 1]. */
+  def kllRank(bytes: Array[Byte], v: Double): Double = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    require(!sk.isEmpty, "kllRank: empty sketch")
+    sk.getRank(v)
+  }
 }

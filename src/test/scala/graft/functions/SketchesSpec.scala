@@ -79,4 +79,32 @@ class SketchesSpec extends AnyFunSuite {
       assert(est <= truth(k) + 2, s"CMS overestimate too large at $k: $est vs ${truth(k)}")
     }
   }
+
+  test("KLL: quantiles within rank-error bound, merge of halves covers the whole") {
+    import spark.implicits._
+    val n = 50000
+    val df = (1 to n).map(_.toDouble).toDF("v").repartition(8)
+    val sk = Sketches.kllBytes(df, "v", k = 200)
+    // k=200 -> ~0.8% single-sided rank error; allow 2%
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = Sketches.kllQuantile(sk, q)
+      assert(math.abs(est / n - q) < 0.02, s"q=$q est=$est")
+    }
+    assert(math.abs(Sketches.kllRank(sk, n / 2.0) - 0.5) < 0.02)
+    // per-batch sketches merged = same answers within bound
+    val lo = Sketches.kllBytes((1 to n / 2).map(_.toDouble).toDF("v"), "v")
+    val hi = Sketches.kllBytes((n / 2 + 1 to n).map(_.toDouble).toDF("v"), "v")
+    val merged = Sketches.kllMerge(lo, hi)
+    assert(math.abs(Sketches.kllQuantile(merged, 0.5) / n - 0.5) < 0.02)
+  }
+
+  test("KLL: nulls and NaN skipped; empty sketch refuses quantiles") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0)).toDF("v")
+    val sk = Sketches.kllBytes(df, "v")
+    val med = Sketches.kllQuantile(sk, 0.5)
+    assert(med == 1.0 || med == 3.0)
+    val empty = Sketches.kllBytes(Seq.empty[Option[Double]].toDF("v"), "v")
+    intercept[IllegalArgumentException] { Sketches.kllQuantile(empty, 0.5) }
+  }
 }
