@@ -1202,6 +1202,27 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // X: watermarked interval stream-stream join executed for REAL (two
+    // file streams -> inner join bounded both ways in event time ->
+    // memory sink); the oracle is the same interval join in SQL
+    "q_x_stream_interval_join" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_ij_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val s1 = StreamOps.readEventsStream(s, streamDir.toString)
+      val s2 = StreamOps.readEventsStream(s, streamDir.toString)
+      val joined = StreamOps.intervalJoinStream(
+        s1.where(col("event_type") === "click"),
+        s2.where(col("event_type") === "purchase"),
+        maxDelayMs = 30 * 60 * 1000L)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_ij").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_ij").select(col("l_event_id"), col("r_event_id"))
+    }),
+
     // X: multimodal column plumbing — binary payload + typed metadata,
     // batched per-partition feature extraction (decode stubbed)
     "q_x_multimodal" -> ((s, dir) => {
@@ -2338,6 +2359,13 @@ object SparkEntry {
                          '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_x_stream_interval_join" ->
+      """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+         FROM events l JOIN events r
+         ON l.user_id = r.user_id
+         AND l.event_type = 'click' AND r.event_type = 'purchase'
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""",
 
     "q_x_multimodal" ->
       """SELECT doc_id AS media_id,

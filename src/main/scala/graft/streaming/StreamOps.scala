@@ -187,6 +187,32 @@ object StreamOps {
     normalize(spark.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir))
 
+  /** Watermarked interval stream-stream join — the attribution shape:
+    * every left event matched to same-user right events that occur
+    * within [0, maxDelayMs] AFTER it (e.g. click -> purchase within 30
+    * minutes). Both sides are watermarked and the join condition bounds
+    * event time in BOTH directions, which is exactly what Structured
+    * Streaming needs to expire buffered state: left rows age out once
+    * the right watermark passes l_ts + maxDelay, right rows once the
+    * left watermark passes r_ts. Identical logic batch or stream
+    * (withWatermark is a no-op on batch frames), so the batch run IS the
+    * oracle for the streaming one. Output: one row per matched pair. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         maxDelayMs: Long,
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("user_id").as("l_user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_user_id = r_user_id AND
+          r_ts >= l_ts AND
+          r_ts <= l_ts + interval $maxDelayMs milliseconds"""))
+      .select(col("l_event_id"), col("r_event_id"))
+  }
+
   /** Stream-to-store ingest: each micro-batch lands in the versioned RAW
     * zone through the same transactional path as batch ingest (log row
     * first, success flip after), so crash-recovery and as-of semantics

@@ -39,6 +39,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked interval stream-stream join equals the batch join") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val batch = StreamOps.normalize(spark.read.schema(StreamOps.eventsSchema)
+      .parquet(s"$streamDir/events.parquet"))
+    val expected = StreamOps.intervalJoinStream(
+        batch.where(col("event_type") === "click"),
+        batch.where(col("event_type") === "purchase"),
+        maxDelayMs = 30 * 60 * 1000L)
+      .as[(Long, Long)].collect().toSet
+
+    val s1 = StreamOps.readEventsStream(spark, streamDir)
+    val s2 = StreamOps.readEventsStream(spark, streamDir)
+    val joined = StreamOps.intervalJoinStream(
+      s1.where(col("event_type") === "click"),
+      s2.where(col("event_type") === "purchase"),
+      maxDelayMs = 30 * 60 * 1000L)
+    // inner stream-stream joins emit matches eagerly — append mode works
+    // on a finite source; the watermark only bounds buffered state
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("interval_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("interval_join").as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions at the gap, keeps state per user") {
     import spark.implicits._
     val events = Seq(
