@@ -413,6 +413,25 @@ object SparkEntry {
         Bpe.tokenCount(TextOps.tokens(col("text")), Nil).as("n_chars_bpe"))
     }),
 
+    // X: top-k per group — map-side WindowGroupLimit keeps each task's
+    // local top-k before the shuffle (plan-guarded in OpsSpec)
+    "q_x_topk_per_group" -> ((s, dir) => {
+      graft.ops.Windows.topKPerGroup(t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc), k = 3)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice"), 2).as("price"),
+          col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+    }),
+
+    // X: Gopher rule-based quality filter (word bounds, mean word length,
+    // symbol ratio, alphabetic-word ratio, required stopwords)
+    "q_x_gopher_quality" -> ((s, dir) => {
+      graft.text.TextOps.gopherQualityFlags(
+        t(s, dir, "documents"), "doc_id", "text", minWords = 40)
+    }),
+
     // X: quality scoring (length / punctuation / stopword features)
     "q_x_quality" -> ((s, dir) => {
       val f = graft.text.TextOps.qualityFeatures(col("text"))
@@ -1521,6 +1540,44 @@ object SparkEntry {
          CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
          FROM documents""",
+
+    "q_x_topk_per_group" ->
+      """SELECT l_returnflag, round(l_extendedprice, 2) AS price,
+           l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+               FROM lineitem)
+         WHERE rn <= 3""",
+
+    "q_x_gopher_quality" ->
+      """WITH b AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         f AS (SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+                 / greatest(len(w), 1), 4) AS mean_word_len,
+           round(CAST(len(list_filter(w, t -> contains(t, '#')
+                   OR contains(t, '...') OR contains(t, chr(8230)))) AS DOUBLE)
+                 / greatest(len(w), 1), 4) AS symbol_ratio,
+           round(CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                 / greatest(len(w), 1), 4) AS alpha_ratio,
+           CAST(len(list_intersect(list_distinct(w),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords
+         FROM b)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+           n_stopwords,
+           (n_words >= 40 AND n_words <= 100000) AS pass_words,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_word_len,
+           (symbol_ratio <= 0.1) AS pass_symbols,
+           (alpha_ratio >= 0.8) AS pass_alpha,
+           (n_stopwords >= 2) AS pass_stopwords,
+           (n_words >= 40 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+            AND n_stopwords >= 2) AS keep
+         FROM f""",
 
     "q_x_bpe_chars" ->
       """SELECT doc_id,

@@ -34,6 +34,24 @@ object Windows {
       .drop("__rn")
   }
 
+  /** Top-k rows per group under an explicit total order — the
+    * per-language "best k documents by quality score" selector. Planned
+    * by Catalyst as WindowGroupLimit (Spark 3.5+): each map task keeps
+    * only its local top-k per group BEFORE the shuffle, so the exchange
+    * carries at most k rows per (group, input partition) instead of the
+    * whole table — the distributed-heap shape, asserted by a plan guard
+    * in the spec. `order` must be a total order (include a unique
+    * tiebreaker) for deterministic results. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+                   order: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"topKPerGroup: k must be >= 1, got $k")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Keyset (cursor) pagination: WHERE key > cursor ORDER BY key LIMIT n
     * (reference: app.py:132-147). Catalyst plans this TakeOrderedAndProject
     * after a pushed-down range filter — no global sort at scale. */

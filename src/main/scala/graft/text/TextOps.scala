@@ -549,6 +549,51 @@ object TextOps {
       "mean_word_len" -> round(nChars / greatest(size(toks).cast("double"), lit(1.0)), 4))
   }
 
+  /** Gopher quality rules (Rae et al., "Scaling Language Models: ...
+    * Gopher", arXiv 2112.11446, Appendix A) — the named rule-based
+    * document filter labs run before model-based scoring. Per document:
+    * word count bounds, mean word length bounds, a symbol-to-word cap
+    * (# and ellipses), a minimum fraction of words containing an
+    * alphabetic character, and a minimum count of distinct required
+    * stopwords ("the/be/to/of/and/that/have/with" — Gopher's list).
+    * Output: the measured features (rounded, engine-comparable) plus
+    * per-rule booleans and the overall `keep`. One projection over the
+    * corpus scan — no shuffle, no UDF. */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         minAlphaWordRatio: Double = 0.8,
+                         minStopwords: Int = 2): DataFrame = {
+    val gopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val meanLen = round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(nWords, lit(1L)).cast("double"), 4)
+    val nSymbols = size(filter(toks, t =>
+      t.contains("#") || t.contains("...") || t.contains("…")))
+    val symbolRatio = round(nSymbols.cast("double") /
+      greatest(nWords, lit(1L)).cast("double"), 4)
+    val alphaRatio = round(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        greatest(nWords, lit(1L)).cast("double"), 4)
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(gopherStopwords.map(lit): _*))).cast("long")
+    val passWords = nWords >= minWords && nWords <= maxWords
+    val passLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val passSym = symbolRatio <= maxSymbolRatio
+    val passAlpha = alphaRatio >= minAlphaWordRatio
+    val passStop = nStop >= minStopwords
+    docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
+      nStop.as("n_stopwords"),
+      passWords.as("pass_words"), passLen.as("pass_word_len"),
+      passSym.as("pass_symbols"), passAlpha.as("pass_alpha"),
+      passStop.as("pass_stopwords"),
+      (passWords && passLen && passSym && passAlpha && passStop).as("keep"))
+  }
+
   /** Add-k-smoothed bigram language-model score per document, trained on
     * the corpus itself — the statistical analogue of a perplexity filter
     * (CCNet trains KenLM on a trusted corpus; without external models the

@@ -118,6 +118,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Skew.saltedJoin(fact, dim, "k", col("rid"), 8).count() == 100L)
   }
 
+  test("topKPerGroup: exactly k per group under the total order, plans WindowGroupLimit") {
+    import spark.implicits._
+    // spark.range-based frame so ConvertToLocalRelation can't fold the
+    // window away (plan-shape assertions need an executed-plan shape)
+    val df = spark.range(100)
+      .select((col("id") % 4).as("g"), col("id").as("v"))
+    val got = Windows.topKPerGroup(df, Seq("g"), Seq(col("v").desc), k = 3)
+      .as[(Long, Long)].collect().toSet
+    val want = (0L to 3L).flatMap(g =>
+      (0L until 100L).filter(_ % 4 == g).sortBy(-_).take(3).map(g -> _)).toSet
+    assert(got == want)
+    // the map-side partial limit must be in the physical plan: without
+    // it every row shuffles and the "top-k before exchange" claim is false
+    val plan = Windows.topKPerGroup(df, Seq("g"), Seq(col("v").desc), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    intercept[IllegalArgumentException] {
+      Windows.topKPerGroup(df, Seq("g"), Seq(col("v")), k = 0)
+    }
+  }
+
   test("saltedJoin rejects join types whose semantics replication would break") {
     val df = Seq((1L, "x")).toDF("k", "a")
     intercept[IllegalArgumentException] {

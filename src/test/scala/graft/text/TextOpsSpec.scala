@@ -415,6 +415,29 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, "")))
   }
 
+  test("gopherQualityFlags: each rule trips on its own pathology") {
+    val good = (Seq("the", "with", "have") ++
+      (1 to 47).map(i => s"word$i")).mkString(" ")      // 50 words, stopwords ok
+    val short = "the with word"                          // fails word count
+    val symbols = (Seq("the", "with") ++
+      (1 to 40).map(_ => "###") ++ (1 to 8).map(i => s"w$i")).mkString(" ")
+    val numeric = (Seq("the", "with") ++
+      (1 to 48).map(i => s"$i$i")).mkString(" ")         // words without letters
+    val noStop = (1 to 50).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, good), (2L, short), (3L, symbols), (4L, numeric), (5L, noStop))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherQualityFlags(df, "doc_id", "text")
+      .select("doc_id", "pass_words", "pass_symbols", "pass_alpha",
+        "pass_stopwords", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, true, true, true, true)))
+    assert(!got(2L)._2 && !got(2L)._6)  // short: word count fails
+    assert(!got(3L)._3 && !got(3L)._6)  // symbol ratio fails
+    assert(!got(4L)._4 && !got(4L)._6)  // alpha-word ratio fails
+    assert(!got(5L)._5 && !got(5L)._6)  // stopword floor fails
+  }
+
   test("dedupLines: blank lines always survive, even repeated") {
     val df = Seq((1L, "a\n\nb"), (2L, "\n\nc")).toDF("doc_id", "text")
     val got = TextOps.dedupLines(df, "doc_id", "text")
