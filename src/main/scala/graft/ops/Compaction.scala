@@ -50,19 +50,37 @@ object Compaction {
 
   /** Rewrite `dir` in place into ~targetBytes parquet files; returns
     * before/after file and byte counts. `sortBy` range-partitions and
-    * sorts the rewrite so each output file covers a narrow key range. */
+    * sorts the rewrite so each output file covers a narrow key range.
+    *
+    * Hive-partitioned directories (`col=value` subdirs) MUST pass the
+    * partition columns via `partitionBy`, which preserves the layout
+    * (keys are clustered first, so file count stays ~nOut, not
+    * nOut x values); compacting one without it would silently FLATTEN
+    * the partitioning — refused with an error instead. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
-              sortBy: Seq[String] = Nil): CompactionStats = {
+              sortBy: Seq[String] = Nil,
+              partitionBy: Seq[String] = Nil): CompactionStats = {
     val before = dataFiles(spark, dir)
     require(before.nonEmpty, s"compact: no data files under $dir")
+    val dirLen = new Path(dir).toUri.getPath.length
+    val partitioned = before.exists { case (p, _) =>
+      new Path(p).toUri.getPath.drop(dirLen).split("/").dropRight(1).exists(_.contains("="))
+    }
+    require(!partitioned || partitionBy.nonEmpty,
+      s"compact: $dir is hive-partitioned; pass partitionBy to preserve " +
+        "the layout (a plain rewrite would flatten it)")
     val nOut = planFiles(spark, dir, targetBytes)
     val df = spark.read.parquet(dir)
     val shaped =
-      if (sortBy.isEmpty) df.repartition(nOut)
+      if (partitionBy.nonEmpty)
+        df.repartition(nOut, partitionBy.map(col): _*)
+      else if (sortBy.isEmpty) df.repartition(nOut)
       else df.repartitionByRange(nOut, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
     val tmp = dir.stripSuffix("/") + "__compact_tmp"
-    shaped.write.mode("overwrite").parquet(tmp)
+    val writer = shaped.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp)
     swapDir(spark, tmp, dir)
     val after = dataFiles(spark, dir)
     CompactionStats(before.size.toLong, before.map(_._2).sum,

@@ -48,6 +48,23 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-partitioned dirs: refused without partitionBy, layout preserved with it") {
+    val dir = freshDir()
+    (1 to 2000).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "part")
+      .repartition(12).write.partitionBy("part").parquet(dir)
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir, targetBytes = 1L << 20)
+    }
+    val stats = Compaction.compact(spark, dir, targetBytes = 1L << 20,
+      partitionBy = Seq("part"))
+    assert(stats.filesAfter < stats.filesBefore)
+    // subdir layout survives and content round-trips
+    val subdirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("part=")).sorted
+    assert(subdirs.toSeq == Seq("part=g0", "part=g1", "part=g2"))
+    assert(spark.read.parquet(dir).count() == 2000L)
+  }
+
   test("planFiles: ceil(bytes/target), floor of one file") {
     val dir = freshDir()
     (1 to 100).map(i => (i, i)).toDF("a", "b").coalesce(1).write.parquet(dir)

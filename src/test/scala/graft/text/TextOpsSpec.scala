@@ -444,4 +444,11 @@ class TextOpsSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "a\n\nb"), (2L, "\n\nc")))
   }
+
+  test("dedupLines: regex-metachar separators are treated literally") {
+    val df = Seq((1L, "x|shared|y"), (2L, "shared|z")).toDF("doc_id", "text")
+    val got = TextOps.dedupLines(df, "doc_id", "text", sep = "|")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "x|shared|y"), (2L, "z")))
+  }
 }
