@@ -1203,6 +1203,16 @@ object SparkEntry {
         .select(col("id"), col("cluster"), col("keep"))
     }),
 
+    // X: SemDeDup with k-means refinement — the realistic configuration
+    // (refined centroids are not SQL-expressible -> rows-only; the
+    // machinery is oracle-gated by q_x_semdedup above)
+    "q_x_semdedup_refined" -> ((s, dir) => {
+      graft.vec.VectorOps.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 16, threshold = 0.3, kmeansIters = 2)
+        .select(col("id"), col("cluster"), col("keep"))
+    }),
+
     // X: Structured Streaming executed for real — file stream -> watermark
     // -> tumbling window agg -> memory sink; same oracle as the batch form
     "q_x_stream_window" -> ((s, dir) => {

@@ -83,6 +83,25 @@ object Bpe {
   /** Subword count per document under a learned vocabulary. */
   def tokenCount(tokens: Column, merges: Seq[(String, String)]): Column =
     size(encode(tokens, merges)).cast("long")
+
+  /** Persist the learned merge list — one "left right" pair per line in
+    * rank order, the merges.txt convention. Symbols never contain
+    * whitespace ([[TextOps.tokens]] splits on it), so the space
+    * delimiter is unambiguous. */
+  def saveMerges(merges: Seq[(String, String)], path: String): Unit = {
+    val lines = merges.map { case (a, b) => s"$a $b" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      String.join("\n", lines: _*).getBytes("UTF-8")): Unit
+  }
+
+  def loadMerges(path: String): Seq[(String, String)] =
+    new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf(' ')
+        require(i > 0 && i < line.length - 1, s"malformed merge line: $line")
+        (line.substring(0, i), line.substring(i + 1))
+      }
 }
 
 object BpeKernels {

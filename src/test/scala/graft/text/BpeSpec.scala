@@ -65,6 +65,17 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("saveMerges/loadMerges round-trips the model artifact in rank order") {
+    val merges = Bpe.train(corpus, "text", numMerges = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_")
+      .resolve("merges.txt").toString
+    Bpe.saveMerges(merges, path)
+    assert(Bpe.loadMerges(path) == merges)
+    // empty model round-trips too
+    Bpe.saveMerges(Nil, path)
+    assert(Bpe.loadMerges(path).isEmpty)
+  }
+
   test("tokenCount under a learned vocab") {
     val merges = Bpe.train(corpus, "text", numMerges = 3)
     val n = Seq("newest").toDF("text")
