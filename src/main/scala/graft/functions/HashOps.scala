@@ -100,6 +100,30 @@ object HashOps {
     new GenericArrayData(res)
   }
 
+  /** LSH band hashes: the signature cut into `bands` bands of
+    * `rowsPerBand` longs, each folded with an LCG-style polynomial mix
+    * seeded by the band index. WRAPPING 64-bit arithmetic by intent —
+    * as a Java kernel it is immune to spark.sql.ansi.enabled, which
+    * would throw ARITHMETIC_OVERFLOW on the same fold written as SQL
+    * aggregate/multiply (Spark 4 defaults ANSI on). */
+  def lshBands(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    val n = sig.numElements()
+    var j = 0
+    while (j < bands) {
+      var acc = j.toLong + 1442695040888963407L
+      var i = j * rowsPerBand
+      val end = math.min(n, (j + 1) * rowsPerBand)
+      while (i < end) {
+        acc = acc * 6364136223846793005L + sig.getLong(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Unicode normalization via java.text.Normalizer. The form is passed
     * as its enum NAME so generated code stays a plain static call; the
     * valueOf lookup is cached by the JVM enum machinery. */

@@ -108,6 +108,30 @@ case class WordShingles(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** LSH band hashes over a MinHash signature — a kernel expression so the
+  * deliberately-wrapping 64-bit fold is independent of
+  * spark.sql.ansi.enabled (the SQL aggregate/multiply form throws
+  * ARITHMETIC_OVERFLOW under ANSI, which Spark 4 enables by default),
+  * and the per-band fold stays one static call inside codegen instead
+  * of an interpreted higher-order aggregate per band. */
+case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"lsh_bands: bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.lshBands(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.lshBands($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
+    copy(child = newChild)
+}
+
 /** Unicode normalization (NFC/NFD/NFKC/NFKD via java.text.Normalizer) —
   * the corpus-cleaning step that folds visually-identical byte sequences
   * together BEFORE fingerprinting/dedup (decomposed vs precomposed
@@ -164,6 +188,8 @@ object TextExpressions {
     toColumn(WordShingles(toExpression(tokens), shingleN))
   def unicode_normalize(c: Column, form: String = "NFC"): Column =
     toColumn(UnicodeNormalize(toExpression(c), form))
+  def lsh_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    toColumn(LshBands(toExpression(sig), bands, rowsPerBand))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

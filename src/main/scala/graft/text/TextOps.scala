@@ -104,10 +104,7 @@ object TextOps {
     * (seeded by the band index) — pure long arithmetic, no string
     * round-trips. */
   def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      j => aggregate(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand)),
-        j.cast("long") + 1442695040888963407L,
-        (acc, x) => acc * lit(6364136223846793005L) + x))
+    graft.functions.TextExpressions.lsh_bands(sig, bands, rowsPerBand)
 
   /** Candidate near-duplicate pairs via MinHash+LSH banding, verified with
     * exact Jaccard over the shingle sets.

@@ -445,6 +445,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a\n\nb"), (2L, "\n\nc")))
   }
 
+  test("minhash dedup survives spark.sql.ansi.enabled=true (Spark 4's default)") {
+    // the band fold wraps 64-bit arithmetic by intent; as SQL
+    // aggregate/multiply it threw ARITHMETIC_OVERFLOW under ANSI — the
+    // kernel expression must be immune
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val df = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "the quick brown fox jumps over the lazy dog today"),
+        (3L, "completely different text with no overlap at all here"))
+        .toDF("doc_id", "text")
+      val pairs = TextOps.minhashDedupPairs(df, "doc_id", "text",
+          shingleN = 2, threshold = 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("dedupLines: regex-metachar separators are treated literally") {
     val df = Seq((1L, "x|shared|y"), (2L, "shared|z")).toDF("doc_id", "text")
     val got = TextOps.dedupLines(df, "doc_id", "text", sep = "|")
