@@ -483,9 +483,12 @@ final class Store(spark: SparkSession, root: String, collection: String,
     * via [[statsExactness]], so big collections take the approx path
     * without the caller having to remember. */
   def columnStats(df: DataFrame, exact: Boolean = true,
-                  sampleK: Int = 0): DataFrame = {
+                  sampleK: Int = 0, quantiles: Boolean = false): DataFrame = {
     val dataCols = df.columns.filterNot(c =>
       c == "table_name" || graft.model.CanonicalSchema.serviceColumns.contains(c))
+    val numeric = df.schema.fields.filter(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSet
     val aggs = dataCols.flatMap { c =>
       Seq(
         count(col(c)).as(s"nn__$c"),
@@ -493,6 +496,12 @@ final class Store(spark: SparkSession, root: String, collection: String,
           .as(s"nu__$c")) ++
         (if (sampleK > 0)
           Seq(graft.functions.Sampling.bottomKSample(col(c), sampleK).as(s"sm__$c"))
+        else Nil) ++
+        // numeric quartiles ride the SAME single agg pass (Spark's
+        // approx_percentile, a codegen'd mergeable agg — no extra scan)
+        (if (quantiles && numeric(c))
+          Seq(percentile_approx(col(c).cast("double"),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"pq__$c"))
         else Nil)
     }
     val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
@@ -506,7 +515,11 @@ final class Store(spark: SparkSession, root: String, collection: String,
           col(s"nn__$c").cast("long").as("n_non_nulls"),
           col(s"nu__$c").cast("long").as("n_unique"),
           lit(dtypes(c)).as("dtype")) ++
-          (if (sampleK > 0) Seq(col(s"sm__$c").as("sample_values")) else Nil): _*)
+          (if (sampleK > 0) Seq(col(s"sm__$c").as("sample_values")) else Nil) ++
+          (if (quantiles)
+            Seq((if (numeric(c)) col(s"pq__$c")
+              else lit(null).cast("array<double>")).as("quartiles"))
+          else Nil): _*)
     }
     perCol.reduce(_.unionByName(_))
   }

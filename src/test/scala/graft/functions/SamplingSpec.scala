@@ -109,6 +109,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(fuelSamples.toSet == Set("Gas", "Coal"))
   }
 
+  test("columnStats with quantiles: numeric quartiles in the same pass, null for text") {
+    val df = (1 to 100).map(i => ("1.1", i, s"v$i")).toDF("table_name", "year", "fuel")
+    val root = java.nio.file.Files.createTempDirectory("graft_q_").toString
+    val st = new graft.store.Store(spark, root, "t")
+    val stats = st.columnStats(df, quantiles = true)
+    val yearQ = stats.filter($"column_name" === "year")
+      .select("quartiles").as[Seq[Double]].head()
+    assert(yearQ.length == 3)
+    assert(yearQ(0) >= 20 && yearQ(0) <= 30)   // ~p25 of 1..100
+    assert(yearQ(1) >= 45 && yearQ(1) <= 55)   // ~median
+    assert(yearQ(2) >= 70 && yearQ(2) <= 80)   // ~p75
+    assert(stats.filter($"column_name" === "fuel")
+      .select("quartiles").as[Option[Seq[Double]]].head().isEmpty)
+    // default off: schema unchanged for the metadata write path
+    assert(!st.columnStats(df).columns.contains("quartiles"))
+  }
+
   test("temperatureMix: alpha interpolates targets between uniform and proportional") {
     // counts 36 ("big") and 4 ("small"): exact shares at every alpha below
     val df = ((1 to 36).map(i => (i.toLong, "big")) ++
