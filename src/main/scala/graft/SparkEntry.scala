@@ -700,6 +700,24 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"), col("pd"))
     }),
 
+    // X: interval-interval overlap join — same binning rewrite, pairs
+    // emitted exactly once from their canonical first shared bin
+    "q_x_interval_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("ls"))
+        .withColumn("le", col("ls") + 7)
+      val b = t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(100)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01")).cast("long").as("rs"))
+        .withColumn("re", col("rs") + 3)
+      graft.ops.RangeJoin.intervalOverlap(a, b, "ls", "le", "rs", "re", binSize = 7)
+        .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+          col("ls"), col("rs"))
+    }),
+
     // X: Bloom-prefiltered semi join — exact EXISTS semantics, corpus
     // side pruned at the scan by the reference side's Bloom filter
     "q_x_bloom_semi" -> ((s, dir) => {
@@ -1879,6 +1897,16 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 1000 = 0)
          SELECT p.l_orderkey, p.l_linenumber, iv.o_orderkey, p.pd
          FROM p JOIN iv ON p.pd >= iv.s0 AND p.pd < iv.s0 + 7""",
+
+    "q_x_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey,
+           CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ls
+         FROM orders WHERE o_orderkey % 100 = 0),
+         b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS rs
+         FROM lineitem WHERE l_orderkey % 100 = 0)
+         SELECT a.o_orderkey, b.l_orderkey, b.l_linenumber, a.ls, b.rs
+         FROM a JOIN b ON a.ls < b.rs + 3 AND b.rs < a.ls + 7""",
 
     "q_x_bloom_semi" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem

@@ -39,4 +39,32 @@ object RangeJoin {
       .where(col(pCol) >= col(sCol) && col(pCol) < col(eCol))
       .drop("__bin")
   }
+
+  /** Interval-interval OVERLAP join under the same binning rewrite:
+    * [ls, le) and [rs, re) overlap iff ls < re AND rs < le. Both sides
+    * explode to their covered bins and hash-join on the bin id — but an
+    * overlapping pair shares MANY bins, so instead of a wide distinct
+    * the pair is emitted exactly once, from its canonical FIRST shared
+    * bin: bin(max(ls, rs)). bin() is monotone, so that equals
+    * greatest(bin(ls), bin(rs)), and an overlapping pair always covers
+    * it on both sides (max(ls, rs) < min(le, re)) — a pure filter, no
+    * dedup shuffle. Exact predicate re-checked on survivors; empty
+    * intervals dropped before the explode on BOTH sides (the
+    * pointInInterval caveat). Column names must not collide. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      binSize: Long): DataFrame = {
+    require(binSize >= 1, s"intervalOverlap: binSize must be >= 1, got $binSize")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.where(col(e) > col(s))
+        .withColumn("__bin", explode(sequence(
+          floor(col(s) / binSize), floor((col(e) - 1) / binSize))))
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), Seq("__bin"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .where(col("__bin") ===
+        greatest(floor(col(lStart) / binSize), floor(col(rStart) / binSize)))
+      .drop("__bin")
+  }
 }

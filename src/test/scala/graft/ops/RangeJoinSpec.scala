@@ -22,6 +22,35 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L), (2L, 100L), (3L, 100L), (3L, 200L), (4L, 200L)))
   }
 
+  test("intervalOverlap: agrees with the naive predicate, emits each pair exactly once") {
+    // random intervals spanning many bins — the exactly-once claim is
+    // the part a hand fixture can miss
+    val rnd = new scala.util.Random(7)
+    val left = (0L until 80L).map { i =>
+      val s = rnd.nextInt(200).toLong; (i, s, s + 1 + rnd.nextInt(40)) }
+      .toDF("lid", "ls", "le")
+    val right = (0L until 80L).map { i =>
+      val s = rnd.nextInt(200).toLong; (i, s, s + 1 + rnd.nextInt(40)) }
+      .toDF("rid", "rs", "re")
+    for (binSize <- Seq(1L, 7L, 64L)) {
+      val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", binSize)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      val naive = left.join(right, $"ls" < $"re" && $"rs" < $"le")
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at binSize=$binSize")
+      assert(got.toSet == naive.toSet, s"mismatch at binSize=$binSize")
+    }
+  }
+
+  test("intervalOverlap: half-open touching intervals do not overlap; empties dropped") {
+    val left = Seq((1L, 0L, 5L), (2L, 10L, 10L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 5L, 9L), (20L, 4L, 6L), (30L, 8L, 3L)).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left, right, "ls", "le", "rs", "re", 4L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // [0,5) touches [5,9) -> no; overlaps [4,6) -> yes; empty/inverted -> no
+    assert(got == Set((1L, 20L)))
+  }
+
   test("the plan is an equi hash join, not a nested loop") {
     val points = (0L until 2000L).map(i => (i, i % 300)).toDF("pid", "p")
     val intervals = (0L until 50L).map(i => (i, i * 5, i * 5 + 9)).toDF("iid", "s0", "e0")
