@@ -468,6 +468,26 @@ object SparkEntry {
       audit.toDF("stage", "n_rows")
     }),
 
+    // X: corpus pipeline with every round-6 stage enabled (NFC
+    // normalization, Gopher rules, C4 line dedup, n-gram
+    // decontamination) — rows-only audit; each added stage is
+    // oracle-gated standalone and the composition is spec-pinned
+    "q_x_corpus_pipeline_v2" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (_, audit) = graft.text.CorpusPipeline.preprocess(
+        docs, "doc_id", "text",
+        benchmark = Some(docs.where(pmod(col("doc_id"), lit(97)) === 0)),
+        graft.text.CorpusPipeline.Thresholds(
+          unicodeForm = Some("NFC"),
+          gopherMinWords = Some(10),
+          // the synthetic corpus's register uses one canonical stopword
+          gopherMinStopwords = 1,
+          lineDedupSep = Some("\n"),
+          ngramOverlapN = Some(5)))
+      audit.toDF("stage", "n_rows")
+    }),
+
     // X: benchmark decontamination flags (normalized exact match against
     // a stand-in eval set: every 97th document)
     "q_x_decontaminate" -> ((s, dir) => {

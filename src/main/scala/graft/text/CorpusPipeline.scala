@@ -37,7 +37,23 @@ object CorpusPipeline {
       // benchmark (GPT-3 appendix-C decontamination) — catches the
       // partial-overlap contamination (one embedded eval passage) that
       // whole-doc fingerprints and doc-level Jaccard both pass through
-      ngramOverlapN: Option[Int] = None)
+      ngramOverlapN: Option[Int] = None,
+      // Some("NFC"): unicode-normalize text FIRST, so decomposed vs
+      // precomposed byte variants cannot defeat any downstream
+      // fingerprint (each stage is oracle-gated standalone:
+      // q_x_unicode_normalize / q_x_gopher_quality / q_x_dedup_lines)
+      unicodeForm: Option[String] = None,
+      // Some(minWords): also require the Gopher appendix-A rules in the
+      // row-local prefix (word bounds at minWords, mean word length,
+      // symbol ratio, alpha-word ratio, stopword floor at
+      // gopherMinStopwords — tune DOWN for corpora whose register
+      // rarely uses the canonical function words)
+      gopherMinWords: Option[Int] = None,
+      gopherMinStopwords: Int = 2,
+      // Some(sep): C4-style global line dedup after redaction — every
+      // non-blank line keeps one corpus-wide occurrence; docs whose text
+      // empties out are then dropped (row counts change, audited)
+      lineDedupSep: Option[String] = None)
 
   /** Run the full pipeline. `benchmark` is the eval corpus to
     * decontaminate against (None skips the stage). The audit frame has
@@ -45,7 +61,9 @@ object CorpusPipeline {
   def preprocess(docs: DataFrame, idCol: String, textCol: String,
                  benchmark: Option[DataFrame] = None,
                  t: Thresholds = Thresholds()): (DataFrame, Seq[(String, Long)]) = {
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base0 = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = t.unicodeForm.fold(base0)(form => base0.withColumn("text",
+      graft.functions.TextExpressions.unicode_normalize(col("text"), form)))
 
     val toks = TextOps.tokens(col("text"))
     val langOk = TextOps.langId(toks).isin(t.languages.map(x => x: Any): _*)
@@ -53,15 +71,28 @@ object CorpusPipeline {
     val qualOk = q("n_tokens") >= t.minTokens &&
       q("punct_ratio") <= t.maxPunctRatio &&
       TextOps.repetitionRatio(toks) <= t.maxRepetitionRatio
+    val gopherOk = t.gopherMinWords.fold(lit(true))(mw =>
+      TextOps.gopherKeep(col("text"), minWords = mw,
+        minStopwords = t.gopherMinStopwords))
 
     // audit of the row-local prefix: one aggregate pass, no checkpoints
     val prefix = base.agg(
       count(lit(1)).as("input"),
       count(when(langOk, 1)).as("language"),
-      count(when(langOk && qualOk, 1)).as("quality")).head()
+      count(when(langOk && qualOk, 1)).as("quality"),
+      count(when(langOk && qualOk && gopherOk, 1)).as("gopher")).head()
 
-    val redacted = base.where(langOk).where(qualOk)
+    val redacted0 = base.where(langOk).where(qualOk).where(gopherOk)
       .withColumn("text", TextOps.redact(col("text")))
+    // optional C4 line dedup: row-preserving by itself, but docs whose
+    // every line was a later copy come back blank and are dropped here
+    // the line-dedup survivor count rides the exact-collapse
+    // materialization below via observe() — no extra execution
+    val lineObs = Observation()
+    val redacted = t.lineDedupSep.fold(redacted0)(sep =>
+      TextOps.dedupLines(redacted0, "id", "text", sep)
+        .where(length(trim(col("text"))) > 0)
+        .observe(lineObs, count(lit(1)).as("n")))
 
     // exact collapse: keep the min-id representative per normalized text.
     // This is the ONE checkpoint the pipeline keeps — exactKept feeds both
@@ -92,6 +123,9 @@ object CorpusPipeline {
     audit += "input" -> prefix.getLong(0)
     audit += "language" -> prefix.getLong(1)
     audit += "quality" -> prefix.getLong(2)
+    if (t.gopherMinWords.isDefined) audit += "gopher" -> prefix.getLong(3)
+    if (t.lineDedupSep.isDefined)
+      audit += "line_dedup" -> lineObs.get("n").asInstanceOf[Number].longValue()
     audit += "exact_dedup" -> exactCount
 
     val clean = benchmark match {

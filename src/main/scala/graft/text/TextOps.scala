@@ -556,14 +556,14 @@ object TextOps {
     * Output: the measured features (rounded, engine-comparable) plus
     * per-rule booleans and the overall `keep`. One projection over the
     * corpus scan — no shuffle, no UDF. */
-  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
-                         minWords: Int = 50, maxWords: Int = 100000,
-                         minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-                         maxSymbolRatio: Double = 0.1,
-                         minAlphaWordRatio: Double = 0.8,
-                         minStopwords: Int = 2): DataFrame = {
+  // (features, per-rule passes) shared by gopherQualityFlags/gopherKeep
+  private def gopherParts(textCol: Column,
+                          minWords: Int, maxWords: Int,
+                          minMeanWordLen: Double, maxMeanWordLen: Double,
+                          maxSymbolRatio: Double, minAlphaWordRatio: Double,
+                          minStopwords: Int): (Seq[(String, Column)], Seq[Column]) = {
     val gopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val toks = tokens(col(textCol))
+    val toks = tokens(textCol)
     val nWords = size(toks).cast("long")
     val meanLen = round(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
@@ -577,19 +577,46 @@ object TextOps {
         greatest(nWords, lit(1L)).cast("double"), 4)
     val nStop = size(array_intersect(array_distinct(toks),
       array(gopherStopwords.map(lit): _*))).cast("long")
-    val passWords = nWords >= minWords && nWords <= maxWords
-    val passLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
-    val passSym = symbolRatio <= maxSymbolRatio
-    val passAlpha = alphaRatio >= minAlphaWordRatio
-    val passStop = nStop >= minStopwords
-    docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
-      nStop.as("n_stopwords"),
-      passWords.as("pass_words"), passLen.as("pass_word_len"),
-      passSym.as("pass_symbols"), passAlpha.as("pass_alpha"),
-      passStop.as("pass_stopwords"),
-      (passWords && passLen && passSym && passAlpha && passStop).as("keep"))
+    (Seq("n_words" -> nWords, "mean_word_len" -> meanLen,
+        "symbol_ratio" -> symbolRatio, "alpha_ratio" -> alphaRatio,
+        "n_stopwords" -> nStop),
+      Seq(nWords >= minWords && nWords <= maxWords,
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen,
+        symbolRatio <= maxSymbolRatio,
+        alphaRatio >= minAlphaWordRatio,
+        nStop >= minStopwords))
   }
+
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1,
+                         minAlphaWordRatio: Double = 0.8,
+                         minStopwords: Int = 2): DataFrame = {
+    val (features, passes) = gopherParts(col(textCol), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minAlphaWordRatio,
+      minStopwords)
+    val passNames = Seq("pass_words", "pass_word_len", "pass_symbols",
+      "pass_alpha", "pass_stopwords")
+    docs.select(
+      (col(idCol) +:
+        features.map { case (n, c) => c.as(n) }) ++
+        passNames.zip(passes).map { case (n, c) => c.as(n) } :+
+        passes.reduce(_ && _).as("keep"): _*)
+  }
+
+  /** The Gopher keep predicate alone — the same five rules as
+    * [[gopherQualityFlags]] folded into one boolean Column, for
+    * composition into row-local filter prefixes (e.g.
+    * [[CorpusPipeline]]'s single-pass audit aggregate). */
+  def gopherKeep(text: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 minAlphaWordRatio: Double = 0.8,
+                 minStopwords: Int = 2): Column =
+    gopherParts(text, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+      maxSymbolRatio, minAlphaWordRatio, minStopwords)._2.reduce(_ && _)
 
   /** Add-k-smoothed bigram language-model score per document, trained on
     * the corpus itself — the statistical analogue of a perplexity filter

@@ -31,6 +31,54 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(a("exact_dedup") == 4 && a("near_dedup") == 3 && a("decontaminate") == 2)
   }
 
+  test("v2 stages: unicode normalize feeds dedup, gopher and line dedup audit in order") {
+    // doc 2 is doc 1 with every 'a' DECOMPOSED (a + combining acute vs
+    // precomposed): only NFC normalization ahead of the fingerprint lets
+    // the exact collapse see them as duplicates
+    val composed = "the c\u00e1t and the dog is in the house with the mouse"
+    val decomposed = "the ca\u0301t and the dog is in the house with the mouse"
+    val shortDoc = "the cat with it"  // passes quality minTokens, fails gopher minWords
+    val docs = Seq(
+      (1L, composed),
+      (2L, decomposed),
+      (3L, shortDoc),
+      (4L, "completely different english text that is about the weather for today"))
+      .toDF("doc_id", "text")
+    val (clean, audit) = CorpusPipeline.preprocess(
+      docs, "doc_id", "text", benchmark = None,
+      CorpusPipeline.Thresholds(
+        unicodeForm = Some("NFC"),
+        gopherMinWords = Some(10),
+        minTokens = 3))
+    val a = audit.toMap
+    assert(a("input") == 4 && a("quality") == 4)
+    assert(a("gopher") == 3, s"gopher stage should drop the short doc: $audit")
+    assert(a("exact_dedup") == 2,
+      s"NFC must fold decomposed onto composed before the fingerprint: $audit")
+    assert(clean.select("id").as[Long].collect().toSet == Set(1L, 4L))
+    // audit keys appear in pipeline order
+    assert(audit.map(_._1) ==
+      Seq("input", "language", "quality", "gopher", "exact_dedup", "near_dedup"))
+  }
+
+  test("v2 line dedup stage: boilerplate lines drop, emptied docs leave the corpus") {
+    val docs = Seq(
+      (1L, "the cat and the dog is here\nthe shared boilerplate line with it"),
+      (2L, "the shared boilerplate line with it"), // empties out entirely
+      (3L, "completely different english text that is about the weather for today"))
+      .toDF("doc_id", "text")
+    val (clean, audit) = CorpusPipeline.preprocess(
+      docs, "doc_id", "text", benchmark = None,
+      CorpusPipeline.Thresholds(lineDedupSep = Some("\n"), minTokens = 3))
+    val a = audit.toMap
+    assert(a("quality") == 3 && a("line_dedup") == 2,
+      s"doc 2 should empty out and drop: $audit")
+    assert(clean.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // doc 1 keeps its first-occurrence copy of the shared line
+    val t1 = clean.where($"id" === 1L).select("text").as[String].head()
+    assert(t1.contains("the shared boilerplate line with it"))
+  }
+
   test("decontamination catches a benchmark twin containing a URL/email") {
     // regression: the corpus text is redacted BEFORE decontamination, so
     // the benchmark side must be redacted identically or a contaminated
