@@ -720,6 +720,22 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"), col("pd"))
     }),
 
+    // X: rolling RANGE-frame aggregate — trailing-30-day revenue per
+    // customer (value-based frame: gaps and ties per the SQL standard)
+    "q_x_rolling_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("d"),
+        col("o_totalprice"))
+      graft.ops.Windows.rollingAgg(o, Seq("o_custkey"), "d", "o_totalprice",
+          lookback = 30)
+        // rolling_avg stays out of the compared columns: the mean of
+        // 2-decimal prices lands ON .005 rounding boundaries where the
+        // two engines' division ulps legitimately differ; sum+count pin
+        // the same arithmetic without the boundary flake
+        .select(col("o_orderkey"), col("o_custkey"), col("d"),
+          round(col("rolling_sum"), 2).as("rolling_sum"), col("rolling_n"))
+    }),
+
     // X: interval-interval overlap join — same binning rewrite, pairs
     // emitted exactly once from their canonical first shared bin
     "q_x_interval_overlap" -> ((s, dir) => {
@@ -1917,6 +1933,18 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 1000 = 0)
          SELECT p.l_orderkey, p.l_linenumber, iv.o_orderkey, p.pd
          FROM p JOIN iv ON p.pd >= iv.s0 AND p.pd < iv.s0 + 7""",
+
+    "q_x_rolling_agg" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+           CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+           o_totalprice
+         FROM orders)
+         SELECT o_orderkey, o_custkey, d,
+           round(sum(o_totalprice) OVER w, 2) AS rolling_sum,
+           count(o_totalprice) OVER w AS rolling_n
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""",
 
     "q_x_interval_overlap" ->
       """WITH a AS (SELECT o_orderkey,

@@ -52,6 +52,27 @@ object Windows {
       .drop("__rn")
   }
 
+  /** Rolling RANGE-frame aggregate per key: for every row, the
+    * sum/count/avg of `valueCol` over the trailing window
+    * [orderVal - lookback, orderVal] within its partition — the
+    * trailing-7-day-revenue shape. A RANGE frame (value-based), not
+    * ROWS: gaps and ties in the order column behave like the SQL
+    * standard. One shuffle on the partition keys; the frame is
+    * computed in a single sort-based pass per partition. `orderCol`
+    * must be numeric (days since epoch, epoch seconds — the caller
+    * picks the unit; `lookback` is in the same unit). */
+  def rollingAgg(df: DataFrame, partitionCols: Seq[String],
+                 orderCol: String, valueCol: String,
+                 lookback: Long): DataFrame = {
+    require(lookback >= 0, s"rollingAgg: lookback must be >= 0, got $lookback")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rangeBetween(-lookback, Window.currentRow)
+    df.withColumn("rolling_sum", sum(col(valueCol)).over(w))
+      .withColumn("rolling_n", count(col(valueCol)).over(w))
+      .withColumn("rolling_avg", avg(col(valueCol)).over(w))
+  }
+
   /** Keyset (cursor) pagination: WHERE key > cursor ORDER BY key LIMIT n
     * (reference: app.py:132-147). Catalyst plans this TakeOrderedAndProject
     * after a pushed-down range filter — no global sort at scale. */

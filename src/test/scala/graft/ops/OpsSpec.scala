@@ -139,6 +139,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rollingAgg: RANGE frame over gaps and ties, per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 5L, 20.0), ("a", 6L, 30.0), ("a", 20L, 40.0),
+      ("b", 2L, 1.0), ("b", 2L, 3.0))  // tie: both rows see both values
+      .toDF("k", "t", "v")
+    val got = Windows.rollingAgg(df, Seq("k"), "t", "v", lookback = 5)
+      .select("k", "t", "rolling_sum", "rolling_n")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 10.0, 1L), ("a", 5L, 30.0, 2L),
+      ("a", 6L, 60.0, 3L), ("a", 20L, 40.0, 1L),
+      ("b", 2L, 4.0, 2L), ("b", 2L, 4.0, 2L)))
+  }
+
   test("saltedJoin rejects join types whose semantics replication would break") {
     val df = Seq((1L, "x")).toDF("k", "a")
     intercept[IllegalArgumentException] {
