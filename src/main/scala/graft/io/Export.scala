@@ -15,7 +15,7 @@ import graft.ops.Projection
   * directory) is kept for plain-text consumers. */
 object Export {
 
-  val formats: Set[String] = Set("csv", "parquet", "xlsx", "workbook")
+  val formats: Set[String] = Set("csv", "parquet", "orc", "xlsx", "workbook")
 
   /** Shape a PROD slice for export: service columns and all-null sparse
     * dimensions dropped (read_write.py:498-500). */
@@ -37,6 +37,7 @@ object Export {
     val target = s"$outDir/${fileName(collection, table, date, format)}"
     format match {
       case "parquet" => writeSingle(slice, target, "parquet")
+      case "orc"     => writeSingle(slice, target, "orc")
       case "xlsx" =>
         new java.io.File(outDir).mkdirs()
         Xlsx.write(target, Seq(table -> sheetRows(slice)))

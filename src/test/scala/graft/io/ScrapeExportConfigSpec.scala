@@ -77,6 +77,15 @@ class ExportSpec extends AnyFunSuite {
     assert(back.select("fuel").as[String].head() == "Oil")
   }
 
+  test("orc export round-trips") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val path = Export.exportTable(prod, "dukes", "2.1", out, "orc")
+    assert(path.endsWith(".orc"))
+    val back = spark.read.orc(path)
+    assert(back.count() == 1)
+    assert(back.select("fuel").as[String].head() == "Oil")
+  }
+
   test("xlsx export round-trips through the decoder, sheet named by table") {
     val out = Files.createTempDirectory("graft_export_").toString
     val path = Export.exportTable(prod, "dukes", "1.1", out, "xlsx", date = "2026-08-12")
