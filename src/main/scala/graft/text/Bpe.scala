@@ -23,6 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Bpe {
 
+  /** Code-point symbols of a word (never split surrogate pairs — the
+    * same rule as the encode kernel). */
+  private def codePointSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** Learn `numMerges` merges from the corpus. Deterministic: candidate
     * pairs rank by (count desc, pair lexicographic asc) — a fixed total
     * order, so the learned merge list is reproducible across runs,
@@ -42,7 +55,7 @@ object Bpe {
       .orderBy(col("n").desc, col("w")).limit(maxVocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Array[String], Long)] =
-      wordCounts.map { case (w, n) => (w.map(_.toString).toArray, n) }
+      wordCounts.map { case (w, n) => (codePointSymbols(w), n) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     var exhausted = false
@@ -114,8 +127,16 @@ object BpeKernels {
     while (t < toks.numElements()) {
       if (!toks.isNullAt(t)) {
         val word = toks.getUTF8String(t).toString
-        var syms = scala.collection.mutable.ArrayBuffer.empty[String]
-        word.foreach(ch => syms += ch.toString)
+        val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        // iterate CODE POINTS, not UTF-16 chars: an astral-plane symbol
+        // (emoji, rare CJK) would otherwise split into two lone
+        // surrogates and corrupt every subword it touches
+        var ci = 0
+        while (ci < word.length) {
+          val cp = word.codePointAt(ci)
+          syms += new String(Character.toChars(cp))
+          ci += Character.charCount(cp)
+        }
         var done = syms.length < 2
         while (!done) {
           var bestRank = Int.MaxValue

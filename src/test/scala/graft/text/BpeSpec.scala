@@ -65,6 +65,24 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.isEmpty)
   }
 
+  test("astral-plane code points stay whole symbols (no surrogate splitting)") {
+    // an emoji is one code point in two UTF-16 chars; symbols must be
+    // code points or every subword touching it is corrupt
+    val emoji = new String(Character.toChars(0x1F600))
+    val word = s"a${emoji}b"
+    val df = Seq(s"$word $word $word").toDF("text")
+    // zero merges: encode must yield exactly the three code points
+    val chars = df.select(Bpe.encode(TextOps.tokens(col("text")), Nil).as("sw"))
+      .as[Seq[String]].head().take(3)
+    assert(chars == Seq("a", emoji, "b"))
+    // training sees the emoji as a mergeable unit, not surrogate halves
+    val merges = Bpe.train(df, "text", numMerges = 1)
+    assert(merges == Seq(("a", emoji)))
+    val encoded = df.select(Bpe.encode(TextOps.tokens(col("text")), merges).as("sw"))
+      .as[Seq[String]].head().take(2)
+    assert(encoded == Seq(s"a$emoji", "b"))
+  }
+
   test("saveMerges/loadMerges round-trips the model artifact in rank order") {
     val merges = Bpe.train(corpus, "text", numMerges = 5)
     val path = java.nio.file.Files.createTempDirectory("graft_bpe_")
