@@ -87,6 +87,27 @@ object Compaction {
       after.size.toLong, after.map(_._2).sum)
   }
 
+  /** Compaction + multi-dimensional clustering in one rewrite:
+    * [[Zorder.cluster]] lays the data on the Morton curve across `dims`
+    * so each of the ~targetBytes output files covers a narrow range in
+    * EVERY clustered dimension (parquet footer stats then prune on any
+    * of them), and the same atomic swap publishes the result — the
+    * OPTIMIZE ... ZORDER BY maintenance verb, minus the table format. */
+  def compactZorder(spark: SparkSession, dir: String, targetBytes: Long,
+                    dims: Seq[String]): CompactionStats = {
+    require(dims.nonEmpty, "compactZorder: need at least one dimension")
+    val before = dataFiles(spark, dir)
+    require(before.nonEmpty, s"compactZorder: no data files under $dir")
+    val nOut = planFiles(spark, dir, targetBytes)
+    val shaped = Zorder.cluster(spark.read.parquet(dir), dims, nOut)
+    val tmp = dir.stripSuffix("/") + "__compact_tmp"
+    shaped.write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, dir)
+    val after = dataFiles(spark, dir)
+    CompactionStats(before.size.toLong, before.map(_._2).sum,
+      after.size.toLong, after.map(_._2).sum)
+  }
+
   // live -> _bak, tmp -> live, drop _bak — same discipline as
   // Store.swapDir so a crash at any instant leaves a recoverable copy
   private def swapDir(spark: SparkSession, tmp: String, live: String): Unit = {

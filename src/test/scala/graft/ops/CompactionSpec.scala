@@ -65,6 +65,28 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2000L)
   }
 
+  test("compactZorder: files cover narrow ranges on BOTH dims, content intact") {
+    val dir = freshDir()
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 20000).map(_ => (rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong))
+      .toDF("x", "y")
+    df.repartition(30).write.parquet(dir)
+    val stats = Compaction.compactZorder(spark, dir, targetBytes = 1L, Seq("x", "y"))
+    assert(stats.filesAfter < stats.filesBefore || stats.filesAfter >= 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 20000L)
+    // per-file spans: z-ordering keeps BOTH dims well under the global
+    // range for most files (the data-skipping property)
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .as[(String, Long, Long)].collect()
+    assert(spans.length > 1)
+    val medianSx = spans.map(_._2).sorted.apply(spans.length / 2)
+    val medianSy = spans.map(_._3).sorted.apply(spans.length / 2)
+    assert(medianSx < 6000 && medianSy < 6000,
+      s"files span too much of the 10000 range: sx=$medianSx sy=$medianSy")
+  }
+
   test("planFiles: ceil(bytes/target), floor of one file") {
     val dir = freshDir()
     (1 to 100).map(i => (i, i)).toDF("a", "b").coalesce(1).write.parquet(dir)
