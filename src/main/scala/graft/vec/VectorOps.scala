@@ -491,9 +491,11 @@ object VectorOps {
       // seed TakeOrdered, each k-means sweep, and the assignment all
       // re-consume the scan — same discipline as ivfTopK
       .localCheckpoint()
+    // getAs[Number]: int ids work as-is (the pqTrain lesson — never
+    // assume the id column is a long)
     val seed = base.orderBy(col("id")).limit(nlist)
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
     val cents = kmeansCentroids(base, "v", seed, kmeansIters)
     val assigned = base.withColumn("cluster",

@@ -187,6 +187,16 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == Seq((10L, true), (11L, false), (12L, false), (13L, true)))
   }
 
+  test("semDedup: integer id columns work (no long assumption)") {
+    val df = Seq(
+      (10, Array(1.0f, 0.0f)), (11, Array(2.0f, 0.0f)), (12, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding") // vec_id is IntegerType here
+    val got = VectorOps.semDedup(df, "vec_id", "embedding",
+        nlist = 2, threshold = 0.99, kmeansIters = 0)
+      .orderBy("id").select("keep").as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, true))
+  }
+
   test("semDedup: cross-cluster near-duplicates are NOT flagged (clustering bounds pairs)") {
     // two near-identical vectors seeded into DIFFERENT clusters (both are
     // seeds): semantic dedup is within-cluster by design — the pair must
