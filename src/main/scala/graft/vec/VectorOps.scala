@@ -352,7 +352,8 @@ object VectorOps {
     // id spaces, the same discipline as the PQ seeds)
     val seed = base.orderBy(col("cand_id")).limit(nlist)
       .select(col("cand_id"), col("cand_vec")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1).toSeq
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
     val cents = kmeansCentroids(base, "cand_vec", seed, kmeansIters)
     def centVec(cid: Column): Column =
       cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (id, cv)) =>
@@ -441,7 +442,7 @@ object VectorOps {
     val seed = base.orderBy(col("cand_id")).limit(nlist)
       .select(col("cand_id"), col("cand_vec"))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
     val cents = kmeansCentroids(base, "cand_vec", seed, kmeansIters)
     // nearest list per vector: one projection over the scan
