@@ -152,6 +152,7 @@ object Sampling {
       .collect()
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1))
       .sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix: empty input frame")
     val pows = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
     val powSum = pows.map(_._2).sum
     val targets = pows.map { case (s, p) =>

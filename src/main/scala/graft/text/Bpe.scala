@@ -48,6 +48,7 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxVocabWords: Int = 100000): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxVocabWords >= 1, s"maxVocabWords must be >= 1, got $maxVocabWords")
     val wordCounts = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
