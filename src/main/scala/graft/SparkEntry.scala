@@ -804,6 +804,20 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // X: deterministic training-shard write — REAL shard+manifest round
+    // trip: the manifest (counted from the PUBLISHED files) must equal
+    // the pmod grouping computed by the oracle on the source table
+    "q_x_shard_manifest" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q_shards_")
+        .toString + "/c"
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(graft.text.TextOps.tokens(col("text"))).cast("long"))
+      graft.etl.Shards.write(docs, "doc_id", "n_tokens", out, nShards = 8)
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("n_tokens"))
+    }),
+
     // X: KLL quantile sketch — mergeable percentiles (rows-only: KLL
     // compaction is randomized, estimates vary within the rank-error
     // bound run to run; the bound itself is spec-asserted)
@@ -2468,6 +2482,12 @@ object SparkEntry {
       """SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_id,
          CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang""",
+
+    "q_x_shard_manifest" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1""",
 
     "q_x_word_freq" ->
       """SELECT w AS word, count(*) AS n
