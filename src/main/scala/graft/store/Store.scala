@@ -56,14 +56,39 @@ final class Store(spark: SparkSession, root: String, collection: String,
     * "5.6.J" — inference would read "1.1" back as a Double — but pinning
     * the flag session-wide from a constructor would silently change every
     * other read in the session. */
-  private def readPartitioned(path: String): DataFrame = {
+  private def withPartitionInferenceOff[T](f: => T): T = {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
-    try spark.read.parquet(path)
+    try f
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
+    }
+  }
+
+  private def readPartitioned(path: String): DataFrame =
+    withPartitionInferenceOff { spark.read.parquet(path) }
+
+  /** Compact a zone's small files in place: every ingest appends its own
+    * file set to RAW (and incremental stages rewrite PROD partitions), so
+    * a long-lived store accumulates exactly the small-files pathology
+    * [[graft.ops.Compaction]] exists for. The table_name partition layout
+    * is preserved, provenance columns are untouched (a rewrite moves
+    * rows, never edits them), and the publish is the same atomic swap as
+    * staging. Partition-type inference is scoped OFF around the rewrite —
+    * the compaction's internal read would otherwise coerce "1.1"-style
+    * table names to doubles and corrupt the layout on write. */
+  def compactZone(zone: String, targetBytes: Long = 128L << 20): graft.ops.Compaction.CompactionStats = {
+    val path = zone match {
+      case "raw"  => rawPath
+      case "prod" => recoverDirIfNeeded(prodPath); prodPath
+      case other  => throw new IllegalArgumentException(
+        s"compactZone: unknown zone '$other' (raw|prod)")
+    }
+    withPartitionInferenceOff {
+      graft.ops.Compaction.compact(spark, path, targetBytes,
+        partitionBy = Seq("table_name"))
     }
   }
 

@@ -24,6 +24,29 @@ class StoreSpec extends AnyFunSuite {
   private def frame(version: Int) =
     Seq((0, "a", version), (1, "b", version)).toDF("row", "label", "version")
 
+  test("compactZone folds per-ingest RAW files, versioning and staging intact") {
+    val st = freshStore()
+    // each ingest appends its own file set -> the small-files pathology
+    for (v <- 1 to 5) st.ingest(frame(v), "1.1", url = s"u$v")
+    st.ingest(frame(9), "2.2", url = "u9")
+    val before = st.snapshot().orderBy("table_name", "row")
+      .collect().map(_.toString).toSeq
+    val stats = st.compactZone("raw", targetBytes = 256L << 20)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"expected fewer files: $stats")
+    // partition layout survives (table_name stays a STRING dir)
+    val rawDirs = new java.io.File(st.rawPath).listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(rawDirs.toSeq == Seq("table_name=1.1", "table_name=2.2"))
+    // versioning semantics identical after the rewrite
+    val after = st.snapshot().orderBy("table_name", "row")
+      .collect().map(_.toString).toSeq
+    assert(after == before)
+    st.stage()
+    assert(st.isStaged)
+    intercept[IllegalArgumentException] { st.compactZone("log") }
+  }
+
   test("snapshot before any ingest fails with a clear message") {
     val st = freshStore()
     val e = intercept[IllegalArgumentException](st.snapshot().count())
