@@ -855,6 +855,17 @@ object SparkEntry {
         "doc_id", "text", chunkSize = 64, overlap = 16)
     }),
 
+    // X: script detection by Unicode block — the corpus is ASCII, so the
+    // query first swaps two common words for Cyrillic/CJK equivalents
+    // (same literal replaces in the oracle); ratios + dominant script
+    "q_x_script_profile" -> ((s, dir) => {
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"),
+          "table", "таблица"),
+          "value", "值值值").as("text"))
+      graft.text.TextOps.scriptProfile(multi, "doc_id", "text")
+    }),
+
     // X: unicode NFC normalization (custom expression; Spark has no
     // built-in) — the corpus is ASCII, so the query first decomposes
     // every 'a' into 'a' + combining acute (U+0301) and the normalizer
@@ -2006,6 +2017,41 @@ object SparkEntry {
            array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
            CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS chunk_tokens
          FROM c""",
+
+    "q_x_script_profile" ->
+      """WITH m AS (SELECT doc_id,
+           replace(replace(text, 'table', 'таблица'), 'value', '值值值') AS t
+         FROM documents),
+         r AS (SELECT doc_id,
+           greatest(len(regexp_replace(t, '\s', '', 'g')), 1) AS nz,
+           len(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS c_latin,
+           len(regexp_replace(t, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS c_cjk,
+           len(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')) AS c_cyr,
+           len(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g')) AS c_ar,
+           len(regexp_replace(t, '[^\x{0900}-\x{097F}]', '', 'g')) AS c_dev,
+           len(regexp_replace(t, '[^\x{AC00}-\x{D7AF}]', '', 'g')) AS c_han
+         FROM m),
+         x AS (SELECT doc_id,
+           round(c_latin::DOUBLE / nz, 4) AS r_latin,
+           round(c_cjk::DOUBLE / nz, 4) AS r_cjk,
+           round(c_cyr::DOUBLE / nz, 4) AS r_cyrillic,
+           round(c_ar::DOUBLE / nz, 4) AS r_arabic,
+           round(c_dev::DOUBLE / nz, 4) AS r_devanagari,
+           round(c_han::DOUBLE / nz, 4) AS r_hangul
+         FROM r),
+         y AS (SELECT *, list_sort([
+             {'negr': -r_latin, 's': 'latin'},
+             {'negr': -r_cjk, 's': 'cjk'},
+             {'negr': -r_cyrillic, 's': 'cyrillic'},
+             {'negr': -r_arabic, 's': 'arabic'},
+             {'negr': -r_devanagari, 's': 'devanagari'},
+             {'negr': -r_hangul, 's': 'hangul'}])[1] AS top
+         FROM x)
+         SELECT doc_id, r_latin, r_cjk, r_cyrillic, r_arabic,
+           r_devanagari, r_hangul,
+           CASE WHEN -(top.negr) >= 0.5 THEN top.s ELSE 'other' END
+             AS dominant_script
+         FROM y""",
 
     "q_x_unicode_normalize" ->
       """SELECT doc_id,

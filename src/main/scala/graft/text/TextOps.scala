@@ -556,6 +556,45 @@ object TextOps {
     * Output: the measured features (rounded, engine-comparable) plus
     * per-rule booleans and the overall `keep`. One projection over the
     * corpus scan — no shuffle, no UDF. */
+  /** Unicode script ranges for [[scriptProfile]] — the blocks that cover
+    * the bulk of web text; the `\x{...}` syntax is shared by Java regex
+    * and RE2, so the SAME pattern strings drive Spark and the DuckDB
+    * oracle. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}")
+
+  /** Script detection by Unicode block — the language-ID complement for
+    * text where stopword lists fail (CJK has no spaces to tokenize,
+    * Cyrillic/Arabic share no stopwords with the Latin lists). Per
+    * document: the fraction of non-space characters in each major
+    * script block, plus the dominant script ("other" when no block
+    * reaches `minRatio` — symbol soup, digits, unsupported scripts).
+    * One shuffle-free projection of codegen'd regexp counts. */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String,
+                    minRatio: Double = 0.5): DataFrame = {
+    val total = greatest(
+      length(regexp_replace(col(textCol), "\\s", "")), lit(1)).cast("double")
+    val ratios = scriptRanges.map { case (name, range) =>
+      name -> round(
+        length(regexp_replace(col(textCol), s"[^$range]", "")).cast("double") / total,
+        4)
+    }
+    // argmax with deterministic ties (ratio desc, then script name asc)
+    val ranked = array_sort(array(ratios.map { case (n, r) =>
+      struct((-r).as("negr"), lit(n).as("script"))
+    }: _*))
+    val top = element_at(ranked, 1)
+    docs.select(
+      (col(idCol) +: ratios.map { case (n, r) => r.as(s"r_$n") }) :+
+        when(-top.getField("negr") >= minRatio, top.getField("script"))
+          .otherwise(lit("other")).as("dominant_script"): _*)
+  }
+
   // (features, per-rule passes) shared by gopherQualityFlags/gopherKeep
   private def gopherParts(textCol: Column,
                           minWords: Int, maxWords: Int,

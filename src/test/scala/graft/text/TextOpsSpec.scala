@@ -415,6 +415,24 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, "")))
   }
 
+  test("scriptProfile: dominant script per Unicode block, 'other' below the floor") {
+    val df = Seq(
+      (1L, "hello latin words here"),
+      (2L, "你好世界大家"),          // CJK
+      (3L, "привет мир"), // cyrillic
+      (4L, "안녕하세요"),                 // hangul
+      (5L, "12345 67890 !!!"))                                // no script wins
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(df, "doc_id", "text")
+      .select("doc_id", "dominant_script").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "latin", 2L -> "cjk", 3L -> "cyrillic",
+      4L -> "hangul", 5L -> "other"))
+    // ratios are fractions of non-space chars
+    val r = TextOps.scriptProfile(df, "doc_id", "text")
+      .where($"doc_id" === 1L).select("r_latin").as[Double].head()
+    assert(r == 1.0)
+  }
+
   test("gopherQualityFlags: each rule trips on its own pathology") {
     val good = (Seq("the", "with", "have") ++
       (1 to 47).map(i => s"word$i")).mkString(" ")      // 50 words, stopwords ok
