@@ -1271,6 +1271,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
+    // X: semantic (embedding-space) decontamination — the paraphrase
+    // catcher; benchmark = every 97th vector, broadcast with norms
+    "q_x_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.VectorOps.semanticContaminatedIds(
+        emb, emb.where(pmod(col("vec_id"), lit(97)) === 0),
+        "vec_id", "embedding", threshold = 0.3)
+    }),
+
     // X: SemDeDup — k-means-clustered semantic dedup, oracle-gated at
     // kmeansIters=0 where the rank-seeded assignment is SQL-expressible
     // (argmax cosine over the nlist smallest-id vectors, tie -> smaller
@@ -2548,6 +2557,12 @@ object SparkEntry {
          FROM s a, s b
          WHERE a.vec_id < b.vec_id
            AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.3""",
+
+    "q_x_semantic_decontaminate" ->
+      """SELECT c.vec_id AS id FROM embeddings c
+         WHERE EXISTS (SELECT 1 FROM embeddings b
+           WHERE b.vec_id % 97 = 0
+           AND CAST(list_cosine_similarity(c.embedding, b.embedding) AS DOUBLE) >= 0.3)""",
 
     "q_x_semdedup" ->
       """WITH cents AS (

@@ -464,6 +464,35 @@ object VectorOps {
         col("cand_id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Semantic benchmark decontamination — the EMBEDDING-space member of
+    * the decontamination family (exact fingerprint / near-dup MinHash /
+    * n-gram overlap / Bloom cover the lexical space): a corpus document
+    * is contaminated when its embedding sits within cosine >= `threshold`
+    * of ANY benchmark embedding — catching paraphrased eval material
+    * that shares no n-gram with the benchmark. Returns the distinct
+    * contaminated ids; compose with a left_anti to remove.
+    *
+    * Scale: the benchmark is small by assumption and BROADCASTS with
+    * precomputed norms; the corpus streams through one scan (no
+    * shuffle) and only the contaminated-id set — bounded by the corpus'
+    * true contamination — is exchanged for the distinct. */
+  def semanticContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+      .withColumn("vn", norm(col("v")))
+    val b = broadcast(benchmark
+      .select(asDouble(col(vecCol)).as("bv"))
+      .withColumn("bn", norm(col("bv"))))
+    // non-equi LEFT SEMI against the broadcast: each corpus row is
+    // checked against the in-memory benchmark and emitted at most once —
+    // no pair blowup, no shuffle of the corpus
+    c.join(b, dot(col("v"), col("bv")) / (col("vn") * col("bn")) >= threshold,
+        "left_semi")
+      .select(col("id"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv 2303.09540):
     * semantic near-duplicate pruning on embeddings. K-means partitions

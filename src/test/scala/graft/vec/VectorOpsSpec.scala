@@ -187,6 +187,24 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == Seq((10L, true), (11L, false), (12L, false), (13L, true)))
   }
 
+  test("semanticContaminatedIds: flags near-benchmark embeddings once, leaves the rest") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to bench vec
+      (2L, Array(0.95f, 0.05f, 0.0f)), // near the bench vec
+      (3L, Array(0.0f, 0.0f, 1.0f)),   // far from both bench vecs
+      (4L, Array(0.0f, 0.9f, 0.1f)))   // near ANOTHER bench vec
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.95f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.semanticContaminatedIds(corpus, bench,
+        "vec_id", "embedding", threshold = 0.98)
+      .as[Long].collect().toSeq
+    assert(got.sorted == Seq(1L, 2L, 4L))
+    assert(got.distinct == got) // semi join: at most once per doc
+  }
+
   test("semDedup: integer id columns work (no long assumption)") {
     val df = Seq(
       (10, Array(1.0f, 0.0f)), (11, Array(2.0f, 0.0f)), (12, Array(0.0f, 1.0f)))
