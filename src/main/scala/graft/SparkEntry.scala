@@ -866,6 +866,16 @@ object SparkEntry {
       graft.text.TextOps.scriptProfile(multi, "doc_id", "text")
     }),
 
+    // X: mojibake repair — the query INJECTS cp1252-misread bytes
+    // (every 'a' becomes "Ã¡", the mojibake of a-acute) and
+    // the repair must reconstruct the clean text the oracle builds
+    // directly ('a' -> "á")
+    "q_x_fix_mojibake" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextExpressions.fix_mojibake(
+          regexp_replace(col("text"), "a", "\u00c3\u00a1")).as("fixed_text"))
+    }),
+
     // X: unicode NFC normalization (custom expression; Spark has no
     // built-in) — the corpus is ASCII, so the query first decomposes
     // every 'a' into 'a' + combining acute (U+0301) and the normalizer
@@ -2061,6 +2071,10 @@ object SparkEntry {
            CASE WHEN -(top.negr) >= 0.5 THEN top.s ELSE 'other' END
              AS dominant_script
          FROM y""",
+
+    "q_x_fix_mojibake" ->
+      """SELECT doc_id, replace(text, 'a', '\u00e1') AS fixed_text
+         FROM documents""",
 
     "q_x_unicode_normalize" ->
       """SELECT doc_id,

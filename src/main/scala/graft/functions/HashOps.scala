@@ -134,6 +134,37 @@ object HashOps {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
+  /** Repair cp1252/UTF-8 double-encoding ("mojibake": UTF-8 bytes
+    * misread as cp1252 once or twice — "Ã©" for "é"). The detector IS
+    * the repair: re-encode the string as cp1252 (strict — any char
+    * outside cp1252 aborts) and strictly decode the bytes as UTF-8; a
+    * success that SHRINKS the string is accepted (real mojibake always
+    * inflates, 2-4 chars per original), anything else returns the input
+    * unchanged — plain ASCII round-trips to itself at equal length and
+    * genuine "café" fails the strict UTF-8 decode, so both pass
+    * through. Whole-string semantics (a document mixing mojibake with
+    * chars outside cp1252 is left alone); up to two rounds for
+    * double-encoded text. */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    var cur = s.toString
+    var rounds = 0
+    var done = false
+    var changed = false
+    while (rounds < 2 && !done) {
+      try {
+        val bytes = java.nio.charset.Charset.forName("windows-1252")
+          .newEncoder()
+          .encode(java.nio.CharBuffer.wrap(cur))
+        val decoded = java.nio.charset.StandardCharsets.UTF_8
+          .newDecoder()
+          .decode(bytes).toString
+        if (decoded.length < cur.length) { cur = decoded; changed = true; rounds += 1 }
+        else done = true
+      } catch { case _: java.nio.charset.CharacterCodingException => done = true }
+    }
+    if (changed) UTF8String.fromString(cur) else s
+  }
+
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
     val P = 1000003L

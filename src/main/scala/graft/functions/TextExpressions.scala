@@ -157,6 +157,25 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** ftfy-style mojibake repair (cp1252/UTF-8 double-encoding) — see
+  * [[HashOps.fixMojibake]] for the detector-is-the-repair scheme. The
+  * web-scrape cleaning step that rescues "Ã©"-infested documents
+  * instead of letting the quality filter discard them. */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.fixMojibake(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.fixMojibake($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
 /** Karp-Rabin polynomial rolling hash over a string's UTF-8 bytes:
   * h = sum(byte_i * B^i) in wrapping 64-bit arithmetic, B = 1000003.
   * A cheap order-sensitive document fingerprint. */
@@ -190,6 +209,8 @@ object TextExpressions {
     toColumn(UnicodeNormalize(toExpression(c), form))
   def lsh_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     toColumn(LshBands(toExpression(sig), bands, rowsPerBand))
+  def fix_mojibake(c: Column): Column =
+    toColumn(FixMojibake(toExpression(c)))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

@@ -77,4 +77,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT unicode_normalize(s), unicode_normalize(s, 'NFD') FROM udocs").head()
     assert(r.getString(0) == "caf\u00e9" && r.getString(1) == "cafe\u0301")
   }
+  test("fix_mojibake repairs single and double cp1252/UTF-8 encoding, leaves clean text") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val clean = "caf\u00e9 costs \u20ac5"
+    val once = new String(clean.getBytes("UTF-8"), "windows-1252")
+    val twice = new String(once.getBytes("UTF-8"), "windows-1252")
+    val df = Seq(clean, once, twice, "plain ascii text").toDF("s")
+    val got = df.select(
+        graft.functions.TextExpressions.fix_mojibake(col("s")).as("f"))
+      .as[String].collect().toSeq
+    assert(got == Seq(clean, clean, clean, "plain ascii text"))
+  }
+
 }
