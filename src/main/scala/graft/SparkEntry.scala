@@ -585,6 +585,17 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("source"))
     }),
 
+    // X: token-BUDGET mix — per-language budgets in TOKENS (the unit a
+    // pre-training mix is specified in), deterministic md5 prefix rule
+    "q_x_token_budget_mix" -> ((s, dir) => {
+      import graft.text.TextOps
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      graft.functions.Sampling.tokenBudgetMix(d, "lang", "doc_id", "n_tokens",
+          Map("en" -> 5000L, "de" -> 2000L, "zh" -> 1000L))
+        .select(col("lang"), col("doc_id"), col("n_tokens"))
+    }),
+
     // X: temperature-scaled mix — per-language targets total*sqrt(n)/sum,
     // shares snapped to 6 decimals on both sides so the floor agrees
     "q_x_temperature_mix" -> ((s, dir) => {
@@ -1805,6 +1816,18 @@ object SparkEntry {
          FROM documents WHERE lang IN ('en', 'de', 'zh'))
          SELECT lang, doc_id, source FROM r
          WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END""",
+
+    "q_x_token_budget_mix" ->
+      """WITH d AS (SELECT lang, doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+         FROM documents WHERE lang IN ('en', 'de', 'zh')),
+         r AS (SELECT lang, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+         FROM d)
+         SELECT lang, doc_id, n_tokens FROM r
+         WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 ELSE 1000 END""",
 
     "q_x_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

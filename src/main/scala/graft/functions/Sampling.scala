@@ -127,6 +127,50 @@ object Sampling {
       .drop(rn, tk)
   }
 
+  /** Token-BUDGET training-mix draw: instead of a row count per stratum
+    * ([[trainingMix]]), each stratum gets a TOKEN budget — "20k tokens
+    * of en, 5k of de" — the unit a pre-training mix is actually specified
+    * in (model FLOPs consume tokens, not documents, and document length
+    * varies by orders of magnitude). Rows are taken in the same
+    * deterministic md5(id) order, and a row survives while the RUNNING
+    * token total (inclusive of the row itself) stays within the budget:
+    * a prefix rule, not a knapsack — once one document overflows the
+    * budget, later (even smaller) documents are excluded too, which is
+    * what keeps the selected set reproducible across engines and nested
+    * under a growing budget (a larger budget only ever EXTENDS the
+    * prefix). Strata absent from `budgets` are dropped (explicit mix =
+    * whitelist); a row longer than its stratum's whole budget means that
+    * stratum selects nothing from that row on.
+    *
+    * Cost shape identical to [[trainingMix]]: one broadcast of the tiny
+    * budget map, one shuffle on the stratum key, one streaming window
+    * (running sum needs no frame buffering). `idCol` must be unique per
+    * stratum — same determinism caveat as every md5-ordered selector
+    * here. */
+  def tokenBudgetMix(df: org.apache.spark.sql.DataFrame,
+                     stratumCol: String, idCol: String, tokensCol: String,
+                     budgets: Map[String, Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, md5, sum}
+    require(budgets.nonEmpty, "tokenBudgetMix: empty budget map")
+    require(budgets.values.forall(_ >= 0), "tokenBudgetMix: negative budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = "__graft_mix_cum"
+    val bd = "__graft_mix_budget"
+    require(!df.columns.contains(cum) && !df.columns.contains(bd),
+      s"tokenBudgetMix: input already has a $cum/$bd column")
+    val budgetDf = budgets.toSeq.toDF(stratumCol, bd)
+      .withColumn(stratumCol, col(stratumCol).cast(df.schema(stratumCol).dataType))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(budgetDf), Seq(stratumCol))
+      .withColumn(cum, sum(col(tokensCol).cast("long")).over(w))
+      .where(col(cum) <= col(bd))
+      .drop(cum, bd)
+  }
+
   /** Temperature-scaled training-mix draw: per-stratum targets derived
     * from the corpus counts as total * n_i^alpha / sum_j n_j^alpha — the
     * multilingual temperature-sampling rule (alpha = 1/T; mBERT/XLM-R

@@ -126,6 +126,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(!st.columnStats(df).columns.contains("quartiles"))
   }
 
+  test("tokenBudgetMix: prefix rule in tokens, whitelist, nested under a growing budget") {
+    // stratum s0: ids 1..100, each 10 tokens -> budget 55 keeps the first
+    // 5 rows of the md5 order (50 tokens; row 6 would hit 60 > 55)
+    val df = (1 to 300).map(i => (s"s${i % 3}", i.toLong, 10L))
+      .toDF("g", "id", "n_tok")
+    def ids(parts: Int, budgets: Map[String, Long]): Map[String, Set[Long]] =
+      Sampling.tokenBudgetMix(df.repartition(parts), "g", "id", "n_tok", budgets)
+        .select("g", "id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = ids(1, Map("s0" -> 55L, "s1" -> 20L))
+    assert(got.keySet == Set("s0", "s1"))              // s2 absent -> dropped
+    assert(got("s0").size == 5 && got("s1").size == 2)
+    assert(ids(13, Map("s0" -> 55L, "s1" -> 20L)) == got)  // layout-invariant
+    // equal budget/size -> same set as the count-based mix (10 tokens each)
+    val byCount = Sampling.trainingMix(df, "g", "id", Map("s0" -> 5))
+      .select("id").as[Long].collect().toSet
+    assert(got("s0") == byCount)
+    // growing the budget only EXTENDS the prefix
+    val grown = ids(7, Map("s0" -> 200L))("s0")
+    assert(got("s0").subsetOf(grown) && grown.size == 20)
+    // a row longer than the remaining budget blocks everything after it
+    val mixed = Seq(("a", 1L, 3L), ("a", 2L, 100L), ("a", 3L, 3L)).toDF("g", "id", "n_tok")
+    val prefix = Sampling.tokenBudgetMix(mixed, "g", "id", "n_tok", Map("a" -> 10L))
+      .select("id").as[Long].collect().toSet
+    // md5 order of ids 1,2,3 is fixed; whichever prefix fits, the cumsum
+    // never skips over an overflowing row to pick up a later small one
+    assert(prefix.size <= 1)
+  }
+
   test("temperatureMix: alpha interpolates targets between uniform and proportional") {
     // counts 36 ("big") and 4 ("small"): exact shares at every alpha below
     val df = ((1 to 36).map(i => (i.toLong, "big")) ++

@@ -86,6 +86,38 @@ class ExportSpec extends AnyFunSuite {
     assert(back.select("fuel").as[String].head() == "Oil")
   }
 
+  test("avro export round-trips through the container-file reader, typed") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val path = Export.exportTable(prod, "dukes", "1.1", out, "avro", date = "2026-08-12")
+    assert(path.endsWith("dukes_1_1_2026-08-12.avro"))
+    val (cols, rows) = Avro.read(path)
+    assert(cols == Seq("table_name", "year", "fuel", "value")) // shaped like csv
+    assert(rows.length == 2)
+    val gas = rows.find(_(2) == "Gas").get
+    assert(gas == Seq("1.1", 2019, "Gas", 1.5)) // int stays int, double double
+  }
+
+  test("avro codec: nulls, timestamps, dates and binary survive; bad names rejected") {
+    val ts = java.sql.Timestamp.valueOf("2026-08-12 03:04:05.123456")
+    val d = java.sql.Date.valueOf("2026-08-12")
+    val df = Seq((1L, Some("x"), Some(ts), Some(d), Some(Array[Byte](7, 8))),
+        (2L, None, None, None, None))
+      .toDF("id", "s", "ts", "day", "blob")
+    val out = Files.createTempDirectory("graft_avro_").toString + "/t.avro"
+    Avro.write(out, df)
+    val (cols, rows) = Avro.read(out)
+    assert(cols == Seq("id", "s", "ts", "day", "blob"))
+    val r1 = rows.find(_.head == 1L).get
+    assert(r1(2) == ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L) // micros
+    assert(r1(3) == d.toLocalDate.toEpochDay.toInt)
+    assert(r1(4).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](7, 8))
+    val r2 = rows.find(_.head == 2L).get
+    assert(r2.tail.forall(_ == null))
+    intercept[IllegalArgumentException] {
+      Avro.write(out, df.withColumnRenamed("s", "bad-name"))
+    }
+  }
+
   test("xlsx export round-trips through the decoder, sheet named by table") {
     val out = Files.createTempDirectory("graft_export_").toString
     val path = Export.exportTable(prod, "dukes", "1.1", out, "xlsx", date = "2026-08-12")
