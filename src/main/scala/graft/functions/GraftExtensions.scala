@@ -42,6 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MinHashShingles(children.head,
         intArg(children(1), "shingleN"), intArg(children(2), "numPerm"))))
     ext.injectFunction((
+      new FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      (children: Seq[Expression]) => FixMojibake(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => WordShingles(children.head,
+        intArg(children(1), "shingleN"))))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bands"),
+      new ExpressionInfo(classOf[LshBands].getName, "lsh_bands"),
+      (children: Seq[Expression]) => LshBands(children.head,
+        intArg(children(1), "bands"), intArg(children(2), "rowsPerBand"))))
+    ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (children: Seq[Expression]) => UnicodeNormalize(children.head,

@@ -226,6 +226,59 @@ object StreamOps {
           store.ingest(batch, tableName, url = s"stream:batch=$batchId"): Unit
       }
 
+  /** One micro-batch of the streaming dedup ingest: drop batch rows that
+    * exact- or near-duplicate the ALREADY-ACCUMULATED corpus at
+    * `corpusDir` (plus in-batch exact dups), append the survivors. The
+    * corpus itself is the dedup index — (id, text) parquet, re-read per
+    * batch; [[graft.text.TextOps.dedupIncremental]] does the compare with
+    * the batch on the broadcast side, so per-batch cost scales with the
+    * BATCH, not the corpus (the corpus-side scan is pruned to id+text and
+    * never shuffles).
+    *
+    * A parquet append is not idempotent, but the dedup makes REPLAYS of
+    * the same data no-ops: a re-delivered batch exact-matches what the
+    * first delivery appended and is filtered before the write. That turns
+    * at-least-once delivery (foreachBatch's contract after a crash
+    * between write and checkpoint commit) into effective exactly-once for
+    * the corpus content — the batch-id bookkeeping other sinks need is
+    * unnecessary HERE because the operator's own semantics absorb
+    * duplicates. Exposed separately from the stream wiring so that specs
+    * (and backfills) can drive it directly. */
+  def dedupIngestBatch(batch: DataFrame, corpusDir: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 3, threshold: Double = 0.5): Long = {
+    import graft.text.TextOps
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(path)) spark.read.parquet(corpusDir).select(col(idCol), col(textCol))
+      else batch.select(col(idCol), col(textCol)).limit(0)
+    val survivors = TextOps.dedupIncremental(
+      batch, existing, idCol, textCol, shingleN, threshold)
+    // count() materializes BEFORE the append so the filter cannot see the
+    // rows it is itself writing; survivors is small (a micro-batch slice)
+    val kept = survivors.localCheckpoint()
+    val n = kept.count()
+    if (n > 0) kept.write.mode("append").parquet(corpusDir)
+    n
+  }
+
+  /** Streaming corpus ingest with continuous dedup: every micro-batch is
+    * deduped against everything accumulated so far, survivors append to
+    * `corpusDir`. Start with `.option("checkpointLocation", ...)` for
+    * restartability — see [[dedupIngestBatch]] for why replays after a
+    * crash cannot double-insert. */
+  def dedupIngestStream(docs: DataFrame, corpusDir: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3, threshold: Double = 0.5)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          dedupIngestBatch(batch, corpusDir, idCol, textCol, shingleN, threshold): Unit
+      }
+
   /** Wire a streaming query to an in-memory sink (used by tests; a real
     * deployment points this at kafka/parquet with a checkpoint). */
   def toMemorySink(df: DataFrame, name: String,

@@ -90,4 +90,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == Seq(clean, clean, clean, "plain ascii text"))
   }
 
+  test("fix_mojibake / word_shingles / lsh_bands callable from SQL \u2014 the full LSH chain") {
+    import spark.implicits._
+    val once = new String("caf\u00e9".getBytes("UTF-8"), "windows-1252")
+    Seq(("a b c d e", once), ("a b c d e", "x"), ("p q r s t", "y"))
+      .toDF("text", "moji").createOrReplaceTempView("docs3")
+    val rows = spark.sql(
+      """SELECT fix_mojibake(moji) AS fixed,
+                word_shingles(split(text, ' '), 3) AS sh,
+                lsh_bands(minhash(split(text, ' '), 3, 16), 4, 4) AS bands
+         FROM docs3""").collect()
+    assert(rows(0).getString(0) == "caf\u00e9")
+    assert(rows(0).getSeq[String](1).length == 3)   // 5 tokens, n=3 -> 3 shingles
+    assert(rows(0).getSeq[Long](2).length == 4)     // 4 bands
+    assert(rows(0).getSeq[Long](2) == rows(1).getSeq[Long](2)) // same text, same bands
+    assert(rows(0).getSeq[Long](2) != rows(2).getSeq[Long](2))
+  }
 }

@@ -238,6 +238,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup ingest: corpus accumulates only novel docs; replay is a no-op") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_dingest_in_")
+    val corpus = java.nio.file.Files.createTempDirectory("graft_dingest_c_")
+      .resolve("corpus").toString
+    val tA = "alpha beta gamma delta epsilon zeta"
+    val tB = "completely different text with no shared shingles at all"
+    // batch 1: two novel docs + one IN-batch exact dup (id 6 of tB)
+    Seq((1L, tA), (2L, tB), (6L, tB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f1")
+    // batch 2: exact dup of tA, a near-dup of tA (trigram J=0.6), one novel
+    val tNear = "alpha beta gamma delta epsilon eta"
+    val tC = "yet another fully unrelated document body for the third batch"
+    Seq((3L, tA), (4L, tNear), (5L, tC)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f2")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/f*")
+    val q = StreamOps.dedupIngestStream(stream, corpus).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    // 6 dropped in-batch, 3 exact-dups corpus, 4 near-dups corpus, 5 novel
+    assert(got == Set(1L, 2L, 5L))
+    // crash-replay of batch 2: every row now duplicates the corpus -> 0
+    val replay = spark.read.parquet(s"$in/f2")
+    assert(StreamOps.dedupIngestBatch(replay, corpus) == 0L)
+    assert(spark.read.parquet(corpus).count() == 3)
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val deduped = StreamOps.dedupedStream(
       StreamOps.readEventsStream(spark, streamDir))
