@@ -585,6 +585,15 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("source"))
     }),
 
+    // X: deterministic hash split — assignment is a pure projection on
+    // doc_id, stable under corpus growth/re-partitioning
+    "q_x_split_assign" -> ((s, dir) => {
+      graft.functions.Sampling.splitAssign(
+          t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // X: token-BUDGET mix — per-language budgets in TOKENS (the unit a
     // pre-training mix is specified in), deterministic md5 prefix rule
     "q_x_token_budget_mix" -> ((s, dir) => {
@@ -1816,6 +1825,19 @@ object SparkEntry {
          FROM documents WHERE lang IN ('en', 'de', 'zh'))
          SELECT lang, doc_id, source FROM r
          WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END""",
+
+    "q_x_split_assign" -> {
+      // thresholds from the SAME Scala doubles splitAssign folds over, so
+      // a last-ulp sum difference cannot shift a boundary between engines
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = graft.functions.Sampling.hexThreshold(cums(0))
+      val t2 = graft.functions.Sampling.hexThreshold(cums(1))
+      s"""WITH a AS (SELECT CASE
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) < '$t1' THEN 'train'
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 13) < '$t2' THEN 'val'
+           ELSE 'test' END AS split FROM documents)
+         SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM a GROUP BY split"""
+    },
 
     "q_x_token_budget_mix" ->
       """WITH d AS (SELECT lang, doc_id,

@@ -127,6 +127,54 @@ object Sampling {
       .drop(rn, tk)
   }
 
+  /** 13-hex-digit threshold for cumulative fraction `c` in [0, 1): the
+    * md5-prefix space is 16^13 = 2^52 values, so `floor(c * 2^52)` in
+    * lowercase hex, zero-padded to 13 digits, splits it at exactly `c`
+    * under plain STRING comparison (hex is order-preserving digit-wise).
+    * Shared by [[splitAssign]] and its SQL oracle so both sides compare
+    * against the identical literal. */
+  def hexThreshold(c: Double): String = {
+    require(c >= 0 && c < 1, s"hexThreshold: need 0 <= c < 1, got $c")
+    f"${math.floor(c * 4503599627370496.0).toLong}%013x"
+  }
+
+  /** Deterministic train/val/test split assignment: each row gets the
+    * label whose cumulative-fraction window contains its md5-prefix
+    * uniform. Hash-based (not rand(), not row_number) because that is
+    * the only split that survives a LIVING corpus: a document's
+    * assignment depends on its OWN id alone, so re-running after docs
+    * are added, removed, or re-partitioned never migrates an existing
+    * doc across the split boundary — the property that keeps a held-out
+    * set held out for the lifetime of the dataset. Comparison is a
+    * plain string `<` on the 13-hex-digit md5 prefix against
+    * [[hexThreshold]] literals: no float math anywhere, so any engine
+    * with md5() reproduces the assignment bit-for-bit.
+    *
+    * Fractions must be positive and sum to 1 (the last label takes the
+    * exact remainder, so rounding dust cannot drop rows). Pure codegen'd
+    * projection — no shuffle, no state. */
+  def splitAssign(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] =
+                    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                  outCol: String = "split"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit, md5, substring, when}
+    require(splits.nonEmpty, "splitAssign: empty split list")
+    require(splits.forall(_._2 > 0), "splitAssign: fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.length == splits.length,
+      "splitAssign: duplicate split labels")
+    require(!df.columns.contains(outCol),
+      s"splitAssign: input already has a $outCol column")
+    val prefix = substring(md5(col(idCol).cast("string")), 1, 13)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    var e: Column = lit(splits.last._1)
+    for (i <- splits.length - 2 to 0 by -1)
+      e = when(prefix < lit(hexThreshold(cums(i))), splits(i)._1).otherwise(e)
+    df.withColumn(outCol, e)
+  }
+
   /** Token-BUDGET training-mix draw: instead of a row count per stratum
     * ([[trainingMix]]), each stratum gets a TOKEN budget — "20k tokens
     * of en, 5k of de" — the unit a pre-training mix is actually specified

@@ -131,6 +131,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("tokenBudgetMix broadcasts the budget map; splitAssign plans no exchange at all") {
+    val df = (0 until 600).map(i => (s"s${i % 3}", i.toLong, 10L))
+      .toDF("g", "id", "n_tok")
+    val q = graft.functions.Sampling.tokenBudgetMix(df, "g", "id", "n_tok",
+      Map("s0" -> 50L, "s1" -> 20L))
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    // split assignment is a pure projection — a shuffle here would mean
+    // the "free at any scale" claim is wrong
+    val s = graft.functions.Sampling.splitAssign(
+      spark.range(1000).toDF("id"), "id")
+    s.count()
+    val sPlan = s.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Exchange"), sPlan.take(1200))
+  }
+
   test("repeatedPassages counts distinct docs without an Expand node") {
     // count(distinct id) per gram via Expand would double the exploded
     // corpus in flight; the two-stage distinct + count must not plan one

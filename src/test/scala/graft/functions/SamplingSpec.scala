@@ -155,6 +155,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(prefix.size <= 1)
   }
 
+  test("splitAssign: stable per-id under corpus growth, fractions hold, rejects bad input") {
+    val df = (1L to 2000L).toDF("id")
+    val full = Sampling.splitAssign(df, "id").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(full.values.toSet == Set("train", "val", "test"))
+    // THE property: a doc's split depends on its id alone — any subset
+    // (a smaller/older corpus) assigns identically
+    val subset = Sampling.splitAssign(df.where($"id" % 7 === 0), "id")
+      .select("id", "split").as[(Long, String)].collect()
+    assert(subset.forall { case (id, s) => full(id) == s })
+    // 90/5/5 within a loose band on 2000 ids
+    val n = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 1700 && n("val") > 50 && n("test") > 50)
+    assert(n.values.sum == 2000)
+    // custom fractions route through the same thresholds the oracle uses
+    val custom = Sampling.splitAssign(df, "id", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(custom.where($"split" === "a").count() > 800)
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "id", Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, "id", Seq("a" -> 0.5, "b" -> 0.6)))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(custom, "id"))
+  }
+
   test("temperatureMix: alpha interpolates targets between uniform and proportional") {
     // counts 36 ("big") and 4 ("small"): exact shares at every alpha below
     val df = ((1 to 36).map(i => (i.toLong, "big")) ++
