@@ -1,0 +1,212 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted LSH dedup index: the state that makes CONTINUOUS corpus
+  * dedup scale. [[StreamOps.dedupIngestBatch]]'s simple form re-reads
+  * corpus text and re-computes every corpus MinHash signature on every
+  * micro-batch — O(corpus) CPU per batch, the dominant cost long before
+  * 100 TB. This index persists what the corpus side contributes to the
+  * compare — fingerprints, signatures, band hashes — so a batch probe
+  * costs: one columnar scan of the (3-column) band table with the SMALL
+  * batch broadcast, signature fetches for candidate ids only, and text
+  * fetches from the corpus for candidate ids only. The corpus is never
+  * re-signed and never shuffled.
+  *
+  * Layout under `indexDir` (all parquet, append-only):
+  *  - `params/` one row: (shingle_n, num_perm, bands, rows_per_band,
+  *    n_mods) — written at first ingest, CHECKED on every reopen: probing
+  *    an index with different parameters would silently miss duplicates,
+  *    so a mismatch throws instead.
+  *  - `fp/` (id, fp): exact-dup probe side.
+  *  - `sig/` (id, sig array<long>): estimate-stage support.
+  *  - `bands/` partitioned by band_mod = pmod(band_hash, n_mods):
+  *    (band_idx, band_hash, id) — candidate probe side. The partitioning
+  *    keys the probe join on (band_mod, band_idx, band_hash) so dynamic
+  *    partition pruning can skip modulus buckets the batch never hashes
+  *    into; per-batch small files in hot buckets fold with the same
+  *    compaction discipline as the store ([[graft.store.Store]]).
+  *
+  * Replay safety is inherited from the dedup semantics themselves
+  * (see [[StreamOps.dedupIngestBatch]]): a re-delivered batch
+  * exact-matches the fp rows its first delivery appended and drops out
+  * before any write.
+  */
+object DedupIndex {
+
+  final case class Params(shingleN: Int = 3, numPerm: Int = 64,
+                          bands: Int = 16, nMods: Int = 64,
+                          threshold: Double = 0.5) {
+    require(numPerm % bands == 0, s"bands ($bands) must divide numPerm ($numPerm)")
+    def rowsPerBand: Int = numPerm / bands
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** A table dir is probe-able only if it holds at least one data file:
+    * an all-short-docs batch appends ZERO sig/bands rows, and an empty
+    * partitioned write leaves just _SUCCESS — reading that throws
+    * schema-inference errors on the next batch. */
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (it.hasNext && !found) {
+        val name = it.next().getPath.getName
+        found = name.startsWith("part-") && !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
+  }
+
+  /** Write params on first use; verify they match on reopen. The
+    * threshold is a per-probe knob (not index state) and is not pinned. */
+  private def checkOrWriteParams(spark: SparkSession, indexDir: String,
+                                 p: Params): Unit = {
+    import spark.implicits._
+    val dir = s"$indexDir/params"
+    if (exists(spark, dir)) {
+      val r = spark.read.parquet(dir).head()
+      val stored = (r.getAs[Int]("shingle_n"), r.getAs[Int]("num_perm"),
+        r.getAs[Int]("bands"), r.getAs[Int]("n_mods"))
+      require(stored == ((p.shingleN, p.numPerm, p.bands, p.nMods)),
+        s"DedupIndex at $indexDir was built with (shingleN, numPerm, bands, nMods) = " +
+          s"$stored; probing with ${(p.shingleN, p.numPerm, p.bands, p.nMods)} " +
+          "would silently miss duplicates")
+    } else {
+      Seq((p.shingleN, p.numPerm, p.bands, p.nMods))
+        .toDF("shingle_n", "num_perm", "bands", "n_mods")
+        .coalesce(1).write.parquet(dir)
+    }
+  }
+
+  /** Batch rows + (__fp, __sig, __bands) service columns — computed once
+    * per ingest; the caller's own columns ride along untouched. Docs too
+    * short to shingle keep a null __sig/__bands (exact-dedup still
+    * applies to them, the near path skips them). */
+  private def batchSignatures(batch: DataFrame, textCol: String,
+                              p: Params): DataFrame =
+    batch
+      .withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
+      .withColumn("__sig",
+        when(size(TextOps.tokens(col(textCol))) >= p.shingleN,
+          graft.functions.TextExpressions.minhash_shingles(
+            TextOps.tokens(col(textCol)), p.shingleN, p.numPerm)))
+      .withColumn("__bands",
+        when(col("__sig").isNotNull,
+          TextOps.lshBandHashes(col("__sig"), p.bands, p.rowsPerBand)))
+      .localCheckpoint()
+
+  /** Ingest one batch through the index: drop exact dups (fp probe) and
+    * near dups (band probe -> signature estimate -> exact-Jaccard verify
+    * against candidate corpus texts only), append survivors to
+    * `corpusDir` and their index rows to `indexDir`. Returns the number
+    * of appended rows.
+    *
+    * `batch` must carry at least (idCol, textCol); survivor rows are
+    * appended to the corpus with ALL their columns. */
+  def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  params: Params = Params()): Long = {
+    val spark = batch.sparkSession
+    checkOrWriteParams(spark, indexDir, params)
+    Seq("__fp", "__sig", "__bands", "__rn").foreach(c =>
+      require(!batch.columns.contains(c), s"ingestBatch: input already has a $c column"))
+
+    // in-batch exact collapse (keep the smallest id per fingerprint)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(idCol))
+    val collapsed = batch.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val sigs = batchSignatures(collapsed, textCol, params)
+
+    // exact probe: fp anti-join — the index side streams through its
+    // scan, the (small) batch is the build side
+    val afterExact =
+      if (hasData(spark, s"$indexDir/fp"))
+        sigs.join(spark.read.parquet(s"$indexDir/fp").select(col("fp")),
+          sigs("__fp") === col("fp"), "left_anti")
+      else sigs
+
+    // near probe, every stage candidate-bounded
+    val dupIds: DataFrame =
+      if (hasData(spark, s"$indexDir/bands")) {
+        val probe = afterExact
+          .where(col("__bands").isNotNull)
+          .select(col(idCol).as("id_r"),
+            posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+          .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods)))
+        val candidates = spark.read.parquet(s"$indexDir/bands")
+          .join(broadcast(probe), Seq("band_mod", "band_idx", "band_hash"))
+          .select(col("id").as("id_l"), col("id_r"))
+          .distinct()
+          .localCheckpoint()
+        val estimated = candidates
+          .join(spark.read.parquet(s"$indexDir/sig")
+            .withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
+          .join(afterExact.select(col(idCol).as("id_r"), col("__sig").as("sig_r")), "id_r")
+          .withColumn("est",
+            aggregate(zip_with(col("sig_l"), col("sig_r"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast("double") / params.numPerm)
+          .where(col("est") >= params.threshold * 0.5)
+          .select(col("id_l"), col("id_r"))
+        // exact verify: fetch TEXT for candidate ids only — a semi-probe
+        // into the corpus, not a corpus scan-and-sign
+        val lSets = spark.read.parquet(corpusDir)
+          .select(col(idCol).as("id_l"), col(textCol).as("ltext"))
+          .join(estimated.select(col("id_l")).distinct(), Seq("id_l"), "left_semi")
+          .withColumn("sset_l", array_distinct(
+            TextOps.wordShingles(TextOps.tokens(col("ltext")), params.shingleN)))
+          .drop("ltext")
+        val rSets = afterExact
+          .select(col(idCol).as("id_r"), array_distinct(
+            TextOps.wordShingles(TextOps.tokens(col(textCol)), params.shingleN)).as("sset_r"))
+        estimated.join(lSets, "id_l").join(rSets, "id_r")
+          .withColumn("inter", size(array_intersect(col("sset_l"), col("sset_r"))))
+          .withColumn("uni", size(array_union(col("sset_l"), col("sset_r"))))
+          .where(col("uni") > 0 &&
+            col("inter").cast("double") / col("uni") >= params.threshold)
+          .select(col("id_r")).distinct()
+      } else afterExact.limit(0).select(col(idCol).as("id_r"))
+
+    val survivors = afterExact.join(dupIds, col(idCol) === col("id_r"), "left_anti")
+      .localCheckpoint() // materialize BEFORE the appends, so the probes
+                         // cannot see the rows this call is itself writing
+    val n = survivors.count()
+    if (n > 0) {
+      // corpus keeps the caller's full row shape
+      survivors.select(batch.columns.map(col): _*)
+        .write.mode("append").parquet(corpusDir)
+      survivors.select(col(idCol).as("id"), col("__fp").as("fp"))
+        .write.mode("append").parquet(s"$indexDir/fp")
+      survivors.where(col("__sig").isNotNull)
+        .select(col(idCol).as("id"), col("__sig").as("sig"))
+        .write.mode("append").parquet(s"$indexDir/sig")
+      survivors.where(col("__bands").isNotNull)
+        .select(col(idCol).as("id"),
+          posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+        .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods)))
+        .write.mode("append").partitionBy("band_mod").parquet(s"$indexDir/bands")
+    }
+    n
+  }
+
+  /** Streaming form: [[StreamOps.dedupIngestStream]] with the index
+    * doing the per-batch work instead of a corpus re-scan. */
+  def ingestStream(docs: DataFrame, corpusDir: String, indexDir: String,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   params: Params = Params())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          ingestBatch(batch, corpusDir, indexDir, idCol, textCol, params): Unit
+      }
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The persisted LSH dedup index must reproduce the scan-everything
+  * incremental dedup exactly — it is a materialization of the same
+  * compare, not a different algorithm. */
+class DedupIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dirs(): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_didx_")
+    (root.resolve("corpus").toString, root.resolve("index").toString)
+  }
+
+  private val tA = "alpha beta gamma delta epsilon zeta"
+  private val tB = "completely different text with no shared shingles at all"
+  private val tNear = "alpha beta gamma delta epsilon eta" // trigram J = 0.6 vs tA
+  private val tC = "yet another fully unrelated document body for the third batch"
+
+  test("index ingest: exact, near and in-batch dups dropped across batches; replay no-op") {
+    val (corpus, index) = dirs()
+    val b1 = Seq((1L, tA, "s1"), (2L, tB, "s1"), (6L, tB, "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(DedupIndex.ingestBatch(b1, corpus, index) == 2L) // 6 is an in-batch dup
+    val b2 = Seq((3L, tA, "s2"), (4L, tNear, "s2"), (5L, tC, "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(DedupIndex.ingestBatch(b2, corpus, index) == 1L) // only 5 is novel
+    val got = spark.read.parquet(corpus)
+    assert(got.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+    assert(got.columns.toSet == Set("doc_id", "text", "source")) // full row shape
+    // crash-replay of batch 2: all rows exact-match the fp index now
+    assert(DedupIndex.ingestBatch(b2, corpus, index) == 0L)
+    assert(spark.read.parquet(corpus).count() == 3)
+    // the index grew only by the survivors
+    assert(spark.read.parquet(s"$index/fp").count() == 3)
+    assert(spark.read.parquet(s"$index/sig").count() == 3)
+  }
+
+  test("index probe agrees with the scan-everything dedupIncremental") {
+    val (corpus, index) = dirs()
+    val existing = (0L until 40L).map(i => (i, s"document number $i body token$i filler words here"))
+      .toDF("doc_id", "text")
+    DedupIndex.ingestBatch(existing, corpus, index)
+    // batch: an exact dup, two near-dups, and novels
+    val batch = Seq(
+      (100L, "document number 7 body token7 filler words here"),      // exact of 7
+      (101L, "document number 9 body token9 filler words extra"),     // near of 9
+      (102L, "entirely new content that matches nothing at all one"),
+      (103L, "document number 13 body token13 filler words there"),   // near of 13
+      (104L, "another brand new unique document with fresh material"))
+      .toDF("doc_id", "text")
+    val viaIndex = {
+      val before = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      DedupIndex.ingestBatch(batch, corpus, index)
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet -- before
+    }
+    val naive = TextOps.dedupIncremental(
+        batch, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == naive)
+    assert(viaIndex == Set(102L, 104L))
+  }
+
+  test("short docs exact-dedup even though they cannot shingle") {
+    val (corpus, index) = dirs()
+    val b1 = Seq((1L, "hi"), (2L, "yo")).toDF("doc_id", "text")
+    assert(DedupIndex.ingestBatch(b1, corpus, index) == 2L)
+    val b2 = Seq((3L, "hi"), (4L, "new")).toDF("doc_id", "text")
+    assert(DedupIndex.ingestBatch(b2, corpus, index) == 1L) // "hi" exact-dropped
+    // short docs contribute fp rows but no sig/bands rows
+    assert(spark.read.parquet(s"$index/fp").count() == 3)
+    assert(spark.read.parquet(s"$index/sig").count() == 0)
+  }
+
+  test("parameter mismatch on reopen throws instead of silently missing dups") {
+    val (corpus, index) = dirs()
+    DedupIndex.ingestBatch(Seq((1L, tA)).toDF("doc_id", "text"), corpus, index)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.ingestBatch(Seq((2L, tB)).toDF("doc_id", "text"), corpus, index,
+        params = DedupIndex.Params(numPerm = 128))
+    }
+    assert(e.getMessage.contains("silently miss"))
+    // threshold is a probe knob, not index state — no throw
+    DedupIndex.ingestBatch(Seq((2L, tB)).toDF("doc_id", "text"), corpus, index,
+      params = DedupIndex.Params(threshold = 0.7))
+  }
+
+  test("streaming form accumulates through the index") {
+    val (corpus, index) = dirs()
+    val in = java.nio.file.Files.createTempDirectory("graft_didx_in_")
+    Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f1")
+    Seq((3L, tA), (4L, tNear), (5L, tC)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/f2")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/f*")
+    val q = DedupIndex.ingestStream(stream, corpus, index).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 5L))
+  }
+}
