@@ -1391,6 +1391,27 @@ object SparkEntry {
     // X: REAL image-header metadata decode — documents wrapped in actual
     // PNG containers whose dimensions derive from row fields; the parser
     // must read back exactly what the header encodes (no pixel decode)
+    // X: REAL WAV/RIFF header parse — audio analog of q_x_image_meta;
+    // every field (codec, channels, rate, duration) is header math the
+    // oracle reproduces from the same row fields
+    "q_x_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.MediaRow(id,
+            Multimodal.fakeWav((1 + id % 2).toInt, (8000 * (1 + id % 3)).toInt,
+              16, (nChars % 4096).toInt),
+            "audio/wav", "synth")
+        }
+      Multimodal.extractAudioMeta(media).toDF()
+        .select(col("media_id"), col("codec"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms"))
+    }),
+
     "q_x_image_meta" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.Multimodal
@@ -2665,6 +2686,15 @@ object SparkEntry {
          md5(text) AS sig,
          CAST(16 + octet_length(CAST(text AS BLOB)) % 64 AS INTEGER) AS width,
          CAST(16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS INTEGER) AS height
+         FROM documents""",
+
+    "q_x_audio_meta" ->
+      """SELECT doc_id AS media_id, 'pcm' AS codec,
+         1 + doc_id % 2 AS channels,
+         8000 * (1 + doc_id % 3) AS sample_rate,
+         CAST((n_chars % 4096) * 1000
+              // (8000 * (1 + doc_id % 3) * (1 + doc_id % 2) * 2) AS BIGINT)
+           AS duration_ms
          FROM documents""",
 
     "q_x_image_meta" ->

@@ -152,6 +152,79 @@ object Multimodal {
     }
   }
 
+  final case class AudioMeta(media_id: Long, codec: String, channels: Integer,
+                             sample_rate: Integer, duration_ms: java.lang.Long)
+
+  /** REAL (not stubbed) WAV/RIFF header parse: PCM format, channel
+    * count, sample rate and duration from the fmt/data chunk headers —
+    * the audio analog of [[imageMeta]]: everything an audio-corpus
+    * metadata pass needs lives in the first ~50 bytes, so a 100 TB
+    * audio column yields its duration/sample-rate histogram at
+    * header-read cost, no codec library. Walks the RIFF chunk list
+    * (chunks are word-aligned), tolerates extra chunks before fmt/data.
+    * Returns (codec, channels, sample_rate, duration_ms). */
+  def audioMeta(p: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (le16(i) | (le16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Long)] = None // (audioFormat, channels, rate, byteRate)
+    var dataSize: Option[Long] = None
+    while (i + 8 <= p.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = tag(i)
+      val sz = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= p.length)
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12).toInt, le32(i + 16)))
+      else if (id == "data")
+        // the data chunk's declared size is the payload size even when the
+        // bytes themselves are elsewhere/truncated — duration is header math
+        dataSize = Some(sz)
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+    }
+    for ((af, ch, rate, byteRate) <- fmt; ds <- dataSize
+         if ch > 0 && rate > 0 && byteRate > 0)
+      yield (if (af == 1) "pcm" else if (af == 3) "float" else s"fmt$af",
+        ch, rate, ds * 1000L / byteRate)
+  }
+
+  /** Batched WAV header parse — same mapPartitions shape as
+    * [[extractImageMeta]]; unrecognized payloads keep null metadata. */
+  def extractAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        audioMeta(r.payload) match {
+          case Some((c, ch, sr, ms)) => AudioMeta(r.media_id, c, ch, sr, ms)
+          case None                  => AudioMeta(r.media_id, null, null, null, null)
+        }
+      }
+    }
+  }
+
+  /** Minimal REAL WAV container: RIFF/WAVE + PCM fmt chunk for the
+    * given shape + a data chunk of `dataBytes` zero samples. Any WAV
+    * reader parses the header; used to synthesize audio-shaped media
+    * from row fields. */
+  def fakeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+              dataBytes: Int): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && dataBytes >= 0)
+    require(bitsPerSample % 8 == 0 && bitsPerSample > 0)
+    val byteRate = sampleRate * channels * (bitsPerSample / 8)
+    val blockAlign = channels * (bitsPerSample / 8)
+    val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    out.array()
+  }
+
   /** Wrap arbitrary bytes in a minimal PNG container (magic + IHDR with
     * the given dimensions + the payload as an IDAT-shaped tail). Used to
     * synthesize image-shaped media from text fixtures; the header is a

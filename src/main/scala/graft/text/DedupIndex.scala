@@ -37,8 +37,9 @@ object DedupIndex {
 
   final case class Params(shingleN: Int = 3, numPerm: Int = 64,
                           bands: Int = 16, nMods: Int = 64,
-                          threshold: Double = 0.5) {
+                          threshold: Double = 0.5, maxBucket: Int = 64) {
     require(numPerm % bands == 0, s"bands ($bands) must divide numPerm ($numPerm)")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     def rowsPerBand: Int = numPerm / bands
   }
 
@@ -142,8 +143,29 @@ object DedupIndex {
           .select(col(idCol).as("id_r"),
             posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
           .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods)))
-        val candidates = spark.read.parquet(s"$indexDir/bands")
-          .join(broadcast(probe), Seq("band_mod", "band_idx", "band_hash"))
+          .localCheckpoint()
+        val bandKey = Seq("band_mod", "band_idx", "band_hash")
+        // Bucket-capped candidate expansion — the same maxBucket
+        // discipline as the self-join path's bucketPairs: a band value
+        // shared by hundreds of corpus docs is boilerplate, carries no
+        // dedup signal, and would turn the probe into an
+        // O(batch x bucket) pair blowup (measured 10x wall on a corpus
+        // with a uniform J~0.3 background). Aggregate the MATCHED index
+        // rows per band key first (linear in matches, never pairs),
+        // drop oversized buckets, THEN expand against the probe rows.
+        val matched = spark.read.parquet(s"$indexDir/bands")
+          .join(broadcast(probe.select(bandKey.map(col): _*).distinct()), bandKey)
+          .localCheckpoint()
+        // partial-aggregated COUNT per key (map-side combine, no
+        // mega-bucket ever materializes in one task); surviving keys are
+        // bounded by the batch's own band count, so they broadcast
+        val okKeys = matched.groupBy(bandKey.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= params.maxBucket)
+          .select(bandKey.map(col): _*)
+        val candidates = matched
+          .join(broadcast(okKeys), bandKey, "left_semi")
+          .join(broadcast(probe), bandKey)
           .select(col("id").as("id_l"), col("id_r"))
           .distinct()
           .localCheckpoint()
@@ -196,6 +218,26 @@ object DedupIndex {
         .write.mode("append").partitionBy("band_mod").parquet(s"$indexDir/bands")
     }
     n
+  }
+
+  /** Fold the per-batch small files each ingest appends — every table
+    * gains up to shuffle-partitions files per batch (the band table in
+    * up to n_mods hot buckets), and a long-running ingest stream turns
+    * that into the classic small-files scan tax. Delegates to
+    * [[graft.ops.Compaction.compact]]: same atomic tmp-write + swap, the
+    * band table keeps its band_mod partitioning. Run between ingests
+    * (the swap is not concurrent-safe against an in-flight probe). */
+  def compact(spark: SparkSession, indexDir: String,
+              targetBytes: Long = 128L << 20)
+      : Map[String, graft.ops.Compaction.CompactionStats] = {
+    val tables = Seq(("fp", Nil), ("sig", Nil), ("bands", Seq("band_mod")))
+    tables.flatMap { case (t, parts) =>
+      val dir = s"$indexDir/$t"
+      if (hasData(spark, dir))
+        Some(t -> graft.ops.Compaction.compact(spark, dir, targetBytes,
+          partitionBy = parts))
+      else None
+    }.toMap
   }
 
   /** Streaming form: [[StreamOps.dedupIngestStream]] with the index

@@ -69,4 +69,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L).format == "png" && got(1L).width == 8 && got(1L).height == 9)
     assert(got(2L).format == null && got(2L).width == null)
   }
+
+  test("audioMeta: real WAV header parse — shape, duration math, chunk walk, opaque-safe") {
+    // 2ch 16-bit 16kHz, 64000 data bytes -> byteRate 64000 -> 1000 ms
+    val wav = Multimodal.fakeWav(2, 16000, 16, 64000)
+    assert(Multimodal.audioMeta(wav).contains(("pcm", 2, 16000, 1000L)))
+    // duration floors: 1ch 8-bit 8kHz, 12345 bytes -> 12345*1000/8000 = 1543 ms
+    assert(Multimodal.audioMeta(Multimodal.fakeWav(1, 8000, 8, 12345))
+      .contains(("pcm", 1, 8000, 1543L)))
+    // an extra LIST chunk between WAVE and fmt must be walked over
+    val base = Multimodal.fakeWav(1, 44100, 16, 100)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val shuffled = base.slice(0, 12) ++ listChunk ++ base.slice(12, base.length)
+    // RIFF size field is stale after the splice; the parser only walks chunks
+    assert(Multimodal.audioMeta(shuffled).contains(("pcm", 1, 44100, 100 * 1000L / 88200)))
+    // declared data size counts even when payload bytes are truncated
+    assert(Multimodal.audioMeta(Multimodal.fakeWav(1, 8000, 16, 4000).take(44))
+      .contains(("pcm", 1, 8000, 250L)))
+    // opaque / short / non-RIFF payloads -> None, never a throw
+    assert(Multimodal.audioMeta("definitely not audio".getBytes).isEmpty)
+    assert(Multimodal.audioMeta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.audioMeta("RIFF1234AVI ".getBytes).isEmpty)
+  }
+
+  test("extractAudioMeta: recognized rows carry shape, opaque rows carry nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.fakeWav(2, 22050, 16, 882), "audio/wav", "s"),
+      Multimodal.MediaRow(2L, "plain text".getBytes, "text/plain", "s"))
+    val got = Multimodal.extractAudioMeta(rows.toDS()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).codec == "pcm" && got(1L).channels == 2 &&
+      got(1L).sample_rate == 22050 && got(1L).duration_ms == 882L * 1000 / 88200)
+    assert(got(2L).codec == null && got(2L).channels == null)
+  }
 }

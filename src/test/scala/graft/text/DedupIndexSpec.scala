@@ -89,6 +89,30 @@ class DedupIndexSpec extends AnyFunSuite {
       params = DedupIndex.Params(threshold = 0.7))
   }
 
+  test("compaction folds per-batch files; the index still probes correctly after") {
+    val (corpus, index) = dirs()
+    DedupIndex.ingestBatch(Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), corpus, index)
+    DedupIndex.ingestBatch(Seq((5L, tC)).toDF("doc_id", "text"), corpus, index)
+    def nFiles(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true); var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = nFiles(s"$index/fp")
+    val stats = DedupIndex.compact(spark, index)
+    assert(stats.keySet == Set("fp", "sig", "bands"))
+    assert(nFiles(s"$index/fp") < before)
+    assert(stats("bands").filesAfter <= stats("bands").filesBefore)
+    // post-compaction probe: exact + near dups still caught
+    assert(DedupIndex.ingestBatch(
+      Seq((7L, tA), (8L, tNear)).toDF("doc_id", "text"), corpus, index) == 0L)
+  }
+
   test("streaming form accumulates through the index") {
     val (corpus, index) = dirs()
     val in = java.nio.file.Files.createTempDirectory("graft_didx_in_")
