@@ -1123,6 +1123,18 @@ object SparkEntry {
         nlist = 16, nprobe = 16)
     }),
 
+    // X: PERSISTED IVF index (build once to parquet, probe with
+    // partition-pruned list reads) — exhaustive probe equals brute
+    // force, so the stateful path is oracle-gated end to end
+    "q_x_ann_vecidx_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_vecidx_q_").toString
+      graft.vec.VecIndex.build(emb, idx, nlist = 16, kmeansIters = 2)
+      graft.vec.VecIndex.topK(emb.where(col("vec_id") < 8), idx,
+        k = 5, nprobe = 16)
+    }),
+
     // X: product-quantization ANN (8 subspaces, 64-entry codebooks, ADC
     // lookup search) — approximate by design, rows-only; the machinery is
     // oracle-gated by the exhaustive variant below
@@ -2526,6 +2538,19 @@ object SparkEntry {
 
     // exhaustive IVF must equal the exact brute-force ranking
     "q_x_ann_ivf_exhaustive" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
+                    FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5""",
+
+    "q_x_ann_vecidx_exhaustive" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                       CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos

@@ -102,7 +102,7 @@ object VectorOps {
     * window, no shuffle — it runs inside whole-stage codegen over the
     * scan. Returns an array of centroid ids ordered best-first.
     * Ordering matches the previous window form: cosine desc, id asc. */
-  private def centroidRanking(vec: Column,
+  private[vec] def centroidRanking(vec: Column,
                               cents: Seq[(Long, Array[Double])]): Column = {
     val vNorm = norm(vec)
     val ranked = array(cents.map { case (cid, cv) =>

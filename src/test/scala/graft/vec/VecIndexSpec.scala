@@ -1,0 +1,79 @@
+package graft.vec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The persisted IVF index must reproduce the in-memory IVF search
+  * exactly (same seeds, same refinement, same scoring) and must prune
+  * unprobed list partitions at scan time. */
+class VecIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 120 deterministic vectors in 8 dims, clustered around 4 corners so
+  // IVF lists carry real structure
+  private lazy val vecs = (0L until 120L).map { i =>
+    val corner = (i % 4).toInt
+    val v = Array.tabulate(8)(d =>
+      (if (d % 4 == corner) 10.0 else 1.0) + (i % 7) * 0.1 + d * 0.01)
+    (i, v.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  private lazy val queries = vecs.where($"vec_id" % 17 === 0)
+
+  private def shape(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("persisted index reproduces the in-memory ivfTopK exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs, dir, nlist = 8, kmeansIters = 2)
+    val got = shape(VecIndex.topK(queries, dir, k = 5, nprobe = 3))
+    val mem = shape(VectorOps.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3, kmeansIters = 2))
+    assert(got == mem)
+    assert(got.nonEmpty)
+  }
+
+  test("probe prunes unprobed list partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs, dir, nlist = 8, kmeansIters = 1)
+    val q = VecIndex.topK(queries.limit(1), dir, k = 3, nprobe = 2)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(1500))
+    assert(plan.contains("list_id"), plan.take(1500))
+  }
+
+  test("probing every list equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs, dir, nlist = 4, kmeansIters = 1)
+    val got = shape(VecIndex.topK(queries, dir, k = 4, nprobe = 4))
+    val brute = shape(VectorOps.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 4))
+    assert(got == brute)
+  }
+
+  test("append assigns into fixed lists; dim mismatch throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs, dir, nlist = 4, kmeansIters = 1)
+    // a new vector equal to vector 0's embedding must become its top hit
+    val v0 = vecs.where($"vec_id" === 0).select("embedding")
+      .as[Seq[Double]].head()
+    VecIndex.append(Seq((1000L, v0)).toDF("vec_id", "embedding"), dir)
+    // vectors repeat every 28 ids, so vec 0 has exact dups at 28/56/84/112
+    // that tie at cos=1.0 and win on id order — the appended copy is the
+    // fifth member of that tie group
+    val hits = shape(VecIndex.topK(
+      vecs.where($"vec_id" === 0), dir, k = 5, nprobe = 1))
+    assert(hits.map(_._3).contains(1000L))
+    assert(hits.forall(_._4 == 1.0)) // the whole tie group is exact copies
+    intercept[IllegalArgumentException] {
+      VecIndex.append(Seq((2000L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      VecIndex.topK(Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"), dir)
+    }
+  }
+}
