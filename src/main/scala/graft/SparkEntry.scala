@@ -451,6 +451,34 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // X: RefinedWeb-style per-source quota — keep the 10 longest docs per
+    // source, one streaming window on the source key
+    "q_x_source_cap" -> ((s, dir) => {
+      graft.text.Curation.sourceCap(t(s, dir, "documents"),
+          "doc_id", "source", "n_chars", cap = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // X: CCNet-style perplexity terciles over the self-trained bigram LM.
+    // exactRank mode (global ntile) so the bucketing itself is
+    // oracle-gated; the approx percentile-cut scale path is spec-gated
+    // against this one in CurationSpec
+    "q_x_perplexity_buckets" -> ((s, dir) => {
+      graft.text.Curation.perplexityBuckets(
+        t(s, dir, "documents").repartition(col("doc_id")),
+        "doc_id", "text", k = 0.5, nBuckets = 3, exactRank = true)
+    }),
+
+    // X: C4 line-level cleaning (word floor + blocklist + brace filter;
+    // punct requirement off — the synthetic corpus is unpunctuated).
+    // Shuffle-free stream-through projection
+    "q_x_c4_line_filter" -> ((s, dir) => {
+      graft.text.Curation.c4LineFilter(t(s, dir, "documents"),
+        "doc_id", "text", minLineWords = 20, requireTerminalPunct = false,
+        blocklist = Seq("javascript", "cookie", "lorem ipsum"),
+        dropBraces = true, minKeptLines = 1)
+    }),
+
     // X: the full corpus-preprocessing composition (language -> quality ->
     // redact -> exact dedup -> near-dup clusters -> decontaminate), audited
     // per stage. Oracle-gated end-to-end: every stage is SQL-expressible
@@ -1785,6 +1813,51 @@ object SparkEntry {
            round(avg(ln((c_bg + 0.5) / (c_w1 + 0.5 * v.nv))), 4) AS avg_logprob
          FROM p JOIN b USING (bg) JOIN u USING (w1) CROSS JOIN v
          GROUP BY doc_id""",
+
+    "q_x_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents)
+         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+         FROM r WHERE rn <= 10""",
+
+    "q_x_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS s
+           FROM tok WHERE len(w) >= 2),
+         p AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM p0),
+         b AS (SELECT bg, count(*) AS c_bg FROM p GROUP BY bg),
+         u AS (SELECT w1, count(*) AS c_w1 FROM p GROUP BY w1),
+         v AS (SELECT count(*) AS nv FROM u),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((c_bg + 0.5) / (c_w1 + 0.5 * v.nv))), 4) AS avg_logprob
+           FROM p JOIN b USING (bg) JOIN u USING (w1) CROSS JOIN v
+           GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, avg_logprob,
+           CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT)
+             AS bucket
+         FROM sc""",
+
+    "q_x_c4_line_filter" ->
+      """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+         FROM documents
+         WHERE NOT contains(text, '{') AND NOT contains(text, '}')),
+         k AS (SELECT doc_id, len(ls) AS total_lines,
+             list_filter(ls, x ->
+               len(string_split(trim(regexp_replace(x, '\s+', ' ', 'g')), ' ')) >= 20
+               AND trim(x) <> ''
+               AND NOT contains(lower(x), 'javascript')
+               AND NOT contains(lower(x), 'cookie')
+               AND NOT contains(lower(x), 'lorem ipsum')) AS keep
+           FROM l)
+         SELECT doc_id, array_to_string(keep, chr(10)) AS text_clean,
+           CAST(total_lines AS BIGINT) AS total_lines,
+           CAST(len(keep) AS BIGINT) AS kept_lines
+         FROM k WHERE len(keep) >= 1""",
 
     "q_x_lm_score_cross" ->
       """WITH tok AS (SELECT doc_id,
