@@ -37,7 +37,17 @@ object SparkEntry {
   // the driver's compare sorts columns by name and hashes values.
   // ------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Build a map from pairs, throwing on duplicate keys — a plain Map
+    * literal silently keeps the LAST duplicate, which once shipped an
+    * old query under a new oracle (both named q_x_contamination_report)
+    * and dropped the other entirely. */
+  private def uniqueMap[V](pairs: (String, V)*): Map[String, V] = {
+    val dups = pairs.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = uniqueMap(
 
     // S3 + P1/P2/P4: parquet scan with pushed filter + projection
     "q_s3_scan_filter" -> ((s, dir) => {
@@ -667,6 +677,93 @@ object SparkEntry {
         .select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       Packing.packSequences(docs, "doc_id", "n_tokens", ctxLen = 512)
+    }),
+
+    // X: document-boundary next-fit bin packing (T5-style: docs never
+    // split across sequences) — deterministic parallel packing via
+    // fixed-size rank chunks; single chunk here so the sequential
+    // oracle recursion reproduces it exactly
+    "q_x_pack_bins" -> ((s, dir) => {
+      graft.text.Packing.packBinsNextFit(t(s, dir, "documents"),
+        "doc_id", "n_chars", capacity = 1200)
+    }),
+
+    // X: full PII rule-chain redaction (url -> email -> ipv4 -> phone,
+    // order load-bearing) — one codegen'd projection, zero shuffles
+    "q_x_redact_full" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.redactAll(col("text")).as("redacted"))
+    }),
+
+    // X: snapshot diff between two corpus versions (added / removed /
+    // changed / unchanged by normalized fingerprint) — fingerprints
+    // leave the scan, one full-outer sort-merge join on the id
+    "q_x_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val newSnap = d.where(pmod(col("doc_id"), lit(13)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" drifted extra tokens")))
+            .otherwise(col("text")))
+      graft.text.SnapshotOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // X: token-distribution drift (Jensen-Shannon divergence) between
+    // two corpus halves — per-side hash aggregates, vocabulary-sized
+    // join, one global sum; corpus text scanned once per side
+    "q_x_token_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.SnapshotOps.tokenDrift(
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "text")
+    }),
+
+    // X: near-dup-aware split assignment — synthetic dup chains (len 2
+    // at doc_id%25, len 3 at doc_id%50) cluster via connected
+    // components; every cluster hashes to one split on its min-id, so
+    // near-dups cannot straddle train/test by construction
+    "q_x_split_by_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ids = d.select(col("doc_id"))
+      def chain(startMod: Int, offset: Int) = ids.as("x")
+        .join(ids.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .where(pmod(col("x.doc_id") - offset, lit(startMod)) === 0)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val pairs = chain(25, 0).union(chain(50, 1))
+      graft.functions.Sampling.splitAssignByCluster(d, pairs, "doc_id",
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // X: per-benchmark contamination attribution — distinct corpus docs
+    // sharing any 5-gram with each benchmark doc (0 = still-trustworthy
+    // eval items); benchmark grams broadcast, corpus streams once.
+    // Complements q_x_contamination_report (per-SOURCE rates): this one
+    // answers "which eval items are compromised", that one "how dirty
+    // is each corpus source"
+    "q_x_bench_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents").repartition(col("doc_id"))
+      graft.text.TextOps.contaminationReport(
+        d.where(pmod(col("doc_id"), lit(37)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", "doc_id", "text", n = 5)
+    }),
+
+    // X: hashed-feature linear quality classifier (fastText-style):
+    // train driver-side on the labeled sample (en vs zh docs), score
+    // the corpus as a shuffle-free codegen projection with the weights
+    // riding a codegen reference object. Scores are deterministic
+    // (seeded SGD over id-ordered docs) but float-path-dependent, so
+    // this is a rows-only check; QualityClassifierSpec owns accuracy
+    "q_x_quality_score" -> ((s, dir) => {
+      import graft.text.QualityClassifier
+      val d = t(s, dir, "documents")
+      val model = QualityClassifier.train(
+        d.where(col("lang") === "en"), d.where(col("lang") === "zh"),
+        "doc_id", "text", dim = 1 << 14, epochs = 5)
+      QualityClassifier.score(d, "doc_id", "text", model)
     }),
 
     // X: incremental corpus dedup — a new batch (doc_id%10=3) against
@@ -1474,7 +1571,7 @@ object SparkEntry {
   // DuckDB oracle SQL — identical aliases, identical semantics.
   // ------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = uniqueMap(
     "q_s3_scan_filter" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          l_quantity, l_extendedprice
@@ -2118,6 +2215,121 @@ object SparkEntry {
            start_offset // 512 AS seq_first,
            (start_offset + n_tokens - 1) // 512 AS seq_last
          FROM c""",
+
+    "q_x_pack_bins" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n,
+           row_number() OVER (ORDER BY doc_id) AS rn
+         FROM documents WHERE n_chars > 0),
+         s AS (
+           SELECT rn, doc_id, n, doc_id AS bin_id,
+             CAST(0 AS BIGINT) AS off, n AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.rn, d.doc_id, d.n,
+             CASE WHEN s.fill + d.n <= 1200 THEN s.bin_id ELSE d.doc_id END,
+             CASE WHEN s.fill + d.n <= 1200 THEN s.fill ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN s.fill + d.n <= 1200 THEN s.fill + d.n ELSE d.n END
+           FROM s JOIN d ON d.rn = s.rn + 1)
+         SELECT doc_id, n AS n_units, bin_id, off AS offset_in_bin FROM s""",
+
+    "q_x_redact_full" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d()\-\s]{6,}\d', '<PHONE>', 'g') AS redacted
+         FROM documents""",
+
+    "q_x_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents WHERE doc_id % 10 <> 0),
+         n0 AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' drifted extra tokens'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 13 <> 0),
+         n AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM n0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+
+    "q_x_split_by_cluster" -> {
+      val cums = Seq(0.8, 0.1, 0.1).scanLeft(0.0)(_ + _).tail
+      val t1 = graft.functions.Sampling.hexThreshold(cums(0))
+      val t2 = graft.functions.Sampling.hexThreshold(cums(1))
+      s"""WITH RECURSIVE p AS (
+           SELECT a.doc_id AS u, b.doc_id AS v
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 25 = 0
+           UNION ALL
+           SELECT a.doc_id, b.doc_id
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+           WHERE (a.doc_id - 1) % 50 = 0
+         ),
+         edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         reach AS (
+           SELECT u AS id, v AS lab FROM edges
+           UNION
+           SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+         ),
+         cl AS (SELECT id, least(MIN(lab), id) AS cluster_id FROM reach GROUP BY id),
+         k AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS skey
+           FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         SELECT doc_id, CASE
+           WHEN substring(md5(CAST(skey AS VARCHAR)), 1, 13) < '$t1' THEN 'train'
+           WHEN substring(md5(CAST(skey AS VARCHAR)), 1, 13) < '$t2' THEN 'val'
+           ELSE 'test' END AS split
+         FROM k"""
+    },
+
+    "q_x_bench_contamination" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+         FROM tok),
+         bg AS (SELECT DISTINCT doc_id AS bench_id, ng FROM g WHERE doc_id % 37 = 0),
+         cg AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 37 <> 0),
+         h AS (SELECT bench_id, count(DISTINCT cg.doc_id) AS n
+           FROM bg JOIN cg USING (ng) GROUP BY bench_id)
+         SELECT b.bench_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminating_docs
+         FROM (SELECT DISTINCT doc_id AS bench_id FROM documents WHERE doc_id % 37 = 0) b
+         LEFT JOIN h USING (bench_id)""",
+
+    "q_x_token_drift" ->
+      """WITH wa AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         wb AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT w, count(*) AS na FROM wa WHERE w <> '' GROUP BY w),
+         cb AS (SELECT w, count(*) AS nb FROM wb WHERE w <> '' GROUP BY w),
+         j AS (SELECT COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+           FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+         tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nb) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS vu,
+             CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS va,
+             CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vb
+           FROM j)
+         SELECT ta AS n_tokens_a, tb AS n_tokens_b, va AS vocab_a,
+           vb AS vocab_b, vu AS vocab_union,
+           round(sum(
+             0.5 * CASE WHEN na > 0 THEN (na * 1.0 / ta) *
+               ln((na * 1.0 / ta) / ((na * 1.0 / ta + nb * 1.0 / tb) / 2))
+               ELSE 0 END +
+             0.5 * CASE WHEN nb > 0 THEN (nb * 1.0 / tb) *
+               ln((nb * 1.0 / tb) / ((na * 1.0 / ta + nb * 1.0 / tb) / 2))
+               ELSE 0 END), 4) AS js_divergence
+         FROM j CROSS JOIN tot
+         GROUP BY ta, tb, va, vb, vu""",
 
     "q_x_range_join" ->
       """WITH p AS (SELECT l_orderkey, l_linenumber,

@@ -175,6 +175,39 @@ object Sampling {
     df.withColumn(outCol, e)
   }
 
+  /** Near-dup-aware split assignment: [[splitAssign]], but documents
+    * connected by a near-duplicate pair are assigned AS A UNIT — the
+    * whole dedup cluster hashes on its cluster id (minimum member id),
+    * so two near-duplicates can never straddle the train/test boundary.
+    * This closes the leakage channel by construction, where
+    * [[graft.text.TextOps.splitLeakage]] merely reports it after the
+    * fact. Documents in no pair assign by their own id, which keeps the
+    * living-corpus stability property: adding a NEW doc never moves an
+    * existing unpaired doc, and joining a cluster moves a doc only to
+    * its cluster's (stable, min-id) split.
+    *
+    * `pairs` is the output of any near-dup detector (MinHash, SimHash,
+    * embedding cosine). Cost: the connected-components run on the pair
+    * list (small by construction — capped-LSH output, not the corpus)
+    * plus ONE shuffle join of the corpus against the cluster map; the
+    * split rule itself stays a pure projection. */
+  def splitAssignByCluster(df: org.apache.spark.sql.DataFrame,
+                           pairs: org.apache.spark.sql.DataFrame,
+                           idCol: String,
+                           aCol: String = "id_a", bCol: String = "id_b",
+                           splits: Seq[(String, Double)] =
+                             Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                           outCol: String = "split"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    require(!df.columns.contains("__skey") && !df.columns.contains("__cluster_id"),
+      "splitAssignByCluster: input already has a __skey/__cluster_id column")
+    val cl = graft.ops.ConnectedComponents.clusters(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster_id").as("__cluster_id"))
+    val keyed = df.join(cl, Seq(idCol), "left")
+      .withColumn("__skey", coalesce(col("__cluster_id"), col(idCol)))
+    splitAssign(keyed, "__skey", splits, outCol).drop("__skey", "__cluster_id")
+  }
+
   /** Token-BUDGET training-mix draw: instead of a row count per stratum
     * ([[trainingMix]]), each stratum gets a TOKEN budget — "20k tokens
     * of en, 5k of de" — the unit a pre-training mix is actually specified

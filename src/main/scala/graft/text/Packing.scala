@@ -37,4 +37,62 @@ object Packing {
       .select(col("id").as(idCol), col("n_tokens"), col("start_offset"),
         col("seq_first"), col("seq_last"))
   }
+
+  /** Document-boundary-respecting bin packing (next-fit): walk docs in
+    * id order, keep adding to the current bin while it fits, open a new
+    * bin otherwise — the packing style loaders use when documents must
+    * NOT split across training sequences (T5-style). A doc larger than
+    * `capacity` gets a bin to itself (callers own the truncate/chunk
+    * policy for those).
+    *
+    * Parallel next-fit is made deterministic by cutting the id order
+    * into fixed `chunkDocs`-row chunks first (global rank via the
+    * two-phase scan) and packing each chunk independently: the result
+    * is a pure function of (id order, chunkDocs, capacity) — cluster
+    * layout, partition count, and scheduling cannot change it, the
+    * reproducibility discipline of every selector in this engine. The
+    * cost is at most one under-filled bin per chunk boundary (waste
+    * <= capacity/chunkDocs per doc — vanishing at scale); the win is
+    * that chunks pack in parallel across the cluster, where true
+    * sequential next-fit is a one-task scan of 100 TB.
+    *
+    * Output: (id, n_units, bin_id, offset_in_bin), bin_id = the id of
+    * the bin's first document (globally unique, stable). `sizeCol` is
+    * whatever unit the capacity is in — tokens, chars, bytes.
+    *
+    * The per-chunk fold is the one `mapPartitions` in the text stack: a
+    * stateful scan with reset is the textbook case composition can't
+    * express (a running sum that conditionally resets is not a prefix
+    * sum), and the state is three longs. */
+  def packBinsNextFit(docs: DataFrame, idCol: String, sizeCol: String,
+                      capacity: Long, chunkDocs: Long = 1L << 20): DataFrame = {
+    require(capacity >= 1, s"packBinsNextFit: capacity must be >= 1, got $capacity")
+    require(chunkDocs >= 1, s"packBinsNextFit: chunkDocs must be >= 1, got $chunkDocs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(col(idCol).cast("long").as("id"), col(sizeCol).cast("long").as("n"))
+      .where(col("n") > 0)
+    val chunked = graft.ops.Scans
+      .globalRowNumber(base, "id", "__rank")
+      .withColumn("__chunk", ((col("__rank") - 1) / chunkDocs).cast("long"))
+      .repartition(col("__chunk"))
+      .sortWithinPartitions(col("__chunk"), col("id"))
+      .select(col("__chunk"), col("id"), col("n"))
+      .as[(Long, Long, Long)]
+    chunked.mapPartitions { it =>
+      var chunk = Long.MinValue
+      var binId = 0L
+      var fill = Long.MaxValue // forces a fresh bin on the first row
+      it.map { case (c, id, n) =>
+        if (c != chunk || fill + n > capacity) {
+          chunk = c; binId = id; fill = n
+          (id, n, binId, 0L)
+        } else {
+          val off = fill; fill += n
+          (id, n, binId, off)
+        }
+      }
+    }.toDF(idCol, "n_units", "bin_id", "offset_in_bin")
+  }
 }

@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-version comparison: what changed between two snapshots of a
+  * continuously-ingested corpus, and did its token distribution move.
+  * The monitoring pair every recurring-crawl pipeline runs before
+  * promoting a new snapshot — a diff that is mostly "added" plus a
+  * small drift number is a healthy crawl; a large "changed" set or a
+  * drift spike is an upstream extraction bug caught before training.
+  */
+object SnapshotOps {
+
+  /** Row-level diff of two corpus snapshots keyed by `idCol`: one row
+    * per id present in either side with status `added` (new side only),
+    * `removed` (old side only), `changed` (both, different fingerprint)
+    * or `unchanged`. Content equality is the whitespace-normalized md5
+    * ([[TextOps.fingerprintMd5]]) — the same canonical form the dedup
+    * path keys on, so a diff "change" is exactly a dedup-visible change.
+    *
+    * Scale: fingerprints are computed in the scan projection (32 bytes
+    * per row leave the scan, never the text), then ONE sort-merge full
+    * outer join on the id — both sides shuffle once on the join key and
+    * nothing else. No broadcast assumption: both snapshots may be huge. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      TextOps.fingerprintMd5(col(textCol)).as("__fp_old"))
+    val n = newSnap.select(col(idCol).as("id"),
+      TextOps.fingerprintMd5(col(textCol)).as("__fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Jensen-Shannon divergence (natural log, so the ceiling is ln 2)
+    * between the token unigram distributions of two corpora, plus the
+    * side stats a drift monitor charts: one row
+    * (n_tokens_a, n_tokens_b, vocab_a, vocab_b, vocab_union,
+    * js_divergence) with the divergence rounded to 4 places.
+    *
+    * Scale: each side is one explode + hash-aggregate on the token
+    * (map-side partial combine does the heavy lifting — the post-shuffle
+    * frame is vocabulary-sized, not corpus-sized), then a vocabulary-
+    * sized full outer join and a single global sum. The corpus text is
+    * scanned exactly once per side; nothing corpus-sized is ever joined
+    * or collected. */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w"))
+    val j = counts(a).agg(count(lit(1)).as("ca"))
+      .join(counts(b).agg(count(lit(1)).as("cb")), Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = j.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("vu"),
+      sum(when(col("ca") > 0, 1L).otherwise(0L)).as("va"),
+      sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vb"))
+    // the totals row is 1 row — the cross join broadcasts it back onto
+    // the vocabulary frame so p/q/m are computed in-plan, no driver trip
+    val p = col("ca").cast("double") / col("ta")
+    val q = col("cb").cast("double") / col("tb")
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) * lit(0.5) +
+      when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0)) * lit(0.5)
+    j.crossJoin(tot)
+      .groupBy(col("ta"), col("tb"), col("va"), col("vb"), col("vu"))
+      .agg(round(sum(term), 4).as("js_divergence"))
+      .select(col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+        col("va").as("vocab_a"), col("vb").as("vocab_b"),
+        col("vu").as("vocab_union"), col("js_divergence"))
+  }
+}

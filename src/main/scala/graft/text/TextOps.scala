@@ -887,6 +887,40 @@ object TextOps {
       .select(col("id").as(idCol), col("text"))
   }
 
+  /** Per-benchmark-document contamination report: for each benchmark
+    * doc, how many distinct corpus docs share at least one word n-gram
+    * with it — the attribution view of [[ngramOverlapIds]] (which only
+    * says "this corpus doc is dirty"; an eval owner needs to know WHICH
+    * benchmark items are compromised and how widely). Benchmark docs
+    * with zero hits are included at 0: those are the items whose eval
+    * numbers remain trustworthy.
+    *
+    * Same scale shape as [[ngramOverlapIds]]: the benchmark n-gram set
+    * broadcasts, the corpus streams through one scan; the aggregation
+    * key space is (bench doc x corpus doc) pairs that actually collide
+    * — bounded by real contamination, not corpus size. */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          benchIdCol: String, benchTextCol: String,
+                          n: Int = 13): DataFrame = {
+    require(n >= 1, s"contaminationReport: n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(wordShingles(tokens(col(benchTextCol)), n)).as("__ng"))
+      .distinct()
+    val hits = docs
+      .select(col(idCol).as("__doc_id"),
+        explode(wordShingles(tokens(col(textCol)), n)).as("__ng"))
+      .join(broadcast(benchGrams), Seq("__ng"))
+      .select(col("bench_id"), col("__doc_id")).distinct()
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminating_docs"))
+    benchmark.select(col(benchIdCol).as("bench_id")).distinct()
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_contaminating_docs"), lit(0L)).as("n_contaminating_docs"))
+  }
+
   /** Remove n-gram-contaminated docs: [[ngramOverlapIds]] + anti join. */
   def decontaminateNgramOverlap(docs: DataFrame, benchmark: DataFrame,
                                 idCol: String, textCol: String,
@@ -952,6 +986,8 @@ object TextOps {
     * any SQL oracle agree character-for-character. */
   val urlPattern = "https?://[^\\s]+"
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d()\\-\\s]{6,}\\d"
 
   /** Scrub PII-ish spans with typed placeholders — the pre-training
     * redaction step. URLs first (a URL may embed an @-credential and must
@@ -960,6 +996,28 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, urlPattern, "<URL>"),
       emailPattern, "<EMAIL>")
+
+  /** The full default rule chain for [[redactAll]]. Order is load-
+    * bearing: URLs swallow embedded credentials and IP-shaped hosts
+    * before the narrower rules see them; IPs go before phones so a
+    * dotted quad is never half-eaten as a digit run. */
+  val defaultRedactRules: Seq[(String, String)] = Seq(
+    urlPattern -> "<URL>",
+    emailPattern -> "<EMAIL>",
+    ipv4Pattern -> "<IP>",
+    phonePattern -> "<PHONE>")
+
+  /** Configurable multi-rule redaction: apply `(pattern, placeholder)`
+    * rules in order, each a replace-all. Still one codegen'd projection
+    * — the rule chain folds into nested regexp_replace calls, so a
+    * 4-rule scrub over 100 TB is a single pass over the scan with zero
+    * shuffles, exactly like [[redact]]. Patterns must stay RE2-safe for
+    * engine/oracle agreement (the defaults are). */
+  def redactAll(text: Column,
+                rules: Seq[(String, String)] = defaultRedactRules): Column = {
+    require(rules.nonEmpty, "redactAll: empty rule list")
+    rules.foldLeft(text) { case (c, (pat, ph)) => regexp_replace(c, pat, ph) }
+  }
 
   /** Token repetition ratio: 1 - distinct/total — high values flag the
     * degenerate repeated-boilerplate documents a quality filter drops. */

@@ -180,6 +180,31 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.splitAssign(custom, "id"))
   }
 
+  test("splitAssignByCluster: near-dup clusters land in one split, unpaired docs unchanged") {
+    val df = (1L to 500L).toDF("id")
+    // chains: (10,11,12), (20,21), (30,31) — plus 494 unpaired docs
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (31L, 30L))
+      .toDF("id_a", "id_b")
+    val got = Sampling.splitAssignByCluster(df, pairs, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 500)
+    // every cluster member shares its cluster's split
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+    assert(got(20L) == got(21L))
+    assert(got(30L) == got(31L))
+    // cluster split = the min-id member's OWN splitAssign label, so
+    // unpaired docs and cluster reps match plain splitAssign exactly
+    val plain = Sampling.splitAssign(df, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(11L, 12L, 21L, 31L)
+    assert(got.filterNot(kv => clustered(kv._1)) ==
+      plain.filterNot(kv => clustered(kv._1)))
+    // living-corpus stability: adding docs never moves existing ones
+    val grown = Sampling.splitAssignByCluster((1L to 900L).toDF("id"), pairs, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+  }
+
   test("temperatureMix: alpha interpolates targets between uniform and proportional") {
     // counts 36 ("big") and 4 ("small"): exact shares at every alpha below
     val df = ((1 to 36).map(i => (i.toLong, "big")) ++

@@ -38,4 +38,50 @@ class PackingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("packBinsNextFit: docs never split, sequential next-fit semantics") {
+    val docs = Seq((1L, 500L), (2L, 500L), (3L, 300L), (4L, 900L),
+      (5L, 1500L), (6L, 100L), (7L, 0L))
+      .toDF("doc_id", "n")
+    val got = Packing.packBinsNextFit(docs, "doc_id", "n", capacity = 1000)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // bin 1: docs 1+2 (1000 exactly); bin 3: doc 3 (doc 4 won't fit after
+    // it? 300+900>1000 -> doc 4 opens bin 4); doc 5 oversized -> own bin;
+    // doc 6 opens a fresh bin after the oversized one; doc 7 dropped
+    assert(got == Set(
+      (1L, 500L, 1L, 0L),
+      (2L, 500L, 1L, 500L),
+      (3L, 300L, 3L, 0L),
+      (4L, 900L, 4L, 0L),
+      (5L, 1500L, 5L, 0L),
+      (6L, 100L, 6L, 0L)))
+  }
+
+  test("packBinsNextFit: bins respect capacity, layout-invariant, chunk waste bounded") {
+    val docs = (1L to 500L).map(i => (i, 50L + (i * 37) % 400)).toDF("doc_id", "n")
+    def run(parts: Int, chunkDocs: Long) =
+      Packing.packBinsNextFit(docs.repartition(parts), "doc_id", "n",
+        capacity = 1000, chunkDocs = chunkDocs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val one = run(1, 1L << 20)
+    // deterministic under input layout changes
+    assert(run(17, 1L << 20) == one)
+    assert(one.size == 500)
+    // every bin's fill = max(offset + n) <= capacity (no oversized docs here)
+    val fills = one.groupBy(_._3).map { case (_, rs) => rs.map(r => r._4 + r._2).max }
+    assert(fills.forall(_ <= 1000))
+    // offsets within a bin are contiguous: sorted offsets chain exactly
+    one.groupBy(_._3).foreach { case (_, rs) =>
+      val sorted = rs.toSeq.sortBy(_._4)
+      sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+        assert(a._4 + a._2 == b._4) }
+    }
+    // chunked packing equals unchunked except at chunk boundaries: bin
+    // count grows by at most nChunks - 1
+    val chunked = run(8, 100L)
+    assert(chunked.map(_._3).size >= one.map(_._3).size)
+    assert(chunked.groupBy(_._3).size <= one.groupBy(_._3).size + 4)
+    // and chunked assignment is ALSO layout-invariant
+    assert(run(3, 100L) == chunked)
+  }
 }

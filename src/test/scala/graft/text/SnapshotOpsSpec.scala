@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class SnapshotOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "stays the same"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (2L, "gamma delta REWRITTEN"), (3L, "Stays   THE same"), (4L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val got = SnapshotOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // doc 3: fingerprint is whitespace-normalized + lowercased -> unchanged
+    assert(got == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
+  test("corpusDiff plan: fingerprints computed before the join, no text in the join") {
+    val a = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val plan = SnapshotOps.corpusDiff(a, a, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the join operates on (id, md5) projections — the text column must
+    // not appear in any exchange
+    assert(!plan.contains("text#") ||
+      !plan.split("Exchange").drop(1).exists(_.contains("text#")), plan.take(2000))
+  }
+
+  test("tokenDrift: identical corpora diverge zero, disjoint near ln 2") {
+    val a = Seq((1L, "the cat sat"), (2L, "the dog ran")).toDF("doc_id", "text")
+    val same = SnapshotOps.tokenDrift(a, a, "text")
+      .select("js_divergence").as[Double].head()
+    assert(same == 0.0)
+    val b = Seq((1L, "totally different words here")).toDF("doc_id", "text")
+    val disj = SnapshotOps.tokenDrift(a, b, "text")
+      .select("js_divergence").as[Double].head()
+    assert(math.abs(disj - math.log(2)) < 1e-4) // output is rounded to 4 places
+  }
+
+  test("tokenDrift side stats and bounded drift for overlapping corpora") {
+    val a = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val b = Seq((1L, "the cat ran off the mat")).toDF("doc_id", "text")
+    val r = SnapshotOps.tokenDrift(a, b, "text")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r._1 == 6 && r._2 == 6)
+    assert(r._3 == 5 && r._4 == 5) // "the" twice per side
+    assert(r._5 == 7)              // union: the cat sat on mat ran off
+    assert(r._6 > 0.0 && r._6 < math.log(2))
+  }
+}

@@ -336,6 +336,42 @@ class TextOpsSpec extends AnyFunSuite {
       "clean text stays"))
   }
 
+  test("contaminationReport: per-benchmark hit counts, clean items reported at 0") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "a quick brown fox jumps over me"),
+      (3L, "completely unrelated corpus content here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps over everything"),
+      (200L, "nothing shared with anyone at all")).toDF("doc_id", "text")
+    val got = TextOps.contaminationReport(corpus, bench,
+        "doc_id", "text", "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    // "quick brown fox jumps" is a shared 4-gram in docs 1 and 2
+    assert(got == Map(100L -> 2L, 200L -> 0L))
+  }
+
+  test("redactAll: full rule chain with load-bearing order (url > email > ip > phone)") {
+    val df = Seq(
+      "server at 192.168.1.100 went down",
+      "call +1 (555) 123-4567 or 555 867 5309 now",
+      "visit http://10.0.0.1/admin today",         // IP inside URL -> one <URL>
+      "mail ops@ex.com from 10.1.2.3",
+      "clean text stays").toDF("text")
+    val got = df.select(TextOps.redactAll($"text").as("r")).as[String].collect().toSeq
+    assert(got == Seq(
+      "server at <IP> went down",
+      "call <PHONE> or <PHONE> now",
+      "visit <URL> today",
+      "mail <EMAIL> from <IP>",
+      "clean text stays"))
+    // custom rule lists run in caller order
+    val custom = df.limit(1).select(TextOps.redactAll($"text",
+      Seq("\\d+" -> "#")).as("r")).as[String].head()
+    assert(custom == "server at #.#.#.# went down")
+    intercept[IllegalArgumentException] { TextOps.redactAll($"text", Nil) }
+  }
+
   test("repetition ratio flags degenerate docs, zero for all-distinct") {
     val df = Seq("spam spam spam spam", "all words are different").toDF("text")
     val got = df.select(
