@@ -1298,6 +1298,33 @@ object SparkEntry {
         nlist = 4, nprobe = 4, m = 8, ksub = n, kmeansIters = 0, pqIters = 0)
     }),
 
+    // X: PERSISTED IVF-PQ index — build to parquet (PQ-coded residual
+    // lists, 32x smaller than float lists), probe with partition-pruned
+    // code reads + exact re-rank against the caller's vector table
+    "q_x_ann_vecidx_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_vecidxpq_q_").toString
+      graft.vec.VecIndex.buildPq(emb, idx, nlist = 16, kmeansIters = 2,
+        m = 8, ksub = 64, pqIters = 2)
+      graft.vec.VecIndex.topKPq(emb.where(col("vec_id") < 8), idx,
+        k = 5, nprobe = 4, refineWith = Some(emb))
+    }),
+
+    // X: persisted IVF-PQ exhaustive gate — same lossless construction
+    // as q_x_ann_ivfpq_exhaustive but through the parquet round-trip:
+    // a serialization bug in codebooks/lists/params fails the hash
+    "q_x_ann_vecidx_pq_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      val n = emb.count().toInt
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_vecidxpq_q_").toString
+      graft.vec.VecIndex.buildPq(emb, idx, nlist = 4, kmeansIters = 0,
+        m = 8, ksub = n, pqIters = 0)
+      graft.vec.VecIndex.topKPq(emb.where(col("vec_id") < 8), idx,
+        k = 5, nprobe = 4)
+    }),
+
     "q_x_ann_pq_exhaustive" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
       val n = emb.count().toInt
@@ -2771,6 +2798,25 @@ object SparkEntry {
     // comprehension mirrors the subspace-grouped summation order so the
     // double arithmetic matches Spark's bit-for-bit
     "q_x_ann_ivfpq_exhaustive" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_sum([ list_sum([ (c.embedding[(j*8)+i]::DOUBLE
+                                    - q.embedding[(j*8)+i]::DOUBLE)^2
+                                   for i in range(1, 9) ])
+                        for j in range(0, 8) ]) AS d
+           FROM embeddings c, q
+           WHERE c.vec_id < 500 AND c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, d,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(d, 4) AS dist
+         FROM r WHERE rank <= 5""",
+
+    // identical exact-L2 oracle as the in-memory IVFADC gate: the
+    // persisted path must reproduce it through the parquet round-trip
+    "q_x_ann_vecidx_pq_exhaustive" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              list_sum([ list_sum([ (c.embedding[(j*8)+i]::DOUBLE

@@ -92,6 +92,157 @@ object VecIndex {
       s"VecIndex at $indexDir holds $dim-dim vectors; got $got-dim input")
   }
 
+  // ------------------------------------------------------- IVF-PQ variant
+
+  /** Persisted IVF-PQ index ("IVFADC" — the Faiss billion-scale
+    * default): same inverted-list layout as [[build]], but each list row
+    * stores the vector's RESIDUAL (v - centroid) PQ-encoded to m codes
+    * instead of the vector itself — at dim=64/m=8 the lists shrink 32x,
+    * which is the difference between an index that fits a serving tier
+    * and one that re-reads the corpus. Residual encoding and scoring
+    * semantics match [[VectorOps.ivfPqTopK]] exactly; the layout adds:
+    *
+    *  - `pq/` (subspace, code, entry array<double>) — the trained
+    *    codebooks, m * ksub rows, driver-sized.
+    *  - lists hold (id, codes array<int>), partitioned by list_id.
+    *
+    * The original vectors are NOT stored: exact re-ranking joins back to
+    * the caller's vector table ([[topKPq]] `refineWith`), keeping the
+    * index itself pure codes. */
+  def buildPq(vectors: DataFrame, indexDir: String,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nlist: Int = 16, kmeansIters: Int = 2,
+              m: Int = 8, ksub: Int = 64, pqIters: Int = 2): Unit = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).as("id"),
+        VectorOps.asDouble(col(vecCol)).as("vec"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val seed = base.orderBy(col("id")).limit(nlist)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    require(seed.nonEmpty, "VecIndex.buildPq: empty vector table")
+    val dim = seed.head._2.length
+    val cents = VectorOps.kmeansCentroids(base, "vec", seed, kmeansIters)
+    def centVec(cid: org.apache.spark.sql.Column) =
+      cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (id, cv)) =>
+        when(cid === id, typedLit(cv.toSeq)).otherwise(acc)
+      }
+    val resid = base
+      .withColumn("list_id",
+        element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
+      .withColumn("residual",
+        zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
+      .localCheckpoint() // feeds PQ training sweeps AND the encode below
+    val model = VectorOps.pqTrain(resid, "id", "residual", m, ksub, pqIters)
+    VectorOps.pqEncode(resid, "id", "residual", model)
+      .join(resid.select(col("id"), col("list_id")), "id")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+    cents.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (e, c) => (j, c, e.toSeq) }
+    }.toDF("subspace", "code", "entry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pq")
+    Seq((nlist, dim, kmeansIters, m, ksub, pqIters))
+      .toDF("nlist", "dim", "kmeans_iters", "m", "ksub", "pq_iters")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/params")
+  }
+
+  private def loadPqModel(spark: SparkSession,
+                          indexDir: String): VectorOps.PqModel = {
+    val p = spark.read.parquet(s"$indexDir/params").head()
+    val m = p.getAs[Int]("m")
+    val subDim = p.getAs[Int]("dim") / m
+    val rows = spark.read.parquet(s"$indexDir/pq").collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"),
+        r.getSeq[Double](2).toArray))
+    val cbs = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, es) => es.sortBy(_._2).map(_._3).toSeq }
+    VectorOps.PqModel(m, subDim, cbs)
+  }
+
+  /** ADC top-k over the persisted PQ lists: per (query, probed list) the
+    * driver builds the ADC table from the query's residual to that
+    * centroid; probed list partitions are pruned at the scan exactly
+    * like [[topK]], and candidates are scored through their m codes —
+    * the float corpus is never read. With `refineWith` (the original
+    * vector table), the ADC shortlist of `k * refine` is exact-L2
+    * re-ranked by joining vectors back for shortlist members only.
+    * Output: (query_id, rank, neighbor_id, dist) — squared L2, like the
+    * other PQ searchers. */
+  def topKPq(queries: DataFrame, indexDir: String,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             k: Int = 5, nprobe: Int = 4,
+             refineWith: Option[DataFrame] = None,
+             refine: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = loadCentroids(spark, indexDir)
+    val model = loadPqModel(spark, indexDir)
+    checkDim(spark, indexDir, queries, idCol, vecCol)
+    val kAdc = if (refineWith.isDefined) k * refine else k
+    val qRows = queries.select(col(idCol).cast("long").as("qid"),
+        VectorOps.asDouble(col(vecCol)).as("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probeTables = qRows.toSeq.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (cosD(qv, cv), cid, cv) }
+        .sortBy { case (c, cid, _) => (-c, cid) }
+        .take(nprobe)
+        .map { case (_, cid, cv) =>
+          val qRes = qv.zip(cv).map { case (x, c) => x - c }
+          val tab = model.codebooks.zipWithIndex.map { case (cb, j) =>
+            val qs = qRes.slice(j * model.subDim, (j + 1) * model.subDim)
+            cb.map(e => e.zip(qs).map { case (a, b) => (a - b) * (a - b) }.sum).toSeq
+          }
+          (qid, cid, tab)
+        }
+    }.toDF("query_id", "list_id", "tables")
+    val probedLists = probeTables.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .where(col("list_id").isin(probedLists.map(x => x: Any): _*))
+    val scored = lists.join(broadcast(probeTables), Seq("list_id"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("codes"), col("tables"),
+            (c, tab) => element_at(tab, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    val adc = scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("id"))))
+      .where(col("rank") <= kAdc)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"), round(col("dist"), 4).as("dist"))
+    refineWith match {
+      case None => adc
+      case Some(vectors) =>
+        val shortlist = adc.select(col("query_id"), col("neighbor_id"))
+        val qv = queries.select(col(idCol).cast("long").as("query_id"),
+          VectorOps.asDouble(col(vecCol)).as("q_vec"))
+        vectors
+          .select(col(idCol).cast("long").as("neighbor_id"),
+            VectorOps.asDouble(col(vecCol)).as("cand_vec"))
+          .join(broadcast(shortlist), Seq("neighbor_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("dist", VectorOps.l2sq(col("cand_vec"), col("q_vec")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("dist"), col("neighbor_id"))))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), round(col("dist"), 4).as("dist"))
+    }
+  }
+
   /** Top-k cosine neighbors for a query frame, probing the nprobe
     * best-ranked lists per query. Output shape matches the other
     * searchers: (query_id, rank, neighbor_id, cos). */
