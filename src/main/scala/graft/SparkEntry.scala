@@ -479,6 +479,28 @@ object SparkEntry {
         "doc_id", "text", k = 0.5, nBuckets = 3, exactRank = true)
     }),
 
+    // X: CCNet-faithful PER-LANGUAGE perplexity terciles — cut points
+    // within each language, so low-resource languages aren't consigned
+    // to the tail by a pooled cut; exactRank mode for the oracle, the
+    // approx per-group percentile mode is spec-gated against it
+    "q_x_perplexity_buckets_by" -> ((s, dir) => {
+      graft.text.Curation.perplexityBucketsBy(
+        t(s, dir, "documents").repartition(col("doc_id")),
+        "doc_id", "text", byCol = "lang", k = 0.5, nBuckets = 3,
+        exactRank = true)
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("avg_logprob"), col("bucket"))
+    }),
+
+    // X: per-stratum token drift — which language moved between the two
+    // corpus halves; one-sided strata pin to the ln(2)/2 ceiling
+    "q_x_token_drift_by" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.SnapshotOps.tokenDriftBy(
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "text", "lang")
+    }),
+
     // X: C4 line-level cleaning (word floor + blocklist + brace filter;
     // punct requirement off — the synthetic corpus is unpunctuated).
     // Shuffle-free stream-through projection
@@ -1965,6 +1987,55 @@ object SparkEntry {
            CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT)
              AS bucket
          FROM sc""",
+
+    "q_x_perplexity_buckets_by" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS s
+           FROM tok WHERE len(w) >= 2),
+         p AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM p0),
+         b AS (SELECT bg, count(*) AS c_bg FROM p GROUP BY bg),
+         u AS (SELECT w1, count(*) AS c_w1 FROM p GROUP BY w1),
+         v AS (SELECT count(*) AS nv FROM u),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((c_bg + 0.5) / (c_w1 + 0.5 * v.nv))), 4) AS avg_logprob
+           FROM p JOIN b USING (bg) JOIN u USING (w1) CROSS JOIN v
+           GROUP BY doc_id)
+         SELECT sc.doc_id, d.lang, sc.n_bigrams, sc.avg_logprob,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY sc.avg_logprob DESC, sc.doc_id) AS BIGINT)
+             AS bucket
+         FROM sc JOIN documents d ON d.doc_id = sc.doc_id""",
+
+    "q_x_token_drift_by" ->
+      """WITH wa AS (SELECT lang AS g,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         wb AS (SELECT lang AS g,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT g, w, count(*) AS na FROM wa WHERE w <> '' GROUP BY g, w),
+         cb AS (SELECT g, w, count(*) AS nb FROM wb WHERE w <> '' GROUP BY g, w),
+         j AS (SELECT COALESCE(ca.g, cb.g) AS g,
+             COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+           FROM ca FULL OUTER JOIN cb ON ca.g = cb.g AND ca.w = cb.w),
+         tot AS (SELECT g, CAST(sum(na) AS BIGINT) AS ta,
+             CAST(sum(nb) AS BIGINT) AS tb, CAST(count(*) AS BIGINT) AS vu
+           FROM j GROUP BY g),
+         e AS (SELECT j.g, na, nb, ta, tb, vu,
+             CASE WHEN ta > 0 THEN na * 1.0 / ta ELSE 0 END AS p,
+             CASE WHEN tb > 0 THEN nb * 1.0 / tb ELSE 0 END AS q
+           FROM j JOIN tot ON tot.g = j.g)
+         SELECT g AS lang, ta AS n_tokens_a, tb AS n_tokens_b,
+           vu AS vocab_union,
+           round(sum(
+             0.5 * CASE WHEN na > 0 AND ta > 0
+               THEN p * ln(p / ((p + q) / 2)) ELSE 0 END +
+             0.5 * CASE WHEN nb > 0 AND tb > 0
+               THEN q * ln(q / ((p + q) / 2)) ELSE 0 END), 4) AS js_divergence
+         FROM e GROUP BY g, ta, tb, vu""",
 
     "q_x_c4_line_filter" ->
       """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls

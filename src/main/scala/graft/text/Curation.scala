@@ -82,6 +82,43 @@ object Curation {
     }
   }
 
+  /** [[perplexityBuckets]] with PER-GROUP cut points — CCNet's actual
+    * discipline: head/middle/tail are computed within each language, not
+    * over the pooled corpus (a pooled cut would consign every low-
+    * resource language to the tail because the LM sees less of it).
+    * `byCol` is the grouping column (typically the language).
+    *
+    * exactRank mode partitions the ntile window by the group — parallel
+    * across groups, one sorted reducer per group (validation scale, and
+    * the oracle gate). Default mode computes `approx_percentile` cuts
+    * PER GROUP in one aggregate and broadcasts the tiny cuts table back;
+    * assignment stays a stream-through comparison — the 100 TB path. */
+  def perplexityBucketsBy(docs: DataFrame, idCol: String, textCol: String,
+                          byCol: String, k: Double = 0.5, nBuckets: Int = 3,
+                          exactRank: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBucketsBy: need >= 2 buckets, got $nBuckets")
+    val scored = TextOps.bigramLogProbScores(docs, idCol, textCol, k)
+      .withColumnRenamed("id", idCol)
+      .join(docs.select(col(idCol), col(byCol)), Seq(idCol))
+    if (exactRank) {
+      scored.withColumn("bucket",
+        ntile(nBuckets).over(Window.partitionBy(col(byCol))
+          .orderBy(col("avg_logprob").desc, col(idCol))).cast("long"))
+    } else {
+      val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+      val cuts = scored.groupBy(col(byCol))
+        .agg(percentile_approx(col("avg_logprob"),
+          array(probs.map(lit): _*), lit(10000)).as("__cuts"))
+      val nBelow = (0 until nBuckets - 1)
+        .map(i => when(col("avg_logprob") > element_at(col("__cuts"), i + 1), 1L)
+          .otherwise(0L))
+        .reduce(_ + _)
+      scored.join(broadcast(cuts), Seq(byCol))
+        .withColumn("bucket", lit(nBuckets.toLong) - nBelow)
+        .drop("__cuts")
+    }
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, minus the
     * langdetect step which [[TextOps.langId]] owns): a document's text
     * is split into lines; a line survives if it has at least

@@ -49,6 +49,47 @@ object SnapshotOps {
     * sized full outer join and a single global sum. The corpus text is
     * scanned exactly once per side; nothing corpus-sized is ever joined
     * or collected. */
+  /** [[tokenDrift]] per stratum (language, source): one row per stratum
+    * value present in either side, same stats columns plus the stratum.
+    * The drift monitor's triage view — a healthy aggregate JS number can
+    * hide one source going bad; this shows which. Same cost shape as
+    * the global form with the stratum added to every grouping key; the
+    * per-stratum totals ride a broadcast join (strata counts are tiny by
+    * assumption — they're chart categories). */
+  def tokenDriftBy(a: DataFrame, b: DataFrame, textCol: String,
+                   stratumCol: String): DataFrame = {
+    def counts(d: DataFrame) = d
+      .select(col(stratumCol).as("g"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("g"), col("w"))
+    val j = counts(a).agg(count(lit(1)).as("ca"))
+      .join(counts(b).agg(count(lit(1)).as("cb")), Seq("g", "w"), "full_outer")
+      .select(col("g"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = j.groupBy(col("g"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+        count(lit(1)).as("vu"))
+    // a stratum present on one side only has ta or tb = 0: its ratio is
+    // pinned to 0 (not 0/0 = NaN) and the row degenerates to
+    // 0.5 * KL(q || q/2) = ln(2)/2 — the "diverged from nothing"
+    // ceiling a monitor should flag, not a NaN
+    val p = when(col("ta") > 0, col("ca").cast("double") / col("ta"))
+      .otherwise(lit(0.0))
+    val q = when(col("tb") > 0, col("cb").cast("double") / col("tb"))
+      .otherwise(lit(0.0))
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("ca") > 0 && col("ta") > 0, p * log(p / m)).otherwise(lit(0.0)) * lit(0.5) +
+      when(col("cb") > 0 && col("tb") > 0, q * log(q / m)).otherwise(lit(0.0)) * lit(0.5)
+    j.join(broadcast(tot), Seq("g"))
+      .groupBy(col("g"), col("ta"), col("tb"), col("vu"))
+      .agg(round(sum(term), 4).as("js_divergence"))
+      .select(col("g").as(stratumCol),
+        col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+        col("vu").as("vocab_union"), col("js_divergence"))
+  }
+
   def tokenDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def counts(d: DataFrame) = d
       .select(explode(TextOps.tokens(col(textCol))).as("w"))

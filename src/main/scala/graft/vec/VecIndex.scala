@@ -154,6 +154,32 @@ object VecIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/params")
   }
 
+  /** Append into the PQ lists without retraining: centroids AND
+    * codebooks stay fixed (rebuild when drift matters — the same IVF
+    * contract as [[append]]); new vectors are assigned, residual-encoded
+    * with the persisted model, and appended to their list partitions. */
+  def appendPq(vectors: DataFrame, indexDir: String,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    val cents = loadCentroids(spark, indexDir)
+    val model = loadPqModel(spark, indexDir)
+    checkDim(spark, indexDir, vectors, idCol, vecCol)
+    def centVec(cid: org.apache.spark.sql.Column) =
+      cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (id, cv)) =>
+        when(cid === id, typedLit(cv.toSeq)).otherwise(acc)
+      }
+    val resid = vectors.select(col(idCol).as("id"),
+        VectorOps.asDouble(col(vecCol)).as("vec"))
+      .withColumn("list_id",
+        element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
+      .withColumn("residual",
+        zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
+    VectorOps.pqEncode(resid, "id", "residual", model)
+      .join(resid.select(col("id"), col("list_id")), "id")
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+  }
+
   private def loadPqModel(spark: SparkSession,
                           indexDir: String): VectorOps.PqModel = {
     val p = spark.read.parquet(s"$indexDir/params").head()

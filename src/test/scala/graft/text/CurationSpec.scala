@@ -79,6 +79,45 @@ class CurationSpec extends AnyFunSuite {
     assert((0L until 60L by 3L).toSet.subsetOf(headIds))
   }
 
+  // two "languages": lang a = the tiered docs, lang b = 30 docs that the
+  // pooled LM scores uniformly poorly (unique vocab) — a pooled cut
+  // would put ALL of lang b in the tail; per-language cuts must not
+  private lazy val twoLang =
+    (0L until 60L).map { i =>
+      val tier = (i % 3).toInt
+      val text = tier match {
+        case 0 => "the cat sat on the mat and the cat sat on the mat again"
+        case 1 => s"the cat ran to x$i and the dog sat on y$i near the mat"
+        case _ => (0 until 14).map(j => s"z${i}w$j").mkString(" ")
+      }
+      (i, "a", text)
+    } ++ (100L until 130L).map(i => (i, "b",
+      (0 until 14).map(j => s"q${i}r$j").mkString(" ")))
+
+  test("perplexityBucketsBy: per-group terciles, no group consigned to the tail") {
+    val docs = twoLang.toDF("doc_id", "lang", "text")
+    val b = Curation.perplexityBucketsBy(docs, "doc_id", "text", "lang",
+      exactRank = true)
+    val rows = b.select("lang", "bucket").as[(String, Long)].collect()
+    val byLang = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // every language spans all three buckets — the pooled cut would give
+    // lang b only bucket 3
+    assert(byLang("a").toSet == Set(1L, 2L, 3L) || byLang("a").distinct.size == 3)
+    assert(byLang("b").toSet == Set(1L, 2L, 3L))
+    assert(byLang("b").count(_ == 1L) == 10) // even terciles of 30
+    // approx mode: same per-group ordering invariant
+    val approx = Curation.perplexityBucketsBy(docs, "doc_id", "text", "lang")
+      .select("lang", "bucket", "avg_logprob")
+      .as[(String, Long, Double)].collect()
+    approx.groupBy(_._1).foreach { case (_, rs) =>
+      val byB = rs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      byB.keySet.toSeq.sorted.sliding(2).foreach {
+        case Seq(hi, lo) => assert(byB(hi).min >= byB(lo).max)
+        case _ =>
+      }
+    }
+  }
+
   test("c4LineFilter: word floor, terminal punct, blocklist, braces, doc floor") {
     val docs = Seq(
       (1L, "This line has enough words to survive the filter.\nshort one\nAnother good line with plenty of words in it."),

@@ -45,6 +45,20 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(math.abs(disj - math.log(2)) < 1e-4) // output is rounded to 4 places
   }
 
+  test("tokenDriftBy: per-stratum divergence, one-sided stratum pins to ln(2)/2") {
+    val a = Seq((1L, "en", "the cat sat"), (2L, "de", "der hund lief"))
+      .toDF("doc_id", "lang", "text")
+    val b = Seq((3L, "en", "the cat sat"), (4L, "fr", "le chat noir"))
+      .toDF("doc_id", "lang", "text")
+    val got = SnapshotOps.tokenDriftBy(a, b, "text", "lang")
+      .select("lang", "js_divergence").as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("en", "de", "fr"))
+    assert(got("en") == 0.0)                          // identical
+    val half = BigDecimal(math.log(2) / 2).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("de") == half && got("fr") == half)    // one-sided ceiling
+  }
+
   test("tokenDrift side stats and bounded drift for overlapping corpora") {
     val a = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val b = Seq((1L, "the cat ran off the mat")).toDF("doc_id", "text")

@@ -82,6 +82,23 @@ class VecIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: ["), plan.take(1500))
   }
 
+  test("appendPq encodes with the persisted model into fixed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    // lossless codebooks so an appended exact copy scores ADC dist 0
+    VecIndex.buildPq(vecs, dir, nlist = 4, kmeansIters = 1, m = 4,
+      ksub = 64, pqIters = 0)
+    val v0 = vecs.where($"vec_id" === 0).select("embedding")
+      .as[Seq[Double]].head()
+    VecIndex.appendPq(Seq((1000L, v0)).toDF("vec_id", "embedding"), dir)
+    val hits = shapeD(VecIndex.topKPq(
+      vecs.where($"vec_id" === 0), dir, k = 6, nprobe = 4))
+    assert(hits.map(_._3).contains(1000L))
+    assert(hits.filter(_._3 == 1000L).head._4 == 0.0)
+    intercept[IllegalArgumentException] {
+      VecIndex.appendPq(Seq((2L, Seq(1.0))).toDF("vec_id", "embedding"), dir)
+    }
+  }
+
   test("IVF-PQ refine re-ranks the shortlist by exact L2") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
     // lossless setting: every list has few distinct residual sub-vectors,
