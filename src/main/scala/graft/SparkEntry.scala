@@ -492,6 +492,14 @@ object SparkEntry {
           col("avg_logprob"), col("bucket"))
     }),
 
+    // X: one-call corpus health report — the pre-promotion audit frame
+    // (docs/tokens/dup mass/short mass/language entropy), exact by
+    // design; distinct runs on fingerprints, never text
+    "q_x_health_report" -> ((s, dir) => {
+      graft.text.SnapshotOps.healthReport(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+    }),
+
     // X: per-stratum token drift — which language moved between the two
     // corpus halves; one-sided strata pin to the ln(2)/2 ceiling
     "q_x_token_drift_by" -> ((s, dir) => {
@@ -2008,6 +2016,26 @@ object SparkEntry {
                                ORDER BY sc.avg_logprob DESC, sc.doc_id) AS BIGINT)
              AS bucket
          FROM sc JOIN documents d ON d.doc_id = sc.doc_id""",
+
+    "q_x_health_report" ->
+      """WITH tok AS (SELECT doc_id, lang,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             avg(n_toks) AS mean_toks,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+             CAST(sum(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+           FROM tok),
+         le AS (SELECT sum((c * 1.0 / t.n_docs) * -ln(c * 1.0 / t.n_docs)) AS ent
+           FROM (SELECT lang, count(*) AS c FROM tok GROUP BY lang), g t)
+         SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+         UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM g
+         UNION ALL SELECT 'mean_doc_tokens', round(mean_toks, 4) FROM g
+         UNION ALL SELECT 'pct_exact_dup', round(1.0 - n_fp * 1.0 / n_docs, 4) FROM g
+         UNION ALL SELECT 'pct_short', round(n_short * 1.0 / n_docs, 4) FROM g
+         UNION ALL SELECT 'lang_entropy', round(ent, 4) FROM le""",
 
     "q_x_token_drift_by" ->
       """WITH wa AS (SELECT lang AS g,

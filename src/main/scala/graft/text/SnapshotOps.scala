@@ -37,6 +37,55 @@ object SnapshotOps {
           .otherwise("changed").as("status"))
   }
 
+  /** One-call corpus health report: the scalar audit frame a data lead
+    * reads before promoting a snapshot — (metric, value) rows, values
+    * rounded to 4 places:
+    *
+    *  - `n_docs`, `n_tokens`, `mean_doc_tokens`
+    *  - `pct_exact_dup`: 1 - distinct fingerprints / docs (the mass an
+    *    exact dedup pass would remove)
+    *  - `pct_short`: docs under `shortTokens` tokens
+    *  - `lang_entropy`: Shannon entropy (nats) of the language mix — a
+    *    sudden drop means one language is flooding the crawl
+    *
+    * Two aggregation jobs over one scan shape each (a global agg with a
+    * distinct-fingerprint two-phase count, and a language group-by whose
+    * post-shuffle frame is language-sized); the union of five scalar
+    * rows is driver-trivial. Exact counts by design — this is the audit
+    * of record, and the distinct runs on 32-byte fingerprints, not
+    * text. */
+  def healthReport(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, shortTokens: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"),
+      TextOps.fingerprintMd5(col(textCol)).as("fp"))
+    val g = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      avg(col("n_toks")).as("mean_toks"),
+      countDistinct(col("fp")).as("n_fp"),
+      sum(when(col("n_toks") < shortTokens, 1L).otherwise(0L)).as("n_short"))
+      .head()
+    val nDocs = g.getAs[Long]("n_docs")
+    val langEnt = base.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .agg(sum(when(col("c") > 0,
+        (col("c") / nDocs) * -log(col("c") / nDocs)).otherwise(lit(0.0))))
+      .head().getDouble(0)
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(
+      ("n_docs", nDocs.toDouble),
+      ("n_tokens", g.getAs[Long]("n_tokens").toDouble),
+      ("mean_doc_tokens", r4(g.getAs[Double]("mean_toks"))),
+      ("pct_exact_dup", r4(1.0 - g.getAs[Long]("n_fp").toDouble / nDocs)),
+      ("pct_short", r4(g.getAs[Long]("n_short").toDouble / nDocs)),
+      ("lang_entropy", r4(langEnt))
+    ).toDF("metric", "value")
+  }
+
   /** Jensen-Shannon divergence (natural log, so the ceiling is ln 2)
     * between the token unigram distributions of two corpora, plus the
     * side stats a drift monitor charts: one row

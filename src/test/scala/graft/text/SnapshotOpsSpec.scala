@@ -59,6 +59,25 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(got("de") == half && got("fr") == half)    // one-sided ceiling
   }
 
+  test("healthReport: hand-checked metrics on a tiny corpus") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat today fine words here"), // 10 toks
+      (2L, "en", "the cat sat on the mat today fine words here"), // exact dup
+      (3L, "de", "kurz"),                                         // short
+      (4L, "fr", "le chat noir dort bien sur le tapis rouge la")) // 10 toks
+      .toDF("doc_id", "lang", "text")
+    val got = SnapshotOps.healthReport(docs, "doc_id", "text", "lang")
+      .as[(String, Double)].collect().toMap
+    assert(got("n_docs") == 4.0)
+    assert(got("n_tokens") == 31.0)       // 10 + 10 (dup counts) + 1 + 10
+    assert(got("pct_exact_dup") == 0.25)  // 3 distinct fps over 4 docs
+    assert(got("pct_short") == 0.25)      // doc 3 under 10 tokens
+    assert(got("mean_doc_tokens") == 7.75)
+    // entropy of (2/4, 1/4, 1/4) in nats
+    val ent = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert(math.abs(got("lang_entropy") - ent) < 1e-4)
+  }
+
   test("tokenDrift side stats and bounded drift for overlapping corpora") {
     val a = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
     val b = Seq((1L, "the cat ran off the mat")).toDF("doc_id", "text")
