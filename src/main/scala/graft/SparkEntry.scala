@@ -1543,6 +1543,33 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // X: streaming corpus health monitor executed for REAL (file stream
+    // of documents with synthetic event time -> windowed audit rows ->
+    // memory sink); the exact columns are oracle-gated, the HLL
+    // approx_dup_mass column is spec-gated (a sketch by design — a
+    // stream gets one stateful pass)
+    "q_x_stream_health" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", expr(
+          "timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')"))
+      val q = StreamOps.healthStream(docs)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_health").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_health")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("n_docs"), col("n_tokens"), col("mean_doc_tokens"),
+          col("pct_short"))
+    }),
+
     // X: watermarked interval stream-stream join executed for REAL (two
     // file streams -> inner join bounded both ways in event time ->
     // memory sink); the oracle is the same interval join in SQL
@@ -3127,6 +3154,19 @@ object SparkEntry {
                          '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_x_stream_health" ->
+      """WITH d AS (SELECT doc_id,
+           TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks
+         FROM documents)
+         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(avg(n_toks), 4) AS mean_doc_tokens,
+           round(sum(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS pct_short
+         FROM d GROUP BY 1""",
 
     "q_x_stream_interval_join" ->
       """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id

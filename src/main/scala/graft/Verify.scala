@@ -22,7 +22,15 @@ object Verify {
     // thread; on timeout the group's Spark jobs are cancelled and we
     // move on.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev iteration aid: SPARK_GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump
+    // (oracle_sql.json is filtered to match so compare.py checks the same set).
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       val t = new Thread(() =>
         try {
           spark.sparkContext.setJobGroup(s"verify-$name", name,
@@ -54,6 +62,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

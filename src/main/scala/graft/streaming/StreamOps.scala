@@ -154,6 +154,44 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming corpus health monitor — the continuous form of
+    * [[graft.text.SnapshotOps.healthReport]]: one audit row per
+    * tumbling window (doc/token counts, mean length, short-doc share,
+    * and APPROXIMATE exact-dup mass via HLL-distinct fingerprints).
+    * Approximate because a stream gets ONE stateful aggregation pass —
+    * `approx_count_distinct` keeps per-window state at a sketch, where
+    * an exact distinct would buffer every fingerprint; the exact number
+    * is the batch healthReport's job at promotion time. Dup mass is
+    * clamped at 0 (HLL can overcount distinct slightly).
+    *
+    * State is bounded: one sketch + five counters per open window,
+    * evicted as the watermark passes. */
+  def healthStream(docs: DataFrame, tsCol: String = "ts",
+                   textCol: String = "text",
+                   windowLen: String = "1 hour", watermark: String = "2 hours",
+                   shortTokens: Int = 10): DataFrame = {
+    import graft.text.TextOps
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .withColumn("__n_toks", size(toks).cast("long"))
+      .withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n_toks")).as("n_tokens"),
+        round(avg(col("__n_toks")), 4).as("mean_doc_tokens"),
+        approx_count_distinct(col("__fp")).as("__n_fp"),
+        sum(when(col("__n_toks") < shortTokens, 1L).otherwise(0L)).as("__n_short"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("n_tokens"), col("mean_doc_tokens"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("__n_fp").cast("double") / col("n_docs")), 4)
+          .as("approx_dup_mass"),
+        round(col("__n_short").cast("double") / col("n_docs"), 4).as("pct_short"))
+  }
+
   /** Streaming benchmark decontamination: drop arriving docs that share
     * any word n-gram with the (static) benchmark — the ingest-time guard
     * that keeps eval contamination out of a continuously-growing corpus

@@ -268,6 +268,49 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == 3)
   }
 
+  test("healthStream: per-window audit rows with windowed dup mass") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_health_stream_")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:10:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 11:20:00")
+    Seq(
+      (1L, t0, "the cat sat on the mat today with fine long words"),
+      (2L, t0, "the cat sat on the mat today with fine long words"), // dup
+      (3L, t0, "tiny"),                                              // short
+      (4L, t1, "a completely different and longer document in the second hour window"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    // complete mode surfaces open windows too (append would hold them
+    // until the watermark passes — correct for production sinks, opaque
+    // for a single-batch assertion)
+    val q = StreamOps.healthStream(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("health_rows").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("health_rows")
+        .select("window_start", "n_docs", "n_tokens", "mean_doc_tokens",
+          "approx_dup_mass", "pct_short")
+        .as[(java.sql.Timestamp, Long, Long, Double, Double, Double)]
+        .collect().sortBy(_._1.getTime).toSeq
+      assert(got.size == 2)
+      val first = got.head // the 10:00 window: docs 1, 2 (dup), 3 (short)
+      assert(first._2 == 3 && first._3 == 23)
+      assert(first._4 == 7.6667) // (11 + 11 + 1) / 3
+      assert(first._5 == 0.3333) // 2 distinct fps over 3 docs
+      assert(first._6 == 0.3333) // one short doc
+      val second = got(1)        // the 11:00 window: one novel doc
+      assert(second._2 == 1 && second._5 == 0.0 && second._6 == 0.0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val deduped = StreamOps.dedupedStream(
       StreamOps.readEventsStream(spark, streamDir))
