@@ -1355,6 +1355,93 @@ object SparkEntry {
         k = 5, nprobe = 4)
     }),
 
+    // X: prototypicality pruning (D4): drop the 20% closest-to-centroid
+    // per embedding cluster. kmeansIters=0 pins centroids to the
+    // deterministic seed vectors so the WHOLE operator (assignment,
+    // per-cluster ranking, ceil drop budget) is SQL-expressible — the
+    // refined-centroid production mode is spec-gated (VectorOpsSpec)
+    "q_x_proto_prune" -> ((s, dir) => {
+      graft.vec.VectorOps.protoPrune(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nlist = 8, dropFraction = 0.2,
+          kmeansIters = 0)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+    // X: cluster-balanced subsample — stratifiedSample's semantic-space
+    // form: cap each embedding cluster at 10 members by the md5 bottom-k
+    // rule (deterministic, nested under growing caps)
+    "q_x_cluster_cap" -> ((s, dir) => {
+      graft.vec.VectorOps.clusterCapSample(t(s, dir, "embeddings"),
+          "vec_id", "embedding", cap = 10, nlist = 8, kmeansIters = 0)
+        .withColumnRenamed("id", "vec_id")
+    }),
+
+    // X: kNN graph at nlist=1 — the exact all-pairs top-k self-join,
+    // which oracle-gates the whole join/dedup/rank machinery; the
+    // clustered approximate mode is the scale path (recall spec-gated)
+    "q_x_knn_graph" -> ((s, dir) => {
+      graft.vec.VectorOps.knnGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nlist = 1, nassign = 1,
+        kmeansIters = 0)
+    }),
+
+    // X: clustered kNN graph (production shape) — rows-only: approximate
+    // by design; the machinery is oracle-gated by q_x_knn_graph and the
+    // recall floor lives in VectorOpsSpec
+    "q_x_knn_graph_ann" -> ((s, dir) => {
+      graft.vec.VectorOps.knnGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nlist = 8, nassign = 2)
+    }),
+
+    // X: hybrid retrieval — BM25 lexical top-10 and embedding cosine
+    // top-10 fused by reciprocal-rank fusion (the calibration-free
+    // standard combiner); embeddings.vec_id IS documents.doc_id, so the
+    // two searchers rank the same corpus
+    "q_x_hybrid_rrf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bm = graft.text.TextOps.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          queries = Seq(
+            "qa" -> "hash join merge",
+            "qb" -> "stream window batch",
+            "qc" -> "vector column scan"),
+          k = 10)
+        .select(col("query_id"), col("id"), col("rank"))
+      val ann = graft.vec.VectorOps.bruteForceTopK(
+          emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .select(
+          when(col("query_id") === 0, "qa")
+            .when(col("query_id") === 1, "qb").otherwise("qc").as("query_id"),
+          col("neighbor_id").as("id"), col("rank"))
+      graft.ops.Fusion.rrf(Seq(bm, ann), k = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // X: PageRank centrality over the exact kNN similarity graph —
+    // semantic hubs rank high, outliers low; fixed-iteration power
+    // method so the DuckDB oracle reruns the identical recursion
+    // (edge CTE copied from q_x_knn_graph, double-precision cosine)
+    "q_x_pagerank" -> ((s, dir) => {
+      val edges = graft.vec.VectorOps.knnGraph(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5, nlist = 1, nassign = 1,
+          kmeansIters = 0)
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
+      graft.ops.Graph.pagerank(edges, iters = 3, damping = 0.85)
+    }),
+
+    // X: keep-BEST dedup collapse — near-dup clusters keep their
+    // longest member (n_chars as the quality signal) instead of the
+    // min id; the oracle recomputes pairs + components + argmax
+    "q_x_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.text.TextOps.minhashDedupPairs(
+        docs, "doc_id", "text",
+        shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
+      graft.ops.ConnectedComponents.keepBest(pairs, "id_a", "id_b",
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .orderBy("id")
+    }),
+
     "q_x_ann_pq_exhaustive" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
       val n = emb.count().toInt
@@ -2678,6 +2765,167 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_proto_prune" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+         a0 AS (SELECT e.vec_id AS id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS cos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                             CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+           FROM embeddings e CROSS JOIN c),
+         a AS (SELECT id, cid AS cluster, cos AS proto_cos FROM a0 WHERE rn = 1),
+         r AS (SELECT id, cluster, proto_cos,
+             count(*) OVER (PARTITION BY cluster) AS n,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY proto_cos DESC, id) AS rnk
+           FROM a)
+         SELECT id AS vec_id, cluster, round(proto_cos, 4) AS proto_cos,
+                rnk > CAST(ceil(n * 0.2) AS BIGINT) AS keep
+         FROM r""",
+
+    "q_x_cluster_cap" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+         a0 AS (SELECT e.vec_id AS id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                             CAST(c.cvec AS DOUBLE[])) DESC, c.cid) AS rn
+           FROM embeddings e CROSS JOIN c),
+         a AS (SELECT id, cid AS cluster FROM a0 WHERE rn = 1),
+         r AS (SELECT id, cluster,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+           FROM a)
+         SELECT id AS vec_id, cluster, rn <= 10 AS keep FROM r""",
+
+    "q_x_knn_graph" ->
+      """WITH scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+           FROM embeddings a CROSS JOIN embeddings b
+           WHERE a.vec_id <> b.vec_id),
+         r AS (SELECT src_id, dst_id, cos,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, dst_id) AS rank
+           FROM scored)
+         SELECT src_id, CAST(rank AS BIGINT) AS rank, dst_id,
+                round(cos, 4) AS cos
+         FROM r WHERE rank <= 5""",
+
+    "q_x_pagerank" ->
+      """WITH scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+           FROM embeddings a CROSS JOIN embeddings b
+           WHERE a.vec_id <> b.vec_id),
+         kr AS (SELECT src_id, dst_id,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, dst_id) AS rank
+           FROM scored),
+         knn AS (SELECT src_id AS src, dst_id AS dst FROM kr WHERE rank <= 5),
+         nodes AS (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM knn UNION ALL SELECT dst FROM knn)),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM knn GROUP BY src),
+         e AS (SELECT knn.src, knn.dst, od.outdeg FROM knn JOIN od USING (src)),
+         r0 AS (SELECT nd.node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                FROM nodes nd CROSS JOIN nn),
+         c1 AS (SELECT e.dst AS node, sum(r0.rank / e.outdeg) AS s
+                FROM e JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+         i1 AS (SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+               + 0.85 * coalesce(c1.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN c1 ON c1.node = nd.node),
+         c2 AS (SELECT e.dst AS node, sum(i1.rank / e.outdeg) AS s
+                FROM e JOIN i1 ON i1.node = e.src GROUP BY e.dst),
+         i2 AS (SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+               + 0.85 * coalesce(c2.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN c2 ON c2.node = nd.node),
+         c3 AS (SELECT e.dst AS node, sum(i2.rank / e.outdeg) AS s
+                FROM e JOIN i2 ON i2.node = e.src GROUP BY e.dst),
+         i3 AS (SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - 0.85) / nn.n
+               + 0.85 * coalesce(c3.s, CAST(0 AS DOUBLE)) AS rank
+           FROM nodes nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
+         SELECT node, round(rank, 6) AS pagerank FROM i3""",
+
+    "q_x_dedup_keep_best" ->
+      """WITH RECURSIVE s AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+         FROM s WHERE len(tk) >= 3),
+         p AS (SELECT a.doc_id AS u, b.doc_id AS v
+               FROM sh a, sh b
+               WHERE a.doc_id < b.doc_id
+                 AND len(list_intersect(a.ss, b.ss))::DOUBLE
+                     / len(list_distinct(a.ss || b.ss)) >= 0.5),
+         edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         reach AS (
+           SELECT u AS id, v AS lab FROM edges
+           UNION
+           SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v
+         ),
+         c AS (SELECT id, least(MIN(lab), id) AS cluster_id
+               FROM reach GROUP BY id),
+         j AS (SELECT c.id, c.cluster_id, d.n_chars
+               FROM c JOIN documents d ON d.doc_id = c.id),
+         rr AS (SELECT id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, id) AS rn
+           FROM j)
+         SELECT id, cluster_id, rn = 1 AS keep FROM rr ORDER BY id""",
+
+    "q_x_hybrid_rrf" ->
+      """WITH q(query_id, term) AS (VALUES
+           ('qa', 'hash'), ('qa', 'join'), ('qa', 'merge'),
+           ('qb', 'stream'), ('qb', 'window'), ('qb', 'batch'),
+           ('qc', 'vector'), ('qc', 'column'), ('qc', 'scan')),
+         base AS (SELECT doc_id AS id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         d AS (SELECT id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM base),
+         tf AS (SELECT id, term, dl, count(*)::DOUBLE AS tf
+                FROM d WHERE term IN (SELECT DISTINCT term FROM q)
+                GROUP BY id, term, dl),
+         stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)::DOUBLE) AS avgdl
+                   FROM base),
+         dfreq AS (SELECT term, count(DISTINCT id)::DOUBLE AS df FROM tf GROUP BY term),
+         bscored AS (SELECT q.query_id, tf.id,
+             round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4) AS score
+           FROM tf JOIN q ON tf.term = q.term
+           JOIN dfreq f ON f.term = tf.term, stats s
+           GROUP BY q.query_id, tf.id),
+         bm AS (SELECT query_id, id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rank
+           FROM bscored QUALIFY rank <= 10),
+         vq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 3),
+         vs AS (SELECT vq.qid, c.vec_id AS id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(vq.embedding AS DOUBLE[])) AS cos
+           FROM embeddings c CROSS JOIN vq WHERE c.vec_id <> vq.qid),
+         ann AS (SELECT CASE qid WHEN 0 THEN 'qa' WHEN 1 THEN 'qb'
+                        ELSE 'qc' END AS query_id, id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, id) AS rank
+           FROM vs QUALIFY rank <= 10),
+         allr AS (SELECT query_id, id,
+             CAST(1.0 AS DOUBLE) / (60 + rank) AS part FROM bm
+           UNION ALL SELECT query_id, id,
+             CAST(1.0 AS DOUBLE) / (60 + rank) FROM ann),
+         f AS (SELECT query_id, id, sum(part) AS rrf
+               FROM allr GROUP BY query_id, id),
+         fr AS (SELECT query_id, id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, id) AS rank
+           FROM f)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+                round(rrf, 4) AS rrf_score
+         FROM fr WHERE rank <= 10""",
 
     "q_x_rolling_fingerprint" ->
       """WITH RECURSIVE s AS (

@@ -157,4 +157,28 @@ object ConnectedComponents {
                maxIter: Int = 50, localThreshold: Long = 1L << 20): DataFrame =
     clusters(pairs, aCol, bCol, maxIter, localThreshold)
       .withColumn("keep", col("id") === col("cluster_id"))
+
+  /** Keep the BEST-scoring member per near-dup cluster instead of the
+    * min-id representative — the production collapse rule when a quality
+    * signal exists (keep the longest / highest-quality / most-central
+    * copy, drop the rest). Ties and missing scores fall back to min id,
+    * so the verdict is total and deterministic. Output:
+    * (id, cluster_id, keep) over the paired vertices, like [[keepList]];
+    * unpaired documents are implicitly kept and not listed.
+    *
+    * Cost on top of [[clusters]]: one join against the score frame on
+    * the vertex id (pair lists are capped-LSH output — tiny next to the
+    * corpus) and one window per cluster. */
+  def keepBest(pairs: DataFrame, aCol: String, bCol: String,
+               scores: DataFrame, idCol: String, scoreCol: String,
+               maxIter: Int = 50, localThreshold: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(pairs, aCol, bCol, maxIter, localThreshold)
+    val sc = scores.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc_nulls_last, col("id"))
+    cl.join(sc, Seq("id"), "left")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id"), col("cluster_id"), col("keep"))
+  }
 }

@@ -540,4 +540,146 @@ object VectorOps {
       .join(dupIds.withColumn("__dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("__dup").isNull.as("keep"))
   }
+
+  /** Best (cluster id, cosine) per row against the driver-held centroid
+    * literals — the struct form of [[centroidRanking]], for operators
+    * that need the winning similarity, not just the winning id. Same
+    * cost shape: pure projection, no join/window/shuffle. */
+  private def centroidBest(vec: Column,
+                           cents: Seq[(Long, Array[Double])]): Column = {
+    val vNorm = norm(vec)
+    val ranked = array(cents.map { case (cid, cv) =>
+      val cNorm = math.sqrt(cv.map(x => x * x).sum)
+      val d = dot(vec, typedLit(cv.toSeq)) / (vNorm * lit(cNorm))
+      struct((-d).as("negcos"), lit(cid).as("centroid_id"))
+    }: _*)
+    element_at(array_sort(ranked), 1)
+  }
+
+  private def assignedWithCos(vectors: DataFrame, idCol: String,
+                              vecCol: String, nlist: Int,
+                              kmeansIters: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+      .localCheckpoint() // seed TakeOrdered + sweeps + assignment share one scan
+    val seed = base.orderBy(col("id")).limit(nlist)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    val cents = kmeansCentroids(base, "v", seed, kmeansIters)
+    val best = centroidBest(col("v"), cents)
+    base.select(col("id"),
+      best.getField("centroid_id").as("cluster"),
+      (-best.getField("negcos")).as("proto_cos"))
+  }
+
+  /** Prototypicality pruning (the D4 recipe, SemDeDup's sibling): within
+    * each embedding cluster, DROP the `dropFraction` most prototypical
+    * documents — the ones closest to their cluster centroid, i.e. the
+    * templated/boilerplate mass that survives lexical dedup — and keep
+    * the diverse remainder. Output is the audit frame
+    * (id, cluster, proto_cos, keep), so callers can inspect the cut
+    * instead of just losing rows.
+    *
+    * `kmeansIters = 0` pins centroids to the deterministic seed vectors,
+    * which makes the whole operator SQL-expressible — the oracle-gated
+    * validation mode; refined centroids (the default) are the production
+    * mode, spec-gated. Scale shape: assignment is a literal projection
+    * over one scan; the only wide operation is one window partitioned by
+    * cluster (count + rank share the single exchange). Clusters hold
+    * ~N/nlist rows — grow `nlist` with the corpus to keep them
+    * partition-sized, the same dial as [[semDedup]]. */
+  def protoPrune(vectors: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, dropFraction: Double = 0.1,
+                 kmeansIters: Int = 2): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      s"protoPrune: dropFraction must be in [0, 1), got $dropFraction")
+    val assigned = assignedWithCos(vectors, idCol, vecCol, nlist, kmeansIters)
+    val wc = Window.partitionBy(col("cluster"))
+    val wr = Window.partitionBy(col("cluster"))
+      .orderBy(col("proto_cos").desc, col("id"))
+    assigned
+      .withColumn("__n", count(lit(1)).over(wc))
+      .withColumn("__rnk", row_number().over(wr))
+      .withColumn("keep",
+        col("__rnk") > ceil(col("__n") * lit(dropFraction)))
+      .select(col("id"), col("cluster"),
+        round(col("proto_cos"), 4).as("proto_cos"), col("keep"))
+  }
+
+  /** Cluster-balanced subsample: cap each embedding cluster at `cap`
+    * members, selected by the md5 bottom-k rule — the semantic-space
+    * form of [[graft.functions.Sampling.stratifiedSample]] (same
+    * determinism and nesting guarantees: reproducible across runs,
+    * partitionings and engines; growing `cap` extends the sample).
+    * The diversity-flattening draw a training-mix builder uses when the
+    * corpus over-represents a few semantic modes.
+    *
+    * Same validation/production split as [[protoPrune]]:
+    * `kmeansIters = 0` is the oracle-gated deterministic mode. One
+    * literal-projection assignment + one window on the cluster key. */
+  def clusterCapSample(vectors: DataFrame, idCol: String, vecCol: String,
+                       cap: Int, nlist: Int = 16,
+                       kmeansIters: Int = 2): DataFrame = {
+    require(cap >= 1, s"clusterCapSample: cap must be >= 1, got $cap")
+    val assigned = assignedWithCos(vectors, idCol, vecCol, nlist, kmeansIters)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    assigned
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("keep", col("__rn") <= cap)
+      .select(col("id"), col("cluster"), col("keep"))
+  }
+
+  /** Approximate kNN graph (all-pairs top-k self-join): each vector's
+    * `k` nearest neighbors, found within shared coarse clusters —
+    * the backbone frame for graph-based semantic dedup and diversity
+    * audits, where BOTH sides are the full corpus so the broadcast
+    * discipline of [[ivfTopK]] cannot apply. Output:
+    * (src_id, rank, dst_id, cos).
+    *
+    * BOTH endpoints are multi-assigned to their `nassign` nearest
+    * clusters (a pair is a candidate iff the two top-`nassign` sets
+    * intersect — symmetric multi-assignment recovers boundary neighbors
+    * that one-sided IVF probing misses). A pair sharing several clusters
+    * would join once per shared cluster; the `cluster ==
+    * array_min(array_intersect(...))` predicate keeps exactly one copy,
+    * as a PROJECTION on the join output — no distinct, no second
+    * shuffle. The single wide operation is the cluster-key join +
+    * per-source window. `nlist = 1` degenerates to the exact
+    * brute-force graph — the oracle-gated mode (quadratic;
+    * validation-scale only). Production: grow `nlist` so lists stay
+    * partition-sized; cost is ~(N * nassign / nlist)^2 * nlist
+    * comparisons. Recall vs the exact graph is spec-measured
+    * (VectorOpsSpec); `nassign` is the recall/cost dial. */
+  def knnGraph(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, nlist: Int = 16, nassign: Int = 2,
+               kmeansIters: Int = 2): DataFrame = {
+    require(nassign >= 1 && nassign <= nlist,
+      s"knnGraph: nassign must be in [1, nlist], got $nassign")
+    val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .repartition(col("id"))
+      .localCheckpoint() // seed + sweeps + both join sides share one scan
+    val seed = base.orderBy(col("id")).limit(nlist)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    val cents = kmeansCentroids(base, "v", seed, kmeansIters)
+    val assigned = base.select(col("id"), col("v"),
+      slice(centroidRanking(col("v"), cents), 1, nassign).as("clusters"))
+    def side(p: String): DataFrame = assigned.select(
+      col("id").as(s"${p}_id"), col("v").as(s"${p}_v"),
+      col("clusters").as(s"${p}_clusters"),
+      explode(col("clusters")).as("cluster"))
+    val scored = side("src").join(side("dst"), Seq("cluster"))
+      .where(col("src_id") =!= col("dst_id"))
+      .where(col("cluster") ===
+        array_min(array_intersect(col("src_clusters"), col("dst_clusters"))))
+      .withColumn("cos", cosine(col("src_v"), col("dst_v")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))))
+      .where(col("rank") <= k)
+      .select(col("src_id"), col("rank").cast("long").as("rank"),
+        col("dst_id"), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -97,4 +97,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kl.filter(_._3).map(_._1).toSet == Set(5L, 30L))
     assert(kl.filterNot(_._3).map(_._1).toSet == Set(6L, 7L, 31L))
   }
+
+  test("keepBest keeps the top-scoring member; ties and missing scores fall to min id") {
+    val pairs = Seq((5L, 6L), (6L, 7L), (30L, 31L), (40L, 41L)).toDF("id_a", "id_b")
+    val scores = Seq(5L -> 10.0, 6L -> 99.0, 7L -> 50.0,
+      30L -> 3.0, 31L -> 3.0).toDF("doc_id", "quality")
+    // cluster {40,41} has NO scores at all -> min id wins
+    val kb = ConnectedComponents.keepBest(pairs, "id_a", "id_b",
+        scores, "doc_id", "quality")
+      .as[(Long, Long, Boolean)].collect()
+    assert(kb.filter(_._3).map(_._1).toSet == Set(6L, 30L, 40L))
+    assert(kb.count(_._3) == 3)
+    assert(kb.length == 7) // every paired vertex gets a verdict
+  }
 }

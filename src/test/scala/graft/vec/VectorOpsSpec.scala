@@ -246,4 +246,82 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got.map(r => r._1 -> r._3) ==
       Seq(0L -> true, 1L -> true, 5L -> false, 9L -> false))
   }
+
+  test("protoPrune drops the ceil(fraction*n) closest-to-centroid per cluster") {
+    // cluster 0 seeded by vec 0 = (1,0,0); members 0,2,3 at cos 1.0,
+    // ~0.995, ~0.98 — dropFraction 0.34 on 3 members drops ceil(1.02)=2
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.95f, 0.2f, 0.0f)),
+      (4L, Array(0.1f, 0.99f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.protoPrune(df, "vec_id", "embedding",
+        nlist = 2, dropFraction = 0.34, kmeansIters = 0)
+      .orderBy("id").select("id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2) ==
+      Seq(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // cluster 0: drop 2 of {0 (cos 1.0), 2, 3} -> only 3 survives;
+    // cluster 1: drop ceil(0.68)=1 of {1 (cos 1.0), 4} -> 4 survives
+    assert(got.map(r => r._1 -> r._3) ==
+      Seq(0L -> false, 1L -> false, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("protoPrune with refinement keeps cluster structure and the drop budget") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val got = VectorOps.protoPrune(emb, "vec_id", "embedding",
+      nlist = 8, dropFraction = 0.2, kmeansIters = 2).localCheckpoint()
+    assert(got.count() == emb.count())
+    // per cluster, exactly ceil(0.2 * n) rows are dropped
+    val perCluster = got.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("dropped"))
+      .as[(Long, Long, Long)].collect()
+    perCluster.foreach { case (c, n, dropped) =>
+      assert(dropped == math.ceil(n * 0.2).toLong,
+        s"cluster $c: $dropped dropped of $n") }
+    // dropped rows are MORE prototypical than survivors within a cluster
+    val worstKept = got.where($"keep").groupBy("cluster")
+      .agg(max("proto_cos").as("max_kept"))
+    val bestDropped = got.where(!$"keep").groupBy("cluster")
+      .agg(min("proto_cos").as("min_dropped"))
+    val bad = worstKept.join(bestDropped, "cluster")
+      .where($"max_kept" > $"min_dropped").count()
+    assert(bad == 0)
+  }
+
+  test("clusterCapSample caps each cluster and nests under a growing cap") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val small = VectorOps.clusterCapSample(emb, "vec_id", "embedding",
+      cap = 10, nlist = 8, kmeansIters = 0).localCheckpoint()
+    val big = VectorOps.clusterCapSample(emb, "vec_id", "embedding",
+      cap = 25, nlist = 8, kmeansIters = 0).localCheckpoint()
+    val perCluster = small.where($"keep").groupBy("cluster").count()
+      .as[(Long, Long)].collect()
+    assert(perCluster.forall(_._2 <= 10) && perCluster.nonEmpty)
+    // bottom-k md5 sets are nested: every cap-10 pick is a cap-25 pick
+    val smallIds = small.where($"keep").select("id").as[Long].collect().toSet
+    val bigIds = big.where($"keep").select("id").as[Long].collect().toSet
+    assert(smallIds.subsetOf(bigIds))
+  }
+
+  test("knnGraph at nlist=1 is the exact graph; clustered mode holds a recall floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = VectorOps.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nlist = 1, nassign = 1, kmeansIters = 0)
+      .withColumnRenamed("src_id", "query_id")
+      .withColumnRenamed("dst_id", "neighbor_id")
+      .localCheckpoint()
+    // exact graph == brute force with the whole corpus as the query batch
+    val brute = VectorOps.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+    assert(exact.except(brute).count() == 0 && brute.except(exact).count() == 0)
+    val approx = VectorOps.knnGraph(emb, "vec_id", "embedding", k = 5,
+        nlist = 8, nassign = 2, kmeansIters = 2)
+      .withColumnRenamed("src_id", "query_id")
+      .withColumnRenamed("dst_id", "neighbor_id")
+    val r = VectorOps.recallAtK(approx, exact)
+    assert(r >= 0.6, f"knn graph recall@5 = $r%.4f below floor")
+  }
 }
