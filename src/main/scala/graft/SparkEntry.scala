@@ -1378,9 +1378,13 @@ object SparkEntry {
 
     // X: kNN graph at nlist=1 — the exact all-pairs top-k self-join,
     // which oracle-gates the whole join/dedup/rank machinery; the
-    // clustered approximate mode is the scale path (recall spec-gated)
+    // clustered approximate mode is the scale path (recall spec-gated).
+    // Capped at 500 ids so the deliberately-quadratic exact mode stays
+    // constant-cost across scale factors (the q_x_ann_pq_exhaustive
+    // discipline; cap mirrored in the oracle SQL)
     "q_x_knn_graph" -> ((s, dir) => {
-      graft.vec.VectorOps.knnGraph(t(s, dir, "embeddings"),
+      graft.vec.VectorOps.knnGraph(
+        t(s, dir, "embeddings").where(col("vec_id") < 500),
         "vec_id", "embedding", k = 5, nlist = 1, nassign = 1,
         kmeansIters = 0)
     }),
@@ -1421,8 +1425,11 @@ object SparkEntry {
     // semantic hubs rank high, outliers low; fixed-iteration power
     // method so the DuckDB oracle reruns the identical recursion
     // (edge CTE copied from q_x_knn_graph, double-precision cosine)
+    // (500-id cap: constant-cost exact edge set across scale factors,
+    // mirrored in the oracle)
     "q_x_pagerank" -> ((s, dir) => {
-      val edges = graft.vec.VectorOps.knnGraph(t(s, dir, "embeddings"),
+      val edges = graft.vec.VectorOps.knnGraph(
+          t(s, dir, "embeddings").where(col("vec_id") < 500),
           "vec_id", "embedding", k = 5, nlist = 1, nassign = 1,
           kmeansIters = 0)
         .select(col("src_id").as("src"), col("dst_id").as("dst"))
@@ -2804,7 +2811,8 @@ object SparkEntry {
       """WITH scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
            FROM embeddings a CROSS JOIN embeddings b
-           WHERE a.vec_id <> b.vec_id),
+           WHERE a.vec_id <> b.vec_id
+             AND a.vec_id < 500 AND b.vec_id < 500),
          r AS (SELECT src_id, dst_id, cos,
              row_number() OVER (PARTITION BY src_id
                                 ORDER BY cos DESC, dst_id) AS rank
@@ -2817,7 +2825,8 @@ object SparkEntry {
       """WITH scored AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
            FROM embeddings a CROSS JOIN embeddings b
-           WHERE a.vec_id <> b.vec_id),
+           WHERE a.vec_id <> b.vec_id
+             AND a.vec_id < 500 AND b.vec_id < 500),
          kr AS (SELECT src_id, dst_id,
              row_number() OVER (PARTITION BY src_id
                                 ORDER BY cos DESC, dst_id) AS rank
