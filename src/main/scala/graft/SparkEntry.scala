@@ -452,6 +452,18 @@ object SparkEntry {
           f("mean_word_len").as("mean_word_len"))
     }),
 
+    // X: DEFLATE compression-ratio quality signal — rows-only (the ratio
+    // is a zlib artifact DuckDB cannot reproduce); monotonicity and
+    // determinism are spec-gated (GraftExtensionsSpec). A shuffle-free
+    // codegen projection over the corpus scan.
+    "q_x_compress_ratio" -> ((s, dir) => {
+      t(s, dir, "documents").repartition(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.deflate_ratio(col("text"))
+            .as("deflate_ratio"))
+        .withColumn("repetitive", col("deflate_ratio") < 0.35)
+    }),
+
     // X: self-trained bigram LM scoring — the perplexity-filter analogue;
     // all statistics from one exploded bigram frame
     "q_x_lm_score" -> ((s, dir) => {

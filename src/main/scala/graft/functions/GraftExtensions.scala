@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => LshBands(children.head,
         intArg(children(1), "bands"), intArg(children(2), "rowsPerBand"))))
     ext.injectFunction((
+      new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatio(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (children: Seq[Expression]) => UnicodeNormalize(children.head,

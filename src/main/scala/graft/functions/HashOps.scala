@@ -178,4 +178,24 @@ object HashOps {
     }
     h
   }
+
+  /** DEFLATE compression ratio of a string's UTF-8 bytes (level 6,
+    * default strategy): compressed/raw, lower = more compressible.
+    * Boilerplate and template spam compress far below natural prose —
+    * the cheap repetition/quality signal several production corpus
+    * filters cut on. Deterministic for a given zlib build (ships with
+    * the JDK); empty input returns 1.0. */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
+  }
 }

@@ -194,6 +194,24 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** DEFLATE compression ratio — see [[HashOps.deflateRatio]]. The
+  * repetition/boilerplate signal that needs no tokenization: template
+  * spam compresses to a fraction of what natural prose does. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(HashOps.deflateRatio(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.deflateRatio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftx.{toColumn, toExpression}
 
@@ -211,6 +229,8 @@ object TextExpressions {
     toColumn(LshBands(toExpression(sig), bands, rowsPerBand))
   def fix_mojibake(c: Column): Column =
     toColumn(FixMojibake(toExpression(c)))
+  def deflate_ratio(c: Column): Column =
+    toColumn(DeflateRatio(toExpression(c)))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

@@ -210,4 +210,60 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
+
+  /** Set confs for the duration of `body`, restore after — the session is
+    * shared across suites, so nothing may leak. */
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: a filtered dim join prunes PROD partitions at runtime") {
+    // the 100 TB shape: fact partitioned on table_name, a dim filter that
+    // only resolves at runtime — DPP must push a subquery into the scan's
+    // partition filters instead of reading every partition. The dim goes
+    // through parquet: a Seq-literal dim constant-folds to a
+    // LocalTableScan with the filter absorbed, and DPP's
+    // hasSelectivePredicate check then sees nothing selective to reuse.
+    val dimDir = Files.createTempDirectory("graft_dpp_dim_").toString
+    Seq(("1.1", "keep"), ("2.1", "drop")).toDF("table_name", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where($"tag" === "keep")
+    val q = store.readProd().join(dim, "table_name").select("label", "value")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(1500))
+  }
+
+  test("AQE splits a skewed shuffle join at runtime (skew-join safety net)") {
+    // one celebrity key holding ~95% of the left side; broadcast disabled
+    // so the sort-merge path must absorb the skew via AQEShuffleRead
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8KB") {
+      val left = spark.range(0, 200000)
+        .selectExpr("CASE WHEN id % 20 < 19 THEN 0 ELSE id % 97 END AS k",
+          "uuid() AS payload")
+      val right = spark.range(0, 97).selectExpr("id AS k", "id * 2 AS attr")
+      val q = left.join(right, "k")
+      // collect() (not count()) so THIS query execution runs to its
+      // adaptive final plan — count() plans a separate aggregation and
+      // leaves q's own plan at isFinalPlan=false
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("skewed"),
+        plan.take(2000))
+    }
+  }
 }

@@ -106,4 +106,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Long](2) == rows(1).getSeq[Long](2)) // same text, same bands
     assert(rows(0).getSeq[Long](2) != rows(2).getSeq[Long](2))
   }
+
+  test("deflate_ratio: template spam compresses far below prose; empty=1; SQL-callable") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val spam = "buy now " * 200
+    val prose = "The committee reviewed quarterly statistics on fuel " +
+      "consumption across regions, noting divergent seasonal patterns " +
+      "and revising projections where the observed variance warranted it."
+    val df = Seq(spam, prose, "").toDF("s")
+    val got = df.select(
+        graft.functions.TextExpressions.deflate_ratio(col("s")).as("r"))
+      .as[Double].collect().toSeq
+    assert(got(0) < 0.1, s"spam ratio ${got(0)}")         // repetition collapses
+    assert(got(1) > 0.5 && got(1) <= 1.2, s"prose ratio ${got(1)}")
+    assert(got(2) == 1.0)
+    // deterministic and identical through the SQL surface
+    Seq(spam).toDF("s").createOrReplaceTempView("dr1")
+    val viaSql = spark.sql("SELECT deflate_ratio(s) AS r FROM dr1")
+      .as[Double].head()
+    assert(viaSql == got(0))
+  }
 }
