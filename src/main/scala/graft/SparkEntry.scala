@@ -1135,6 +1135,24 @@ object SparkEntry {
         shingleN = 3, numPerm = 64, bands = 16, threshold = 0.5)
     }),
 
+    // X: asymmetric containment pairs (near-SUBSET dedup) — exhaustive
+    // validation mode over a 500-doc cap (constant cost across SFs),
+    // oracle = the same brute-force containment in SQL; the LSH-candidate
+    // production mode is q_x_containment_lsh (rows-only) + spec
+    "q_x_containment" -> ((s, dir) => {
+      graft.text.TextOps.containmentPairs(
+        t(s, dir, "documents").where(col("doc_id") < 500), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, exhaustive = true)
+    }),
+
+    // X: containment via capped-LSH candidates — the scale path; recall
+    // at the low-Jaccard corner is the documented trade (bands dial)
+    "q_x_containment_lsh" -> ((s, dir) => {
+      graft.text.TextOps.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, numPerm = 64, bands = 32)
+    }),
+
     // X: MinHash+LSH on groups of IDENTICAL synthesized texts — jaccard
     // is exactly 1.0 and token sets are disjoint across groups, so LSH
     // detection is deterministic (identical signatures share every band
@@ -1403,10 +1421,14 @@ object SparkEntry {
 
     // X: clustered kNN graph (production shape) — rows-only: approximate
     // by design; the machinery is oracle-gated by q_x_knn_graph and the
-    // recall floor lives in VectorOpsSpec
+    // recall floor lives in VectorOpsSpec. nlist grows with the corpus
+    // (~250 vectors per list) so the within-list self-join stays LINEAR
+    // in N — fixed nlist measured quadratic: 173 s at 10x vs 9 s scaled
     "q_x_knn_graph_ann" -> ((s, dir) => {
-      graft.vec.VectorOps.knnGraph(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 5, nlist = 8, nassign = 2)
+      val emb = t(s, dir, "embeddings")
+      val nlist = math.max(8, (emb.count() / 250).toInt)
+      graft.vec.VectorOps.knnGraph(emb,
+        "vec_id", "embedding", k = 5, nlist = nlist, nassign = 2)
     }),
 
     // X: hybrid retrieval — BM25 lexical top-10 and embedding cosine
@@ -2870,6 +2892,22 @@ object SparkEntry {
                + 0.85 * coalesce(c3.s, CAST(0 AS DOUBLE)) AS rank
            FROM nodes nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
          SELECT node, round(rank, 6) AS pagerank FROM i3""",
+
+    "q_x_containment" ->
+      """WITH s AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents WHERE doc_id < 500),
+         sh AS (SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+         FROM s WHERE len(tk) >= 3),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.ss, b.ss))::DOUBLE AS inter,
+             len(a.ss)::DOUBLE AS la, len(b.ss)::DOUBLE AS lb
+           FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b,
+           round(inter / la, 4) AS cont_a_in_b,
+           round(inter / lb, 4) AS cont_b_in_a
+         FROM p WHERE greatest(inter / la, inter / lb) >= 0.8""",
 
     "q_x_dedup_keep_best" ->
       """WITH RECURSIVE s AS (SELECT doc_id,

@@ -177,6 +177,64 @@ object TextOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-SUBSET pairs by shingle containment — the asymmetric member of
+    * the dedup family: C(A in B) = |S_A ∩ S_B| / |S_A|. A short document
+    * quoted whole inside a long one has C ≈ 1 but Jaccard ≈ |A|/|B|, so
+    * every symmetric detector (MinHash/SimHash/Jaccard thresholds)
+    * misses exactly the boilerplate-wrapped copies and quote-expansions
+    * this flags. Output: (id_a, id_b, cont_a_in_b, cont_b_in_a) for
+    * pairs where EITHER direction reaches `threshold` (id_a < id_b).
+    *
+    * `exhaustive = true` verifies every id<id pair — exact by
+    * construction, quadratic, the oracle-gated validation mode (cap the
+    * input). Default mode takes candidates from the same capped LSH
+    * banding as [[minhashDedupPairs]] but SKIPS its signature-agreement
+    * prefilter: that estimator tracks Jaccard, and pruning on it would
+    * re-lose the low-J/high-C pairs this operator exists for. Recall
+    * caveat, stated honestly: banding collision probability is a
+    * function of JACCARD, so a tiny doc inside a huge one (J = |A|/|B|)
+    * may never share a band — raise `bands` (fewer rows per band) to
+    * push recall toward the low-J corner; the spec pins the shapes both
+    * modes catch. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       numPerm: Int = 64, bands: Int = 32,
+                       maxBucket: Int = 100,
+                       exhaustive: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold must be in (0, 1], got $threshold")
+    val base = tokenFiltered(docs, idCol, textCol, shingleN,
+      repartitionInput = true)
+    val candidates =
+      if (exhaustive) {
+        val ids = base.select(col("id")).localCheckpoint()
+        ids.select(col("id").as("id_a"))
+          .crossJoin(ids.select(col("id").as("id_b")))
+          .where(col("id_a") < col("id_b"))
+      } else {
+        val rowsPerBand = numPerm / bands
+        require(rowsPerBand >= 1,
+          s"containmentPairs: bands ($bands) must divide numPerm ($numPerm)")
+        val withSig = signatures(base, shingleN, numPerm, bands, rowsPerBand)
+        val banded = withSig.select(col("id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        bucketPairs(banded, maxBucket)
+      }
+    val sets = base.select(col("id"),
+      array_distinct(wordShingles(tokens(col("text")), shingleN)).as("sset"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
+      .withColumn("__inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("cont_a_in_b", col("__inter") / size(col("set_a")).cast("double"))
+      .withColumn("cont_b_in_a", col("__inter") / size(col("set_b")).cast("double"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 4).as("cont_b_in_a"))
+  }
+
   /** (id, text) with short docs dropped and the input spread by id (small
     * inputs arrive as one file = one partition, and the signature compute
     * is per-row CPU-bound). */

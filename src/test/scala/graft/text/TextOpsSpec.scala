@@ -42,6 +42,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("containmentPairs: quoted-whole doc flags asymmetrically; Jaccard would miss it") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, small),                                             // 6 tokens, 5 2-shingles
+      (2L, small + " one two three four five six seven eight " +
+        "nine ten eleven twelve thirteen fourteen"),           // contains 1 whole
+      (3L, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.9, exhaustive = true)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+    val (_, _, aInB, bInA) = got.head
+    assert(aInB == 1.0)            // every shingle of 1 appears in 2
+    assert(bInA < 0.3)             // Jaccard ~= bInA: symmetric detectors miss
+    // the LSH candidate mode catches the same pair at this size ratio
+    val lsh = TextOps.containmentPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.9, numPerm = 64, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(lsh == Seq((1L, 2L)))
+  }
+
+  test("containmentPairs: identical docs contain each other both ways") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = 0.9, exhaustive = true)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0, 1.0)))
+  }
+
   test("nearDupPipeline: exact groups collapse, near-dups found between reps") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
