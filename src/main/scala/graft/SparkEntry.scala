@@ -1761,6 +1761,25 @@ object SparkEntry {
           col("duration_ms"))
     }),
 
+    // X: MP4/ISO-BMFF header metadata — the video member of the media
+    // family (image PNG/JPEG/GIF, audio WAV, video MP4): REAL container
+    // bytes synthesized from row fields, parsed back by box walk
+    "q_x_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nChars) =>
+          Multimodal.MediaRow(id,
+            Multimodal.fakeMp4((600 * (1 + id % 5)).toInt, nChars * 37),
+            "video/mp4", "synth")
+        }
+      Multimodal.extractVideoMeta(media).toDF()
+        .select(col("media_id"), col("brand"),
+          col("timescale").cast("long").as("timescale"),
+          col("duration_ms"))
+    }),
+
     "q_x_image_meta" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.Multimodal
@@ -3502,6 +3521,13 @@ object SparkEntry {
     "q_x_image_meta" ->
       """SELECT doc_id AS media_id, 'png' AS format,
          1 + n_chars % 512 AS width, 1 + doc_id % 512 AS height
+         FROM documents""",
+
+    "q_x_video_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+         600 * (1 + doc_id % 5) AS timescale,
+         CAST(n_chars * 37 * 1000 // (600 * (1 + doc_id % 5)) AS BIGINT)
+           AS duration_ms
          FROM documents"""
   )
 }

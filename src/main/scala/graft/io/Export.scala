@@ -15,7 +15,7 @@ import graft.ops.Projection
   * directory) is kept for plain-text consumers. */
 object Export {
 
-  val formats: Set[String] = Set("csv", "parquet", "orc", "avro", "xlsx", "workbook")
+  val formats: Set[String] = Set("csv", "parquet", "orc", "avro", "xlsx", "jsonl", "workbook")
 
   /** Shape a PROD slice for export: service columns and all-null sparse
     * dimensions dropped (read_write.py:498-500). */
@@ -40,6 +40,8 @@ object Export {
       case "orc"     => writeSingle(slice, target, "orc")
       // record names can't start with a digit ("1.1"-style table names)
       case "avro"    => Avro.write(target, slice, "t_" + table.replace(".", "_"))
+      // one JSON object per line — the LLM-pipeline interchange format
+      case "jsonl"   => writeSingle(slice, target, "json")
       case "xlsx" =>
         new java.io.File(outDir).mkdirs()
         Xlsx.write(target, Seq(table -> sheetRows(slice)))

@@ -77,6 +77,18 @@ class ExportSpec extends AnyFunSuite {
     assert(back.select("fuel").as[String].head() == "Oil")
   }
 
+  test("jsonl export: one JSON object per line, shaped, round-trips") {
+    val out = Files.createTempDirectory("graft_export_").toString
+    val path = Export.exportTable(prod, "dukes", "1.1", out, "jsonl", date = "2026-08-12")
+    assert(path.endsWith("dukes_1_1_2026-08-12.jsonl"))
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(lines.length == 2 && lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    val back = spark.read.json(path)
+    assert(back.count() == 2)
+    assert(back.columns.sorted.toSeq == Seq("fuel", "table_name", "value", "year"))
+    assert(back.where($"fuel" === "Gas").count() == 1)
+  }
+
   test("orc export round-trips") {
     val out = Files.createTempDirectory("graft_export_").toString
     val path = Export.exportTable(prod, "dukes", "2.1", out, "orc")

@@ -104,4 +104,31 @@ class MultimodalSpec extends AnyFunSuite {
       got(1L).sample_rate == 22050 && got(1L).duration_ms == 882L * 1000 / 88200)
     assert(got(2L).codec == null && got(2L).channels == null)
   }
+
+  test("videoMeta: real MP4 box walk — brand, timescale, duration math, opaque-safe") {
+    // 90 s at timescale 600 -> 54000 ticks
+    val mp4 = Multimodal.fakeMp4(600, 54000, "mp41")
+    assert(Multimodal.videoMeta(mp4).contains(("mp41", 600, 90000L)))
+    // non-integer seconds floor at the ms: 1001 ticks at 600 -> 1668 ms
+    assert(Multimodal.videoMeta(Multimodal.fakeMp4(600, 1001))
+      .contains(("isom", 600, 1001L * 1000 / 600)))
+    // opaque bytes and truncated/garbage boxes return None
+    assert(Multimodal.videoMeta("plain text here".getBytes).isEmpty)
+    assert(Multimodal.videoMeta(Array[Byte](0, 0, 0, 2, 'f', 't')).isEmpty)
+    // ftyp alone (no moov/mvhd) is not enough
+    val ftypOnly = java.util.Arrays.copyOfRange(mp4, 0, 20)
+    assert(Multimodal.videoMeta(ftypOnly).isEmpty)
+  }
+
+  test("extractVideoMeta: recognized rows carry duration, opaque rows carry nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.fakeMp4(1200, 36000), "video/mp4", "s"),
+      Multimodal.MediaRow(2L, "not a video".getBytes, "text/plain", "s"))
+    val got = Multimodal.extractVideoMeta(rows.toDS()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).brand == "isom" && got(1L).timescale == 1200 &&
+      got(1L).duration_ms == 30000L)
+    assert(got(2L).brand == null && got(2L).timescale == null)
+  }
 }
