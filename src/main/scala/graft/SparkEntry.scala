@@ -116,6 +116,14 @@ object SparkEntry {
     }),
 
     // A2: per-column stats — n_non_nulls + n_unique in ONE pass (metadata op)
+    // A: exact top-k frequent values per column — the profiling pass
+    // next to column_stats; one melt + one (col, value) hash agg +
+    // per-column top-k window
+    "q_x_top_values" -> ((s, dir) => {
+      graft.ops.Projection.topValuesPerColumn(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"), k = 5)
+    }),
+
     "q_a2_column_stats" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
         count(col("l_orderkey")).as("nn_orderkey"),
@@ -1509,6 +1517,33 @@ object SparkEntry {
     // X: gap sessionization, batch path (gaps-and-islands windows; the
     // streaming path keeps flatMapGroupsWithState) — closed sessions only;
     // oracle is the same SQL formulation
+    // X: fixed-grid resample with gap buckets + forward fill — the
+    // monitoring time series; per-key sequence() grid, one (key, bucket)
+    // aggregation, ffill window on the same partitioning
+    "q_x_resample" -> ((s, dir) => {
+      graft.ops.EventOps.resample(t(s, dir, "events"),
+          "event_type", "ts", "value", intervalSec = 3600L)
+        .withColumnRenamed("key", "event_type")
+    }),
+
+    // X: ordered funnel (signup -> view -> click -> purchase, each step
+    // STRICTLY after the previous in event time) — one user shuffle +
+    // per-user fold; the oracle runs the naive chained-join form the
+    // fold replaces, gating the state machine end to end
+    "q_x_funnel" -> ((s, dir) => {
+      graft.ops.EventOps.funnel(t(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          steps = Seq("signup", "view", "click", "purchase"))
+        .withColumnRenamed("user", "user_id")
+    }),
+
+    // X: weekly cohort retention triangle — cohort = ISO week of first
+    // event; two user-keyed aggregations
+    "q_x_cohort_retention" -> ((s, dir) => {
+      graft.ops.EventOps.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts")
+    }),
+
     "q_x_sessionize" -> ((s, dir) => {
       graft.streaming.StreamOps.sessionizeBatch(
           t(s, dir, "events"), gapMs = 30 * 60 * 1000L)
@@ -2911,6 +2946,75 @@ object SparkEntry {
                + 0.85 * coalesce(c3.s, CAST(0 AS DOUBLE)) AS rank
            FROM nodes nd CROSS JOIN nn LEFT JOIN c3 ON c3.node = nd.node)
          SELECT node, round(rank, 6) AS pagerank FROM i3""",
+
+    "q_x_resample" ->
+      """WITH e AS (SELECT event_type,
+           CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600)
+                AS TIMESTAMP) AS bucket,
+           value
+         FROM events),
+         a AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_events,
+                 round(sum(value), 2) AS sum_value
+               FROM e GROUP BY 1, 2),
+         b AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM a GROUP BY 1),
+         g AS (SELECT event_type, b0 + INTERVAL 1 HOUR * i AS bucket
+               FROM b, unnest(range(0,
+                 CAST((epoch(b1) - epoch(b0)) / 3600 AS BIGINT) + 1)) AS t(i)),
+         j AS (SELECT g.event_type, g.bucket,
+                 coalesce(a.n_events, 0) AS n_events, a.sum_value
+               FROM g LEFT JOIN a USING (event_type, bucket))
+         SELECT event_type, bucket, n_events, sum_value,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM j""",
+
+    "q_x_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+         u AS (SELECT DISTINCT user_id FROM e),
+         t1 AS (SELECT user_id, min(ts) AS ts1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM e JOIN t1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > t1.ts1 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM e JOIN t2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > t2.ts2 GROUP BY 1),
+         t4 AS (SELECT e.user_id, min(e.ts) AS ts4 FROM e JOIN t3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > t3.ts3 GROUP BY 1)
+         SELECT u.user_id,
+           CAST(CASE WHEN ts4 IS NOT NULL THEN 4 WHEN ts3 IS NOT NULL THEN 3
+                     WHEN ts2 IS NOT NULL THEN 2 WHEN ts1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_completed
+         FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+           LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)""",
+
+    "q_x_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+           date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, week FROM e)
+         SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+
+    "q_x_top_values" ->
+      """WITH m AS (
+           SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS value
+           FROM lineitem WHERE l_returnflag IS NOT NULL
+           UNION ALL
+           SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+           FROM lineitem WHERE l_linestatus IS NOT NULL
+           UNION ALL
+           SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR)
+           FROM lineitem WHERE l_linenumber IS NOT NULL),
+         c AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+               FROM m GROUP BY 1, 2),
+         r AS (SELECT col_name, value, n,
+             row_number() OVER (PARTITION BY col_name
+                                ORDER BY n DESC, value) AS rank
+           FROM c)
+         SELECT col_name, value, n, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5""",
 
     "q_x_containment" ->
       """WITH s AS (SELECT doc_id,

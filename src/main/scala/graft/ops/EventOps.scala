@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic event-stream analytics over an (id, ts, user, type, value)
+  * table — the reporting layer a telemetry corpus feeds: fixed-grid
+  * resampling (gap-filled time series), ordered funnels, and cohort
+  * retention. All three are single-shuffle shapes: one aggregation on
+  * the user/key, windows inside the same partitioning.
+  */
+object EventOps {
+
+  /** Fixed-interval resample per key: bucket events into `intervalSec`
+    * buckets, then materialize EVERY bucket between each key's first and
+    * last event — gap buckets carry n_events = 0, null sum_value, and a
+    * forward-filled `filled_value` (last non-null bucket sum). The
+    * gap-visible time series a monitoring dashboard draws.
+    *
+    * One aggregation on (key, bucket); the per-key grid comes from
+    * `sequence()` on the key's own bounds (an agg + a projection — no
+    * driver loop, no cross join against a global calendar); the ffill
+    * window rides the same key partitioning. Grids are per-key-span
+    * bounded — a key alive for a day at 1 h buckets explodes to 24 rows,
+    * never the corpus-wide span. */
+  def resample(events: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, intervalSec: Long = 3600L): DataFrame = {
+    require(intervalSec > 0, s"resample: intervalSec must be > 0, got $intervalSec")
+    val bucket = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / intervalSec) * intervalSec)
+    val agg = events
+      .select(col(keyCol).as("key"), bucket.as("bucket"),
+        col(valueCol).as("v"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("v")), 2).as("sum_value"))
+    val grid = agg.groupBy(col("key"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("key"), explode(expr(
+        s"sequence(b0, b1, interval $intervalSec seconds)")).as("bucket"))
+    val joined = grid.join(agg, Seq("key", "bucket"), "left")
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_value",
+        last(col("sum_value"), ignoreNulls = true).over(w))
+      .select(col("key"), col("bucket"), col("n_events"),
+        col("sum_value"), col("filled_value"))
+  }
+
+  /** Ordered funnel: how far each user progresses through `steps`, where
+    * each step must occur STRICTLY after the previous one in event time
+    * (simultaneous events do not advance — ties are not ordered
+    * progress). Output: (user, steps_completed).
+    *
+    * One shuffle on the user, then a per-user fold over the time-sorted
+    * event list — NOT `steps.length` self-joins (each a full shuffle) as
+    * the naive SQL writes it; the oracle does run that chained-join form
+    * to gate this fold. Per-user event lists must be group-bounded (the
+    * sessionization assumption); only (ts, type) pairs are collected. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: steps must be non-empty")
+    val stepArr = array(steps.map(lit): _*)
+    events
+      .select(col(userCol).as("user"),
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("typ"))
+      .groupBy(col("user"))
+      .agg(sort_array(collect_list(struct(col("t"), col("typ")))).as("evs"))
+      .withColumn("state", aggregate(
+        col("evs"),
+        struct(lit(0).as("step"), lit(Long.MinValue).as("last")),
+        (st, e) => {
+          // least() clamp: once step == steps.length the comparison arm is
+          // dead (step < length is false) but element_at must still see a
+          // VALID index — an out-of-range literal index throws under ANSI
+          val nextStep = element_at(stepArr,
+            least(st.getField("step") + 1, lit(steps.length)))
+          val advance = st.getField("step") < lit(steps.length) &&
+            e.getField("typ") === nextStep &&
+            e.getField("t") > st.getField("last")
+          struct(
+            when(advance, st.getField("step") + 1)
+              .otherwise(st.getField("step")).as("step"),
+            when(advance, e.getField("t"))
+              .otherwise(st.getField("last")).as("last"))
+        }))
+      .select(col("user"),
+        col("state.step").cast("long").as("steps_completed"))
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event; for each (cohort_week, week_offset) the number of
+    * cohort members active in that week. The triangle a growth dashboard
+    * renders. Two aggregations (first-event per user, then the distinct
+    * (user, week) activity grid joined back on the user) — both keyed on
+    * the user, one broadcast-sized output. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("user"),
+      date_trunc("week", col(tsCol)).as("week"))
+    val cohorts = weeks.groupBy(col("user"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.distinct()
+      .join(cohorts, "user")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user")).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+}

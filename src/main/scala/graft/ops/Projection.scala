@@ -18,4 +18,32 @@ object Projection {
     }
     df.select(keep.map(col).toIndexedSeq: _*)
   }
+
+  /** Exact top-k most frequent values per column — the profiling pass
+    * next to `Store.columnStats`: (col_name, value, n, rank), values
+    * stringified, NULLs excluded, ties broken by value ascending so the
+    * result is deterministic. One melt projection + one hash aggregation
+    * on (column, value) with map-side combine + a top-k window per
+    * column — the same shape at any row count; the output is bounded by
+    * k * columns. For genuinely high-cardinality columns the agg frame
+    * is vocabulary-sized, the classic word-count discipline. */
+  def topValuesPerColumn(df: DataFrame, cols: Seq[String],
+                         k: Int): DataFrame = {
+    require(cols.nonEmpty, "topValuesPerColumn: no columns given")
+    require(k >= 1, s"topValuesPerColumn: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val melted = df.select(posexplode(array(cols.map(c =>
+        col(c).cast("string")): _*)).as(Seq("__i", "value")))
+      .select(element_at(
+          array(cols.map(lit): _*), col("__i") + 1).as("col_name"),
+        col("value"))
+      .where(col("value").isNotNull)
+    val counted = melted.groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("n").desc, col("value"))
+    counted.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("col_name"), col("value"), col("n"), col("rank"))
+  }
 }
