@@ -385,6 +385,29 @@ object SparkEntry {
         .select(col("r_regionkey"), col("r_name"), col("version"))
     }),
 
+    // K: SCD2 validity-interval history over the same RAW zone the as-of
+    // snapshot reads — unchanged re-publishes COALESCE into the current
+    // interval (the third ingest below is identical to the second and
+    // must leave no trace), changed rows open a new one
+    "q_store_history" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hist_").toString
+      val store = new graft.store.Store(s, tmp, "hist")
+      store.initialize()
+      val r = t(s, dir, "region").select(col("r_regionkey"))
+      def vals(shifted: Boolean) = r.withColumn("val",
+        (if (shifted)
+           when(col("r_regionkey") % 2 === 1, col("r_regionkey") * 10 + 100)
+             .otherwise(col("r_regionkey") * 10)
+         else col("r_regionkey") * 10).cast("long"))
+      store.ingest(vals(shifted = false), "regions",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      store.ingest(vals(shifted = true), "regions",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      store.ingest(vals(shifted = true), "regions",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-03 00:00:00"))
+      store.history("regions", Seq("r_regionkey"), Seq("val"))
+    }),
+
     // X: exact deduplication — hash-groupBy on content digest
     "q_x_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2049,6 +2072,17 @@ object SparkEntry {
 
     "q_store_roundtrip" ->
       """SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS version FROM region""",
+
+    "q_store_history" ->
+      """SELECT r_regionkey, CAST(r_regionkey * 10 AS BIGINT) AS val,
+           TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
+           CASE WHEN r_regionkey % 2 = 1
+                THEN TIMESTAMP '2026-01-02 00:00:00' END AS valid_to
+         FROM region
+         UNION ALL
+         SELECT r_regionkey, CAST(r_regionkey * 10 + 100 AS BIGINT),
+           TIMESTAMP '2026-01-02 00:00:00', NULL
+         FROM region WHERE r_regionkey % 2 = 1""",
 
     "q_x_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups

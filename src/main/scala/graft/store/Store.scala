@@ -243,6 +243,57 @@ final class Store(spark: SparkSession, root: String, collection: String,
     readRaw().join(broadcast(winners), Seq("ingest_id"))
   }
 
+  /** SCD2 validity-interval history of one logical table: every row
+    * version keyed by `keyCols`, with consecutive ingests that did NOT
+    * change the row's `valueCols` COALESCED into one interval
+    * (run-length over the ingest sequence — a re-publish of identical
+    * data extends the current interval instead of forging a new
+    * version). Output: keyCols ++ valueCols ++ (valid_from, valid_to);
+    * `valid_to` is null while current. The time-travel dimension view
+    * layered over the same append-only RAW zone the as-of snapshot
+    * reads — no extra storage, no CDC feed.
+    *
+    * Shape: the ingest log is driver-tiny, so its global sequence window
+    * is a non-issue; RAW joins the broadcast sequence on ingest_id and
+    * every remaining window/agg rides ONE shuffle on the row key.
+    * Change detection hashes the value columns (md5 over a -joined
+    * cast; nulls sentineled) — island boundaries where the hash moves. */
+  def history(tableName: String, keyCols: Seq[String],
+              valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "history: keyCols and valueCols must be non-empty")
+    val log = readLog()
+      .filter(col("success") === 1 && col("data_collection") === collection &&
+        col("table_name") === tableName)
+      .select(col("ingest_id"), col("ingest_ts"))
+    val seqd = log.withColumn("__seq", row_number().over(
+      Window.orderBy(col("ingest_ts"), col("ingest_id"))))
+    val rows = readRaw().where(col("table_name") === tableName)
+      .join(broadcast(seqd), Seq("ingest_id"))
+    val keyW = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__seq"))
+    val contentHash = md5(concat_ws("\u0001",
+      valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val flagged = rows
+      .withColumn("__h", contentHash)
+      .withColumn("__changed",
+        when(lag(col("__h"), 1).over(keyW).isNull ||
+          lag(col("__h"), 1).over(keyW) =!= col("__h"), 1).otherwise(0))
+      .withColumn("__island", sum(col("__changed")).over(
+        keyW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // values are identical within an island (same content hash): max is
+    // just the deterministic pick
+    val aggs = min(col("ingest_ts")).as("valid_from") +:
+      valueCols.map(c => max(col(c)).as(c))
+    val islands = flagged
+      .groupBy((keyCols.map(col) :+ col("__island")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val vw = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__island"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .select((keyCols ++ valueCols).map(col) :+
+        col("valid_from") :+ col("valid_to"): _*)
+  }
+
   /** Append-style view: ALL successful ingests up to the cutoff. Streamed
     * event tables are append logs — every micro-batch belongs to the
     * dataset — unlike versioned reference tables where only the latest

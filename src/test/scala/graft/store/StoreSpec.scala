@@ -353,4 +353,37 @@ class StoreSpec extends AnyFunSuite {
     val prod2 = st.readProd()
     assert(prod2.select("row_uid").distinct().count() == prod2.count())
   }
+
+  test("history: SCD2 intervals — changes chain, identical re-publishes coalesce") {
+    val st = freshStore()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ing(rows: Seq[(Int, String)], when: String): Unit =
+      st.ingest(rows.toDF("k", "v"), "dim", ingestTs = ts(when))
+    ing(Seq(1 -> "a", 2 -> "x"), "2026-01-01 00:00:00")
+    ing(Seq(1 -> "b", 2 -> "x"), "2026-01-02 00:00:00") // 1 changes, 2 doesn't
+    ing(Seq(1 -> "b", 2 -> "x"), "2026-01-03 00:00:00") // identical re-publish
+    ing(Seq(1 -> "c", 2 -> "x"), "2026-01-04 00:00:00") // 1 changes again
+    val got = st.history("dim", Seq("k"), Seq("v"))
+      .as[(Int, String, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().sortBy(r => (r._1, r._3.getTime)).toSeq
+    assert(got == Seq(
+      (1, "a", ts("2026-01-01 00:00:00"), Some(ts("2026-01-02 00:00:00"))),
+      (1, "b", ts("2026-01-02 00:00:00"), Some(ts("2026-01-04 00:00:00"))),
+      (1, "c", ts("2026-01-04 00:00:00"), None),
+      (2, "x", ts("2026-01-01 00:00:00"), None)))
+  }
+
+  test("history: null values are versions too, distinct from empty string") {
+    val st = freshStore()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    st.ingest(Seq((1, Option.empty[String])).toDF("k", "v"), "dim",
+      ingestTs = ts("2026-01-01 00:00:00"))
+    st.ingest(Seq((1, Some(""))).toDF("k", "v"), "dim",
+      ingestTs = ts("2026-01-02 00:00:00"))
+    val got = st.history("dim", Seq("k"), Seq("v"))
+      .as[(Int, Option[String], java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().sortBy(_._3.getTime).toSeq
+    assert(got.map(r => r._2 -> r._4.isDefined) ==
+      Seq(None -> true, Some("") -> false)) // null -> "" IS a change
+  }
 }
