@@ -116,6 +116,18 @@ object SparkEntry {
     }),
 
     // A2: per-column stats — n_non_nulls + n_unique in ONE pass (metadata op)
+    // A: grouped EXACT percentiles (sort-based `percentile`, linear
+    // interpolation — same definition as DuckDB quantile_cont); the
+    // approx scale path is percentile_approx, already covered by the
+    // perplexity-bucket operators
+    "q_a9_grouped_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+    }),
+
     // A: exact top-k frequent values per column — the profiling pass
     // next to column_stats; one melt + one (col, value) hash agg +
     // per-column top-k window
@@ -1560,6 +1572,20 @@ object SparkEntry {
         .withColumnRenamed("user", "user_id")
     }),
 
+    // X: rolling z-score anomaly detection — each event scored against
+    // the mean/variance of its user's PRIOR 20 values; moment sums over
+    // an exact integer (cents) column keep the score bit-identical to
+    // the DuckDB oracle despite being floating-point
+    "q_x_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.EventOps.rollingZScore(ev, "user_id",
+          Seq("ts", "event_id"), "cents", lookback = 20, minPoints = 10)
+        .where(abs(col("z")) >= lit(2.0))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          col("n_prior"), round(col("z"), 4).as("z"))
+    }),
+
     // X: weekly cohort retention triangle — cohort = ISO week of first
     // event; two user-keyed aggregations
     "q_x_cohort_retention" -> ((s, dir) => {
@@ -1664,6 +1690,15 @@ object SparkEntry {
         .select(explode(graft.text.TextOps.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(20)
+    }),
+
+    // X: top-3 TF-IDF terms per document — postings agg + vocab-sized
+    // df join + per-doc window; scores rounded before ranking so the
+    // selected term set is engine-reproducible
+    "q_x_tfidf_top" -> ((s, dir) => {
+      graft.text.TextOps.tfidfTopTerms(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // X: embedding-cosine near-duplicate pairs over a probe subset
@@ -3031,6 +3066,13 @@ object SparkEntry {
            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
 
+    "q_a9_grouped_percentiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+         FROM lineitem GROUP BY 1""",
+
     "q_x_top_values" ->
       """WITH m AS (
            SELECT 'l_returnflag' AS col_name, CAST(l_returnflag AS VARCHAR) AS value
@@ -3575,6 +3617,40 @@ object SparkEntry {
          FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
                FROM documents)
          GROUP BY w ORDER BY n DESC, w LIMIT 20""",
+
+    "q_x_tfidf_top" ->
+      """WITH toks AS (SELECT doc_id AS id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+         FROM documents),
+         tf AS (SELECT id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         scored AS (SELECT tf.id, tf.word, tf.tf,
+             round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+           FROM tf JOIN dfreq USING (word), n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY tfidf DESC, word) AS rank FROM scored)
+         SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank, word,
+           CAST(tf AS BIGINT) AS tf, tfidf
+         FROM r WHERE rank <= 3""",
+
+    "q_x_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id,
+           CAST(round(value * 100) AS BIGINT) AS cents, ts
+         FROM events),
+         w AS (SELECT event_id, user_id, cents,
+             count(cents) OVER win AS cnt,
+             CAST(sum(cents) OVER win AS DOUBLE) AS s,
+             CAST(sum(cents * cents) OVER win AS DOUBLE) AS s2
+           FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT event_id, user_id, cents, cnt AS n_prior,
+             (cents - s / cnt) / sqrt((s2 - s * s / cnt) / (cnt - 1)) AS z,
+             (s2 - s * s / cnt) / (cnt - 1) AS variance
+           FROM w)
+         SELECT event_id, user_id, cents, n_prior, round(z, 4) AS z
+         FROM z
+         WHERE n_prior >= 10 AND variance > 0 AND abs(z) >= 2.0""",
 
     "q_x_embed_dup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)

@@ -90,6 +90,40 @@ object EventOps {
         col("state.step").cast("long").as("steps_completed"))
   }
 
+  /** Rolling z-score anomaly detection: for each row, mean/variance of
+    * the PRIOR `lookback` values within the key (rows-frame window), and
+    * the z-score of the current value against that trailing baseline —
+    * the self-calibrating spike detector a telemetry pipeline runs per
+    * device/user. Rows with fewer than `minPoints` priors or zero
+    * trailing variance carry a null z (no baseline, no verdict).
+    *
+    * One shuffle on the key; all three window aggregates (count, sum,
+    * sum-of-squares) ride a single rows-bounded running frame — no
+    * per-row rescans, state is O(lookback) per key. Variance comes from
+    * the moment sums, not stddev_samp, so an integer-valued input column
+    * (e.g. cents) keeps every intermediate EXACT until the final double
+    * division — bit-identical across engines, which is what lets the
+    * DuckDB oracle hash-match a floating-point anomaly score. */
+  def rollingZScore(events: DataFrame, keyCol: String, orderCols: Seq[String],
+                    valueCol: String, lookback: Int = 20,
+                    minPoints: Int = 10): DataFrame = {
+    require(lookback >= minPoints && minPoints >= 2,
+      s"rollingZScore: need lookback >= minPoints >= 2, got $lookback/$minPoints")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    val cnt = count(v).over(w)
+    val s = sum(v).over(w).cast("double")
+    val s2 = sum(v * v).over(w).cast("double")
+    val variance = (s2 - s * s / cnt) / (cnt - lit(1))
+    val z = (v - s / cnt) / sqrt(variance)
+    events
+      .withColumn("n_prior", cnt)
+      .withColumn("z",
+        when(cnt >= minPoints && variance > lit(0.0), z))
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * first event; for each (cohort_week, week_offset) the number of
     * cohort members active in that week. The triangle a growth dashboard

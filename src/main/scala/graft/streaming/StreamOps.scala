@@ -251,6 +251,31 @@ object StreamOps {
       .select(col("l_event_id"), col("r_event_id"))
   }
 
+  /** LEFT OUTER form of [[intervalJoinStream]] — the funnel-drop shape:
+    * every left event emits, matched rows immediately, UNMATCHED rows
+    * (r_event_id null) only once the right watermark passes
+    * l_ts + maxDelay and proves no match can still arrive. That delayed
+    * null emission is the semantic difference from the inner join, and
+    * why outer results need watermark advancement (a final empty batch
+    * in tests) before the nulls appear. Same both-ways time bound, so
+    * state stays bounded exactly as in the inner form. */
+  def intervalJoinOuterStream(left: DataFrame, right: DataFrame,
+                              maxDelayMs: Long,
+                              watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"),
+        col("user_id").as("l_user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""l_user_id = r_user_id AND
+          r_ts >= l_ts AND
+          r_ts <= l_ts + interval $maxDelayMs milliseconds"""),
+      "left_outer")
+      .select(col("l_event_id"), col("r_event_id"))
+  }
+
   /** Stream-to-store ingest: each micro-batch lands in the versioned RAW
     * zone through the same transactional path as batch ingest (log row
     * first, success flip after), so crash-recovery and as-of semantics

@@ -556,6 +556,44 @@ object TextOps {
       .select(col("query_id"), col("rank"), col("id"), col("score"))
   }
 
+  /** Top-k TF-IDF terms per document — the keyword extractor feeding
+    * topical tagging / corpus browsing over a curated slice. Plain
+    * log-idf formulation:
+    *   tfidf(t, d) = tf(t, d) * ln(N / df(t))
+    *
+    * Scale shape: one explode + (doc, term) hash agg builds the postings
+    * (map-side partial combine); document frequencies are a second agg
+    * over the postings themselves (never re-touching the corpus); N is a
+    * one-row broadcast. The df join shuffles on the term — vocabulary-
+    * sized, orders of magnitude below corpus size — and the final top-k
+    * is a per-doc window on the postings' own partitioning.
+    *
+    * Like [[bm25TopK]], scores round to 4 decimals BEFORE ranking (ties
+    * then break alphabetically) so the selected term set is reproducible
+    * across engines and runs. Corpus-wide terms (df = N) score 0, not
+    * negative, and still rank by tf through the tiebreak chain. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df")), 4))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("word"), col("tf"), col("tfidf"))
+  }
+
   // ------------------------------------------------------------- language id
 
   /** Tiny per-language stopword markers for the n-gram/stopword heuristic.

@@ -224,6 +224,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel plans exactly one exchange — the user shuffle, no joins") {
+    val events = spark.range(0, 1000).selectExpr(
+      "id % 50 AS user_id",
+      "timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP'2026-01-01 00:00:00') AS t",
+      "CASE WHEN id % 3 = 0 THEN 'signup' WHEN id % 3 = 1 THEN 'view' " +
+        "ELSE 'click' END AS typ")
+    val q = graft.ops.EventOps.funnel(events, "user_id", "t", "typ",
+      Seq("signup", "view", "click"))
+    q.collect()
+    // AQE's toString prints Final AND Initial sections — count the final only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500)) // the fold replaced the self-joins
+  }
+
   test("dynamic partition pruning: a filtered dim join prunes PROD partitions at runtime") {
     // the 100 TB shape: fact partitioned on table_name, a dim filter that
     // only resolves at runtime — DPP must push a subquery into the scan's

@@ -68,6 +68,57 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer interval join: unmatched lefts emit with nulls AFTER the watermark proves no match") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_outer_ij_")
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      val staging = dir.resolve(s"_stg_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: click 1 (user 1) has a purchase in-window; click 2 (user 2) never will
+    writeBatch("b1", Seq(
+      (10L, ts("2026-01-01 10:00:00"), 1L, "click"),
+      (11L, ts("2026-01-01 10:10:00"), 1L, "purchase"),
+      (20L, ts("2026-01-01 10:00:00"), 2L, "click")))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    def src = spark.readStream.schema(schema).parquet(dir.toString)
+    val joined = StreamOps.intervalJoinOuterStream(
+      src.where($"event_type" === "click"),
+      src.where($"event_type" === "purchase"),
+      maxDelayMs = 30 * 60 * 1000L, watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("outer_ij").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("outer_ij")
+        .as[(Long, Option[Long])].collect().toSet
+      // the match emits eagerly; the unmatched click is still HELD — the
+      // watermark hasn't proven a purchase can't arrive
+      assert(afterB1 == Set((10L, Some(11L))))
+      // batch 2: far-future events on BOTH sides — the global watermark is
+      // the MIN of the per-stream watermarks, and each side's watermark
+      // only advances on rows that survive that side's filter; a lone
+      // purchase would leave the click-side watermark at 10:00 forever.
+      // Click 98 itself stays held (nothing ever outlives ITS deadline).
+      writeBatch("b2", Seq(
+        (98L, ts("2026-01-02 00:00:00"), 8L, "click"),
+        (99L, ts("2026-01-02 00:00:00"), 9L, "purchase")))
+      q.processAllAvailable()
+      q.processAllAvailable() // one extra cycle: watermark advances a batch late
+      val afterB2 = spark.table("outer_ij")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(afterB2 == Set((10L, Some(11L)), (20L, None)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions at the gap, keeps state per user") {
     import spark.implicits._
     val events = Seq(
