@@ -1593,6 +1593,32 @@ object SparkEntry {
         "user_id", "ts")
     }),
 
+    // X: blocked fuzzy record linkage — self-ER over part names: block
+    // on (brand, size), levenshtein verify <= 5, best match per part;
+    // the blocking equi-join is the only wide op, never a cross join
+    "q_x_record_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      graft.ops.Linkage.fuzzyBestMatch(p, p,
+        blockCols = Seq("p_brand", "p_size"),
+        leftId = "p_partkey", leftText = "p_name",
+        rightId = "p_partkey", rightText = "p_name",
+        maxDist = 5, k = 1)
+    }),
+
+    // X: first-order Markov transitions over event types — one user
+    // shuffle, lead() on that partitioning, then a type-domain-sized agg
+    "q_x_transitions" -> ((s, dir) => {
+      graft.ops.EventOps.transitions(t(s, dir, "events"),
+        "user_id", Seq("ts", "event_id"), "event_type")
+    }),
+
+    // X: top-10 opening 3-step paths — entry-flow report; (ts, event_id)
+    // makes the per-user order total, so path strings are reproducible
+    "q_x_top_paths" -> ((s, dir) => {
+      graft.ops.EventOps.topPaths(t(s, dir, "events"),
+        "user_id", Seq("ts", "event_id"), "event_type", pathLen = 3, k = 10)
+    }),
+
     "q_x_sessionize" -> ((s, dir) => {
       graft.streaming.StreamOps.sessionizeBatch(
           t(s, dir, "events"), gapMs = 30 * 60 * 1000L)
@@ -3072,6 +3098,44 @@ object SparkEntry {
            round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
          FROM lineitem GROUP BY 1""",
+
+    "q_x_record_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part),
+         d AS (SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+               FROM p a JOIN p b USING (p_brand, p_size)
+               WHERE a.p_partkey <> b.p_partkey),
+         r AS (SELECT *, row_number() OVER (PARTITION BY left_id
+                 ORDER BY dist, right_id) AS rank
+               FROM d WHERE dist <= 5)
+         SELECT left_id, right_id, dist, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 1""",
+
+    "q_x_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         l AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+         FROM c""",
+
+    "q_x_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         FROM events),
+         p AS (SELECT user_id,
+                 string_agg(event_type, ' > ' ORDER BY rn) AS path,
+                 count(*) AS len
+               FROM r WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_keys
+         FROM p WHERE len = 3
+         GROUP BY path ORDER BY n_keys DESC, path LIMIT 10""",
 
     "q_x_top_values" ->
       """WITH m AS (

@@ -145,4 +145,59 @@ object EventOps {
       .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"), col("n_users"))
   }
+
+  /** First-order Markov transition matrix over event types: for every
+    * observed (from_type, to_type) adjacency within a key's ordered
+    * stream, the transition count and the probability conditioned on the
+    * source type. The "what do users do next" table behind flow
+    * diagrams and next-action models.
+    *
+    * One shuffle on the key; `lead` is a streaming window over that same
+    * partitioning, and the (from, to) aggregation that follows is
+    * type-domain sized (tiny), as is the per-source normalisation — the
+    * corpus is touched once. Last event of each key has no successor and
+    * drops out (no synthetic END state; callers wanting one can append
+    * it to the input). */
+  def transitions(events: DataFrame, keyCol: String, orderCols: Seq[String],
+                  typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val counts = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val w2 = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", round(col("n") / sum(col("n")).over(w2), 4))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
+  /** Top-k most common opening paths: each key's first `pathLen` event
+    * types joined with " > ", counted across keys — the entry-flow
+    * report ("what are the first three things users do"). Ordering
+    * within a key must be total (pass a tiebreak column alongside the
+    * timestamp) or the path strings are not reproducible.
+    *
+    * One shuffle on the key; the rank-and-truncate runs inside that
+    * partitioning (row_number + filter, no per-key buffering beyond the
+    * window frame), and the path aggregation shrinks to the distinct-path
+    * domain before the final top-k. */
+  def topPaths(events: DataFrame, keyCol: String, orderCols: Seq[String],
+               typeCol: String, pathLen: Int = 3, k: Int = 10): DataFrame = {
+    require(pathLen >= 1 && k >= 1, s"topPaths: need pathLen/k >= 1, got $pathLen/$k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    events
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= pathLen)
+      .groupBy(col(keyCol))
+      // collect in rank order: sort the (rn, type) structs, then project
+      .agg(array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t"))))
+        .as("steps"))
+      .where(size(col("steps")) === pathLen) // complete paths only
+      .select(array_join(expr("transform(steps, s -> s.t)"), " > ").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(k)
+  }
 }

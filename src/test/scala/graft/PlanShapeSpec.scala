@@ -282,4 +282,16 @@ class PlanShapeSpec extends AnyFunSuite {
         plan.take(2000))
     }
   }
+
+  test("parquet aggregate pushdown: count/min/max answer from footer stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_").toString
+    spark.range(0, 10000).selectExpr("id", "id % 7 AS v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    assert(graft.ops.ScanStats.probePushdown(spark, dir, Seq("v")))
+    val row = graft.ops.ScanStats.tableStats(spark, dir, Seq("v")).collect()(0)
+    assert(row.getLong(0) == 10000L && row.getLong(1) == 0L && row.getLong(2) == 6L)
+    // scoped confs restored: a follow-up read plans through the v1 path again
+    assert(spark.conf.getOption("spark.sql.sources.useV1SourceList").forall(_.contains("parquet")) ||
+      spark.conf.getOption("spark.sql.sources.useV1SourceList").isEmpty)
+  }
 }

@@ -70,6 +70,47 @@ class EventOpsSpec extends AnyFunSuite {
       ("2026-01-12", 0L, 1L)))  // user 3's cohort
   }
 
+  test("transitions: adjacency counts per user order, probabilities per source") {
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2026-01-01 10:01:00"), "b"),
+      (3L, 1L, ts("2026-01-01 10:02:00"), "a"),
+      (4L, 2L, ts("2026-01-01 10:00:00"), "a"),
+      (5L, 2L, ts("2026-01-01 10:01:00"), "c"),
+      (6L, 3L, ts("2026-01-01 10:00:00"), "z")) // lone event: no transition
+      .toDF("event_id", "user_id", "t", "typ")
+    val got = EventOps.transitions(events, "user_id", Seq("t", "event_id"), "typ")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), // two a-departures split evenly
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitions: same-timestamp events order by the tiebreak column") {
+    val events = Seq(
+      (2L, 1L, ts("2026-01-01 10:00:00"), "b"),
+      (1L, 1L, ts("2026-01-01 10:00:00"), "a"))
+      .toDF("event_id", "user_id", "t", "typ")
+    val got = EventOps.transitions(events, "user_id", Seq("t", "event_id"), "typ")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(("a", "b", 1L, 1.0)))
+  }
+
+  test("topPaths: complete opening paths only, counted and ranked with tiebreak") {
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2026-01-01 10:01:00"), "b"),
+      (3L, 2L, ts("2026-01-01 10:00:00"), "a"),
+      (4L, 2L, ts("2026-01-01 10:01:00"), "b"),
+      (5L, 2L, ts("2026-01-01 10:02:00"), "c"), // only the first 2 count
+      (6L, 3L, ts("2026-01-01 10:00:00"), "a")) // incomplete: dropped
+      .toDF("event_id", "user_id", "t", "typ")
+    val got = EventOps.topPaths(events, "user_id", Seq("t", "event_id"), "typ",
+        pathLen = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a > b", 2L)))
+  }
+
   test("topValuesPerColumn: exact counts, per-column k cut, value tiebreak, nulls out") {
     val df = Seq(
       (Some("x"), "p"), (Some("x"), "p"), (Some("y"), "p"),
