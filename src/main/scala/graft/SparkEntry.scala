@@ -1619,6 +1619,30 @@ object SparkEntry {
         "user_id", Seq("ts", "event_id"), "event_type", pathLen = 3, k = 10)
     }),
 
+    // X: pairwise Pearson matrix — all 6 corr aggregates in ONE scan
+    "q_x_corr_matrix" -> ((s, dir) => {
+      graft.functions.Stats.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    // X: per-type OLS trend of value over time — x in days since
+    // 2026-01-01 via exact micros so both engines divide identical longs
+    "q_x_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("x",
+        unix_micros(col("ts")).cast("double") / lit(8.64e10) - lit(20454.0))
+      graft.functions.Stats.groupedTrend(ev, Seq("event_type"), "x", "value")
+    }),
+
+    // X: theta-sketch corpus overlap (clickers vs purchasers) — no join,
+    // one narrow scan per side; exact below 2^lgK keys, which is what
+    // lets the COUNT(DISTINCT) oracle gate it at test scale
+    "q_x_corpus_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.functions.Sketches.thetaOverlap(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"), "user_id")
+    }),
+
     "q_x_sessionize" -> ((s, dir) => {
       graft.streaming.StreamOps.sessionizeBatch(
           t(s, dir, "events"), gapMs = 30 * 60 * 1000L)
@@ -3136,6 +3160,43 @@ object SparkEntry {
          SELECT path, CAST(count(*) AS BIGINT) AS n_keys
          FROM p WHERE len = 3
          GROUP BY path ORDER BY n_keys DESC, path LIMIT 10""",
+
+    "q_x_corr_matrix" ->
+      """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS r FROM lineitem
+         UNION ALL SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 4) + 0.0 FROM lineitem
+         UNION ALL SELECT 'l_quantity', 'l_tax',
+           round(corr(l_quantity, l_tax), 4) + 0.0 FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 4) + 0.0 FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 'l_tax',
+           round(corr(l_extendedprice, l_tax), 4) + 0.0 FROM lineitem
+         UNION ALL SELECT 'l_discount', 'l_tax',
+           round(corr(l_discount, l_tax), 4) + 0.0 FROM lineitem""",
+
+    "q_x_trend" ->
+      """WITH e AS (SELECT event_type, value,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 86400000000.0
+             - 20454.0 AS x
+         FROM events)
+         SELECT event_type,
+           round(regr_slope(value, x), 4) + 0.0 AS slope,
+           round(regr_intercept(value, x), 4) + 0.0 AS intercept,
+           round(regr_r2(value, x), 4) + 0.0 AS r2,
+           CAST(regr_count(value, x) AS BIGINT) AS n
+         FROM e GROUP BY 1""",
+
+    "q_x_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         i AS (SELECT count(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+         u AS (SELECT count(*) AS n FROM (SELECT * FROM a UNION SELECT * FROM b))
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           (SELECT CAST(n AS BIGINT) FROM i) AS n_intersect,
+           (SELECT CAST(n AS BIGINT) FROM u) AS n_union,
+           (SELECT CAST(i.n AS DOUBLE) / CAST(u.n AS DOUBLE) FROM i, u) AS jaccard""",
 
     "q_x_top_values" ->
       """WITH m AS (

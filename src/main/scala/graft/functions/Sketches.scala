@@ -156,4 +156,63 @@ object Sketches {
     require(!sk.isEmpty, "kllRank: empty sketch")
     sk.getRank(v)
   }
+
+  // ------------------------------------------------------------------
+  // Theta set algebra
+  // ------------------------------------------------------------------
+
+  /** One theta sketch of `keyCol`'s distinct values: per-partition
+    * sketches, driver union — each side of a set-overlap question costs
+    * one narrow scan, no shuffle, and the result is a few KB. */
+  def thetaBytes(df: DataFrame, keyCol: String, lgK: Int = 12): Array[Byte] = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => DS}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.select(col(keyCol).cast("string").as("k"))
+      .na.drop("any", Seq("k"))
+      .as[String]
+      .mapPartitions { it =>
+        val sk = org.apache.datasketches.theta.UpdateSketch.builder()
+          .setLogNominalEntries(lgK).build()
+        it.foreach(sk.update)
+        Iterator(sk.compact().toByteArray)
+      }(org.apache.spark.sql.Encoders.BINARY)
+      .collect()
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    parts.foreach(b => u.union(DS.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(b))))
+    u.getResult.toByteArray
+  }
+
+  /** Set-overlap estimates between two keyed corpora WITHOUT a join:
+    * distinct counts per side, intersection, union, and Jaccard — the
+    * "how much of corpus B have we already got" audit that exact
+    * COUNT(DISTINCT) would answer with a full shuffle of both key sets.
+    *
+    * Theta sketches are EXACT below ~2^lgK retained keys and ~±1.6% /
+    * sqrt(2^lgK) beyond (hence the oracle can gate this at test scale);
+    * intersections inherit the worse of the two sides' modes. Each side
+    * costs one narrow scan; the set algebra is driver-side on KB-sized
+    * compact sketches. */
+  def thetaOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+                   lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => DS}
+    import org.apache.datasketches.memory.Memory
+    val sa = DS.wrapSketch(Memory.wrap(thetaBytes(a, keyCol, lgK)))
+    val sb = DS.wrapSketch(Memory.wrap(thetaBytes(b, keyCol, lgK)))
+    val inter = SetOperation.builder().setLogNominalEntries(lgK).buildIntersection()
+    inter.intersect(sa); inter.intersect(sb)
+    val uni = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    uni.union(sa); uni.union(sb)
+    val nI = inter.getResult.getEstimate
+    val nU = uni.getResult.getEstimate
+    val spark = a.sparkSession
+    import spark.implicits._
+    // raw IEEE division, no rounding: in exact mode both operands are
+    // integral doubles, so any engine computing n_i/n_u bit-matches
+    Seq((math.round(sa.getEstimate), math.round(sb.getEstimate),
+        math.round(nI), math.round(nU),
+        if (nU == 0.0) 0.0 else nI / nU))
+      .toDF("n_a", "n_b", "n_intersect", "n_union", "jaccard")
+  }
 }

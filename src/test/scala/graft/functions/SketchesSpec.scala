@@ -107,4 +107,20 @@ class SketchesSpec extends AnyFunSuite {
     val empty = Sketches.kllBytes(Seq.empty[Option[Double]].toDF("v"), "v")
     intercept[IllegalArgumentException] { Sketches.kllQuantile(empty, 0.5) }
   }
+
+  test("theta overlap: exact set algebra below the nominal-entries bound") {
+    val a = spark.range(0, 300).select(col("id").as("k"))       // 0..299
+    val b = spark.range(200, 500).select(col("id").as("k"))     // 200..499
+    val got = Sketches.thetaOverlap(a, b, "k")
+      .as[(Long, Long, Long, Long, Double)].collect()(0)
+    assert(got == ((300L, 300L, 100L, 500L, 100.0 / 500.0)))
+  }
+
+  test("theta overlap: disjoint sets report zero intersection and jaccard") {
+    val a = spark.range(0, 50).select(col("id").as("k"))
+    val b = spark.range(100, 150).select(col("id").as("k"))
+    val got = Sketches.thetaOverlap(a, b, "k")
+      .as[(Long, Long, Long, Long, Double)].collect()(0)
+    assert(got == ((50L, 50L, 0L, 100L, 0.0)))
+  }
 }
