@@ -1751,6 +1751,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // X: per-node triangle counts over the embedding similarity graph —
+    // degree-ordered wedge join (out-degree bounded O(sqrt m)), every
+    // triangle found once; the local-clustering curation signal
+    "q_x_triangles" -> ((s, dir) => {
+      import graft.vec.VectorOps
+      val sub = t(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(3)) === 0)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+        .repartition(col("vec_id"))
+      val a = sub.select(col("vec_id").as("src"), col("v").as("va"))
+      val b = sub.select(col("vec_id").as("dst"), col("v").as("vb"))
+      val edges = a.join(broadcast(b), col("src") < col("dst"))
+        .withColumn("cos", VectorOps.cosine(col("va"), col("vb")))
+        .where(col("cos") >= 0.2)
+        .select(col("src"), col("dst"))
+      graft.ops.Graph.triangles(edges)
+    }),
+
     // X: embedding-cosine near-duplicate pairs over a probe subset
     "q_x_embed_dup" -> ((s, dir) => {
       import graft.vec.VectorOps
@@ -1812,6 +1830,28 @@ object SparkEntry {
       s.table("graft_stream_win")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // X: streaming funnel with drop-off, executed for REAL (file stream
+    // -> flatMapGroupsWithState + EventTimeTimeout -> memory sink):
+    // completions emit in-batch; stalled funnels whose 30-min deadline
+    // sits below the final watermark (max ts - 10 min) emit as drop-off
+    // rows in the no-data batch — all deterministic in event time, so
+    // the whole outcome table is oracle-checkable
+    "q_x_stream_funnel" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_funnel_q_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val q = StreamOps.funnelStream(
+          StreamOps.readEventsStream(s, streamDir.toString),
+          Seq("signup", "view", "click"),
+          maxSpanMs = 30 * 60 * 1000L, watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_funnel").start()
+      try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
+      s.table("graft_stream_funnel")
     }),
 
     // X: streaming corpus health monitor executed for REAL (file stream
@@ -3777,6 +3817,20 @@ object SparkEntry {
          FROM z
          WHERE n_prior >= 10 AND variance > 0 AND abs(z) >= 2.0""",
 
+    "q_x_triangles" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+         e AS (SELECT a.vec_id AS x, b.vec_id AS y FROM s a, s b
+               WHERE a.vec_id < b.vec_id
+                 AND CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.2),
+         tri AS (SELECT e1.x AS u, e1.y AS v, e2.y AS w
+                 FROM e e1 JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+                 JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM (SELECT u AS node FROM tri
+               UNION ALL SELECT v FROM tri
+               UNION ALL SELECT w FROM tri)
+         GROUP BY 1""",
+
     "q_x_embed_dup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3819,6 +3873,31 @@ object SparkEntry {
                          '%Y-%m-%d %H:%M:%S') AS hour_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_x_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+         wm AS (SELECT max(t) - INTERVAL 10 MINUTE AS w FROM e),
+         s0 AS (SELECT user_id, min(t) AS t0 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         v1 AS (SELECT e.user_id, min(e.t) AS t1
+                FROM e JOIN s0 USING (user_id)
+                WHERE e.event_type = 'view' AND e.t > s0.t0
+                  AND e.t <= s0.t0 + INTERVAL 30 MINUTE
+                GROUP BY e.user_id),
+         c2 AS (SELECT e.user_id
+                FROM e JOIN s0 USING (user_id) JOIN v1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.t > v1.t1
+                  AND e.t <= s0.t0 + INTERVAL 30 MINUTE
+                GROUP BY e.user_id),
+         done AS (SELECT user_id, true AS completed,
+                    CAST(3 AS BIGINT) AS steps_completed FROM c2),
+         part AS (SELECT s0.user_id, false AS completed,
+                    CAST(CASE WHEN v1.user_id IS NOT NULL THEN 2 ELSE 1 END
+                         AS BIGINT) AS steps_completed
+                  FROM s0 LEFT JOIN v1 USING (user_id)
+                  WHERE s0.user_id NOT IN (SELECT user_id FROM c2)
+                    AND s0.t0 + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+         SELECT * FROM done UNION ALL SELECT * FROM part""",
 
     "q_x_stream_health" ->
       """WITH d AS (SELECT doc_id,

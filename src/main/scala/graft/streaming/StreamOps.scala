@@ -48,6 +48,9 @@ object StreamOps {
                                sum_value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class FunnelProgress(step: Int, firstTs: Long, lastTs: Long)
+  final case class FunnelOutcome(user_id: Long, completed: Boolean, steps_completed: Long)
 
   /** Stateful sessionization with flatMapGroupsWithState: per user, an
     * open session accumulates until an event arrives more than `gapMs`
@@ -86,6 +89,70 @@ object StreamOps {
           }
           if (st != null) state.update(st)
           closed.result().iterator
+      }
+  }
+
+  /** Streaming funnel with DROP-OFF reporting: per user, advance through
+    * `steps` in order; emit (user, completed=true, n) the moment the last
+    * step lands, or (user, completed=false, steps_reached) once the
+    * event-time watermark proves the conversion window closed on a
+    * partial funnel. The second half is what batch funnels can't give a
+    * live pipeline: abandonment becomes VISIBLE at a deterministic
+    * event-time deadline, not whenever someone re-runs a report.
+    *
+    * State is one (step, firstTs) pair per in-flight user, evicted on
+    * completion or timeout — `GroupStateTimeout.EventTimeTimeout` keyed
+    * off the first step's event time + `maxSpanMs`, so the watermark
+    * drives expiry exactly like the outer interval join's null emission.
+    * Users whose funnel never started hold NO state. Within a batch,
+    * events sort by event time (micro-batch-bounded buffer, same as
+    * [[sessionize]]); steps landing past the span are ignored, so a
+    * timed-out user reports the progress made inside the window. */
+  def funnelStream(events: DataFrame, steps: Seq[String], maxSpanMs: Long,
+                   watermark: String = "10 minutes"):
+      org.apache.spark.sql.Dataset[FunnelOutcome] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(steps.nonEmpty && maxSpanMs > 0, "funnelStream: steps/maxSpan required")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermark)
+      .as[TypedEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelOutcome](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FunnelOutcome(userId, completed = false, s.step.toLong))
+          } else {
+            // microseconds (getTime is ms-truncated): ordering and span
+            // checks stay exact at timestamp precision, so results don't
+            // depend on sub-ms ties a ms clock can't see
+            def us(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+            var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue, Long.MinValue))
+            rows.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+              val t = us(e.ts)
+              // each step STRICTLY after the previous in event time (the
+              // batch funnel's rule — tie-proof regardless of scan order)
+              if (st.step < steps.length && e.event_type == steps(st.step) &&
+                  (st.step == 0 ||
+                    (t > st.lastTs && t - st.firstTs <= maxSpanMs * 1000L))) {
+                st = FunnelProgress(st.step + 1,
+                  if (st.step == 0) t else st.firstTs, t)
+              }
+            }
+            if (st.step == steps.length) {
+              state.remove()
+              Iterator(FunnelOutcome(userId, completed = true, steps.length.toLong))
+            } else if (st.step > 0) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.firstTs / 1000L + maxSpanMs)
+              Iterator.empty
+            } else Iterator.empty
+          }
       }
   }
 

@@ -47,4 +47,23 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(a == b)
   }
+
+  test("triangles: K4 has 4 triangles, every node in 3; squares have none") {
+    // K4 on 0..3 plus a triangle-free square 10-11-12-13
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val got = Graph.triangles((k4 ++ square).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangles: reversed duplicates and self-loops collapse before counting") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),   // duplicate in both directions
+      (2L, 3L), (3L, 1L),
+      (1L, 1L))             // self-loop: dropped
+      .toDF("src", "dst")
+    val got = Graph.triangles(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -119,6 +119,51 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: completion emits eagerly, drop-off at the event-time deadline") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_")
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit = {
+      val staging = dir.resolve(s"_stg_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
+    }
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 completes inside the span; user 2 stalls after signup+view
+    writeBatch("b1", Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "signup"),
+      (2L, ts("2026-01-01 10:05:00"), 1L, "view"),
+      (3L, ts("2026-01-01 10:10:00"), 1L, "click"),
+      (4L, ts("2026-01-01 10:00:00"), 2L, "signup"),
+      (5L, ts("2026-01-01 10:02:00"), 2L, "view")))
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val q = StreamOps.funnelStream(
+        spark.readStream.schema(schema).parquet(dir.toString),
+        Seq("signup", "view", "click"),
+        maxSpanMs = 30 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("funnel_stream")
+        .as[(Long, Boolean, Long)].collect().toSet
+      assert(afterB1 == Set((1L, true, 3L))) // user 2 still inside its window
+      // a far-future event (user 9 starts its own funnel) drags the
+      // watermark past user 2's deadline -> drop-off row with progress
+      writeBatch("b2", Seq((99L, ts("2026-01-02 00:00:00"), 9L, "signup")))
+      q.processAllAvailable()
+      q.processAllAvailable() // watermark advances a batch late
+      val afterB2 = spark.table("funnel_stream")
+        .as[(Long, Boolean, Long)].collect().toSet
+      assert(afterB2 == Set((1L, true, 3L), (2L, false, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions at the gap, keeps state per user") {
     import spark.implicits._
     val events = Seq(
