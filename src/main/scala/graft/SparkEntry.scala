@@ -1678,6 +1678,26 @@ object SparkEntry {
     // X: point-in-time (as-of) join — each event joined to the latest
     // order of its customer at or before the event time; the leakage-free
     // feature-join primitive
+    // X: last-touch attribution — each purchase credited to the same
+    // user's LAST click within a 7-day lookback (the as-of join's
+    // tolerance form); unattributed purchases keep a null click (the
+    // report must show unexplained conversions, not drop them)
+    "q_x_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.ops.AsOf.join(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "p_ts", rightTime = "c_ts",
+          leftId = Seq("purchase_id"), rightTiebreak = Seq("click_id"),
+          tolerance = Some(expr("interval 7 days")))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+    }),
+
     "q_x_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val o = t(s, dir, "orders")
@@ -3730,6 +3750,21 @@ object SparkEntry {
                  FROM s GROUP BY user_id, sid)
          SELECT user_id, session_start, session_end, n_events, sum_value
          FROM agg WHERE sid < max_sid""",
+
+    "q_x_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+             CAST(ts AS TIMESTAMP) AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id,
+             CAST(ts AS TIMESTAMP) AS c_ts
+           FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.purchase_id, p.user_id, c.click_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+           FROM p LEFT JOIN c ON p.user_id = c.user_id
+             AND c.c_ts <= p.p_ts
+             AND c.c_ts >= p.p_ts - INTERVAL 7 DAY)
+         SELECT purchase_id, user_id, click_id FROM j WHERE rn = 1""",
 
     "q_x_asof_join" ->
       """WITH j AS (
