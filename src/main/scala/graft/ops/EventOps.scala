@@ -172,6 +172,31 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"), col("p"))
   }
 
+  /** Top-k most frequent consecutive `n`-step paths ANYWHERE in a key's
+    * stream (not just the opening — see [[topPaths]] for that): every
+    * sliding window of `n` adjacent event types, counted corpus-wide.
+    * The "what sequences actually happen" mining pass behind flow
+    * optimization.
+    *
+    * One shuffle on the key; the n `lead` columns share a single window
+    * (one sort, streaming frame), incomplete tail windows drop via the
+    * null check, and the count aggregation shrinks to the distinct-path
+    * domain (bounded by |types|^n, not corpus size). */
+  def pathNgrams(events: DataFrame, keyCol: String, orderCols: Seq[String],
+                 typeCol: String, n: Int = 3, k: Int = 15): DataFrame = {
+    require(n >= 1 && k >= 1, s"pathNgrams: need n/k >= 1, got $n/$k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val steps = array((0 until n).map(i => lead(col(typeCol), i).over(w)): _*)
+    events
+      .withColumn("__steps", steps)
+      .where(forall(col("__steps"), s => s.isNotNull))
+      .select(array_join(col("__steps"), " > ").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("n_windows").desc, col("path"))
+      .limit(k)
+  }
+
   /** Top-k most common opening paths: each key's first `pathLen` event
     * types joined with " > ", counted across keys — the entry-flow
     * report ("what are the first three things users do"). Ordering
