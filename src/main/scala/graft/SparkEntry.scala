@@ -485,6 +485,13 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", minWords = 40)
     }),
 
+    // X: Gopher repetition-removal signals (dup line/para fractions,
+    // top/dup n-gram char fractions) — row-local projection, no shuffle
+    "q_x_gopher_repetition" -> ((s, dir) => {
+      graft.text.TextOps.gopherRepetitionFlags(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // X: quality scoring (length / punctuation / stopword features)
     "q_x_quality" -> ((s, dir) => {
       val f = graft.text.TextOps.qualityFeatures(col("text"))
@@ -2318,6 +2325,74 @@ object SparkEntry {
             AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
             AND n_stopwords >= 2) AS keep
          FROM f""",
+
+    "q_x_gopher_repetition" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         lels AS (SELECT doc_id,
+           list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS els
+           FROM d),
+         pels AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\n{2,}'), x -> trim(x) != '') AS els
+           FROM d),
+         lstat AS (SELECT doc_id,
+           round((len(els) - len(list_distinct(els)))::DOUBLE
+                 / greatest(len(els), 1), 4) AS dup_line_frac,
+           round((coalesce(list_sum(list_transform(els, e -> length(e))), 0)
+                  - coalesce(list_sum(list_transform(list_distinct(els), e -> length(e))), 0))::DOUBLE
+                 / greatest(coalesce(list_sum(list_transform(els, e -> length(e))), 0), 1), 4)
+             AS dup_line_char_frac
+           FROM lels),
+         pstat AS (SELECT doc_id,
+           round((len(els) - len(list_distinct(els)))::DOUBLE
+                 / greatest(len(els), 1), 4) AS dup_para_frac,
+           round((coalesce(list_sum(list_transform(els, e -> length(e))), 0)
+                  - coalesce(list_sum(list_transform(list_distinct(els), e -> length(e))), 0))::DOUBLE
+                 / greatest(coalesce(list_sum(list_transform(els, e -> length(e))), 0), 1), 4)
+             AS dup_para_char_frac
+           FROM pels),
+         toks AS (SELECT doc_id,
+           list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             t -> t != '') AS w
+           FROM d),
+         tchars AS (SELECT doc_id,
+           greatest(coalesce(list_sum(list_transform(w, t -> length(t))), 0), 1)::DOUBLE AS tot
+           FROM toks),
+         grams AS (SELECT doc_id, ns.n AS n,
+           unnest(CASE WHEN len(w) >= ns.n
+             THEN list_transform(range(1, len(w) - ns.n + 2),
+                    i -> array_to_string(list_slice(w, i, i + ns.n - 1), ' '))
+             ELSE []::VARCHAR[] END) AS gram
+           FROM toks CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns),
+         gcnt AS (SELECT doc_id, n, gram, count(*) AS c,
+             length(gram) - (n - 1) AS wl
+           FROM grams GROUP BY doc_id, n, gram),
+         gagg AS (SELECT doc_id, n, max(c * wl) AS best, sum((c - 1) * wl) AS dup
+           FROM gcnt GROUP BY doc_id, n),
+         piv AS (SELECT t.doc_id,
+           round(coalesce(max(CASE WHEN n = 2 THEN best END), 0) / t.tot, 4) AS top_2gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 3 THEN best END), 0) / t.tot, 4) AS top_3gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 4 THEN best END), 0) / t.tot, 4) AS top_4gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 5 THEN dup END), 0) / t.tot, 4) AS dup_5gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 6 THEN dup END), 0) / t.tot, 4) AS dup_6gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 7 THEN dup END), 0) / t.tot, 4) AS dup_7gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 8 THEN dup END), 0) / t.tot, 4) AS dup_8gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 9 THEN dup END), 0) / t.tot, 4) AS dup_9gram_char_frac,
+           round(coalesce(max(CASE WHEN n = 10 THEN dup END), 0) / t.tot, 4) AS dup_10gram_char_frac
+           FROM tchars t LEFT JOIN gagg g ON t.doc_id = g.doc_id
+           GROUP BY t.doc_id, t.tot)
+         SELECT l.doc_id, dup_line_frac, dup_line_char_frac,
+           dup_para_frac, dup_para_char_frac,
+           top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+           dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+           dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+            AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+            AND top_4gram_char_frac <= 0.16
+            AND dup_5gram_char_frac <= 0.15 AND dup_6gram_char_frac <= 0.14
+            AND dup_7gram_char_frac <= 0.13 AND dup_8gram_char_frac <= 0.12
+            AND dup_9gram_char_frac <= 0.11 AND dup_10gram_char_frac <= 0.10) AS keep
+         FROM lstat l JOIN pstat p USING (doc_id) JOIN piv USING (doc_id)""",
 
     "q_x_bpe_chars" ->
       """SELECT doc_id,
