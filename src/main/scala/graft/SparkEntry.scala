@@ -14,11 +14,14 @@ import graft.ops.{Clean, Projection, Reshape, Windows}
   */
 object SparkEntry {
 
-  /** Table loader. `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which
-    * Spark refuses natively; sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true and we convert here with
-    * floor ns->us division — identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP
-    * cast, so oracle comparisons stay exact. */
+  /** Table loader. The driver has shipped `events.ts` as both INT64
+    * TIMESTAMP(NANOS) (arrives as long under
+    * spark.sql.legacy.parquet.nanosAsLong, converted here with floor
+    * ns->us division — identical to DuckDB's TIMESTAMP_NS -> TIMESTAMP
+    * cast) and TIMESTAMP(MICROS) with no tz (arrives as TIMESTAMP_NTZ,
+    * passed through; NTZ-rejecting call sites like unix_micros cast to
+    * TIMESTAMP locally, a wall-clock identity under the pinned UTC
+    * session timezone). Oracle comparisons stay exact either way. */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.fields.exists(f => f.name == "ts" &&
@@ -1636,7 +1639,7 @@ object SparkEntry {
     // 2026-01-01 via exact micros so both engines divide identical longs
     "q_x_trend" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("x",
-        unix_micros(col("ts")).cast("double") / lit(8.64e10) - lit(20454.0))
+        unix_micros(col("ts").cast("timestamp")).cast("double") / lit(8.64e10) - lit(20454.0))
       graft.functions.Stats.groupedTrend(ev, Seq("event_type"), "x", "value")
     }),
 
@@ -2326,60 +2329,85 @@ object SparkEntry {
             AND n_stopwords >= 2) AS keep
          FROM f""",
 
+    // Paper/DataTrove normalization throughout: every char fraction
+    // divides by the FULL document length; top-gram mass requires the
+    // gram to repeat (c > 1); dup-gram mass is the non-overlapping
+    // skip-n scan, expressed as a recursive CTE walking each (doc, n)
+    // gram list left to right with a seen-list — sequential by nature,
+    // fine at oracle scale (docs are <= ~100 tokens at sf0.01).
     "q_x_gopher_repetition" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
+      """WITH RECURSIVE d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         tl AS (SELECT doc_id, greatest(length(text), 1)::DOUBLE AS tlen FROM d),
          lels AS (SELECT doc_id,
            list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS els
            FROM d),
          pels AS (SELECT doc_id,
            list_filter(regexp_split_to_array(text, '\n{2,}'), x -> trim(x) != '') AS els
            FROM d),
-         lstat AS (SELECT doc_id,
+         lstat AS (SELECT l.doc_id,
            round((len(els) - len(list_distinct(els)))::DOUBLE
                  / greatest(len(els), 1), 4) AS dup_line_frac,
            round((coalesce(list_sum(list_transform(els, e -> length(e))), 0)
                   - coalesce(list_sum(list_transform(list_distinct(els), e -> length(e))), 0))::DOUBLE
-                 / greatest(coalesce(list_sum(list_transform(els, e -> length(e))), 0), 1), 4)
-             AS dup_line_char_frac
-           FROM lels),
-         pstat AS (SELECT doc_id,
+                 / t.tlen, 4) AS dup_line_char_frac
+           FROM lels l JOIN tl t USING (doc_id)),
+         pstat AS (SELECT p.doc_id,
            round((len(els) - len(list_distinct(els)))::DOUBLE
                  / greatest(len(els), 1), 4) AS dup_para_frac,
            round((coalesce(list_sum(list_transform(els, e -> length(e))), 0)
                   - coalesce(list_sum(list_transform(list_distinct(els), e -> length(e))), 0))::DOUBLE
-                 / greatest(coalesce(list_sum(list_transform(els, e -> length(e))), 0), 1), 4)
-             AS dup_para_char_frac
-           FROM pels),
+                 / t.tlen, 4) AS dup_para_char_frac
+           FROM pels p JOIN tl t USING (doc_id)),
          toks AS (SELECT doc_id,
            list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
              t -> t != '') AS w
            FROM d),
-         tchars AS (SELECT doc_id,
-           greatest(coalesce(list_sum(list_transform(w, t -> length(t))), 0), 1)::DOUBLE AS tot
-           FROM toks),
-         grams AS (SELECT doc_id, ns.n AS n,
+         topg AS (SELECT doc_id, ns.n AS n,
            unnest(CASE WHEN len(w) >= ns.n
              THEN list_transform(range(1, len(w) - ns.n + 2),
                     i -> array_to_string(list_slice(w, i, i + ns.n - 1), ' '))
              ELSE []::VARCHAR[] END) AS gram
-           FROM toks CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns),
-         gcnt AS (SELECT doc_id, n, gram, count(*) AS c,
-             length(gram) - (n - 1) AS wl
-           FROM grams GROUP BY doc_id, n, gram),
-         gagg AS (SELECT doc_id, n, max(c * wl) AS best, sum((c - 1) * wl) AS dup
+           FROM toks CROSS JOIN (SELECT unnest([2,3,4]) AS n) ns),
+         gcnt AS (SELECT doc_id, n, gram, count(*) AS c
+           FROM topg GROUP BY doc_id, n, gram),
+         gagg AS (SELECT doc_id, n,
+             max(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS best
            FROM gcnt GROUP BY doc_id, n),
+         gram5 AS (SELECT doc_id, ns.n AS n,
+           CASE WHEN len(w) >= ns.n
+             THEN list_transform(range(1, len(w) - ns.n + 2),
+                    i -> array_to_string(list_slice(w, i, i + ns.n - 1), ' '))
+             ELSE []::VARCHAR[] END AS gl
+           FROM toks CROSS JOIN (SELECT unnest([5,6,7,8,9,10]) AS n) ns),
+         scan AS (
+           SELECT doc_id, n, 1 AS i, []::VARCHAR[] AS seen, 0::BIGINT AS chars
+           FROM gram5
+           UNION ALL
+           SELECT s.doc_id, s.n,
+             CASE WHEN list_contains(s.seen, g.gl[s.i])
+                  THEN s.i + s.n ELSE s.i + 1 END AS i,
+             CASE WHEN list_contains(s.seen, g.gl[s.i])
+                  THEN s.seen ELSE list_append(s.seen, g.gl[s.i]) END AS seen,
+             s.chars + CASE WHEN list_contains(s.seen, g.gl[s.i])
+                            THEN length(g.gl[s.i]) ELSE 0 END AS chars
+           FROM scan s JOIN gram5 g ON s.doc_id = g.doc_id AND s.n = g.n
+           WHERE s.i <= len(g.gl)),
+         dupagg AS (SELECT doc_id, n, max(chars) AS dup
+           FROM scan GROUP BY doc_id, n),
          piv AS (SELECT t.doc_id,
-           round(coalesce(max(CASE WHEN n = 2 THEN best END), 0) / t.tot, 4) AS top_2gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 3 THEN best END), 0) / t.tot, 4) AS top_3gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 4 THEN best END), 0) / t.tot, 4) AS top_4gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 5 THEN dup END), 0) / t.tot, 4) AS dup_5gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 6 THEN dup END), 0) / t.tot, 4) AS dup_6gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 7 THEN dup END), 0) / t.tot, 4) AS dup_7gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 8 THEN dup END), 0) / t.tot, 4) AS dup_8gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 9 THEN dup END), 0) / t.tot, 4) AS dup_9gram_char_frac,
-           round(coalesce(max(CASE WHEN n = 10 THEN dup END), 0) / t.tot, 4) AS dup_10gram_char_frac
-           FROM tchars t LEFT JOIN gagg g ON t.doc_id = g.doc_id
-           GROUP BY t.doc_id, t.tot)
+           round(coalesce(max(CASE WHEN a.n = 2 THEN a.best END), 0) / t.tlen, 4) AS top_2gram_char_frac,
+           round(coalesce(max(CASE WHEN a.n = 3 THEN a.best END), 0) / t.tlen, 4) AS top_3gram_char_frac,
+           round(coalesce(max(CASE WHEN a.n = 4 THEN a.best END), 0) / t.tlen, 4) AS top_4gram_char_frac,
+           round(coalesce(max(CASE WHEN u.n = 5 THEN u.dup END), 0) / t.tlen, 4) AS dup_5gram_char_frac,
+           round(coalesce(max(CASE WHEN u.n = 6 THEN u.dup END), 0) / t.tlen, 4) AS dup_6gram_char_frac,
+           round(coalesce(max(CASE WHEN u.n = 7 THEN u.dup END), 0) / t.tlen, 4) AS dup_7gram_char_frac,
+           round(coalesce(max(CASE WHEN u.n = 8 THEN u.dup END), 0) / t.tlen, 4) AS dup_8gram_char_frac,
+           round(coalesce(max(CASE WHEN u.n = 9 THEN u.dup END), 0) / t.tlen, 4) AS dup_9gram_char_frac,
+           round(coalesce(max(CASE WHEN u.n = 10 THEN u.dup END), 0) / t.tlen, 4) AS dup_10gram_char_frac
+           FROM tl t
+           LEFT JOIN gagg a ON t.doc_id = a.doc_id
+           LEFT JOIN dupagg u ON t.doc_id = u.doc_id
+           GROUP BY t.doc_id, t.tlen)
          SELECT l.doc_id, dup_line_frac, dup_line_char_frac,
            dup_para_frac, dup_para_char_frac,
            top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,

@@ -198,4 +198,72 @@ object HashOps {
       compressed.toDouble / raw.length
     } finally d.end()
   }
+
+  /** Gopher repetition n-gram statistics (Rae et al. arXiv:2112.11446
+    * App. A.1.1, DataTrove find_top_duplicate / find_all_duplicate
+    * semantics) over a token array, one O(tokens) pass per call:
+    *
+    *   [0] top: char mass of the most-repeated word n-gram — its
+    *       SPACE-INCLUSIVE char length x occurrence count, 0 unless it
+    *       occurs at least twice (a singleton "most frequent" n-gram is
+    *       not repetition);
+    *   [1] dup: chars inside duplicated n-grams counted NON-overlapping:
+    *       scan left to right, and on hitting an n-gram seen before, add
+    *       its char length and jump n tokens (skipped positions are
+    *       neither counted nor added to the seen set) — so the mass is
+    *       bounded by the document's length, as the paper's thresholds
+    *       assume.
+    *
+    * A kernel rather than a higher-order-function fold because the exact
+    * skip-ahead scan is inherently sequential with a hash set — as a
+    * Column expression it would be an O(tokens^2) growing-map aggregate,
+    * and the sorted-run formulation it replaced could not express the
+    * skip (it counted every overlapping repeat, inflating the stat past
+    * the published thresholds). Char lengths are code points, matching
+    * both Spark's and DuckDB's length(). */
+  def ngramRepStats(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array(0L, 0L))
+    val k = m - n + 1
+    val grams = new Array[String](k)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!toks.isNullAt(i + j)) sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      grams(i) = sb.toString
+      i += 1
+    }
+    def chars(s: String): Long = s.codePointCount(0, s.length).toLong
+    val counts = new java.util.HashMap[String, Integer](k * 2)
+    i = 0
+    while (i < k) {
+      val c = counts.get(grams(i))
+      counts.put(grams(i), if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var top = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > 1) {
+        val mass = chars(e.getKey) * e.getValue
+        if (mass > top) top = mass
+      }
+    }
+    val seen = new java.util.HashSet[String]()
+    var dup = 0L
+    i = 0
+    while (i < k) {
+      val g = grams(i)
+      if (seen.contains(g)) { dup += chars(g); i += n }
+      else { seen.add(g); i += 1 }
+    }
+    new GenericArrayData(Array(top, dup))
+  }
 }

@@ -212,6 +212,26 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gopher repetition n-gram stats [top_chars, dup_chars] over a token
+  * array — see [[HashOps.ngramRepStats]] for the exact DataTrove
+  * semantics (count>1 top guard, non-overlapping skip-n dup scan). The
+  * scan is sequential with a hash set, which no codegen'd built-in
+  * composition expresses; as a kernel it is one static call per row. */
+case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram_rep_stats: n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_rep_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.ngramRepStats(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.ngramRepStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepStats =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftx.{toColumn, toExpression}
 
@@ -231,6 +251,8 @@ object TextExpressions {
     toColumn(FixMojibake(toExpression(c)))
   def deflate_ratio(c: Column): Column =
     toColumn(DeflateRatio(toExpression(c)))
+  def ngram_rep_stats(tokens: Column, n: Int): Column =
+    toColumn(NgramRepStats(toExpression(tokens), n))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

@@ -65,7 +65,7 @@ object EventOps {
     val stepArr = array(steps.map(lit): _*)
     events
       .select(col(userCol).as("user"),
-        unix_micros(col(tsCol)).as("t"), col(typeCol).as("typ"))
+        unix_micros(col(tsCol).cast("timestamp")).as("t"), col(typeCol).as("typ"))
       .groupBy(col("user"))
       .agg(sort_array(collect_list(struct(col("t"), col("typ")))).as("evs"))
       .withColumn("state", aggregate(

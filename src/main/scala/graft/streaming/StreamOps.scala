@@ -15,15 +15,31 @@ import org.apache.spark.sql.types._
 object StreamOps {
 
   /** events schema as read from the driver's parquet (ts arrives as ns
-    * epoch long under spark.sql.legacy.parquet.nanosAsLong). */
+    * epoch long under spark.sql.legacy.parquet.nanosAsLong). Kept for
+    * callers that stream ns-long fixtures; [[readEventsStream]] now
+    * derives the schema from the files themselves, because the driver
+    * has shipped both TIMESTAMP(NANOS) (-> long) and TIMESTAMP(MICROS)
+    * (-> timestamp_ntz) testdata across rounds. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Normalize the raw events frame (ns long -> timestamp). */
+  /** Normalize whatever physical type `ts` arrived as to TimestampType:
+    * ns epoch long (legacy nanosAsLong reads) -> floor-divide to micros;
+    * TIMESTAMP_NTZ (plain parquet TIMESTAMP(MICROS) with no tz) -> cast,
+    * a wall-clock identity under the UTC session timezone every entry
+    * point pins. Downstream event-time code (watermarks, unix_micros,
+    * java.sql.Timestamp encoders) then sees one type regardless of how
+    * the writer annotated the column. */
   def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
 
   /** Tumbling-window aggregation with a watermark for late data —
     * identical logic batch or stream. */
@@ -174,7 +190,8 @@ object StreamOps {
     val flagged = events.select(col("user_id"), col("ts"), col("value"))
       .withColumn("brk",
         when(prevTs.isNull ||
-          unix_micros(col("ts")) - unix_micros(prevTs) > gapMs * 1000L, 1L)
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(prevTs.cast("timestamp")) > gapMs * 1000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(cum))
       // the user's LAST session id, computed on the same user_id
@@ -287,10 +304,16 @@ object StreamOps {
       typedlit(grams.toSeq)))
   }
 
-  /** Open the events directory as a file stream. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.readStream.schema(eventsSchema)
+  /** Open the events directory as a file stream. The stream schema is
+    * read from the parquet footers (one cheap batch-read of metadata) so
+    * a ns-long vs timestamp `ts` column is represented faithfully —
+    * imposing the wrong physical type on a file stream silently misreads
+    * epoch values instead of failing. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    normalize(spark.readStream.schema(fileSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir))
+  }
 
   /** Watermarked interval stream-stream join — the attribution shape:
     * every left event matched to same-user right events that occur

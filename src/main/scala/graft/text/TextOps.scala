@@ -756,41 +756,19 @@ object TextOps {
   /** (dup_frac, dup_char_frac) of an element array: occurrences BEYOND
     * the first count as duplicates (the find_duplicates convention of
     * Gopher reimplementations), so both stats fall out of the
-    * all-vs-distinct difference — no sort, no map, two O(len) folds. */
-  private def dupElementStats(arr: Column): (Column, Column) = {
+    * all-vs-distinct difference — no sort, no map, two O(len) folds.
+    * The element fraction divides by the element count; the char
+    * fraction divides by `textLen` (the FULL document char length,
+    * spaces and newlines included), matching the paper's and
+    * DataTrove's normalization. */
+  private def dupElementStats(arr: Column, textLen: Column): (Column, Column) = {
     val n = size(arr).cast("long")
     val nd = size(array_distinct(arr)).cast("long")
     val tot = aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
     val dtot = aggregate(array_distinct(arr), lit(0L),
       (a, x) => a + length(x).cast("long"))
     (round((n - nd).cast("double") / greatest(n, lit(1L)).cast("double"), 4),
-      round((tot - dtot).cast("double") / greatest(tot, lit(1L)).cast("double"), 4))
-  }
-
-  /** (best, dup) char masses of word n-grams in one row-local pass:
-    * `best` = occurrences-of-the-most-frequent-n-gram x its non-space
-    * char length; `dup` = sum over repeated n-grams of (count - 1) x
-    * char length. Sort the n-gram array once, then a single run-length
-    * fold — O(m log m) per document instead of the O(m^2)
-    * count-each-against-all shape, the difference that matters when a
-    * 100 TB corpus hides million-token documents. */
-  private def ngramRepStats(toks: Column, n: Int): (Column, Column) = {
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array_repeat(lit(""), 0))
-    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("dup"), lit(0L).as("best"))
-    val st = aggregate(array_sort(grams), zero, (acc, x) => {
-      // n-gram char weight = chars minus the n-1 joining spaces
-      val w = (length(x) - (n - 1)).cast("long")
-      val same = x === acc.getField("prev")
-      val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
-      struct(x.as("prev"), run.as("run"),
-        (acc.getField("dup") + when(same, w).otherwise(lit(0L))).as("dup"),
-        greatest(acc.getField("best"), run * w).as("best"))
-    })
-    (st.getField("best"), st.getField("dup"))
+      round((tot - dtot).cast("double") / textLen, 4))
   }
 
   /** Gopher REPETITION removal signals (Rae et al. arXiv:2112.11446
@@ -805,19 +783,28 @@ object TextOps {
     *   - `dup_line_char_frac` / `dup_para_char_frac`: the same mass
     *     measured in characters over the element char total;
     *   - `top_{2,3,4}gram_char_frac`: chars covered by the most
-    *     frequent word n-gram over total non-space chars (overlapping
-    *     occurrences each count, so pathological single-token loops
-    *     can exceed 1 — kept raw, the thresholds sit far below);
-    *   - `dup_{5..10}gram_char_frac`: chars in repeat occurrences of
-    *     any duplicated n-gram, same denominator;
+    *     repeated word n-gram (space-inclusive length x count, 0 when
+    *     nothing repeats) over the FULL document char length — the
+    *     paper/DataTrove normalization, so Table A1 thresholds apply
+    *     as published;
+    *   - `dup_{5..10}gram_char_frac`: chars in duplicated n-grams
+    *     counted non-overlapping (DataTrove's find_all_duplicate
+    *     skip-n scan — bounded by 1), same denominator;
     *   - `keep`: every statistic at or under its (Gopher Table A1
     *     default) threshold, compared on the rounded values so the
     *     decision is reproducible across engines.
     *
+    * Known deviations from DataTrove, by choice: lines/paragraphs are
+    * blank-filtered before counting (split("\n") of trailing newlines
+    * would otherwise make every doc "contain duplicate lines"), and
+    * null text is treated as "" (well-defined zero stats, keep=true)
+    * rather than propagating null into the keep flag and silently
+    * dropping such rows under a WHERE.
+    *
     * Entirely row-local — a pure projection, no shuffle, no join: the
-    * per-doc state is one sorted n-gram array per n, nothing crosses
-    * rows, so the operator scales with corpus bytes like every other
-    * quality filter in this file. */
+    * n-gram statistics are one [[graft.functions.NgramRepStats]] kernel
+    * call per (doc, n), nothing crosses rows, so the operator scales
+    * with corpus bytes like every other quality filter in this file. */
   def gopherRepetitionFlags(docs: DataFrame, idCol: String, textCol: String,
                             maxDupLineFrac: Double = 0.30,
                             maxDupParaFrac: Double = 0.30,
@@ -828,23 +815,23 @@ object TextOps {
                             maxDupNgramCharFrac: Seq[(Int, Double)] =
                               Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
                                   8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): DataFrame = {
-    val text = col(textCol)
+    val text = coalesce(col(textCol), lit(""))
+    val textLen = greatest(length(text).cast("long"), lit(1L)).cast("double")
     val nonBlank = (e: Column) => trim(e) =!= ""
     val (dupLine, dupLineChar) =
-      dupElementStats(filter(split(text, "\n"), nonBlank))
+      dupElementStats(filter(split(text, "\n"), nonBlank), textLen)
     val (dupPara, dupParaChar) =
-      dupElementStats(filter(split(text, "\n{2,}"), nonBlank))
+      dupElementStats(filter(split(text, "\n{2,}"), nonBlank), textLen)
     val toks = filter(tokens(text), t => t =!= "")
-    val totChars = greatest(
-      aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long")), lit(1L))
-      .cast("double")
     val topCols = maxTopNgramCharFrac.map { case (n, thr) =>
-      val (best, _) = ngramRepStats(toks, n)
-      (s"top_${n}gram_char_frac", round(best.cast("double") / totChars, 4), thr)
+      val st = graft.functions.TextExpressions.ngram_rep_stats(toks, n)
+      (s"top_${n}gram_char_frac",
+        round(element_at(st, 1).cast("double") / textLen, 4), thr)
     }
     val dupCols = maxDupNgramCharFrac.map { case (n, thr) =>
-      val (_, dup) = ngramRepStats(toks, n)
-      (s"dup_${n}gram_char_frac", round(dup.cast("double") / totChars, 4), thr)
+      val st = graft.functions.TextExpressions.ngram_rep_stats(toks, n)
+      (s"dup_${n}gram_char_frac",
+        round(element_at(st, 2).cast("double") / textLen, 4), thr)
     }
     val lineParaCols = Seq(
       ("dup_line_frac", dupLine, maxDupLineFrac),

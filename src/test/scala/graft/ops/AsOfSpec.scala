@@ -72,10 +72,8 @@ class AsOfSpec extends AnyFunSuite {
 
   test("custom plan agrees with the composed form on the events/orders tables") {
     val spark2 = spark
-    val e = spark2.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val ev = e.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val ev = graft.streaming.StreamOps.normalize(
+      spark2.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val o = spark2.read.parquet("/root/testdata/sf0.001/orders.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.select("event_id", "o_orderkey").collect()

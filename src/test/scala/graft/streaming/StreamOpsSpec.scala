@@ -20,8 +20,7 @@ class StreamOpsSpec extends AnyFunSuite {
 
   test("streamed windowed counts equal the batch computation") {
     val batch = StreamOps.windowedCounts(
-      StreamOps.normalize(spark.read.schema(StreamOps.eventsSchema)
-        .parquet(s"$streamDir/events.parquet")))
+      StreamOps.normalize(spark.read.parquet(s"$streamDir/events.parquet")))
     val expected = batch.count()
 
     val stream = StreamOps.windowedCounts(
@@ -42,8 +41,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("watermarked interval stream-stream join equals the batch join") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val batch = StreamOps.normalize(spark.read.schema(StreamOps.eventsSchema)
-      .parquet(s"$streamDir/events.parquet"))
+    val batch = StreamOps.normalize(spark.read.parquet(s"$streamDir/events.parquet"))
     val expected = StreamOps.intervalJoinStream(
         batch.where(col("event_type") === "click"),
         batch.where(col("event_type") === "purchase"),
@@ -187,8 +185,7 @@ class StreamOpsSpec extends AnyFunSuite {
 
   test("batch gaps-and-islands sessionization agrees with the stateful form") {
     // real events slice: both implementations must close identical sessions
-    val events = StreamOps.normalize(spark.read
-      .schema(StreamOps.eventsSchema).parquet(s"$streamDir/events.parquet"))
+    val events = StreamOps.normalize(spark.read.parquet(s"$streamDir/events.parquet"))
     // compare at second precision (as the oracle does): the stateful path
     // carries session bounds through java.sql.Timestamp millis while the
     // batch path keeps the source's full microseconds
@@ -222,8 +219,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .select("event_id", "user_id", "event_type", "value")
     val q = StreamOps.ingestStream(stream, store, "events").start()
     try q.processAllAvailable() finally q.stop()
-    val perFile = spark.read.schema(StreamOps.eventsSchema)
-      .parquet(s"$dir/e1.parquet").count()
+    val perFile = spark.read.parquet(s"$dir/e1.parquet").count()
     // append view holds BOTH batches; the versioned snapshot would keep
     // only the latest (that semantic is for reference tables)
     assert(store.appendedRows().count() == 2 * perFile)
@@ -248,8 +244,7 @@ class StreamOpsSpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
     }
     run() // first run consumes e1
-    val perFile = spark.read.schema(StreamOps.eventsSchema)
-      .parquet(s"$dir/e1.parquet").count()
+    val perFile = spark.read.parquet(s"$dir/e1.parquet").count()
     assert(store.appendedRows().count() == perFile)
     // "restart": a new query on the same checkpoint sees only the new file
     java.nio.file.Files.copy(
@@ -415,8 +410,8 @@ class StreamOpsSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val n = spark.table("dedup_events").count()
-      val distinct = spark.read.schema(StreamOps.eventsSchema)
-        .parquet(s"$streamDir/events.parquet").select("event_id").distinct().count()
+      val distinct = spark.read.parquet(s"$streamDir/events.parquet")
+        .select("event_id").distinct().count()
       assert(n == distinct)
     } finally q.stop()
   }

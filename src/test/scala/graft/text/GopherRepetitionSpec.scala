@@ -15,9 +15,10 @@ class GopherRepetitionSpec extends AnyFunSuite {
 
   test("duplicate line fraction: repeats beyond first occurrence count") {
     val r = flags(1L -> "a b\nc d\na b")(1L)
-    // lines [a b, c d, a b]: 1 of 3 is a repeat; 3 of 9 chars
+    // lines [a b, c d, a b]: 1 of 3 is a repeat; 3 repeated chars over
+    // the FULL 11-char document (paper normalization incl. separators)
     assert(r.getAs[Double]("dup_line_frac") == 0.3333)
-    assert(r.getAs[Double]("dup_line_char_frac") == 0.3333)
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.2727)
     // single paragraph (no blank line) — nothing to repeat
     assert(r.getAs[Double]("dup_para_frac") == 0.0)
     assert(r.getAs[Double]("dup_para_char_frac") == 0.0)
@@ -29,22 +30,44 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dup_line_frac") == 0.5)
   }
 
-  test("top n-gram char fraction: most frequent 2-gram covers all chars") {
+  test("top n-gram char fraction: most repeated 2-gram, space-inclusive") {
     val r = flags(1L -> "the cat the cat the cat")(1L)
-    // 2-grams: "the cat" x3, "cat the" x2; best = 3 * 6 chars; total 18
-    assert(r.getAs[Double]("top_2gram_char_frac") == 1.0)
+    // 2-grams: "the cat" x3 (7 chars -> mass 21), "cat the" x2 (mass 14);
+    // best 21 over the full 23-char document
+    assert(r.getAs[Double]("top_2gram_char_frac") == 0.913)
     // the two 5-grams are distinct — no duplicate mass
     assert(r.getAs[Double]("dup_5gram_char_frac") == 0.0)
     assert(!r.getAs[Boolean]("keep"))
   }
 
-  test("duplicate n-gram char fraction counts overlap mass (can exceed 1)") {
+  test("duplicate n-gram mass is non-overlapping (skip-n scan, <= 1)") {
     val r = flags(1L -> "a b c d e a b c d e a b c d e")(1L)
-    // period-5 token loop: 5-gram repeats carry (3-1)*5 + 4*(2-1)*5 = 30
-    // chars over 15 total non-space chars
-    assert(r.getAs[Double]("dup_5gram_char_frac") == 2.0)
-    assert(r.getAs[Double]("top_2gram_char_frac") == 0.4)
+    // period-5 token loop, 11 5-grams of 9 chars each: positions 1-5 are
+    // new, position 6 repeats (+9 chars, skip to 11), position 11
+    // repeats (+9, done) — 18 chars over the 29-char document, NOT the
+    // 30-char every-overlap mass the paper's thresholds never meant
+    assert(r.getAs[Double]("dup_5gram_char_frac") == 0.6207)
+    // "a b" x3, 3 chars -> mass 9 over 29
+    assert(r.getAs[Double]("top_2gram_char_frac") == 0.3103)
     assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("singleton most-frequent n-gram is not repetition") {
+    // every 2-gram distinct: top mass must be 0, not max(1 * len)
+    val r = flags(1L -> "alpha beta gamma delta")(1L)
+    assert(r.getAs[Double]("top_2gram_char_frac") == 0.0)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("null text behaves as empty: zero stats, keep") {
+    val rows = Seq((1L, null: String), (2L, "some regular text here"))
+    val r = TextOps.gopherRepetitionFlags(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(r(1L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(r(1L).getAs[Double]("top_2gram_char_frac") == 0.0)
+    assert(r(2L).getAs[Boolean]("keep"))
   }
 
   test("clean and degenerate docs keep: all-distinct text, empty, one word") {
