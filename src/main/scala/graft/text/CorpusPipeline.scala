@@ -50,6 +50,14 @@ object CorpusPipeline {
       // rarely uses the canonical function words)
       gopherMinWords: Option[Int] = None,
       gopherMinStopwords: Int = 2,
+      // true: also require the Gopher appendix-A REPETITION rules
+      // (dup line/para fractions, top/dup n-gram char fractions at the
+      // Table A1 thresholds) in the row-local prefix — the other half
+      // of the paper's filter, catching templated/boilerplate pages the
+      // document-level quality rules miss. Row-local kernel calls, so
+      // the stage costs a scan, not a shuffle (oracle-gated standalone:
+      // q_x_gopher_repetition)
+      gopherRepetition: Boolean = false,
       // Some(sep): C4-style global line dedup after redaction — every
       // non-blank line keeps one corpus-wide occurrence; docs whose text
       // empties out are then dropped (row counts change, audited)
@@ -74,15 +82,20 @@ object CorpusPipeline {
     val gopherOk = t.gopherMinWords.fold(lit(true))(mw =>
       TextOps.gopherKeep(col("text"), minWords = mw,
         minStopwords = t.gopherMinStopwords))
+    val repOk = if (t.gopherRepetition)
+      TextOps.gopherRepetitionKeep(col("text")) else lit(true)
 
     // audit of the row-local prefix: one aggregate pass, no checkpoints
     val prefix = base.agg(
       count(lit(1)).as("input"),
       count(when(langOk, 1)).as("language"),
       count(when(langOk && qualOk, 1)).as("quality"),
-      count(when(langOk && qualOk && gopherOk, 1)).as("gopher")).head()
+      count(when(langOk && qualOk && gopherOk, 1)).as("gopher"),
+      count(when(langOk && qualOk && gopherOk && repOk, 1)).as("repetition"))
+      .head()
 
     val redacted0 = base.where(langOk).where(qualOk).where(gopherOk)
+      .where(repOk)
       .withColumn("text", TextOps.redact(col("text")))
     // optional C4 line dedup: row-preserving by itself, but docs whose
     // every line was a later copy come back blank and are dropped here
@@ -124,6 +137,7 @@ object CorpusPipeline {
     audit += "language" -> prefix.getLong(1)
     audit += "quality" -> prefix.getLong(2)
     if (t.gopherMinWords.isDefined) audit += "gopher" -> prefix.getLong(3)
+    if (t.gopherRepetition) audit += "repetition" -> prefix.getLong(4)
     if (t.lineDedupSep.isDefined)
       audit += "line_dedup" -> lineObs.get("n").asInstanceOf[Number].longValue()
     audit += "exact_dedup" -> exactCount

@@ -815,7 +815,42 @@ object TextOps {
                             maxDupNgramCharFrac: Seq[(Int, Double)] =
                               Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
                                   8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): DataFrame = {
-    val text = coalesce(col(textCol), lit(""))
+    val all = gopherRepetitionParts(col(textCol), maxDupLineFrac,
+      maxDupParaFrac, maxDupLineCharFrac, maxDupParaCharFrac,
+      maxTopNgramCharFrac, maxDupNgramCharFrac)
+    val keep = all.map { case (_, c, thr) => c <= thr }.reduce(_ && _)
+    docs.select(col(idCol) +: all.map { case (nm, c, _) => c.as(nm) } :+
+      keep.as("keep"): _*)
+  }
+
+  /** The Gopher repetition keep predicate alone — the same thirteen
+    * statistics as [[gopherRepetitionFlags]] folded into one boolean
+    * Column, for composition into row-local filter prefixes (the
+    * repetition counterpart of [[gopherKeep]]; [[CorpusPipeline]] wires
+    * it in behind `Thresholds.gopherRepetition`). */
+  def gopherRepetitionKeep(text: Column,
+                           maxDupLineFrac: Double = 0.30,
+                           maxDupParaFrac: Double = 0.30,
+                           maxDupLineCharFrac: Double = 0.20,
+                           maxDupParaCharFrac: Double = 0.20,
+                           maxTopNgramCharFrac: Seq[(Int, Double)] =
+                             Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+                           maxDupNgramCharFrac: Seq[(Int, Double)] =
+                             Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+                                 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): Column =
+    gopherRepetitionParts(text, maxDupLineFrac, maxDupParaFrac,
+      maxDupLineCharFrac, maxDupParaCharFrac,
+      maxTopNgramCharFrac, maxDupNgramCharFrac)
+      .map { case (_, c, thr) => c <= thr }.reduce(_ && _)
+
+  /** (name, rounded statistic, threshold) triples shared by
+    * [[gopherRepetitionFlags]] and [[gopherRepetitionKeep]]. */
+  private def gopherRepetitionParts(text0: Column,
+      maxDupLineFrac: Double, maxDupParaFrac: Double,
+      maxDupLineCharFrac: Double, maxDupParaCharFrac: Double,
+      maxTopNgramCharFrac: Seq[(Int, Double)],
+      maxDupNgramCharFrac: Seq[(Int, Double)]): Seq[(String, Column, Double)] = {
+    val text = coalesce(text0, lit(""))
     val textLen = greatest(length(text).cast("long"), lit(1L)).cast("double")
     val nonBlank = (e: Column) => trim(e) =!= ""
     val (dupLine, dupLineChar) =
@@ -833,15 +868,12 @@ object TextOps {
       (s"dup_${n}gram_char_frac",
         round(element_at(st, 2).cast("double") / textLen, 4), thr)
     }
-    val lineParaCols = Seq(
+    Seq(
       ("dup_line_frac", dupLine, maxDupLineFrac),
       ("dup_line_char_frac", dupLineChar, maxDupLineCharFrac),
       ("dup_para_frac", dupPara, maxDupParaFrac),
-      ("dup_para_char_frac", dupParaChar, maxDupParaCharFrac))
-    val all = lineParaCols ++ topCols ++ dupCols
-    val keep = all.map { case (_, c, thr) => c <= thr }.reduce(_ && _)
-    docs.select(col(idCol) +: all.map { case (nm, c, _) => c.as(nm) } :+
-      keep.as("keep"): _*)
+      ("dup_para_char_frac", dupParaChar, maxDupParaCharFrac)) ++
+      topCols ++ dupCols
   }
 
   /** Add-k-smoothed bigram language-model score per document, trained on
