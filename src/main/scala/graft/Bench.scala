@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every `SparkEntry.queries` entry on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); the reported
-  * per-query value is the MEDIAN and `spread` carries max-min per query,
-  * so a real regression is distinguishable from run-to-run variance
-  * (single-shot timings swung ±25% on identical code across rounds).
+  * Each query runs one DISCARDED warm-up pass (JIT of the query's own
+  * codegen, parquet footer cache, broadcast relation build — the
+  * per-query cold costs that made sub-second queries swing by ±0.5 s
+  * round over round) and then SPARK_GRAFT_BENCH_RUNS timed runs
+  * (default 3); the reported per-query value is the MEDIAN and `spread`
+  * carries max-min per query, so a real regression is distinguishable
+  * from run-to-run variance (single-shot timings swung ±25% on
+  * identical code across rounds).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -69,6 +73,7 @@ object Bench {
     def r3(d: Double): Double = math.round(d * 1000).toDouble / 1000
 
     val results = selected.toSeq.map { case (name, fn) =>
+      runOnce(name, fn) // discarded warm-up: JIT + footer/broadcast caches
       val runs = (1 to nRuns).map(_ => runOnce(name, fn))
       val times = runs.map(_._1)
       (name, median(times), times.max - times.min, runs.forall(_._2))

@@ -200,13 +200,17 @@ object HashOps {
   }
 
   /** Gopher repetition n-gram statistics (Rae et al. arXiv:2112.11446
-    * App. A.1.1, DataTrove find_top_duplicate / find_all_duplicate
-    * semantics) over a token array, one O(tokens) pass per call:
+    * App. A.1.1; the non-overlapping dup scan follows DataTrove's
+    * find_all_duplicate) over a token array, one O(tokens) pass per
+    * call:
     *
     *   [0] top: char mass of the most-repeated word n-gram — its
     *       SPACE-INCLUSIVE char length x occurrence count, 0 unless it
-    *       occurs at least twice (a singleton "most frequent" n-gram is
-    *       not repetition);
+    *       occurs at least twice. The count>1 guard is a DELIBERATE
+    *       deviation from DataTrove's find_top_duplicate (which scores
+    *       a singleton most-frequent n-gram too) — see the known-
+    *       deviations list in [[graft.text.TextOps.gopherRepetitionFlags]];
+    *       kernel, oracle SQL and specs all apply it consistently;
     *   [1] dup: chars inside duplicated n-grams counted NON-overlapping:
     *       scan left to right, and on hitting an n-gram seen before, add
     *       its char length and jump n tokens (skipped positions are

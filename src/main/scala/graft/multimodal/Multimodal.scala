@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, decoded/feature-extracted in batched
   * per-partition passes.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): [[decodeStub]] derives deterministic fake features from the
-  * bytes. Everything around it — the schema, the Dataset plumbing, the
-  * mapPartitions batch shape, partition sizing — is real: swap
-  * `decodeStub` for a codec call and the pipeline is production-shaped.
+  * What is REAL vs STUBBED: container-header metadata (PNG/JPEG/GIF/BMP,
+  * WAV, MP4) is parsed for real from the leading bytes; still-image
+  * PIXEL decode + resize is real too, via the JDK's built-in
+  * `javax.imageio` ([[resizeImage]]/[[resizeImages]] — no external codec
+  * jars needed for PNG/JPEG/GIF/BMP). Only the VIDEO frame decode is
+  * stubbed ([[frameSampleStub]] — the container ships no video codec):
+  * it derives deterministic fake frames from the bytes, while everything
+  * around it — schema, Dataset plumbing, mapPartitions batch shape — is
+  * production-shaped. [[decodeStub]] remains for payloads that are not
+  * images at all (the driver's text-as-media stand-in).
   */
 object Multimodal {
 
@@ -52,10 +57,65 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation decodes, scales, and re-encodes;
-    * the fake projects the byte stream to the target size deterministically
+  /** REAL image resize via the JDK's built-in ImageIO — decodes
+    * PNG/JPEG/GIF/BMP payloads, rescales with bilinear interpolation
+    * through `Graphics2D`, re-encodes PNG. No external codec jars.
+    * Returns None for payloads no installed reader decodes (including
+    * the header-only [[fakePng]] synthetics, whose IDAT tail is not a
+    * real zlib stream — a decode failure is the honest outcome there).
+    * Call from a mapPartitions pass ([[resizeImages]]) so codec
+    * initialization amortizes per batch; the in-memory stream keeps
+    * ImageIO's disk cache out of the executor hot path. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w > 0 && h > 0, s"resizeImage: target must be positive, got ${w}x$h")
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val img = javax.imageio.ImageIO.read(in)
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null): Unit
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None } // truncated/corrupt payload
+  }
+
+  /** The resized-thumbnail row: null payload when the bytes did not
+    * decode as an image (the honest outcome, mirroring [[MediaMeta]]). */
+  final case class MediaThumb(media_id: Long, thumb: Array[Byte],
+                              width: Integer, height: Integer)
+
+  /** Batched REAL image resize over a media column — the mapPartitions
+    * shape of [[extractFeatures]] with `javax.imageio` doing the pixel
+    * work; at 100 TB this is a pure per-row CPU map, no shuffle, and the
+    * PNG thumbnails it emits are ~w*h*4 bytes before compression, so the
+    * output column is bounded regardless of input image sizes. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        resizeImage(r.payload, w, h) match {
+          case Some(png) => MediaThumb(r.media_id, png, w, h)
+          case None      => MediaThumb(r.media_id, null, null, null)
+        }
+      }
+    }
+  }
+
+  /** STUB resize for NON-image payloads (video frames, text stand-ins):
+    * projects the byte stream to the target size deterministically
     * (stride sampling), so the output SHAPE (a payload of exactly w*h
-    * bytes) is what a codec would produce. */
+    * bytes) is what a codec would produce. Image payloads should use
+    * [[resizeImage]], which is real. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h)
     if (payload.isEmpty) return out
@@ -80,7 +140,9 @@ object Multimodal {
 
   /** Batched resize + frame-sample pass — same mapPartitions shape as
     * [[extractFeatures]], emitting per-frame signatures and the resized
-    * thumbnail length. */
+    * thumbnail length. The thumbnail is the REAL [[resizeImage]] when
+    * the payload decodes as an image; non-image payloads (video, text
+    * stand-ins) fall back to the deterministic [[resizeStub]] shape. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int = 4,
                    thumbW: Int = 32, thumbH: Int = 32): Dataset[MediaFrames] = {
     import media.sparkSession.implicits._
@@ -89,7 +151,8 @@ object Multimodal {
       rows.map { r =>
         val frames = frameSampleStub(r.payload, nFrames)
         val sigs = frames.map(f => md.digest(f).map("%02x".format(_)).mkString)
-        val thumb = resizeStub(r.payload, thumbW, thumbH)
+        val thumb = resizeImage(r.payload, thumbW, thumbH)
+          .getOrElse(resizeStub(r.payload, thumbW, thumbH))
         MediaFrames(r.media_id, frames.length, sigs, thumb.length)
       }
     }

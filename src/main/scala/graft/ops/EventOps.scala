@@ -63,9 +63,13 @@ object EventOps {
              typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel: steps must be non-empty")
     val stepArr = array(steps.map(lit): _*)
-    events
+    // normalize dispatches on the column's physical type (ns-long ->
+    // micros, NTZ -> timestamp); after it, unix_micros either sees
+    // TimestampType or fails analysis loudly — no silent
+    // seconds-vs-nanos misread for callers that skipped normalization
+    graft.streaming.StreamOps.normalize(events, tsCol)
       .select(col(userCol).as("user"),
-        unix_micros(col(tsCol).cast("timestamp")).as("t"), col(typeCol).as("typ"))
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("typ"))
       .groupBy(col("user"))
       .agg(sort_array(collect_list(struct(col("t"), col("typ")))).as("evs"))
       .withColumn("state", aggregate(

@@ -32,12 +32,12 @@ object StreamOps {
     * point pins. Downstream event-time code (watermarks, unix_micros,
     * java.sql.Timestamp encoders) then sees one type regardless of how
     * the writer annotated the column. */
-  def normalize(raw: DataFrame): DataFrame =
-    raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+  def normalize(raw: DataFrame, tsCol: String = "ts"): DataFrame =
+    raw.schema.fields.find(_.name == tsCol).map(_.dataType) match {
       case Some(LongType) =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        raw.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` DIV 1000")))
       case Some(TimestampNTZType) =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => raw
     }
 
@@ -187,11 +187,14 @@ object StreamOps {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevTs = lag(col("ts"), 1).over(byUser)
-    val flagged = events.select(col("user_id"), col("ts"), col("value"))
+    // normalize FIRST (ns-long -> micros, NTZ -> timestamp) so the
+    // unix_micros below sees TimestampType or fails analysis loudly — a
+    // blind cast("timestamp") would silently reinterpret an
+    // unnormalized ns-long as epoch SECONDS
+    val flagged = normalize(events.select(col("user_id"), col("ts"), col("value")))
       .withColumn("brk",
         when(prevTs.isNull ||
-          unix_micros(col("ts").cast("timestamp")) -
-            unix_micros(prevTs.cast("timestamp")) > gapMs * 1000L, 1L)
+          unix_micros(col("ts")) - unix_micros(prevTs) > gapMs * 1000L, 1L)
           .otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(cum))
       // the user's LAST session id, computed on the same user_id
@@ -308,9 +311,17 @@ object StreamOps {
     * read from the parquet footers (one cheap batch-read of metadata) so
     * a ns-long vs timestamp `ts` column is represented faithfully —
     * imposing the wrong physical type on a file stream silently misreads
-    * epoch values instead of failing. */
+    * epoch values instead of failing. An EMPTY (or not-yet-created)
+    * directory falls back to [[eventsSchema]] — a stream is routinely
+    * started before its first file lands. The inferred schema is pinned
+    * for the stream's lifetime: every file later written to the watched
+    * directory must use the SAME ts encoding (mixed ns-long and
+    * timestamp files in one directory are unsupported — the stream
+    * would misread or break on the minority encoding). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(dir).schema
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
     normalize(spark.readStream.schema(fileSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir))
   }

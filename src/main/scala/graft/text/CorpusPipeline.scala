@@ -16,14 +16,18 @@ import org.apache.spark.sql.functions._
   * smallest possible survivor set. Returns the cleaned corpus plus a
   * per-stage row-count audit (the numbers a data lead asks for).
   *
-  * Audit cost model: the row-local prefix (language/quality) is audited
-  * with ONE map-side aggregate over the input — re-evaluating the cheap
-  * per-row predicates in a count costs a scan, not the full-corpus
-  * localCheckpoint WRITE per stage it used to cost (~5x write
-  * amplification at 100 TB). The near-dup and decontamination counts ride
-  * the final materialization via `observe()`. The single surviving
-  * checkpoint, at `exactKept`, is load-bearing: that frame is re-read by
-  * the MinHash stage (twice internally) and by the anti-join.
+  * Audit cost model: ONE scan of the input, total. The row-local prefix
+  * (language/quality/gopher/repetition) is audited by computing the
+  * keep-flags as COLUMNS on the same scan that feeds the exact-collapse
+  * checkpoint: an `observe()` metrics node counts the conditional
+  * survivors as rows stream past, and the filter applies AFTER the
+  * metrics node — so the predicates are evaluated once, not once for a
+  * separate audit aggregate and again for the filtering pass (which
+  * would be 2x the most expensive CPU stage at 100 TB, for four
+  * numbers). The near-dup and decontamination counts ride the final
+  * materialization the same way. The single surviving checkpoint, at
+  * `exactKept`, is load-bearing: that frame is re-read by the MinHash
+  * stage (twice internally) and by the anti-join.
   */
 object CorpusPipeline {
 
@@ -85,17 +89,29 @@ object CorpusPipeline {
     val repOk = if (t.gopherRepetition)
       TextOps.gopherRepetitionKeep(col("text")) else lit(true)
 
-    // audit of the row-local prefix: one aggregate pass, no checkpoints
-    val prefix = base.agg(
-      count(lit(1)).as("input"),
-      count(when(langOk, 1)).as("language"),
-      count(when(langOk && qualOk, 1)).as("quality"),
-      count(when(langOk && qualOk && gopherOk, 1)).as("gopher"),
-      count(when(langOk && qualOk && gopherOk && repOk, 1)).as("repetition"))
-      .head()
-
-    val redacted0 = base.where(langOk).where(qualOk).where(gopherOk)
-      .where(repOk)
+    // audit of the row-local prefix: keep-flags as columns + observe()
+    // BEFORE the filter, all riding the exact-collapse materialization
+    // below — the predicates run once, on the one scan of the input
+    // (Catalyst cannot push the filter through the metrics node, so the
+    // counts see every row)
+    val prefixObs = Observation()
+    val flagged = base
+      .withColumn("__lang_ok", langOk)
+      .withColumn("__qual_ok", qualOk)
+      .withColumn("__gopher_ok", gopherOk)
+      .withColumn("__rep_ok", repOk)
+      .observe(prefixObs,
+        count(lit(1)).as("input"),
+        count(when(col("__lang_ok"), 1)).as("language"),
+        count(when(col("__lang_ok") && col("__qual_ok"), 1)).as("quality"),
+        count(when(col("__lang_ok") && col("__qual_ok") && col("__gopher_ok"), 1))
+          .as("gopher"),
+        count(when(col("__lang_ok") && col("__qual_ok") && col("__gopher_ok") &&
+          col("__rep_ok"), 1)).as("repetition"))
+    val redacted0 = flagged
+      .where(col("__lang_ok") && col("__qual_ok") && col("__gopher_ok") &&
+        col("__rep_ok"))
+      .drop("__lang_ok", "__qual_ok", "__gopher_ok", "__rep_ok")
       .withColumn("text", TextOps.redact(col("text")))
     // optional C4 line dedup: row-preserving by itself, but docs whose
     // every line was a later copy come back blank and are dropped here
@@ -133,11 +149,15 @@ object CorpusPipeline {
       .observe(nearObs, count(lit(1)).as("n"))
 
     val audit = Seq.newBuilder[(String, Long)]
-    audit += "input" -> prefix.getLong(0)
-    audit += "language" -> prefix.getLong(1)
-    audit += "quality" -> prefix.getLong(2)
-    if (t.gopherMinWords.isDefined) audit += "gopher" -> prefix.getLong(3)
-    if (t.gopherRepetition) audit += "repetition" -> prefix.getLong(4)
+    // the eager checkpoint above was the action that filled prefixObs;
+    // get() merely reads the already-delivered metrics row
+    def prefix(name: String): Long =
+      prefixObs.get(name).asInstanceOf[Number].longValue()
+    audit += "input" -> prefix("input")
+    audit += "language" -> prefix("language")
+    audit += "quality" -> prefix("quality")
+    if (t.gopherMinWords.isDefined) audit += "gopher" -> prefix("gopher")
+    if (t.gopherRepetition) audit += "repetition" -> prefix("repetition")
     if (t.lineDedupSep.isDefined)
       audit += "line_dedup" -> lineObs.get("n").asInstanceOf[Number].longValue()
     audit += "exact_dedup" -> exactCount

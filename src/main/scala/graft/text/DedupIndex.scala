@@ -66,11 +66,10 @@ object DedupIndex {
     }
   }
 
-  /** Write params on first use; verify they match on reopen. The
+  /** Verify stored params match; no-op if the index has none yet. The
     * threshold is a per-probe knob (not index state) and is not pinned. */
-  private def checkOrWriteParams(spark: SparkSession, indexDir: String,
-                                 p: Params): Unit = {
-    import spark.implicits._
+  private def checkParams(spark: SparkSession, indexDir: String,
+                          p: Params): Unit = {
     val dir = s"$indexDir/params"
     if (exists(spark, dir)) {
       val r = spark.read.parquet(dir).head()
@@ -80,11 +79,19 @@ object DedupIndex {
         s"DedupIndex at $indexDir was built with (shingleN, numPerm, bands, nMods) = " +
           s"$stored; probing with ${(p.shingleN, p.numPerm, p.bands, p.nMods)} " +
           "would silently miss duplicates")
-    } else {
+    }
+  }
+
+  /** Write params on first use; verify they match on reopen. */
+  private def checkOrWriteParams(spark: SparkSession, indexDir: String,
+                                 p: Params): Unit = {
+    import spark.implicits._
+    checkParams(spark, indexDir, p)
+    val dir = s"$indexDir/params"
+    if (!exists(spark, dir))
       Seq((p.shingleN, p.numPerm, p.bands, p.nMods))
         .toDF("shingle_n", "num_perm", "bands", "n_mods")
         .coalesce(1).write.parquet(dir)
-    }
   }
 
   /** Batch rows + (__fp, __sig, __bands) service columns — computed once
@@ -104,21 +111,19 @@ object DedupIndex {
           TextOps.lshBandHashes(col("__sig"), p.bands, p.rowsPerBand)))
       .localCheckpoint()
 
-  /** Ingest one batch through the index: drop exact dups (fp probe) and
-    * near dups (band probe -> signature estimate -> exact-Jaccard verify
-    * against candidate corpus texts only), append survivors to
-    * `corpusDir` and their index rows to `indexDir`. Returns the number
-    * of appended rows.
-    *
-    * `batch` must carry at least (idCol, textCol); survivor rows are
-    * appended to the corpus with ALL their columns. */
-  def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
-                  idCol: String = "doc_id", textCol: String = "text",
-                  params: Params = Params()): Long = {
+  /** The probe core shared by [[probeBatch]] (pure, the recurring
+    * per-batch cost) and [[ingestBatch]] (probe + append): survivors of
+    * `batch` vs the index, WITH the (__fp, __sig, __bands) service
+    * columns still attached so the ingest path can append index rows
+    * without re-signing. `corpus` supplies candidate TEXTS for the
+    * exact-verify stage only — it is reached through candidate-id
+    * semi-probes, never scanned for signatures. */
+  private def probeWithSigs(batch: DataFrame, corpus: DataFrame,
+                            indexDir: String, idCol: String, textCol: String,
+                            params: Params): DataFrame = {
     val spark = batch.sparkSession
-    checkOrWriteParams(spark, indexDir, params)
     Seq("__fp", "__sig", "__bands", "__rn").foreach(c =>
-      require(!batch.columns.contains(c), s"ingestBatch: input already has a $c column"))
+      require(!batch.columns.contains(c), s"DedupIndex probe: input already has a $c column"))
 
     // in-batch exact collapse (keep the smallest id per fingerprint)
     val w = org.apache.spark.sql.expressions.Window
@@ -181,7 +186,7 @@ object DedupIndex {
           .select(col("id_l"), col("id_r"))
         // exact verify: fetch TEXT for candidate ids only — a semi-probe
         // into the corpus, not a corpus scan-and-sign
-        val lSets = spark.read.parquet(corpusDir)
+        val lSets = corpus
           .select(col(idCol).as("id_l"), col(textCol).as("ltext"))
           .join(estimated.select(col("id_l")).distinct(), Seq("id_l"), "left_semi")
           .withColumn("sset_l", array_distinct(
@@ -198,9 +203,72 @@ object DedupIndex {
           .select(col("id_r")).distinct()
       } else afterExact.limit(0).select(col(idCol).as("id_r"))
 
-    val survivors = afterExact.join(dupIds, col(idCol) === col("id_r"), "left_anti")
-      .localCheckpoint() // materialize BEFORE the appends, so the probes
-                         // cannot see the rows this call is itself writing
+    afterExact.join(dupIds, col(idCol) === col("id_r"), "left_anti")
+  }
+
+  /** Pure index probe — the recurring per-batch cost of continuous
+    * dedup once the corpus side has been signed ONCE (at ingest, or by
+    * [[buildFrom]]): survivors of `batch` vs the index, nothing
+    * written. Per-batch work is bounded by the batch and its candidate
+    * matches — one pruned scan of the 3-column band table against the
+    * broadcast batch, signature fetches for candidate ids, text fetches
+    * for candidate ids — so the cost stays FLAT as the corpus grows,
+    * where [[TextOps.dedupIncremental]]'s scan form re-signs the whole
+    * corpus every batch (O(corpus) CPU per batch). `corpus` supplies
+    * candidate texts for the exact-verify stage only. */
+  def probeBatch(batch: DataFrame, corpus: DataFrame, indexDir: String,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 params: Params = Params()): DataFrame = {
+    checkParams(batch.sparkSession, indexDir, params)
+    probeWithSigs(batch, corpus, indexDir, idCol, textCol, params)
+      .drop("__fp", "__sig", "__bands")
+  }
+
+  /** Backfill: sign EVERY row of an existing corpus into the index in
+    * one pass — the one-time conversion from scan-everything
+    * incremental dedup to flat per-batch probes. No dedup is applied:
+    * the corpus is indexed as-is, exactly the set the scan form
+    * compares against. Returns the number of rows indexed. */
+  def buildFrom(corpus: DataFrame, indexDir: String,
+                idCol: String = "doc_id", textCol: String = "text",
+                params: Params = Params()): Long = {
+    val spark = corpus.sparkSession
+    checkOrWriteParams(spark, indexDir, params)
+    val sigs = batchSignatures(
+      corpus.select(col(idCol), col(textCol)), textCol, params)
+    sigs.select(col(idCol).as("id"), col("__fp").as("fp"))
+      .write.mode("append").parquet(s"$indexDir/fp")
+    sigs.where(col("__sig").isNotNull)
+      .select(col(idCol).as("id"), col("__sig").as("sig"))
+      .write.mode("append").parquet(s"$indexDir/sig")
+    sigs.where(col("__bands").isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+      .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods)))
+      .write.mode("append").partitionBy("band_mod").parquet(s"$indexDir/bands")
+    sigs.count()
+  }
+
+  /** Ingest one batch through the index: drop exact dups (fp probe) and
+    * near dups (band probe -> signature estimate -> exact-Jaccard verify
+    * against candidate corpus texts only), append survivors to
+    * `corpusDir` and their index rows to `indexDir`. Returns the number
+    * of appended rows.
+    *
+    * `batch` must carry at least (idCol, textCol); survivor rows are
+    * appended to the corpus with ALL their columns. */
+  def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  params: Params = Params()): Long = {
+    val spark = batch.sparkSession
+    checkOrWriteParams(spark, indexDir, params)
+    val corpus =
+      if (hasData(spark, corpusDir)) spark.read.parquet(corpusDir)
+      else batch.limit(0)
+    val survivors =
+      probeWithSigs(batch, corpus, indexDir, idCol, textCol, params)
+        .localCheckpoint() // materialize BEFORE the appends, so the probes
+                           // cannot see the rows this call is itself writing
     val n = survivors.count()
     if (n > 0) {
       // corpus keeps the caller's full row shape

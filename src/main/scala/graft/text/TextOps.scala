@@ -796,10 +796,15 @@ object TextOps {
     *
     * Known deviations from DataTrove, by choice: lines/paragraphs are
     * blank-filtered before counting (split("\n") of trailing newlines
-    * would otherwise make every doc "contain duplicate lines"), and
-    * null text is treated as "" (well-defined zero stats, keep=true)
-    * rather than propagating null into the keep flag and silently
-    * dropping such rows under a WHERE.
+    * would otherwise make every doc "contain duplicate lines"); null
+    * text is treated as "" (well-defined zero stats, keep=true) rather
+    * than propagating null into the keep flag and silently dropping
+    * such rows under a WHERE; and the top-n-gram mass requires
+    * count > 1 (DataTrove's find_top_duplicate scores the most frequent
+    * n-gram even when it occurs once — we hold that a singleton is not
+    * repetition, so a long unique document is not penalized for merely
+    * containing its own longest n-gram). The guard is applied
+    * consistently in the kernel, the DuckDB oracle, and the specs.
     *
     * Entirely row-local — a pure projection, no shuffle, no join: the
     * n-gram statistics are one [[graft.functions.NgramRepStats]] kernel
@@ -1163,7 +1168,16 @@ object TextOps {
     * exceeds the broadcast threshold, which is the right plan either
     * way. Near-dups WITHIN the batch are intentionally out of scope —
     * batches get the full [[CorpusPipeline.preprocess]] treatment; this
-    * operator answers only "is it new relative to the corpus". */
+    * operator answers only "is it new relative to the corpus".
+    *
+    * THIS FORM IS THE VALIDATION / ONE-OFF SHAPE: it re-fingerprints
+    * and re-signs the whole corpus on every call, so per-batch CPU is
+    * O(corpus) — fine for a single ad-hoc compare, a scale-killer for a
+    * RECURRING daily/streaming batch. The production form is the
+    * indexed overload below (backed by [[DedupIndex]]), whose per-batch
+    * cost is bounded by the batch and its candidate matches and stays
+    * flat as the corpus grows. The two forms return identical survivor
+    * sets (DedupIndexSpec proves the equivalence). */
   def dedupIncremental(newDocs: DataFrame, existing: DataFrame,
                        idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -1183,6 +1197,21 @@ object TextOps {
       .select(col("id_r").as("__hit_id")).distinct()
     exactNew.join(nearHits, col(idCol) === col("__hit_id"), "left_anti")
   }
+
+  /** Incremental corpus dedup, INDEXED — the recurring-batch production
+    * form: probe the batch against a persisted [[DedupIndex]] (built
+    * once from the corpus via [[DedupIndex.buildFrom]] or maintained by
+    * [[DedupIndex.ingestBatch]]) instead of re-signing the accumulated
+    * corpus. Per-batch cost: one pruned scan of the 3-column band table
+    * vs the broadcast batch + candidate-bounded signature/text fetches —
+    * flat as the corpus grows. Pure (no index/corpus writes); returns
+    * the same survivor set as the scan form above under the same
+    * MinHash parameters. */
+  def dedupIncremental(newDocs: DataFrame, existing: DataFrame,
+                       idCol: String, textCol: String,
+                       indexDir: String,
+                       params: DedupIndex.Params): DataFrame =
+    DedupIndex.probeBatch(newDocs, existing, indexDir, idCol, textCol, params)
 
   // ------------------------------------------------------------ split guard
 

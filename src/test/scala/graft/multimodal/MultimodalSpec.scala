@@ -37,6 +37,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizeStub(Array.emptyByteArray, 4, 4).length == 16)
   }
 
+  /** A REAL decodable image: gradient pixels encoded by ImageIO itself. */
+  private def realImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 37 + y * 91) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  test("resizeImage: REAL decode+rescale+re-encode, verified by extractImageMeta round-trip") {
+    // real PNG and JPEG payloads in, resized; the re-encoded thumbnail
+    // must parse as a PNG of exactly the target dimensions
+    for (fmt <- Seq("png", "jpg", "gif", "bmp")) {
+      val src = realImage(40, 30, fmt)
+      val out = Multimodal.resizeImage(src, 16, 12)
+      assert(out.isDefined, s"decodable $fmt payload must resize")
+      assert(Multimodal.imageMeta(out.get).contains(("png", 16, 12)),
+        s"$fmt thumbnail header")
+      // and it really decodes back with those dims (full pixel round-trip)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out.get))
+      assert(back.getWidth == 16 && back.getHeight == 12)
+    }
+    // upscale works too (bilinear interpolation, not a crop)
+    val up = Multimodal.resizeImage(realImage(8, 8, "png"), 32, 24).get
+    assert(Multimodal.imageMeta(up).contains(("png", 32, 24)))
+    // the header-only fakePng has no real pixel data: honest None
+    assert(Multimodal.resizeImage(
+      Multimodal.fakePng(10, 10, "junk".getBytes), 4, 4).isEmpty)
+    // opaque bytes / empty payloads: None, never a throw
+    assert(Multimodal.resizeImage("not an image".getBytes, 4, 4).isEmpty)
+    assert(Multimodal.resizeImage(Array.emptyByteArray, 4, 4).isEmpty)
+  }
+
+  test("resizeImages: batched real resize — image rows get thumbnails, opaque rows nulls") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, realImage(24, 18, "png"), "image/png", "s"),
+      Multimodal.MediaRow(2L, realImage(60, 40, "jpg"), "image/jpeg", "s"),
+      Multimodal.MediaRow(3L, "plain text payload".getBytes, "text/plain", "s"))
+    val got = Multimodal.resizeImages(rows.toDS(), 8, 8).collect()
+      .map(t => t.media_id -> t).toMap
+    assert(got(1L).width == 8 && got(1L).height == 8)
+    assert(Multimodal.imageMeta(got(1L).thumb).contains(("png", 8, 8)))
+    assert(Multimodal.imageMeta(got(2L).thumb).contains(("png", 8, 8)))
+    assert(got(3L).thumb == null && got(3L).width == null)
+    // deterministic across runs (same pixels in, same PNG bytes out)
+    val again = Multimodal.resizeImages(rows.toDS(), 8, 8).collect()
+      .map(t => t.media_id -> t).toMap
+    assert(java.util.Arrays.equals(got(1L).thumb, again(1L).thumb))
+  }
+
+  test("sampleFrames uses the REAL resize for image payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, realImage(40, 30, "png"), "image/png", "s"))
+    val fr = Multimodal.sampleFrames(rows.toDS(), nFrames = 2,
+      thumbW = 8, thumbH = 4).collect().head
+    // a real PNG thumbnail is a full container, not the stub's w*h bytes
+    assert(fr.thumb_len != 32)
+    assert(fr.thumb_len ==
+      Multimodal.resizeImage(realImage(40, 30, "png"), 8, 4).get.length)
+  }
+
   test("imageMeta: real header parse for PNG/GIF/BMP/JPEG, None for opaque bytes") {
     // PNG via our own container writer (round-trips by construction)
     assert(Multimodal.imageMeta(Multimodal.fakePng(640, 480, Array[Byte](1, 2)))

@@ -55,6 +55,29 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
   }
 
+  test("funnel dispatches on the ts column's physical type — ns-long agrees with timestamp") {
+    // an UNNORMALIZED ns-epoch long frame (the legacy nanosAsLong read
+    // shape): a blind cast("timestamp") would read these as epoch
+    // SECONDS (year ~56000) — the dispatch must route them through the
+    // ns->us normalization instead, giving the same funnel as the
+    // timestamp frame
+    val tsed = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "signup"),
+      (1L, ts("2026-01-01 10:01:00"), "view"),
+      (2L, ts("2026-01-01 10:00:00"), "signup"))
+      .toDF("user_id", "t", "typ")
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val nsLong = tsed.withColumn("t",
+      unix_micros(col("t")) * 1000L) // TimestampType -> ns epoch long
+    assert(nsLong.schema("t").dataType ==
+      org.apache.spark.sql.types.LongType)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.funnel(df, "user_id", "t", "typ", Seq("signup", "view"))
+        .as[(Long, Long)].collect().toMap
+    assert(run(nsLong) == run(tsed))
+    assert(run(nsLong) == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("cohort retention: offsets count weeks since the cohort's first week") {
     val events = Seq(
       (1L, ts("2026-01-05 10:00:00")), // Mon wk0

@@ -38,6 +38,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readEventsStream on an empty directory falls back to eventsSchema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_empty_")
+    // schema inference has nothing to read — the imposed eventsSchema
+    // keeps the stream startable before the first file lands
+    val stream = StreamOps.readEventsStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // normalized from the fallback's ns-long
+    val q = StreamOps.windowedCounts(stream).writeStream
+      .outputMode("complete").format("memory").queryName("empty_dir_win").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_dir_win").count() == 0)
+      // a file landing AFTER stream start (the fallback's ns-long
+      // encoding) is picked up and aggregated
+      val tsed = Seq((1L, 1767261600000000000L, 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      tsed.coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      assert(spark.table("empty_dir_win").count() == 1)
+    } finally q.stop()
+  }
+
   test("watermarked interval stream-stream join equals the batch join") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -147,6 +147,45 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("audit rides the checkpoint: the input parquet is scanned exactly once") {
+    // the round-8 one-pass audit: keep-flags as columns + observe()
+    // before the filter means language/quality predicates run on the
+    // ONE scan that feeds the exact-collapse checkpoint — a second
+    // SQL execution scanning the source (the old separate audit agg)
+    // fails this test
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp_scan_").toString
+    // per-doc token runs keep pairwise Jaccard low — every doc survives,
+    // so the count below also guards against over-dedup
+    (0 until 50).map(i =>
+        (i.toLong, s"the document $i " +
+          s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i " +
+          s"iota$i kappa$i lambda$i and the english text"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pat = java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(dir))
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            val m = pat.matcher(e.physicalPlanDescription)
+            while (m.find()) scans.incrementAndGet()
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (clean, audit) = CorpusPipeline.preprocess(docs, "doc_id", "text")
+      assert(clean.count() == 50)
+      assert(audit.toMap.apply("input") == 50)
+      // listener delivery is async — give the bus a moment to drain
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (scans.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(scans.get() == 1, s"input scanned ${scans.get()} times, expected 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("redaction is applied to the surviving text") {
     val docs = Seq(
       (1L, "mail a.user@example.com about the cat and the dog in the house"))

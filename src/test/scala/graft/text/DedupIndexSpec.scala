@@ -65,6 +65,40 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(viaIndex == Set(102L, 104L))
   }
 
+  test("buildFrom + pure probeBatch agrees with scan-everything dedupIncremental") {
+    val (_, index) = dirs()
+    val existing = (0L until 40L).map(i => (i, s"document number $i body token$i filler words here"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.buildFrom(existing, index) == 40L)
+    val batch = Seq(
+      (100L, "document number 7 body token7 filler words here"),      // exact of 7
+      (101L, "document number 9 body token9 filler words extra"),     // near of 9
+      (102L, "entirely new content that matches nothing at all one"),
+      (103L, "document number 13 body token13 filler words there"),   // near of 13
+      (104L, "another brand new unique document with fresh material"))
+      .toDF("doc_id", "text")
+    // the TextOps indexed overload is the public face of the probe
+    val viaProbe = TextOps.dedupIncremental(batch, existing, "doc_id", "text",
+        index, DedupIndex.Params())
+      .select("doc_id").as[Long].collect().toSet
+    val naive = TextOps.dedupIncremental(batch, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaProbe == naive)
+    assert(viaProbe == Set(102L, 104L))
+    // probe output keeps the caller's row shape, no service columns
+    assert(DedupIndex.probeBatch(batch, existing, index)
+      .columns.toSeq == Seq("doc_id", "text"))
+    // PURE: the probe wrote nothing — fp/sig row counts unchanged
+    assert(spark.read.parquet(s"$index/fp").count() == 40)
+    assert(spark.read.parquet(s"$index/sig").count() == 40)
+    // and a probe with drifted params still throws
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probeBatch(batch, existing, index,
+        params = DedupIndex.Params(numPerm = 128))
+    }
+    assert(e.getMessage.contains("silently miss"))
+  }
+
   test("short docs exact-dedup even though they cannot shingle") {
     val (corpus, index) = dirs()
     val b1 = Seq((1L, "hi"), (2L, "yo")).toDF("doc_id", "text")
