@@ -1329,12 +1329,32 @@ object SparkEntry {
     }),
 
     // X: SimHash signatures via a custom Catalyst expression — rows-only
+    // over the REAL corpus (CJK tokens are multi-byte, out of reach of
+    // the codepoint-as-byte oracle); the kernel itself — per-token
+    // XxHash64(seed 42) + 64-bit majority vote — is hash-matched by
+    // q_x_simhash_sig below on synthesized ASCII tokens
     "q_x_simhash" -> ((s, dir) => {
       import graft.functions.TextExpressions
       t(s, dir, "documents").repartition(col("doc_id"))
         .select(col("doc_id"),
           TextExpressions.simhash64(
             graft.text.TextOps.tokens(col("text"))).as("sig"))
+    }),
+
+    // X: the SimHash KERNEL oracle-gated bit-for-bit: per doc, 10
+    // synthesized ASCII tokens "t<doc_id>_<i>" + i*'p' (lengths 4..16
+    // bytes, so the XXH64 8-byte-lane, 4-byte-lane, AND tail-byte
+    // finalize paths are all exercised), signed by the real Catalyst
+    // expression; the DuckDB side re-implements XXH64(seed 42) from the
+    // public spec in HUGEINT mod-2^64 arithmetic plus the majority vote
+    // — an INDEPENDENT reconstruction, so a seed drift, lane-order bug,
+    // or vote-tie mistake in either engine breaks the hash match
+    "q_x_simhash_sig" -> ((s, dir) => {
+      import graft.functions.TextExpressions
+      t(s, dir, "documents").repartition(col("doc_id"))
+        .withColumn("toks", expr(
+          "transform(sequence(0, 9), i -> concat('t', doc_id, '_', i, repeat('p', i)))"))
+        .select(col("doc_id"), TextExpressions.simhash64(col("toks")).as("sig"))
     }),
 
     // X: SimHash hamming-radius dedup on groups of IDENTICAL synthesized
@@ -3569,6 +3589,52 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(0 AS INT) AS hamming
          FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id""",
+
+    // XXH64(seed 42) re-implemented from the public spec in HUGEINT
+    // mod-2^64 arithmetic (mulmod splits the left operand at 2^32 so no
+    // intermediate exceeds 2^97; rotations are a shift-pair), then the
+    // 64-bit majority vote — fully independent of the JVM kernel
+    "q_x_simhash_sig" ->
+      """WITH tok AS (SELECT doc_id, unnest(generate_series(0, 9)) AS i FROM documents),
+         ts AS (SELECT doc_id, 't' || doc_id || '_' || i || repeat('p', i::INT) AS t FROM tok),
+         hb AS (SELECT doc_id, len(t)::HUGEINT AS n,
+             [unicode(substr(t, k, 1))::HUGEINT for k in generate_series(1, len(t))] AS bs
+           FROM ts),
+         lanes AS (SELECT doc_id, n,
+             [bs[(8*c+1)::INT] + bs[(8*c+2)::INT]*256 + bs[(8*c+3)::INT]*65536
+              + bs[(8*c+4)::INT]*16777216 + bs[(8*c+5)::INT]*4294967296
+              + bs[(8*c+6)::INT]*1099511627776 + bs[(8*c+7)::INT]*281474976710656
+              + bs[(8*c+8)::INT]*72057594037927936
+              for c in generate_series(0, (n//8)::BIGINT - 1)] AS l8,
+             CASE WHEN n % 8 >= 4 THEN
+               [bs[((n//8)*8+1)::INT] + bs[((n//8)*8+2)::INT]*256
+                + bs[((n//8)*8+3)::INT]*65536 + bs[((n//8)*8+4)::INT]*16777216]
+             ELSE CAST([] AS HUGEINT[]) END AS l4,
+             list_slice(bs, ((n//8)*8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1)::INT, len(bs)) AS tl
+           FROM hb),
+         s8 AS (SELECT doc_id, l4, tl,
+             list_reduce([(42 + 2870177450012600261 + n) % 18446744073709551616] || l8,
+               (h, l) -> (((((((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 134217728) % 18446744073709551616 + ((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 137438953472))) % 4294967296) * (11400714785074694791) + (((((((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 134217728) % 18446744073709551616 + ((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 137438953472))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616) AS h FROM lanes),
+         s4 AS (SELECT doc_id, tl,
+             list_reduce([h] || l4,
+               (h, l) -> (((((((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 8388608) % 18446744073709551616 + ((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 2199023255552))) % 4294967296) * (14029467366897019727) + (((((((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 8388608) % 18446744073709551616 + ((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 2199023255552))) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616 + 1609587929392839161) % 18446744073709551616) AS h FROM s8),
+         sb AS (SELECT doc_id,
+             list_reduce([h] || tl,
+               (h, l) -> ((((((xor(h, (l * 2870177450012600261) % 18446744073709551616)) * 2048) % 18446744073709551616 + ((xor(h, (l * 2870177450012600261) % 18446744073709551616)) // 9007199254740992))) % 4294967296) * (11400714785074694791) + (((((((xor(h, (l * 2870177450012600261) % 18446744073709551616)) * 2048) % 18446744073709551616 + ((xor(h, (l * 2870177450012600261) % 18446744073709551616)) // 9007199254740992))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM s4),
+         av AS (SELECT doc_id, xor(h, h // 8589934592) AS a1 FROM sb),
+         av2 AS (SELECT doc_id, (((a1) % 4294967296) * (14029467366897019727) + ((((a1) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616 AS a2 FROM av),
+         av3 AS (SELECT doc_id, xor(a2, a2 // 536870912) AS a3 FROM av2),
+         av4 AS (SELECT doc_id, (((a3) % 4294967296) * (1609587929392839161) + ((((a3) // 4294967296) * (1609587929392839161)) % 4294967296) * 4294967296) % 18446744073709551616 AS a4 FROM av3),
+         fin AS (SELECT doc_id, xor(a4, a4 // 4294967296) AS h FROM av4),
+         grp AS (SELECT doc_id, list(h) AS hs FROM fin GROUP BY doc_id)
+         SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS sig
+         FROM (SELECT doc_id,
+             list_sum([CASE WHEN 2 * len(list_filter(hs,
+                    h -> (h // power(2::HUGEINT, b)::HUGEINT) % 2 = 1)) > len(hs)
+                  THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END
+               for b in generate_series(0, 63)])::HUGEINT AS u FROM grp) z""",
 
     // brute-force exact 3-shingle Jaccard over all pairs: ground truth for
     // the LSH path (the exact-verify step makes the Spark output equal

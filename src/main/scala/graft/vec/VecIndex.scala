@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   *  - `params/` (nlist, dim, kmeans_iters): dimension is CHECKED at
   *    probe time — querying a 64-dim index with 128-dim vectors would
   *    otherwise fail deep inside a fold with a row-level error.
+  *  - `stats/` (list_id, n) — per-list occupancy, maintained
+  *    incrementally by build/append/[[rebalance]] so [[listStats]] can
+  *    report skew (the signal that appends have outgrown the frozen
+  *    centroids and a rebalance is due) without ever scanning the lists.
   *
   * Queries and scoring match `ivfTopK` exactly (same centroid ranking
   * projection, same cosine/tie ordering), so its measured recall table
@@ -58,6 +62,7 @@ object VecIndex {
       .parquet(s"$indexDir/lists")
     Seq((nlist, dim, kmeansIters)).toDF("nlist", "dim", "kmeans_iters")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/params")
+    refreshStatCounts(spark, indexDir)
   }
 
   /** Append new vectors into their lists without retraining: the
@@ -69,12 +74,15 @@ object VecIndex {
     val spark = vectors.sparkSession
     val cents = loadCentroids(spark, indexDir)
     checkDim(spark, indexDir, vectors, idCol, vecCol)
-    vectors.select(col(idCol).as("id"),
+    val assigned = vectors.select(col(idCol).as("id"),
         VectorOps.asDouble(col(vecCol)).as("vec"))
       .withColumn("list_id",
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
-      .write.mode("append").partitionBy("list_id")
+      .localCheckpoint() // one assignment pass feeds write AND stat delta
+    assigned.write.mode("append").partitionBy("list_id")
       .parquet(s"$indexDir/lists")
+    mergeStatCounts(spark, indexDir,
+      assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n")))
   }
 
   private def loadCentroids(spark: SparkSession,
@@ -152,6 +160,7 @@ object VecIndex {
     Seq((nlist, dim, kmeansIters, m, ksub, pqIters))
       .toDF("nlist", "dim", "kmeans_iters", "m", "ksub", "pq_iters")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/params")
+    refreshStatCounts(spark, indexDir)
   }
 
   /** Append into the PQ lists without retraining: centroids AND
@@ -174,10 +183,13 @@ object VecIndex {
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
       .withColumn("residual",
         zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
+      .localCheckpoint() // one assignment pass feeds write AND stat delta
     VectorOps.pqEncode(resid, "id", "residual", model)
       .join(resid.select(col("id"), col("list_id")), "id")
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$indexDir/lists")
+    mergeStatCounts(spark, indexDir,
+      resid.groupBy(col("list_id")).agg(count(lit(1)).as("n")))
   }
 
   private def loadPqModel(spark: SparkSession,
@@ -298,5 +310,188 @@ object VecIndex {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  // ------------------------------------------------------- maintenance
+
+  /** Per-list occupancy summary. `cv` is the population coefficient of
+    * variation of list sizes over ALL centroids (empty lists count as 0:
+    * an empty list is precisely the skew a probe pays for — its nprobe
+    * budget buys nothing there). CV ~0 means balanced lists; a CV
+    * drifting past ~1 after appends means probe cost has become
+    * hostage to whichever list the data drifted into — time to
+    * [[rebalance]]. */
+  final case class ListStats(nLists: Long, nVectors: Long, minSize: Long,
+                             maxSize: Long, meanSize: Double, cv: Double)
+
+  /** Read the skew stats. Sizes come from the persisted `stats/` table —
+    * one row per nonempty list, maintained incrementally by
+    * build/append/rebalance, so this call is metadata-scale and NEVER
+    * scans the lists (at 100 TB an operator checks skew between every
+    * append; a scan per check would dwarf the appends). Indexes written
+    * before stats existed self-heal: the one-time fallback counts rows
+    * from the parquet footers (no data columns read) and persists. */
+  def listStats(spark: SparkSession, indexDir: String): ListStats = {
+    val counts = loadStatCounts(spark, indexDir)
+    val centIds = loadCentroids(spark, indexDir).map(_._1)
+    val sizes = centIds.map(cid => counts.getOrElse(cid, 0L))
+    val n = sizes.sum
+    val mean = if (sizes.isEmpty) 0.0 else n.toDouble / sizes.size
+    val varp = if (sizes.isEmpty) 0.0
+      else sizes.map(s => (s - mean) * (s - mean)).sum / sizes.size
+    ListStats(sizes.size.toLong, n,
+      if (sizes.isEmpty) 0L else sizes.min,
+      if (sizes.isEmpty) 0L else sizes.max,
+      mean, if (mean == 0) 0.0 else math.sqrt(varp) / mean)
+  }
+
+  /** Re-fit the lists to the data they now hold: k-means refinement
+    * restarted FROM THE CURRENT CENTROIDS over the current rows (so the
+    * verb is deterministic and incremental — centroids move toward the
+    * appended mass instead of being re-seeded from scratch), every row
+    * re-assigned, and lists + centroids + stats rewritten through the
+    * same tmp + live/_bak swap discipline as [[graft.ops.Compaction]].
+    * Fixes what [[append]] cannot: appends assign into FROZEN lists, so
+    * drifted data piles into few lists and probe cost degrades silently
+    * (the nprobe budget buys ever-fatter lists). Not concurrent-safe
+    * against an in-flight probe — run between serving windows, like
+    * [[graft.text.DedupIndex.compact]]. A crash between the lists swap
+    * and the centroids swap leaves new lists under old centroids: every
+    * result is still well-defined (assignment only steers pruning, and
+    * refinement started from those old centroids, so ranking stays
+    * aligned) and the next rebalance converges it.
+    * Returns (before, after) skew stats. PQ indexes must use
+    * [[rebalancePq]] — their lists hold codes, not vectors. */
+  def rebalance(spark: SparkSession, indexDir: String,
+                kmeansIters: Int = 2): (ListStats, ListStats) = {
+    require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
+      s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
+        "use rebalancePq with the original vector table")
+    val before = listStats(spark, indexDir)
+    val cents0 = loadCentroids(spark, indexDir)
+    val base = spark.read.parquet(s"$indexDir/lists")
+      .select(col("id"), col("vec"))
+      .repartition(col("id"))
+      .localCheckpoint() // feeds refinement sweeps AND the re-assignment
+    val cents = VectorOps.kmeansCentroids(base, "vec", cents0, kmeansIters)
+    val tmp = s"$indexDir/lists__rebal_tmp"
+    base.withColumn("list_id",
+        element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    swapDir(spark, tmp, s"$indexDir/lists")
+    writeCentroids(spark, indexDir, cents)
+    refreshStatCounts(spark, indexDir)
+    (before, listStats(spark, indexDir))
+  }
+
+  /** [[rebalance]] for the IVF-PQ layout. The index stores codes only,
+    * so the caller supplies the original vector table (the same contract
+    * as [[topKPq]] `refineWith`); every indexed id must be present —
+    * missing rows would silently vanish from the index, so that is
+    * checked and refused. Centroids are re-refined and rows re-assigned
+    * + residual-RE-ENCODED against their new centroid; the PQ CODEBOOKS
+    * stay frozen (they were trained on residual distributions, which a
+    * centroid nudge barely moves — retraining them is a [[buildPq]]
+    * rebuild, a different verb). */
+  def rebalancePq(vectors: DataFrame, indexDir: String,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  kmeansIters: Int = 2): (ListStats, ListStats) = {
+    val spark = vectors.sparkSession
+    val before = listStats(spark, indexDir)
+    val cents0 = loadCentroids(spark, indexDir)
+    val model = loadPqModel(spark, indexDir)
+    checkDim(spark, indexDir, vectors, idCol, vecCol)
+    val ids = spark.read.parquet(s"$indexDir/lists").select(col("id"))
+    val base = ids.join(
+        vectors.select(col(idCol).as("id"),
+          VectorOps.asDouble(col(vecCol)).as("vec")), Seq("id"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val nIdx = ids.count()
+    val nGot = base.count()
+    require(nGot == nIdx,
+      s"rebalancePq: vector table covers $nGot of $nIdx indexed ids — " +
+        "a rebalance with missing vectors would silently drop them")
+    val cents = VectorOps.kmeansCentroids(base, "vec", cents0, kmeansIters)
+    def centVec(cid: org.apache.spark.sql.Column) =
+      cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (id, cv)) =>
+        when(cid === id, typedLit(cv.toSeq)).otherwise(acc)
+      }
+    val resid = base
+      .withColumn("list_id",
+        element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
+      .withColumn("residual",
+        zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
+    val tmp = s"$indexDir/lists__rebal_tmp"
+    VectorOps.pqEncode(resid, "id", "residual", model)
+      .join(resid.select(col("id"), col("list_id")), "id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    swapDir(spark, tmp, s"$indexDir/lists")
+    writeCentroids(spark, indexDir, cents)
+    refreshStatCounts(spark, indexDir)
+    (before, listStats(spark, indexDir))
+  }
+
+  private def writeCentroids(spark: SparkSession, indexDir: String,
+                             cents: Seq[(Long, Array[Double])]): Unit = {
+    import spark.implicits._
+    val tmp = s"$indexDir/centroids__rebal_tmp"
+    cents.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, s"$indexDir/centroids")
+  }
+
+  /** Exact per-list row counts from the just-written lists directory:
+    * `count(*)` grouped by the PARTITION column reads parquet footers
+    * only (no data pages), so even a full refresh is metadata-scale. */
+  private def refreshStatCounts(spark: SparkSession, indexDir: String): Unit =
+    writeStatCounts(spark, indexDir,
+      spark.read.parquet(s"$indexDir/lists")
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n")))
+
+  private def mergeStatCounts(spark: SparkSession, indexDir: String,
+                              delta: DataFrame): Unit = {
+    import spark.implicits._
+    val merged = (loadStatCounts(spark, indexDir).toSeq ++
+        delta.select(col("list_id").cast("long"), col("n").cast("long"))
+          .as[(Long, Long)].collect())
+      .groupBy(_._1).map { case (lid, xs) => (lid, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    writeStatCounts(spark, indexDir, merged.toDF("list_id", "n"))
+  }
+
+  private def writeStatCounts(spark: SparkSession, indexDir: String,
+                              counts: DataFrame): Unit = {
+    val tmp = s"$indexDir/stats__tmp"
+    counts.select(col("list_id").cast("long"), col("n").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, s"$indexDir/stats")
+  }
+
+  private def loadStatCounts(spark: SparkSession,
+                             indexDir: String): Map[Long, Long] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { // pre-stats index: one-time footer-count heal
+      refreshStatCounts(spark, indexDir)
+    }
+    spark.read.parquet(s"$indexDir/stats")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  // live -> _bak, tmp -> live, drop _bak — the Store/Compaction swap
+  // discipline, crash-recoverable at every instant
+  private def swapDir(spark: SparkSession, tmp: String, live: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val liveP = new org.apache.hadoop.fs.Path(live)
+    val fs = liveP.getFileSystem(conf)
+    val bakP = new org.apache.hadoop.fs.Path(live + "_bak")
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(bakP, true)
+    if (fs.exists(liveP)) fs.rename(liveP, bakP)
+    fs.rename(tmpP, liveP)
+    fs.delete(bakP, true): Unit
   }
 }

@@ -120,6 +120,77 @@ class VecIndexSpec extends AnyFunSuite {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  // The drift scenario rebalance exists for: the index is built BEFORE a
+  // new data modality arrives (corner 3 absent), so appends of corner-3
+  // rows pile into one frozen list. With two seeds in corner 0, k-means
+  // refinement has the degree of freedom to migrate one centroid to the
+  // new mass — rebalance should spread the lists back out.
+  private lazy val early = vecs.where($"vec_id" % 4 =!= 3)
+  private lazy val late = vecs.where($"vec_id" % 4 === 3)
+
+  test("rebalance restores list balance after drifted appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, dir, nlist = 4, kmeansIters = 2)
+    VecIndex.append(late, dir)
+    val skewed = VecIndex.listStats(spark, dir)
+    assert(skewed.nVectors == 120L && skewed.nLists == 4L)
+    val (pre, post) = VecIndex.rebalance(spark, dir, kmeansIters = 2)
+    assert(pre == skewed)
+    assert(post.nVectors == 120L)
+    assert(post.cv < skewed.cv,
+      s"rebalance should reduce skew: cv ${skewed.cv} -> ${post.cv}")
+    assert(post.maxSize < skewed.maxSize)
+    // probe equivalence preserved: probing every list is still brute force
+    val got = shape(VecIndex.topK(queries, dir, k = 4, nprobe = 4))
+    val brute = shape(VectorOps.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 4))
+    assert(got == brute)
+  }
+
+  test("listStats is maintained incrementally and self-heals when absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, dir, nlist = 4, kmeansIters = 1)
+    VecIndex.append(late, dir)
+    val incr = VecIndex.listStats(spark, dir)
+    assert(incr.nVectors == 120L)
+    // wipe the stats table: the next read must heal from parquet footers
+    // and agree with the incrementally-maintained numbers
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    assert(VecIndex.listStats(spark, dir) == incr)
+  }
+
+  test("rebalancePq re-encodes residuals; refuses partial vector tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.buildPq(early, dir, nlist = 4, kmeansIters = 2, m = 4,
+      ksub = 64, pqIters = 0)
+    VecIndex.appendPq(late, dir)
+    val skewed = VecIndex.listStats(spark, dir)
+    intercept[IllegalArgumentException] { // missing ids must be refused
+      VecIndex.rebalancePq(vecs.where($"vec_id" < 50), dir)
+    }
+    val (pre, post) = VecIndex.rebalancePq(vecs, dir, kmeansIters = 2)
+    assert(pre == skewed && post.nVectors == 120L)
+    assert(post.cv < skewed.cv)
+    // exact refine over every list is still exact L2 top-k after the swap
+    val refined = VecIndex.topKPq(queries, dir, k = 3, nprobe = 4,
+      refineWith = Some(vecs))
+    val ids = shapeD(refined).map(r => (r._1, r._2, r._3))
+    val all = vecs.as[(Long, Seq[Double])].collect()
+    val expected = queries.as[(Long, Seq[Double])].collect().toSeq
+      .sortBy(_._1).flatMap { case (qid, qv) =>
+        all.filter(_._1 != qid)
+          .map { case (id, v) =>
+            (id, v.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+          .sortBy { case (id, d) => (d, id) }.take(3).zipWithIndex
+          .map { case ((id, _), r) => (qid, (r + 1).toLong, id) }
+      }
+    assert(ids == expected)
+    // flat rebalance on a PQ index is a contract violation, not a crash
+    intercept[IllegalArgumentException] { VecIndex.rebalance(spark, dir) }
+  }
+
   test("append assigns into fixed lists; dim mismatch throws") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
     VecIndex.build(vecs, dir, nlist = 4, kmeansIters = 1)
