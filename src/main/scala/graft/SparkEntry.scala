@@ -1715,9 +1715,13 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
-    // W5: gap-based sessions via the BUILT-IN session_window (merges
-    // while next < prev + gap, i.e. breaks at diff >= gap) — the
-    // declarative sibling of the stateful sessionize above
+    // W5: gap-based sessions via the BUILT-IN session_window — the
+    // declarative sibling of the stateful sessionize above. Boundary
+    // semantics are IDENTICAL to sessionize: windows merge while
+    // next <= prev + gap (MergingSessionsIterator merges on
+    // start <= prev_end), i.e. the break needs diff STRICTLY > gap —
+    // pinned on a boundary-exact fixture in StreamOpsSpec, since this
+    // events data has no exactly-at-gap pair for the oracle to see
     "q_w5_session_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -3941,10 +3945,15 @@ object SparkEntry {
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
 
+    // break at STRICTLY > gap: session_window merges a window starting
+    // exactly at the previous session's end (verified on a boundary
+    // fixture in StreamOpsSpec — the earlier >= here was indistinguishable
+    // on this data, which has no exactly-at-gap pair, but wrong at the
+    // boundary)
     "q_w5_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events),
          g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
-                              OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                              OR t - lag(t) OVER w > INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS brk
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
          s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t

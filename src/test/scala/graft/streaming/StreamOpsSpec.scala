@@ -227,6 +227,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(stateful.exceptAll(batch).isEmpty && batch.exceptAll(stateful).isEmpty)
   }
 
+  test("gap-boundary semantics: BOTH session forms keep a diff == gap event") {
+    // COVERAGE.md used to claim session_window breaks at >= gap while
+    // sessionize breaks at > gap; writing this fixture DISPROVED that —
+    // session_window merges a window starting exactly at the previous
+    // session's end (MergingSessionsIterator merges on start <= prev_end),
+    // so both forms break only at diff STRICTLY > gap. The events data
+    // has no exactly-at-gap pair, so only a boundary-exact fixture can
+    // see this; pinning both here means a Spark upgrade (or a refactor
+    // of sessionize's <= test) cannot silently flip either one.
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val events = Seq(
+      (1L, "2026-01-01 10:00:00", 1.0),
+      (1L, "2026-01-01 10:30:00", 2.0), // exactly last + gap
+      (1L, "2026-01-01 11:00:00.001", 3.0), // 1 ms PAST the gap: breaks
+      (1L, "2026-01-02 00:00:00", 4.0)) // closes whatever came before
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts_s")))
+    // sessionize continues at diff == gap, breaks 1 ms past it: closed
+    // sessions are (10:00 + 10:30) and the lone 11:00:00.001
+    val stateful = StreamOps.sessionize(events, gapMs).collect()
+      .map(s => (s.session_start.toString.take(19), s.n_events)).toSeq.sorted
+    assert(stateful == Seq(("2026-01-01 10:00:00", 2L),
+      ("2026-01-01 11:00:00", 1L)))
+    // the built-in agrees on both boundaries (and also emits the still-
+    // open far-future session, which append-mode sessionize withholds)
+    val sw = events
+      .groupBy(org.apache.spark.sql.functions.session_window(
+        org.apache.spark.sql.functions.col("ts"), "30 minutes").as("sw"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("sw.start"),
+        "yyyy-MM-dd HH:mm:ss").as("s"),
+        org.apache.spark.sql.functions.col("n"))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(sw == Seq(("2026-01-01 10:00:00", 2L), ("2026-01-01 11:00:00", 1L),
+      ("2026-01-02 00:00:00", 1L)))
+  }
+
   test("stream-to-store ingest: every micro-batch lands in the append view") {
     // two files -> two micro-batches (maxFilesPerTrigger=1)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in_")
