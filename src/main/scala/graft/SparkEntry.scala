@@ -611,8 +611,9 @@ object SparkEntry {
 
     // X: corpus pipeline with every round-6 stage enabled (NFC
     // normalization, Gopher rules, C4 line dedup, n-gram
-    // decontamination) — rows-only audit; each added stage is
-    // oracle-gated standalone and the composition is spec-pinned
+    // decontamination) — the oracle recomputes the ENTIRE 9-stage
+    // composition in DuckDB (round 8), chaining each stage's standalone
+    // oracle fragment in pipeline order
     "q_x_corpus_pipeline_v2" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -3788,6 +3789,117 @@ object SparkEntry {
          UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM nearkept)
          UNION ALL SELECT 'decontaminate',
            (SELECT count(*) FROM nearkept WHERE f NOT IN (SELECT f FROM bench))""",
+
+    // the FULL v2 composition (NFC -> language -> quality -> Gopher ->
+    // redact -> C4 line dedup -> exact collapse -> near-dup CC ->
+    // fingerprint decontamination -> 5-gram decontamination) recomputed
+    // independently: each stage reuses its standalone oracle's SQL
+    // fragment, chained in pipeline order on the same intermediate text.
+    // LSH recall is exact at this scale (the v1 oracle already proves
+    // banded MinHash == exhaustive Jaccard >= 0.5 on this corpus), so
+    // near-dup pairs are the exhaustive J >= 0.5 set.
+    "q_x_corpus_pipeline_v2" ->
+      """WITH RECURSIVE nrm AS (
+           SELECT doc_id AS id, nfc_normalize(text) AS text FROM documents
+         ),
+         base AS (
+           SELECT id, text,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+           FROM nrm
+         ),
+         sc AS (
+           SELECT id, text, toks,
+             len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / greatest(len(toks),1) AS s_en,
+             len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','que','est','pour')))::DOUBLE / greatest(len(toks),1) AS s_fr,
+             len(list_filter(toks, x -> x IN ('el','la','los','de','y','un','una','que','es','para')))::DOUBLE / greatest(len(toks),1) AS s_es,
+             len(list_filter(toks, x -> x IN ('der','die','das','und','ein','eine','ist','zu','den','von')))::DOUBLE / greatest(len(toks),1) AS s_de,
+             len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2','you3','wo3','ta1','zhe4','bu4')))::DOUBLE / greatest(len(toks),1) AS s_zh
+           FROM base
+         ),
+         flags AS (
+           SELECT id, text,
+             (s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh AND s_en > 0) AS lang_ok,
+             (CAST(len(toks) AS BIGINT) >= 5
+              AND round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / greatest(length(text),1), 4) <= 0.3
+              AND round(1.0 - len(list_distinct(toks))::DOUBLE / greatest(len(toks),1), 4) <= 0.6) AS qual_ok,
+             (CAST(len(toks) AS BIGINT) >= 10 AND CAST(len(toks) AS BIGINT) <= 100000
+              AND round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / greatest(len(toks), 1), 4) >= 3.0
+              AND round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / greatest(len(toks), 1), 4) <= 10.0
+              AND round(CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, chr(8230)))) AS DOUBLE) / greatest(len(toks), 1), 4) <= 0.1
+              AND round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / greatest(len(toks), 1), 4) >= 0.8
+              AND CAST(len(list_intersect(list_distinct(toks),
+                ['the','be','to','of','and','that','have','with'])) AS BIGINT) >= 1) AS gopher_ok
+           FROM sc
+         ),
+         red AS (
+           SELECT id,
+             regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS rtext
+           FROM flags WHERE lang_ok AND qual_ok AND gopher_ok
+         ),
+         lx AS (SELECT id,
+           unnest(list_transform(generate_series(1, len(string_split(rtext, chr(10)))),
+             i -> {'pos': i, 'line': string_split(rtext, chr(10))[i]})) AS s
+           FROM red),
+         lk AS (SELECT id, s.pos AS pos, s.line AS line,
+           row_number() OVER (PARTITION BY s.line ORDER BY id, s.pos) AS rn
+           FROM lx),
+         lr AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS rtext
+                FROM lk WHERE rn = 1 OR trim(line) = '' GROUP BY id),
+         ldk AS (SELECT red.id, coalesce(lr.rtext, '') AS rtext
+                 FROM red LEFT JOIN lr ON red.id = lr.id
+                 WHERE length(trim(coalesce(lr.rtext, ''))) > 0),
+         rfp AS (SELECT id, rtext,
+                   md5(trim(regexp_replace(lower(rtext), '\s+', ' ', 'g'))) AS f
+                 FROM ldk),
+         reps AS (SELECT f, min(id) AS id FROM rfp GROUP BY f),
+         rsh AS (SELECT id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+           FROM (SELECT r.id, string_split(trim(regexp_replace(lower(rfp.rtext), '\s+', ' ', 'g')), ' ') AS tk
+                 FROM reps r JOIN rfp ON rfp.id = r.id)
+           WHERE len(tk) >= 3),
+         p AS (SELECT a.id AS u, b.id AS v FROM rsh a, rsh b
+               WHERE a.id < b.id
+                 AND len(list_intersect(a.ss, b.ss))::DOUBLE
+                     / len(list_distinct(a.ss || b.ss)) >= 0.5),
+         edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         reach AS (SELECT u AS id, v AS lab FROM edges
+                   UNION
+                   SELECT e.u, r.lab FROM edges e JOIN reach r ON r.id = e.v),
+         dropped AS (SELECT id FROM (SELECT id, least(MIN(lab), id) AS cid
+                                     FROM reach GROUP BY id) t
+                     WHERE id <> cid),
+         nearkept AS (SELECT r.id, rfp.f, rfp.rtext
+                      FROM reps r JOIN rfp ON rfp.id = r.id
+                      WHERE r.id NOT IN (SELECT id FROM dropped)),
+         bench AS (SELECT
+             regexp_replace(regexp_replace(nfc_normalize(text), 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS btext
+           FROM documents WHERE doc_id % 97 = 0),
+         bfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(btext), '\s+', ' ', 'g'))) AS f
+                 FROM bench),
+         dec AS (SELECT id, rtext FROM nearkept WHERE f NOT IN (SELECT f FROM bfp)),
+         bg AS (SELECT DISTINCT
+             unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+           FROM (SELECT string_split(trim(regexp_replace(lower(btext), '\s+', ' ', 'g')), ' ') AS w
+                 FROM bench)),
+         dg AS (SELECT id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+           FROM (SELECT id, string_split(trim(regexp_replace(lower(rtext), '\s+', ' ', 'g')), ' ') AS w
+                 FROM dec)),
+         hit AS (SELECT DISTINCT dg.id FROM dg JOIN bg USING (ng))
+         SELECT 'input' AS stage, (SELECT count(*) FROM base) AS n_rows
+         UNION ALL SELECT 'language', (SELECT count(*) FROM flags WHERE lang_ok)
+         UNION ALL SELECT 'quality', (SELECT count(*) FROM flags WHERE lang_ok AND qual_ok)
+         UNION ALL SELECT 'gopher', (SELECT count(*) FROM flags WHERE lang_ok AND qual_ok AND gopher_ok)
+         UNION ALL SELECT 'line_dedup', (SELECT count(*) FROM ldk)
+         UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM reps)
+         UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM nearkept)
+         UNION ALL SELECT 'decontaminate', (SELECT count(*) FROM dec)
+         UNION ALL SELECT 'decontaminate_ngram',
+           (SELECT count(*) FROM dec) - (SELECT count(*) FROM hit)""",
 
     // fingerprint-group stats + exact-Jaccard pairs among min-id
     // representatives reproduce all four pipeline counters

@@ -170,7 +170,14 @@ object CorpusPipeline {
       // removal (under-decontamination, the one failure mode this stage
       // exists to prevent)
       case Some(b) =>
-        val bRed = b.withColumn("text", TextOps.redact(col("text")))
+        // the benchmark must ALSO pass through the same unicode
+        // normalization as the corpus (when enabled): a decomposed-form
+        // benchmark twin of a precomposed corpus doc would otherwise
+        // fingerprint differently and escape removal — the same
+        // under-decontamination trap as unredacted benchmark text
+        val bNorm = t.unicodeForm.fold(b)(form => b.withColumn("text",
+          graft.functions.TextExpressions.unicode_normalize(col("text"), form)))
+        val bRed = bNorm.withColumn("text", TextOps.redact(col("text")))
         val c0 = TextOps.decontaminate(nearKept, bRed, "text", "text")
         t.ngramOverlapN match {
           case Some(ng) =>

@@ -96,6 +96,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(audit.toMap.apply("decontaminate") == 1)
   }
 
+  test("decontamination catches a decomposed-unicode benchmark twin under NFC") {
+    // the corpus is NFC-normalized upstream, so the benchmark side must
+    // pass through the SAME normalization before the fingerprint compare
+    // — a decomposed benchmark twin of a precomposed corpus doc would
+    // otherwise fingerprint differently and escape removal
+    val composed = "the cát and the dog is in the house with the mouse"
+    val decomposed = "the cát and the dog is in the house with the mouse"
+    val docs = Seq(
+      (1L, composed),
+      (2L, "completely different english text that is about the weather for today"))
+      .toDF("doc_id", "text")
+    val bench = Seq(decomposed).toDF("text")
+    val (clean, audit) = CorpusPipeline.preprocess(
+      docs, "doc_id", "text", benchmark = Some(bench),
+      CorpusPipeline.Thresholds(unicodeForm = Some("NFC")))
+    assert(clean.select("id").as[Long].collect().toSet == Set(2L),
+      s"decomposed benchmark twin must be caught under NFC: $audit")
+    assert(audit.toMap.apply("decontaminate") == 1)
+  }
+
   test("optional n-gram stage drops partial-overlap contamination the others pass") {
     // doc 1 embeds one benchmark 5-gram inside otherwise-unique text:
     // fingerprints differ, doc-level Jaccard is far below the near-dup
