@@ -454,6 +454,23 @@ object SparkEntry {
           size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))
     }),
 
+    // X: sequence packing, the per-(window, doc) SEGMENT map — which
+    // token slice of which doc lands where in each context window.
+    // Global token offsets via the distributed prefix scan (no
+    // single-partition window anywhere in the plan).
+    "q_x_pack_segments" -> ((s, dir) => {
+      graft.text.Packing.packSegments(
+        t(s, dir, "documents"), "doc_id", "text", ctxLen = 128)
+    }),
+
+    // X: sequence packing, MATERIALIZED windows — every window except
+    // the last is exactly ctxLen tokens; the groupBy key is the window
+    // id, so groups are bounded by ctxLen regardless of document skew
+    "q_x_pack_windows" -> ((s, dir) => {
+      graft.text.Packing.packWindows(
+        t(s, dir, "documents"), "doc_id", "text", ctxLen = 128)
+    }),
+
     // X: REAL BPE — merges learned from the corpus itself (deterministic
     // tie-breaks), then every doc encoded to subwords. Approximation-free
     // but not SQL-expressible (iterative merges) -> rows-only; the
@@ -2348,6 +2365,49 @@ object SparkEntry {
          CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_ws,
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
          FROM documents""",
+
+    "q_x_pack_segments" ->
+      """WITH t AS (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+            WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+         l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+         o AS (SELECT doc_id, n,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+            FROM l),
+         m AS (SELECT doc_id, n, off,
+              unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
+            FROM o)
+         SELECT seq_id, doc_id,
+           greatest(off, seq_id * 128) - off AS doc_start,
+           greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
+           least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
+         FROM m""",
+
+    "q_x_pack_windows" ->
+      """WITH t AS (SELECT doc_id,
+              string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+            WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+         l AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         o AS (SELECT doc_id, toks, n,
+              CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+            FROM l),
+         m AS (SELECT doc_id, toks, n, off,
+              unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
+            FROM o),
+         seg AS (SELECT seq_id, doc_id, toks,
+              greatest(off, seq_id * 128) - off AS doc_start,
+              greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
+              least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tok
+            FROM m)
+         SELECT seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(list_slice(toks, doc_start + 1, doc_start + n_tok), ' '),
+                      ' ' ORDER BY seq_start) AS seq_text
+         FROM seg GROUP BY seq_id""",
 
     "q_x_topk_per_group" ->
       """SELECT l_returnflag, round(l_extendedprice, 2) AS price,

@@ -95,4 +95,69 @@ object Packing {
       }
     }.toDF(idCol, "n_units", "bin_id", "offset_in_bin")
   }
+
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .where(col("__toks") =!= array(lit(""))) // zero-token docs occupy no space
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    graft.ops.Scans.exclusivePrefixSum(base, "id", "__n", "__off")
+  }
+
+  /** The exact (window, document) SEGMENT map of concat-and-chunk
+    * packing — [[packSequences]] says which windows a doc touches
+    * (`seq_first`..`seq_last`); this says precisely which token slice
+    * lands where: one row per (window, doc) overlap with `doc_start`
+    * (0-based offset into the doc), `seq_start` (0-based offset into
+    * the window) and the segment's `n_tokens`. This is the record a
+    * data loader replays to reconstruct any window without re-running
+    * the scan — and the provenance needed to answer "which documents
+    * fed training step N".
+    *
+    * Per doc the segment rows cover its tokens exactly once; per window
+    * the segments tile [0, ctxLen) contiguously (the final window may
+    * end short). Same plan shape as [[packSequences]] plus one
+    * explode — still no single-partition stage. */
+  def packSegments(docs: DataFrame, idCol: String, textCol: String,
+                   ctxLen: Int): DataFrame =
+    packSegmentsWithToks(docs, idCol, textCol, ctxLen)
+      .select(col("seq_id"), col("id").as(idCol), col("doc_start"),
+        col("seq_start"), col("n_tokens"))
+
+  private def packSegmentsWithToks(docs: DataFrame, idCol: String,
+                                   textCol: String, ctxLen: Int): DataFrame = {
+    require(ctxLen >= 1, s"packSegments: ctxLen must be >= 1, got $ctxLen")
+    tokenized(docs, idCol, textCol)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__off DIV $ctxLen"),
+        expr(s"(__off + __n - 1) DIV $ctxLen"))))
+      .withColumn("__seg_start", greatest(col("__off"), col("seq_id") * ctxLen))
+      .withColumn("__seg_end",
+        least(col("__off") + col("__n"), (col("seq_id") + 1) * ctxLen))
+      .select(col("seq_id"), col("id"),
+        (col("__seg_start") - col("__off")).as("doc_start"),
+        (col("__seg_start") - col("seq_id") * ctxLen).as("seq_start"),
+        (col("__seg_end") - col("__seg_start")).as("n_tokens"),
+        col("__toks"))
+  }
+
+  /** Materialized context windows: `seq_id`, `n_docs` (documents
+    * contributing), `n_tokens` (== ctxLen for every window but the
+    * last) and `seq_text` — the window's tokens space-joined in stream
+    * order. The groupBy key is the window id, so groups are <= ctxLen
+    * tokens BY CONSTRUCTION: document-length skew cannot produce a hot
+    * key, the aggregation is perfectly balanced at any corpus size. */
+  def packWindows(docs: DataFrame, idCol: String, textCol: String,
+                  ctxLen: Int): DataFrame =
+    packSegmentsWithToks(docs, idCol, textCol, ctxLen)
+      .withColumn("__seg", slice(col("__toks"),
+        (col("doc_start") + 1).cast("int"), col("n_tokens").cast("int")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(flatten(transform(
+          sort_array(collect_list(struct(col("seq_start"), col("__seg")))),
+          s => s.getField("__seg"))), " ").as("seq_text"))
 }
