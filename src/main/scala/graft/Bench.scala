@@ -92,7 +92,10 @@ object Bench {
     // the full line is also written to BENCH_FULL.json for inspection.
     val line = s"""{"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    try {
+    // only a FULL run may overwrite the inspection file — a
+    // SPARK_GRAFT_BENCH_ONLY iteration run would clobber the complete
+    // per-query record with its filtered subset
+    if (only.isEmpty) try {
       val out = new java.io.File("/root/repo/BENCH_FULL.json")
       if (out.getParentFile.isDirectory) {
         val w = new java.io.PrintWriter(out); try w.println(line) finally w.close()

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * WAV, MP4) is parsed for real from the leading bytes; still-image
   * PIXEL decode + resize is real too, via the JDK's built-in
   * `javax.imageio` ([[resizeImage]]/[[resizeImages]] — no external codec
-  * jars needed for PNG/JPEG/GIF/BMP). Only the VIDEO frame decode is
-  * stubbed ([[frameSampleStub]] — the container ships no video codec):
-  * it derives deterministic fake frames from the bytes, while everything
+  * jars needed for PNG/JPEG/GIF/BMP), as is multi-frame sampling from
+  * ANIMATED GIFs ([[gifFrames]]). Only the MP4 frame decode is stubbed
+  * ([[frameSampleStub]] — the container ships no video codec): it
+  * derives deterministic fake frames from the bytes, while everything
   * around it — schema, Dataset plumbing, mapPartitions batch shape — is
   * production-shaped. [[decodeStub]] remains for payloads that are not
   * images at all (the driver's text-as-media stand-in).
@@ -135,21 +136,61 @@ object Multimodal {
       payload.slice(start, math.min(start + frameLen, payload.length))
     }
 
+  /** REAL frame sampling for ANIMATED GIFs via ImageIO's sequence
+    * reader — the one multi-frame container the JDK decodes without
+    * external codec jars. Samples up to `n` evenly-spaced frames (each
+    * frame once — a 3-frame animation asked for 8 yields 3) and
+    * re-encodes each as PNG. Frames are the RAW per-frame images as
+    * stored: GIF delta frames (partial rectangles under a restore-
+    * previous disposal) are returned as-is, NOT composited over their
+    * predecessors — compositing needs a sequential decode of every
+    * prior frame, which is the wrong cost shape for corpus-scale
+    * sampling and irrelevant for the full-frame GIFs synthesized
+    * pipelines typically carry. None for anything that is not a
+    * decodable GIF (MP4 stays with [[frameSampleStub]] — no video
+    * codec ships in the JDK). */
+  def gifFrames(payload: Array[Byte], n: Int): Option[Seq[Array[Byte]]] = {
+    if (n < 1 || payload.length < 6 || payload(0) != 'G' ||
+        payload(1) != 'I' || payload(2) != 'F') return None
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload)), false, true)
+      val total = reader.getNumImages(true)
+      if (total < 1) return None
+      val take = math.min(n, total)
+      val idx =
+        if (take == 1) Seq(0)
+        else (0 until take).map(i => (i.toLong * (total - 1) / (take - 1)).toInt)
+      Some(idx.map { i =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+        bos.toByteArray
+      })
+    } catch { case _: Exception => None } // truncated/corrupt animation
+    finally reader.dispose()
+  }
+
   final case class MediaFrames(media_id: Long, n_frames: Int,
                                frame_sigs: Seq[String], thumb_len: Int)
 
   /** Batched resize + frame-sample pass — same mapPartitions shape as
     * [[extractFeatures]], emitting per-frame signatures and the resized
-    * thumbnail length. The thumbnail is the REAL [[resizeImage]] when
-    * the payload decodes as an image; non-image payloads (video, text
-    * stand-ins) fall back to the deterministic [[resizeStub]] shape. */
+    * thumbnail length. Frames are the REAL [[gifFrames]] decode for
+    * animated GIFs; other payloads (MP4, text stand-ins) fall back to
+    * the deterministic [[frameSampleStub]]. The thumbnail is the REAL
+    * [[resizeImage]] when the payload decodes as an image; otherwise
+    * the [[resizeStub]] shape. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int = 4,
                    thumbW: Int = 32, thumbH: Int = 32): Dataset[MediaFrames] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md = MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val frames = frameSampleStub(r.payload, nFrames)
+        val frames = gifFrames(r.payload, nFrames)
+          .getOrElse(frameSampleStub(r.payload, nFrames))
         val sigs = frames.map(f => md.digest(f).map("%02x".format(_)).mkString)
         val thumb = resizeImage(r.payload, thumbW, thumbH)
           .getOrElse(resizeStub(r.payload, thumbW, thumbH))
@@ -402,6 +443,33 @@ object Multimodal {
       .put("mp42".getBytes("US-ASCII"))
     out.putInt(8 + 108).put("moov".getBytes("US-ASCII")).put(mvhd.array())
     out.array()
+  }
+
+  /** A REAL animated GIF of solid-color frames, written through the
+    * JDK's own GIF sequence writer — the fixture generator for the
+    * [[gifFrames]] path (fakeWav/fakeMp4's animated sibling, except
+    * nothing about it is fake: any GIF decoder plays it). */
+  def makeAnimatedGif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && colors.nonEmpty)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
   }
 
   /** Lift the documents table into the media shape (text bytes as the

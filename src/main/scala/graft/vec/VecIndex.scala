@@ -442,13 +442,38 @@ object VecIndex {
     swapDir(spark, tmp, s"$indexDir/centroids")
   }
 
-  /** Exact per-list row counts from the just-written lists directory:
-    * `count(*)` grouped by the PARTITION column reads parquet footers
-    * only (no data pages), so even a full refresh is metadata-scale. */
-  private def refreshStatCounts(spark: SparkSession, indexDir: String): Unit =
-    writeStatCounts(spark, indexDir,
-      spark.read.parquet(s"$indexDir/lists")
-        .groupBy(col("list_id")).agg(count(lit(1)).as("n")))
+  /** Exact per-list row counts from the just-written lists directory,
+    * read DIRECTLY from the parquet footers on the driver: each
+    * `list_id=<n>` partition dir's files carry their row count in ~8
+    * bytes of footer metadata, so a refresh is O(files) metadata reads
+    * — no Spark job, no data pages, no shuffle. (The previous
+    * `read.groupBy(list_id).count()` form was correct but scheduled a
+    * full distributed scan per index BUILD, a measurable tax when the
+    * build itself is sub-second.) Driver-side is the right home: the
+    * file list is already driver-held after the write, and even a
+    * 100 TB index is only O(nlist * files-per-list) footers. */
+  private def refreshStatCounts(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(s"$indexDir/lists")
+    val fs = base.getFileSystem(conf)
+    val counts = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("list_id="))
+      .map { d =>
+        val lid = d.getPath.getName.stripPrefix("list_id=").toLong
+        val n = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+        (lid, n)
+      }
+      .filter(_._2 > 0L).sortBy(_._1)
+    writeStatCounts(spark, indexDir, counts.toDF("list_id", "n"))
+  }
 
   private def mergeStatCounts(spark: SparkSession, indexDir: String,
                               delta: DataFrame): Unit = {

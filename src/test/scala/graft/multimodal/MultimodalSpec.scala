@@ -103,6 +103,52 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.resizeImage(realImage(40, 30, "png"), 8, 4).get.length)
   }
 
+  test("gifFrames: REAL animated-GIF decode — even sampling, PNG frames, honest None") {
+    val gif = Multimodal.makeAnimatedGif(10, 8,
+      Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff))
+    assert(Multimodal.imageMeta(gif).contains(("gif", 10, 8)))
+    // ask for fewer frames than stored: first and last always included
+    val three = Multimodal.gifFrames(gif, 3).get
+    assert(three.length == 3)
+    three.foreach { png =>
+      assert(Multimodal.imageMeta(png).contains(("png", 10, 8)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 10 && img.getHeight == 8)
+    }
+    def corner(png: Array[Byte]): Int =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        .getRGB(0, 0) & 0xffffff
+    // GIF's 256-color quantization may shift hues; frames must still be
+    // the 1st, 3rd and 5th DISTINCT colors in order
+    assert(corner(three(0)) != corner(three(1)))
+    assert(corner(three(1)) != corner(three(2)))
+    // ask for more frames than stored: each stored frame once, no repeats
+    assert(Multimodal.gifFrames(gif, 9).get.length == 5)
+    // a still GIF is a 1-frame animation
+    assert(Multimodal.gifFrames(realImage(6, 6, "gif"), 4).get.length == 1)
+    // non-GIF and corrupt payloads: None, never a throw
+    assert(Multimodal.gifFrames(realImage(6, 6, "png"), 2).isEmpty)
+    assert(Multimodal.gifFrames("GIF89a then garbage".getBytes, 2).isEmpty)
+    assert(Multimodal.gifFrames(Array.emptyByteArray, 2).isEmpty)
+  }
+
+  test("sampleFrames: REAL frames for animated GIFs, stub for other payloads") {
+    import spark.implicits._
+    val gif = Multimodal.makeAnimatedGif(12, 12, Seq(0x111111, 0xeeeeee, 0x808080))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, gif, "image/gif", "s"),
+      Multimodal.MediaRow(2L, "opaque video-ish bytes".getBytes, "video/mp4", "s"))
+    val got = Multimodal.sampleFrames(rows.toDS(), nFrames = 8,
+      thumbW = 4, thumbH = 4).collect().map(x => x.media_id -> x).toMap
+    // the GIF yields its 3 real frames (not 8 stub windows), distinct sigs
+    assert(got(1L).n_frames == 3)
+    assert(got(1L).frame_sigs.distinct.length == 3)
+    // and its thumbnail is the real resize (a PNG container, not 16 bytes)
+    assert(got(1L).thumb_len != 16)
+    // the non-GIF payload keeps the deterministic stub shape
+    assert(got(2L).n_frames == 8)
+  }
+
   test("imageMeta: real header parse for PNG/GIF/BMP/JPEG, None for opaque bytes") {
     // PNG via our own container writer (round-trips by construction)
     assert(Multimodal.imageMeta(Multimodal.fakePng(640, 480, Array[Byte](1, 2)))
