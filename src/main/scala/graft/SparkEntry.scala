@@ -30,6 +30,44 @@ object SparkEntry {
     else df
   }
 
+  /** Shared DuckDB prefix for the q_x_html_* oracles: synthesizes the
+    * SAME page as [[synthHtml]] and mirrors [[graft.text.Html.stripTags]]
+    * rule for rule (same RE2-safe patterns, same order), ending at the
+    * `ex(doc_id, html, txt)` CTE the per-query SELECTs build on. */
+  private val htmlOracleCommon: String = raw"""WITH h AS (SELECT doc_id,
+         '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var x = 1 < 2;</script><style>.nav{color:red}</style></head><body><h1>'
+         || substr(text, 1, 30) || '</h1><p>' || text ||
+         ' &amp; more</p><!-- hidden --><div class="nav"><a href="/">home</a> <a href="/login">login menu</a></div></body></html>' AS html
+       FROM documents),
+       s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(html,
+            '(?i)<script\b[^>]*>[\s\S]*?</script>', '', 'g'),
+            '(?i)<style\b[^>]*>[\s\S]*?</style>', '', 'g'),
+            '<!--[\s\S]*?-->', '', 'g') AS t FROM h),
+       s2 AS (SELECT doc_id, html, regexp_replace(regexp_replace(t,
+            '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|footer|nav|blockquote|pre)\b[^>]*>', chr(10), 'g'),
+            '<[^>]+>', ' ', 'g') AS t FROM s1),
+       s3 AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') AS t FROM s2),
+       ex AS (SELECT doc_id, html,
+            trim(regexp_replace(regexp_replace(t, '[ \t\r]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g')) AS txt
+       FROM s3)"""
+
+  /** A web page synthesized from documents row fields — script + style
+    * + comment + entity + link-dense nav chrome around the row's text.
+    * The oracle SQL builds the SAME string, so the q_x_html_* queries
+    * hash-gate the extraction chain end to end (the fakePng discipline
+    * applied to markup). */
+  private def synthHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+      "<style>.nav{color:red}</style></head><body><h1>"),
+    substring(col("text"), 1, 30),
+    lit("</h1><p>"), col("text"),
+    lit(" &amp; more</p><!-- hidden --><div class=\"nav\">" +
+      "<a href=\"/\">home</a> <a href=\"/login\">login menu</a>" +
+      "</div></body></html>"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Pricing-summary style aggregation: scan -> pushed filter -> hash agg. */
   def entry(spark: SparkSession): DataFrame =
@@ -469,6 +507,34 @@ object SparkEntry {
     "q_x_pack_windows" -> ((s, dir) => {
       graft.text.Packing.packWindows(
         t(s, dir, "documents"), "doc_id", "text", ctxLen = 128)
+    }),
+
+    // X: HTML -> text extraction. The fixture page is synthesized from
+    // row fields IDENTICALLY in Spark and the oracle SQL (the fakePng
+    // discipline for markup), so the whole regex chain — script/style/
+    // comment blocks, block-tag paragraph breaks, entity decode,
+    // whitespace collapse — is hash-gated rule for rule.
+    "q_x_html_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("__html", synthHtml)
+      d.select(col("doc_id"),
+        graft.text.Html.stripTags(col("__html")).as("txt"),
+        graft.text.Html.linkCount(col("__html")).as("links"))
+    }),
+
+    // X: JusText-lite paragraph classification over the stripped page —
+    // the audit view (one row per paragraph with the keep verdict)
+    "q_x_html_paragraphs" -> ((s, dir) => {
+      graft.text.Html.paragraphs(
+        t(s, dir, "documents").withColumn("__html", synthHtml),
+        "doc_id", "__html", minChars = 30, minStopRatio = 0.03)
+    }),
+
+    // X: main-text extraction — boilerplate dropped inside array
+    // lambdas, no explode, single codegen projection
+    "q_x_html_main" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("__html", synthHtml)
+        .select(col("doc_id"),
+          graft.text.Html.mainText(col("__html"), 30, 0.03).as("main"))
     }),
 
     // X: REAL BPE — merges learned from the corpus itself (deterministic
@@ -2384,6 +2450,36 @@ object SparkEntry {
            greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
            least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
          FROM m""",
+
+    "q_x_html_extract" ->
+      (htmlOracleCommon + """
+         SELECT doc_id, txt,
+           CAST(len(regexp_extract_all(html, '(?i)<a\b')) AS BIGINT) AS links
+         FROM ex"""),
+
+    "q_x_html_paragraphs" ->
+      (htmlOracleCommon + raw"""
+         , p AS (SELECT doc_id,
+              unnest(string_split(txt, chr(10))) AS para,
+              unnest(range(len(string_split(txt, chr(10))))) AS para_idx
+            FROM ex)
+         SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+           CAST(len(para) AS BIGINT) AS n_chars,
+           round(len(list_filter(string_split_regex(trim(lower(para)), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+             / greatest(len(string_split_regex(trim(lower(para)), '\s+')), 1), 4) AS stop_ratio,
+           (len(para) >= 30 AND round(len(list_filter(string_split_regex(trim(lower(para)), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+             / greatest(len(string_split_regex(trim(lower(para)), '\s+')), 1), 4) >= 0.03) AS keep
+         FROM p WHERE len(trim(para)) > 0"""),
+
+    "q_x_html_main" ->
+      (htmlOracleCommon + raw"""
+         SELECT doc_id, COALESCE(array_to_string(list_filter(string_split(txt, chr(10)),
+             p -> len(p) >= 30 AND round(len(list_filter(string_split_regex(trim(lower(p)), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+             / greatest(len(string_split_regex(trim(lower(p)), '\s+')), 1), 4) >= 0.03), chr(10)), '') AS main
+         FROM ex"""),
 
     "q_x_pack_windows" ->
       """WITH t AS (SELECT doc_id,
