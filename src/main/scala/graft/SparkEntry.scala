@@ -30,6 +30,39 @@ object SparkEntry {
     else df
   }
 
+  private val xxh64TokenOracleCommon: String =
+    """WITH tok AS (SELECT doc_id, unnest(generate_series(0, 9)) AS i FROM documents),
+         ts AS (SELECT doc_id, 't' || doc_id || '_' || i || repeat('p', i::INT) AS t FROM tok),
+         hb AS (SELECT doc_id, len(t)::HUGEINT AS n,
+             [unicode(substr(t, k, 1))::HUGEINT for k in generate_series(1, len(t))] AS bs
+           FROM ts),
+         lanes AS (SELECT doc_id, n,
+             [bs[(8*c+1)::INT] + bs[(8*c+2)::INT]*256 + bs[(8*c+3)::INT]*65536
+              + bs[(8*c+4)::INT]*16777216 + bs[(8*c+5)::INT]*4294967296
+              + bs[(8*c+6)::INT]*1099511627776 + bs[(8*c+7)::INT]*281474976710656
+              + bs[(8*c+8)::INT]*72057594037927936
+              for c in generate_series(0, (n//8)::BIGINT - 1)] AS l8,
+             CASE WHEN n % 8 >= 4 THEN
+               [bs[((n//8)*8+1)::INT] + bs[((n//8)*8+2)::INT]*256
+                + bs[((n//8)*8+3)::INT]*65536 + bs[((n//8)*8+4)::INT]*16777216]
+             ELSE CAST([] AS HUGEINT[]) END AS l4,
+             list_slice(bs, ((n//8)*8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1)::INT, len(bs)) AS tl
+           FROM hb),
+         s8 AS (SELECT doc_id, l4, tl,
+             list_reduce([(42 + 2870177450012600261 + n) % 18446744073709551616] || l8,
+               (h, l) -> (((((((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 134217728) % 18446744073709551616 + ((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 137438953472))) % 4294967296) * (11400714785074694791) + (((((((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 134217728) % 18446744073709551616 + ((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 137438953472))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616) AS h FROM lanes),
+         s4 AS (SELECT doc_id, tl,
+             list_reduce([h] || l4,
+               (h, l) -> (((((((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 8388608) % 18446744073709551616 + ((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 2199023255552))) % 4294967296) * (14029467366897019727) + (((((((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 8388608) % 18446744073709551616 + ((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 2199023255552))) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616 + 1609587929392839161) % 18446744073709551616) AS h FROM s8),
+         sb AS (SELECT doc_id,
+             list_reduce([h] || tl,
+               (h, l) -> ((((((xor(h, (l * 2870177450012600261) % 18446744073709551616)) * 2048) % 18446744073709551616 + ((xor(h, (l * 2870177450012600261) % 18446744073709551616)) // 9007199254740992))) % 4294967296) * (11400714785074694791) + (((((((xor(h, (l * 2870177450012600261) % 18446744073709551616)) * 2048) % 18446744073709551616 + ((xor(h, (l * 2870177450012600261) % 18446744073709551616)) // 9007199254740992))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM s4),
+         av AS (SELECT doc_id, xor(h, h // 8589934592) AS a1 FROM sb),
+         av2 AS (SELECT doc_id, (((a1) % 4294967296) * (14029467366897019727) + ((((a1) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616 AS a2 FROM av),
+         av3 AS (SELECT doc_id, xor(a2, a2 // 536870912) AS a3 FROM av2),
+         av4 AS (SELECT doc_id, (((a3) % 4294967296) * (1609587929392839161) + ((((a3) // 4294967296) * (1609587929392839161)) % 4294967296) * 4294967296) % 18446744073709551616 AS a4 FROM av3),
+         fin AS (SELECT doc_id, xor(a4, a4 // 4294967296) AS h FROM av4)"""
+
   /** Shared DuckDB prefix for the q_x_html_* oracles: synthesizes the
     * SAME page as [[synthHtml]] and mirrors [[graft.text.Html.stripTags]]
     * rule for rule (same RE2-safe patterns, same order), ending at the
@@ -951,6 +984,24 @@ object SparkEntry {
         d.where(col("lang") === "en"), d.where(col("lang") === "zh"),
         "doc_id", "text", dim = 1 << 14, epochs = 5)
       QualityClassifier.score(d, "doc_id", "text", model)
+    }),
+
+    // X: the quality classifier's SCORING KERNEL oracle-gated with a
+    // FIXED model (trained-weight runs stay rows-only — SGD is not SQL):
+    // dim=8 (a power of two, so signed floorMod == unsigned % in the
+    // oracle's HUGEINT arithmetic), weights all exact binary fractions
+    // (so the mean is order-independent in doubles), tokens synthesized
+    // per row exactly as in q_x_simhash_sig — the XXH64(42) hash,
+    // bucketing, mean and bias must reproduce DuckDB bit for bit
+    "q_x_quality_margin_fixed" -> ((s, dir) => {
+      import graft.text.{QualityClassifier, QualityModel}
+      val model = QualityModel(8,
+        Array(0.25, -0.5, 0.125, 0.75, -0.25, 0.0625, -0.125, 0.5), 0.0625)
+      t(s, dir, "documents")
+        .withColumn("__toks", expr(
+          "transform(sequence(0, 9), i -> concat('t', CAST(doc_id AS string), '_', CAST(i AS string), repeat('p', i)))"))
+        .select(col("doc_id"),
+          QualityClassifier.marginCol(col("__toks"), model).as("margin"))
     }),
 
     // X: incremental corpus dedup — a new batch (doc_id%10=3) against
@@ -3755,38 +3806,17 @@ object SparkEntry {
     // mod-2^64 arithmetic (mulmod splits the left operand at 2^32 so no
     // intermediate exceeds 2^97; rotations are a shift-pair), then the
     // 64-bit majority vote — fully independent of the JVM kernel
+    "q_x_quality_margin_fixed" ->
+      (xxh64TokenOracleCommon + """
+         SELECT doc_id,
+           avg(CASE h % 8 WHEN 0 THEN 0.25 WHEN 1 THEN -0.5
+               WHEN 2 THEN 0.125 WHEN 3 THEN 0.75 WHEN 4 THEN -0.25
+               WHEN 5 THEN 0.0625 WHEN 6 THEN -0.125 ELSE 0.5 END)
+             + 0.0625 AS margin
+         FROM fin GROUP BY doc_id"""),
+
     "q_x_simhash_sig" ->
-      """WITH tok AS (SELECT doc_id, unnest(generate_series(0, 9)) AS i FROM documents),
-         ts AS (SELECT doc_id, 't' || doc_id || '_' || i || repeat('p', i::INT) AS t FROM tok),
-         hb AS (SELECT doc_id, len(t)::HUGEINT AS n,
-             [unicode(substr(t, k, 1))::HUGEINT for k in generate_series(1, len(t))] AS bs
-           FROM ts),
-         lanes AS (SELECT doc_id, n,
-             [bs[(8*c+1)::INT] + bs[(8*c+2)::INT]*256 + bs[(8*c+3)::INT]*65536
-              + bs[(8*c+4)::INT]*16777216 + bs[(8*c+5)::INT]*4294967296
-              + bs[(8*c+6)::INT]*1099511627776 + bs[(8*c+7)::INT]*281474976710656
-              + bs[(8*c+8)::INT]*72057594037927936
-              for c in generate_series(0, (n//8)::BIGINT - 1)] AS l8,
-             CASE WHEN n % 8 >= 4 THEN
-               [bs[((n//8)*8+1)::INT] + bs[((n//8)*8+2)::INT]*256
-                + bs[((n//8)*8+3)::INT]*65536 + bs[((n//8)*8+4)::INT]*16777216]
-             ELSE CAST([] AS HUGEINT[]) END AS l4,
-             list_slice(bs, ((n//8)*8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1)::INT, len(bs)) AS tl
-           FROM hb),
-         s8 AS (SELECT doc_id, l4, tl,
-             list_reduce([(42 + 2870177450012600261 + n) % 18446744073709551616] || l8,
-               (h, l) -> (((((((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 134217728) % 18446744073709551616 + ((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 137438953472))) % 4294967296) * (11400714785074694791) + (((((((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 134217728) % 18446744073709551616 + ((xor(h, (((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) % 4294967296) * (11400714785074694791) + ((((((((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) * 2147483648) % 18446744073709551616 + (((((l) % 4294967296) * (14029467366897019727) + ((((l) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616) // 8589934592))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 137438953472))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616) AS h FROM lanes),
-         s4 AS (SELECT doc_id, tl,
-             list_reduce([h] || l4,
-               (h, l) -> (((((((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 8388608) % 18446744073709551616 + ((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 2199023255552))) % 4294967296) * (14029467366897019727) + (((((((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) * 8388608) % 18446744073709551616 + ((xor(h, (((l) % 4294967296) * (11400714785074694791) + ((((l) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616)) // 2199023255552))) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616 + 1609587929392839161) % 18446744073709551616) AS h FROM s8),
-         sb AS (SELECT doc_id,
-             list_reduce([h] || tl,
-               (h, l) -> ((((((xor(h, (l * 2870177450012600261) % 18446744073709551616)) * 2048) % 18446744073709551616 + ((xor(h, (l * 2870177450012600261) % 18446744073709551616)) // 9007199254740992))) % 4294967296) * (11400714785074694791) + (((((((xor(h, (l * 2870177450012600261) % 18446744073709551616)) * 2048) % 18446744073709551616 + ((xor(h, (l * 2870177450012600261) % 18446744073709551616)) // 9007199254740992))) // 4294967296) * (11400714785074694791)) % 4294967296) * 4294967296) % 18446744073709551616) AS h FROM s4),
-         av AS (SELECT doc_id, xor(h, h // 8589934592) AS a1 FROM sb),
-         av2 AS (SELECT doc_id, (((a1) % 4294967296) * (14029467366897019727) + ((((a1) // 4294967296) * (14029467366897019727)) % 4294967296) * 4294967296) % 18446744073709551616 AS a2 FROM av),
-         av3 AS (SELECT doc_id, xor(a2, a2 // 536870912) AS a3 FROM av2),
-         av4 AS (SELECT doc_id, (((a3) % 4294967296) * (1609587929392839161) + ((((a3) // 4294967296) * (1609587929392839161)) % 4294967296) * 4294967296) % 18446744073709551616 AS a4 FROM av3),
-         fin AS (SELECT doc_id, xor(a4, a4 // 4294967296) AS h FROM av4),
+      (xxh64TokenOracleCommon + """,
          grp AS (SELECT doc_id, list(h) AS hs FROM fin GROUP BY doc_id)
          SELECT doc_id,
            CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
@@ -3795,7 +3825,7 @@ object SparkEntry {
              list_sum([CASE WHEN 2 * len(list_filter(hs,
                     h -> (h // power(2::HUGEINT, b)::HUGEINT) % 2 = 1)) > len(hs)
                   THEN power(2::HUGEINT, b)::HUGEINT ELSE 0::HUGEINT END
-               for b in generate_series(0, 63)])::HUGEINT AS u FROM grp) z""",
+               for b in generate_series(0, 63)])::HUGEINT AS u FROM grp) z"""),
 
     // brute-force exact 3-shingle Jaccard over all pairs: ground truth for
     // the LSH path (the exact-verify step makes the Spark output equal
