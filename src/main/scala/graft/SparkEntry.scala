@@ -86,6 +86,38 @@ object SparkEntry {
             trim(regexp_replace(regexp_replace(t, '[ \t\r]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g')) AS txt
        FROM s3)"""
 
+  /** A chat transcript synthesized from documents row fields: system
+    * turn, user turn (first 8 tokens), assistant turn (the rest) —
+    * with every 7th conversation given an unknown role and short docs
+    * an empty assistant turn, so the validity verdict has real
+    * negatives. The oracle builds the same conversation with DuckDB's
+    * JSON functions; queries compare PARSED fields, so engine-specific
+    * JSON spacing cannot matter. */
+  private def synthChat: org.apache.spark.sql.Column = {
+    val tk = graft.text.TextOps.tokens(col("text"))
+    to_json(struct(array(
+      struct(lit("system").as("role"), lit("be helpful").as("content")),
+      struct(lit("user").as("role"),
+        array_join(slice(tk, 1, 8), " ").as("content")),
+      struct(when(pmod(col("doc_id"), lit(7)) === 0, "bot")
+          .otherwise("assistant").as("role"),
+        array_join(slice(tk, lit(9), greatest(size(tk) - 8, lit(0))), " ")
+          .as("content"))).as("messages")))
+  }
+
+  /** Shared DuckDB prefix for the q_x_chat_* oracles — the same
+    * conversation as [[synthChat]], ending at `conv(doc_id, js)`. */
+  private val chatOracleCommon: String = """WITH toks AS (SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+       FROM documents),
+       conv AS (SELECT doc_id, to_json(struct_pack(
+           messages := [
+             struct_pack(role := 'system', content := 'be helpful'),
+             struct_pack(role := 'user', content := array_to_string(tk[1:8], ' ')),
+             struct_pack(role := CASE WHEN doc_id % 7 = 0 THEN 'bot' ELSE 'assistant' END,
+                         content := array_to_string(tk[9:len(tk)], ' '))
+           ])) AS js FROM toks)"""
+
   /** A web page synthesized from documents row fields — script + style
     * + comment + entity + link-dense nav chrome around the row's text.
     * The oracle SQL builds the SAME string, so the q_x_html_* queries
@@ -540,6 +572,31 @@ object SparkEntry {
     "q_x_pack_windows" -> ((s, dir) => {
       graft.text.Packing.packWindows(
         t(s, dir, "documents"), "doc_id", "text", ctxLen = 128)
+    }),
+
+    // X: SFT conversation parse — transcript JSON to typed turns, the
+    // exploded audit view per-turn filters run on
+    "q_x_chat_turns" -> ((s, dir) => {
+      graft.text.Chat.parseTurns(
+        t(s, dir, "documents").withColumn("__js", synthChat),
+        "doc_id", "__js")
+    }),
+
+    // X: per-conversation stats + schema-contract verdict: every 7th
+    // conversation has an unknown role, short docs an empty assistant
+    // turn — both must land valid=false
+    "q_x_chat_stats" -> ((s, dir) => {
+      graft.text.Chat.stats(
+        t(s, dir, "documents").withColumn("__js", synthChat),
+        "doc_id", "__js")
+    }),
+
+    // X: chat-template render — turns flattened to the single training
+    // string a tokenizer consumes
+    "q_x_chat_render" -> ((s, dir) => {
+      t(s, dir, "documents").withColumn("__js", synthChat)
+        .select(col("doc_id"),
+          graft.text.Chat.render(col("__js")).as("rendered"))
     }),
 
     // X: HTML -> text extraction. The fixture page is synthesized from
@@ -2501,6 +2558,44 @@ object SparkEntry {
            greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
            least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
          FROM m""",
+
+    "q_x_chat_turns" ->
+      (chatOracleCommon + """
+         , x AS (SELECT doc_id, js,
+              unnest(range(json_array_length(js, '$.messages')::BIGINT)) AS i
+            FROM conv)
+         SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+           json_extract_string(js, '$.messages[' || i || '].role') AS role,
+           json_extract_string(js, '$.messages[' || i || '].content') AS content
+         FROM x"""),
+
+    "q_x_chat_stats" ->
+      (chatOracleCommon + """
+         , n AS (SELECT doc_id, js,
+              json_array_length(js, '$.messages')::BIGINT AS n FROM conv),
+         r AS (SELECT doc_id, n,
+              [json_extract_string(js, '$.messages[' || i || '].role') for i in range(n)] AS roles,
+              [json_extract_string(js, '$.messages[' || i || '].content') for i in range(n)] AS cts
+            FROM n)
+         SELECT doc_id, n AS n_turns,
+           CAST(len(list_filter(roles, r -> r = 'user')) AS BIGINT) AS n_user,
+           CAST(len(list_filter(roles, r -> r = 'assistant')) AS BIGINT) AS n_assistant,
+           CAST(COALESCE(list_sum([len(string_split_regex(trim(c), '\s+')) for c in cts]), 0) AS BIGINT) AS n_tokens,
+           (n >= 2
+             AND len(list_filter(roles, r -> r IN ('system', 'user', 'assistant'))) = n
+             AND len(list_filter(cts, c -> c IS NOT NULL AND len(c) > 0)) = n
+             AND list_contains(roles, 'user')
+             AND list_contains(roles, 'assistant')) AS valid
+         FROM r"""),
+
+    "q_x_chat_render" ->
+      (chatOracleCommon + """
+         SELECT doc_id,
+           array_to_string([
+               '<|' || json_extract_string(js, '$.messages[' || i || '].role')
+               || '|>' || json_extract_string(js, '$.messages[' || i || '].content')
+             for i in range(json_array_length(js, '$.messages')::BIGINT)], '') AS rendered
+         FROM conv"""),
 
     "q_x_html_extract" ->
       (htmlOracleCommon + """

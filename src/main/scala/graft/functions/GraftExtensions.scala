@@ -68,5 +68,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"form must be a string literal, got: $other")
         }.getOrElse("NFC"))))
+    // the HTML extractors are Column COMPOSITIONS (regexp_replace
+    // chains + array lambdas), not custom expressions — bridge through
+    // the Column API so SQL users get the same codegen'd plan
+    import org.apache.spark.sql.graftx.{toAnalyzableExpression, toColumn}
+    ext.injectFunction((
+      new FunctionIdentifier("html_text"),
+      new ExpressionInfo(graft.text.Html.getClass.getName, "html_text"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.Html.stripTags(toColumn(children.head)))))
+    ext.injectFunction((
+      new FunctionIdentifier("html_main"),
+      new ExpressionInfo(graft.text.Html.getClass.getName, "html_main"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.Html.mainText(toColumn(children.head),
+          children.lift(1).map(intArg(_, "minChars")).getOrElse(30),
+          children.lift(2).map {
+            case Literal(d: Double, _) => d
+            case Literal(d: java.math.BigDecimal, _) => d.doubleValue
+            case other => throw new IllegalArgumentException(
+              s"minStopRatio must be a numeric literal, got: $other")
+          }.getOrElse(0.05)))))
+    ext.injectFunction((
+      new FunctionIdentifier("html_link_count"),
+      new ExpressionInfo(graft.text.Html.getClass.getName, "html_link_count"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.Html.linkCount(toColumn(children.head)))))
   }
 }

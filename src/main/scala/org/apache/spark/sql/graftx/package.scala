@@ -10,6 +10,16 @@ package object graftx {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Convert a COMPOSED Column (function-call ColumnNodes, lambdas, …)
+    * into the Catalyst expression tree the analyzer resolves —
+    * [[toExpression]] only unwraps Columns that already hold a raw
+    * expression and returns an Unevaluable ColumnNodeExpression for
+    * anything composed, which blows up if returned from an
+    * injectFunction builder. This is the same converter Dataset itself
+    * runs at the Column -> LogicalPlan boundary. */
+  def toAnalyzableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** True when the session-shared Dataset cache has no entries — the
     * observable for "this operator does not leak persisted frames"
     * (CacheManager entries are strongly held until an explicit unpersist,

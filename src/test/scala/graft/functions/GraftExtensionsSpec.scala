@@ -127,4 +127,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Double].head()
     assert(viaSql == got(0))
   }
+
+  test("html_text / html_main / html_link_count callable from SQL, match the Column API") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val page = "<h1>Hi</h1><p>the quick brown fox is one of a kind and it " +
+      "jumps for joy</p><div class=\"nav\"><a href=\"/\">home</a> " +
+      "<a href=\"/l\">login</a></div>"
+    val df = Seq(page).toDF("h")
+    df.createOrReplaceTempView("pages")
+    val viaSql = spark.sql(
+      """SELECT html_text(h) AS t, html_main(h) AS m,
+                html_main(h, 10, 0.6D) AS strictm,
+                html_link_count(h) AS lc FROM pages""").head()
+    val viaCol = df.select(
+      graft.text.Html.stripTags(col("h")),
+      graft.text.Html.mainText(col("h")),
+      graft.text.Html.mainText(col("h"), 10, 0.6),
+      graft.text.Html.linkCount(col("h"))).head()
+    assert(viaSql.getString(0) == viaCol.getString(0))
+    assert(viaSql.getString(1) == viaCol.getString(1))
+    assert(viaSql.getString(1).startsWith("the quick brown fox"))
+    assert(viaSql.getString(2) == viaCol.getString(2)) // 0.6 ratio drops all
+    assert(viaSql.getString(2).isEmpty)
+    assert(viaSql.getLong(3) == 2L)
+    // parameters must be literals, like every other injected function
+    val e = intercept[Exception](
+      spark.sql("SELECT html_main(h, length(h)) FROM pages").collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
 }
