@@ -208,4 +208,23 @@ object CorpusPipeline {
     }
     (clean, audit.result())
   }
+
+  /** Crawl front-end: run [[Html.mainText]] (markup stripped,
+    * boilerplate paragraphs dropped by the JusText-lite rule) and feed
+    * the extracted prose through [[preprocess]] unchanged — the
+    * HTML-corpus entry point. Extraction is a row-local projection
+    * fused into the pipeline's first scan, so the markup pass costs no
+    * extra job; pages whose extraction empties out fall to the
+    * pipeline's own min-token quality rule (and are counted in its
+    * audit) rather than vanishing silently. */
+  def preprocessHtml(docs: DataFrame, idCol: String, htmlCol: String,
+                     benchmark: Option[DataFrame] = None,
+                     t: Thresholds = Thresholds(),
+                     minParaChars: Int = 30,
+                     minParaStopRatio: Double = 0.05)
+      : (DataFrame, Seq[(String, Long)]) =
+    preprocess(
+      docs.select(col(idCol), Html.mainText(col(htmlCol),
+        minParaChars, minParaStopRatio).as("__extracted")),
+      idCol, "__extracted", benchmark, t)
 }

@@ -213,4 +213,34 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val (clean, _) = CorpusPipeline.preprocess(docs, "doc_id", "text")
     assert(clean.select("text").as[String].head().contains("<EMAIL>"))
   }
+
+  test("preprocessHtml: crawl pages extract, then flow through the same stages") {
+    // the same corpus shape as the first test, wrapped in markup with
+    // link-dense nav chrome that extraction must strip before any
+    // language/quality/dedup stage sees the text
+    val texts = Seq(
+      (1L, "the cat and the dog is in the house with the mouse"),
+      (2L, "the cat and  the dog is in the house with the mouse"),
+      (3L, "le chat et le chien est pour la maison"),
+      (6L, "the big cat and the dog is in the house with the mouse"),
+      (7L, "completely different english text that is about the weather for today"))
+    val pages = texts.map { case (id, t) =>
+      (id, s"<html><head><script>nav();</script></head><body><p>$t</p>" +
+        "<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/x\">login menu</a>" +
+        "</div></body></html>")
+    }.toDF("doc_id", "html")
+    val (clean, audit) = CorpusPipeline.preprocessHtml(
+      pages, "doc_id", "html",
+      t = CorpusPipeline.Thresholds(nearDupThreshold = 0.4),
+      minParaStopRatio = 0.1)
+    val kept = clean.select("id").as[Long].collect().toSet
+    // same verdicts as the plain-text pipeline: 3 language, 2 exact-dup,
+    // 6 near-dup; the nav chrome influenced nothing
+    assert(kept == Set(1L, 7L))
+    val a = audit.toMap
+    assert(a("input") == 5 && a("language") == 4)
+    // and the surviving text is the EXTRACTED prose, not markup
+    val t1 = clean.where($"id" === 1L).select("text").as[String].head()
+    assert(t1 == "the cat and the dog is in the house with the mouse")
+  }
 }
