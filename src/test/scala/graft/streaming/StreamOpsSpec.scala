@@ -480,4 +480,41 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(n == distinct)
     } finally q.stop()
   }
+
+  test("round-8 families compose with streams: html extraction + chat stats are stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8_stream_")
+    val page = "<p>the cat and the dog is in the house</p>" +
+      "<div class=\"nav\"><a href=\"/\">home login</a></div>"
+    val chat = """{"messages":[{"role":"user","content":"hi there"},
+      {"role":"assistant","content":"hello to you"}]}"""
+    Seq((1L, page, chat), (2L, "<p>short</p>", "{bad json"))
+      .toDF("doc_id", "html", "js")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("html", StringType), StructField("js", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // both families are row-local projections, so they lift onto a
+    // stream unchanged — no state, no watermark, append mode
+    val q = graft.text.Chat.stats(
+        stream.withColumn("main",
+          graft.text.Html.mainText(
+            org.apache.spark.sql.functions.col("html"), 10, 0.1)),
+        "doc_id", "js")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r8_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("r8_stream")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got(1L)._6 && got(1L)._2 == 2L) // valid 2-turn conversation
+      assert(!got(2L)._6 && got(2L)._2 == 0L) // bad JSON -> statistic, not crash
+    } finally q.stop()
+  }
 }
