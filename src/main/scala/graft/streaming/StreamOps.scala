@@ -443,6 +443,63 @@ object StreamOps {
           dedupIngestBatch(batch, corpusDir, idCol, textCol, shingleN, threshold): Unit
       }
 
+  /** One packed document in a shard's token stream: its span
+    * [start_offset, start_offset + n_tokens) and the ctxLen windows it
+    * lands in — the streaming row of [[graft.text.Packing.packSequences]]. */
+  final case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+                             start_offset: Long, seq_first: Long, seq_last: Long)
+  final case class ShardOffset(nextOffset: Long)
+
+  /** STREAMING concat-and-chunk sequence packing: documents arriving on
+    * a stream are appended to per-shard virtual token streams and
+    * assigned their window spans continuously — the feed a live
+    * tokenize-and-pack pipeline consumes, where the batch
+    * [[graft.text.Packing.packSequences]] would mean re-scanning the
+    * corpus per refresh.
+    *
+    * State is ONE Long per shard (the shard's next free token offset):
+    * scale-independent, checkpoint-tiny. Shard = doc_id mod nShards;
+    * docs within a micro-batch pack in doc_id order (the batch
+    * operator's determinism discipline), across batches in arrival
+    * order — which the checkpoint makes replay-stable: after a crash,
+    * re-delivered batches reproduce the same offsets because the state
+    * version travels with the source offsets. Zero-token docs occupy
+    * no space and emit no row, exactly like the batch operator.
+    *
+    * Windows are per shard: window w of shard s owns that shard's
+    * tokens [w*ctxLen, (w+1)*ctxLen) — nShards independent token
+    * streams a loader reads in parallel. */
+  def packStream(docs: DataFrame, idCol: String, textCol: String,
+                 ctxLen: Int, nShards: Int): org.apache.spark.sql.Dataset[PackedDoc] = {
+    require(ctxLen >= 1, s"packStream: ctxLen must be >= 1, got $ctxLen")
+    require(nShards >= 1, s"packStream: nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.text.TextOps.tokens(col(textCol)).as("__toks"))
+      .where(col("__toks") =!= array(lit("")))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._3)
+      .flatMapGroupsWithState[ShardOffset, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[ShardOffset]) =>
+          var off = state.getOption.map(_.nextOffset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, n, _) =>
+            val start = off
+            off += n
+            PackedDoc(id, shard, n, start,
+              start / ctxLen, (start + n - 1) / ctxLen)
+          }
+          state.update(ShardOffset(off))
+          out.iterator
+      }
+  }
+
   /** Wire a streaming query to an in-memory sink (used by tests; a real
     * deployment points this at kafka/parquet with a checkpoint). */
   def toMemorySink(df: DataFrame, name: String,

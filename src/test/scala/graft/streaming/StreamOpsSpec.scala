@@ -481,6 +481,88 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packStream: per-shard offsets are contiguous across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_stream_")
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = dir.resolve(s"_s_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
+    }
+    def doc(id: Long, n: Int) = (id, (1 to n).map(j => s"t${id}_$j").mkString(" "))
+    writeBatch("b1", Seq(doc(1, 3), doc(2, 7), doc(3, 2), doc(4, 1), (5L, "   ")))
+    writeBatch("b2", Seq(doc(6, 4), doc(7, 6), doc(8, 2), doc(9, 9)))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = StreamOps.packStream(stream, "doc_id", "text", ctxLen = 5, nShards = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pack_stream")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.length == 8)                 // blank doc 5 emits nothing
+      assert(!got.exists(_._1 == 5L))
+      got.groupBy(_._2).foreach { case (shard, rs) =>
+        val sorted = rs.sortBy(_._4)
+        assert(sorted.head._4 == 0L, s"shard $shard starts at 0")
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 + a._3 == b._4,
+            s"shard $shard gap between ${a._1} and ${b._1}")
+          case _ =>
+        }
+        sorted.foreach { case (_, _, n, start, f, l) =>
+          assert(f == start / 5 && l == (start + n - 1) / 5)
+        }
+        // each shard holds exactly its docs' tokens
+        assert(sorted.map(_._3).sum ==
+          rs.map(_._1).map(id => Seq(3, 7, 2, 1, 0, 4, 6, 2, 9)(id.toInt - 1).toLong).sum)
+      }
+    } finally q.stop()
+  }
+
+  test("packStream: checkpoint restart continues shard offsets, never re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_restart_")
+    val outDir = dir.resolve("out").toString
+    val ckDir = dir.resolve("ck").toString
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = dir.resolve(s"_s_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"in_$name.parquet"))
+    }
+    def doc(id: Long, n: Int) = (id, (1 to n).map(j => s"t${id}_$j").mkString(" "))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/in_*.parquet")
+      val q = StreamOps.packStream(stream, "doc_id", "text", ctxLen = 4, nShards = 2)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeBatch("b1", Seq(doc(2, 3), doc(4, 5)))   // both shard 0
+    run()
+    writeBatch("b2", Seq(doc(6, 2), doc(3, 4)))   // shard 0 continues; shard 1 starts
+    run()
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 4)                        // nothing re-emitted
+    val byDoc = got.map(r => r._1 -> r).toMap
+    assert(byDoc(2L)._4 == 0L && byDoc(4L)._4 == 3L)
+    assert(byDoc(6L)._4 == 8L)                     // restart resumed at 3+5
+    assert(byDoc(3L)._4 == 0L)                     // fresh shard starts at 0
+  }
+
   test("round-8 families compose with streams: html extraction + chat stats are stateless") {
     import spark.implicits._
     import org.apache.spark.sql.types._
