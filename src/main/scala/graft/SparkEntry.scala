@@ -86,6 +86,15 @@ object SparkEntry {
             trim(regexp_replace(regexp_replace(t, '[ \t\r]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g')) AS txt
        FROM s3)"""
 
+  /** A JSONL row synthesized from documents fields; every 3rd row
+    * carries an `extra` key (Spark side: to_json's default
+    * ignoreNullFields drops the null branch; oracle side: explicit
+    * CASE) — the fixture for the JSON-profiling queries. */
+  private def synthJsonl: org.apache.spark.sql.Column =
+    to_json(struct(col("doc_id").as("id"), col("lang"), col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("x"))
+        .otherwise(lit(null).cast("string")).as("extra")))
+
   /** A chat transcript synthesized from documents row fields: system
     * turn, user turn (first 8 tokens), assistant turn (the rest) —
     * with every 7th conversation given an unknown role and short docs
@@ -572,6 +581,22 @@ object SparkEntry {
     "q_x_pack_windows" -> ((s, dir) => {
       graft.text.Packing.packWindows(
         t(s, dir, "documents"), "doc_id", "text", ctxLen = 128)
+    }),
+
+    // X: raw-JSONL triage — top-level key coverage over a synthesized
+    // JSONL corpus whose every 3rd row carries an extra key (Spark's
+    // to_json drops null fields; the oracle branches explicitly)
+    "q_x_json_key_profile" -> ((s, dir) => {
+      graft.ops.JsonProfile.keyProfile(
+        t(s, dir, "documents").withColumn("__js", synthJsonl), "__js")
+    }),
+
+    // X: known-key field stats — presence + mean extracted length in
+    // one scan (per-key extracts ride one array-of-structs projection)
+    "q_x_json_field_stats" -> ((s, dir) => {
+      graft.ops.JsonProfile.fieldStats(
+        t(s, dir, "documents").withColumn("__js", synthJsonl), "__js",
+        Seq("lang", "text", "extra"))
     }),
 
     // X: SFT conversation parse — transcript JSON to typed turns, the
@@ -2558,6 +2583,29 @@ object SparkEntry {
            greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
            least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
          FROM m""",
+
+    "q_x_json_key_profile" ->
+      """WITH j AS (SELECT doc_id, to_json(CASE WHEN doc_id % 3 = 0
+           THEN struct_pack(id := doc_id, lang := lang, text := text, extra := 'x')::JSON
+           ELSE struct_pack(id := doc_id, lang := lang, text := text)::JSON END) AS js
+         FROM documents),
+         k AS (SELECT doc_id, unnest(json_keys(js)) AS key FROM j)
+         SELECT key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM j), 4) AS coverage
+         FROM k GROUP BY key""",
+
+    "q_x_json_field_stats" ->
+      """WITH j AS (SELECT doc_id, to_json(CASE WHEN doc_id % 3 = 0
+           THEN struct_pack(id := doc_id, lang := lang, text := text, extra := 'x')::JSON
+           ELSE struct_pack(id := doc_id, lang := lang, text := text)::JSON END) AS js
+         FROM documents)
+         SELECT key, CAST(COUNT(v) AS BIGINT) AS n_present,
+           round(avg(len(v)), 4) AS avg_len
+         FROM (
+           SELECT 'lang' AS key, json_extract_string(js, '$.lang') AS v FROM j
+           UNION ALL SELECT 'text', json_extract_string(js, '$.text') FROM j
+           UNION ALL SELECT 'extra', json_extract_string(js, '$.extra') FROM j)
+         GROUP BY key""",
 
     "q_x_chat_turns" ->
       (chatOracleCommon + """
