@@ -599,6 +599,22 @@ object SparkEntry {
         Seq("lang", "text", "extra"))
     }),
 
+    // X: DPO preference-pair hygiene — prompt = first 6 tokens, chosen
+    // = the rest, rejected = every 2nd chosen token: token counts,
+    // chosen/rejected token-set Jaccard, identical/keep verdicts
+    "q_x_pref_pairs" -> ((s, dir) => {
+      import graft.text.TextOps
+      val tk = TextOps.tokens(col("text"))
+      val rest = slice(tk, lit(7), greatest(size(tk) - 6, lit(0)))
+      graft.text.Preference.pairStats(
+        t(s, dir, "documents")
+          .withColumn("__prompt", array_join(slice(tk, 1, 6), " "))
+          .withColumn("__chosen", array_join(rest, " "))
+          .withColumn("__rejected",
+            array_join(filter(rest, (_, i) => i % 2 === 0), " ")),
+        "doc_id", "__prompt", "__chosen", "__rejected")
+    }),
+
     // X: SFT conversation parse — transcript JSON to typed turns, the
     // exploded audit view per-turn filters run on
     "q_x_chat_turns" -> ((s, dir) => {
@@ -2583,6 +2599,34 @@ object SparkEntry {
            greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
            least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
          FROM m""",
+
+    "q_x_pref_pairs" ->
+      """WITH t AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk FROM documents),
+         p AS (SELECT doc_id,
+           array_to_string(tk[1:6], ' ') AS prompt,
+           array_to_string(tk[7:len(tk)], ' ') AS chosen,
+           array_to_string([tk[7:len(tk)][i] for i in generate_series(1, len(tk[7:len(tk)])) if i % 2 = 1], ' ') AS rejected
+         FROM t),
+         s AS (SELECT doc_id, prompt, chosen, rejected,
+           list_distinct(string_split(chosen, ' ')) AS da,
+           list_distinct(string_split(rejected, ' ')) AS db
+         FROM p)
+         SELECT doc_id,
+           CAST(CASE WHEN trim(prompt) = '' THEN 0 ELSE len(string_split(prompt, ' ')) END AS BIGINT) AS n_prompt,
+           CAST(CASE WHEN trim(chosen) = '' THEN 0 ELSE len(string_split(chosen, ' ')) END AS BIGINT) AS n_chosen,
+           CAST(CASE WHEN trim(rejected) = '' THEN 0 ELSE len(string_split(rejected, ' ')) END AS BIGINT) AS n_rejected,
+           CASE WHEN trim(chosen) = '' AND trim(rejected) = '' THEN 1.0
+                WHEN trim(chosen) = '' OR trim(rejected) = '' THEN 0.0
+                ELSE round(len(list_intersect(da, db))::DOUBLE / len(list_distinct(list_concat(da, db))), 4) END AS jaccard,
+           (chosen = rejected) AS identical,
+           (CASE WHEN trim(chosen) = '' THEN 0 ELSE len(string_split(chosen, ' ')) END > 0
+            AND CASE WHEN trim(rejected) = '' THEN 0 ELSE len(string_split(rejected, ' ')) END > 0
+            AND NOT (chosen = rejected)
+            AND (CASE WHEN trim(chosen) = '' AND trim(rejected) = '' THEN 1.0
+                WHEN trim(chosen) = '' OR trim(rejected) = '' THEN 0.0
+                ELSE round(len(list_intersect(da, db))::DOUBLE / len(list_distinct(list_concat(da, db))), 4) END) < 0.9) AS keep
+         FROM s""",
 
     "q_x_json_key_profile" ->
       """WITH j AS (SELECT doc_id, to_json(CASE WHEN doc_id % 3 = 0
