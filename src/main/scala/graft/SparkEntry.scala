@@ -599,6 +599,27 @@ object SparkEntry {
         Seq("lang", "text", "extra"))
     }),
 
+    // X: source forensics — per-source duplicate mass over a 3-token
+    // prefix fingerprint (the sf corpus has no verbatim dups; the
+    // prefix synthesizes realistic collision structure both engines
+    // reproduce identically)
+    "q_x_dup_by_source" -> ((s, dir) => {
+      import graft.text.TextOps
+      graft.text.SnapshotOps.dupBySource(
+        t(s, dir, "documents").withColumn("__pfx",
+          array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")),
+        "doc_id", "__pfx", "source")
+    }),
+
+    // X: cross-source content overlap — the mirror/syndication map
+    "q_x_source_overlap" -> ((s, dir) => {
+      import graft.text.TextOps
+      graft.text.SnapshotOps.sourceOverlap(
+        t(s, dir, "documents").withColumn("__pfx",
+          array_join(slice(TextOps.tokens(col("text")), 1, 3), " ")),
+        "doc_id", "__pfx", "source")
+    }),
+
     // X: DPO preference-pair hygiene — prompt = first 6 tokens, chosen
     // = the rest, rejected = every 2nd chosen token: token counts,
     // chosen/rejected token-set Jaccard, identical/keep verdicts
@@ -2599,6 +2620,25 @@ object SparkEntry {
            greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
            least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
          FROM m""",
+
+    "q_x_dup_by_source" ->
+      """WITH fp AS (SELECT source,
+           md5(array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:3], ' ')) AS f
+         FROM documents),
+         c AS (SELECT f, count(*) AS n FROM fp GROUP BY f)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           round(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS dup_ratio
+         FROM fp JOIN c USING (f) GROUP BY source""",
+
+    "q_x_source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT source,
+           md5(array_to_string(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[1:3], ' ')) AS f
+         FROM documents)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+         GROUP BY a.source, b.source""",
 
     "q_x_pref_pairs" ->
       """WITH t AS (SELECT doc_id,

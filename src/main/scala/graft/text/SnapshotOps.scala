@@ -167,4 +167,51 @@ object SnapshotOps {
         col("va").as("vocab_a"), col("vb").as("vocab_b"),
         col("vu").as("vocab_union"), col("js_divergence"))
   }
+
+  // --------------------------------------------------- source forensics
+
+  /** Per-source duplicate mass: for each source, how many of its docs
+    * share a normalized fingerprint with ANY other doc in the corpus
+    * (including within the source). [[healthReport]] says how much of
+    * the corpus is duplicated; this says WHO ships it — the view that
+    * turns "12% dup mass" into "drop feed X".
+    *
+    * One fingerprint projection, one corpus-wide fingerprint count
+    * (hash agg keyed on 32-byte md5), one join back — the count frame
+    * is vocabulary-of-fingerprints sized and joins on its own key, so
+    * nothing corpus-sized shuffles twice. */
+  def dupBySource(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String): DataFrame = {
+    val fp = docs.select(col(sourceCol).as("source"),
+      TextOps.fingerprintMd5(col(textCol)).as("__fp"))
+    val counts = fp.groupBy(col("__fp")).agg(count(lit(1)).as("__n"))
+    fp.join(counts, Seq("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 4))
+  }
+
+  /** Cross-source content overlap: unordered source pairs that share
+    * at least one normalized fingerprint, with the count of shared
+    * DISTINCT fingerprints — the mirror/syndication map of a multi-feed
+    * corpus (feed B republishing feed A shows up as a heavy A-B edge).
+    *
+    * Self-join on the fingerprint key: the join input is one row per
+    * DISTINCT (fp, source) — bounded by the corpus, and the join
+    * output by real sharing, not the cross product; a fingerprint
+    * shared by k sources contributes k*(k-1)/2 pairs, which is the
+    * answer itself, not blow-up. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val fp = docs.select(col(sourceCol).as("source"),
+        TextOps.fingerprintMd5(col(textCol)).as("__fp"))
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.__fp") === col("b.__fp") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

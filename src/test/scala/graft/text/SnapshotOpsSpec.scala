@@ -88,4 +88,34 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(r._5 == 7)              // union: the cat sat on mat ran off
     assert(r._6 > 0.0 && r._6 < math.log(2))
   }
+
+  test("dupBySource: duplicate mass attributed to the feeds that ship it") {
+    val docs = Seq(
+      (1L, "the cat sat", "feedA"),
+      (2L, "the  CAT sat", "feedB"),   // dup of 1 after normalization
+      (3L, "the cat sat", "feedB"),    // dup again, same feed as 2
+      (4L, "unique text one", "feedA"),
+      (5L, "unique text two", "feedC"))
+      .toDF("doc_id", "text", "source")
+    val got = SnapshotOps.dupBySource(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("feedA") == (("feedA", 2L, 1L, 0.5)))
+    assert(got("feedB") == (("feedB", 2L, 2L, 1.0)))
+    assert(got("feedC") == (("feedC", 1L, 0L, 0.0)))
+  }
+
+  test("sourceOverlap: unordered pairs with shared DISTINCT fingerprints") {
+    val docs = Seq(
+      (1L, "shared alpha", "feedA"), (2L, "shared alpha", "feedB"),
+      (3L, "shared beta", "feedA"), (4L, "shared beta", "feedB"),
+      (5L, "shared beta", "feedC"),
+      (6L, "only here", "feedA"))
+      .toDF("doc_id", "text", "source")
+    val got = SnapshotOps.sourceOverlap(docs, "doc_id", "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("feedA", "feedB", 2L),   // alpha + beta
+      ("feedA", "feedC", 1L),   // beta
+      ("feedB", "feedC", 1L)))
+  }
 }
