@@ -599,6 +599,16 @@ object SparkEntry {
         Seq("lang", "text", "extra"))
     }),
 
+    // X: embedding-space drift between snapshots (even vs odd vec_ids
+    // as the two "versions"): centroid cosine + mean per-dim shift —
+    // the vector counterpart of token drift
+    "q_x_embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.VectorOps.embeddingDrift(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        emb.where(pmod(col("vec_id"), lit(2)) === 1))
+    }),
+
     // X: source forensics — per-source duplicate mass over a 3-token
     // prefix fingerprint (the sf corpus has no verbatim dups; the
     // prefix synthesizes realistic collision structure both engines
@@ -2620,6 +2630,22 @@ object SparkEntry {
            greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
            least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
          FROM m""",
+
+    "q_x_embed_drift" ->
+      """WITH ex AS (SELECT vec_id,
+           unnest(embedding) AS v,
+           unnest(range(len(embedding)::BIGINT)) AS dim
+         FROM embeddings),
+         ma AS (SELECT dim, avg(v) AS mu_a, count(*) AS n_a
+           FROM ex WHERE vec_id % 2 = 0 GROUP BY dim),
+         mb AS (SELECT dim, avg(v) AS mu_b, count(*) AS n_b
+           FROM ex WHERE vec_id % 2 = 1 GROUP BY dim)
+         SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS dims,
+           round(SUM(mu_a * mu_b) /
+             (sqrt(SUM(mu_a * mu_a)) * sqrt(SUM(mu_b * mu_b))), 4) AS centroid_cos,
+           round(avg(abs(mu_a - mu_b)), 4) AS mean_abs_diff
+         FROM ma JOIN mb USING (dim)""",
 
     "q_x_dup_by_source" ->
       """WITH fp AS (SELECT source,

@@ -677,4 +677,37 @@ object VectorOps {
       .select(col("src_id"), col("rank").cast("long").as("rank"),
         col("dst_id"), round(col("cos"), 4).as("cos"))
   }
+
+  // ------------------------------------------------------ drift monitor
+
+  /** Embedding-space drift between two corpus snapshots — the vector
+    * counterpart of [[graft.text.SnapshotOps.tokenDrift]]: when the
+    * embedder, the upstream corpus, or a preprocessing stage moves, the
+    * MEAN vector moves with it, and a retrieval/dedup stack calibrated
+    * on the old geometry silently degrades. One row out:
+    *
+    *  - `centroid_cos`: cosine between the two snapshots' mean vectors
+    *    (1.0 = same direction; the headline drift number),
+    *  - `mean_abs_diff`: mean per-dimension |mu_a - mu_b| (localizes a
+    *    shift the cosine averages away),
+    *  - `n_a` / `n_b` / `dims`.
+    *
+    * Shape: posexplode to (dim, value), one hash aggregate keyed on the
+    * DIMENSION (64-1024 groups — schema-sized, never corpus-sized), a
+    * dims-sized join, one final reduce. Each corpus is scanned once. */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    def mean(d: DataFrame, side: String) = d
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(avg(col("v")).as(s"mu_$side"), count(lit(1)).as(s"n_$side"))
+    mean(a, "a").join(mean(b, "b"), Seq("dim"))
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("dims"),
+        round(sum(col("mu_a") * col("mu_b")) /
+          (sqrt(sum(col("mu_a") * col("mu_a"))) *
+            sqrt(sum(col("mu_b") * col("mu_b")))), 4).as("centroid_cos"),
+        round(avg(abs(col("mu_a") - col("mu_b"))), 4).as("mean_abs_diff"))
+  }
 }

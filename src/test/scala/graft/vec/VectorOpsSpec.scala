@@ -324,4 +324,22 @@ class VectorOpsSpec extends AnyFunSuite {
     val r = VectorOps.recallAtK(approx, exact)
     assert(r >= 0.6, f"knn graph recall@5 = $r%.4f below floor")
   }
+
+  test("embeddingDrift: identical snapshots read cos 1.0 / diff 0; a constant shift is localized") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1.0f, 0.0f, 2.0f)), (2L, Seq(3.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val same = VectorOps.embeddingDrift(a, a)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(same == ((2L, 2L, 3L, 1.0, 0.0)))
+    // shift every vector by +1 on dim 0 only: means (2,0,1) vs (3,0,1)
+    val b = Seq((1L, Seq(2.0f, 0.0f, 2.0f)), (2L, Seq(4.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val drift = VectorOps.embeddingDrift(a, b)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(drift._3 == 3L)
+    // cos((2,0,1),(3,0,1)) = 7 / (sqrt(5) * sqrt(10))
+    assert(math.abs(drift._4 - 7.0 / (math.sqrt(5) * math.sqrt(10))) < 1e-3)
+    assert(drift._5 == math.rint(1.0 / 3.0 * 1e4) / 1e4) // |1| on one of 3 dims
+  }
 }
