@@ -94,5 +94,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.text.Html.getClass.getName, "html_link_count"),
       (children: Seq[Expression]) =>
         toAnalyzableExpression(graft.text.Html.linkCount(toColumn(children.head)))))
+    ext.injectFunction((
+      new FunctionIdentifier("chat_valid"),
+      new ExpressionInfo(graft.text.Chat.getClass.getName, "chat_valid"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.Chat.schemaValid(toColumn(children.head)))))
+    ext.injectFunction((
+      new FunctionIdentifier("chat_render"),
+      new ExpressionInfo(graft.text.Chat.getClass.getName, "chat_render"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.Chat.render(toColumn(children.head)))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_jaccard"),
+      new ExpressionInfo(graft.text.Preference.getClass.getName, "token_jaccard"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.Preference.tokenJaccard(
+          toColumn(children.head), toColumn(children(1))))))
   }
 }

@@ -156,4 +156,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT html_main(h, length(h)) FROM pages").collect())
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("chat_valid / chat_render / token_jaccard callable from SQL") {
+    import spark.implicits._
+    val good = """{"messages":[{"role":"user","content":"hi"},
+      {"role":"assistant","content":"hello there"}]}"""
+    Seq((good, "a b c d", "a c"), ("{bad", "x", "x")).toDF("js", "t1", "t2")
+      .createOrReplaceTempView("convs")
+    val rows = spark.sql(
+      """SELECT chat_valid(js) AS v, chat_render(js) AS r,
+                token_jaccard(t1, t2) AS j FROM convs""").collect()
+    assert(rows(0).getBoolean(0))
+    assert(rows(0).getString(1) == "<|user|>hi<|assistant|>hello there")
+    assert(rows(0).getDouble(2) == 0.5)
+    assert(!rows(1).getBoolean(0) && rows(1).getString(1).isEmpty)
+    assert(rows(1).getDouble(2) == 1.0)
+  }
 }
