@@ -599,6 +599,21 @@ object SparkEntry {
         Seq("lang", "text", "extra"))
     }),
 
+    // X: deterministic pseudonymization — synthesized emails replaced
+    // by stable per-entity tags (same address -> same tag, so entity
+    // counting survives anonymization); longest-first fold guards the
+    // embedded-match case
+    "q_x_pseudonymize" -> ((s, dir) => {
+      import graft.text.TextOps
+      val tk = TextOps.tokens(col("text"))
+      val synth = concat(col("text"), lit(" contact "),
+        element_at(tk, 1), lit("@example.com or "),
+        element_at(tk, 2), lit("@example.com mail "),
+        element_at(tk, 1), lit("@example.com"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.pseudonymize(synth, TextOps.emailPattern, "EMAIL").as("txt"))
+    }),
+
     // X: embedding-space drift between snapshots (even vs odd vec_ids
     // as the two "versions"): centroid cosine + mean per-dim shift —
     // the vector counterpart of token drift
@@ -2630,6 +2645,20 @@ object SparkEntry {
            greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
            least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
          FROM m""",
+
+    "q_x_pseudonymize" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+         s AS (SELECT doc_id,
+           text || ' contact ' || tk[1] || '@example.com or ' || tk[2]
+             || '@example.com mail ' || tk[1] || '@example.com' AS txt
+         FROM t)
+         SELECT doc_id, list_reduce(
+           [txt] || [r.b for r in list_sort([{a: -len(m), b: m} for m in
+               list_distinct(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))])],
+           (acc, m) -> replace(acc, m, '<EMAIL:' || substr(md5(m), 1, 8) || '>')) AS txt
+         FROM s""",
 
     "q_x_embed_drift" ->
       """WITH ex AS (SELECT vec_id,

@@ -1255,6 +1255,41 @@ object TextOps {
     ipv4Pattern -> "<IP>",
     phonePattern -> "<PHONE>")
 
+  /** Deterministic PSEUDONYMIZATION: every match of `pattern` becomes
+    * `<label:xxxxxxxx>` where the tag is the md5 prefix of the matched
+    * text — so the same entity gets the SAME tag across every document
+    * and every run. That linkage is what plain [[redact]] destroys:
+    * after redaction "how many docs mention this address" is
+    * unanswerable; after pseudonymization it is a group-by.
+    *
+    * Row-local: extract the row's distinct matches, fold them over the
+    * text longest-first (a match embedded in a longer match must not be
+    * replaced first — `bob@x.com` inside `abob@x.com`), each fold step
+    * a replace-all. Matches per row are bounded by the row; nothing
+    * shuffles. The md5 prefix is 32 bits — collision-safe for entity
+    * counting, NOT a cryptographic anonymization (a dictionary attack
+    * on emails is trivial; treat tags as pseudonyms, not secrets). */
+  def pseudonymize(text: Column, pattern: String, label: String): Column = {
+    val ms = array_distinct(regexp_extract_all(text, lit(pattern), lit(0)))
+    val longestFirst = transform(
+      sort_array(transform(ms, m => struct((-length(m)).as("a"), m.as("b")))),
+      s => s.getField("b"))
+    aggregate(longestFirst, text, (acc, m) =>
+      call_function("replace", acc, m,
+        concat(lit(s"<$label:"), substring(md5(m), 1, 8), lit(">"))))
+  }
+
+  /** [[pseudonymize]] under the [[defaultRedactRules]] pattern set
+    * (url, email, ipv4, phone — same order, urls swallow embedded
+    * credentials first). */
+  def pseudonymizeAll(text: Column,
+                      rules: Seq[(String, String)] = Seq(
+                        urlPattern -> "URL", emailPattern -> "EMAIL",
+                        ipv4Pattern -> "IP", phonePattern -> "PHONE")): Column =
+    rules.foldLeft(text) { case (acc, (pat, label)) =>
+      pseudonymize(acc, pat, label)
+    }
+
   /** Configurable multi-rule redaction: apply `(pattern, placeholder)`
     * rules in order, each a replace-all. Still one codegen'd projection
     * — the rule chain folds into nested regexp_replace calls, so a

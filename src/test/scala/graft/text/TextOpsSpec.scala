@@ -556,4 +556,34 @@ class TextOpsSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "x|shared|y"), (2L, "z")))
   }
+
+  test("pseudonymize: stable per-entity tags, longest match wins, linkage survives") {
+    val df = Seq(
+      (1L, "mail bob@x.com and abob@x.com plus bob@x.com again"),
+      (2L, "bob@x.com appears here too"),
+      (3L, "no addresses at all")).toDF("id", "text")
+    val got = df.select($"id",
+        TextOps.pseudonymize($"text", TextOps.emailPattern, "EMAIL").as("t"))
+      .as[(Long, String)].collect().toMap
+    // same entity -> same tag, within and ACROSS documents
+    val tag = "<EMAIL:([0-9a-f]{8})>".r
+    val tags1 = tag.findAllMatchIn(got(1L)).map(_.group(1)).toSeq
+    assert(tags1.length == 3 && tags1(0) == tags1(2) && tags1(0) != tags1(1))
+    assert(tag.findAllMatchIn(got(2L)).map(_.group(1)).toSeq.head == tags1(0))
+    // the longer address was not corrupted by its embedded substring
+    assert(!got(1L).contains("a<EMAIL:"))
+    assert(got(3L) == "no addresses at all")
+    // and no raw address survives
+    assert(!got(1L).contains("@") && !got(2L).contains("@"))
+  }
+
+  test("pseudonymizeAll: rule order matches redactAll — urls swallow credentials first") {
+    val df = Seq("see https://u:p@host.com/a and mail me@y.org at 10.0.0.1")
+      .toDF("text")
+    val out = df.select(TextOps.pseudonymizeAll($"text").as("t")).as[String].head()
+    assert(out.contains("<URL:") && out.contains("<EMAIL:") && out.contains("<IP:"))
+    // the in-url credential was consumed by the URL rule, not the email rule
+    assert(!out.contains("u:p@host"))
+    assert(!out.contains("me@y.org") && !out.contains("10.0.0.1"))
+  }
 }
