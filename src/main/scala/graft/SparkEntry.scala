@@ -2657,7 +2657,7 @@ object SparkEntry {
          SELECT doc_id, list_reduce(
            [txt] || [r.b for r in list_sort([{a: -len(m), b: m} for m in
                list_distinct(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))])],
-           (acc, m) -> replace(acc, m, '<EMAIL:' || substr(md5(m), 1, 8) || '>')) AS txt
+           (acc, m) -> replace(acc, m, '<EMAIL:h' || substr(md5(m), 1, 7) || '>')) AS txt
          FROM s""",
 
     "q_x_embed_drift" ->
@@ -2767,7 +2767,7 @@ object SparkEntry {
          SELECT doc_id, n AS n_turns,
            CAST(len(list_filter(roles, r -> r = 'user')) AS BIGINT) AS n_user,
            CAST(len(list_filter(roles, r -> r = 'assistant')) AS BIGINT) AS n_assistant,
-           CAST(COALESCE(list_sum([len(string_split_regex(trim(c), '\s+')) for c in cts]), 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum([CASE WHEN trim(c) = '' THEN 0 ELSE len(string_split_regex(trim(c), '\s+')) END for c in cts]), 0) AS BIGINT) AS n_tokens,
            (n >= 2
              AND len(list_filter(roles, r -> r IN ('system', 'user', 'assistant'))) = n
              AND len(list_filter(cts, c -> c IS NOT NULL AND len(c) > 0)) = n

@@ -73,7 +73,9 @@ object Chat {
       countRole("user").as("n_user"),
       countRole("assistant").as("n_assistant"),
       aggregate(ms, lit(0L), (acc, m) => acc +
-          size(split(trim(m.getField("content")), "\\s+")).cast("long"))
+          when(length(trim(m.getField("content"))) === 0, lit(0L))
+            .otherwise(size(split(trim(m.getField("content")), "\\s+"))
+              .cast("long")))
         .as("n_tokens"),
       schemaValid(col(jsonCol), roles).as("valid"))
   }

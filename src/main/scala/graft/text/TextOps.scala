@@ -1274,9 +1274,14 @@ object TextOps {
     val longestFirst = transform(
       sort_array(transform(ms, m => struct((-length(m)).as("a"), m.as("b")))),
       s => s.getField("b"))
+    // the tag is 'h' + 7 md5 hex chars, NOT 8: an 8-hex prefix can be
+    // all digits (~2.3% of tags), and a digit run of 8 inside an
+    // earlier rule's tag would re-match the PHONE pattern on the next
+    // pseudonymizeAll pass, corrupting the tag. 'h' breaks the run and
+    // caps the digit tail at 7 — below every numeric rule's minimum.
     aggregate(longestFirst, text, (acc, m) =>
       call_function("replace", acc, m,
-        concat(lit(s"<$label:"), substring(md5(m), 1, 8), lit(">"))))
+        concat(lit(s"<$label:h"), substring(md5(m), 1, 7), lit(">"))))
   }
 
   /** [[pseudonymize]] under the [[defaultRedactRules]] pattern set

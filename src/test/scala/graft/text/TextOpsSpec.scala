@@ -566,7 +566,7 @@ class TextOpsSpec extends AnyFunSuite {
         TextOps.pseudonymize($"text", TextOps.emailPattern, "EMAIL").as("t"))
       .as[(Long, String)].collect().toMap
     // same entity -> same tag, within and ACROSS documents
-    val tag = "<EMAIL:([0-9a-f]{8})>".r
+    val tag = "<EMAIL:h([0-9a-f]{7})>".r
     val tags1 = tag.findAllMatchIn(got(1L)).map(_.group(1)).toSeq
     assert(tags1.length == 3 && tags1(0) == tags1(2) && tags1(0) != tags1(1))
     assert(tag.findAllMatchIn(got(2L)).map(_.group(1)).toSeq.head == tags1(0))
