@@ -85,7 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.lift(1).map(intArg(_, "minChars")).getOrElse(30),
           children.lift(2).map {
             case Literal(d: Double, _) => d
+            case Literal(f: Float, _) => f.toDouble
+            // SQL `0.6` parses as a DecimalType literal backed by
+            // Catalyst's Decimal, not java.math.BigDecimal
+            case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
             case Literal(d: java.math.BigDecimal, _) => d.doubleValue
+            case Literal(i: Int, _) => i.toDouble
+            case Literal(l: Long, _) => l.toDouble
             case other => throw new IllegalArgumentException(
               s"minStopRatio must be a numeric literal, got: $other")
           }.getOrElse(0.05)))))

@@ -21,13 +21,31 @@ object JsonProfile {
   /** Per top-level key: how many documents carry it and the coverage
     * ratio. The schema-drift radar: a key at 0.97 coverage is a
     * tolerant-read candidate; one at 0.03 is probably a typo of one at
-    * 0.97. */
+    * 0.97.
+    *
+    * Numerator and denominator come from ONE scan: posexplode_outer
+    * keeps a (null,null) row for malformed/empty docs, a rollup over
+    * `key` yields both the per-key counts and a grand-total row whose
+    * first-position marker count IS the document count (every doc
+    * contributes exactly one pos==0-or-null row). A non-deterministic
+    * source (sample, mutating path) therefore can't skew coverage
+    * above 1.0 — both sides see the same snapshot. The whole-frame
+    * window that spreads the total runs over the aggregated frame,
+    * whose size is the schema width, not the corpus. */
   def keyProfile(docs: DataFrame, jsonCol: String): DataFrame = {
-    val tot = docs.select(count(lit(1)).as("__tot"))
-    docs.select(explode(json_object_keys(col(jsonCol))).as("key"))
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(tot))
+    import org.apache.spark.sql.expressions.Window
+    val agg = docs
+      .select(posexplode_outer(json_object_keys(col(jsonCol)))
+        .as(Seq("pos", "key")))
+      .rollup(col("key"))
+      .agg(count(when(col("key").isNotNull, 1)).as("n_docs"),
+        count(when(col("pos") === 0 || col("pos").isNull, 1)).as("doc_marks"),
+        grouping(col("key")).as("is_total"))
+    agg
+      .withColumn("__tot",
+        max(when(col("is_total") === 1, col("doc_marks")))
+          .over(Window.partitionBy()))
+      .where(col("is_total") === 0 && col("key").isNotNull)
       .select(col("key"), col("n_docs"),
         round(col("n_docs").cast("double") / col("__tot"), 4).as("coverage"))
   }

@@ -72,21 +72,39 @@ object Chat {
       size(ms).cast("long").as("n_turns"),
       countRole("user").as("n_user"),
       countRole("assistant").as("n_assistant"),
+      // null content must count 0, not fall through to
+      // size(split(NULL)) = -1 under the default sizeOfNull
       aggregate(ms, lit(0L), (acc, m) => acc +
-          when(length(trim(m.getField("content"))) === 0, lit(0L))
+          when(m.getField("content").isNull ||
+               length(trim(m.getField("content"))) === 0, lit(0L))
             .otherwise(size(split(trim(m.getField("content")), "\\s+"))
               .cast("long")))
         .as("n_tokens"),
       schemaValid(col(jsonCol), roles).as("valid"))
   }
 
+  /** Per-turn content rewrite: the messages array with `f` applied to
+    * each turn's content, roles untouched — the hook per-turn hygiene
+    * (PII redaction, length caps) hangs on. Null content reaches `f`
+    * coalesced to '' so a rewrite rule never has to null-guard. */
+  def mapContent(ms: Column, f: Column => Column): Column =
+    transform(ms, m => struct(m.getField("role").as("role"),
+      f(coalesce(m.getField("content"), lit(""))).as("content")))
+
+  /** [[render]] over an already-parsed (possibly rewritten) messages
+    * array — the composition point for parse -> per-turn transform ->
+    * render chains that must not re-parse the JSON per stage. */
+  def renderTurns(ms: Column): Column =
+    coalesce(
+      array_join(transform(ms, m =>
+        concat(lit("<|"), coalesce(m.getField("role"), lit("")), lit("|>"),
+          coalesce(m.getField("content"), lit("")))), ""),
+      lit(""))
+
   /** Render the turn list to the single training string: each turn
     * becomes `<|role|>content`, concatenated in order — the flattening
-    * a tokenizer consumes. Null/malformed JSON renders as ''. */
-  def render(json: Column): Column =
-    coalesce(
-      array_join(transform(messages(json), m =>
-        concat(lit("<|"), m.getField("role"), lit("|>"),
-          m.getField("content"))), ""),
-      lit(""))
+    * a tokenizer consumes. Null/malformed JSON renders as ''; a turn
+    * with null content keeps its `<|role|>` marker (content coalesced
+    * to '') rather than vanishing from the transcript. */
+  def render(json: Column): Column = renderTurns(messages(json))
 }

@@ -227,4 +227,57 @@ object CorpusPipeline {
       docs.select(col(idCol), Html.mainText(col(htmlCol),
         minParaChars, minParaStopRatio).as("__extracted")),
       idCol, "__extracted", benchmark, t)
+
+  /** SFT/chat front-end — the end-to-end transcript pipeline:
+    *
+    *   parse -> schema-contract filter -> per-turn PII scrub (INSIDE
+    *   the turn, before any rendering) -> chat-template render ->
+    *   exact fingerprint dedup -> optional sequence packing
+    *
+    * The parse/validate/scrub/render prefix is one row-local projection
+    * (the JSON parses ONCE; [[Chat.mapContent]] rewrites the parsed
+    * array in place), audited by `observe()` on the same scan that
+    * feeds the dedup materialization — the [[preprocess]] audit
+    * discipline at the chat level. Scrubbing runs per TURN rather than
+    * on the rendered string so a PII span can never straddle a
+    * `<|role|>` boundary and escape the pattern. Dedup keys on the
+    * rendered string's fingerprint (two transcripts that render
+    * identically train identically, whatever their JSON spacing).
+    * `pseudonymize = true` swaps plain redaction for the
+    * linkage-preserving tags of [[TextOps.pseudonymizeAll]].
+    * `ctxLen = Some(n)` appends [[Packing.packSegments]], returning the
+    * (window, doc) segment map; the dedup checkpoint is then
+    * load-bearing — packing consumes its input twice (prefix-sum +
+    * window explode). */
+  def preprocessChat(docs: DataFrame, idCol: String, jsonCol: String,
+                     roles: Seq[String] = Chat.defaultRoles,
+                     pseudonymize: Boolean = false,
+                     ctxLen: Option[Int] = None)
+      : (DataFrame, Seq[(String, Long)]) = {
+    val scrub: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (pseudonymize) c => TextOps.pseudonymizeAll(c)
+      else c => TextOps.redact(c)
+    val obs = Observation()
+    val rendered = docs
+      .withColumn("__valid", Chat.schemaValid(col(jsonCol), roles))
+      .observe(obs,
+        count(lit(1)).as("input"),
+        count(when(col("__valid"), 1)).as("schema_valid"))
+      .where(col("__valid"))
+      .select(col(idCol).as("id"),
+        Chat.renderTurns(
+          Chat.mapContent(Chat.messages(col(jsonCol)), scrub)).as("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.fingerprintMd5(col("text"))).orderBy(col("id"))
+    val kept = rendered
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+    val nKept = kept.count() // the action that also fills obs
+    def g(n: String): Long = obs.get(n).asInstanceOf[Number].longValue()
+    val audit = Seq("input" -> g("input"),
+      "schema_valid" -> g("schema_valid"), "exact_dedup" -> nKept)
+    (ctxLen.fold(kept)(cl => Packing.packSegments(kept, "id", "text", cl)),
+      audit)
+  }
 }

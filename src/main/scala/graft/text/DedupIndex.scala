@@ -130,7 +130,11 @@ object DedupIndex {
       .partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(idCol))
     val collapsed = batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    val sigs = batchSignatures(collapsed, textCol, params)
+    // checkpoint: the signed batch is consumed FOUR times downstream
+    // (band probe, signature join, shingle-set verify, final anti-join);
+    // without truncation each consumer re-runs the MinHash signing —
+    // the single most expensive per-row step — 4x over
+    val sigs = batchSignatures(collapsed, textCol, params).localCheckpoint()
 
     // exact probe: fp anti-join — the index side streams through its
     // scan, the (small) batch is the build side

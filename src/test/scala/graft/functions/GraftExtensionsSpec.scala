@@ -157,6 +157,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("html_main accepts plain SQL decimal and integer ratio literals") {
+    import spark.implicits._
+    val page = "<p>the quick brown fox is one of a kind and it " +
+      "jumps for joy</p>"
+    Seq(page).toDF("h").createOrReplaceTempView("pages2")
+    // `0.6` parses as DecimalType, not DoubleType — must still work
+    val viaDecimal = spark.sql(
+      "SELECT html_main(h, 10, 0.6) AS m FROM pages2").head().getString(0)
+    val viaDouble = spark.sql(
+      "SELECT html_main(h, 10, 0.6D) AS m FROM pages2").head().getString(0)
+    assert(viaDecimal == viaDouble)
+    // integer literal ratio (0 = keep everything long enough)
+    val viaInt = spark.sql(
+      "SELECT html_main(h, 10, 0) AS m FROM pages2").head().getString(0)
+    assert(viaInt.startsWith("the quick brown fox"))
+  }
+
   test("chat_valid / chat_render / token_jaccard callable from SQL") {
     import spark.implicits._
     val good = """{"messages":[{"role":"user","content":"hi"},

@@ -45,8 +45,25 @@ class JsonProfileSpec extends AnyFunSuite {
     val wide = (1L to 500L).map(i => (i, s"""{"k${i % 7}": $i}""")).toDF("id", "js")
     val prof = JsonProfile.keyProfile(wide, "js")
     assert(prof.count() == 7)
-    // one explode + one hash aggregate + the broadcast total — no sort
     val plan = prof.queryExecution.executedPlan.toString
     assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("keyProfile reads the corpus exactly once (numerator and denominator share a snapshot)") {
+    // a non-deterministic source must not produce coverage > 1.0; the
+    // guarantee is structural — one Generate (one explode of one scan)
+    // feeds both the per-key counts and the document total
+    val prof = JsonProfile.keyProfile(rows.toDF("id", "js"), "js")
+    val plan = prof.queryExecution.executedPlan.toString
+    val nGenerates = "Generate".r.findAllIn(plan).length
+    assert(nGenerates == 1, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // empty-object docs count in the denominator too
+    import spark.implicits._
+    val withEmpty = (rows :+ ((5L, "{}"))).toDF("id", "js")
+    val got = JsonProfile.keyProfile(withEmpty, "js")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((3L, 0.6)))   // 3 of 5 docs now
   }
 }

@@ -54,6 +54,19 @@ class ChatSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 0L, 0L, 0L, 0L, false)))
   }
 
+  test("stats/render: a turn with null content counts 0 tokens and keeps its role marker") {
+    // real transcripts ship turns missing the content key; size(split(NULL))
+    // is -1 under Spark's default sizeOfNull — must not decrement n_tokens
+    val nullContent = """{"messages":[{"role":"user","content":"two words"},
+      {"role":"assistant"}]}"""
+    val docs = Seq((1L, nullContent)).toDF("id", "js")
+    val st = Chat.stats(docs, "id", "js")
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(st == ((1L, 2L, 1L, 1L, 2L, false))) // 2 tokens, not 1; invalid
+    val r = docs.select(Chat.render($"js")).as[String].head()
+    assert(r == "<|user|>two words<|assistant|>") // marker survives
+  }
+
   test("render: role-tagged flattening in order; malformed renders empty") {
     val docs = Seq((1L, good), (2L, malformed)).toDF("id", "js")
     val got = docs.select($"id", Chat.render($"js").as("r"))
