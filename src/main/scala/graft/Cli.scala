@@ -20,6 +20,10 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> export-all <outDir> [csv|parquet|xlsx|workbook]
   * graft.Cli <root> <collection> info [--table T] [--vers] [--meta]
   * graft.Cli <root> <collection> serve [port]
+  * graft.Cli <root> <collection> chat-stats <in.parquet> [idCol] [jsonCol] [--out D]
+  * graft.Cli <root> <collection> html-extract <in.parquet> [idCol] [htmlCol] [--out D]
+  * graft.Cli <root> <collection> pref-stats <in.parquet> [idCol] [promptCol] [chosenCol] [rejectedCol] [--out D]
+  * graft.Cli <root> <collection> json-profile <in.parquet> [jsonCol] [key,key...] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -52,6 +56,9 @@ object Cli {
     val root = orDefault(rootArg, Settings.defaultRoot)
     val rest = args.drop(3)
 
+    // when embedded (tests, notebooks) getOrCreate returns the caller's
+    // session — which the CLI must then NOT stop on exit
+    val preExisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
       .appName(s"graft-$collection")
@@ -135,9 +142,38 @@ object Cli {
         println(s"serving http://127.0.0.1:$port/data/$collection  (ctrl-c to stop)")
         Thread.currentThread.join()
 
+      // corpus verbs — the text-family operators at the CLI (the
+      // reference exposes every capability through cli.py; these are
+      // the round-8 families'). `--out D` writes parquet, else show().
+      case "chat-stats" | "html-extract" | "pref-stats" | "json-profile" =>
+        val out = rest.sliding(2).collectFirst {
+          case Array("--out", d) if !d.startsWith("--") => d
+        }
+        val pos = rest.takeWhile(_ != "--out")
+        val inPath = pos(0)
+        def p(i: Int, default: String) = pos.lift(i).getOrElse(default)
+        val frame = verb match {
+          case "chat-stats" =>
+            facade.chatStats(inPath, p(1, "doc_id"), p(2, "text"))
+          case "html-extract" =>
+            facade.htmlExtract(inPath, p(1, "doc_id"), p(2, "text"))
+          case "pref-stats" =>
+            facade.prefStats(inPath, p(1, "pair_id"), p(2, "prompt"),
+              p(3, "chosen"), p(4, "rejected"))
+          case _ =>
+            val keys = pos.lift(2).map(_.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+            facade.jsonProfile(inPath, p(1, "text"), keys)
+        }
+        out match {
+          case Some(d) => frame.write.mode("overwrite").parquet(d)
+            println(s"wrote $d")
+          case None => frame.show(50, truncate = false)
+        }
+
       case other =>
         throw new IllegalArgumentException(s"unknown verb '$other'")
     }
-    if (verb != "serve") spark.stop()
+    if (verb != "serve" && !preExisting) spark.stop()
   }
 }

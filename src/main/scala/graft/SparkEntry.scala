@@ -114,6 +114,26 @@ object SparkEntry {
           .as("content"))).as("messages")))
   }
 
+  /** [[synthChat]] with PII planted per turn — an email in the user
+    * content, a URL in the assistant content — so the chat PIPELINE's
+    * per-turn scrub stage has real work to hash-gate. Validity
+    * negatives survive: every 7th conversation still carries the
+    * unknown role, and one-token docs yield a NULL assistant content
+    * (element_at past the end), both dropped by the schema filter. */
+  private def synthChatPii: org.apache.spark.sql.Column = {
+    val tk = graft.text.TextOps.tokens(col("text"))
+    to_json(struct(array(
+      struct(lit("system").as("role"), lit("be helpful").as("content")),
+      struct(lit("user").as("role"),
+        concat(array_join(slice(tk, 1, 8), " "), lit(" mail "),
+          element_at(tk, 1), lit("@example.com")).as("content")),
+      struct(when(pmod(col("doc_id"), lit(7)) === 0, "bot")
+          .otherwise("assistant").as("role"),
+        concat(array_join(slice(tk, lit(9), greatest(size(tk) - 8, lit(0))), " "),
+          lit(" see https://ex.com/"), element_at(tk, 2)).as("content")))
+      .as("messages")))
+  }
+
   /** Shared DuckDB prefix for the q_x_chat_* oracles — the same
     * conversation as [[synthChat]], ending at `conv(doc_id, js)`. */
   private val chatOracleCommon: String = """WITH toks AS (SELECT doc_id,
@@ -725,6 +745,18 @@ object SparkEntry {
       t(s, dir, "documents").withColumn("__js", synthChat)
         .select(col("doc_id"),
           graft.text.Chat.render(col("__js")).as("rendered"))
+    }),
+
+    // X: the chat pipeline END TO END — parse -> schema filter ->
+    // per-turn PII scrub -> render -> fingerprint dedup -> sequence
+    // packing, one composition (the r8 families individually oracled;
+    // this hash-gates their composition). Output is the (window, doc)
+    // segment map over the deduped rendered corpus.
+    "q_x_chat_pipeline" -> ((s, dir) => {
+      val (out, _) = graft.text.CorpusPipeline.preprocessChat(
+        t(s, dir, "documents").withColumn("__js", synthChatPii),
+        "doc_id", "__js", ctxLen = Some(128))
+      out
     }),
 
     // X: HTML -> text extraction. The fixture page is synthesized from
@@ -1550,6 +1582,31 @@ object SparkEntry {
     "q_x_containment_lsh" -> ((s, dir) => {
       graft.text.TextOps.containmentPairs(
         t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8, numPerm = 64, bands = 32)
+    }),
+
+    // X: the LSH containment path under a DETERMINISTIC-recall config —
+    // the q_x_dedup_minhash_identical trick one step further: group
+    // members are a 3-token period repeated 2 or 5 times, so their
+    // TEXTS differ but their distinct 3-shingle SETS are identical
+    // (cyclic), hence identical MinHash signatures, hence every band
+    // collides — banding recall is total BY CONSTRUCTION and the whole
+    // candidate+verify machinery is hash-gated (shingle+minhash fused
+    // expression, band fold, bucket grouping, pair gen, containment
+    // join arithmetic, rounding). Containment is 1.0 both ways (equal
+    // sets); the asymmetric VALUES are gated by q_x_containment's
+    // exhaustive oracle on real text.
+    "q_x_containment_lsh_identical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nGroups = math.max(docs.count() / 5, 1L)
+      val reps = when(pmod(col("doc_id"), lit(2)) === 0, lit(2)).otherwise(lit(5))
+      val src = docs
+        .withColumn("grp", pmod(col("doc_id"), lit(nGroups)))
+        .withColumn("text", concat_ws(" ",
+          flatten(transform(sequence(lit(1), reps),
+            _ => transform(sequence(lit(0), lit(2)),
+              i => concat(lit("c"), col("grp"), lit("_"), i))))))
+      graft.text.TextOps.containmentPairs(src, "doc_id", "text",
         shingleN = 3, threshold = 0.8, numPerm = 64, bands = 32)
     }),
 
@@ -2818,6 +2875,56 @@ object SparkEntry {
                || '|>' || json_extract_string(js, '$.messages[' || i || '].content')
              for i in range(json_array_length(js, '$.messages')::BIGINT)], '') AS rendered
          FROM conv"""),
+
+    // The pipeline oracle rebuilds the PII conversation DIRECTLY from
+    // the turn contents (to_json/from_json round-trips content exactly,
+    // so the JSON layer can be skipped), then replays schema filter ->
+    // per-turn redact -> render -> md5 dedup -> the pack_segments
+    // window math over the deduped rendered corpus.
+    "q_x_chat_pipeline" ->
+      raw"""WITH toks AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+           FROM documents),
+         conv AS (SELECT doc_id,
+             array_to_string(tk[1:8], ' ') || ' mail ' || tk[1] || '@example.com' AS c_usr,
+             array_to_string(tk[9:len(tk)], ' ') || ' see https://ex.com/' || tk[2] AS c_asst,
+             (doc_id % 7 <> 0) AS role_ok
+           FROM toks),
+         valid AS (SELECT doc_id, c_usr, c_asst FROM conv
+           WHERE role_ok AND c_usr IS NOT NULL AND len(c_usr) > 0
+             AND c_asst IS NOT NULL AND len(c_asst) > 0),
+         red AS (SELECT doc_id,
+             '<|system|>be helpful<|user|>' ||
+             regexp_replace(regexp_replace(c_usr,
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') ||
+             '<|assistant|>' ||
+             regexp_replace(regexp_replace(c_asst,
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+             AS rendered
+           FROM valid),
+         kept AS (SELECT doc_id AS id, rendered FROM (
+             SELECT doc_id, rendered,
+               row_number() OVER (PARTITION BY md5(rendered) ORDER BY doc_id) AS rn
+             FROM red) WHERE rn = 1),
+         t AS (SELECT id,
+             string_split(trim(regexp_replace(lower(rendered), '\s+', ' ', 'g')), ' ') AS ptoks
+           FROM kept
+           WHERE trim(regexp_replace(lower(rendered), '\s+', ' ', 'g')) <> ''),
+         l AS (SELECT id, CAST(len(ptoks) AS BIGINT) AS n FROM t),
+         o AS (SELECT id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM l),
+         m AS (SELECT id, n, off,
+             unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq_id
+           FROM o)
+         SELECT seq_id, id,
+           greatest(off, seq_id * 128) - off AS doc_start,
+           greatest(off, seq_id * 128) - seq_id * 128 AS seq_start,
+           least(off + n, (seq_id + 1) * 128) - greatest(off, seq_id * 128) AS n_tokens
+         FROM m""",
 
     "q_x_html_extract" ->
       (htmlOracleCommon + """
@@ -4117,6 +4224,17 @@ object SparkEntry {
          d AS (SELECT doc_id, doc_id % (SELECT g FROM n) AS grp FROM documents)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(0 AS INT) AS hamming
+         FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id""",
+
+    // texts differ (2 vs 5 period repeats) but distinct shingle sets are
+    // equal, so every intra-group pair is found with containment 1.0
+    // both ways — deterministic LSH recall by construction
+    "q_x_containment_lsh_identical" ->
+      """WITH n AS (SELECT GREATEST(count(*) // 5, 1) AS g FROM documents),
+         d AS (SELECT doc_id, doc_id % (SELECT g FROM n) AS grp FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(1.0 AS DOUBLE) AS cont_a_in_b,
+                CAST(1.0 AS DOUBLE) AS cont_b_in_a
          FROM d a JOIN d b ON a.grp = b.grp AND a.doc_id < b.doc_id""",
 
     // XXH64(seed 42) re-implemented from the public spec in HUGEINT

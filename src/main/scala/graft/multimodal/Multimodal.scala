@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   * PIXEL decode + resize is real too, via the JDK's built-in
   * `javax.imageio` ([[resizeImage]]/[[resizeImages]] — no external codec
   * jars needed for PNG/JPEG/GIF/BMP), as is multi-frame sampling from
-  * ANIMATED GIFs ([[gifFrames]]). Only the MP4 frame decode is stubbed
-  * ([[frameSampleStub]] — the container ships no video codec): it
-  * derives deterministic fake frames from the bytes, while everything
-  * around it — schema, Dataset plumbing, mapPartitions batch shape — is
-  * production-shaped. [[decodeStub]] remains for payloads that are not
-  * images at all (the driver's text-as-media stand-in).
+  * ANIMATED GIFs ([[gifFrames]]) and keyframe EXTRACTION from MP4s
+  * ([[mp4Frames]] — the `stbl` sample-table walk yields real stored
+  * frame bytes; only the codec DECODE of those bytes is out of scope,
+  * since no video codec ships in the JDK). [[decodeStub]] remains for
+  * payloads that are not media at all (the driver's text-as-media
+  * stand-in).
   */
 object Multimodal {
 
@@ -128,13 +128,123 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampling: a real implementation seeks keyframes; the fake
-    * cuts `n` evenly-spaced fixed-width windows from the byte stream. */
-  def frameSampleStub(payload: Array[Byte], n: Int, frameLen: Int = 16): Seq[Array[Byte]] =
-    (0 until n).map { i =>
-      val start = if (n == 1) 0 else (i.toLong * math.max(payload.length - frameLen, 0) / math.max(n - 1, 1)).toInt
-      payload.slice(start, math.min(start + frameLen, payload.length))
+  /** One row of an MP4 sample table: 1-based sample number, absolute
+    * byte offset into the file, byte size, and whether the sample is a
+    * SYNC sample (keyframe) per `stss`. */
+  final case class Mp4Sample(sample: Int, offset: Long, size: Long,
+                             sync: Boolean)
+
+  /** REAL MP4 sample-table walk — `moov/trak/mdia/minf/stbl`, the same
+    * no-codec discipline as the WAV chunk walk: `stsc` (sample->chunk
+    * runs), `stco`/`co64` (chunk offsets), `stsz` (sizes), `stss` (sync
+    * samples; absent = every sample is sync) combine into the absolute
+    * byte range of every sample. This is header-only arithmetic — the
+    * sample PAYLOADS are codec bitstream and stay undecoded — but the
+    * ranges are exactly what a real frame extractor seeks to, so a
+    * 100 TB video column yields its keyframe byte map at header-read
+    * cost. First trak with a complete stbl wins (fine for the
+    * single-track corpus fixtures; a multi-track selector would key on
+    * `hdlr`). None when any required box is missing or malformed. */
+  def mp4SampleTable(p: Array[Byte]): Option[Seq[Mp4Sample]] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String = new String(p.slice(i + 4, i + 8), "US-ASCII")
+    // first child box tagged `t` within [from, until): (bodyStart, end)
+    def findBox(from: Int, until: Int, t: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val sz = be32(i)
+        if (sz < 8 || i + sz > until) return None
+        if (tag(i) == t) return Some((i + 8, i + sz.toInt))
+        i += sz.toInt
+      }
+      None
     }
+    def u32s(from: Int, until: Int, n: Int, width: Int): Option[Seq[Long]] =
+      if (from + n.toLong * width > until) None
+      else Some((0 until n).map(k =>
+        if (width == 8) be64(from + k * 8) else be32(from + k * 4)))
+    for {
+      (moovS, moovE) <- findBox(0, p.length, "moov")
+      (trakS, trakE) <- findBox(moovS, moovE, "trak")
+      (mdiaS, mdiaE) <- findBox(trakS, trakE, "mdia")
+      (minfS, minfE) <- findBox(mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- findBox(minfS, minfE, "stbl")
+      // stsz: ver/flags, uniform sample_size (0 = per-sample table), count
+      (szS, szE) <- findBox(stblS, stblE, "stsz")
+      if szS + 12 <= szE
+      uniform = be32(szS + 4)
+      nSamples = be32(szS + 8).toInt
+      if nSamples > 0
+      sizes <- if (uniform != 0) Some(Seq.fill(nSamples)(uniform))
+               else u32s(szS + 12, szE, nSamples, 4)
+      // stsc: ver/flags, entry_count, (first_chunk, samples_per_chunk, desc)*
+      (scS, scE) <- findBox(stblS, stblE, "stsc")
+      if scS + 8 <= scE
+      nRuns = be32(scS + 4).toInt
+      runs <- u32s(scS + 8, scE, nRuns * 3, 4)
+      // chunk offsets: stco (u32) or co64 (u64)
+      offs <- findBox(stblS, stblE, "stco").flatMap { case (coS, coE) =>
+          u32s(coS + 8, coE, be32(coS + 4).toInt, 4)
+        }.orElse(findBox(stblS, stblE, "co64").flatMap { case (coS, coE) =>
+          u32s(coS + 8, coE, be32(coS + 4).toInt, 8)
+        })
+      if nRuns > 0 && offs.nonEmpty
+    } yield {
+      // stss is OPTIONAL: absent means every sample is a sync sample
+      val syncs: Option[Set[Long]] =
+        findBox(stblS, stblE, "stss").flatMap { case (ssS, ssE) =>
+          u32s(ssS + 8, ssE, be32(ssS + 4).toInt, 4).map(_.toSet)
+        }
+      // expand stsc runs to per-chunk sample counts, walk samples in
+      // chunk order accumulating intra-chunk offsets
+      val firstChunks = (0 until nRuns).map(r => runs(r * 3).toInt)
+      val perChunk = (0 until nRuns).map(r => runs(r * 3 + 1).toInt)
+      val out = Seq.newBuilder[Mp4Sample]
+      var sample = 1
+      var chunk = 1
+      var run = 0
+      while (sample <= nSamples && chunk <= offs.length) {
+        if (run + 1 < nRuns && chunk >= firstChunks(run + 1)) run += 1
+        var within = 0
+        var off = offs(chunk - 1)
+        while (within < perChunk(run) && sample <= nSamples) {
+          val sz = sizes(sample - 1)
+          out += Mp4Sample(sample, off, sz,
+            syncs.forall(_.contains(sample.toLong)))
+          off += sz
+          within += 1
+          sample += 1
+        }
+        chunk += 1
+      }
+      out.result()
+    }
+  }
+
+  /** REAL MP4 frame sampling, header-only: up to `n` evenly-spaced SYNC
+    * samples' byte ranges sliced straight out of the payload — the
+    * stored keyframe bitstream, undecoded (no video codec ships in the
+    * JDK; DECODE is the one genuinely environment-blocked step).
+    * Out-of-bounds ranges (truncated file, lying header) are dropped,
+    * not clamped — a partial frame is not a frame. None when the
+    * payload has no parseable sample table. */
+  def mp4Frames(payload: Array[Byte], n: Int): Option[Seq[Array[Byte]]] =
+    if (n < 1) None
+    else mp4SampleTable(payload).map { table =>
+      val syncs = table.filter(s => s.sync &&
+        s.offset + s.size <= payload.length && s.size > 0)
+      val take = math.min(n, syncs.length)
+      val idx =
+        if (take <= 1) Seq(0).take(syncs.length)
+        else (0 until take).map(i => (i.toLong * (syncs.length - 1) / (take - 1)).toInt)
+      idx.map { i =>
+        val s = syncs(i)
+        payload.slice(s.offset.toInt, (s.offset + s.size).toInt)
+      }
+    }.filter(_.nonEmpty)
 
   /** REAL frame sampling for ANIMATED GIFs via ImageIO's sequence
     * reader — the one multi-frame container the JDK decodes without
@@ -147,8 +257,8 @@ object Multimodal {
     * prior frame, which is the wrong cost shape for corpus-scale
     * sampling and irrelevant for the full-frame GIFs synthesized
     * pipelines typically carry. None for anything that is not a
-    * decodable GIF (MP4 stays with [[frameSampleStub]] — no video
-    * codec ships in the JDK). */
+    * decodable GIF (MP4 keyframe byte ranges come from the
+    * [[mp4Frames]] sample-table walk instead). */
   def gifFrames(payload: Array[Byte], n: Int): Option[Seq[Array[Byte]]] = {
     if (n < 1 || payload.length < 6 || payload(0) != 'G' ||
         payload(1) != 'I' || payload(2) != 'F') return None
@@ -179,8 +289,10 @@ object Multimodal {
   /** Batched resize + frame-sample pass — same mapPartitions shape as
     * [[extractFeatures]], emitting per-frame signatures and the resized
     * thumbnail length. Frames are the REAL [[gifFrames]] decode for
-    * animated GIFs; other payloads (MP4, text stand-ins) fall back to
-    * the deterministic [[frameSampleStub]]. The thumbnail is the REAL
+    * animated GIFs and the REAL [[mp4Frames]] keyframe byte ranges for
+    * MP4s (sample-table walk, bitstream undecoded); payloads that are
+    * neither yield ZERO frames — the honest outcome, a statistic for
+    * the caller, not fake bytes. The thumbnail is the REAL
     * [[resizeImage]] when the payload decodes as an image; otherwise
     * the [[resizeStub]] shape. */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int = 4,
@@ -190,7 +302,8 @@ object Multimodal {
       val md = MessageDigest.getInstance("MD5")
       rows.map { r =>
         val frames = gifFrames(r.payload, nFrames)
-          .getOrElse(frameSampleStub(r.payload, nFrames))
+          .orElse(mp4Frames(r.payload, nFrames))
+          .getOrElse(Seq.empty)
         val sigs = frames.map(f => md.digest(f).map("%02x".format(_)).mkString)
         val thumb = resizeImage(r.payload, thumbW, thumbH)
           .getOrElse(resizeStub(r.payload, thumbW, thumbH))
@@ -443,6 +556,73 @@ object Multimodal {
       .put("mp42".getBytes("US-ASCII"))
     out.putInt(8 + 108).put("moov".getBytes("US-ASCII")).put(mvhd.array())
     out.array()
+  }
+
+  private def isoBox(tag: String, body: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + body.length)
+    b.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
+    b.array()
+  }
+
+  /** Minimal REAL MP4 WITH a sample table — [[fakeMp4]] plus
+    * `trak/mdia/minf/stbl` (stsc/stsz/stss/stco) and an `mdat` whose
+    * chunk offsets the stco points at for real: sample k (1-based) is
+    * `sampleSizes(k-1)` bytes, every byte `(k & 0xff)`, so a slice's
+    * content identifies its sample. The structural fixture
+    * [[mp4SampleTable]]/[[mp4Frames]] are verified against — the box
+    * tree and offset math are exactly ISO-BMFF, only the sample BYTES
+    * are synthetic (they'd be codec bitstream in a real file). */
+  def fakeMp4WithSamples(sampleSizes: Seq[Int], syncSamples: Seq[Int],
+                         samplesPerChunk: Int = 2,
+                         timescale: Int = 1000): Array[Byte] = {
+    require(sampleSizes.nonEmpty && sampleSizes.forall(_ > 0))
+    require(samplesPerChunk >= 1)
+    val n = sampleSizes.length
+    require(syncSamples.forall(s => s >= 1 && s <= n))
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+
+    def full(tag: String, payload: java.nio.ByteBuffer => Unit,
+             len: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + len)
+      b.putInt(0) // version + flags
+      payload(b)
+      isoBox(tag, b.array())
+    }
+    val stsz = full("stsz", b => {
+      b.putInt(0).putInt(n); sampleSizes.foreach(b.putInt(_): Unit)
+    }, 8 + 4 * n)
+    val stsc = full("stsc",
+      _.putInt(1).putInt(1).putInt(samplesPerChunk).putInt(1), 16)
+    val stss = full("stss", b => {
+      b.putInt(syncSamples.length)
+      syncSamples.sorted.foreach(b.putInt(_): Unit)
+    }, 4 + 4 * syncSamples.length)
+    // stco length is fixed by nChunks, so the moov size — and therefore
+    // the mdat data offsets — are computable before the offsets are
+    // written (the classic muxer two-step)
+    val stcoLen = 8 + (4 + 4 + 4 * nChunks)
+    val stblLen = 8 + stsc.length + stsz.length + stss.length + stcoLen
+    val minfLen = 8 + stblLen
+    val mdiaLen = 8 + minfLen
+    val trakLen = 8 + mdiaLen
+    // reuse fakeMp4's mvhd: skip its 20-byte ftyp + 8-byte moov header
+    val mvhd = fakeMp4(timescale, 0).drop(28)
+    val moovLen = 8 + mvhd.length + trakLen
+    val dataStart = 20 + moovLen + 8 // ftyp + moov + mdat header
+    val chunkOffsets = (0 until nChunks).map { c =>
+      dataStart + sampleSizes.take(c * samplesPerChunk).sum
+    }
+    val stco = full("stco", b => {
+      b.putInt(nChunks); chunkOffsets.foreach(b.putInt(_): Unit)
+    }, 4 + 4 * nChunks)
+    val stbl = isoBox("stbl", stsc ++ stsz ++ stss ++ stco)
+    val trak = isoBox("trak", isoBox("mdia", isoBox("minf", stbl)))
+    val moov = isoBox("moov", mvhd ++ trak)
+    val mdatBody = sampleSizes.zipWithIndex.flatMap { case (sz, i) =>
+      Array.fill(sz)(((i + 1) & 0xff).toByte)
+    }.toArray
+    val ftyp = fakeMp4(timescale, 0).take(20)
+    ftyp ++ moov ++ isoBox("mdat", mdatBody)
   }
 
   /** A REAL animated GIF of solid-color frames, written through the

@@ -133,6 +133,47 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       .orderBy(col("table_name"))
   }
 
+  // ------------------------------------------------------------------
+  // Corpus verbs — the text-family operators exposed at the facade the
+  // way the reference exposes every capability through facade + CLI
+  // (facade.py, cli.py:41-166). Each reads an arbitrary parquet corpus
+  // (these operate on external training data, not the collection's
+  // staged tables) and returns the audit frame the library op produces.
+  // ------------------------------------------------------------------
+
+  private def corpus(inPath: String): DataFrame = spark.read.parquet(inPath)
+
+  /** Per-conversation chat audit (`graft.text.Chat.stats`): turn counts
+    * by role, whitespace tokens, schema-contract verdict. */
+  def chatStats(inPath: String, idCol: String = "doc_id",
+                jsonCol: String = "text"): DataFrame =
+    graft.text.Chat.stats(corpus(inPath), idCol, jsonCol)
+
+  /** HTML -> main-text extraction (`graft.text.Html.mainText`) with the
+    * page's link count — the crawl-triage projection. */
+  def htmlExtract(inPath: String, idCol: String = "doc_id",
+                  htmlCol: String = "text", minChars: Int = 30,
+                  minStopRatio: Double = 0.05): DataFrame =
+    corpus(inPath).select(col(idCol),
+      graft.text.Html.mainText(col(htmlCol), minChars, minStopRatio).as("txt"),
+      graft.text.Html.linkCount(col(htmlCol)).as("links"))
+
+  /** Preference-pair hygiene (`graft.text.Preference.pairStats`):
+    * token counts, chosen/rejected Jaccard, identical verdict, keep rule. */
+  def prefStats(inPath: String, idCol: String = "pair_id",
+                promptCol: String = "prompt", chosenCol: String = "chosen",
+                rejectedCol: String = "rejected",
+                maxJaccard: Double = 0.9): DataFrame =
+    graft.text.Preference.pairStats(corpus(inPath), idCol, promptCol,
+      chosenCol, rejectedCol, maxJaccard)
+
+  /** Raw-JSONL triage (`graft.ops.JsonProfile`): with no keys, the
+    * top-level key-coverage profile; with keys, per-key field stats. */
+  def jsonProfile(inPath: String, jsonCol: String = "text",
+                  keys: Seq[String] = Nil): DataFrame =
+    if (keys.isEmpty) graft.ops.JsonProfile.keyProfile(corpus(inPath), jsonCol)
+    else graft.ops.JsonProfile.fieldStats(corpus(inPath), jsonCol, keys)
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {

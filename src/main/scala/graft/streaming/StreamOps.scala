@@ -241,6 +241,29 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming chat-transcript preprocessing — the continuous form of
+    * [[graft.text.CorpusPipeline.preprocessChat]]'s row-local prefix:
+    * parse -> schema-contract filter -> per-turn PII scrub -> render
+    * (identical Column expressions to the batch form, so the batch
+    * oracle q_x_chat_pipeline validates the streaming logic) plus exact
+    * dedup on the rendered string's fingerprint within the watermark
+    * horizon. Output: (idCol, text, fp) — the deduped rendered
+    * transcripts; packing composes downstream via [[packStream]]. */
+  def preprocessChatStream(docs: DataFrame, idCol: String, jsonCol: String,
+      tsCol: String = "ts",
+      roles: Seq[String] = graft.text.Chat.defaultRoles,
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.text.{Chat, TextOps}
+    docs
+      .where(Chat.schemaValid(col(jsonCol), roles))
+      .select(col(idCol), col(tsCol),
+        Chat.renderTurns(Chat.mapContent(
+          Chat.messages(col(jsonCol)), c => TextOps.redact(c))).as("text"))
+      .withColumn("fp", TextOps.fingerprintMd5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Streaming corpus health monitor — the continuous form of
     * [[graft.text.SnapshotOps.healthReport]]: one audit row per
     * tumbling window (doc/token counts, mean length, short-doc share,

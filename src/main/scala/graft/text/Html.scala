@@ -80,11 +80,14 @@ object Html {
     docs.select(col(idCol), posexplode(split(stripTags(col(htmlCol)), "\n"))
         .as(Seq("para_idx", "para")))
       .where(length(trim(col("para"))) > 0)
+      // stop_ratio lands in a named column FIRST so `keep` reuses it —
+      // one evaluation per row by plan shape, not by hoping Catalyst's
+      // subexpression elimination catches the duplicate
       .select(col(idCol), col("para_idx").cast("long").as("para_idx"),
         length(col("para")).cast("long").as("n_chars"),
-        stopRatio(col("para")).as("stop_ratio"),
-        (length(col("para")) >= minChars &&
-          stopRatio(col("para")) >= minStopRatio).as("keep"))
+        stopRatio(col("para")).as("stop_ratio"))
+      .withColumn("keep",
+        col("n_chars") >= minChars && col("stop_ratio") >= minStopRatio)
 
   /** Main-text extraction: strip the markup, drop boilerplate
     * paragraphs by the [[paragraphs]] rule, rejoin with newlines — all

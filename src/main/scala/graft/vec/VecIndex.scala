@@ -345,6 +345,52 @@ object VecIndex {
       mean, if (mean == 0) 0.0 else math.sqrt(varp) / mean)
   }
 
+  /** The append-time skew verdict: post-append occupancy stats, whether
+    * the policy tripped (cv > maxCv), and whether a rebalance was
+    * actually performed this call. */
+  final case class SkewVerdict(stats: ListStats, needsRebalance: Boolean,
+                               rebalanced: Boolean)
+
+  /** [[append]] with the auto-rebalance POLICY attached: after the
+    * append, read the (incrementally-maintained, metadata-scale) list
+    * stats; if the size CV exceeds `maxCv`, either RECOMMEND a
+    * rebalance (default — rebalance is not concurrent-safe against
+    * in-flight probes, so the operator picks the window) or PERFORM it
+    * when `autoRebalance = true`. The policy check costs a stats read,
+    * never a list scan, so running it on every append is free at any
+    * index size. `maxCv` default 1.0: past that, probe cost is hostage
+    * to whichever list the appended mass drifted into (see
+    * [[ListStats]]). */
+  def appendWithPolicy(vectors: DataFrame, indexDir: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxCv: Double = 1.0,
+                       autoRebalance: Boolean = false,
+                       kmeansIters: Int = 2): SkewVerdict = {
+    val spark = vectors.sparkSession
+    append(vectors, indexDir, idCol, vecCol)
+    val st = listStats(spark, indexDir)
+    if (st.cv > maxCv) {
+      if (autoRebalance) {
+        val (_, after) = rebalance(spark, indexDir, kmeansIters)
+        SkewVerdict(after, needsRebalance = true, rebalanced = true)
+      } else SkewVerdict(st, needsRebalance = true, rebalanced = false)
+    } else SkewVerdict(st, needsRebalance = false, rebalanced = false)
+  }
+
+  /** [[appendPq]] with the same policy check — RECOMMEND-ONLY:
+    * [[rebalancePq]] needs the full original vector table (the lists
+    * hold codes), which an append call does not carry, so the verdict
+    * names the repair and the operator runs it with the vectors in
+    * hand. */
+  def appendPqWithPolicy(vectors: DataFrame, indexDir: String,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxCv: Double = 1.0): SkewVerdict = {
+    val spark = vectors.sparkSession
+    appendPq(vectors, indexDir, idCol, vecCol)
+    val st = listStats(spark, indexDir)
+    SkewVerdict(st, needsRebalance = st.cv > maxCv, rebalanced = false)
+  }
+
   /** Re-fit the lists to the data they now hold: k-means refinement
     * restarted FROM THE CURRENT CENTROIDS over the current rows (so the
     * verb is deterministic and incremental — centroids move toward the

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI dispatch for the corpus verbs (chat-stats / html-extract /
+  * pref-stats / json-profile): positional + `--out` parsing, facade
+  * wiring, parquet output. Runs `Cli.main` embedded — the CLI detects
+  * the pre-existing test session and must leave it running. */
+class CliCorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chat-stats and json-profile verbs parse args, write parquet, keep the session") {
+    val dir = Files.createTempDirectory("graft_cli_corpus_")
+    val root = Files.createTempDirectory("graft_cli_root_").toString
+    val chat = """{"messages":[{"role":"user","content":"hi there"},
+      {"role":"assistant","content":"hello you two"}]}"""
+    Seq((1L, chat), (2L, "{bad")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/chat")
+
+    Cli.main(Array(root, "c1", "chat-stats", s"$dir/chat",
+      "doc_id", "text", "--out", s"$dir/chat_out"))
+    val cs = spark.read.parquet(s"$dir/chat_out")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cs(1L)._6 && !cs(2L)._6)
+    assert(!spark.sparkContext.isStopped, "CLI must not stop the host session")
+
+    Seq((1L, """{"a":1,"b":2}"""), (2L, """{"a":3}"""))
+      .toDF("doc_id", "text").write.parquet(s"$dir/jsonl")
+    Cli.main(Array(root, "c1", "json-profile", s"$dir/jsonl",
+      "text", "--out", s"$dir/jsonl_out"))
+    val kp = spark.read.parquet(s"$dir/jsonl_out")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(kp("a") == 1.0 && kp("b") == 0.5)
+    // field-stats mode via the keys positional
+    Cli.main(Array(root, "c1", "json-profile", s"$dir/jsonl",
+      "text", "a,zz", "--out", s"$dir/jsonl_fs"))
+    val fs = spark.read.parquet(s"$dir/jsonl_fs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fs("a") == 2L && fs("zz") == 0L)
+  }
+
+  test("pref-stats and html-extract verbs: default column names, --out parquet") {
+    val dir = Files.createTempDirectory("graft_cli_corpus2_")
+    val root = Files.createTempDirectory("graft_cli_root2_").toString
+    Seq((1L, "q", "same answer", "same answer"),
+      (2L, "q", "the cat sat down", "a dog stood up and barked loudly"))
+      .toDF("pair_id", "prompt", "chosen", "rejected")
+      .write.parquet(s"$dir/pref")
+    Cli.main(Array(root, "c1", "pref-stats", s"$dir/pref",
+      "--out", s"$dir/pref_out"))
+    val ps = spark.read.parquet(s"$dir/pref_out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(!ps(1L) && ps(2L))
+
+    Seq((7L, "<p>the cat and the dog is in the house today</p>" +
+        "<div class=\"nav\"><a href=\"/\">home</a></div>"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/html")
+    Cli.main(Array(root, "c1", "html-extract", s"$dir/html",
+      "--out", s"$dir/html_out"))
+    val he = spark.read.parquet(s"$dir/html_out")
+      .as[(Long, String, Long)].collect().head
+    assert(he._1 == 7L && he._2.startsWith("the cat and the dog") && he._3 == 1L)
+  }
+}

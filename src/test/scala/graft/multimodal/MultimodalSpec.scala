@@ -28,12 +28,12 @@ class MultimodalSpec extends AnyFunSuite {
       .map(x => x.media_id -> x.sig).toMap == f.view.mapValues(_.sig).toMap)
   }
 
-  test("frame sampling + resize stubs: exact shapes, short payload safe") {
+  test("frame sampling: non-media payloads yield ZERO frames (a statistic, not fake bytes)") {
     val fr = Multimodal.sampleFrames(media, nFrames = 3, thumbW = 8, thumbH = 4)
       .collect().map(x => x.media_id -> x).toMap
-    assert(fr(1L).n_frames == 3 && fr(1L).frame_sigs.length == 3)
+    assert(fr(1L).n_frames == 0 && fr(1L).frame_sigs.isEmpty)
     assert(fr(1L).thumb_len == 32) // 8*4 regardless of input size
-    assert(fr(2L).n_frames == 3)   // 1-byte payload still yields frames
+    assert(fr(2L).n_frames == 0)   // 1-byte payload: honest zero, no throw
     assert(Multimodal.resizeStub(Array.emptyByteArray, 4, 4).length == 16)
   }
 
@@ -132,21 +132,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.gifFrames(Array.emptyByteArray, 2).isEmpty)
   }
 
-  test("sampleFrames: REAL frames for animated GIFs, stub for other payloads") {
+  test("sampleFrames: REAL frames for animated GIFs and MP4s, zero for opaque bytes") {
     import spark.implicits._
     val gif = Multimodal.makeAnimatedGif(12, 12, Seq(0x111111, 0xeeeeee, 0x808080))
+    val mp4 = Multimodal.fakeMp4WithSamples(
+      sampleSizes = Seq(10, 20, 30, 40), syncSamples = Seq(1, 3))
     val rows = Seq(
       Multimodal.MediaRow(1L, gif, "image/gif", "s"),
-      Multimodal.MediaRow(2L, "opaque video-ish bytes".getBytes, "video/mp4", "s"))
+      Multimodal.MediaRow(2L, "opaque video-ish bytes".getBytes, "video/mp4", "s"),
+      Multimodal.MediaRow(3L, mp4, "video/mp4", "s"))
     val got = Multimodal.sampleFrames(rows.toDS(), nFrames = 8,
       thumbW = 4, thumbH = 4).collect().map(x => x.media_id -> x).toMap
-    // the GIF yields its 3 real frames (not 8 stub windows), distinct sigs
+    // the GIF yields its 3 real frames (not 8), distinct sigs
     assert(got(1L).n_frames == 3)
     assert(got(1L).frame_sigs.distinct.length == 3)
     // and its thumbnail is the real resize (a PNG container, not 16 bytes)
     assert(got(1L).thumb_len != 16)
-    // the non-GIF payload keeps the deterministic stub shape
-    assert(got(2L).n_frames == 8)
+    // bytes with no parseable container yield zero frames
+    assert(got(2L).n_frames == 0)
+    // the MP4 yields its 2 SYNC samples, distinct content
+    assert(got(3L).n_frames == 2)
+    assert(got(3L).frame_sigs.distinct.length == 2)
+  }
+
+  test("mp4SampleTable: stsc/stsz/stco/stss combine into exact byte ranges") {
+    // 5 samples, 2 per chunk -> chunks (1,2)(3,4)(5); syncs 1,4,5
+    val sizes = Seq(7, 11, 13, 17, 19)
+    val p = Multimodal.fakeMp4WithSamples(sizes, Seq(1, 4, 5))
+    val table = Multimodal.mp4SampleTable(p).get
+    assert(table.map(_.sample) == Seq(1, 2, 3, 4, 5))
+    assert(table.map(_.size) == sizes.map(_.toLong))
+    assert(table.map(_.sync) == Seq(true, false, false, true, true))
+    // offsets: contiguous within a chunk, chunk starts re-anchor at stco
+    assert(table(1).offset == table(0).offset + 7)   // same chunk
+    assert(table(3).offset == table(2).offset + 13)  // same chunk
+    // sample content proves the offsets land where the muxer wrote them
+    table.foreach { s =>
+      val bytes = p.slice(s.offset.toInt, (s.offset + s.size).toInt)
+      assert(bytes.length == s.size.toInt && bytes.forall(_ == s.sample.toByte),
+        s"sample ${s.sample} bytes")
+    }
+    // and the header-metadata walk still reads the same file
+    assert(Multimodal.videoMeta(p).exists(_._1 == "isom"))
+  }
+
+  test("mp4Frames: evenly-spaced sync samples, honest None on junk") {
+    val p = Multimodal.fakeMp4WithSamples(
+      sampleSizes = (1 to 9).map(_ * 3), syncSamples = Seq(1, 3, 5, 7, 9))
+    // ask for 3 of 5 syncs: first, middle, last
+    val three = Multimodal.mp4Frames(p, 3).get
+    assert(three.map(_.head) == Seq(1.toByte, 5.toByte, 9.toByte))
+    // ask for more than stored: each sync once
+    assert(Multimodal.mp4Frames(p, 99).get.length == 5)
+    // no stss -> every sample is a sync sample
+    val allSync = Multimodal.fakeMp4WithSamples(Seq(4, 4), Seq(1, 2))
+    assert(Multimodal.mp4Frames(allSync, 9).get.length == 2)
+    // a TRUNCATED file drops out-of-bounds ranges instead of clamping
+    val trunc = p.take(p.length - 20)
+    val got = Multimodal.mp4Frames(trunc, 9)
+    assert(got.forall(_.forall(f => f.nonEmpty)))
+    // junk and the headers-only fakeMp4 (no stbl): None, never a throw
+    assert(Multimodal.mp4Frames("not an mp4".getBytes, 2).isEmpty)
+    assert(Multimodal.mp4Frames(Multimodal.fakeMp4(1000, 5000), 2).isEmpty)
+    assert(Multimodal.mp4Frames(Array.emptyByteArray, 2).isEmpty)
   }
 
   test("imageMeta: real header parse for PNG/GIF/BMP/JPEG, None for opaque bytes") {

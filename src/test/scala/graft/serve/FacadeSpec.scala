@@ -96,4 +96,40 @@ class FacadeSpec extends AnyFunSuite {
     assert(cols.contains("fuel") && cols.contains("value"))
     assert(facade.metadata(None).count() >= m.count())
   }
+
+  test("corpus verbs: chat-stats / html-extract / pref-stats / json-profile at the facade") {
+    val dir = Files.createTempDirectory("graft_facade_corpus_")
+    val chat = """{"messages":[{"role":"user","content":"hi there"},
+      {"role":"assistant","content":"hello you two"}]}"""
+    Seq((1L, chat), (2L, "{bad")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/chat")
+    val cs = facade.chatStats(s"$dir/chat")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cs(1L)._6 && cs(1L)._5 == 5L && !cs(2L)._6)
+
+    Seq((1L, "<p>the cat and the dog is in the house today</p>" +
+        "<div class=\"nav\"><a href=\"/\">home</a><a href=\"/y\">login</a></div>"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/html")
+    val he = facade.htmlExtract(s"$dir/html", minStopRatio = 0.1)
+      .as[(Long, String, Long)].collect().head
+    assert(he._2 == "the cat and the dog is in the house today" && he._3 == 2L)
+
+    Seq((1L, "q", "a good long answer", "a good long answer"),  // identical
+      (2L, "q", "the cat sat down", "a dog stood up and barked loudly"))
+      .toDF("pair_id", "prompt", "chosen", "rejected")
+      .write.parquet(s"$dir/pref")
+    val ps = facade.prefStats(s"$dir/pref").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(!ps(1L) && ps(2L))
+
+    Seq((1L, """{"a":1,"b":2}"""), (2L, """{"a":3}"""))
+      .toDF("doc_id", "text").write.parquet(s"$dir/jsonl")
+    val kp = facade.jsonProfile(s"$dir/jsonl")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(kp("a") == 1.0 && kp("b") == 0.5)
+    val fs = facade.jsonProfile(s"$dir/jsonl", keys = Seq("a", "zz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fs("a") == 2L && fs("zz") == 0L)
+  }
 }

@@ -599,4 +599,54 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(!got(2L)._6 && got(2L)._2 == 0L) // bad JSON -> statistic, not crash
     } finally q.stop()
   }
+
+  test("streaming chat pipeline matches the batch composition's prefix (stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def conv(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("""{"messages":[""", ",", "]}")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+        conv("user" -> "mail a.user@example.com now",
+          "assistant" -> "sent via https://ex.com/q ok")),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 10:01:00"),
+        conv("user" -> "hello", "bot" -> "bad role")),        // schema-dropped
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 10:02:00"),
+        conv("user" -> "mail a.user@example.com now",         // dup render of 1
+          "assistant" -> "sent via https://ex.com/q ok")),
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 10:03:00"),
+        conv("user" -> "a different question entirely",
+          "assistant" -> "a different answer entirely")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chat_stream_")
+    rows.toDF("doc_id", "ts", "js")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("js", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = StreamOps.preprocessChatStream(stream, "doc_id", "js")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chat_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamGot = spark.table("chat_stream")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      // batch composition on the same rows (no packing: the stream
+      // prefix ends at the deduped renders)
+      val (batchOut, _) = graft.text.CorpusPipeline.preprocessChat(
+        rows.toDF("doc_id", "ts", "js"), "doc_id", "js")
+      val batchGot = batchOut.select("id", "text").as[(Long, String)]
+        .collect().toMap
+      // same survivor TEXTS; ids may differ on the dup pair (watermark
+      // dedup keeps arrival order, batch keeps min id — both keep ONE)
+      assert(streamGot.values.toSet == batchGot.values.toSet)
+      assert(streamGot.size == 2 && batchGot.keySet == Set(1L, 4L))
+      assert(streamGot.values.exists(t =>
+        t.contains("<EMAIL>") && t.contains("<URL>") && !t.contains("@")))
+    } finally q.stop()
+  }
 }

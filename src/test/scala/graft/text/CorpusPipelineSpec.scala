@@ -243,4 +243,75 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val t1 = clean.where($"id" === 1L).select("text").as[String].head()
     assert(t1 == "the cat and the dog is in the house with the mouse")
   }
+
+  private def conv(turns: (String, String)*): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    turns.map { case (r, c) => s"""{"role":"${esc(r)}","content":"${esc(c)}"}""" }
+      .mkString("""{"messages":[""", ",", "]}")
+  }
+
+  test("preprocessChat: parse, schema filter, per-turn scrub, render, dedup") {
+    val docs = Seq(
+      (1L, conv("user" -> "mail me at a.user@example.com please",
+        "assistant" -> "sent to https://ex.com/inbox now")),
+      (2L, conv("user" -> "mail me at a.user@example.com  please",   // ws-variant: same render post-normalize? no - render keeps raw spacing
+        "assistant" -> "sent to https://ex.com/inbox now")),
+      (3L, conv("user" -> "hello", "bot" -> "unknown role")),        // schema: bad role
+      (4L, conv("user" -> "only a user turn no assistant")),         // schema: no assistant
+      (5L, "{not valid json"),                                       // schema: malformed
+      (6L, conv("user" -> "mail me at a.user@example.com please",    // exact dup of 1
+        "assistant" -> "sent to https://ex.com/inbox now")))
+      .toDF("doc_id", "js")
+    val (clean, audit) = CorpusPipeline.preprocessChat(docs, "doc_id", "js")
+    val kept = clean.select("id", "text").as[(Long, String)].collect().toMap
+    val a = audit.toMap
+    assert(a("input") == 6 && a("schema_valid") == 3) // 1, 2, 6 pass schema
+    // 6 collapses into 1 (identical render); 2 differs only by inner
+    // double-space, which the FINGERPRINT normalizes away -> collapses too
+    assert(a("exact_dedup") == 1 && kept.keySet == Set(1L))
+    // PII scrubbed INSIDE the turns, role markers intact
+    val t1 = kept(1L)
+    assert(t1 == "<|user|>mail me at <EMAIL> please" +
+      "<|assistant|>sent to <URL> now")
+  }
+
+  test("preprocessChat: pseudonymize keeps entity linkage across conversations") {
+    val docs = Seq(
+      (1L, conv("user" -> "write to a@x.com and b@y.org",
+        "assistant" -> "done")),
+      (2L, conv("user" -> "again a@x.com please", "assistant" -> "ok")))
+      .toDF("doc_id", "js")
+    val (clean, _) = CorpusPipeline.preprocessChat(
+      docs, "doc_id", "js", pseudonymize = true)
+    val got = clean.select("id", "text").as[(Long, String)].collect().toMap
+    val tag = "<EMAIL:h[0-9a-f]{7}>".r
+    val tags1 = tag.findAllIn(got(1L)).toSeq
+    val tags2 = tag.findAllIn(got(2L)).toSeq
+    assert(tags1.size == 2 && tags1.distinct.size == 2) // two entities, two tags
+    assert(tags2.size == 1 && tags2.head == tags1.head) // SAME entity -> SAME tag
+  }
+
+  test("preprocessChat with ctxLen: packed segments tile the deduped renders exactly") {
+    val docs = (1L to 6L).map(i => (i,
+      conv("user" -> s"question number $i about the weather today",
+        "assistant" -> s"answer number $i with several more words attached")))
+      .toDF("doc_id", "js")
+    val (segs, audit) = CorpusPipeline.preprocessChat(
+      docs, "doc_id", "js", ctxLen = Some(16))
+    assert(audit.toMap.apply("exact_dedup") == 6)
+    val rows = segs.select("seq_id", "id", "seq_start", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    // per window, segments tile [0, ctxLen) contiguously
+    rows.groupBy(_._1).foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x._3 + x._4 == y._3, s"window $seq gap")
+        case _ =>
+      }
+    }
+    // per doc, segment token counts sum to the doc's token count
+    val perDoc = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(perDoc.values.forall(_ > 0) && perDoc.size == 6)
+  }
 }

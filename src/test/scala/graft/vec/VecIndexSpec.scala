@@ -147,6 +147,49 @@ class VecIndexSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("append policy: skewed appends trip it, auto mode repairs, probes stay equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, dir, nlist = 4, kmeansIters = 2)
+    val baseline = VecIndex.listStats(spark, dir)
+    // measure the drift scenario's post-append skew on a scratch copy,
+    // then set the policy threshold strictly BETWEEN baseline and
+    // skewed — the deterministic way to pin "this append trips it"
+    val scratch = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, scratch, nlist = 4, kmeansIters = 2)
+    VecIndex.append(late, scratch)
+    val skewedCv = VecIndex.listStats(spark, scratch).cv
+    assert(skewedCv > baseline.cv, "drifted append must increase skew")
+    val threshold = (baseline.cv + skewedCv) / 2
+    val verdict = VecIndex.appendWithPolicy(late, dir, maxCv = threshold)
+    assert(verdict.needsRebalance && !verdict.rebalanced)
+    assert(verdict.stats.nVectors == 120L) // append landed regardless
+    // same scenario with autoRebalance: the repair runs and the verdict
+    // carries the POST-rebalance stats
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, dir2, nlist = 4, kmeansIters = 2)
+    val v2 = VecIndex.appendWithPolicy(late, dir2,
+      maxCv = threshold, autoRebalance = true)
+    assert(v2.needsRebalance && v2.rebalanced)
+    assert(v2.stats.cv < verdict.stats.cv)
+    assert(v2.stats.nVectors == 120L)
+    // probe equivalence preserved through the policy-triggered rebalance
+    val got = shape(VecIndex.topK(queries, dir2, k = 4, nprobe = 4))
+    val brute = shape(VectorOps.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 4))
+    assert(got == brute)
+    // a lax threshold does not trip (no false positives on a quiet append)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, dir3, nlist = 4, kmeansIters = 2)
+    val v3 = VecIndex.appendWithPolicy(late, dir3, maxCv = 100.0)
+    assert(!v3.needsRebalance && !v3.rebalanced)
+    // PQ variant recommends but never auto-acts (repair needs the vectors)
+    val dir4 = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.buildPq(early, dir4, nlist = 4, kmeansIters = 2, m = 4,
+      ksub = 64, pqIters = 0)
+    val v4 = VecIndex.appendPqWithPolicy(late, dir4, maxCv = threshold)
+    assert(v4.needsRebalance && !v4.rebalanced)
+  }
+
   test("listStats is maintained incrementally and self-heals when absent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
     VecIndex.build(early, dir, nlist = 4, kmeansIters = 1)
