@@ -574,11 +574,15 @@ object Multimodal {
     * are synthetic (they'd be codec bitstream in a real file). */
   def fakeMp4WithSamples(sampleSizes: Seq[Int], syncSamples: Seq[Int],
                          samplesPerChunk: Int = 2,
-                         timescale: Int = 1000): Array[Byte] = {
+                         timescale: Int = 1000,
+                         useCo64: Boolean = false,
+                         uniformStsz: Boolean = false): Array[Byte] = {
     require(sampleSizes.nonEmpty && sampleSizes.forall(_ > 0))
     require(samplesPerChunk >= 1)
     val n = sampleSizes.length
     require(syncSamples.forall(s => s >= 1 && s <= n))
+    require(!uniformStsz || sampleSizes.distinct.length == 1,
+      "uniformStsz needs all sample sizes equal")
     val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
 
     def full(tag: String, payload: java.nio.ByteBuffer => Unit,
@@ -588,19 +592,23 @@ object Multimodal {
       payload(b)
       isoBox(tag, b.array())
     }
-    val stsz = full("stsz", b => {
-      b.putInt(0).putInt(n); sampleSizes.foreach(b.putInt(_): Unit)
-    }, 8 + 4 * n)
+    // uniform layout: sample_size != 0, no per-sample table
+    val stsz =
+      if (uniformStsz) full("stsz", _.putInt(sampleSizes.head).putInt(n), 8)
+      else full("stsz", b => {
+        b.putInt(0).putInt(n); sampleSizes.foreach(b.putInt(_): Unit)
+      }, 8 + 4 * n)
     val stsc = full("stsc",
       _.putInt(1).putInt(1).putInt(samplesPerChunk).putInt(1), 16)
     val stss = full("stss", b => {
       b.putInt(syncSamples.length)
       syncSamples.sorted.foreach(b.putInt(_): Unit)
     }, 4 + 4 * syncSamples.length)
-    // stco length is fixed by nChunks, so the moov size — and therefore
-    // the mdat data offsets — are computable before the offsets are
-    // written (the classic muxer two-step)
-    val stcoLen = 8 + (4 + 4 + 4 * nChunks)
+    // chunk-offset box length is fixed by nChunks, so the moov size —
+    // and therefore the mdat data offsets — are computable before the
+    // offsets are written (the classic muxer two-step)
+    val offWidth = if (useCo64) 8 else 4
+    val stcoLen = 8 + (4 + 4 + offWidth * nChunks)
     val stblLen = 8 + stsc.length + stsz.length + stss.length + stcoLen
     val minfLen = 8 + stblLen
     val mdiaLen = 8 + minfLen
@@ -610,11 +618,15 @@ object Multimodal {
     val moovLen = 8 + mvhd.length + trakLen
     val dataStart = 20 + moovLen + 8 // ftyp + moov + mdat header
     val chunkOffsets = (0 until nChunks).map { c =>
-      dataStart + sampleSizes.take(c * samplesPerChunk).sum
+      dataStart.toLong + sampleSizes.take(c * samplesPerChunk).sum
     }
-    val stco = full("stco", b => {
-      b.putInt(nChunks); chunkOffsets.foreach(b.putInt(_): Unit)
-    }, 4 + 4 * nChunks)
+    val stco =
+      if (useCo64) full("co64", b => {
+        b.putInt(nChunks); chunkOffsets.foreach(b.putLong(_): Unit)
+      }, 4 + 8 * nChunks)
+      else full("stco", b => {
+        b.putInt(nChunks); chunkOffsets.foreach(o => b.putInt(o.toInt): Unit)
+      }, 4 + 4 * nChunks)
     val stbl = isoBox("stbl", stsc ++ stsz ++ stss ++ stco)
     val trak = isoBox("trak", isoBox("mdia", isoBox("minf", stbl)))
     val moov = isoBox("moov", mvhd ++ trak)

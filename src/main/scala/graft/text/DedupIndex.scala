@@ -147,12 +147,15 @@ object DedupIndex {
     // near probe, every stage candidate-bounded
     val dupIds: DataFrame =
       if (hasData(spark, s"$indexDir/bands")) {
+        // no checkpoint: both consumers (the distinct band-key broadcast
+        // and the candidate expansion) recompute this as a narrow
+        // explode over the CHECKPOINTED sigs — cheaper than another
+        // materialization job + block write per batch
         val probe = afterExact
           .where(col("__bands").isNotNull)
           .select(col(idCol).as("id_r"),
             posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
           .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods)))
-          .localCheckpoint()
         val bandKey = Seq("band_mod", "band_idx", "band_hash")
         // Bucket-capped candidate expansion — the same maxBucket
         // discipline as the self-join path's bucketPairs: a band value

@@ -205,7 +205,10 @@ object TextOps {
       s"containmentPairs: threshold must be in (0, 1], got $threshold")
     val base = tokenFiltered(docs, idCol, textCol, shingleN,
       repartitionInput = true)
-    val candidates =
+    // pinned once: the pair set feeds BOTH the candidate-id semi-probe
+    // below and the verify joins — unpinned, the banding aggregation
+    // (or the exhaustive cross join) would re-run per consumer
+    val candidates = (
       if (exhaustive) {
         val ids = base.select(col("id")).localCheckpoint()
         ids.select(col("id").as("id_a"))
@@ -219,9 +222,17 @@ object TextOps {
         val banded = withSig.select(col("id"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
         bucketPairs(banded, maxBucket)
-      }
-    val sets = base.select(col("id"),
-      array_distinct(wordShingles(tokens(col("text")), shingleN)).as("sset"))
+      }).localCheckpoint()
+    // shingle sets ONLY for ids that appear in candidate pairs (the
+    // same candidate-bounded discipline as minhashDedupPairs's verify
+    // stage): under LSH candidates are a sliver of the corpus, and
+    // materializing every document's set would make the verify stage a
+    // full-corpus CPU pass regardless of how few pairs survived banding
+    val candidateIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val sets = base.join(candidateIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(wordShingles(tokens(col("text")), shingleN)).as("sset"))
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
