@@ -1451,6 +1451,25 @@ object SparkEntry {
         .toDF("p50", "p95", "p99")
     }),
 
+    // X: the KLL path under an EXACT config — the sketch performs no
+    // compaction while n <= k, so over a FIXED orderkey range (~8k rows
+    // at any scale factor; k = 32767 covers it with margin) its
+    // quantiles are exact order statistics and the whole sketch
+    // machinery (per-partition build, merge, inclusive-rank query) is
+    // hash-gated against SQL order statistics. The production config
+    // above stays rows-only by design (randomized compaction).
+    "q_x_kll_quantiles_exact" -> ((s, dir) => {
+      import s.implicits._
+      val in = t(s, dir, "lineitem").where(col("l_orderkey") < 8000)
+      val sk = graft.functions.Sketches.kllBytes(in, "l_extendedprice",
+        k = 32767)
+      Seq((
+        math.rint(graft.functions.Sketches.kllQuantile(sk, 0.5) * 100) / 100,
+        math.rint(graft.functions.Sketches.kllQuantile(sk, 0.95) * 100) / 100,
+        math.rint(graft.functions.Sketches.kllQuantile(sk, 0.99) * 100) / 100))
+        .toDF("p50", "p95", "p99")
+    }),
+
     // X: exact heavy hitters in two narrow passes (Misra-Gries candidate
     // sweep, then one tiny agg over candidates — no full-key shuffle)
     "q_x_heavy_hitters" -> ((s, dir) => {
@@ -3710,6 +3729,19 @@ object SparkEntry {
     "q_x_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
          WHERE l_partkey < 200 AND l_suppkey < 40""",
+
+    // exact order statistics under the inclusive-rank rule: the
+    // quantile at q is the smallest value whose 1-based rank reaches
+    // ceil(q * n) — what an uncompacted KLL sketch returns verbatim
+    "q_x_kll_quantiles_exact" ->
+      """WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn,
+             count(*) OVER () AS n
+           FROM lineitem WHERE l_orderkey < 8000)
+         SELECT
+           round((SELECT min(v) FROM r WHERE rn >= ceil(0.50 * n)), 2) AS p50,
+           round((SELECT min(v) FROM r WHERE rn >= ceil(0.95 * n)), 2) AS p95,
+           round((SELECT min(v) FROM r WHERE rn >= ceil(0.99 * n)), 2) AS p99""",
 
     "q_x_heavy_hitters" ->
       """SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem
