@@ -24,6 +24,8 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> html-extract <in.parquet> [idCol] [htmlCol] [--out D]
   * graft.Cli <root> <collection> pref-stats <in.parquet> [idCol] [promptCol] [chosenCol] [rejectedCol] [--out D]
   * graft.Cli <root> <collection> json-profile <in.parquet> [jsonCol] [key,key...] [--out D]
+  * graft.Cli <root> <collection> chunk <in.parquet> [idCol] [textCol] [maxTokens] [--out D]
+  * graft.Cli <root> <collection> embed-reduce <in.parquet> [rp|pca] [vecCol] [inDim] [outDim] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -145,7 +147,8 @@ object Cli {
       // corpus verbs — the text-family operators at the CLI (the
       // reference exposes every capability through cli.py; these are
       // the round-8 families'). `--out D` writes parquet, else show().
-      case "chat-stats" | "html-extract" | "pref-stats" | "json-profile" =>
+      case "chat-stats" | "html-extract" | "pref-stats" | "json-profile"
+         | "chunk" | "embed-reduce" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -160,6 +163,12 @@ object Cli {
           case "pref-stats" =>
             facade.prefStats(inPath, p(1, "pair_id"), p(2, "prompt"),
               p(3, "chosen"), p(4, "rejected"))
+          case "chunk" =>
+            facade.chunk(inPath, p(1, "doc_id"), p(2, "text"),
+              p(3, "256").toInt)
+          case "embed-reduce" =>
+            facade.embedReduce(inPath, p(1, "rp"), p(2, "embedding"),
+              p(3, "64").toInt, p(4, "16").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

@@ -1493,6 +1493,60 @@ object SparkEntry {
         "doc_id", "text", chunkSize = 64, overlap = 16)
     }),
 
+    // X: sentence-boundary-aware chunking — the RAG chunker: greedy
+    // whole-sentence fill to 40 tokens, never splitting a sentence; the
+    // row-local aggregate() fold is oracle-gated against a DuckDB
+    // recursive CTE running the identical greedy recurrence
+    "q_x_chunk_sentences" -> ((s, dir) => {
+      graft.text.TextOps.chunkSentences(t(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 40)
+    }),
+
+    // X: dense-sign random projection (Achlioptas'03) 64 -> 8 dims — the
+    // md5-derived sign matrix is data-independent, so the oracle rebuilds
+    // it verbatim in SQL; exploded to scalars for the hash compare
+    "q_x_random_proj" -> ((s, dir) => {
+      graft.vec.Reduce.randomProject(t(s, dir, "embeddings"),
+          "embedding", "proj", inDim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "comp")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("comp"), 4).as("comp"))
+    }),
+
+    // X: one-pass distributed covariance over the first 16 dims, upper
+    // triangle — ONE agg keyed by the dimension pair (schema-sized key
+    // space), explicit-sums form matching the oracle bit-for-bit class
+    "q_x_cov_matrix" -> ((s, dir) => {
+      graft.vec.Reduce.covMatrix(t(s, dir, "embeddings"), "embedding", dims = 16)
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+    }),
+
+    // X: PCA spectrum invariants — trace (sum of eigenvalues == sum of
+    // per-dim variances) and Frobenius (sum of squared eigenvalues ==
+    // squared Frobenius norm of the covariance) identities oracle-gate
+    // the driver-side Jacobi eigensolver without SQL needing one
+    "q_x_pca_trace" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.vec.Reduce.pca(t(s, dir, "embeddings"), "embedding", dims = 16)
+      Seq((16L, model.eigenvalues.sum, model.eigenvalues.map(x => x * x).sum))
+        .toDF("dims", "eigen_sum", "eigen_sumsq")
+        .select(col("dims"), round(col("eigen_sum"), 6).as("eigen_sum"),
+          round(col("eigen_sumsq"), 6).as("eigen_sumsq"))
+    }),
+
+    // X: PCA projection onto the top-4 components (rows-only BY DESIGN:
+    // an eigensolver has no SQL twin; the kernel is gated by the
+    // hash-matched q_x_pca_trace invariants plus ReduceSpec
+    // orthonormality / diagonalization / per-component-variance checks)
+    "q_x_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.vec.Reduce.pca(emb, "embedding", dims = 16)
+      graft.vec.Reduce.pcaProject(emb, "embedding", "proj", model, k = 4)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "comp")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("comp"), 4).as("comp"))
+    }),
+
     // X: script detection by Unicode block — the corpus is ASCII, so the
     // query first swaps two common words for Cyrillic/CJK equivalents
     // (same literal replaces in the oracle); ratios + dominant script
@@ -3764,6 +3818,65 @@ object SparkEntry {
          SELECT doc_id, chunk_id,
            array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
            CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS chunk_tokens
+         FROM c""",
+
+    "q_x_chunk_sentences" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+             string_split(regexp_replace(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS sents
+           FROM documents),
+         s AS (SELECT doc_id, unnest(range(1, len(sents) + 1)) AS sidx, sents FROM d),
+         t AS (SELECT doc_id, sidx, sents[sidx] AS sent,
+             CASE WHEN sents[sidx] = '' THEN 0
+                  ELSE len(string_split(sents[sidx], ' ')) END AS n
+           FROM s),
+         r AS (
+           SELECT doc_id, sidx, sent, n, 0 AS chunk, n AS cum FROM t WHERE sidx = 1
+           UNION ALL
+           SELECT t.doc_id, t.sidx, t.sent, t.n,
+             CASE WHEN r.cum > 0 AND r.cum + t.n > 40 THEN r.chunk + 1 ELSE r.chunk END,
+             CASE WHEN r.cum > 0 AND r.cum + t.n > 40 THEN t.n ELSE r.cum + t.n END
+           FROM r JOIN t ON t.doc_id = r.doc_id AND t.sidx = r.sidx + 1)
+         SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id,
+           string_agg(sent, ' ' ORDER BY sidx) AS chunk_text,
+           CAST(SUM(n) AS BIGINT) AS chunk_tokens
+         FROM r GROUP BY doc_id, chunk""",
+
+    "q_x_random_proj" ->
+      """WITH r AS (
+           SELECT j, list(CASE WHEN strpos('01234567',
+                 substr(md5('rp:7:' || i || ':' || j), 1, 1)) > 0
+               THEN 1.0 ELSE -1.0 END ORDER BY i) AS rv
+           FROM generate_series(0, 63) g1(i), generate_series(0, 7) g2(j)
+           GROUP BY j)
+         SELECT e.vec_id, CAST(r.j AS BIGINT) AS dim,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), r.rv)
+                 / sqrt(8.0), 4) AS comp
+         FROM embeddings e CROSS JOIN r""",
+
+    "q_x_cov_matrix" ->
+      """SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round((SUM(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))
+                  - SUM(CAST(embedding[i+1] AS DOUBLE))
+                    * SUM(CAST(embedding[j+1] AS DOUBLE)) / COUNT(*)) / COUNT(*), 6) AS cov
+         FROM embeddings,
+              generate_series(0, 15) g1(i), generate_series(0, 15) g2(j)
+         WHERE j >= i GROUP BY i, j""",
+
+    "q_x_pca_trace" ->
+      """WITH c AS (
+           SELECT i, j,
+             (SUM(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))
+              - SUM(CAST(embedding[i+1] AS DOUBLE))
+                * SUM(CAST(embedding[j+1] AS DOUBLE)) / COUNT(*)) / COUNT(*) AS cov
+           FROM embeddings,
+                generate_series(0, 15) g1(i), generate_series(0, 15) g2(j)
+           WHERE j >= i GROUP BY i, j)
+         SELECT CAST(16 AS BIGINT) AS dims,
+           round(SUM(CASE WHEN i = j THEN cov ELSE 0 END), 6) AS eigen_sum,
+           round(SUM(CASE WHEN i = j THEN cov * cov ELSE 2 * cov * cov END), 6) AS eigen_sumsq
          FROM c""",
 
     "q_x_script_profile" ->

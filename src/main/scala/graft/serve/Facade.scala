@@ -174,6 +174,30 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     if (keys.isEmpty) graft.ops.JsonProfile.keyProfile(corpus(inPath), jsonCol)
     else graft.ops.JsonProfile.fieldStats(corpus(inPath), jsonCol, keys)
 
+  /** Sentence-aware RAG chunking (`graft.text.TextOps.chunkSentences`):
+    * greedy whole-sentence fill to `maxTokens` per chunk. */
+  def chunk(inPath: String, idCol: String = "doc_id",
+            textCol: String = "text", maxTokens: Int = 256): DataFrame =
+    graft.text.TextOps.chunkSentences(corpus(inPath), idCol, textCol, maxTokens)
+
+  /** Embedding dimensionality reduction (`graft.vec.Reduce`): "rp" =
+    * deterministic dense-sign random projection, "pca" = exact PCA
+    * (one covariance pass + driver Jacobi). */
+  def embedReduce(inPath: String, method: String = "rp",
+                  vecCol: String = "embedding", inDim: Int = 64,
+                  outDim: Int = 16, seed: Int = 7): DataFrame = method match {
+    case "rp" =>
+      graft.vec.Reduce.randomProject(corpus(inPath), vecCol, "proj",
+        inDim, outDim, seed)
+    case "pca" =>
+      val df = corpus(inPath)
+      val model = graft.vec.Reduce.pca(df, vecCol, inDim)
+      graft.vec.Reduce.pcaProject(df, vecCol, "proj", model, outDim)
+    case other =>
+      throw new IllegalArgumentException(
+        s"embedReduce: method must be 'rp' or 'pca', got '$other'")
+  }
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {

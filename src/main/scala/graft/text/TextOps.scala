@@ -51,6 +51,58 @@ object TextOps {
           lit(chunkSize))).cast("long").as("chunk_tokens"))
   }
 
+  /** Sentence split of normalized text, RE2-safe: the end-of-sentence
+    * punctuation is KEPT with its sentence by rewriting "<.!?> " to
+    * "<.!?>" with a capture-group backreference (no lookbehind —
+    * the same discipline as the HTML ops, so the DuckDB oracle can use
+    * the identical pattern). */
+  def sentences(c: Column): Column =
+    split(regexp_replace(normalizeText(c), "([.!?]) ", "$1\u0001"), "\u0001")
+
+  /** Sentence-boundary-aware chunking — the RAG-shaped sibling of
+    * [[chunkDocs]]: sentences are packed GREEDILY into chunks of at most
+    * `maxTokens` whitespace tokens, never splitting a sentence (a
+    * sentence longer than `maxTokens` gets a chunk of its own), so every
+    * chunk is a run of consecutive whole sentences. Output: (id,
+    * chunk_id, chunk_text, chunk_tokens), chunk_id 0-based per doc;
+    * every document yields >= 1 chunk (an empty doc one empty chunk),
+    * matching the [[chunkDocs]] invariant.
+    *
+    * The greedy fill is a conditional-reset running sum — NOT a prefix
+    * sum — but unlike bin packing it resets per DOCUMENT, so it stays a
+    * row-local `aggregate` fold over the sentence array: pure
+    * projection + explode, embarrassingly parallel, no shuffle, chunk
+    * assembly bounded by (sentences per doc)^2 array work in the worst
+    * case. Oracle twin: the same fold as a DuckDB recursive CTE. */
+  def chunkSentences(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"chunkSentences: maxTokens must be >= 1, got $maxTokens")
+    val over = s"(acc.cum > 0 AND acc.cum + n > $maxTokens)"
+    df.withColumn("__sents", sentences(col(textCol)))
+      .withColumn("__asg", expr(
+        s"""aggregate(
+              transform(__sents, s -> IF(s = '', 0, size(split(s, ' ')))),
+              named_struct('chunk', 0, 'cum', 0,
+                           'asg', cast(array() as array<int>)),
+              (acc, n) -> named_struct(
+                'chunk', IF($over, acc.chunk + 1, acc.chunk),
+                'cum',   IF($over, n, acc.cum + n),
+                'asg',   concat(acc.asg,
+                           array(IF($over, acc.chunk + 1, acc.chunk)))),
+              acc -> acc.asg)"""))
+      .withColumn("__chunks", expr(
+        """transform(sequence(0, element_at(__asg, -1)), c ->
+             array_join(
+               transform(filter(arrays_zip(__sents, __asg), p -> p.__asg = c),
+                 p -> p.__sents), ' '))"""))
+      .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        when(col("chunk_text") === "", lit(0L))
+          .otherwise(size(split(col("chunk_text"), " ")).cast("long"))
+          .as("chunk_tokens"))
+  }
+
   /** C4-style global line dedup (Raffel et al. JMLR'20 §2.2 discards
     * all but one occurrence of any repeated span; RefinedWeb applies the
     * same rule per line): every non-blank line keeps only its FIRST

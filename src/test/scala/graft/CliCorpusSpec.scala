@@ -65,4 +65,29 @@ class CliCorpusSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().head
     assert(he._1 == 7L && he._2.startsWith("the cat and the dog") && he._3 == 1L)
   }
+
+  test("chunk and embed-reduce verbs dispatch with positional overrides") {
+    val dir = Files.createTempDirectory("graft_cli_corpus3_")
+    val root = Files.createTempDirectory("graft_cli_root3_").toString
+    Seq((1L, "a b. c d. e f."))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Cli.main(Array(root, "c1", "chunk", s"$dir/docs",
+      "doc_id", "text", "4", "--out", s"$dir/chunk_out"))
+    val ch = spark.read.parquet(s"$dir/chunk_out")
+      .orderBy("chunk_id").as[(Long, Long, String, Long)].collect().toSeq
+    assert(ch.map(_._3) == Seq("a b. c d.", "e f."))
+
+    Seq((1L, Array.fill(8)(0.5f)), (2L, Array.tabulate(8)(_.toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/emb")
+    Cli.main(Array(root, "c1", "embed-reduce", s"$dir/emb",
+      "rp", "embedding", "8", "3", "--out", s"$dir/emb_out"))
+    val er = spark.read.parquet(s"$dir/emb_out")
+    assert(er.count() == 2L)
+    assert(er.select("proj").as[Seq[Double]].head().size == 3)
+    // pca mode dispatches too
+    Cli.main(Array(root, "c1", "embed-reduce", s"$dir/emb",
+      "pca", "embedding", "8", "2", "--out", s"$dir/emb_pca"))
+    assert(spark.read.parquet(s"$dir/emb_pca")
+      .select("proj").as[Seq[Double]].head().size == 2)
+  }
 }

@@ -649,4 +649,46 @@ class StreamOpsSpec extends AnyFunSuite {
         t.contains("<EMAIL>") && t.contains("<URL>") && !t.contains("@")))
     } finally q.stop()
   }
+
+  test("round-9 families lift onto streams: sentence chunking + random projection (stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9_stream_")
+    val rows = Seq(
+      (1L, "a b one. c d two. e three.", Array.tabulate(8)(i => (i + 1).toFloat)),
+      (2L, "just one sentence", Array.fill(8)(0.25f)))
+    rows.toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // both ops are row-local projections/explodes — stateless on a
+    // stream: append mode, no watermark
+    val q = graft.text.TextOps.chunkSentences(
+        graft.vec.Reduce.randomProject(stream, "embedding", "proj",
+          inDim = 8, outDim = 2),
+        "doc_id", "text", maxTokens = 6)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r9_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamGot = spark.table("r9_stream")
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Long, String)].collect().toSet
+      val batchGot = graft.text.TextOps.chunkSentences(
+          graft.vec.Reduce.randomProject(
+            spark.read.parquet(dir.resolve("d1.parquet").toString),
+            "embedding", "proj", inDim = 8, outDim = 2),
+          "doc_id", "text", maxTokens = 6)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Long, String)].collect().toSet
+      assert(streamGot == batchGot && streamGot.nonEmpty)
+      assert(streamGot.exists(_._3 == "a b one. c d two."))
+    } finally q.stop()
+  }
 }
