@@ -116,5 +116,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         toAnalyzableExpression(graft.text.Preference.tokenJaccard(
           toColumn(children.head), toColumn(children(1))))))
+    ext.injectFunction((
+      new FunctionIdentifier("sentences"),
+      new ExpressionInfo(graft.text.TextOps.getClass.getName, "sentences"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.TextOps.sentences(toColumn(children.head)))))
+    // rp_project(vec [, inDim, outDim, seed]): dense-sign random
+    // projection — dims/seed must be literals (they parameterize the
+    // driver-built sign matrix embedded in the plan)
+    ext.injectFunction((
+      new FunctionIdentifier("rp_project"),
+      new ExpressionInfo(graft.vec.Reduce.getClass.getName, "rp_project"),
+      (children: Seq[Expression]) => {
+        val inDim = children.lift(1).map(intArg(_, "inDim")).getOrElse(64)
+        val outDim = children.lift(2).map(intArg(_, "outDim")).getOrElse(16)
+        val seed = children.lift(3).map(intArg(_, "seed")).getOrElse(7)
+        toAnalyzableExpression(
+          graft.vec.Reduce.projectColumn(toColumn(children.head),
+            inDim, outDim, seed))
+      }))
   }
 }

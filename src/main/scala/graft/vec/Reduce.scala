@@ -60,16 +60,20 @@ object Reduce {
     * shuffle — the matrix rides in the plan as literals and the dot is
     * the whole-stage-codegen kernel. */
   def randomProject(vectors: DataFrame, vecCol: String, outCol: String,
-                    inDim: Int, outDim: Int, seed: Int = 7): DataFrame = {
+                    inDim: Int, outDim: Int, seed: Int = 7): DataFrame =
+    vectors.withColumn(outCol, projectColumn(col(vecCol), inDim, outDim, seed))
+
+  /** The projection as a Column (also the `rp_project` SQL function). */
+  def projectColumn(vec: Column, inDim: Int, outDim: Int, seed: Int = 7): Column = {
     require(inDim >= 1 && outDim >= 1,
       s"randomProject: dims must be >= 1, got inDim=$inDim outDim=$outDim")
     val r = signMatrix(inDim, outDim, seed)
-    val v = VectorOps.asDouble(col(vecCol))
+    val v = VectorOps.asDouble(vec)
     val scale = math.sqrt(outDim.toDouble)
     val comps = (0 until outDim).map { j =>
       VecExpressions.dotProduct(v, typedlit(r(j).toSeq)) / lit(scale)
     }
-    vectors.withColumn(outCol, array(comps: _*))
+    array(comps: _*)
   }
 
   // ---------------------------------------------- covariance (one pass)
@@ -104,6 +108,24 @@ object Reduce {
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
         sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+  }
+
+  /** Pearson correlation matrix from the same single pass: corr(i,j) =
+    * cov(i,j) / sqrt(var_i * var_j). The diagonal frame is d rows —
+    * broadcast by construction; zero-variance dims yield NULL (matching
+    * SQL corr), not a division blowup. */
+  def corrMatrix(vectors: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    val cov = covMatrix(vectors, vecCol, dims)
+    val diag = cov.where(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov").as("v"))
+    cov
+      .join(broadcast(diag.select(col("d").as("di"), col("v").as("vi"))),
+        col("i") === col("di"))
+      .join(broadcast(diag.select(col("d").as("dj"), col("v").as("vj"))),
+        col("j") === col("dj"))
+      .select(col("i"), col("j"),
+        when(col("vi") > 0 && col("vj") > 0,
+          col("cov") / sqrt(col("vi") * col("vj"))).as("corr"))
   }
 
   // -------------------------------------------------- Jacobi eigen (driver)
@@ -224,9 +246,12 @@ object Reduce {
   /** Project onto the top-`k` components: out_c = dot(v - mean, pc_c).
     * Centering folded into the dot (dot(v,pc) - dot(mean,pc), the
     * second term a driver constant) so the row expression stays a
-    * single codegen kernel per component. Appends `outCol`. */
+    * single codegen kernel per component. With `whiten`, each component
+    * is scaled by 1/sqrt(eigenvalue) so the output has identity
+    * covariance (the preconditioner k-means/PQ-style quantizers want).
+    * Appends `outCol`. */
   def pcaProject(vectors: DataFrame, vecCol: String, outCol: String,
-                 model: PcaModel, k: Int): DataFrame = {
+                 model: PcaModel, k: Int, whiten: Boolean = false): DataFrame = {
     require(k >= 1 && k <= model.components.length,
       s"pcaProject: k must be in [1, ${model.components.length}], got $k")
     val dims = model.means.length
@@ -234,8 +259,41 @@ object Reduce {
     val comps = (0 until k).map { c =>
       val pc = model.components(c)
       val meanDot = (0 until dims).map(i => model.means(i) * pc(i)).sum
-      VecExpressions.dotProduct(v, typedlit(pc.toSeq)) - lit(meanDot)
+      val raw = VecExpressions.dotProduct(v, typedlit(pc.toSeq)) - lit(meanDot)
+      if (whiten) {
+        // guard rank-deficient directions: a ~zero eigenvalue would blow
+        // the scale up; emit 0 there instead (the direction carries no
+        // variance to whiten)
+        val ev = model.eigenvalues(c)
+        if (ev > 1e-12) raw * lit(1.0 / math.sqrt(ev)) else lit(0.0)
+      } else raw
     }
     vectors.withColumn(outCol, array(comps: _*))
+  }
+
+  // ------------------------------------------------- model persistence
+
+  /** Persist a fitted model as a tiny parquet table (one row per
+    * component: c, eigenvalue, component vector, plus the shared means
+    * on every row — d rows of d+2 values, schema-sized). The served-PCA
+    * shape: fit once on a corpus snapshot, project every later batch
+    * with [[loadPca]] + [[pcaProject]] without refitting. */
+  def savePca(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
+              dir: String): Unit = {
+    import spark.implicits._
+    model.components.indices.map { c =>
+      (c, model.eigenvalues(c), model.components(c).toSeq, model.means.toSeq)
+    }.toDF("c", "eigenvalue", "component", "means")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a model persisted by [[savePca]]. */
+  def loadPca(spark: org.apache.spark.sql.SparkSession, dir: String): PcaModel = {
+    val rows = spark.read.parquet(dir).orderBy("c").collect()
+    require(rows.nonEmpty, s"loadPca: no model at $dir")
+    PcaModel(
+      means = rows.head.getSeq[Double](3).toArray,
+      components = rows.map(_.getSeq[Double](2).toArray),
+      eigenvalues = rows.map(_.getDouble(1)))
   }
 }

@@ -189,4 +189,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!rows(1).getBoolean(0) && rows(1).getString(1).isEmpty)
     assert(rows(1).getDouble(2) == 1.0)
   }
+
+  test("sentences / rp_project callable from SQL, match the Column/library API") {
+    import spark.implicits._
+    Seq(("One two. Three four! five",
+        Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f)))
+      .toDF("text", "vec").createOrReplaceTempView("r9docs")
+    val row = spark.sql(
+      "SELECT sentences(text) AS s, rp_project(vec, 8, 3, 7) AS p FROM r9docs")
+      .head()
+    assert(row.getSeq[String](0) == Seq("one two.", "three four!", "five"))
+    val viaLib = graft.vec.Reduce.randomProject(
+        Seq(Tuple1(Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f, 7.0f, 8.0f)))
+          .toDF("vec"), "vec", "p", inDim = 8, outDim = 3, seed = 7)
+      .select("p").as[Seq[Double]].head()
+    assert(row.getSeq[Double](1) == viaLib)
+    // dims must be literals — a column there is an analysis error
+    val err = intercept[Exception] {
+      spark.sql("SELECT rp_project(vec, length(text), 3) FROM r9docs").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }

@@ -134,4 +134,47 @@ class ReduceSpec extends AnyFunSuite {
     assert(approx(cov01, 0.0, 1e-6 * model.eigenvalues(0) + 1e-9))
     df.unpersist()
   }
+
+  test("whitened projection has unit variance per component; zero-variance directions emit 0") {
+    val rng = new scala.util.Random(9)
+    val pts = (0 until 100).map { _ =>
+      val a = rng.nextGaussian() * 4; val b = rng.nextGaussian()
+      // third coord is a linear combo -> rank 2, eigenvalue ~0
+      Tuple1(Array(a.toFloat, b.toFloat, (a + b).toFloat))
+    }
+    val df = pts.toDF("embedding").cache()
+    val model = Reduce.pca(df, "embedding", dims = 3)
+    val proj = Reduce.pcaProject(df, "embedding", "proj", model, k = 3, whiten = true)
+      .select($"proj").as[Seq[Double]].collect()
+    def varp(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(approx(varp(proj.map(_(0)).toSeq), 1.0, 1e-6))
+    assert(approx(varp(proj.map(_(1)).toSeq), 1.0, 1e-6))
+    // the rank-deficient direction is guarded to 0, not blown up
+    assert(model.eigenvalues(2) < 1e-9)
+    assert(proj.forall(p => p(2) == 0.0))
+    df.unpersist()
+  }
+
+  test("savePca/loadPca round-trips the model; projection identical") {
+    val pts = (0 until 60).map { i =>
+      val t = (i - 30).toDouble
+      Tuple1(Array((0.6 * t).toFloat, (0.8 * t).toFloat))
+    }
+    val df = pts.toDF("embedding")
+    val model = Reduce.pca(df, "embedding", dims = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_model_").toString
+    Reduce.savePca(spark, model, dir)
+    val loaded = Reduce.loadPca(spark, dir)
+    assert(loaded.means.toSeq == model.means.toSeq)
+    assert(loaded.eigenvalues.toSeq == model.eigenvalues.toSeq)
+    assert(loaded.components.map(_.toSeq).toSeq == model.components.map(_.toSeq).toSeq)
+    val a = Reduce.pcaProject(df, "embedding", "proj", model, k = 1)
+      .select($"proj").as[Seq[Double]].collect().toSeq
+    val b = Reduce.pcaProject(df, "embedding", "proj", loaded, k = 1)
+      .select($"proj").as[Seq[Double]].collect().toSeq
+    assert(a == b)
+  }
 }
