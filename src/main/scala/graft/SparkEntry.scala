@@ -1533,6 +1533,27 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
     }),
 
+    // X: hard-negative mining (DPR/ANCE recipe) — per query the top-5
+    // most-similar DIFFERENT-label vectors, the contrastive-training
+    // negatives that sit on the decision boundary
+    "q_x_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.VectorOps.hardNegatives(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", "label", k = 5)
+    }),
+
+    // X: curriculum ordering — global (score, id) rank via the two-phase
+    // distributed scan (never a single-partition sort) sliced into 8
+    // bands; score = whitespace token count (the short-to-long
+    // length-curriculum schedule)
+    "q_x_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("score",
+        size(graft.text.TextOps.tokens(col("text"))).cast("long"))
+      graft.etl.Shards.curriculum(d, "score", "doc_id", nBands = 8)
+        .select(col("doc_id"), col("score"),
+          col("curriculum_rank"), col("band"))
+    }),
+
     // X: embedding-dimension correlation matrix — the isotropy audit
     // (a sound embedder yields near-zero off-diagonals; structure here
     // means dims are redundant and PCA will compress well); same
@@ -3886,6 +3907,33 @@ object SparkEntry {
          FROM embeddings,
               generate_series(0, 15) g1(i), generate_series(0, 15) g2(j)
          WHERE j >= i GROUP BY i, j""",
+
+    "q_x_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             c.label AS neighbor_label,
+             CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
+           FROM embeddings c, q
+           WHERE c.vec_id <> q.vec_id AND c.label <> q.label),
+         r AS (SELECT query_id, cand_id, neighbor_label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+           cand_id AS neighbor_id, neighbor_label, round(cos, 4) AS cos
+         FROM r WHERE rank <= 5""",
+
+    "q_x_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS score
+         FROM documents),
+         r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+           FROM t)
+         SELECT doc_id, score, CAST(rk AS BIGINT) AS curriculum_rank,
+           CAST(((rk - 1) * 8) // n AS BIGINT) AS band
+         FROM r""",
 
     "q_x_embed_corr" ->
       """SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,

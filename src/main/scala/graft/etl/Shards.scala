@@ -43,6 +43,32 @@ object Shards {
     spark.read.parquet(outDir.stripSuffix("/") + "/_manifest")
   }
 
+  /** Curriculum ordering: global rank of every document by
+    * (`scoreCol`, `idCol`) and its curriculum band in [0, nBands) —
+    * band k holds the k-th slice of the score order (short-to-long /
+    * easy-to-hard schedules feed training in band order). Appends
+    * `curriculum_rank` (1-based) and `band`.
+    *
+    * The rank is the two-phase distributed scan
+    * ([[graft.ops.Scans.globalRowNumber]] on a (score, id) struct key —
+    * range shuffle + parallel windows + a driver prefix over partition
+    * totals), NEVER a single-partition sort; the total count rides a
+    * broadcast single-row frame. Ties in score are broken by id, so the
+    * schedule is deterministic under any cluster layout. */
+  def curriculum(docs: DataFrame, scoreCol: String, idCol: String,
+                 nBands: Int): DataFrame = {
+    require(nBands >= 1, s"curriculum: nBands must be >= 1, got $nBands")
+    require(!docs.columns.contains("__ckey") && !docs.columns.contains("__n"),
+      "curriculum: input already has a __ckey/__n column")
+    val keyed = docs.withColumn("__ckey", struct(col(scoreCol), col(idCol)))
+    val ranked = graft.ops.Scans.globalRowNumber(keyed, "__ckey", "curriculum_rank")
+    val total = docs.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("band",
+        expr(s"((curriculum_rank - 1) * $nBands) div __n").cast("long"))
+      .drop("__ckey", "__n")
+  }
+
   /** Read a shard set's manifest. */
   def manifest(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir.stripSuffix("/") + "/_manifest")

@@ -523,6 +523,68 @@ object StreamOps {
       }
   }
 
+  /** One micro-batch of the streaming ANN-index ingest: drop batch
+    * vectors whose id is already IN the index, append the rest through
+    * [[graft.vec.VecIndex.appendWithPolicy]] (frozen-centroid
+    * assignment + the skew policy's metadata-scale stats check), and
+    * return the policy verdict.
+    *
+    * The id anti-join is what makes replays no-ops: after a crash
+    * between append and checkpoint commit, foreachBatch re-delivers
+    * the same rows, every id matches what the first delivery appended,
+    * and the batch filters to empty — the same absorption discipline
+    * as [[dedupIngestBatch]], so at-least-once delivery becomes
+    * effective exactly-once for index content. Cost: one id-only
+    * column-pruned scan of the lists per batch (no shuffle — the batch
+    * rides the broadcast side). On a very large index, feed ids
+    * monotonically and short-circuit with your own high-water mark
+    * upstream; the in-index check stays the correctness backstop. */
+  def vecIndexIngestBatch(batch: DataFrame, indexDir: String,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          maxCv: Double = 1.0,
+                          autoRebalance: Boolean = false): graft.vec.VecIndex.SkewVerdict = {
+    import graft.vec.VecIndex
+    val spark = batch.sparkSession
+    // two broadcast-right joins so the index-side id scan NEVER
+    // shuffles (a naive batch-anti-index would broadcast or shuffle
+    // the INDEX): (1) index ids semi-join the broadcast batch ids ->
+    // `present` is at most batch-sized; (2) batch anti-joins the
+    // broadcast `present`
+    val existingIds = spark.read.parquet(s"$indexDir/lists").select(col("id"))
+    val present = existingIds.join(
+      broadcast(batch.select(col(idCol).as("id")).distinct()),
+      Seq("id"), "left_semi")
+    val fresh = batch
+      .join(broadcast(present), batch(idCol) === present("id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty) VecIndex.SkewVerdict(VecIndex.listStats(spark, indexDir),
+      needsRebalance = false, rebalanced = false)
+    else VecIndex.appendWithPolicy(fresh, indexDir, idCol, vecCol,
+      maxCv = maxCv, autoRebalance = autoRebalance)
+  }
+
+  /** Streaming ANN ingest: every micro-batch of vectors lands in the
+    * persisted [[graft.vec.VecIndex]] at `indexDir` (which must exist —
+    * build it from a seed corpus first; frozen-centroid appends need
+    * centroids to assign into). Start with
+    * `.option("checkpointLocation", ...)`; see [[vecIndexIngestBatch]]
+    * for why replays after a crash cannot double-insert. The skew
+    * policy runs per batch at metadata cost; pass
+    * `autoRebalance = true` only when no probes run concurrently. */
+  def vecIndexIngestStream(vectors: DataFrame, indexDir: String,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxCv: Double = 1.0,
+                           autoRebalance: Boolean = false)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          vecIndexIngestBatch(batch, indexDir, idCol, vecCol,
+            maxCv, autoRebalance): Unit
+      }
+
   /** Wire a streaming query to an in-memory sink (used by tests; a real
     * deployment points this at kafka/parquet with a checkpoint). */
   def toMemorySink(df: DataFrame, name: String,

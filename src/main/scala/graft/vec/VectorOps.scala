@@ -710,4 +710,42 @@ object VectorOps {
             sqrt(sum(col("mu_b") * col("mu_b")))), 4).as("centroid_cos"),
         round(avg(abs(col("mu_a") - col("mu_b"))), 4).as("mean_abs_diff"))
   }
+
+  // ------------------------------------------- hard-negative mining
+
+  /** Supervised hard-negative mining for contrastive/embedding training
+    * (the DPR/ANCE recipe): for every query vector, the `k` MOST
+    * SIMILAR candidates with a DIFFERENT label — the negatives that sit
+    * closest to the decision boundary, which is what makes them worth
+    * training on (random negatives are trivially separable). Output:
+    * (query_id, rank, neighbor_id, neighbor_label, cos).
+    *
+    * Exact form: same shape as [[bruteForceTopK]] — candidates spread,
+    * queries broadcast, codegen cosine, per-query window — with the
+    * label disagreement folded into the pair predicate (filtered BEFORE
+    * scoring, so same-label pairs never pay the kernel). At corpus
+    * scale the candidate generation swaps to [[ivfTopK]]-style probing
+    * with an oversampled shortlist filtered by label, exactly like the
+    * ANN family's approx modes. */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val cand = candidates.select(col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("cand_vec"),
+        col(labelCol).as("neighbor_label"))
+      .repartition(col("cand_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q_vec"), col(labelCol).as("q_label"))
+    val scored = cand.crossJoin(broadcast(q))
+      .where(col("cand_id") =!= col("query_id") &&
+        col("neighbor_label") =!= col("q_label"))
+      .withColumn("cos", cosine(col("cand_vec"), col("q_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("cand_id").as("neighbor_id"), col("neighbor_label"),
+        round(col("cos"), 4).as("cos"))
+  }
 }

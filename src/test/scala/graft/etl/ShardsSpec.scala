@@ -55,4 +55,30 @@ class ShardsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("shard"),
       plan.take(800))
   }
+
+  test("curriculum: rank follows (score, id) order, bands slice it evenly, no single-partition sort") {
+    val got = Shards.curriculum(corpus, "n_tokens", "doc_id", nBands = 5)
+      .select($"doc_id", $"n_tokens", $"curriculum_rank", $"band")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-computed expectation: sort by (score, id), rank 1.., band slices
+    val expect = corpus.select($"doc_id", $"n_tokens")
+      .as[(Long, Long)].collect().sortBy { case (id, s) => (s, id) }
+      .zipWithIndex.map { case ((id, s), i) =>
+        (id, s, i + 1L, (i.toLong * 5) / 500) }.toSet
+    assert(got.toSet == expect)
+    // bands are contiguous rank slices of equal size (500 divides by 5)
+    val bySize = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(bySize.values.toSet == Set(100))
+    // plan guard: no global sort — the only SinglePartition exchange
+    // allowed is the tiny count() agg that feeds the broadcast; a
+    // single-partition SORT would be the scale-killer
+    val plan = Shards.curriculum(corpus, "n_tokens", "doc_id", nBands = 5)
+      .queryExecution.executedPlan.toString
+    // (the range exchange itself sits behind the scan's localCheckpoint,
+    // so this plan shows Scan ExistingRDD; what must NOT appear is a
+    // global sort — Spark prints those as "Sort [...], true, 0")
+    val globalSort = plan.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains("], true,"))
+    assert(!globalSort, plan.take(1500))
+  }
 }

@@ -691,4 +691,53 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(streamGot.exists(_._3 == "a b one. c d two."))
     } finally q.stop()
   }
+
+  test("streaming ANN ingest: batches land in the VecIndex, replayed ids are absorbed") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_stream_")
+    val idxDir = dir.resolve("idx").toString
+    def vec(seed: Int): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      val v = Array.fill(8)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // seed index from an initial corpus
+    val seedVecs = (0L until 20L).map(i => (i, vec(i.toInt)))
+    graft.vec.VecIndex.build(seedVecs.toDF("vec_id", "embedding"), idxDir,
+      nlist = 4, kmeansIters = 1)
+    def writeBatch(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val staging = dir.resolve(s"_s_$name")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"in/in_$name.parquet"))
+    }
+    java.nio.file.Files.createDirectories(dir.resolve("in"))
+    // batch 1: 5 new ids; batch 2: 3 new ids + 2 REPLAYS of batch 1 ids
+    writeBatch("b1", (20L until 25L).map(i => (i, vec(i.toInt))))
+    writeBatch("b2", (25L until 28L).map(i => (i, vec(i.toInt))) ++
+      Seq((20L, vec(20)), (21L, vec(21))))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+    val q = StreamOps.vecIndexIngestStream(stream, idxDir)
+      .option("checkpointLocation", dir.resolve("ck").toString).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$idxDir/lists").select("id")
+        .as[Long].collect().sorted.toSeq
+      // union without duplicates: replayed 20/21 absorbed
+      assert(ids == (0L until 28L).toSeq)
+      // the index still probes correctly for an appended vector
+      val probe = graft.vec.VecIndex.topK(
+        Seq((26L, vec(26))).toDF("vec_id", "embedding"), idxDir,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+      assert(probe.where($"rank" === 1).select("neighbor_id").as[Long]
+        .head() != 26L) // self excluded, a real neighbor returned
+      assert(probe.count() == 3)
+    } finally q.stop()
+  }
 }

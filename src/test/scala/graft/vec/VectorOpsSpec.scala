@@ -24,6 +24,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(self.forall(_ == 1.0))
   }
 
+  test("hardNegatives: top-k by cosine among DIFFERENT-label candidates only") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.1f, 0.0f), 1),   // same label as 0 -> never a negative for 0
+      (2L, Array(0.8f, 0.2f, 0.0f), 2),   // closest different-label
+      (3L, Array(0.0f, 1.0f, 0.0f), 2),
+      (4L, Array(-1.0f, 0.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.hardNegatives(labeled,
+        labeled.where($"vec_id" === 0), "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .select($"neighbor_id", $"neighbor_label").as[(Long, Int)].collect().toSeq
+    // 1 excluded (same label) even though it is the most similar overall
+    assert(got == Seq((2L, 2), (3L, 2), (4L, 3)))
+  }
+
   test("bruteForceTopK ranks by similarity, excludes self") {
     val got = VectorOps.bruteForceTopK(vecs, vecs.where($"vec_id" === 0),
         "vec_id", "embedding", k = 3)
