@@ -1522,7 +1522,9 @@ object SparkEntry {
           "embedding", "proj", inDim = 64, outDim = 8)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "comp")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
-          round(col("comp"), 4).as("comp"))
+          // + 0.0 folds IEEE -0.0 to +0.0 (values rounding to zero from
+          // below would otherwise hash-differ from the oracle's +0.0)
+          (round(col("comp"), 4) + lit(0.0)).as("comp"))
     }),
 
     // X: one-pass distributed covariance over the first 16 dims, upper
@@ -1530,7 +1532,8 @@ object SparkEntry {
     // space), explicit-sums form matching the oracle bit-for-bit class
     "q_x_cov_matrix" -> ((s, dir) => {
       graft.vec.Reduce.covMatrix(t(s, dir, "embeddings"), "embedding", dims = 16)
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+        .select(col("i"), col("j"),
+          (round(col("cov"), 6) + lit(0.0)).as("cov"))
     }),
 
     // X: hard-negative mining (DPR/ANCE recipe) — per query the top-5
@@ -1561,7 +1564,8 @@ object SparkEntry {
     // broadcast diagonal joins
     "q_x_embed_corr" -> ((s, dir) => {
       graft.vec.Reduce.corrMatrix(t(s, dir, "embeddings"), "embedding", dims = 12)
-        .select(col("i"), col("j"), round(col("corr"), 5).as("corr"))
+        .select(col("i"), col("j"),
+          (round(col("corr"), 5) + lit(0.0)).as("corr"))
     }),
 
     // X: PCA spectrum invariants — trace (sum of eigenvalues == sum of
@@ -3896,14 +3900,15 @@ object SparkEntry {
            GROUP BY j)
          SELECT e.vec_id, CAST(r.j AS BIGINT) AS dim,
            round(list_dot_product(CAST(e.embedding AS DOUBLE[]), r.rv)
-                 / sqrt(8.0), 4) AS comp
+                 / sqrt(8.0), 4) + 0.0 AS comp
          FROM embeddings e CROSS JOIN r""",
 
     "q_x_cov_matrix" ->
       """SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            round((SUM(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[j+1] AS DOUBLE))
                   - SUM(CAST(embedding[i+1] AS DOUBLE))
-                    * SUM(CAST(embedding[j+1] AS DOUBLE)) / COUNT(*)) / COUNT(*), 6) AS cov
+                    * SUM(CAST(embedding[j+1] AS DOUBLE)) / COUNT(*)) / COUNT(*), 6)
+             + 0.0 AS cov
          FROM embeddings,
               generate_series(0, 15) g1(i), generate_series(0, 15) g2(j)
          WHERE j >= i GROUP BY i, j""",
@@ -3938,7 +3943,7 @@ object SparkEntry {
     "q_x_embed_corr" ->
       """SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            round(corr(CAST(embedding[i+1] AS DOUBLE),
-                      CAST(embedding[j+1] AS DOUBLE)), 5) AS corr
+                      CAST(embedding[j+1] AS DOUBLE)), 5) + 0.0 AS corr
          FROM embeddings,
               generate_series(0, 11) g1(i), generate_series(0, 11) g2(j)
          WHERE j >= i GROUP BY i, j""",

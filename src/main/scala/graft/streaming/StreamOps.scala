@@ -551,12 +551,17 @@ object StreamOps {
     // the INDEX): (1) index ids semi-join the broadcast batch ids ->
     // `present` is at most batch-sized; (2) batch anti-joins the
     // broadcast `present`
+    // intra-batch duplicates (same-id rows delivered together) are
+    // absorbed here with the same discipline as cross-batch replays;
+    // without this a duplicated id inside one micro-batch would be
+    // appended twice and probes would return duplicate neighbors
+    val deduped = batch.dropDuplicates(idCol)
     val existingIds = spark.read.parquet(s"$indexDir/lists").select(col("id"))
     val present = existingIds.join(
-      broadcast(batch.select(col(idCol).as("id")).distinct()),
+      broadcast(deduped.select(col(idCol).as("id"))),
       Seq("id"), "left_semi")
-    val fresh = batch
-      .join(broadcast(present), batch(idCol) === present("id"), "left_anti")
+    val fresh = deduped
+      .join(broadcast(present), deduped(idCol) === present("id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) VecIndex.SkewVerdict(VecIndex.listStats(spark, indexDir),
       needsRebalance = false, rebalanced = false)

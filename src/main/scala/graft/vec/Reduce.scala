@@ -95,8 +95,20 @@ object Reduce {
     * every per-dim sum, so means need no second scan. */
   private def covSums(vectors: DataFrame, vecCol: String, dims: Int): DataFrame = {
     require(dims >= 1, s"covMatrix: dims must be >= 1, got $dims")
+    // numerical caveat: the single-pass (Sxy - Sx*Sy/n)/n form is
+    // cancellation-prone when |mean| >> stddev (non-centered data);
+    // it is kept because the DuckDB oracle computes the identical
+    // expression, so both sides cancel identically
     vectors
       .select(VectorOps.asDouble(col(vecCol)).as("__v"))
+      // fail loudly on short vectors: element_at past the end is null
+      // under non-ANSI semantics, which would silently null sxy/sx/sy
+      // while n keeps counting — wrong cov entries and an opaque NPE
+      // downstream in pca's Row.getDouble
+      .select(when(size(col("__v")) >= lit(dims), col("__v"))
+        .otherwise(raise_error(concat(
+          lit(s"covMatrix: dims=$dims exceeds vector length "),
+          size(col("__v")).cast("string")))).as("__v"))
       .select(explode(expr(
         s"""flatten(transform(sequence(0, ${dims - 1}), i ->
               transform(sequence(i, ${dims - 1}), j ->

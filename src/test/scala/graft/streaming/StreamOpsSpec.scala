@@ -715,8 +715,10 @@ class StreamOpsSpec extends AnyFunSuite {
       java.nio.file.Files.copy(part, dir.resolve(s"in/in_$name.parquet"))
     }
     java.nio.file.Files.createDirectories(dir.resolve("in"))
-    // batch 1: 5 new ids; batch 2: 3 new ids + 2 REPLAYS of batch 1 ids
-    writeBatch("b1", (20L until 25L).map(i => (i, vec(i.toInt))))
+    // batch 1: 5 new ids, one of them (24) DUPLICATED WITHIN the batch;
+    // batch 2: 3 new ids + 2 REPLAYS of batch 1 ids
+    writeBatch("b1", (20L until 25L).map(i => (i, vec(i.toInt))) ++
+      Seq((24L, vec(24))))
     writeBatch("b2", (25L until 28L).map(i => (i, vec(i.toInt))) ++
       Seq((20L, vec(20)), (21L, vec(21))))
     val schema = StructType(Seq(StructField("vec_id", LongType),
@@ -729,7 +731,8 @@ class StreamOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ids = spark.read.parquet(s"$idxDir/lists").select("id")
         .as[Long].collect().sorted.toSeq
-      // union without duplicates: replayed 20/21 absorbed
+      // union without duplicates: replayed 20/21 AND the intra-batch
+      // duplicate 24 absorbed — each id appears exactly once
       assert(ids == (0L until 28L).toSeq)
       // the index still probes correctly for an appended vector
       val probe = graft.vec.VecIndex.topK(

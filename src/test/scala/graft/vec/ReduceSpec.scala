@@ -64,6 +64,18 @@ class ReduceSpec extends AnyFunSuite {
     assert(got.size == 3) // upper triangle only
   }
 
+  test("covMatrix fails loudly when dims exceeds the vector length") {
+    val vecs = Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
+    val ex = intercept[Exception] {
+      Reduce.covMatrix(vecs, "embedding", dims = 5).collect()
+    }
+    // raise_error surfaces (possibly wrapped by the task runner); the
+    // message must name the mismatch rather than NPE-ing downstream
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("dims=5 exceeds vector length 2")))
+  }
+
   test("jacobiEigen solves a known 2x2 exactly") {
     val (vals, vecs) = Reduce.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
     assert(approx(vals(0), 3.0) && approx(vals(1), 1.0))
