@@ -1887,6 +1887,48 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
     }),
 
+    // X: SQ8 scalar-quantization reconstruction audit — per-vector L2
+    // error of the 1-byte-per-dim round trip (4x compression); fully
+    // deterministic, so the whole train/quantize/dequantize path is
+    // hash-gated (rare for ANN-adjacent code)
+    "q_x_sq8_recon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.vec.Quantize.sq8Train(emb, "embedding", dims = 64)
+      graft.vec.Quantize.sq8ReconError(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"), round(col("l2_err"), 6).as("l2_err"))
+    }),
+
+    // X: asymmetric SQ8 top-k (faiss ADC discipline: full-precision
+    // queries against dequantized 1-byte candidates) — deterministic
+    // quantization makes even the APPROXIMATE search hash-matchable
+    "q_x_ann_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.vec.Quantize.sq8Train(emb, "embedding", dims = 64)
+      graft.vec.Quantize.sq8TopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, model)
+    }),
+
+    // X: Matryoshka truncation audit — top-10 agreement between
+    // full-64-dim and first-16-dim cosine retrieval, per query: what a
+    // 4x cheaper truncated index would cost on THIS corpus
+    "q_x_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.Quantize.truncationOverlap(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, keepDims = 16)
+    }),
+
+    // X: MMR diversified top-k (Carbonell-Goldstein) — the RAG reranker
+    // that stops a context window being k near-copies; greedy argmax as
+    // a row-local aggregate() fold over a bounded candidate pool, gated
+    // against a DuckDB oracle unrolling the identical recurrence
+    "q_x_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.Mmr.mmrTopK(
+        emb, emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, lambda = 0.7, pool = 10)
+    }),
+
     // X: IVF-partitioned approximate top-k (the scale path) — rows-only
     "q_x_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -4087,6 +4129,119 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) AS cos
          FROM r WHERE rank <= 5""",
+
+    "q_x_sq8_recon" ->
+      """WITH mm AS (
+           SELECT i, min(CAST(embedding[i+1] AS DOUBLE)) AS mn,
+                  max(CAST(embedding[i+1] AS DOUBLE)) AS mx
+           FROM embeddings, generate_series(0, 63) g(i) GROUP BY i),
+         x AS (
+           SELECT e.vec_id, g.i, CAST(e.embedding[g.i+1] AS DOUBLE) AS x,
+                  mm.mn, mm.mx
+           FROM embeddings e CROSS JOIN generate_series(0, 63) g(i)
+           JOIN mm ON mm.i = g.i),
+         d AS (SELECT vec_id, x,
+           CASE WHEN mx = mn THEN mn
+                ELSE mn + round((x - mn)/(mx - mn)*255.0) * (mx - mn)/255.0
+           END AS dq
+           FROM x)
+         SELECT vec_id, round(sqrt(SUM((x-dq)*(x-dq))), 6) AS l2_err
+         FROM d GROUP BY vec_id""",
+
+    "q_x_ann_sq8" ->
+      """WITH mm AS (
+           SELECT i, min(CAST(embedding[i+1] AS DOUBLE)) AS mn,
+                  max(CAST(embedding[i+1] AS DOUBLE)) AS mx
+           FROM embeddings, generate_series(0, 63) g(i) GROUP BY i),
+         x AS (
+           SELECT e.vec_id, g.i, CAST(e.embedding[g.i+1] AS DOUBLE) AS x,
+                  mm.mn, mm.mx
+           FROM embeddings e CROSS JOIN generate_series(0, 63) g(i)
+           JOIN mm ON mm.i = g.i),
+         dq AS (SELECT vec_id, list(CASE WHEN mx = mn THEN mn
+             ELSE mn + round((x - mn)/(mx - mn)*255.0) * (mx - mn)/255.0
+             END ORDER BY i) AS dvec
+           FROM x GROUP BY vec_id),
+         q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
+             list_cosine_similarity(d.dvec, q.qv) AS cos
+           FROM dq d CROSS JOIN q WHERE d.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+           cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
+         FROM r WHERE rank <= 5""",
+
+    "q_x_matryoshka" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         fr AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                        c.vec_id) AS rk
+           FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+         f AS (SELECT query_id, cand_id FROM fr WHERE rk <= 10),
+         tr AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(c.embedding[1:16],
+                                               q.embedding[1:16]) DESC,
+                        c.vec_id) AS rk
+           FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+         t AS (SELECT query_id, cand_id FROM tr WHERE rk <= 10)
+         SELECT f.query_id, CAST(16 AS BIGINT) AS kept_dims,
+           round(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0, 4) AS overlap
+         FROM f LEFT JOIN t ON t.query_id = f.query_id
+                           AND t.cand_id = f.cand_id
+         GROUP BY f.query_id""",
+
+    "q_x_mmr" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         p0 AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(c.embedding AS DOUBLE[]) AS cvec,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv) AS rel,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               q.qv) DESC, c.vec_id) AS rn
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.vec_id),
+         p AS (SELECT * FROM p0 WHERE rn <= 10),
+         s1 AS (SELECT query_id, cand_id, cvec, 0.7 * rel AS mmr,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY 0.7 * rel DESC, cand_id) AS rk
+           FROM p),
+         x1 AS (SELECT query_id, cand_id, cvec, mmr FROM s1 WHERE rk = 1),
+         s2 AS (SELECT p.query_id, p.cand_id, p.cvec,
+             0.7 * p.rel
+               - (1.0 - 0.7) * list_cosine_similarity(p.cvec, x1.cvec) AS mmr,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY
+               0.7 * p.rel
+                 - (1.0 - 0.7) * list_cosine_similarity(p.cvec, x1.cvec) DESC,
+               p.cand_id) AS rk
+           FROM p JOIN x1 ON x1.query_id = p.query_id
+                         AND p.cand_id <> x1.cand_id),
+         x2 AS (SELECT query_id, cand_id, cvec, mmr FROM s2 WHERE rk = 1),
+         s3 AS (SELECT p.query_id, p.cand_id,
+             0.7 * p.rel - (1.0 - 0.7) * greatest(
+               list_cosine_similarity(p.cvec, x1.cvec),
+               list_cosine_similarity(p.cvec, x2.cvec)) AS mmr,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY
+               0.7 * p.rel - (1.0 - 0.7) * greatest(
+                 list_cosine_similarity(p.cvec, x1.cvec),
+                 list_cosine_similarity(p.cvec, x2.cvec)) DESC,
+               p.cand_id) AS rk
+           FROM p JOIN x1 ON x1.query_id = p.query_id
+                  JOIN x2 ON x2.query_id = p.query_id
+           WHERE p.cand_id <> x1.cand_id AND p.cand_id <> x2.cand_id),
+         x3 AS (SELECT query_id, cand_id, mmr FROM s3 WHERE rk = 1)
+         SELECT query_id, CAST(1 AS BIGINT) AS rank, cand_id AS neighbor_id,
+                round(mmr, 4) + 0.0 AS mmr FROM x1
+         UNION ALL SELECT query_id, CAST(2 AS BIGINT), cand_id,
+                round(mmr, 4) + 0.0 FROM x2
+         UNION ALL SELECT query_id, CAST(3 AS BIGINT), cand_id,
+                round(mmr, 4) + 0.0 FROM x3""",
 
     "q_x_proto_prune" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
