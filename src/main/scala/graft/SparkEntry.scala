@@ -2179,7 +2179,7 @@ object SparkEntry {
           Seq("ts", "event_id"), "cents", lookback = 20, minPoints = 10)
         .where(abs(col("z")) >= lit(2.0))
         .select(col("event_id"), col("user_id"), col("cents"),
-          col("n_prior"), round(col("z"), 4).as("z"))
+          col("n_prior"), (round(col("z"), 4) + lit(0.0)).as("z"))
     }),
 
     // X: weekly cohort retention triangle — cohort = ISO week of first
@@ -2926,7 +2926,7 @@ object SparkEntry {
          SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
            CAST(COUNT(*) AS BIGINT) AS dims,
            round(SUM(mu_a * mu_b) /
-             (sqrt(SUM(mu_a * mu_a)) * sqrt(SUM(mu_b * mu_b))), 4) AS centroid_cos,
+             (sqrt(SUM(mu_a * mu_a)) * sqrt(SUM(mu_b * mu_b))), 4) + 0.0 AS centroid_cos,
            round(avg(abs(mu_a - mu_b)), 4) AS mean_abs_diff
          FROM ma JOIN mb USING (dim)""",
 
@@ -3967,7 +3967,7 @@ object SparkEntry {
                                 ORDER BY cos DESC, cand_id) AS rank
            FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
-           cand_id AS neighbor_id, neighbor_label, round(cos, 4) AS cos
+           cand_id AS neighbor_id, neighbor_label, round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5""",
 
     "q_x_curriculum" ->
@@ -4127,7 +4127,7 @@ object SparkEntry {
                                     ORDER BY cos DESC, cand_id) AS rank
                FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                cand_id AS neighbor_id, round(cos, 4) AS cos
+                cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5""",
 
     "q_x_sq8_recon" ->
@@ -4258,7 +4258,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY cluster
                                 ORDER BY proto_cos DESC, id) AS rnk
            FROM a)
-         SELECT id AS vec_id, cluster, round(proto_cos, 4) AS proto_cos,
+         SELECT id AS vec_id, cluster, round(proto_cos, 4) + 0.0 AS proto_cos,
                 rnk > CAST(ceil(n * 0.2) AS BIGINT) AS keep
          FROM r""",
 
@@ -4288,7 +4288,7 @@ object SparkEntry {
                                 ORDER BY cos DESC, dst_id) AS rank
            FROM scored)
          SELECT src_id, CAST(rank AS BIGINT) AS rank, dst_id,
-                round(cos, 4) AS cos
+                round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5""",
 
     "q_x_pagerank" ->
@@ -5045,7 +5045,7 @@ object SparkEntry {
                                     ORDER BY cos DESC, cand_id) AS rank
                FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                cand_id AS neighbor_id, round(cos, 4) AS cos
+                cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5""",
 
     "q_x_ann_vecidx_exhaustive" ->
@@ -5058,7 +5058,7 @@ object SparkEntry {
                                     ORDER BY cos DESC, cand_id) AS rank
                FROM scored)
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                cand_id AS neighbor_id, round(cos, 4) AS cos
+                cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5""",
 
     // break at STRICTLY > gap: session_window merges a window starting
@@ -5203,7 +5203,7 @@ object SparkEntry {
              (cents - s / cnt) / sqrt((s2 - s * s / cnt) / (cnt - 1)) AS z,
              (s2 - s * s / cnt) / (cnt - 1) AS variance
            FROM w)
-         SELECT event_id, user_id, cents, n_prior, round(z, 4) AS z
+         SELECT event_id, user_id, cents, n_prior, round(z, 4) + 0.0 AS z
          FROM z
          WHERE n_prior >= 10 AND variance > 0 AND abs(z) >= 2.0""",
 

@@ -309,7 +309,8 @@ object VecIndex {
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+        col("id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
   // ------------------------------------------------------- maintenance

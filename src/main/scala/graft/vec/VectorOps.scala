@@ -54,7 +54,9 @@ object VectorOps {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("cand_id").as("neighbor_id"), round(col("cos"), 4).as(("cos")))
+        col("cand_id").as("neighbor_id"),
+        // + 0.0 folds IEEE -0.0 (negative cos rounding to zero) to +0.0
+        (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
   /** Random-hyperplane LSH bucketing for cosine similarity: `nBits`
@@ -462,7 +464,8 @@ object VectorOps {
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("cand_id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+        col("cand_id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
   /** Semantic benchmark decontamination — the EMBEDDING-space member of
@@ -599,7 +602,7 @@ object VectorOps {
       .withColumn("keep",
         col("__rnk") > ceil(col("__n") * lit(dropFraction)))
       .select(col("id"), col("cluster"),
-        round(col("proto_cos"), 4).as("proto_cos"), col("keep"))
+        (round(col("proto_cos"), 4) + lit(0.0)).as("proto_cos"), col("keep"))
   }
 
   /** Cluster-balanced subsample: cap each embedding cluster at `cap`
@@ -675,7 +678,7 @@ object VectorOps {
         Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))))
       .where(col("rank") <= k)
       .select(col("src_id"), col("rank").cast("long").as("rank"),
-        col("dst_id"), round(col("cos"), 4).as("cos"))
+        col("dst_id"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
   // ------------------------------------------------------ drift monitor
@@ -705,9 +708,10 @@ object VectorOps {
       .agg(
         max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         count(lit(1)).as("dims"),
-        round(sum(col("mu_a") * col("mu_b")) /
+        (round(sum(col("mu_a") * col("mu_b")) /
           (sqrt(sum(col("mu_a") * col("mu_a"))) *
-            sqrt(sum(col("mu_b") * col("mu_b")))), 4).as("centroid_cos"),
+            sqrt(sum(col("mu_b") * col("mu_b")))), 4) + lit(0.0))
+          .as("centroid_cos"),
         round(avg(abs(col("mu_a") - col("mu_b"))), 4).as("mean_abs_diff"))
   }
 
@@ -746,6 +750,6 @@ object VectorOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id").as("neighbor_id"), col("neighbor_label"),
-        round(col("cos"), 4).as("cos"))
+        (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 }
