@@ -1908,6 +1908,20 @@ object SparkEntry {
         emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, model)
     }),
 
+    // X: PERSISTED SQ8 index (4x-compressed lists of 1-byte codes,
+    // partition-pruned probes) — deterministic quantization means the
+    // exhaustive probe of the COMPRESSED layout hash-matches the same
+    // SQL as q_x_ann_sq8: the only compressed ANN path gated directly
+    // rather than through an uncompressed twin
+    "q_x_ann_vecidx_sq8_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_vecidx_sq8_q_").toString
+      graft.vec.VecIndex.buildSq8(emb, idx, nlist = 16, kmeansIters = 2)
+      graft.vec.VecIndex.topKSq8(emb.where(col("vec_id") < 8), idx,
+        k = 5, nprobe = 16)
+    }),
+
     // X: Matryoshka truncation audit — top-10 agreement between
     // full-64-dim and first-16-dim cosine retrieval, per query: what a
     // 4x cheaper truncated index would cost on THIS corpus
@@ -4149,6 +4163,36 @@ object SparkEntry {
          FROM d GROUP BY vec_id""",
 
     "q_x_ann_sq8" ->
+      """WITH mm AS (
+           SELECT i, min(CAST(embedding[i+1] AS DOUBLE)) AS mn,
+                  max(CAST(embedding[i+1] AS DOUBLE)) AS mx
+           FROM embeddings, generate_series(0, 63) g(i) GROUP BY i),
+         x AS (
+           SELECT e.vec_id, g.i, CAST(e.embedding[g.i+1] AS DOUBLE) AS x,
+                  mm.mn, mm.mx
+           FROM embeddings e CROSS JOIN generate_series(0, 63) g(i)
+           JOIN mm ON mm.i = g.i),
+         dq AS (SELECT vec_id, list(CASE WHEN mx = mn THEN mn
+             ELSE mn + round((x - mn)/(mx - mn)*255.0) * (mx - mn)/255.0
+             END ORDER BY i) AS dvec
+           FROM x GROUP BY vec_id),
+         q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
+             list_cosine_similarity(d.dvec, q.qv) AS cos
+           FROM dq d CROSS JOIN q WHERE d.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id) AS rank
+           FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+           cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
+         FROM r WHERE rank <= 5""",
+
+    // identical dequantized-candidate oracle as q_x_ann_sq8: the
+    // persisted compressed layout must reproduce it through the
+    // parquet code round-trip
+    "q_x_ann_vecidx_sq8_exhaustive" ->
       """WITH mm AS (
            SELECT i, min(CAST(embedding[i+1] AS DOUBLE)) AS mn,
                   max(CAST(embedding[i+1] AS DOUBLE)) AS mx

@@ -313,6 +313,122 @@ object VecIndex {
         (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
+  // ------------------------------------------------------- IVF-SQ8 variant
+
+  /** Persisted IVF index with SQ8-compressed lists: same inverted-list
+    * layout as [[build]], but each list row stores the vector as
+    * [[Quantize]] 1-byte-per-dim codes instead of doubles — lists
+    * shrink ~8x vs the double-array layout (the parquet int encoding
+    * bit-packs the 0..255 codes), the middle tier between the exact
+    * index ([[build]]) and the 32x-but-lossy PQ residual index
+    * ([[buildPq]]). Because SQ8 is DETERMINISTIC, an exhaustive probe
+    * is exactly reproducible in SQL — this is the only compressed ANN
+    * layout whose search results hash-match a DuckDB oracle rather
+    * than being gated through an uncompressed twin.
+    *
+    * Layout adds `sq8/` (i, mn, mx) — the per-dimension affine scales,
+    * dims rows, driver-sized. Assignment uses the FULL-precision
+    * vectors (build-time only; probes never need them). */
+  def buildSq8(vectors: DataFrame, indexDir: String,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               nlist: Int = 16, kmeansIters: Int = 2): Unit = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col(idCol).as("id"),
+        VectorOps.asDouble(col(vecCol)).as("vec"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val seed = base.orderBy(col("id")).limit(nlist)
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    require(seed.nonEmpty, "VecIndex.buildSq8: empty vector table")
+    val dim = seed.head._2.length
+    val model = Quantize.sq8Train(base, "vec", dim)
+    val cents = VectorOps.kmeansCentroids(base, "vec", seed, kmeansIters)
+    cents.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    model.mins.indices.map(i => (i, model.mins(i), model.maxs(i)))
+      .toDF("i", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sq8")
+    base.withColumn("list_id",
+        element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
+      .select(col("id"), Quantize.sq8Encode(col("vec"), model).as("codes"),
+        col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+    Seq((nlist, dim, kmeansIters)).toDF("nlist", "dim", "kmeans_iters")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/params")
+    refreshStatCounts(spark, indexDir)
+  }
+
+  /** Append into an SQ8 index without retraining: centroids AND scales
+    * stay frozen (the quantization grid is part of the index contract —
+    * re-scaling would silently shift every stored code's meaning).
+    * Out-of-range values clamp to the grid ends, the standard frozen-
+    * quantizer behavior; rebuild when drift makes clamping lossy. */
+  def appendSq8(vectors: DataFrame, indexDir: String,
+                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = vectors.sparkSession
+    val cents = loadCentroids(spark, indexDir)
+    checkDim(spark, indexDir, vectors, idCol, vecCol)
+    val model = loadSq8Model(spark, indexDir)
+    val assigned = vectors.select(col(idCol).as("id"),
+        VectorOps.asDouble(col(vecCol)).as("vec"))
+      .withColumn("list_id",
+        element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
+      .select(col("id"), Quantize.sq8Encode(col("vec"), model).as("codes"),
+        col("list_id"))
+      .localCheckpoint()
+    assigned.write.mode("append").partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+    mergeStatCounts(spark, indexDir,
+      assigned.groupBy(col("list_id")).agg(count(lit(1)).as("n")))
+  }
+
+  private def loadSq8Model(spark: SparkSession,
+                           indexDir: String): Quantize.Sq8Model = {
+    val rows = spark.read.parquet(s"$indexDir/sq8")
+      .orderBy(col("i")).collect()
+    Quantize.Sq8Model(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Probe the SQ8 index: same pruned partitioned read as [[topK]]
+    * (unprobed list directories never touched), candidates dequantized
+    * in the scan projection (row-local, scales as literals — no join),
+    * full-precision queries — the asymmetric-distance discipline of
+    * [[Quantize.sq8TopK]] against the persisted layout. */
+  def topKSq8(queries: DataFrame, indexDir: String,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = loadCentroids(spark, indexDir)
+    checkDim(spark, indexDir, queries, idCol, vecCol)
+    val model = loadSq8Model(spark, indexDir)
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        VectorOps.asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("list_id",
+        explode(slice(VectorOps.centroidRanking(col("q_vec"), cents), 1, nprobe)))
+      .localCheckpoint()
+    val probedLists = probes.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .where(col("list_id").isin(probedLists.map(x => x: Any): _*))
+      .withColumn("vec", Quantize.sq8Dequant(col("codes"), model))
+    val scored = lists.join(broadcast(probes), Seq("list_id"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cos", VectorOps.cosine(col("vec"), col("q_vec")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos"))
+  }
+
   // ------------------------------------------------------- maintenance
 
   /** Per-list occupancy summary. `cv` is the population coefficient of

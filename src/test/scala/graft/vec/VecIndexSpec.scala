@@ -255,4 +255,47 @@ class VecIndexSpec extends AnyFunSuite {
       VecIndex.topK(Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"), dir)
     }
   }
+
+  test("SQ8 index: exhaustive probe equals the in-memory asymmetric sq8TopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_sq8_").toString
+    VecIndex.buildSq8(vecs, dir, nlist = 4, kmeansIters = 1)
+    val got = shape(VecIndex.topKSq8(queries, dir, k = 4, nprobe = 4))
+    val model = Quantize.sq8Train(vecs, "embedding", dims = 8)
+    val mem = shape(Quantize.sq8TopK(vecs, queries, "vec_id", "embedding",
+      k = 4, model))
+    assert(got == mem && got.nonEmpty)
+  }
+
+  test("SQ8 index stores byte codes, prunes unprobed lists, and approx probe recalls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_sq8_").toString
+    VecIndex.buildSq8(vecs, dir, nlist = 8, kmeansIters = 2)
+    val lists = spark.read.parquet(s"$dir/lists")
+    assert(lists.columns.toSet == Set("id", "codes", "list_id"))
+    val codes = lists.select($"codes").as[Seq[Int]].head()
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c <= 255))
+    val q = VecIndex.topKSq8(queries.limit(1), dir, k = 3, nprobe = 2)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(1500))
+    val approx = VecIndex.topKSq8(queries, dir, k = 4, nprobe = 3)
+    val exact = VectorOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 4)
+    assert(VectorOps.recallAtK(approx, exact) >= 0.75)
+  }
+
+  test("appendSq8 encodes with the FROZEN persisted scales, clamping out-of-range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_sq8_").toString
+    VecIndex.buildSq8(vecs, dir, nlist = 4, kmeansIters = 1)
+    val before = spark.read.parquet(s"$dir/sq8").collect().map(_.toSeq).toSet
+    // one vector far outside the trained range -> codes clamp, scales unchanged
+    val extra = Seq((999L, Seq.fill(8)(1e6))).toDF("vec_id", "embedding")
+    VecIndex.appendSq8(extra, dir)
+    val after = spark.read.parquet(s"$dir/sq8").collect().map(_.toSeq).toSet
+    assert(after == before) // frozen grid
+    val row = spark.read.parquet(s"$dir/lists").where($"id" === 999L)
+      .select($"codes").as[Seq[Int]].head()
+    assert(row.forall(_ == 255)) // clamped to the top of every dim
+    // the appended vector is probe-visible
+    val probe = VecIndex.topKSq8(queries.limit(1), dir, k = 120, nprobe = 4)
+    assert(probe.where($"neighbor_id" === 999L).count() == 1)
+  }
 }
