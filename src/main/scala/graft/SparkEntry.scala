@@ -822,6 +822,18 @@ object SparkEntry {
         Bpe.tokenCount(TextOps.tokens(col("text")), Nil).as("n_chars_bpe"))
     }),
 
+    // X: WordPiece greedy longest-match encode (the BERT-family
+    // tokenizer, complementing BPE's bottom-up merges) — vocab = top-30
+    // words + character alphabet, derived deterministically from the
+    // corpus; encoding is a row-local aggregate() fold, hash-gated
+    // against a DuckDB recursive CTE running the identical greedy scan
+    "q_x_wordpiece" -> ((s, dir) => {
+      import graft.text.Wordpiece
+      val docs = t(s, dir, "documents")
+      val vocab = Wordpiece.buildVocab(docs, "text", topWords = 30)
+      Wordpiece.encode(docs, "doc_id", "text", vocab)
+    }),
+
     // X: top-k per group — map-side WindowGroupLimit keeps each task's
     // local top-k before the shuffle (plan-guarded in OpsSpec)
     "q_x_topk_per_group" -> ((s, dir) => {
@@ -3292,6 +3304,53 @@ object SparkEntry {
          CAST(len(replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ', '')) AS BIGINT)
            AS n_chars_bpe
          FROM documents""",
+
+    // the identical greedy longest-match recurrence as a recursive CTE:
+    // each step appends the longest vocab piece matching at pos (scalar
+    // subquery argmax), advancing pos by its length — terminates because
+    // the single-character alphabet always matches
+    "q_x_wordpiece" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         words0 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w)),
+               i -> struct_pack(i := i, word := w[i]))) AS s
+           FROM tok),
+         words AS (SELECT doc_id, s.i AS widx, s.word AS word FROM words0),
+         wf AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+         topw AS (SELECT word AS piece FROM wf ORDER BY c DESC, word LIMIT 30),
+         chars0 AS (SELECT DISTINCT unnest(string_split(word, '')) AS ch
+           FROM (SELECT DISTINCT word FROM words)),
+         v AS (
+           SELECT DISTINCT piece, cont FROM (
+             SELECT piece, FALSE AS cont FROM topw
+             UNION ALL SELECT ch, FALSE FROM chars0
+             UNION ALL SELECT ch, TRUE FROM chars0)),
+         r AS (
+           SELECT doc_id, widx, word, 1 AS pos,
+                  CAST([] AS VARCHAR[]) AS pieces
+           FROM words
+           UNION ALL
+           SELECT doc_id, widx, word, pos + len(best),
+             list_append(pieces,
+               CASE WHEN pos = 1 THEN best ELSE '##' || best END)
+           FROM (
+             SELECT r.doc_id, r.widx, r.word, r.pos, r.pieces,
+               (SELECT p.piece FROM v p
+                WHERE p.cont = (r.pos > 1)
+                  AND substr(r.word, r.pos, len(p.piece)) = p.piece
+                ORDER BY len(p.piece) DESC, p.piece LIMIT 1) AS best
+             FROM r WHERE r.pos <= len(word)) t
+           WHERE best IS NOT NULL),
+         done AS (SELECT doc_id, widx, pieces FROM r WHERE pos = len(word) + 1),
+         ex AS (SELECT doc_id, widx,
+             unnest(list_transform(generate_series(1, len(pieces)),
+               j -> struct_pack(j := j, piece := pieces[j]))) AS s
+           FROM done)
+         SELECT doc_id, CAST(widx AS BIGINT) AS widx,
+           CAST(s.j AS BIGINT) AS pidx, s.piece AS piece FROM ex""",
 
     "q_x_quality" ->
       """WITH t AS (SELECT doc_id, text,

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenization (Wu et al. 2016, the BERT-family tokenizer):
+  * each word is greedily split into the LONGEST vocabulary piece at
+  * each position, continuation pieces carrying the `##` prefix; a word
+  * with no match at some position becomes a single `[UNK]`.
+  * Complements [[Bpe]] — BPE merges pairs bottom-up from a learned
+  * merge list, WordPiece matches top-down against a vocabulary, and
+  * real pipelines need both families.
+  *
+  * Execution shape: vocabulary construction is two bounded
+  * aggregations (word frequencies for the whole-word pieces; the
+  * distinct character alphabet), collected driver-side — the vocab is
+  * a model, not data, same discipline as
+  * [[graft.vec.VectorOps.pqTrain]]. Encoding is a ROW-LOCAL
+  * `aggregate` fold: the greedy scan advances at least one character
+  * per step, so folding over `sequence(1, length(word))` always
+  * terminates with the pieces exact — no UDF, no driver loop, no
+  * shuffle (the word explode is per-doc projection). Hash-gated
+  * against a DuckDB oracle running the identical greedy recurrence as
+  * a recursive CTE (the `chunkSentences` discipline). */
+object Wordpiece {
+
+  /** The trained vocabulary: initial pieces (whole-word + single
+    * characters) and continuation pieces (single characters). Real
+    * deployments load a vocab file; [[buildVocab]] derives a
+    * deterministic one from the corpus. */
+  final case class Vocab(initials: Seq[String], continuations: Seq[String])
+
+  /** Deterministic corpus vocabulary: the `topWords` most frequent
+    * words as whole pieces (ties by word) plus the full character
+    * alphabet in both initial and continuation form — so encoding the
+    * training corpus never emits `[UNK]`. */
+  def buildVocab(docs: DataFrame, textCol: String,
+                 topWords: Int = 30): Vocab = {
+    val words = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(topWords)
+      .collect().map(_.getString(0)).toSeq
+    val chars = words.distinct()
+      .select(explode(split(col("word"), "")).as("ch"))
+      .where(length(col("ch")) === 1)
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    Vocab((top ++ chars).distinct, chars)
+  }
+
+  /** Greedy longest-match encode: one output row per (doc, word index,
+    * piece index). `[UNK]` words emit exactly one row. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: Vocab): DataFrame = {
+    require(vocab.initials.nonEmpty, "wordpiece: empty vocabulary")
+    val initArr = typedlit(vocab.initials)
+    val contArr = typedlit(vocab.continuations)
+    val words = docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("wi", "word")))
+      .select(col(idCol), (col("wi") + 1).cast("long").as("widx"), col("word"))
+    val stateType = "struct<pos:int,pieces:array<string>,dead:boolean>"
+    val folded = aggregate(
+      sequence(lit(1), length(col("word"))),
+      expr(s"CAST(struct(1, array(), false) AS $stateType)"),
+      (acc: Column, _: Column) => {
+        val pos = acc("pos"); val pieces = acc("pieces"); val dead = acc("dead")
+        val cands = when(pos === 1, initArr).otherwise(contArr)
+        val matched = filter(cands,
+          p => col("word").substr(pos, length(p)) === p)
+        // longest match wins; equal-length matches are identical strings,
+        // the lexicographic tiebreak only canonicalizes the sort
+        val best = element_at(array_sort(matched, (l, r) =>
+          when(length(l) > length(r), lit(-1))
+            .when(length(l) < length(r), lit(1))
+            .when(l < r, lit(-1)).otherwise(lit(1))), 1)
+        when(dead || pos > length(col("word")), acc)
+          .when(size(matched) === 0, struct(pos.as("pos"),
+            array(lit("[UNK]")).as("pieces"), lit(true).as("dead")))
+          .otherwise(struct(
+            (pos + length(best)).cast("int").as("pos"),
+            concat(pieces, array(
+              when(pos === 1, best)
+                .otherwise(concat(lit("##"), best)))).as("pieces"),
+            lit(false).as("dead")))
+      })
+    words.select(col(idCol), col("widx"),
+        posexplode(folded("pieces")).as(Seq("pi", "piece")))
+      .select(col(idCol), col("widx"),
+        (col("pi") + 1).cast("long").as("pidx"), col("piece"))
+  }
+}
