@@ -692,6 +692,50 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("round-10 families lift onto streams: wordpiece encode + SQ8 round trip (stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10_stream_")
+    val rows = Seq(
+      (1L, "abc ab c", Array.tabulate(4)(i => (i + 1).toFloat)),
+      (2L, "c abc abc", Array.fill(4)(0.5f)))
+    rows.toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val batchDf = spark.read.parquet(dir.resolve("d1.parquet").toString)
+    // models train on the BATCH corpus (the deployment shape: train
+    // offline, apply to the stream); both applications are row-local
+    val vocab = graft.text.Wordpiece.Vocab(
+      initials = Seq("abc", "a", "b", "c"), continuations = Seq("b", "c"))
+    val sq8 = graft.vec.Quantize.sq8Train(batchDf, "embedding", dims = 4)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    def pipe(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.text.Wordpiece.encode(
+        df.withColumn("dq", graft.vec.Quantize.sq8Roundtrip(
+          org.apache.spark.sql.functions.col("embedding"), sq8)),
+        "doc_id", "text", vocab)
+    val q = pipe(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r10_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamGot = spark.table("r10_stream")
+        .select("doc_id", "widx", "pidx", "piece")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val batchGot = pipe(batchDf)
+        .select("doc_id", "widx", "pidx", "piece")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(streamGot == batchGot && streamGot.nonEmpty)
+      assert(streamGot((1L, 1L, 1L, "abc"))) // greedy longest match held on the stream
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest: batches land in the VecIndex, replayed ids are absorbed") {
     import spark.implicits._
     import org.apache.spark.sql.types._
