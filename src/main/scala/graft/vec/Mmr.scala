@@ -32,17 +32,15 @@ import org.apache.spark.sql.functions._
   * index-ordered fold, which is what lets the oracle argmax agree. */
 object Mmr {
 
-  /** Diversified top-k per query. `pool` bounds the relevance-ranked
-    * candidate set the greedy loop reranks (the usual MMR recipe:
-    * retrieve pool >> k by relevance, diversify within it). */
+  /** Diversified top-k per query over a brute-force relevance pool.
+    * `pool` bounds the relevance-ranked candidate set the greedy loop
+    * reranks (the usual MMR recipe: retrieve pool >> k by relevance,
+    * diversify within it). At corpus scale, source the pool from an
+    * ANN probe instead and call [[rerank]] directly. */
   def mmrTopK(candidates: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               lambda: Double = 0.7, pool: Int = 10): DataFrame = {
-    require(k >= 1 && pool >= k,
-      s"mmrTopK: need pool >= k >= 1, got k=$k pool=$pool")
-    require(lambda >= 0.0 && lambda <= 1.0,
-      s"mmrTopK: lambda must be in [0,1], got $lambda")
-
+    require(pool >= 1, s"mmrTopK: pool must be >= 1, got $pool")
     val cand = candidates.select(col(idCol).as("cand_id"),
         VectorOps.asDouble(col(vecCol)).as("cvec"))
       .repartition(col("cand_id"))
@@ -55,6 +53,20 @@ object Mmr {
       .withColumn("rel", VectorOps.cosine(col("cvec"), col("q_vec")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= pool)
+    rerank(pooled, k, lambda)
+  }
+
+  /** The greedy diversification stage alone, over a caller-supplied
+    * pool — THE SCALE PATH: feed it an ANN probe result (e.g.
+    * [[VecIndex.topK]] joined back to the vector table) so the
+    * relevance stage never brute-scans the corpus. `pooled` needs
+    * (query_id, cand_id, rel, cvec) plus `rn` — the per-query
+    * relevance rank that makes the collected array order canonical.
+    * Per-query pools must be bounded (they ride one row each). */
+  def rerank(pooled: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"mmr rerank: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmr rerank: lambda must be in [0,1], got $lambda")
 
     // one array row per query; sort by pool rank — collect_list order
     // is nondeterministic, the rank field makes it canonical
@@ -85,7 +97,10 @@ object Mmr {
             .when(l("mmr") < r("mmr"), lit(1))
             .when(l("cand_id") < r("cand_id"), lit(-1))
             .otherwise(lit(1))), 1)
-        concat(acc, array(best))
+        // a pool smaller than k just stops early (fewer picks), it
+        // never emits null rows
+        when(size(remaining) === 0, acc)
+          .otherwise(concat(acc, array(best)))
       })
 
     perQuery.select(col("query_id"),

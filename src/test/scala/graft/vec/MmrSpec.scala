@@ -102,4 +102,41 @@ class MmrSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(per.length == 4 && per.forall(r => r._2 == 5 && r._3 == 5))
   }
+
+  test("rerank over an exhaustively-probed VecIndex pool picks the same ids as brute MMR") {
+    val rng = new scala.util.Random(21)
+    val df = (0L until 60L).map(i =>
+        (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr_idx_").toString
+    VecIndex.build(df, dir, nlist = 4, kmeansIters = 1)
+    // exhaustive probe -> the pool is the exact relevance top-10; join
+    // back to the vector table for candidate vectors (the scale shape)
+    val pooled = VecIndex.topK(q, dir, k = 10, nprobe = 4)
+      .select($"query_id", $"rank".as("rn"), $"neighbor_id".as("cand_id"),
+        $"cos".as("rel"))
+      .join(df.select($"vec_id".as("cand_id"),
+        VectorOps.asDouble($"embedding").as("cvec")), Seq("cand_id"))
+    val viaIndex = Mmr.rerank(pooled, k = 4, lambda = 0.6)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = Mmr.mmrTopK(df, q, "vec_id", "embedding", k = 4,
+        lambda = 0.6, pool = 10)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex == brute && viaIndex.nonEmpty)
+  }
+
+  test("a pool smaller than k stops early with no null picks") {
+    val rng = new scala.util.Random(31)
+    val df = (0L until 5L).map(i =>
+        (i, Array.fill(4)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Mmr.mmrTopK(df, df.where($"vec_id" === 0), "vec_id", "embedding",
+      k = 10, lambda = 0.5, pool = 10) // only 4 candidates exist
+    val rows = out.select($"rank", $"neighbor_id").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 4 && rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
