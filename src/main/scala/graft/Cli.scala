@@ -26,6 +26,9 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> json-profile <in.parquet> [jsonCol] [key,key...] [--out D]
   * graft.Cli <root> <collection> chunk <in.parquet> [idCol] [textCol] [maxTokens] [--out D]
   * graft.Cli <root> <collection> embed-reduce <in.parquet> [rp|pca] [vecCol] [inDim] [outDim] [--out D]
+  * graft.Cli <root> <collection> wordpiece <in.parquet> [idCol] [textCol] [topWords] [--out D]
+  * graft.Cli <root> <collection> sq8-audit <in.parquet> [idCol] [vecCol] [dims] [--out D]
+  * graft.Cli <root> <collection> mmr <cands.parquet> <queries.parquet> [k] [lambda] [pool] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -148,7 +151,7 @@ object Cli {
       // reference exposes every capability through cli.py; these are
       // the round-8 families'). `--out D` writes parquet, else show().
       case "chat-stats" | "html-extract" | "pref-stats" | "json-profile"
-         | "chunk" | "embed-reduce" =>
+         | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -169,6 +172,15 @@ object Cli {
           case "embed-reduce" =>
             facade.embedReduce(inPath, p(1, "rp"), p(2, "embedding"),
               p(3, "64").toInt, p(4, "16").toInt)
+          case "wordpiece" =>
+            facade.wordpiece(inPath, p(1, "doc_id"), p(2, "text"),
+              p(3, "30").toInt)
+          case "sq8-audit" =>
+            facade.sq8Audit(inPath, p(1, "vec_id"), p(2, "embedding"),
+              p(3, "64").toInt)
+          case "mmr" =>
+            facade.mmr(inPath, pos(1), "vec_id", "embedding",
+              p(2, "5").toInt, p(3, "0.7").toDouble, p(4, "20").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

@@ -180,6 +180,34 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
             textCol: String = "text", maxTokens: Int = 256): DataFrame =
     graft.text.TextOps.chunkSentences(corpus(inPath), idCol, textCol, maxTokens)
 
+  /** WordPiece encode (`graft.text.Wordpiece`): vocab derived from the
+    * corpus (top words + character alphabet), greedy longest-match
+    * pieces, one row per (doc, word, piece). */
+  def wordpiece(inPath: String, idCol: String = "doc_id",
+                textCol: String = "text", topWords: Int = 30): DataFrame = {
+    val df = corpus(inPath)
+    val vocab = graft.text.Wordpiece.buildVocab(df, textCol, topWords)
+    graft.text.Wordpiece.encode(df, idCol, textCol, vocab)
+  }
+
+  /** SQ8 quantization audit (`graft.vec.Quantize`): per-vector L2
+    * reconstruction error of the 1-byte-per-dim round trip — run
+    * before committing a corpus to a compressed tier. */
+  def sq8Audit(inPath: String, idCol: String = "vec_id",
+               vecCol: String = "embedding", dims: Int = 64): DataFrame = {
+    val df = corpus(inPath)
+    val model = graft.vec.Quantize.sq8Train(df, vecCol, dims)
+    graft.vec.Quantize.sq8ReconError(df, idCol, vecCol, model)
+  }
+
+  /** MMR diversified retrieval (`graft.vec.Mmr`): queries from
+    * `queryPath` diversified against candidates from `inPath`. */
+  def mmr(inPath: String, queryPath: String, idCol: String = "vec_id",
+          vecCol: String = "embedding", k: Int = 5,
+          lambda: Double = 0.7, pool: Int = 20): DataFrame =
+    graft.vec.Mmr.mmrTopK(corpus(inPath), corpus(queryPath),
+      idCol, vecCol, k, lambda, pool)
+
   /** Embedding dimensionality reduction (`graft.vec.Reduce`): "rp" =
     * deterministic dense-sign random projection, "pca" = exact PCA
     * (one covariance pass + driver Jacobi). */

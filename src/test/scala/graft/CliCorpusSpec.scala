@@ -90,4 +90,29 @@ class CliCorpusSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/emb_pca")
       .select("proj").as[Seq[Double]].head().size == 2)
   }
+
+  test("wordpiece, sq8-audit and mmr verbs dispatch and write parquet") {
+    val dir = Files.createTempDirectory("graft_cli_corpus4_")
+    val root = Files.createTempDirectory("graft_cli_root4_").toString
+    Seq((1L, "aa ab"), (2L, "ab aa aa"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Cli.main(Array(root, "c1", "wordpiece", s"$dir/docs",
+      "doc_id", "text", "1", "--out", s"$dir/wp_out"))
+    val wp = spark.read.parquet(s"$dir/wp_out")
+    assert(wp.columns.toSeq == Seq("doc_id", "widx", "pidx", "piece"))
+    assert(wp.where($"piece" === "aa").count() == 3)
+
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 12L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat)))
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/emb")
+    Cli.main(Array(root, "c1", "sq8-audit", s"$dir/emb",
+      "vec_id", "embedding", "4", "--out", s"$dir/sq8_out"))
+    assert(spark.read.parquet(s"$dir/sq8_out").count() == 12)
+
+    vecs.take(2).toDF("vec_id", "embedding").write.parquet(s"$dir/q")
+    Cli.main(Array(root, "c1", "mmr", s"$dir/emb", s"$dir/q",
+      "2", "0.5", "6", "--out", s"$dir/mmr_out"))
+    val mm = spark.read.parquet(s"$dir/mmr_out")
+    assert(mm.count() == 4) // 2 queries x k=2
+  }
 }

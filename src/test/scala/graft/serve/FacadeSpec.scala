@@ -132,4 +132,28 @@ class FacadeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fs("a") == 2L && fs("zz") == 0L)
   }
+
+  test("round-10 corpus verbs: wordpiece / sq8-audit / mmr at the facade") {
+    val dir = Files.createTempDirectory("graft_facade_r10_")
+    Seq((1L, "aa ab"), (2L, "ab aa aa"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val wp = facade.wordpiece(s"$dir/docs", topWords = 1)
+      .as[(Long, Long, Long, String)].collect()
+    // "aa" is the most frequent word -> rides whole; "ab" splits to chars
+    assert(wp.filter(r => r._1 == 1L && r._2 == 1L).map(_._4).toSeq == Seq("aa"))
+    assert(wp.filter(r => r._1 == 1L && r._2 == 2L).map(_._4).sorted.toSeq
+      == Seq("##b", "a"))
+
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat)))
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/emb")
+    val audit = facade.sq8Audit(s"$dir/emb", dims = 4)
+    assert(audit.columns.toSeq == Seq("vec_id", "l2_err"))
+    assert(audit.count() == 20)
+
+    vecs.take(2).toDF("vec_id", "embedding").write.parquet(s"$dir/q")
+    val mm = facade.mmr(s"$dir/emb", s"$dir/q", k = 3, pool = 5)
+    assert(mm.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "mmr"))
+    assert(mm.count() == 6) // 2 queries x k=3
+  }
 }
