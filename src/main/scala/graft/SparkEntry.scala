@@ -834,6 +834,18 @@ object SparkEntry {
       Wordpiece.encode(docs, "doc_id", "text", vocab)
     }),
 
+    // X: Unigram-LM (SentencePiece-family) Viterbi segmentation — the
+    // globally-optimal tokenizer completing the BPE/WordPiece trio;
+    // empirical piece scores (deterministic), DP as a row-local fold
+    // carrying the best[0..j] table, hash-gated against a DuckDB
+    // recursive CTE running the identical DP
+    "q_x_unigram" -> ((s, dir) => {
+      import graft.text.Unigram
+      val docs = t(s, dir, "documents")
+      val model = Unigram.train(docs, "text", topWords = 30)
+      Unigram.encode(docs, "doc_id", "text", model)
+    }),
+
     // X: top-k per group — map-side WindowGroupLimit keeps each task's
     // local top-k before the shuffle (plan-guarded in OpsSpec)
     "q_x_topk_per_group" -> ((s, dir) => {
@@ -3351,6 +3363,66 @@ object SparkEntry {
            FROM done)
          SELECT doc_id, CAST(widx AS BIGINT) AS widx,
            CAST(s.j AS BIGINT) AS pidx, s.piece AS piece FROM ex""",
+
+    // identical Viterbi DP as a recursive CTE carrying best[0..j] as a
+    // list of (score, pieces) structs; the argmax rides two scalar
+    // subqueries with the same ORDER BY (a correlated struct literal
+    // inside one subquery fails to bind). DP runs per DISTINCT word
+    // (same result; the single-threaded oracle needs the dedup),
+    // joined back to instances at the end
+    "q_x_unigram" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         words0 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w)),
+               i -> struct_pack(i := i, word := w[i]))) AS s
+           FROM tok),
+         words AS (SELECT doc_id, s.i AS widx, s.word AS word FROM words0),
+         wf AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+         topw AS (SELECT word AS piece, c FROM wf ORDER BY c DESC, word LIMIT 30),
+         ch0 AS (SELECT unnest(string_split(word, '')) AS ch FROM words),
+         chf AS (SELECT ch AS piece, count(*) AS c FROM ch0 GROUP BY ch),
+         vocab0 AS (
+           SELECT piece, c FROM topw
+           UNION ALL
+           SELECT piece, c FROM chf
+           WHERE piece NOT IN (SELECT piece FROM topw)),
+         tot AS (SELECT SUM(c) AS t FROM vocab0),
+         v AS (SELECT piece, ln(c::DOUBLE / tot.t::DOUBLE) AS lp
+               FROM vocab0, tot),
+         dw AS (SELECT DISTINCT word FROM words),
+         r AS (
+           SELECT word, 0 AS j,
+             [{'score': CAST(0.0 AS DOUBLE),
+               'pieces': CAST([] AS VARCHAR[])}] AS best
+           FROM dw
+           UNION ALL
+           SELECT word, j + 1, list_append(best,
+             {'score': (
+                SELECT t.best[t.j + 2 - len(p.piece)].score + p.lp
+                FROM v p
+                WHERE len(p.piece) <= t.j + 1
+                  AND substr(t.word, t.j + 2 - len(p.piece), len(p.piece)) = p.piece
+                ORDER BY t.best[t.j + 2 - len(p.piece)].score + p.lp DESC,
+                         len(p.piece) DESC, p.piece LIMIT 1),
+              'pieces': (
+                SELECT list_append(t.best[t.j + 2 - len(p.piece)].pieces, p.piece)
+                FROM v p
+                WHERE len(p.piece) <= t.j + 1
+                  AND substr(t.word, t.j + 2 - len(p.piece), len(p.piece)) = p.piece
+                ORDER BY t.best[t.j + 2 - len(p.piece)].score + p.lp DESC,
+                         len(p.piece) DESC, p.piece LIMIT 1)})
+           FROM r t WHERE t.j < len(t.word)),
+         seg AS (SELECT word, best[len(word) + 1].pieces AS pieces
+           FROM r WHERE j = len(word)),
+         ex AS (SELECT w.doc_id, w.widx,
+             unnest(list_transform(generate_series(1, len(g.pieces)),
+               k -> struct_pack(k := k, piece := g.pieces[k]))) AS s
+           FROM words w JOIN seg g ON g.word = w.word)
+         SELECT doc_id, CAST(widx AS BIGINT) AS widx,
+           CAST(s.k AS BIGINT) AS pidx, s.piece AS piece FROM ex""",
 
     "q_x_quality" ->
       """WITH t AS (SELECT doc_id, text,
