@@ -29,6 +29,8 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> wordpiece <in.parquet> [idCol] [textCol] [topWords] [--out D]
   * graft.Cli <root> <collection> sq8-audit <in.parquet> [idCol] [vecCol] [dims] [--out D]
   * graft.Cli <root> <collection> mmr <cands.parquet> <queries.parquet> [k] [lambda] [pool] [--out D]
+  * graft.Cli <root> <collection> dsir <raw.parquet> <target.parquet> [n] [idCol] [textCol] [--out D]
+  * graft.Cli <root> <collection> eval <scored.parquet> [auc|calibration|pr] [scoreCol] [labelCol] [k] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -151,7 +153,8 @@ object Cli {
       // reference exposes every capability through cli.py; these are
       // the round-8 families'). `--out D` writes parquet, else show().
       case "chat-stats" | "html-extract" | "pref-stats" | "json-profile"
-         | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr" =>
+         | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
+         | "dsir" | "eval" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -181,6 +184,12 @@ object Cli {
           case "mmr" =>
             facade.mmr(inPath, pos(1), "vec_id", "embedding",
               p(2, "5").toInt, p(3, "0.7").toDouble, p(4, "20").toInt)
+          case "dsir" =>
+            facade.dsir(inPath, pos(1), p(3, "doc_id"), p(4, "text"),
+              p(2, "0").toInt)
+          case "eval" =>
+            facade.evalMetric(inPath, p(1, "auc"), p(2, "score"),
+              p(3, "label"), k = p(4, "10").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

@@ -846,6 +846,90 @@ object SparkEntry {
       Unigram.encode(docs, "doc_id", "text", model)
     }),
 
+    // X: DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) —
+    // target = the src1 slice, raw = the rest; exact unigram+bigram
+    // add-k model over the joint vocabulary, per-doc log weight = sum
+    // of feature log ratios. Two vocab-keyed count aggs + one feature-
+    // keyed scoring join, nothing but three scalars on the driver
+    "q_x_dsir_weights" -> ((s, dir) => {
+      import graft.text.Dsir
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val m = Dsir.fit(docs.where(col("source") === "src1"),
+        docs.where(col("source") =!= "src1"), "text", "doc_id")
+      Dsir.logWeights(docs, "doc_id", "text", m)
+    }),
+
+    // X: DSIR selection — Gumbel top-k over the importance weights
+    // (importance sampling without replacement, made deterministic by
+    // the md5(id) uniform); one global top-n, no sort, no rand()
+    "q_x_dsir_sample" -> ((s, dir) => {
+      import graft.text.Dsir
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val m = Dsir.fit(docs.where(col("source") === "src1"),
+        docs.where(col("source") =!= "src1"), "text", "doc_id")
+      Dsir.resample(docs, "doc_id", "text", m, n = 200,
+        passCols = Seq("source"))
+    }),
+
+    // X: one full-batch logistic-regression gradient step of the
+    // DISTRIBUTED trainer (QualityClassifier.trainFullBatch), entirely
+    // in the plan: dim=8, the q_x_quality_margin_fixed init model and
+    // synthesized tokens, labels doc_id % 2, lr=0.5 — the update the
+    // oracle replays through the HUGEINT XXH64 re-implementation
+    "q_x_logreg_step" -> ((s, dir) => {
+      import graft.text.{QualityClassifier, QualityModel}
+      val model = QualityModel(8,
+        Array(0.25, -0.5, 0.125, 0.75, -0.25, 0.0625, -0.125, 0.5), 0.0625)
+      val labeled = t(s, dir, "documents")
+        .withColumn("__toks", expr(
+          "transform(sequence(0, 9), i -> concat('t', CAST(doc_id AS string), '_', CAST(i AS string), repeat('p', i)))"))
+        .withColumn("__y", pmod(col("doc_id"), lit(2)).cast("double"))
+      QualityClassifier.gradientStepFrame(labeled, "__toks", "__y",
+        model, lr = 0.5)
+    }),
+
+    // X: ROC AUC of the self-trained bigram LM score as an English
+    // detector — Mann-Whitney with average-rank ties over the distinct-
+    // score domain (window bounded by score resolution, not corpus)
+    "q_x_auc" -> ((s, dir) => {
+      import graft.text.{Eval, TextOps}
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val scored = TextOps.bigramLogProbScores(docs, "doc_id", "text", k = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("__y", (col("lang") === "en").cast("double"))
+      Eval.auc(scored, "avg_logprob", "__y")
+    }),
+
+    // X: reliability bins of the fixed-model quality score against the
+    // lang='en' label — one bins-keyed agg; ECE is a spec-side fold
+    "q_x_calibration" -> ((s, dir) => {
+      import graft.text.{Eval, QualityClassifier, QualityModel}
+      val model = QualityModel(8,
+        Array(0.25, -0.5, 0.125, 0.75, -0.25, 0.0625, -0.125, 0.5), 0.0625)
+      val scored = t(s, dir, "documents")
+        .withColumn("__toks", expr(
+          "transform(sequence(0, 9), i -> concat('t', CAST(doc_id AS string), '_', CAST(i AS string), repeat('p', i)))"))
+        .select(col("doc_id"), col("lang"),
+          (lit(1.0) / (lit(1.0)
+            + exp(-QualityClassifier.marginCol(col("__toks"), model))))
+            .as("p"))
+        .withColumn("__y", (col("lang") === "en").cast("double"))
+      Eval.calibration(scored, "p", "__y", bins = 10)
+    }),
+
+    // X: precision/recall at a k=500 selection budget under the LM
+    // score — one global top-k (per-partition heaps) + one label count
+    "q_x_pr_at_k" -> ((s, dir) => {
+      import graft.text.{Eval, TextOps}
+      val docs = t(s, dir, "documents").repartition(col("doc_id"))
+      val scored = TextOps.bigramLogProbScores(docs, "doc_id", "text", k = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("__y", (col("lang") === "en").cast("double"))
+      Eval.prAtK(scored, "doc_id", "avg_logprob", "__y", k = 500)
+    }),
+
     // X: top-k per group — map-side WindowGroupLimit keeps each task's
     // local top-k before the shuffle (plan-guarded in OpsSpec)
     "q_x_topk_per_group" -> ((s, dir) => {
@@ -3179,6 +3263,164 @@ object SparkEntry {
            string_agg(array_to_string(list_slice(toks, doc_start + 1, doc_start + n_tok), ' '),
                       ' ' ORDER BY seq_start) AS seq_text
          FROM seg GROUP BY seq_id""",
+
+    // DSIR: the identical add-k smoothed unigram+bigram log-ratio model
+    // over the joint vocabulary; weights = per-doc sum of ratios
+    "q_x_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, source,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         f AS (SELECT doc_id, source,
+             unnest(w || list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS feat
+           FROM tok WHERE len(w) >= 1),
+         ct AS (SELECT feat, count(*) AS c_t FROM f WHERE source = 'src1' GROUP BY feat),
+         cr AS (SELECT feat, count(*) AS c_r FROM f WHERE source <> 'src1' GROUP BY feat),
+         j AS (SELECT coalesce(ct.feat, cr.feat) AS feat,
+             coalesce(c_t, 0) AS c_t, coalesce(c_r, 0) AS c_r
+           FROM ct FULL JOIN cr ON ct.feat = cr.feat),
+         s AS (SELECT count(*) AS v, sum(c_t) AS nt, sum(c_r) AS nr FROM j),
+         r AS (SELECT feat,
+             ln((c_t + 0.5) / (nt + 0.5 * v)) - ln((c_r + 0.5) / (nr + 0.5 * v)) AS lr
+           FROM j CROSS JOIN s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(lr), 4) + 0.0 AS log_weight
+         FROM f JOIN r USING (feat)
+         GROUP BY doc_id""",
+
+    // DSIR selection: the same weights, drawn by Gumbel top-k with the
+    // md5(id)-derived uniform (13 hex digits over 16^13)
+    "q_x_dsir_sample" ->
+      """WITH tok AS (SELECT doc_id, source,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         f AS (SELECT doc_id, source,
+             unnest(w || list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1])) AS feat
+           FROM tok WHERE len(w) >= 1),
+         ct AS (SELECT feat, count(*) AS c_t FROM f WHERE source = 'src1' GROUP BY feat),
+         cr AS (SELECT feat, count(*) AS c_r FROM f WHERE source <> 'src1' GROUP BY feat),
+         j AS (SELECT coalesce(ct.feat, cr.feat) AS feat,
+             coalesce(c_t, 0) AS c_t, coalesce(c_r, 0) AS c_r
+           FROM ct FULL JOIN cr ON ct.feat = cr.feat),
+         s AS (SELECT count(*) AS v, sum(c_t) AS nt, sum(c_r) AS nr FROM j),
+         r AS (SELECT feat,
+             ln((c_t + 0.5) / (nt + 0.5 * v)) - ln((c_r + 0.5) / (nr + 0.5 * v)) AS lr
+           FROM j CROSS JOIN s),
+         lw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             round(sum(lr), 4) + 0.0 AS log_weight
+           FROM f JOIN r USING (feat)
+           GROUP BY doc_id),
+         g AS (SELECT doc_id, n_feats, log_weight,
+             log_weight - ln(-ln(
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+                 / power(16.0, 13))) AS gk
+           FROM lw)
+         SELECT g.doc_id, n_feats, log_weight, d.source
+         FROM g JOIN documents d ON g.doc_id = d.doc_id
+         ORDER BY gk DESC, md5(CAST(g.doc_id AS VARCHAR)), g.doc_id
+         LIMIT 200""",
+
+    // one full-batch LR gradient step: the same xxh64 token synthesis as
+    // q_x_quality_margin_fixed; per-(doc,bucket) counts / 10 mirror the
+    // Spark trainer's count/n division exactly
+    "q_x_logreg_step" ->
+      (xxh64TokenOracleCommon + """,
+         wv AS (SELECT unnest(generate_series(0, 7)) AS bucket),
+         w AS (SELECT bucket, CASE bucket WHEN 0 THEN 0.25 WHEN 1 THEN -0.5
+                WHEN 2 THEN 0.125 WHEN 3 THEN 0.75 WHEN 4 THEN -0.25
+                WHEN 5 THEN 0.0625 WHEN 6 THEN -0.125 ELSE 0.5 END AS wj
+           FROM wv),
+         fb AS (SELECT doc_id, (h % 8)::INT AS bucket, count(*) / 10.0 AS cn
+           FROM fin GROUP BY doc_id, (h % 8)::INT),
+         m AS (SELECT doc_id, sum(cn * wj) AS s
+           FROM fb JOIN w USING (bucket) GROUP BY doc_id),
+         g AS (SELECT doc_id,
+             1.0 / (1.0 + exp(-(s + 0.0625))) - (doc_id % 2) AS gd FROM m),
+         gr AS (SELECT bucket, sum(cn * gd) AS grad
+           FROM fb JOIN g USING (doc_id) GROUP BY bucket)
+         SELECT CAST(w.bucket AS INT) AS bucket,
+           round(wj - 0.5 * coalesce(grad, 0), 6) + 0.0 AS weight
+         FROM w LEFT JOIN gr USING (bucket)
+         UNION ALL
+         SELECT -1 AS bucket,
+           round(0.0625 - 0.5 * (SELECT sum(gd) FROM g), 6) + 0.0 AS weight"""),
+
+    // Mann-Whitney AUC with average-rank ties over the LM score
+    "q_x_auc" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS s
+           FROM tok WHERE len(w) >= 2),
+         p AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM p0),
+         b AS (SELECT bg, count(*) AS c_bg FROM p GROUP BY bg),
+         u AS (SELECT w1, count(*) AS c_w1 FROM p GROUP BY w1),
+         v AS (SELECT count(*) AS nv FROM u),
+         sc AS (SELECT doc_id,
+             round(avg(ln((c_bg + 0.5) / (c_w1 + 0.5 * v.nv))), 4) AS s
+           FROM p JOIN b USING (bg) JOIN u USING (w1) CROSS JOIN v
+           GROUP BY doc_id),
+         lab AS (SELECT sc.doc_id, s,
+             CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         grp AS (SELECT s, sum(y) AS p, count(*)::DOUBLE AS t
+           FROM lab GROUP BY s),
+         r AS (SELECT p, t, coalesce(sum(t) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           FROM grp),
+         a AS (SELECT sum(p * (c + (t + 1) / 2)) AS rp, sum(p) AS np,
+             sum(t - p) AS nn FROM r)
+         SELECT round((rp - np * (np + 1) / 2) / (np * nn), 6) + 0.0 AS auc,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         FROM a""",
+
+    // reliability bins of the fixed-model sigmoid score vs lang='en'
+    "q_x_calibration" ->
+      (xxh64TokenOracleCommon + """,
+         m AS (SELECT doc_id,
+             avg(CASE h % 8 WHEN 0 THEN 0.25 WHEN 1 THEN -0.5
+                 WHEN 2 THEN 0.125 WHEN 3 THEN 0.75 WHEN 4 THEN -0.25
+                 WHEN 5 THEN 0.0625 WHEN 6 THEN -0.125 ELSE 0.5 END)
+               + 0.0625 AS margin
+           FROM fin GROUP BY doc_id),
+         sc AS (SELECT m.doc_id, 1.0 / (1.0 + exp(-margin)) AS p,
+             CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM m JOIN documents d ON m.doc_id = d.doc_id)
+         SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) + 0.0 AS avg_score,
+           round(avg(y), 6) + 0.0 AS frac_pos
+         FROM sc GROUP BY 1"""),
+
+    // precision/recall at the k=500 budget: deterministic top-k
+    // (score desc, doc_id asc) + one label count
+    "q_x_pr_at_k" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i + 1]))) AS s
+           FROM tok WHERE len(w) >= 2),
+         p AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM p0),
+         b AS (SELECT bg, count(*) AS c_bg FROM p GROUP BY bg),
+         u AS (SELECT w1, count(*) AS c_w1 FROM p GROUP BY w1),
+         v AS (SELECT count(*) AS nv FROM u),
+         sc AS (SELECT doc_id,
+             round(avg(ln((c_bg + 0.5) / (c_w1 + 0.5 * v.nv))), 4) AS s
+           FROM p JOIN b USING (bg) JOIN u USING (w1) CROSS JOIN v
+           GROUP BY doc_id),
+         lab AS (SELECT sc.doc_id, s,
+             CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         top AS (SELECT y FROM lab ORDER BY s DESC, doc_id LIMIT 500),
+         tp AS (SELECT sum(y) AS tp, count(*)::DOUBLE AS k FROM top),
+         ap AS (SELECT sum(y) AS ap FROM lab)
+         SELECT CAST(k AS BIGINT) AS k, CAST(tp AS BIGINT) AS n_pos_topk,
+           round(tp / k, 6) + 0.0 AS precision,
+           round(tp / ap, 6) + 0.0 AS recall
+         FROM tp CROSS JOIN ap""",
 
     "q_x_topk_per_group" ->
       """SELECT l_returnflag, round(l_extendedprice, 2) AS price,

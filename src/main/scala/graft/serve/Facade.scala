@@ -226,6 +226,32 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
         s"embedReduce: method must be 'rp' or 'pca', got '$other'")
   }
 
+  /** DSIR importance selection (`graft.text.Dsir`): fit the target-vs-
+    * raw log-ratio model, draw `n` docs by deterministic Gumbel top-k.
+    * With n = 0, returns the per-doc weights instead of the draw. */
+  def dsir(rawPath: String, targetPath: String, idCol: String = "doc_id",
+           textCol: String = "text", n: Int = 0): DataFrame = {
+    val raw = corpus(rawPath)
+    val model = graft.text.Dsir.fit(corpus(targetPath), raw, textCol, idCol)
+    if (n == 0) graft.text.Dsir.logWeights(raw, idCol, textCol, model)
+    else graft.text.Dsir.resample(raw, idCol, textCol, model, n)
+  }
+
+  /** Selector eval (`graft.text.Eval`): "auc" = Mann-Whitney ROC AUC,
+    * "calibration" = reliability bins, "pr" = precision/recall at k. */
+  def evalMetric(inPath: String, metric: String, scoreCol: String = "score",
+                 labelCol: String = "label", idCol: String = "doc_id",
+                 k: Int = 10): DataFrame = metric match {
+    case "auc" => graft.text.Eval.auc(corpus(inPath), scoreCol, labelCol)
+    case "calibration" =>
+      graft.text.Eval.calibration(corpus(inPath), scoreCol, labelCol, bins = k)
+    case "pr" =>
+      graft.text.Eval.prAtK(corpus(inPath), idCol, scoreCol, labelCol, k)
+    case other =>
+      throw new IllegalArgumentException(
+        s"evalMetric: metric must be 'auc', 'calibration' or 'pr', got '$other'")
+  }
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {

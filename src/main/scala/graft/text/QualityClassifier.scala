@@ -148,4 +148,126 @@ object QualityClassifier {
       round(lit(1.0) /
         (lit(1.0) + exp(-marginCol(TextOps.tokens(col(textCol)), model))), 4)
         .as("quality_score"))
+
+  /** The DISTRIBUTED trainer — full-batch gradient descent where the
+    * labeled set never leaves the cluster, the scale path past
+    * [[train]]'s collect-and-SGD (which is the right tool up to
+    * `maxTrainDocs` and refuses beyond it). Model identical in form to
+    * [[train]]'s: margin = mean bucket weight + bias under the SAME
+    * xxhash64(42) bucketing (Spark's builtin `xxhash64` seeds at 42,
+    * matching [[QualityKernels.bucket]] bit-for-bit — asserted in the
+    * spec), so [[score]]/[[marginCol]] serve either model unchanged.
+    *
+    * Per iteration (the classic distributed-LR shape):
+    *  1. margins: the cached (doc, bucket) feature frame joins the
+    *     dim-bounded weight frame (broadcast — it is at most
+    *     min(dim, vocab) rows) and aggregates per doc;
+    *  2. per-doc residuals g = sigmoid(margin) - y (docs with zero
+    *     tokens contribute margin = bias, matching the scoring kernel);
+    *  3. gradient: features join the doc-keyed residuals and aggregate
+    *     per bucket — dL/dw_j = sum_d g_d * c_dj / n_d — and only this
+    *     model-sized (<= vocab) vector collects to the driver, which
+    *     applies w -= lr * (grad + l2 * w), b -= lr * sum(g).
+    * Two shuffles per iteration over a localCheckpoint'd feature frame;
+    * nothing per-document ever collects. Deterministic up to float
+    * summation order (the agg-of-doubles caveat every distributed
+    * trainer carries; the spec pins layout-invariance at 1e-9).
+    *
+    * `idCol` must be unique WITHIN each of `pos` and `neg` (duplicate
+    * ids would merge documents in the per-doc aggs); sharing ids
+    * across the two frames is fine — the internal doc key is
+    * (label, id). */
+  def trainFullBatch(pos: DataFrame, neg: DataFrame, idCol: String,
+                     textCol: String, dim: Int = 1 << 16, iters: Int = 30,
+                     lr: Double = 0.5, l2: Double = 0.0): QualityModel = {
+    require(dim >= 2 && iters >= 1,
+      s"trainFullBatch: bad dim=$dim/iters=$iters")
+    require(lr > 0 && l2 >= 0, s"trainFullBatch: bad lr=$lr/l2=$l2")
+    val spark = pos.sparkSession
+    import spark.implicits._
+    def side(d: DataFrame, y: Double): DataFrame = d
+      .select(concat(lit(y.toInt), lit("_"), col(idCol).cast("string")).as("__k"),
+        lit(y).as("__y"), TextOps.tokens(col(textCol)).as("__t"))
+    val docs = side(pos, 1.0).unionByName(side(neg, 0.0))
+      .select(col("__k"), col("__y"), col("__t"),
+        size(col("__t")).cast("double").as("__n"))
+      .localCheckpoint()
+    // (doc, bucket, occurrences/n): the per-occurrence gradient weight
+    // 1/n is folded into the count so each iteration is pure join+agg
+    val feats = docs.where(col("__n") > 0)
+      .select(col("__k"), col("__n"), explode(col("__t")).as("__tok"))
+      .select(col("__k"), col("__n"),
+        pmod(xxhash64(col("__tok")), lit(dim.toLong)).cast("int").as("__j"))
+      .groupBy(col("__k"), col("__n"), col("__j"))
+      .agg((count(lit(1)).cast("double") / col("__n")).as("__cn"))
+      .select(col("__k"), col("__j"), col("__cn"))
+      .localCheckpoint()
+    val used = feats.select(col("__j")).distinct().as[Int].collect().sorted
+    val w = new Array[Double](dim)
+    var b = 0.0
+    for (_ <- 0 until iters) {
+      val wDf = broadcast(used.map(j => (j, w(j))).toSeq.toDF("__j", "__w"))
+      val margins = feats.join(wDf, Seq("__j"))
+        .groupBy(col("__k")).agg(sum(col("__cn") * col("__w")).as("__s"))
+      val resid = docs.join(margins, Seq("__k"), "left")
+        .select(col("__k"),
+          (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__s"), lit(0.0)) + b)))
+            - col("__y")).as("__g"))
+        .localCheckpoint(eager = false)
+      val grads = feats.join(resid, Seq("__k"))
+        .groupBy(col("__j")).agg(sum(col("__cn") * col("__g")).as("__grad"))
+        .as[(Int, Double)].collect()
+      val gb = resid.agg(sum(col("__g"))).head().getDouble(0)
+      if (l2 > 0) { var j = 0; while (j < dim) { w(j) -= lr * l2 * w(j); j += 1 } }
+      grads.foreach { case (j, g) => w(j) -= lr * g }
+      b -= lr * gb
+    }
+    QualityModel(dim, w, b)
+  }
+
+  /** One full-batch gradient step as a DataFrame — the oracle-gateable
+    * kernel of [[trainFullBatch]]: given token arrays, labels and an
+    * initial model, returns the updated weights (bucket, weight) for
+    * every bucket in [0, dim) plus a bucket = -1 bias row. The same
+    * join+agg shapes as the trainer, end-to-end in the plan (no driver
+    * arithmetic), weights rounded to 6. */
+  def gradientStepFrame(labeled: DataFrame, toksCol: String, labelCol: String,
+                        model: QualityModel, lr: Double): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val dim = model.dim
+    val wDf = broadcast(model.weights.toSeq.zipWithIndex
+      .map { case (wj, j) => (j, wj) }.toDF("__j", "__w"))
+    val docs = labeled.select(
+        monotonically_increasing_id().as("__k"),
+        col(labelCol).cast("double").as("__y"), col(toksCol).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("double"))
+      .localCheckpoint()
+    val feats = docs.where(col("__n") > 0)
+      .select(col("__k"), col("__n"), explode(col("__t")).as("__tok"))
+      .select(col("__k"), col("__n"),
+        pmod(xxhash64(col("__tok")), lit(dim.toLong)).cast("int").as("__j"))
+      .groupBy(col("__k"), col("__n"), col("__j"))
+      .agg((count(lit(1)).cast("double") / col("__n")).as("__cn"))
+      .select(col("__k"), col("__j"), col("__cn"))
+    val margins = feats.join(wDf, Seq("__j"))
+      .groupBy(col("__k")).agg(sum(col("__cn") * col("__w")).as("__s"))
+    val resid = docs.join(margins, Seq("__k"), "left")
+      .select(col("__k"),
+        (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__s"), lit(0.0)) + model.bias)))
+          - col("__y")).as("__g"))
+    val grads = feats.join(resid, Seq("__k"))
+      .groupBy(col("__j")).agg(sum(col("__cn") * col("__g")).as("__grad"))
+    val biasRow = resid.agg((lit(-1)).as("__j"),
+      (round(lit(model.bias) - lit(lr) * sum(col("__g")), 6) + lit(0.0))
+        .as("weight"))
+    spark.range(dim).select(col("id").cast("int").as("__j"))
+      .join(grads, Seq("__j"), "left")
+      .join(wDf, Seq("__j"))
+      .select(col("__j"),
+        (round(col("__w") - lit(lr) * coalesce(col("__grad"), lit(0.0)), 6)
+          + lit(0.0)).as("weight"))
+      .unionByName(biasRow)
+      .withColumnRenamed("__j", "bucket")
+  }
 }

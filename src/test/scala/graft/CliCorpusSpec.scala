@@ -115,4 +115,35 @@ class CliCorpusSpec extends AnyFunSuite {
     val mm = spark.read.parquet(s"$dir/mmr_out")
     assert(mm.count() == 4) // 2 queries x k=2
   }
+
+  test("dsir and eval verbs dispatch: weights, draw, auc, pr") {
+    val dir = Files.createTempDirectory("graft_cli_corpus5_")
+    val root = Files.createTempDirectory("graft_cli_root5_").toString
+    Seq((1L, "cat cat purrs"), (2L, "cat sleeps"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/target")
+    ((10L to 29L).map(i => (i, s"stock day $i")) :+ (30L, "cat cat cat"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/raw")
+    // n = 0 -> per-doc weights over the raw corpus
+    Cli.main(Array(root, "c1", "dsir", s"$dir/raw", s"$dir/target",
+      "--out", s"$dir/w_out"))
+    val w = spark.read.parquet(s"$dir/w_out")
+    assert(w.count() == 21)
+    assert(w.columns.toSeq == Seq("doc_id", "n_feats", "log_weight"))
+    // n = 3 -> the Gumbel draw; the cat doc must be in it
+    Cli.main(Array(root, "c1", "dsir", s"$dir/raw", s"$dir/target",
+      "3", "--out", s"$dir/d_out"))
+    val d = spark.read.parquet(s"$dir/d_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(d.size == 3 && d.contains(30L))
+
+    Seq((1L, 0.9, 1.0), (2L, 0.8, 1.0), (3L, 0.2, 0.0), (4L, 0.1, 0.0))
+      .toDF("doc_id", "score", "label").write.parquet(s"$dir/scored")
+    Cli.main(Array(root, "c1", "eval", s"$dir/scored", "auc",
+      "--out", s"$dir/auc_out"))
+    assert(spark.read.parquet(s"$dir/auc_out").head().getDouble(0) == 1.0)
+    Cli.main(Array(root, "c1", "eval", s"$dir/scored", "pr",
+      "score", "label", "2", "--out", s"$dir/pr_out"))
+    val pr = spark.read.parquet(s"$dir/pr_out").head()
+    assert(pr.getLong(0) == 2 && pr.getDouble(2) == 1.0)
+  }
 }

@@ -736,6 +736,59 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("round-10b: DSIR + full-batch-LR models score streams (frozen models, stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10b_stream_")
+    val rows = Seq((1L, "cat cat purrs"), (2L, "stock day one"),
+      (3L, "cat sleeps here"))
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val batchDf = spark.read.parquet(dir.resolve("d1.parquet").toString)
+    // both models train OFFLINE (the deployment shape); the stream only scores
+    val target = Seq((100L, "cat cat cat")).toDF("doc_id", "text")
+    val raw = Seq((200L, "stock market day")).toDF("doc_id", "text")
+    val dsirModel = graft.text.Dsir.fit(target, raw, "text", "doc_id")
+    val lrModel = graft.text.QualityClassifier.trainFullBatch(
+      target, raw, "doc_id", "text", dim = 64, iters = 10, lr = 1.0)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // LR margin is row-local -> scores directly in the streaming plan;
+    // DSIR's per-doc agg runs inside each micro-batch via foreachBatch
+    // (docs arrive whole — the per-batch score IS the doc score)
+    val sink = dir.resolve("dsir_scores").toString
+    val q = graft.text.QualityClassifier.score(stream, "doc_id", "text", lrModel)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r10b_lr").start()
+    val q2 = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.text.Dsir.logWeights(batch, "doc_id", "text", dsirModel)
+          .write.mode("append").parquet(sink)
+      }.start()
+    try {
+      q.processAllAvailable(); q2.processAllAvailable()
+      val lrStream = spark.table("r10b_lr")
+        .as[(Long, Double)].collect().toSet
+      val lrBatch = graft.text.QualityClassifier
+        .score(batchDf, "doc_id", "text", lrModel)
+        .as[(Long, Double)].collect().toSet
+      assert(lrStream == lrBatch && lrStream.nonEmpty)
+      val dsirStream = spark.read.parquet(sink)
+        .as[(Long, Long, Double)].collect().toSet
+      val dsirBatch = graft.text.Dsir.logWeights(batchDf, "doc_id", "text", dsirModel)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(dsirStream == dsirBatch && dsirStream.nonEmpty)
+      // and the scores separate the domains on the stream side too
+      val byId = dsirStream.map(t => t._1 -> t._3).toMap
+      assert(byId(1L) > byId(2L))
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("streaming ANN ingest: batches land in the VecIndex, replayed ids are absorbed") {
     import spark.implicits._
     import org.apache.spark.sql.types._
