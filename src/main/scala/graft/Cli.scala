@@ -31,6 +31,8 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> mmr <cands.parquet> <queries.parquet> [k] [lambda] [pool] [--out D]
   * graft.Cli <root> <collection> dsir <raw.parquet> <target.parquet> [n] [idCol] [textCol] [--out D]
   * graft.Cli <root> <collection> eval <scored.parquet> [auc|calibration|pr] [scoreCol] [labelCol] [k] [--out D]
+  * graft.Cli <root> <collection> coreset <vecs.parquet> [idCol] [vecCol] [k] [--out D]
+  * graft.Cli <root> <collection> graph-ann <vecs.parquet> <queries.parquet> [k] [beam] [iters] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -154,7 +156,7 @@ object Cli {
       // the round-8 families'). `--out D` writes parquet, else show().
       case "chat-stats" | "html-extract" | "pref-stats" | "json-profile"
          | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
-         | "dsir" | "eval" =>
+         | "dsir" | "eval" | "coreset" | "graph-ann" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -190,6 +192,12 @@ object Cli {
           case "eval" =>
             facade.evalMetric(inPath, p(1, "auc"), p(2, "score"),
               p(3, "label"), k = p(4, "10").toInt)
+          case "coreset" =>
+            facade.coreset(inPath, p(1, "vec_id"), p(2, "embedding"),
+              p(3, "8").toInt)
+          case "graph-ann" =>
+            facade.graphAnn(inPath, pos(1), "vec_id", "embedding",
+              p(2, "5").toInt, p(3, "8").toInt, p(4, "4").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

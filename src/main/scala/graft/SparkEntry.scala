@@ -67,6 +67,33 @@ object SparkEntry {
     * SAME page as [[synthHtml]] and mirrors [[graft.text.Html.stripTags]]
     * rule for rule (same RE2-safe patterns, same order), ending at the
     * `ex(doc_id, html, txt)` CTE the per-query SELECTs build on. */
+  /** Shared DuckDB prefix for the q_x_kcenter* oracles: unrolls the
+    * k-center greedy recurrence (seed = min vec_id; each step argmax of
+    * the running least squared-L2 distance, ties to the smaller id) to
+    * `k` center CTEs c1..ck, ending with `cs(sel_rank, cid, cv, d)`. */
+  private def kcenterOracleCommon(k: Int): String = {
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val sb = new StringBuilder(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c1 AS (SELECT vec_id, v, 0.0 AS d FROM e ORDER BY vec_id LIMIT 1),
+         d1 AS (SELECT e.vec_id, e.v, """ + l2("e.v", "c1.v") +
+        """ AS d FROM e CROSS JOIN c1 WHERE e.vec_id <> c1.vec_id)""")
+    for (i <- 2 to k) {
+      sb.append(s""",
+         c$i AS (SELECT vec_id, v, d FROM d${i - 1} ORDER BY d DESC, vec_id LIMIT 1)""")
+      if (i < k) sb.append(s""",
+         d$i AS (SELECT p.vec_id, p.v, least(p.d, ${l2("p.v", s"c$i.v")}) AS d
+           FROM d${i - 1} p CROSS JOIN c$i WHERE p.vec_id <> c$i.vec_id)""")
+    }
+    sb.append((1 to k).map(i =>
+      s""",
+         x$i AS (SELECT $i AS sel_rank, vec_id AS cid, v AS cv, d FROM c$i)""").mkString)
+    sb.append(s""",
+         cs AS (${(1 to k).map(i => s"SELECT * FROM x$i").mkString(" UNION ALL ")})""")
+    sb.toString
+  }
+
   private val htmlOracleCommon: String = raw"""WITH h AS (SELECT doc_id,
          '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var x = 1 < 2;</script><style>.nav{color:red}</style></head><body><h1>'
          || substr(text, 1, 30) || '</h1><p>' || text ||
@@ -235,6 +262,67 @@ object SparkEntry {
       val p = s"$idx/$tbl"
       if (new java.io.File(p).isDirectory) s.read.parquet(p).count(): Unit
     }
+  }
+
+  /** Shared DuckDB prefix for the q_x_rank_* oracles: rebuilds the
+    * brute-force top-10 run and the label-proximity qrels, then the
+    * per-query metric math (discounts written ln(x)/ln(2) to match
+    * Spark's log(2, x) bit for bit), ending at
+    * `perq(query_id, n_rel, n_hit, rr, dcg, idcg, ndcg, recall)`. */
+  private val rankOracleCommon: String =
+    """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8),
+       scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
+         FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+       run AS (SELECT query_id, cand_id, rk FROM (SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, cand_id) AS rk
+         FROM scored) WHERE rk <= 10),
+       qrel AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           CASE WHEN q.label = c.label THEN 2 ELSE 1 END AS rel
+         FROM embeddings c, q
+         WHERE c.vec_id <> q.vec_id AND abs(q.label - c.label) <= 1),
+       ideal AS (SELECT query_id, count(*) AS n_rel,
+           sum(CASE WHEN ir <= 10
+             THEN (power(2.0, rel) - 1) / (ln(ir + 1.0) / ln(2.0))
+             ELSE 0 END) AS idcg
+         FROM (SELECT query_id, rel, row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, doc_id) AS ir FROM qrel)
+         GROUP BY query_id),
+       hits AS (SELECT r.query_id, count(*) AS n_hit, min(r.rk) AS frk,
+           sum((power(2.0, g.rel) - 1) / (ln(r.rk + 1.0) / ln(2.0))) AS dcg
+         FROM run r JOIN qrel g
+           ON g.query_id = r.query_id AND g.doc_id = r.cand_id
+         GROUP BY r.query_id),
+       perq AS (SELECT i.query_id,
+           CAST(i.n_rel AS BIGINT) AS n_rel,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(CAST(1.0 AS DOUBLE) / h.frk, 0), 6) + 0.0 AS rr,
+           round(coalesce(h.dcg, 0), 6) + 0.0 AS dcg,
+           round(i.idcg, 6) + 0.0 AS idcg,
+           round(coalesce(h.dcg, 0) / i.idcg, 6) + 0.0 AS ndcg,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / i.n_rel, 6) + 0.0 AS recall
+         FROM ideal i LEFT JOIN hits h USING (query_id))"""
+
+  /** Shared inputs for the q_x_rank_* queries: a brute-force cosine
+    * top-10 run for the 8 probe queries, and graded qrels derived from
+    * label proximity (rel 2 = same label, 1 = adjacent label) — the
+    * deterministic stand-in for human judgments. */
+  private def rankEvalRun(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.vec.VectorOps.bruteForceTopK(emb, emb.where(col("vec_id") < 8),
+      "vec_id", "embedding", k = 10)
+  }
+  private def rankEvalQrels(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("vec_id").as("neighbor_id"), col("label").as("__dl"))
+      .crossJoin(broadcast(emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rel", when(col("__ql") === col("__dl"), lit(2))
+        .when(abs(col("__ql") - col("__dl")) === 1, lit(1)))
+      .where(col("rel").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("rel"))
   }
 
   private def uniqueMap[V](pairs: (String, V)*): Map[String, V] = {
@@ -928,6 +1016,55 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .withColumn("__y", (col("lang") === "en").cast("double"))
       Eval.prAtK(scored, "doc_id", "avg_logprob", "__y", k = 500)
+    }),
+
+    // X: per-query ranked-retrieval metrics (TREC conventions) over a
+    // brute-force cosine run — RR, DCG@10/ideal/nDCG@10 (Järvelin
+    // 2^rel-1 gains), recall@10; graded qrels from label proximity
+    "q_x_rank_metrics" -> ((s, dir) => {
+      graft.text.Eval.rankMetrics(rankEvalRun(s, dir), rankEvalQrels(s, dir),
+        "query_id", "neighbor_id", "rank", "rel", k = 10)
+    }),
+
+    // X: macro-averaged MRR / mean nDCG@10 / mean recall@10 over the
+    // same run — the one-line retrieval scoreboard
+    "q_x_rank_summary" -> ((s, dir) => {
+      graft.text.Eval.rankSummary(rankEvalRun(s, dir), rankEvalQrels(s, dir),
+        "query_id", "neighbor_id", "rank", "rel", k = 10)
+    }),
+
+    // X: k-center greedy coreset (Gonzalez 1985 / Sener-Savarese
+    // coresets) — k sequential steps, each one row-local min-dist
+    // projection over literal centers + one global top-1; the oracle
+    // unrolls the identical recurrence
+    "q_x_kcenter" -> ((s, dir) => {
+      graft.vec.Coreset.kCenterGreedy(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 6)
+    }),
+
+    // X: coverage assignment to the selected coreset — row-local argmin
+    // over the k centers as plan literals, ties to the earlier center
+    "q_x_kcenter_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centers = graft.vec.Coreset.kCenterGreedyCenters(
+        emb, "vec_id", "embedding", k = 6)
+      graft.vec.Coreset.assign(emb, "vec_id", "embedding", centers)
+    }),
+
+    // X: graph-based ANN — beam search over the exact kNN graph (the
+    // NSW/DiskANN navigation pattern), fully oracle-gated: min-id entry,
+    // 2 synchronous expansion rounds, beam 4, top-3 of the visited set.
+    // The search itself is deterministic, so the ORACLE REPLAYS THE WALK
+    // (not just an exhaustive twin); recall floor vs brute lives in
+    // GraphAnnSpec
+    "q_x_graph_ann" -> ((s, dir) => {
+      import graft.vec.{GraphAnn, VectorOps}
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      val edges = VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 4, nlist = 1, nassign = 1, kmeansIters = 0)
+        .select(col("src_id"), col("dst_id"))
+      GraphAnn.beamSearch(emb, edges, emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, beam = 4, iters = 2)
     }),
 
     // X: top-k per group — map-side WindowGroupLimit keeps each task's
@@ -3421,6 +3558,87 @@ object SparkEntry {
            round(tp / k, 6) + 0.0 AS precision,
            round(tp / ap, 6) + 0.0 AS recall
          FROM tp CROSS JOIN ap""",
+
+    // ranked-retrieval metrics: brute cosine run + label-proximity
+    // qrels replayed relationally (see rankOracleCommon)
+    "q_x_rank_metrics" ->
+      (rankOracleCommon + """
+         SELECT query_id, n_rel, n_hit, rr, dcg, idcg, ndcg, recall
+         FROM perq"""),
+
+    "q_x_rank_summary" ->
+      (rankOracleCommon + """
+         SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(rr), 6) + 0.0 AS mrr,
+           round(avg(ndcg), 6) + 0.0 AS mean_ndcg,
+           round(avg(recall), 6) + 0.0 AS mean_recall
+         FROM perq"""),
+
+    // k-center greedy: the unrolled recurrence (see kcenterOracleCommon)
+    "q_x_kcenter" ->
+      (kcenterOracleCommon(6) + """
+         SELECT CAST(sel_rank AS BIGINT) AS rank, cid AS vec_id,
+           round(d, 4) + 0.0 AS dist
+         FROM cs"""),
+
+    // coverage assignment: argmin over the same six centers, ties to
+    // the earlier-selected center (sel_rank)
+    "q_x_kcenter_assign" ->
+      (kcenterOracleCommon(6) + """,
+         a0 AS (SELECT e.vec_id AS id, cs.cid, cs.sel_rank,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (e.v[i] - cs.cv[i]) * (e.v[i] - cs.cv[i]))) AS d
+           FROM e CROSS JOIN cs),
+         a1 AS (SELECT id, cid, d, row_number() OVER (
+             PARTITION BY id ORDER BY d, sel_rank) AS rn FROM a0)
+         SELECT id, cid AS center_id, round(d, 4) + 0.0 AS dist
+         FROM a1 WHERE rn = 1"""),
+
+    // graph ANN: the beam-search walk replayed step by step — exact kNN
+    // edges (degree 4), min-id entry, two expansion rounds, top-3 of
+    // everything visited, the query's own node excluded at output
+    "q_x_graph_ann" ->
+      """WITH sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+           FROM embeddings a CROSS JOIN embeddings b
+           WHERE a.vec_id <> b.vec_id AND a.vec_id < 500 AND b.vec_id < 500),
+         er AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY cos DESC, dst) AS rk FROM sc),
+         ed AS (SELECT src, dst FROM er WHERE rk <= 4),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+         n AS (SELECT vec_id AS node, CAST(embedding AS DOUBLE[]) AS nv
+           FROM embeddings WHERE vec_id < 500),
+         ent AS (SELECT min(node) AS node FROM n),
+         v0 AS (SELECT q.query_id, n.node,
+             list_cosine_similarity(q.qv, n.nv) AS cos
+           FROM q CROSS JOIN ent JOIN n ON n.node = ent.node),
+         f1 AS (SELECT DISTINCT v0.query_id, ed.dst AS node
+           FROM v0 JOIN ed ON ed.src = v0.node),
+         x1 AS (SELECT f1.query_id, f1.node,
+             list_cosine_similarity(q.qv, n.nv) AS cos
+           FROM f1 JOIN n USING (node) JOIN q USING (query_id)
+           WHERE NOT EXISTS (SELECT 1 FROM v0
+             WHERE v0.query_id = f1.query_id AND v0.node = f1.node)),
+         v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM x1),
+         c1 AS (SELECT query_id, node FROM (SELECT query_id, node,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, node) AS rn FROM v1) WHERE rn <= 4),
+         f2 AS (SELECT DISTINCT c1.query_id, ed.dst AS node
+           FROM c1 JOIN ed ON ed.src = c1.node),
+         x2 AS (SELECT f2.query_id, f2.node,
+             list_cosine_similarity(q.qv, n.nv) AS cos
+           FROM f2 JOIN n USING (node) JOIN q USING (query_id)
+           WHERE NOT EXISTS (SELECT 1 FROM v1
+             WHERE v1.query_id = f2.query_id AND v1.node = f2.node)),
+         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM x2)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, node AS neighbor_id,
+           round(cos, 4) + 0.0 AS cos
+         FROM (SELECT query_id, node, cos, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+           FROM v2 WHERE node <> query_id)
+         WHERE rank <= 3""",
 
     "q_x_topk_per_group" ->
       """SELECT l_returnflag, round(l_extendedprice, 2) AS price,

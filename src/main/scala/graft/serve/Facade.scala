@@ -252,6 +252,27 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
         s"evalMetric: metric must be 'auc', 'calibration' or 'pr', got '$other'")
   }
 
+  /** k-center greedy coreset (`graft.vec.Coreset`): the k selected
+    * frontier points as (rank, vec_id, dist). */
+  def coreset(inPath: String, idCol: String = "vec_id",
+              vecCol: String = "embedding", k: Int = 8): DataFrame =
+    graft.vec.Coreset.kCenterGreedy(corpus(inPath), idCol, vecCol, k)
+
+  /** Graph ANN (`graft.vec.GraphAnn`): build a kNN graph over the
+    * corpus (nlist scaled so lists stay ~250 vectors) and beam-search
+    * it for the queries. */
+  def graphAnn(inPath: String, queryPath: String, idCol: String = "vec_id",
+               vecCol: String = "embedding", k: Int = 5, beam: Int = 8,
+               iters: Int = 4, degree: Int = 6): DataFrame = {
+    val c = corpus(inPath)
+    val nlist = math.max(1, (c.count() / 250).toInt)
+    val edges = graft.vec.VectorOps.knnGraph(c, idCol, vecCol, degree,
+        nlist = nlist, nassign = math.min(2, nlist))
+      .select(col("src_id"), col("dst_id"))
+    graft.vec.GraphAnn.beamSearch(c, edges, corpus(queryPath),
+      idCol, vecCol, k, beam, iters)
+  }
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {

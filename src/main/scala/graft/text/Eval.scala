@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,4 +77,78 @@ object Eval {
       (round(col("__tp") / col("__k"), 6) + lit(0.0)).as("precision"),
       (round(col("__tp") / col("__ap"), 6) + lit(0.0)).as("recall"))
   }
+
+  // ------------------------------------------ ranked-retrieval metrics
+
+  /** Per-query ranked-retrieval metrics at cutoff `k` — the evaluation
+    * side of the ANN/BM25/MMR tier (TREC conventions): for each query in
+    * `qrels`, reciprocal rank of the first relevant hit, DCG@k / ideal
+    * DCG@k / nDCG@k with the Järvelin-Kekäläinen (2^rel - 1) gain, and
+    * recall@k against the query's full relevant set.
+    *
+    * `ranked`: (queryCol, rankCol 1-based, docCol) — an ANN probe,
+    * BM25 run, or MMR rerank. `qrels`: (queryCol, docCol, relCol >= 1).
+    * Queries absent from qrels are dropped (nothing is relevant, the
+    * metrics are undefined); relevant-set sizes and ideal gains come
+    * from ONE pass over qrels.
+    *
+    * Scale shape: qrels is benchmark-sized, so it rides broadcast into
+    * the hit join against the (n_queries x k) run; the per-query aggs
+    * shuffle on the query key — bounded by the run, never the corpus.
+    * The ideal-DCG window partitions by query OVER QRELS ONLY. */
+  def rankMetrics(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+                  docCol: String, rankCol: String, relCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"rankMetrics: k must be >= 1, got $k")
+    val gain = (rel: Column) => (pow(lit(2.0), rel) - 1)
+    val disc = (pos: Column) => log(2.0, pos.cast("double") + 1)
+    val qr = qrels.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+      col(relCol).cast("double").as("__rel"))
+    // per-query relevant-set size + ideal DCG@k (rels sorted desc,
+    // doc id breaking ties so the ideal ranking is deterministic)
+    val wIdeal = Window.partitionBy(col("__q"))
+      .orderBy(col("__rel").desc, col("__d"))
+    val ideal = qr
+      .withColumn("__ir", row_number().over(wIdeal))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).cast("long").as("n_rel"),
+        sum(when(col("__ir") <= k,
+          gain(col("__rel")) / disc(col("__ir")))
+          .otherwise(lit(0.0))).as("__idcg"))
+    val hits = ranked
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__rk"))
+      .where(col("__rk") <= k)
+      .join(broadcast(qr), Seq("__q", "__d"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).cast("long").as("n_hit"),
+        min(col("__rk")).as("__first"),
+        sum(gain(col("__rel")) / disc(col("__rk"))).as("__dcg"))
+    ideal.join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6)
+          + lit(0.0)).as("rr"),
+        (round(coalesce(col("__dcg"), lit(0.0)), 6) + lit(0.0)).as("dcg"),
+        (round(col("__idcg"), 6) + lit(0.0)).as("idcg"),
+        (round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6)
+          + lit(0.0)).as("ndcg"),
+        (round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_rel"), 6) + lit(0.0)).as("recall"))
+  }
+
+  /** Macro-averaged summary of [[rankMetrics]]: one row
+    * (k, n_queries, mrr, mean_ndcg, mean_recall), each mean over the
+    * evaluated (qrels-bearing) queries, rounded to 6. */
+  def rankSummary(ranked: DataFrame, qrels: DataFrame, queryCol: String,
+                  docCol: String, rankCol: String, relCol: String,
+                  k: Int): DataFrame =
+    rankMetrics(ranked, qrels, queryCol, docCol, rankCol, relCol, k)
+      .agg(count(lit(1)).cast("long").as("n_queries"),
+        (round(avg(col("rr")), 6) + lit(0.0)).as("mrr"),
+        (round(avg(col("ndcg")), 6) + lit(0.0)).as("mean_ndcg"),
+        (round(avg(col("recall")), 6) + lit(0.0)).as("mean_recall"))
+      .select(lit(k).cast("long").as("k"), col("n_queries"), col("mrr"),
+        col("mean_ndcg"), col("mean_recall"))
 }

@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   * `aggregate` fold over `sequence(1, len(word))` carrying the DP
   * table `best[0..j]` as an array of (score, pieces) structs — each
   * step appends the argmax over vocabulary pieces ending at position
-  * j. No UDF, no shuffle beyond the word explode, embarrassingly
-  * parallel per instance (no dedup-join needed — recomputing a
-  * repeated word is cheaper at scale than shuffling to dedup it).
-  * Hash-gated against a DuckDB recursive CTE running the identical
-  * DP (which DOES dedup by distinct word first — same result, and
-  * the single-threaded oracle needs the savings). */
+  * j. The fold runs once per DISTINCT word (Zipf-bounded), instances
+  * then join the encoded vocabulary back on the word key: higher-order
+  * functions are CodegenFallback (every lambda step is interpreted,
+  * with per-step array allocation), so the per-instance form measured
+  * 92.9 s at sf0.1 where the dedup-join form runs in ~2 s — the
+  * distinct+join shuffles are vocabulary-sized and trivially cheaper
+  * than re-running the DP per instance. Hash-gated against a DuckDB
+  * recursive CTE running the identical DP (same distinct-word dedup). */
 object Unigram {
 
   /** piece -> ln(count/total); whole-word pieces keep their word
@@ -107,8 +109,27 @@ object Unigram {
     val fin = element_at(dp, length(col("word")) + 1)
     val pieces = when(fin("score") === lit(Double.NegativeInfinity),
       array(lit("[UNK]"))).otherwise(fin("pieces"))
-    words.select(col(idCol), col("widx"),
-        posexplode(pieces).as(Seq("pi", "piece")))
+    // STREAMS keep the row-local per-instance fold (distinct/checkpoint
+    // are illegal on unbounded input, and micro-batches are small);
+    // batch runs dedup to one fold per distinct word
+    if (docs.isStreaming)
+      return words.select(col(idCol), col("widx"),
+          posexplode(pieces).as(Seq("pi", "piece")))
+        .select(col(idCol), col("widx"),
+          (col("pi") + 1).cast("long").as("pidx"), col("piece"))
+    val encoded = words.select(col("word")).distinct()
+      .select(col("word"), pieces.as("__pieces"))
+      // localCheckpoint = optimizer barrier, not just a cache: the
+      // posexplode downstream makes InferFiltersFromGenerate add a
+      // size(__pieces) > 0 filter, and predicate pushdown SUBSTITUTES
+      // THE WHOLE DP EXPRESSION for __pieces and pushes it below the
+      // distinct — re-evaluating the fold per word INSTANCE (measured:
+      // the full 85 s again). Materializing the vocab-sized frame pins
+      // the fold to one evaluation per distinct word.
+      .localCheckpoint()
+    words.join(encoded, Seq("word"))
+      .select(col(idCol), col("widx"),
+        posexplode(col("__pieces")).as(Seq("pi", "piece")))
       .select(col(idCol), col("widx"),
         (col("pi") + 1).cast("long").as("pidx"), col("piece"))
   }

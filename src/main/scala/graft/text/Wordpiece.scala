@@ -84,8 +84,31 @@ object Wordpiece {
                 .otherwise(concat(lit("##"), best)))).as("pieces"),
             lit(false).as("dead")))
       })
-    words.select(col(idCol), col("widx"),
-        posexplode(folded("pieces")).as(Seq("pi", "piece")))
+    // the greedy fold is interpreted (HOFs are CodegenFallback): run it
+    // once per DISTINCT word and join instances back on the word key —
+    // the Unigram.encode measurement (92.9 s per-instance vs ~2 s
+    // deduped at sf0.1) applies identically here
+    // STREAMS keep the row-local per-instance fold (distinct/checkpoint
+    // are illegal on unbounded input, and micro-batches are small);
+    // batch runs dedup to one fold per distinct word
+    if (docs.isStreaming)
+      return words.select(col(idCol), col("widx"),
+          posexplode(folded("pieces")).as(Seq("pi", "piece")))
+        .select(col(idCol), col("widx"),
+          (col("pi") + 1).cast("long").as("pidx"), col("piece"))
+    val encoded = words.select(col("word")).distinct()
+      .select(col("word"), folded("pieces").as("__pieces"))
+      // localCheckpoint = optimizer barrier, not just a cache: the
+      // posexplode downstream makes InferFiltersFromGenerate add a
+      // size(__pieces) > 0 filter, and predicate pushdown SUBSTITUTES
+      // THE WHOLE DP EXPRESSION for __pieces and pushes it below the
+      // distinct — re-evaluating the fold per word INSTANCE (measured:
+      // the full 85 s again). Materializing the vocab-sized frame pins
+      // the fold to one evaluation per distinct word.
+      .localCheckpoint()
+    words.join(encoded, Seq("word"))
+      .select(col(idCol), col("widx"),
+        posexplode(col("__pieces")).as(Seq("pi", "piece")))
       .select(col(idCol), col("widx"),
         (col("pi") + 1).cast("long").as("pidx"), col("piece"))
   }

@@ -146,4 +146,24 @@ class CliCorpusSpec extends AnyFunSuite {
     val pr = spark.read.parquet(s"$dir/pr_out").head()
     assert(pr.getLong(0) == 2 && pr.getDouble(2) == 1.0)
   }
+
+  test("coreset and graph-ann verbs dispatch and write parquet") {
+    val dir = Files.createTempDirectory("graft_cli_corpus6_")
+    val root = Files.createTempDirectory("graft_cli_root6_").toString
+    val rng = new scala.util.Random(9)
+    val vecs = (1L to 60L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat)))
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/emb")
+    Cli.main(Array(root, "c1", "coreset", s"$dir/emb",
+      "vec_id", "embedding", "5", "--out", s"$dir/cs_out"))
+    val cs = spark.read.parquet(s"$dir/cs_out")
+    assert(cs.count() == 5)
+    assert(cs.columns.toSeq == Seq("rank", "vec_id", "dist"))
+
+    vecs.take(3).toDF("vec_id", "embedding").write.parquet(s"$dir/q")
+    Cli.main(Array(root, "c1", "graph-ann", s"$dir/emb", s"$dir/q",
+      "2", "4", "3", "--out", s"$dir/ga_out"))
+    val ga = spark.read.parquet(s"$dir/ga_out")
+    assert(ga.count() == 6) // 3 queries x k=2
+    assert(ga.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cos"))
+  }
 }

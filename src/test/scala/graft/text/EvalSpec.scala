@@ -61,4 +61,59 @@ class EvalSpec extends AnyFunSuite {
     val all = Eval.prAtK(df, "id", "s", "y", k = 50).head()
     assert(all.getLong(0) == 5 && all.getDouble(3) == 1.0)
   }
+
+  // --------------------------------------- ranked-retrieval metrics
+
+  private def rankRow(ranked: Seq[(Long, Long, Long)],
+                      qrels: Seq[(Long, Long, Int)], k: Int) =
+    Eval.rankMetrics(ranked.toDF("q", "rk", "d"), qrels.toDF("q", "d", "rel"),
+        "q", "d", "rk", "rel", k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(6),
+          r.getDouble(7))).toMap
+
+  test("rankMetrics: ideal ranking scores nDCG 1, misses score 0") {
+    // q1: run returns the two relevant docs in ideal (rel-desc) order
+    // q2: run finds nothing relevant; q3 in qrels only -> all-zero row
+    val m = rankRow(
+      ranked = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 99L),
+        (2L, 1L, 98L), (2L, 2L, 97L)),
+      qrels = Seq((1L, 10L, 2), (1L, 11L, 1), (2L, 20L, 1), (3L, 30L, 2)),
+      k = 10)
+    assert(m(1L) == ((2L, 2L, 1.0, 1.0, 1.0)))
+    assert(m(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    assert(m(3L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("rankMetrics: hand-computed graded case with a late hit") {
+    // rel-2 doc at rank 3, rel-1 doc at rank 1: ideal order is reversed
+    val m = rankRow(
+      ranked = Seq((7L, 1L, 5L), (7L, 2L, 6L), (7L, 3L, 4L)),
+      qrels = Seq((7L, 4L, 2), (7L, 5L, 1)),
+      k = 3)
+    val dcg = 1.0 / (math.log(2) / math.log(2)) +
+      3.0 / (math.log(4) / math.log(2))
+    val idcg = 3.0 + 1.0 / (math.log(3) / math.log(2))
+    val (nRel, nHit, rr, ndcg, recall) = m(7L)
+    assert(nRel == 2 && nHit == 2 && rr == 1.0 && recall == 1.0)
+    assert(math.abs(ndcg - dcg / idcg) < 1e-6)
+  }
+
+  test("rankMetrics respects the cutoff and rankSummary macro-averages") {
+    val ranked = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L))
+    val qrels = Seq((1L, 11L, 1), (2L, 20L, 1))
+    // k=1 drops q1's rank-2 hit entirely
+    val m1 = rankRow(ranked, qrels, k = 1)
+    assert(m1(1L)._2 == 0L && m1(2L)._2 == 1L)
+    val s = Eval.rankSummary(ranked.toDF("q", "rk", "d"),
+        qrels.toDF("q", "d", "rel"), "q", "d", "rk", "rel", k = 2).head()
+    // q1: rr 1/2, ndcg 1/2 (one rel-1 doc at rank 2: ideal has it at 1
+    // -> dcg = 1/log2(3), idcg = 1), q2: all 1.0
+    assert(s.getLong(0) == 2 && s.getLong(1) == 2)
+    assert(s.getDouble(2) == 0.75) // mrr = (0.5 + 1) / 2
+    val q1Ndcg = BigDecimal(1.0 / (math.log(3) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(s.getDouble(3) - (q1Ndcg + 1.0) / 2) < 1e-6)
+    assert(s.getDouble(4) == 1.0)
+  }
 }
