@@ -33,6 +33,12 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> eval <scored.parquet> [auc|calibration|pr] [scoreCol] [labelCol] [k] [--out D]
   * graft.Cli <root> <collection> coreset <vecs.parquet> [idCol] [vecCol] [k] [--out D]
   * graft.Cli <root> <collection> graph-ann <vecs.parquet> <queries.parquet> [k] [beam] [iters] [--out D]
+  * graft.Cli <root> <collection> gen-eval <pairs.parquet> [rouge1|rouge2|rougeN|rougeL|chrf|bleu] [idCol] [candCol] [refCol] [n] [--out D]
+  * graft.Cli <root> <collection> rank-eval <run.parquet> <qrels.parquet> [k] [summary|perquery] [--out D]
+  * graft.Cli <root> <collection> winnow <docs.parquet> [overlap|fingerprints] [idCol] [textCol] [k] [w] [--out D]
+  * graft.Cli <root> <collection> corrupt <docs.parquet> [span|fim] [idCol] [textCol] [blockSize] [spanLen] [--out D]
+  * graft.Cli <root> <collection> bitext <src.parquet> <tgt.parquet> [pairs|margin] [k] [minMargin] [--out D]
+  * graft.Cli <root> <collection> diversity <docs.parquet> [textCol] [maxN] [groupCol] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -156,7 +162,8 @@ object Cli {
       // the round-8 families'). `--out D` writes parquet, else show().
       case "chat-stats" | "html-extract" | "pref-stats" | "json-profile"
          | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
-         | "dsir" | "eval" | "coreset" | "graph-ann" =>
+         | "dsir" | "eval" | "coreset" | "graph-ann" | "gen-eval"
+         | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -198,6 +205,24 @@ object Cli {
           case "graph-ann" =>
             facade.graphAnn(inPath, pos(1), "vec_id", "embedding",
               p(2, "5").toInt, p(3, "8").toInt, p(4, "4").toInt)
+          case "gen-eval" =>
+            facade.genEval(inPath, p(1, "rouge2"), p(2, "id"),
+              p(3, "cand"), p(4, "ref"), p(5, "4").toInt)
+          case "rank-eval" =>
+            facade.rankEval(inPath, pos(1), p(2, "10").toInt,
+              summary = p(3, "summary") == "summary")
+          case "winnow" =>
+            facade.winnow(inPath, p(1, "overlap"), p(2, "doc_id"),
+              p(3, "text"), p(4, "8").toInt, p(5, "4").toInt)
+          case "corrupt" =>
+            facade.corrupt(inPath, p(1, "span"), p(2, "doc_id"),
+              p(3, "text"), p(4, "20").toInt, p(5, "3").toInt)
+          case "bitext" =>
+            facade.bitext(inPath, pos(1), p(2, "pairs"), "vec_id",
+              "embedding", p(3, "4").toInt, p(4, "1.0").toDouble)
+          case "diversity" =>
+            facade.diversity(inPath, p(1, "text"), p(2, "3").toInt,
+              pos.lift(3).filter(_.nonEmpty))
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

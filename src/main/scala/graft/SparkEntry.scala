@@ -304,6 +304,138 @@ object SparkEntry {
            round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / i.n_rel, 6) + 0.0 AS recall
          FROM ideal i LEFT JOIN hits h USING (query_id))"""
 
+  /** Shared DuckDB prefix for the q_x_rouge_n / q_x_bleu oracles:
+    * rebuilds the shifted-window (candidate, reference) pairs — the
+    * array_to_string/string_split round-trip reproduces Spark's
+    * join-then-retokenize exactly, including the ['']-on-empty quirk —
+    * ending at `p(doc_id, c, r)` with token lists. */
+  private val genEvalOracleCommon: String =
+    raw"""WITH tok AS (SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+       FROM documents),
+       p AS (SELECT doc_id,
+           string_split(array_to_string(w[1:20], ' '), ' ') AS c,
+           string_split(array_to_string(w[5:30], ' '), ' ') AS r
+         FROM tok)"""
+
+  /** Clipped n-gram match CTEs for order `n` over `p`: candidate-side
+    * counts `cg$n`, reference-side counts `rg$n`, per-doc clipped sum
+    * `m$n(doc_id, nm)`. */
+  private def clippedCtes(n: Int): String = {
+    def grams(src: String) =
+      if (n == 1) s"unnest($src) AS g"
+      else s"""unnest(list_transform(generate_series(1, len($src) - ${n - 1}),
+           i -> array_to_string($src[i:i + ${n - 1}], ' '))) AS g"""
+    s""",
+       cg$n AS (SELECT doc_id, g, count(*) AS cc
+         FROM (SELECT doc_id, ${grams("c")} FROM p) GROUP BY doc_id, g),
+       rg$n AS (SELECT doc_id, g, count(*) AS rc
+         FROM (SELECT doc_id, ${grams("r")} FROM p) GROUP BY doc_id, g),
+       m$n AS (SELECT cg$n.doc_id, sum(least(cc, rc)) AS nm
+         FROM cg$n JOIN rg$n ON rg$n.doc_id = cg$n.doc_id AND rg$n.g = cg$n.g
+         GROUP BY cg$n.doc_id)"""
+  }
+
+  /** The q_x_chrf oracle, generated: character streams of the two
+    * windows (spaces gone by construction — tokens concatenate), the
+    * same clipped CTEs per order 1..6, then the per-doc chrF2 fold in
+    * Spark's association order. */
+  private def chrfOracle: String = {
+    val prefix = raw"""WITH tok AS (SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+       FROM documents),
+       p AS (SELECT doc_id,
+           list_transform(generate_series(1, len(cs)), i -> cs[i:i]) AS c,
+           list_transform(generate_series(1, len(rs)), i -> rs[i:i]) AS r
+         FROM (SELECT doc_id, array_to_string(w[1:20], '') AS cs,
+             array_to_string(w[5:30], '') AS rs FROM tok))"""
+    def fN(n: Int): String = {
+      val m = s"CAST(coalesce(m$n.nm, 0) AS DOUBLE)"
+      val tc = s"greatest(lc - ${n - 1}, 0)"
+      val tr = s"greatest(lr - ${n - 1}, 0)"
+      val p = s"CASE WHEN $tc > 0 THEN $m / $tc ELSE 0.0 END"
+      val r = s"CASE WHEN $tr > 0 THEN $m / $tr ELSE 0.0 END"
+      s"""(CASE WHEN CAST(4.0 AS DOUBLE) * ($p) + ($r) > 0
+         THEN CAST(5.0 AS DOUBLE) * ($p) * ($r)
+              / (CAST(4.0 AS DOUBLE) * ($p) + ($r))
+         ELSE 0.0 END)"""
+    }
+    val joins = (1 to 6)
+      .map(n => s"LEFT JOIN m$n ON m$n.doc_id = b.doc_id").mkString(" ")
+    prefix + (1 to 6).map(clippedCtes).mkString + s""",
+       base AS (SELECT doc_id, len(c) AS lc, len(r) AS lr FROM p)
+       SELECT b.doc_id,
+         round((${(1 to 6).map(fN).mkString(" + ")}) / 6, 6) + 0.0 AS chrf
+       FROM base b $joins"""
+  }
+
+  /** Shared DuckDB prefix for the q_x_winnow* oracles: k=8 char-gram
+    * md5-prefix hashes (the exact kernel hash — first 15 hex chars as
+    * UBIGINT), windows of w=4 via a range join, rightmost-min pick per
+    * window, ending at `fp(doc_id, pos, hash)`. Truncated final
+    * windows cannot occur for p >= w; docs with fewer grams form the
+    * one j=1 window (greatest(p-3, 1)), exactly the kernel rule. */
+  private val winnowOracleCommon: String =
+    raw"""WITH n AS (SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+       FROM documents),
+       g0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 7),
+           i -> struct_pack(i := i, h := CAST(CAST(concat('0x',
+             substr(md5(substr(t, i, 8)), 1, 15)) AS UBIGINT) AS BIGINT)))) AS s
+         FROM n WHERE len(t) >= 8),
+       g AS (SELECT doc_id, s.i AS i, s.h AS h FROM g0),
+       pc AS (SELECT doc_id, max(i) AS p FROM g GROUP BY doc_id),
+       win AS (SELECT doc_id, unnest(generate_series(1, greatest(p - 3, 1))) AS j
+         FROM pc),
+       cand AS (SELECT w.doc_id, w.j, g.i, g.h
+         FROM win w JOIN g ON g.doc_id = w.doc_id
+           AND g.i >= w.j AND g.i < w.j + 4),
+       pick AS (SELECT doc_id, j, i, h, row_number() OVER (
+           PARTITION BY doc_id, j ORDER BY h ASC, i DESC) AS rn FROM cand),
+       fp AS (SELECT DISTINCT doc_id, i AS pos, h AS hash
+         FROM pick WHERE rn = 1)"""
+
+  /** Shared input for the q_x_rouge_n / q_x_bleu queries: per-doc
+    * (candidate, reference) pairs as two overlapping token windows of
+    * the same document — realistic partial n-gram overlap at every
+    * order, deterministically rebuildable in SQL. */
+  private def genEvalPairs(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.text.TextOps.tokens(col("text"))
+    t(s, dir, "documents").select(col("doc_id"),
+      array_join(slice(tok, 1, 20), " ").as("cand"),
+      array_join(slice(tok, 5, 26), " ").as("ref"))
+  }
+
+  /** Shared DuckDB prefix for the q_x_bitext_* oracles: exhaustive
+    * even/odd cosine pairs (DOUBLE[] casts so DuckDB computes the
+    * cosine in double like the Spark kernel — at 10k+ output rows the
+    * FLOAT overload's 1e-7 error would flip roundings), per-side top-4
+    * ranks (ties by the opposite id), neighborhood means, ratio
+    * margins over the fwd/bwd union — ending at
+    * `m(src_id, tgt_id, cos, margin)`. */
+  private val bitextOracleCommon: String =
+    """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+         FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 400),
+       tt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+         FROM embeddings WHERE vec_id % 2 = 1),
+       p AS (SELECT s.vec_id AS src_id, tt.vec_id AS tgt_id,
+           list_cosine_similarity(s.embedding, tt.embedding) AS cos
+         FROM s, tt),
+       r AS (SELECT src_id, tgt_id, cos,
+           row_number() OVER (PARTITION BY src_id
+             ORDER BY cos DESC, tgt_id) AS rf,
+           row_number() OVER (PARTITION BY tgt_id
+             ORDER BY cos DESC, src_id) AS rb
+         FROM p),
+       af AS (SELECT src_id, avg(cos) AS af FROM r WHERE rf <= 4
+         GROUP BY src_id),
+       ab AS (SELECT tgt_id, avg(cos) AS ab FROM r WHERE rb <= 4
+         GROUP BY tgt_id),
+       m AS (SELECT r.src_id, r.tgt_id, r.cos,
+           r.cos / ((af.af + ab.ab) / 2) AS margin
+         FROM r JOIN af USING (src_id) JOIN ab USING (tgt_id)
+         WHERE rf <= 4 OR rb <= 4)"""
+
   /** Shared inputs for the q_x_rank_* queries: a brute-force cosine
     * top-10 run for the 8 probe queries, and graded qrels derived from
     * label proximity (rel 2 = same label, 1 = adjacent label) — the
@@ -1031,6 +1163,109 @@ object SparkEntry {
     "q_x_rank_summary" -> ((s, dir) => {
       graft.text.Eval.rankSummary(rankEvalRun(s, dir), rankEvalQrels(s, dir),
         "query_id", "neighbor_id", "rank", "rel", k = 10)
+    }),
+
+    // X: per-pair ROUGE-2 (Lin 2004) — clipped bigram matches via the
+    // codegen ClippedNgramMatches kernel, P/R/F1; pairs are shifted
+    // token windows of each doc (overlapping but not identical)
+    "q_x_rouge_n" -> ((s, dir) => {
+      graft.text.GenEval.rougeN(genEvalPairs(s, dir),
+        "doc_id", "cand", "ref", n = 2)
+    }),
+
+    // X: per-pair ROUGE-L — LCS via the codegen two-row DP kernel; ref
+    // drops every 'e'-bearing token so the subsequence is non-trivial.
+    // The ORACLE RUNS THE SAME DP as a DuckDB recursive CTE (prefix-max
+    // row recurrence), integer-exact
+    "q_x_rouge_l" -> ((s, dir) => {
+      val tok = graft.text.TextOps.tokens(col("text"))
+      val pairs = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(tok, 1, 20), " ").as("cand"),
+        array_join(filter(slice(tok, 1, 24),
+          t => !t.contains("e")), " ").as("ref"))
+      graft.text.GenEval.rougeL(pairs, "doc_id", "cand", "ref")
+    }),
+
+    // X: corpus BLEU-4 (Papineni 2002) — per-pair clipped counts pooled
+    // by ONE global agg (corpus BLEU, not mean sentence BLEU), modified
+    // precisions p1..p4, brevity penalty, geometric mean
+    "q_x_bleu" -> ((s, dir) => {
+      graft.text.GenEval.bleu(genEvalPairs(s, dir), "cand", "ref", maxN = 4)
+    }),
+
+    // X: per-pair chrF (Popović 2015) — character n-gram F2 averaged
+    // over orders 1..6 on the whitespace-stripped char stream; same
+    // clipped-matches kernel, character tokens
+    "q_x_chrf" -> ((s, dir) => {
+      graft.text.GenEval.chrF(genEvalPairs(s, dir), "doc_id", "cand", "ref")
+    }),
+
+    // X: fill-in-the-middle split (Bavarian'22) — md5-derived character
+    // cuts, PSM rendering; row-local, deterministic across engines
+    "q_x_fim" -> ((s, dir) => {
+      graft.text.Corruption.fimSplit(t(s, dir, "documents"),
+        "doc_id", "text", minChars = 16)
+    }),
+
+    // X: T5 span corruption (Raffel'20), BLOCK formulation — one
+    // md5-placed span per fixed token block, sentinel inputs/targets;
+    // zero sequential dependency (the i.i.d.-span walk is sequential;
+    // blocks mask the same expected fraction embarrassingly parallel)
+    "q_x_span_corrupt" -> ((s, dir) => {
+      graft.text.Corruption.spanCorrupt(t(s, dir, "documents"),
+        "doc_id", "text", blockSize = 20, spanLen = 3)
+    }),
+
+    // X: winnowing fingerprints (Schleimer-Wilkerson-Aiken'03, the MOSS
+    // scheme) — per-window rightmost-min of k-gram md5-prefix hashes,
+    // one sequential kernel scan per doc, no shuffle
+    "q_x_winnow" -> ((s, dir) => {
+      graft.text.Winnow.fingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 4)
+    }),
+
+    // X: winnowed overlap report — the MOSS match list: pairs ranked by
+    // distinct shared fingerprints; only fingerprints (~2/(w+1) of the
+    // grams) cross the shuffle, boilerplate hashes capped
+    "q_x_winnow_overlap" -> ((s, dir) => {
+      graft.text.Winnow.overlap(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDocsPerHash = 50)
+    }),
+
+    // X: margin-based bitext margin scores (Artetxe-Schwenk'19) —
+    // cosine relative to both sides' top-k neighborhood means over the
+    // even/odd embedding split; exhaustive candidates = the oracle-
+    // gateable validation mode (the scale path feeds marginScoresOver
+    // from the ANN tier, BitextSpec proves the equivalence)
+    "q_x_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.Bitext.marginScores(
+          emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 400),
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", k = 4)
+        .select(col("src_id"), col("tgt_id"),
+          (round(col("cos"), 6) + lit(0.0)).as("cos"),
+          (round(col("margin"), 6) + lit(0.0)).as("margin"))
+    }),
+
+    // X: mined parallel pairs — mutual-best-by-margin (intersection
+    // strategy) above the mining threshold; at most one pair per side
+    "q_x_bitext_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.vec.Bitext.minePairs(
+          emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 400),
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 4, minMargin = 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          (round(col("cos"), 6) + lit(0.0)).as("cos"),
+          (round(col("margin"), 6) + lit(0.0)).as("margin"))
+    }),
+
+    // X: corpus diversity report — per-language distinct-n (Li'16) and
+    // n-gram entropy for orders 1..3; one stacked scan, one
+    // (lang, n, gram)-keyed agg, vocabulary-sized reduction
+    "q_x_diversity" -> ((s, dir) => {
+      graft.text.GenEval.diversity(t(s, dir, "documents"), "text",
+        ns = Seq(1, 2, 3), groupCols = Seq("lang"))
     }),
 
     // X: k-center greedy coreset (Gonzalez 1985 / Sener-Savarese
@@ -3573,6 +3808,209 @@ object SparkEntry {
            round(avg(ndcg), 6) + 0.0 AS mean_ndcg,
            round(avg(recall), 6) + 0.0 AS mean_recall
          FROM perq"""),
+
+    // ROUGE-2: clipped bigram matches, relational form of the kernel's
+    // hash-map clip (per-doc per-gram least of the two counts)
+    "q_x_rouge_n" ->
+      (genEvalOracleCommon + clippedCtes(2) + """,
+         base AS (SELECT doc_id, greatest(len(c) - 1, 0) AS n_cand,
+             greatest(len(r) - 1, 0) AS n_ref FROM p),
+         j AS (SELECT b.doc_id, coalesce(m2.nm, 0) AS nm, n_cand, n_ref,
+             CASE WHEN n_cand > 0
+               THEN CAST(coalesce(m2.nm, 0) AS DOUBLE) / n_cand
+               ELSE 0.0 END AS pr,
+             CASE WHEN n_ref > 0
+               THEN CAST(coalesce(m2.nm, 0) AS DOUBLE) / n_ref
+               ELSE 0.0 END AS rc
+           FROM base b LEFT JOIN m2 ON m2.doc_id = b.doc_id)
+         SELECT doc_id, CAST(nm AS BIGINT) AS n_match,
+           CAST(n_cand AS BIGINT) AS n_cand, CAST(n_ref AS BIGINT) AS n_ref,
+           round(pr, 6) + 0.0 AS precision, round(rc, 6) + 0.0 AS recall,
+           round(CASE WHEN pr + rc > 0
+             THEN CAST(2.0 AS DOUBLE) * pr * rc / (pr + rc)
+             ELSE 0.0 END, 6) + 0.0 AS f1
+         FROM j"""),
+
+    // ROUGE-L: the identical LCS DP as a recursive CTE — row i of the
+    // DP table from row i-1 via the prefix-max recurrence
+    // new[j] = max(prev[j], max_{j'<=j}(prev[j'-1] + eq(i, j'))),
+    // integer-exact, ending where the Spark kernel ends
+    "q_x_rouge_l" ->
+      raw"""WITH RECURSIVE tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         p AS (SELECT doc_id,
+             string_split(array_to_string(w[1:20], ' '), ' ') AS c,
+             string_split(array_to_string(
+               list_filter(w[1:24], t -> NOT contains(t, 'e')), ' '), ' ') AS r
+           FROM tok),
+         dp AS (
+           SELECT doc_id, c, r, 0 AS i,
+             list_transform(generate_series(0, len(r)), x -> 0) AS row
+           FROM p
+           UNION ALL
+           SELECT doc_id, c, r, i + 1,
+             list_prepend(0, list_transform(generate_series(1, len(r)), j ->
+               greatest(row[j + 1],
+                 list_max(list_transform(generate_series(1, j), jj ->
+                   row[jj] + CASE WHEN c[i + 1] = r[jj] THEN 1 ELSE 0 END)))))
+           FROM dp WHERE i < len(c)),
+         lcs AS (SELECT doc_id, row[len(r) + 1] AS lcs,
+             len(c) AS n_cand, len(r) AS n_ref
+           FROM dp WHERE i = len(c)),
+         j AS (SELECT doc_id, lcs, n_cand, n_ref,
+             CASE WHEN n_cand > 0 THEN CAST(lcs AS DOUBLE) / n_cand
+               ELSE 0.0 END AS pr,
+             CASE WHEN n_ref > 0 THEN CAST(lcs AS DOUBLE) / n_ref
+               ELSE 0.0 END AS rc
+           FROM lcs)
+         SELECT doc_id, CAST(lcs AS BIGINT) AS lcs,
+           CAST(n_cand AS BIGINT) AS n_cand, CAST(n_ref AS BIGINT) AS n_ref,
+           round(pr, 6) + 0.0 AS precision, round(rc, 6) + 0.0 AS recall,
+           round(CASE WHEN pr + rc > 0
+             THEN CAST(2.0 AS DOUBLE) * pr * rc / (pr + rc)
+             ELSE 0.0 END, 6) + 0.0 AS f1
+         FROM j""",
+
+    // corpus BLEU-4: clipped counts pooled across pairs BEFORE the
+    // precision ratios; ln-sum geometric mean in Spark's fold order
+    "q_x_bleu" ->
+      (genEvalOracleCommon +
+        (1 to 4).map(clippedCtes).mkString +
+        (1 to 4).map(n => s""",
+         s$n AS (SELECT CAST(coalesce((SELECT sum(nm) FROM m$n), 0) AS DOUBLE) AS m,
+             CAST((SELECT sum(greatest(len(c) - ${n - 1}, 0)) FROM p) AS DOUBLE) AS t)""").mkString + """,
+         lens AS (SELECT CAST(sum(len(c)) AS DOUBLE) AS lc,
+             CAST(sum(len(r)) AS DOUBLE) AS lr FROM p),
+         ps AS (SELECT lc, lr,
+             CASE WHEN s1.t > 0 THEN s1.m / s1.t ELSE 0.0 END AS p1,
+             CASE WHEN s2.t > 0 THEN s2.m / s2.t ELSE 0.0 END AS p2,
+             CASE WHEN s3.t > 0 THEN s3.m / s3.t ELSE 0.0 END AS p3,
+             CASE WHEN s4.t > 0 THEN s4.m / s4.t ELSE 0.0 END AS p4,
+             CASE WHEN lc >= lr THEN CAST(1.0 AS DOUBLE)
+               ELSE exp(CAST(1.0 AS DOUBLE) - lr / lc) END AS bp
+           FROM lens, s1, s2, s3, s4)
+         SELECT CAST(lc AS BIGINT) AS cand_tokens,
+           CAST(lr AS BIGINT) AS ref_tokens,
+           round(p1, 6) + 0.0 AS p1, round(p2, 6) + 0.0 AS p2,
+           round(p3, 6) + 0.0 AS p3, round(p4, 6) + 0.0 AS p4,
+           round(bp, 6) + 0.0 AS bp,
+           round(CASE WHEN p1 > 0 AND p2 > 0 AND p3 > 0 AND p4 > 0
+             THEN bp * exp((((ln(p1) + ln(p2)) + ln(p3)) + ln(p4)) / 4)
+             ELSE 0.0 END, 6) + 0.0 AS bleu
+         FROM ps"""),
+
+    // chrF: character-stream clipped matches, orders 1..6, F2 fold
+    // (see chrfOracle — fully generated to mirror Spark's association)
+    "q_x_chrf" -> chrfOracle,
+
+    // FIM: identical md5-channel cuts (c1 in [1,L-2], c2 in [c1+1,L-1])
+    // and substring partition, short docs pass through
+    "q_x_fim" ->
+      raw"""WITH n AS (SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents),
+         c AS (SELECT doc_id, t, len(t) AS L,
+             CAST(CAST(concat('0x', substr(md5('fim:1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+             CAST(CAST(concat('0x', substr(md5('fim:2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h2
+           FROM n),
+         d AS (SELECT doc_id, t, L,
+             CASE WHEN L >= 16 THEN h1 % (L - 2) + 1 ELSE L END AS c1
+           FROM c),
+         e AS (SELECT d.doc_id, d.t AS t, d.L AS L, d.c1 AS c1,
+             CASE WHEN d.L >= 16 THEN d.c1 + c.h2 % (d.L - 1 - d.c1) + 1 ELSE d.L END AS c2
+           FROM d JOIN c ON c.doc_id = d.doc_id)
+         SELECT doc_id, CAST(c1 AS BIGINT) AS cut1, CAST(c2 AS BIGINT) AS cut2,
+           substr(t, 1, c1) AS prefix,
+           substr(t, c1 + 1, c2 - c1) AS middle,
+           substr(t, c2 + 1, L) AS suffix,
+           '<PRE>' || substr(t, 1, c1) || '<SUF>' || substr(t, c2 + 1, L)
+             || '<MID>' || substr(t, c1 + 1, c2 - c1) AS psm
+         FROM e""",
+
+    // span corruption: same md5 span starts per block, same sentinel
+    // walk, relational (list_transform over blocks + flatten)
+    "q_x_span_corrupt" ->
+      raw"""WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         b AS (SELECT doc_id, w, len(w) // 20 AS nb FROM tok),
+         s AS (SELECT doc_id, w, nb,
+             list_transform(generate_series(0, nb - 1), bb ->
+               CAST(CAST(concat('0x', substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(bb AS VARCHAR)), 1, 15)) AS UBIGINT) % 18 AS INT)) AS st
+           FROM b)
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(nb * 3 AS BIGINT) AS n_masked,
+           array_to_string(flatten(list_concat(
+             list_transform(generate_series(1, nb), i -> flatten([
+               w[(i - 1) * 20 + 1 : (i - 1) * 20 + st[i]],
+               ['<extra_id_' || CAST(i - 1 AS VARCHAR) || '>'],
+               w[(i - 1) * 20 + st[i] + 4 : (i - 1) * 20 + 20]])),
+             [w[nb * 20 + 1 : len(w)]])), ' ') AS inputs,
+           coalesce(array_to_string(flatten(
+             list_transform(generate_series(1, nb), i -> flatten([
+               ['<extra_id_' || CAST(i - 1 AS VARCHAR) || '>'],
+               w[(i - 1) * 20 + st[i] + 1 : (i - 1) * 20 + st[i] + 3]]))), ' '), '') AS targets
+         FROM s""",
+
+    // winnowing: the identical hash (md5-prefix as UBIGINT) and the
+    // identical rightmost-min window rule, relationally (windows ⋈
+    // grams, per-window rank by (hash ASC, pos DESC))
+    "q_x_winnow" -> (winnowOracleCommon + """
+         SELECT doc_id, CAST(pos AS INT) AS pos, hash FROM fp"""),
+
+    "q_x_winnow_overlap" -> (winnowOracleCommon + """,
+         fpd AS (SELECT DISTINCT doc_id, hash FROM fp),
+         hc AS (SELECT hash, count(*) AS nd FROM fpd GROUP BY hash),
+         ok AS (SELECT f.doc_id, f.hash FROM fpd f JOIN hc USING (hash)
+           WHERE nd BETWEEN 2 AND 50),
+         pr AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             count(*) AS n_shared
+           FROM ok a JOIN ok b ON a.hash = b.hash AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT left_id, right_id, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pr WHERE n_shared >= 2"""),
+
+    // bitext margins: same cosine, same top-k neighborhood means
+    // (ties by opposite id), same ratio margin over the fwd/bwd union
+    "q_x_bitext_margin" ->
+      (bitextOracleCommon + """
+         SELECT src_id, tgt_id, round(cos, 6) + 0.0 AS cos,
+           round(margin, 6) + 0.0 AS margin
+         FROM m"""),
+
+    // mined pairs: per-side argmax by margin (ties by opposite id),
+    // intersection + threshold
+    "q_x_bitext_pairs" ->
+      (bitextOracleCommon + """,
+         sel AS (SELECT src_id, tgt_id, cos, margin,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id) AS bf,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY margin DESC, src_id) AS bb
+           FROM m)
+         SELECT src_id, tgt_id, round(cos, 6) + 0.0 AS cos,
+           round(margin, 6) + 0.0 AS margin
+         FROM sel WHERE bf = 1 AND bb = 1 AND margin >= 1.0"""),
+
+    // diversity: same stacked grams, same one-pass entropy identity
+    // ln(T) - sum(c ln c)/T
+    "q_x_diversity" ->
+      raw"""WITH tok AS (SELECT lang,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g AS (SELECT lang, n.n AS n,
+             unnest(list_transform(generate_series(1, len(w) - n.n + 1),
+               i -> array_to_string(w[i:i + n.n - 1], ' '))) AS g
+           FROM tok, (VALUES (1), (2), (3)) n(n)),
+         c AS (SELECT lang, n, g, count(*) AS c FROM g GROUP BY lang, n, g)
+         SELECT lang, n, CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) + 0.0 AS distinct_ratio,
+           round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS entropy
+         FROM c GROUP BY lang, n""",
 
     // k-center greedy: the unrolled recurrence (see kcenterOracleCommon)
     "q_x_kcenter" ->

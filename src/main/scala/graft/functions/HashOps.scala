@@ -270,4 +270,128 @@ object HashOps {
     }
     new GenericArrayData(Array(top, dup))
   }
+
+  /** Clipped n-gram matches — the BLEU/ROUGE-N numerator (Papineni et
+    * al. 2002 "modified n-gram precision"): each candidate n-gram
+    * counts at most as often as it appears in the reference. One hash
+    * map of reference n-grams, one decrementing sweep over candidate
+    * n-grams — O(|cand| + |ref|) per row. Null tokens fold like
+    * concat_ws (skipped inside the joined gram), matching
+    * [[wordShingles]]. */
+  def clippedNgramMatches(cand: ArrayData, ref: ArrayData, n: Int): Long = {
+    val nc = cand.numElements() - n + 1
+    val nr = ref.numElements() - n + 1
+    if (nc <= 0 || nr <= 0) return 0L
+    def gram(toks: ArrayData, i: Int): UTF8String = {
+      if (n == 1) {
+        if (toks.isNullAt(i)) UTF8String.EMPTY_UTF8 else toks.getUTF8String(i)
+      } else {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
+        UTF8String.concatWs(space, parts: _*)
+      }
+    }
+    val counts = new java.util.HashMap[UTF8String, Integer](nr * 2)
+    var i = 0
+    while (i < nr) {
+      val g = gram(ref, i)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var m = 0L
+    i = 0
+    while (i < nc) {
+      val g = gram(cand, i)
+      val c = counts.get(g)
+      if (c != null && c > 0) { m += 1; counts.put(g, c - 1) }
+      i += 1
+    }
+    m
+  }
+
+  /** Winnowing fingerprints (Schleimer-Wilkerson-Aiken SIGMOD 2003 —
+    * the MOSS scheme): hash every k-char gram of the text (60-bit
+    * md5-prefix, so any SQL engine can replay it), then in each window
+    * of `w` consecutive hashes select the minimum, rightmost on ties;
+    * the distinct selected (pos, hash) pairs are the fingerprints.
+    * Guarantee: any shared substring of length >= w + k - 1 shares a
+    * fingerprint. Density ~ 2/(w+1). Texts with fewer than w grams
+    * form one whole-text window. Returns array<struct<pos int,
+    * hash long>> in position order. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val p = s.length - k + 1
+    if (p < 1) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](p)
+    var i = 0
+    while (i < p) {
+      val d = md.digest(s.substring(i, i + k).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = first 7.5 bytes, matching
+      // CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) in SQL
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      md.reset()
+      i += 1
+    }
+    val nWin = math.max(1, p - w + 1)
+    val selPos = new java.util.TreeSet[Integer]()
+    var j = 0
+    while (j < nWin) {
+      val end = math.min(j + w, p)
+      var best = j
+      var m = j + 1
+      while (m < end) { if (hashes(m) <= hashes(best)) best = m; m += 1 }
+      selPos.add(best)
+      j += 1
+    }
+    val out = new Array[Any](selPos.size())
+    val it = selPos.iterator()
+    i = 0
+    while (it.hasNext) {
+      val pos = it.next().intValue()
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(pos + 1, hashes(pos))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Longest common subsequence length of two token arrays — the
+    * ROUGE-L kernel. Classic O(m*n) two-row DP as a tight loop; the
+    * higher-order-function composition of the same DP is interpreted
+    * per element and catastrophically slower on corpus-wide scans
+    * (the MinHashSignature argument). Null tokens equal only null. */
+  def lcsLength(a: ArrayData, b: ArrayData): Long = {
+    val m = a.numElements(); val n = b.numElements()
+    if (m == 0 || n == 0) return 0L
+    val bs = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) {
+      bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1
+    }
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      j = 0
+      while (j < n) {
+        val eq = if (ai == null) bs(j) == null else ai.equals(bs(j))
+        cur(j + 1) = if (eq) prev(j) + 1
+          else { val u = prev(j + 1); val l = cur(j); if (u >= l) u else l }
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n).toLong
+  }
 }

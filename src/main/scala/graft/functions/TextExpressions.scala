@@ -232,6 +232,77 @@ case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of a text (Schleimer-Wilkerson-Aiken 2003 —
+  * the MOSS local-fingerprint scheme; see
+  * [[HashOps.winnowFingerprints]]): array<struct<pos, hash>> of the
+  * per-window minima over k-gram md5-prefix hashes. The window scan is
+  * sequential with positional state — no built-in composition
+  * expresses it; as a kernel it is one static call per row. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1,
+    s"winnow_fingerprints: k/w must be >= 1, got $k/$w")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    HashOps.winnowFingerprints(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** Clipped n-gram matches of candidate vs reference token arrays — the
+  * BLEU "modified precision" / ROUGE-N numerator, one hash-map sweep
+  * per row (see [[HashOps.clippedNgramMatches]]). A binary kernel so
+  * corpus-scale generation eval stays inside whole-stage codegen. */
+case class ClippedNgramMatches(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(n >= 1, s"clipped_ngram_matches: n must be >= 1, got $n")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "clipped_ngram_matches"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(HashOps.clippedNgramMatches(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashOps.clippedNgramMatches($a, $b, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ClippedNgramMatches =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Longest-common-subsequence length of two token arrays — the ROUGE-L
+  * kernel (see [[HashOps.lcsLength]]): classic two-row O(m*n) DP as
+  * one static call per row. */
+case class LcsLength(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcs_length"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(HashOps.lcsLength(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashOps.lcsLength($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LcsLength =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftx.{toColumn, toExpression}
 
@@ -253,6 +324,12 @@ object TextExpressions {
     toColumn(DeflateRatio(toExpression(c)))
   def ngram_rep_stats(tokens: Column, n: Int): Column =
     toColumn(NgramRepStats(toExpression(tokens), n))
+  def clipped_ngram_matches(cand: Column, ref: Column, n: Int): Column =
+    toColumn(ClippedNgramMatches(toExpression(cand), toExpression(ref), n))
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    toColumn(WinnowFingerprints(toExpression(text), k, w))
+  def lcs_length(a: Column, b: Column): Column =
+    toColumn(LcsLength(toExpression(a), toExpression(b)))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

@@ -252,6 +252,90 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
         s"evalMetric: metric must be 'auc', 'calibration' or 'pr', got '$other'")
   }
 
+  /** Generation eval (`graft.text.GenEval`) over a (id, cand, ref)
+    * pairs table: "rouge1"/"rouge2"/"rougeN" = per-pair clipped n-gram
+    * P/R/F1, "rougeL" = per-pair LCS P/R/F1, "bleu" = one corpus-BLEU
+    * row. */
+  def genEval(inPath: String, metric: String, idCol: String = "id",
+              candCol: String = "cand", refCol: String = "ref",
+              n: Int = 4): DataFrame = metric match {
+    case "rouge1" => graft.text.GenEval.rougeN(corpus(inPath), idCol, candCol, refCol, 1)
+    case "rouge2" => graft.text.GenEval.rougeN(corpus(inPath), idCol, candCol, refCol, 2)
+    case "rougeN" => graft.text.GenEval.rougeN(corpus(inPath), idCol, candCol, refCol, n)
+    case "rougeL" => graft.text.GenEval.rougeL(corpus(inPath), idCol, candCol, refCol)
+    case "bleu"   => graft.text.GenEval.bleu(corpus(inPath), candCol, refCol, n)
+    case "chrf"   => graft.text.GenEval.chrF(corpus(inPath), idCol, candCol, refCol)
+    case other => throw new IllegalArgumentException(
+      s"genEval: metric must be rouge1|rouge2|rougeN|rougeL|chrf|bleu, got '$other'")
+  }
+
+  /** Ranked-retrieval eval (`graft.text.Eval.rankMetrics/rankSummary`)
+    * of a run table against a qrels table; `summary = true` collapses
+    * to the one-row MRR / mean-nDCG / mean-recall scoreboard. */
+  def rankEval(runPath: String, qrelsPath: String, k: Int = 10,
+               summary: Boolean = false, queryCol: String = "query_id",
+               docCol: String = "doc_id", rankCol: String = "rank",
+               relCol: String = "rel"): DataFrame =
+    if (summary)
+      graft.text.Eval.rankSummary(corpus(runPath), corpus(qrelsPath),
+        queryCol, docCol, rankCol, relCol, k)
+    else
+      graft.text.Eval.rankMetrics(corpus(runPath), corpus(qrelsPath),
+        queryCol, docCol, rankCol, relCol, k)
+
+  /** Pretraining-objective transforms (`graft.text.Corruption`):
+    * "fim" = fill-in-the-middle PSM splits, "span" = T5 block span
+    * corruption (inputs/targets with sentinels). */
+  def corrupt(inPath: String, mode: String = "span",
+              idCol: String = "doc_id", textCol: String = "text",
+              blockSize: Int = 20, spanLen: Int = 3): DataFrame = mode match {
+    case "fim" =>
+      graft.text.Corruption.fimSplit(corpus(inPath), idCol, textCol)
+    case "span" =>
+      graft.text.Corruption.spanCorrupt(corpus(inPath), idCol, textCol,
+        blockSize, spanLen)
+    case other => throw new IllegalArgumentException(
+      s"corrupt: mode must be 'fim' or 'span', got '$other'")
+  }
+
+  /** Winnowing fingerprints (`graft.text.Winnow`, the MOSS scheme):
+    * "fingerprints" = per-doc (pos, hash) frame, "overlap" = the
+    * cross-document shared-passage pair report. */
+  def winnow(inPath: String, mode: String = "overlap",
+             idCol: String = "doc_id", textCol: String = "text",
+             k: Int = 8, w: Int = 4): DataFrame = mode match {
+    case "fingerprints" =>
+      graft.text.Winnow.fingerprints(corpus(inPath), idCol, textCol, k, w)
+    case "overlap" =>
+      graft.text.Winnow.overlap(corpus(inPath), idCol, textCol, k, w)
+    case other => throw new IllegalArgumentException(
+      s"winnow: mode must be 'fingerprints' or 'overlap', got '$other'")
+  }
+
+  /** Margin-based bitext mining (`graft.vec.Bitext`): "margin" = the
+    * scored fwd/bwd candidate union, "pairs" = the mutual-best mined
+    * pairs above `minMargin`. */
+  def bitext(srcPath: String, tgtPath: String, mode: String = "pairs",
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             k: Int = 4, minMargin: Double = 1.0): DataFrame = mode match {
+    case "margin" =>
+      graft.vec.Bitext.marginScores(corpus(srcPath), corpus(tgtPath),
+        idCol, vecCol, k)
+    case "pairs" =>
+      graft.vec.Bitext.minePairs(corpus(srcPath), corpus(tgtPath),
+        idCol, vecCol, k, minMargin)
+    case other => throw new IllegalArgumentException(
+      s"bitext: mode must be 'margin' or 'pairs', got '$other'")
+  }
+
+  /** Corpus diversity report (`graft.text.GenEval.diversity`):
+    * distinct-n + n-gram entropy for orders 1..maxN, optionally per
+    * group column. */
+  def diversity(inPath: String, textCol: String = "text", maxN: Int = 3,
+                groupCol: Option[String] = None): DataFrame =
+    graft.text.GenEval.diversity(corpus(inPath), textCol,
+      ns = 1 to maxN, groupCols = groupCol.toSeq)
+
   /** k-center greedy coreset (`graft.vec.Coreset`): the k selected
     * frontier points as (rank, vec_id, dist). */
   def coreset(inPath: String, idCol: String = "vec_id",

@@ -166,4 +166,52 @@ class CliCorpusSpec extends AnyFunSuite {
     assert(ga.count() == 6) // 3 queries x k=2
     assert(ga.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "cos"))
   }
+
+  test("gen-eval and rank-eval verbs dispatch and write parquet") {
+    val dir = Files.createTempDirectory("graft_cli_corpus7_")
+    val root = Files.createTempDirectory("graft_cli_root7_").toString
+    Seq((1L, "the cat sat", "the dog sat"), (2L, "a b c", "a b c"))
+      .toDF("id", "cand", "ref").write.parquet(s"$dir/pairs")
+    Cli.main(Array(root, "c1", "gen-eval", s"$dir/pairs", "rougeL",
+      "--out", s"$dir/rl_out"))
+    val rl = spark.read.parquet(s"$dir/rl_out")
+    assert(rl.count() == 2)
+    assert(rl.columns.toSeq == Seq("id", "lcs", "n_cand", "n_ref",
+      "precision", "recall", "f1"))
+    Cli.main(Array(root, "c1", "gen-eval", s"$dir/pairs", "bleu",
+      "--out", s"$dir/bl_out"))
+    assert(spark.read.parquet(s"$dir/bl_out").count() == 1)
+
+    Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "doc_id")
+      .write.parquet(s"$dir/run")
+    Seq((1L, 10L, 2)).toDF("query_id", "doc_id", "rel")
+      .write.parquet(s"$dir/qrels")
+    Cli.main(Array(root, "c1", "rank-eval", s"$dir/run", s"$dir/qrels",
+      "5", "summary", "--out", s"$dir/rs_out"))
+    val rs = spark.read.parquet(s"$dir/rs_out").head()
+    assert(rs.getLong(0) == 5 && rs.getLong(1) == 1 && rs.getDouble(2) == 1.0)
+  }
+
+  test("bitext and diversity verbs dispatch and write parquet") {
+    val dir = Files.createTempDirectory("graft_cli_corpus8_")
+    val root = Files.createTempDirectory("graft_cli_root8_").toString
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/src")
+    Seq((10L, Array(1.0f, 0.1f)), (11L, Array(0.1f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/tgt")
+    Cli.main(Array(root, "c1", "bitext", s"$dir/src", s"$dir/tgt",
+      "pairs", "2", "0.0", "--out", s"$dir/bt_out"))
+    val bt = spark.read.parquet(s"$dir/bt_out")
+    assert(bt.count() == 2)
+    assert(bt.columns.toSeq == Seq("src_id", "tgt_id", "cos", "margin"))
+
+    Seq((1L, "a a b", "en"), (2L, "a b", "de"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/docs")
+    Cli.main(Array(root, "c1", "diversity", s"$dir/docs", "text", "2",
+      "lang", "--out", s"$dir/dv_out"))
+    val dv = spark.read.parquet(s"$dir/dv_out")
+    assert(dv.columns.toSeq == Seq("lang", "n", "n_grams", "n_distinct",
+      "distinct_ratio", "entropy"))
+    assert(dv.count() == 4) // 2 langs x orders 1..2
+  }
 }

@@ -789,6 +789,48 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("round-10c: generation-eval kernels score streams (rougeL/rouge2, stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10c_stream_")
+    val rows = Seq((1L, "the cat sat on the mat", "the dog sat on a mat"),
+      (2L, "alpha beta gamma", "alpha beta gamma"),
+      (3L, "one two three", "four five six"))
+    rows.toDF("id", "cand", "ref")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val batchDf = spark.read.parquet(dir.resolve("d1.parquet").toString)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // both metrics are row-local codegen kernels -> stream directly
+    val q = graft.text.GenEval.rougeL(stream, "id", "cand", "ref")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r10c_rougel").start()
+    val q2 = graft.text.GenEval.rougeN(stream, "id", "cand", "ref", n = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r10c_rouge2").start()
+    try {
+      q.processAllAvailable(); q2.processAllAvailable()
+      val sL = spark.table("r10c_rougel")
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSet
+      val bL = graft.text.GenEval.rougeL(batchDf, "id", "cand", "ref")
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSet
+      assert(sL == bL && sL.nonEmpty)
+      val s2 = spark.table("r10c_rouge2")
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSet
+      val b2 = graft.text.GenEval.rougeN(batchDf, "id", "cand", "ref", n = 2)
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSet
+      assert(s2 == b2 && s2.nonEmpty)
+      // exact pair scored 1.0 on the stream, disjoint pair 0.0
+      assert(sL.exists(t => t._1 == 2L && t._7 == 1.0))
+      assert(sL.exists(t => t._1 == 3L && t._7 == 0.0))
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("streaming ANN ingest: batches land in the VecIndex, replayed ids are absorbed") {
     import spark.implicits._
     import org.apache.spark.sql.types._
