@@ -39,6 +39,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> corrupt <docs.parquet> [span|fim] [idCol] [textCol] [blockSize] [spanLen] [--out D]
   * graft.Cli <root> <collection> bitext <src.parquet> <tgt.parquet> [pairs|margin] [k] [minMargin] [--out D]
   * graft.Cli <root> <collection> diversity <docs.parquet> [textCol] [maxN] [groupCol] [--out D]
+  * graft.Cli <root> <collection> align <pairs.parquet> <vecs.parquet> [srcCol] [tgtCol] [vecCol] [dims] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -163,7 +164,8 @@ object Cli {
       case "chat-stats" | "html-extract" | "pref-stats" | "json-profile"
          | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
          | "dsir" | "eval" | "coreset" | "graph-ann" | "gen-eval"
-         | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity" =>
+         | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
+         | "align" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -223,6 +225,9 @@ object Cli {
           case "diversity" =>
             facade.diversity(inPath, p(1, "text"), p(2, "3").toInt,
               pos.lift(3).filter(_.nonEmpty))
+          case "align" =>
+            facade.align(inPath, pos(1), p(2, "x"), p(3, "y"),
+              p(4, "embedding"), p(5, "64").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

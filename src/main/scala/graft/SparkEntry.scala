@@ -1268,6 +1268,39 @@ object SparkEntry {
         ns = Seq(1, 2, 3), groupCols = Seq("lang"))
     }),
 
+    // X: Procrustes cross-covariance M = X^T Y over consecutive-id
+    // seed pairs — the one data-sized agg behind alignment (dim-pair
+    // keyed, d^2 key space, the covMatrix discipline)
+    "q_x_xcov" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id"), col("embedding").as("__x"))
+        .join(emb.select((col("vec_id") - 1).as("vec_id"),
+          col("embedding").as("__y")), "vec_id")
+      graft.vec.Align.crossCov(pairs, "__x", "__y", dims = 16)
+        .select(col("i"), col("j"),
+          (round(col("sxy"), 6) + lit(0.0)).as("sxy"))
+    }),
+
+    // X: end-to-end Procrustes alignment against a PLANTED rotation —
+    // seed pairs are (x, x·R0) for a literal Givens composition, so
+    // the analytic solution is W = R0 exactly and the ORACLE replays
+    // the aligned output with literal trig entries (the SVD itself is
+    // driver-side d×d and spec-gated; this gates the whole
+    // xcov -> SVD -> row-local-apply path end to end)
+    "q_x_procrustes_align" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val r0 = graft.vec.Align.givens(64,
+        Seq((0, 1, math.Pi / 6), (2, 3, math.Pi / 3)))
+      val pairs = graft.vec.Align.applyMap(emb, "embedding", "__y", r0)
+        .select(col("embedding").as("__x"), col("__y"))
+      val w = graft.vec.Align.procrustes(pairs, "__x", "__y", dims = 64)
+      graft.vec.Align.applyMap(emb, "embedding", "__a", w)
+        .select(col("vec_id"), posexplode(col("__a")))
+        .select(col("vec_id"), col("pos").as("i"),
+          (round(col("col"), 6) + lit(0.0)).as("v"))
+    }),
+
     // X: k-center greedy coreset (Gonzalez 1985 / Sener-Savarese
     // coresets) — k sequential steps, each one row-local min-dist
     // projection over literal centers + one global top-1; the oracle
@@ -3992,6 +4025,34 @@ object SparkEntry {
          SELECT src_id, tgt_id, round(cos, 6) + 0.0 AS cos,
            round(margin, 6) + 0.0 AS margin
          FROM sel WHERE bf = 1 AND bb = 1 AND margin >= 1.0"""),
+
+    // xcov: the same uncentered X^T Y sums over the same pairs
+    "q_x_xcov" ->
+      """WITH pr AS (SELECT CAST(a.embedding AS DOUBLE[]) AS x,
+             CAST(b.embedding AS DOUBLE[]) AS y
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+           WHERE a.vec_id % 2 = 0),
+         g AS (SELECT i.i AS i, j.j AS j, x[i.i + 1] * y[j.j + 1] AS xy
+           FROM pr, generate_series(0, 15) i(i), generate_series(0, 15) j(j))
+         SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           round(sum(xy), 6) + 0.0 AS sxy
+         FROM g GROUP BY i, j""",
+
+    // procrustes: the planted Givens composition applied with literal
+    // trig entries — W = R0 analytically, so x·W replays exactly
+    "q_x_procrustes_align" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+           FROM embeddings),
+         g AS (SELECT vec_id, i.i AS i,
+             CASE i.i
+               WHEN 0 THEN cos(pi() / 6) * x[1] - sin(pi() / 6) * x[2]
+               WHEN 1 THEN sin(pi() / 6) * x[1] + cos(pi() / 6) * x[2]
+               WHEN 2 THEN cos(pi() / 3) * x[3] - sin(pi() / 3) * x[4]
+               WHEN 3 THEN sin(pi() / 3) * x[3] + cos(pi() / 3) * x[4]
+               ELSE x[i.i + 1] END AS v
+           FROM e, generate_series(0, 63) i(i))
+         SELECT vec_id, CAST(i AS INT) AS i, round(v, 6) + 0.0 AS v
+         FROM g""",
 
     // diversity: same stacked grams, same one-pass entropy identity
     // ln(T) - sum(c ln c)/T

@@ -336,6 +336,16 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     graft.text.GenEval.diversity(corpus(inPath), textCol,
       ns = 1 to maxN, groupCols = groupCol.toSeq)
 
+  /** Procrustes embedding alignment (`graft.vec.Align`): learn the
+    * orthogonal map from a seed-pairs table (srcCol, tgtCol vectors),
+    * apply it to `vecsPath` as a new `aligned` column. */
+  def align(pairsPath: String, vecsPath: String, srcCol: String = "x",
+            tgtCol: String = "y", vecCol: String = "embedding",
+            dims: Int = 64): DataFrame = {
+    val w = graft.vec.Align.procrustes(corpus(pairsPath), srcCol, tgtCol, dims)
+    graft.vec.Align.applyMap(corpus(vecsPath), vecCol, "aligned", w)
+  }
+
   /** k-center greedy coreset (`graft.vec.Coreset`): the k selected
     * frontier points as (rank, vec_id, dist). */
   def coreset(inPath: String, idCol: String = "vec_id",

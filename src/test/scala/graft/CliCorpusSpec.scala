@@ -214,4 +214,22 @@ class CliCorpusSpec extends AnyFunSuite {
       "distinct_ratio", "entropy"))
     assert(dv.count() == 4) // 2 langs x orders 1..2
   }
+
+  test("align verb learns from seed pairs and writes aligned vectors") {
+    val dir = Files.createTempDirectory("graft_cli_corpus9_")
+    val root = Files.createTempDirectory("graft_cli_root9_").toString
+    // seed pairs: y = x rotated 90 degrees in the plane
+    val rng = new scala.util.Random(3)
+    val pts = (1L to 30L).map(_ => (rng.nextGaussian().toFloat,
+      rng.nextGaussian().toFloat))
+    pts.map { case (a, b) => (Array(a, b), Array(-b, a)) }.toDF("x", "y")
+      .write.parquet(s"$dir/pairs")
+    Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/vecs")
+    Cli.main(Array(root, "c1", "align", s"$dir/pairs", s"$dir/vecs",
+      "x", "y", "embedding", "2", "--out", s"$dir/al_out"))
+    val al = spark.read.parquet(s"$dir/al_out").head()
+    val a = al.getSeq[Double](al.fieldIndex("aligned"))
+    assert(math.abs(a(0) - 0.0) < 1e-9 && math.abs(a(1) - 1.0) < 1e-9)
+  }
 }
