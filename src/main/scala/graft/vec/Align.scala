@@ -26,6 +26,13 @@ object Align {
     * the seed pairs: (i, j, sxy) for all 0 <= i, j < dims — the one
     * data-sized aggregation behind [[procrustes]]. Uncentered by
     * convention (MUSE aligns normalized embeddings without centering).
+    *
+    * Shape: explode on the ROW dimension only (d rows per pair, each
+    * carrying x_i and the y vector) and aggregate d sum expressions
+    * per key — the d² products stay multiply-adds inside codegen
+    * instead of materializing d² structs per pair (at d = 64 that
+    * explode was 4096 objects/row and dominated the whole alignment,
+    * 4.7 s → sub-second at sf0.1). Key space d, data-independent.
     * Fails loudly on vectors shorter than `dims` (the covMatrix
     * discipline — element_at past the end would silently null sums
     * under non-ANSI semantics). */
@@ -36,15 +43,16 @@ object Align {
       when(size(c) >= lit(dims), VectorOps.asDouble(c))
         .otherwise(raise_error(concat(
           lit(s"crossCov: dims=$dims exceeds vector length "), size(c))))
+    val sums = (0 until dims).map(j =>
+      sum(col("__xi") * element_at(col("__y"), j + 1)).as(s"__s$j"))
     pairs
       .select(checked(col(srcVecCol)).as("__x"), checked(col(tgtVecCol)).as("__y"))
-      .select(explode(flatten(transform(sequence(lit(0), lit(dims - 1)), i =>
-        transform(sequence(lit(0), lit(dims - 1)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("__x"), i + 1) *
-             element_at(col("__y"), j + 1)).as("xy")))))).as("__p"))
-      .groupBy(col("__p.i").as("i"), col("__p.j").as("j"))
-      .agg(sum(col("__p.xy")).as("sxy"))
+      .select(posexplode(slice(col("__x"), 1, dims)).as(Seq("__i", "__xi")),
+        col("__y"))
+      .groupBy(col("__i").as("i"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("i"), posexplode(array((0 until dims).map(j =>
+        col(s"__s$j")): _*)).as(Seq("j", "sxy")))
   }
 
   /** The Procrustes rotation W = UVᵀ (row-major d×d: aligned = x·W)
