@@ -436,6 +436,48 @@ object SparkEntry {
          FROM r JOIN af USING (src_id) JOIN ab USING (tgt_id)
          WHERE rf <= 4 OR rb <= 4)"""
 
+  /** Shared DuckDB prefix for the q_x_wordpiece / q_x_tok_fertility
+    * oracles: the greedy longest-match WordPiece encode (vocab = top-30
+    * words + character alphabet) as a recursive CTE, ending at
+    * `done(doc_id, widx, pieces)`; `tok(doc_id, w)` stays visible for
+    * word counts. */
+  private val wordpieceOracleCommon: String =
+    raw"""WITH RECURSIVE
+         tok AS (SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         words0 AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w)),
+               i -> struct_pack(i := i, word := w[i]))) AS s
+           FROM tok),
+         words AS (SELECT doc_id, s.i AS widx, s.word AS word FROM words0),
+         wf AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+         topw AS (SELECT word AS piece FROM wf ORDER BY c DESC, word LIMIT 30),
+         chars0 AS (SELECT DISTINCT unnest(string_split(word, '')) AS ch
+           FROM (SELECT DISTINCT word FROM words)),
+         v AS (
+           SELECT DISTINCT piece, cont FROM (
+             SELECT piece, FALSE AS cont FROM topw
+             UNION ALL SELECT ch, FALSE FROM chars0
+             UNION ALL SELECT ch, TRUE FROM chars0)),
+         r AS (
+           SELECT doc_id, widx, word, 1 AS pos,
+                  CAST([] AS VARCHAR[]) AS pieces
+           FROM words
+           UNION ALL
+           SELECT doc_id, widx, word, pos + len(best),
+             list_append(pieces,
+               CASE WHEN pos = 1 THEN best ELSE '##' || best END)
+           FROM (
+             SELECT r.doc_id, r.widx, r.word, r.pos, r.pieces,
+               (SELECT p.piece FROM v p
+                WHERE p.cont = (r.pos > 1)
+                  AND substr(r.word, r.pos, len(p.piece)) = p.piece
+                ORDER BY len(p.piece) DESC, p.piece LIMIT 1) AS best
+             FROM r WHERE r.pos <= len(word)) t
+           WHERE best IS NOT NULL),
+         done AS (SELECT doc_id, widx, pieces FROM r WHERE pos = len(word) + 1)"""
+
   /** Shared inputs for the q_x_rank_* queries: a brute-force cosine
     * top-10 run for the 8 probe queries, and graded qrels derived from
     * label proximity (rel 2 = same label, 1 = adjacent label) — the
@@ -1052,6 +1094,18 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val vocab = Wordpiece.buildVocab(docs, "text", topWords = 30)
       Wordpiece.encode(docs, "doc_id", "text", vocab)
+    }),
+
+    // X: tokenizer fertility — per-language pieces-per-word for the
+    // WordPiece encode (the pick-a-tokenizer eval before a full-corpus
+    // encode); piece strings never cross a shuffle (per-doc counts
+    // aggregate first)
+    "q_x_tok_fertility" -> ((s, dir) => {
+      import graft.text.Wordpiece
+      val docs = t(s, dir, "documents")
+      val vocab = Wordpiece.buildVocab(docs, "text", topWords = 30)
+      Wordpiece.fertility(Wordpiece.encode(docs, "doc_id", "text", vocab),
+        docs, "doc_id", "text", Seq("lang"))
     }),
 
     // X: Unigram-LM (SentencePiece-family) Viterbi segmentation — the
@@ -4281,47 +4335,28 @@ object SparkEntry {
     // subquery argmax), advancing pos by its length — terminates because
     // the single-character alphabet always matches
     "q_x_wordpiece" ->
-      """WITH RECURSIVE
-         tok AS (SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-           FROM documents),
-         words0 AS (SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(w)),
-               i -> struct_pack(i := i, word := w[i]))) AS s
-           FROM tok),
-         words AS (SELECT doc_id, s.i AS widx, s.word AS word FROM words0),
-         wf AS (SELECT word, count(*) AS c FROM words GROUP BY word),
-         topw AS (SELECT word AS piece FROM wf ORDER BY c DESC, word LIMIT 30),
-         chars0 AS (SELECT DISTINCT unnest(string_split(word, '')) AS ch
-           FROM (SELECT DISTINCT word FROM words)),
-         v AS (
-           SELECT DISTINCT piece, cont FROM (
-             SELECT piece, FALSE AS cont FROM topw
-             UNION ALL SELECT ch, FALSE FROM chars0
-             UNION ALL SELECT ch, TRUE FROM chars0)),
-         r AS (
-           SELECT doc_id, widx, word, 1 AS pos,
-                  CAST([] AS VARCHAR[]) AS pieces
-           FROM words
-           UNION ALL
-           SELECT doc_id, widx, word, pos + len(best),
-             list_append(pieces,
-               CASE WHEN pos = 1 THEN best ELSE '##' || best END)
-           FROM (
-             SELECT r.doc_id, r.widx, r.word, r.pos, r.pieces,
-               (SELECT p.piece FROM v p
-                WHERE p.cont = (r.pos > 1)
-                  AND substr(r.word, r.pos, len(p.piece)) = p.piece
-                ORDER BY len(p.piece) DESC, p.piece LIMIT 1) AS best
-             FROM r WHERE r.pos <= len(word)) t
-           WHERE best IS NOT NULL),
-         done AS (SELECT doc_id, widx, pieces FROM r WHERE pos = len(word) + 1),
+      (wordpieceOracleCommon + """,
          ex AS (SELECT doc_id, widx,
              unnest(list_transform(generate_series(1, len(pieces)),
                j -> struct_pack(j := j, piece := pieces[j]))) AS s
            FROM done)
          SELECT doc_id, CAST(widx AS BIGINT) AS widx,
-           CAST(s.j AS BIGINT) AS pidx, s.piece AS piece FROM ex""",
+           CAST(s.j AS BIGINT) AS pidx, s.piece AS piece FROM ex"""),
+
+    // tokenizer fertility: per-language pieces-per-word aggregated from
+    // the SAME greedy-encode recurrence's done(doc_id, widx, pieces)
+    "q_x_tok_fertility" ->
+      (wordpieceOracleCommon + """,
+         np AS (SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS n_pieces
+           FROM done GROUP BY doc_id),
+         nw AS (SELECT d.doc_id, d.lang, len(t.w) AS n_words
+           FROM documents d JOIN tok t ON t.doc_id = d.doc_id)
+         SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(coalesce(np.n_pieces, 0)) AS BIGINT) AS n_pieces,
+           round(CAST(sum(coalesce(np.n_pieces, 0)) AS DOUBLE)
+             / sum(n_words), 6) + 0.0 AS fertility
+         FROM nw LEFT JOIN np ON np.doc_id = nw.doc_id
+         GROUP BY lang"""),
 
     // identical Viterbi DP as a recursive CTE carrying best[0..j] as a
     // list of (score, pieces) structs; the argmax rides two scalar

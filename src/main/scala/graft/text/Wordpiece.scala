@@ -112,4 +112,29 @@ object Wordpiece {
       .select(col(idCol), col("widx"),
         (col("pi") + 1).cast("long").as("pidx"), col("piece"))
   }
+
+  /** Tokenizer fertility report: pieces-per-word per `groupCols` value
+    * (per language, per source, ...) — the eval that picks a tokenizer
+    * BEFORE committing a 100 TB encode (fertility ~1 means the vocab
+    * fits the language; >> 1 means it fragments into characters).
+    * Tokenizer-agnostic: `pieces` is any (idCol, ..., piece-row) frame
+    * — [[encode]] output, [[Unigram.encode]] output, or BPE rows.
+    *
+    * Shape: per-doc piece counts aggregate FIRST (id-keyed, map-side
+    * combined), so only (id, count) rows meet the documents join —
+    * piece strings never cross a shuffle; the final agg is
+    * group-domain-sized. */
+  def fertility(pieces: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "fertility: need at least one group column")
+    val np = pieces.groupBy(col(idCol)).agg(count(lit(1)).as("__np"))
+    val nw = docs.select(groupCols.map(col) :+ col(idCol) :+
+      size(TextOps.tokens(col(textCol))).cast("long").as("__nw"): _*)
+    nw.join(np, Seq(idCol), "left")
+      .na.fill(0L, Seq("__np"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__nw")).as("n_words"), sum(col("__np")).as("n_pieces"),
+        (round(sum(col("__np")).cast("double") / sum(col("__nw")), 6)
+          + lit(0.0)).as("fertility"))
+  }
 }

@@ -70,4 +70,19 @@ class WordpieceSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, "a"), (1L, 2L, "##b"), (1L, 3L, "##a"),
       (1L, 4L, "##b"), (2L, 1L, "b"), (2L, 2L, "##a")))
   }
+
+  test("fertility: hand-computed pieces-per-word per group") {
+    // vocab {a, b}: "abab ba" -> 4 + 2 = 6 pieces over 2 words (f=3);
+    // "aa" -> 2 pieces over 1 word (f=2)
+    val v = Wordpiece.Vocab(
+      initials = Seq("a", "b"), continuations = Seq("a", "b"))
+    val docs = Seq((1L, "abab ba", "g1"), (2L, "aa", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val pieces = Wordpiece.encode(docs, "doc_id", "text", v)
+    val got = Wordpiece.fertility(pieces, docs, "doc_id", "text", Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("g1") == ((2L, 6L, 3.0)))
+    assert(got("g2") == ((1L, 2L, 2.0)))
+  }
 }
