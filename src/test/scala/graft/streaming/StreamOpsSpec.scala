@@ -831,6 +831,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("round-10d: corruption transforms stream (md5-of-id cuts, stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10d_stream_")
+    val rows = (1L to 8L).map(i =>
+      (i, s"document number $i with enough characters to be split three ways"))
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("_staging").toString)
+    val part = java.nio.file.Files.list(dir.resolve("_staging"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, dir.resolve("d1.parquet"))
+    val batchDf = spark.read.parquet(dir.resolve("d1.parquet").toString)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // FIM cuts are md5(doc_id)-derived -> identical on stream and batch
+    val q = graft.text.Corruption.fimSplit(stream, "doc_id", "text")
+      .select("doc_id", "cut1", "cut2", "psm")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("r10d_fim").start()
+    try {
+      q.processAllAvailable()
+      val s = spark.table("r10d_fim")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val b = graft.text.Corruption.fimSplit(batchDf, "doc_id", "text")
+        .select("doc_id", "cut1", "cut2", "psm")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(s == b && s.size == 8)
+    } finally { q.stop() }
+  }
+
   test("streaming ANN ingest: batches land in the VecIndex, replayed ids are absorbed") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -88,4 +88,17 @@ class CorruptionSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> (x.getString(3), x.getString(4))).toMap
     assert(a == b)
   }
+
+  test("both transforms are shuffle-free single projections (plan guard)") {
+    val many = (1L to 40L).map(i =>
+      (i, s"tok$i " + ("a b c d e f g h " * 4))).toDF("doc_id", "text")
+    val fPlan = Corruption.fimSplit(many, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!fPlan.contains("Exchange"), fPlan.take(800))
+    assert(!fPlan.contains("Generate"), fPlan.take(800))
+    val sPlan = Corruption.spanCorrupt(many, "doc_id", "text",
+        blockSize = 8, spanLen = 2)
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Exchange"), sPlan.take(800))
+  }
 }

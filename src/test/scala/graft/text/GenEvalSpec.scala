@@ -148,4 +148,21 @@ class GenEvalSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("per-pair scoring is shuffle-free and corpus BLEU is one partial agg (plan guard)") {
+    val df = (1L to 40L).map(i => (i, s"a b c d$i", s"a b x d$i"))
+      .toDF("id", "cand", "ref")
+    Seq(GenEval.rougeN(df, "id", "cand", "ref", 2),
+        GenEval.rougeL(df, "id", "cand", "ref"),
+        GenEval.chrF(df, "id", "cand", "ref")).foreach { out =>
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+    }
+    // corpus BLEU: exactly one global HashAggregate pair (partial +
+    // final) — one Exchange of ONE row, nothing keyed
+    val bleuPlan = GenEval.bleu(df, "cand", "ref")
+      .queryExecution.executedPlan.toString
+    assert(bleuPlan.contains("HashAggregate"), bleuPlan.take(800))
+    assert("Exchange".r.findAllIn(bleuPlan).size <= 1, bleuPlan.take(800))
+  }
 }

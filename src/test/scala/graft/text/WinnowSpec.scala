@@ -111,4 +111,12 @@ class WinnowSpec extends AnyFunSuite {
       minShared = 1, maxDocsPerHash = 50)
     assert(uncapped.count() == 15) // all C(6,2) pairs share the footer
   }
+
+  test("fingerprinting is shuffle-free: one kernel scan + one explode (plan guard)") {
+    val docs = (1L to 30L).map(i => (i, s"document $i body text " * 3))
+      .toDF("doc_id", "text")
+    val plan = Winnow.fingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
 }
