@@ -40,6 +40,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> bitext <src.parquet> <tgt.parquet> [pairs|margin] [k] [minMargin] [--out D]
   * graft.Cli <root> <collection> diversity <docs.parquet> [textCol] [maxN] [groupCol] [--out D]
   * graft.Cli <root> <collection> align <pairs.parquet> <vecs.parquet> [srcCol] [tgtCol] [vecCol] [dims] [--out D]
+  * graft.Cli <root> <collection> shard-audit <docs.parquet> [idCol] [textCol] [nShards] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -165,7 +166,7 @@ object Cli {
          | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
          | "dsir" | "eval" | "coreset" | "graph-ann" | "gen-eval"
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
-         | "align" =>
+         | "align" | "shard-audit" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -228,6 +229,9 @@ object Cli {
           case "align" =>
             facade.align(inPath, pos(1), p(2, "x"), p(3, "y"),
               p(4, "embedding"), p(5, "64").toInt)
+          case "shard-audit" =>
+            facade.shardAudit(inPath, p(1, "doc_id"), p(2, "text"),
+              p(3, "8").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

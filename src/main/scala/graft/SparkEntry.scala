@@ -1322,6 +1322,16 @@ object SparkEntry {
         ns = Seq(1, 2, 3), groupCols = Seq("lang"))
     }),
 
+    // X: shard audit — deterministic md5-of-id shard assignment,
+    // per-shard doc/token counts and an order-independent XOR content
+    // hash: one scan, one shard-keyed agg; re-auditable from any copy
+    // of the corpus (the tamper-evidence companion of q_x_shard_manifest's
+    // writer round trip)
+    "q_x_shard_audit" -> ((s, dir) => {
+      graft.text.Sharding.audit(t(s, dir, "documents"),
+        "doc_id", "text", nShards = 8)
+    }),
+
     // X: Procrustes cross-covariance M = X^T Y over consecutive-id
     // seed pairs — the one data-sized agg behind alignment (dim-pair
     // keyed, d^2 key space, the covMatrix discipline)
@@ -4079,6 +4089,24 @@ object SparkEntry {
          SELECT src_id, tgt_id, round(cos, 6) + 0.0 AS cos,
            round(margin, 6) + 0.0 AS margin
          FROM sel WHERE bf = 1 AND bb = 1 AND margin >= 1.0"""),
+
+    // shard audit: same md5 shard rule, same 60-bit fingerprints,
+    // same XOR fold (order-independent, so no ORDER BY needed)
+    "q_x_shard_audit" ->
+      raw"""WITH d AS (SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+         FROM documents),
+         f AS (SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 8 AS shard,
+             len(string_split(t, ' ')) AS nt,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || t), 1, 15)) AS UBIGINT) AS BIGINT) AS fp
+           FROM d)
+         SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           bit_xor(fp) AS content_hash,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM f GROUP BY shard""",
 
     // xcov: the same uncentered X^T Y sums over the same pairs
     "q_x_xcov" ->

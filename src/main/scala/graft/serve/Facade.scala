@@ -336,6 +336,13 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     graft.text.GenEval.diversity(corpus(inPath), textCol,
       ns = 1 to maxN, groupCols = groupCol.toSeq)
 
+  /** Shard audit manifest (`graft.text.Sharding`): per-shard counts +
+    * order-independent XOR content hash — re-auditable from any copy
+    * of the corpus. */
+  def shardAudit(inPath: String, idCol: String = "doc_id",
+                 textCol: String = "text", nShards: Int = 8): DataFrame =
+    graft.text.Sharding.audit(corpus(inPath), idCol, textCol, nShards)
+
   /** Procrustes embedding alignment (`graft.vec.Align`): learn the
     * orthogonal map from a seed-pairs table (srcCol, tgtCol vectors),
     * apply it to `vecsPath` as a new `aligned` column. */
