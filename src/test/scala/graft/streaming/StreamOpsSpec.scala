@@ -863,6 +863,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop() }
   }
 
+  test("round-10e: shard audit runs as a live streaming aggregation (stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10e_stream_")
+    val rows = (1L to 12L).map(i => (i, s"audit doc $i body"))
+    // two files -> two micro-batches; complete mode keeps the audit live
+    rows.take(6).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    rows.drop(6).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+    Seq(1, 2).foreach { k =>
+      val part = java.nio.file.Files.list(dir.resolve(s"b$k"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"d$k.parquet"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/d*.parquet")
+    val q = graft.text.Sharding.audit(stream, "doc_id", "text", nShards = 3)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("r10e_audit").start()
+    try {
+      q.processAllAvailable()
+      val s = spark.table("r10e_audit")
+        .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+      val b = graft.text.Sharding.audit(rows.toDF("doc_id", "text"),
+          "doc_id", "text", nShards = 3)
+        .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+      assert(s == b && s.nonEmpty)
+    } finally { q.stop() }
+  }
+
   test("streaming ANN ingest: batches land in the VecIndex, replayed ids are absorbed") {
     import spark.implicits._
     import org.apache.spark.sql.types._
