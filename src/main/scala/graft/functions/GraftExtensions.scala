@@ -121,6 +121,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.text.TextOps.getClass.getName, "sentences"),
       (children: Seq[Expression]) =>
         toAnalyzableExpression(graft.text.TextOps.sentences(toColumn(children.head)))))
+    // round-10 kernels: generation-eval + winnowing as SQL functions
+    ext.injectFunction((
+      new FunctionIdentifier("clipped_ngram_matches"),
+      new ExpressionInfo(classOf[ClippedNgramMatches].getName, "clipped_ngram_matches"),
+      (children: Seq[Expression]) => ClippedNgramMatches(children.head,
+        children(1), intArg(children(2), "n"))))
+    ext.injectFunction((
+      new FunctionIdentifier("lcs_length"),
+      new ExpressionInfo(classOf[LcsLength].getName, "lcs_length"),
+      (children: Seq[Expression]) => LcsLength(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => WinnowFingerprints(children.head,
+        children.lift(1).map(intArg(_, "k")).getOrElse(8),
+        children.lift(2).map(intArg(_, "w")).getOrElse(4))))
+    // shard_of(id [, nShards]): the audit/writer shard assignment rule
+    ext.injectFunction((
+      new FunctionIdentifier("shard_of"),
+      new ExpressionInfo(graft.text.Sharding.getClass.getName, "shard_of"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.Sharding.shardOf(
+          toColumn(children.head),
+          children.lift(1).map(intArg(_, "nShards")).getOrElse(8)))))
     // rp_project(vec [, inDim, outDim, seed]): dense-sign random
     // projection — dims/seed must be literals (they parameterize the
     // driver-built sign matrix embedded in the plan)

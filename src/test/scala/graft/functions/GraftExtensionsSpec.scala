@@ -210,4 +210,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("round-10 kernels callable from SQL, match the Column/library API") {
+    import spark.implicits._
+    Seq((1L, "the cat sat on the mat", "the dog sat on a mat"))
+      .toDF("id", "cand", "ref").createOrReplaceTempView("r10pairs")
+    val row = spark.sql(
+      """SELECT clipped_ngram_matches(split(cand, ' '), split(ref, ' '), 2) AS m2,
+                lcs_length(split(cand, ' '), split(ref, ' ')) AS lcs,
+                size(winnow_fingerprints(cand, 8, 4)) AS nfp,
+                shard_of(id, 4) AS shard
+         FROM r10pairs""").head()
+    // bigrams shared: "sat on" -> 1; LCS = the, sat, on, mat -> 4
+    assert(row.getLong(0) == 1L && row.getLong(1) == 4L)
+    val viaLib = graft.text.Winnow.fingerprints(
+      Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text"),
+      "doc_id", "text").count()
+    assert(row.getInt(2).toLong == viaLib)
+    val shardLib = graft.text.Sharding.assign(
+        Seq((1L, "x")).toDF("id", "t"), "id", 4)
+      .select("shard").as[Int].head()
+    assert(row.getInt(3) == shardLib)
+  }
 }
