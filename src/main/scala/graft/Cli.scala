@@ -41,6 +41,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> diversity <docs.parquet> [textCol] [maxN] [groupCol] [--out D]
   * graft.Cli <root> <collection> align <pairs.parquet> <vecs.parquet> [srcCol] [tgtCol] [vecCol] [dims] [--out D]
   * graft.Cli <root> <collection> shard-audit <docs.parquet> [idCol] [textCol] [nShards] [--out D]
+  * graft.Cli <root> <collection> label-prop <vecs.parquet> <seeds.parquet> [idCol] [vecCol] [labelCol] [rounds] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -166,7 +167,7 @@ object Cli {
          | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
          | "dsir" | "eval" | "coreset" | "graph-ann" | "gen-eval"
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
-         | "align" | "shard-audit" =>
+         | "align" | "shard-audit" | "label-prop" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -232,6 +233,9 @@ object Cli {
           case "shard-audit" =>
             facade.shardAudit(inPath, p(1, "doc_id"), p(2, "text"),
               p(3, "8").toInt)
+          case "label-prop" =>
+            facade.labelProp(inPath, pos(1), p(2, "vec_id"),
+              p(3, "embedding"), p(4, "label"), p(5, "3").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

@@ -436,6 +436,20 @@ object SparkEntry {
          FROM r JOIN af USING (src_id) JOIN ab USING (tgt_id)
          WHERE rf <= 4 OR rb <= 4)"""
 
+  /** One unrolled label-propagation round for the q_x_label_prop
+    * oracle: votes from round i-1's labels over the symmetrized edges,
+    * per-node argmax (count DESC, label ASC), seeds clamped. */
+  private def labelPropRound(i: Int): String = s""",
+         v$i AS (SELECT e.dst AS id, l.lab AS lab, count(*) AS n
+           FROM edu e JOIN l${i - 1} l ON l.id = e.src
+           GROUP BY e.dst, l.lab),
+         p$i AS (SELECT id, lab FROM (SELECT id, lab,
+             row_number() OVER (PARTITION BY id ORDER BY n DESC, lab) AS rn
+           FROM v$i) WHERE rn = 1),
+         l$i AS (SELECT * FROM l0 UNION ALL
+           SELECT p.id, p.lab FROM p$i p
+           WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.id = p.id))"""
+
   /** Shared DuckDB prefix for the q_x_wordpiece / q_x_tok_fertility
     * oracles: the greedy longest-match WordPiece encode (vocab = top-30
     * words + character alphabet) as a recursive CTE, ending at
@@ -1397,6 +1411,21 @@ object SparkEntry {
         .select(col("src_id"), col("dst_id"))
       GraphAnn.beamSearch(emb, edges, emb.where(col("vec_id") < 8),
         "vec_id", "embedding", k = 3, beam = 4, iters = 2)
+    }),
+
+    // X: semi-supervised label propagation (Zhu-Ghahramani'02) over
+    // the exact kNN graph — clamped seeds, synchronous majority rounds
+    // with smallest-label ties; the oracle UNROLLS the three rounds
+    // over the same relationally-rebuilt edges
+    "q_x_label_prop" -> ((s, dir) => {
+      import graft.vec.{LabelProp, VectorOps}
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      val edges = VectorOps.knnGraph(emb, "vec_id", "embedding",
+          k = 4, nlist = 1, nassign = 1, kmeansIters = 0)
+        .select(col("src_id"), col("dst_id"))
+      LabelProp.propagate(edges,
+        emb.where(col("vec_id") < 50).select(col("vec_id"), col("label")),
+        "vec_id", "label", rounds = 3)
     }),
 
     // X: top-k per group — map-side WindowGroupLimit keeps each task's
@@ -4178,6 +4207,23 @@ object SparkEntry {
     // graph ANN: the beam-search walk replayed step by step — exact kNN
     // edges (degree 4), min-id entry, two expansion rounds, top-3 of
     // everything visited, the query's own node excluded at output
+    // label propagation: same exact-kNN edge rebuild as q_x_graph_ann,
+    // symmetrized, then the three rounds unrolled (labelPropRound)
+    "q_x_label_prop" ->
+      ("""WITH sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+           FROM embeddings a CROSS JOIN embeddings b
+           WHERE a.vec_id <> b.vec_id AND a.vec_id < 500 AND b.vec_id < 500),
+         er AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+             ORDER BY cos DESC, dst) AS rk FROM sc),
+         ed AS (SELECT src, dst FROM er WHERE rk <= 4),
+         edu AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+         l0 AS (SELECT vec_id AS id, label AS lab FROM embeddings
+           WHERE vec_id < 50)""" +
+        (1 to 3).map(labelPropRound).mkString + """
+         SELECT id AS vec_id, lab AS label, id < 50 AS is_seed FROM l3"""),
+
     "q_x_graph_ann" ->
       """WITH sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -374,6 +374,22 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       idCol, vecCol, k, beam, iters)
   }
 
+  /** Label propagation (`graft.vec.LabelProp`): build a kNN graph over
+    * the corpus (the graphAnn nlist scaling) and spread the seed-table
+    * labels by clamped synchronous majority. */
+  def labelProp(vecsPath: String, seedsPath: String,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                labelCol: String = "label", rounds: Int = 3,
+                degree: Int = 4): DataFrame = {
+    val c = corpus(vecsPath)
+    val nlist = math.max(1, (c.count() / 250).toInt)
+    val edges = graft.vec.VectorOps.knnGraph(c, idCol, vecCol, degree,
+        nlist = nlist, nassign = math.min(2, nlist))
+      .select(col("src_id"), col("dst_id"))
+    graft.vec.LabelProp.propagate(edges, corpus(seedsPath),
+      idCol, labelCol, rounds)
+  }
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {
