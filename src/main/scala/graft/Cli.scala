@@ -42,6 +42,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> align <pairs.parquet> <vecs.parquet> [srcCol] [tgtCol] [vecCol] [dims] [--out D]
   * graft.Cli <root> <collection> shard-audit <docs.parquet> [idCol] [textCol] [nShards] [--out D]
   * graft.Cli <root> <collection> label-prop <vecs.parquet> <seeds.parquet> [idCol] [vecCol] [labelCol] [rounds] [--out D]
+  * graft.Cli <root> <collection> winnow-index <docs.parquet> <indexDir> [probe|ingest] [idCol] [textCol] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -167,7 +168,7 @@ object Cli {
          | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
          | "dsir" | "eval" | "coreset" | "graph-ann" | "gen-eval"
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
-         | "align" | "shard-audit" | "label-prop" =>
+         | "align" | "shard-audit" | "label-prop" | "winnow-index" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -236,6 +237,9 @@ object Cli {
           case "label-prop" =>
             facade.labelProp(inPath, pos(1), p(2, "vec_id"),
               p(3, "embedding"), p(4, "label"), p(5, "3").toInt)
+          case "winnow-index" =>
+            facade.winnowIndex(inPath, pos(1), p(2, "probe"),
+              p(3, "doc_id"), p(4, "text"))
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

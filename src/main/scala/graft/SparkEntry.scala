@@ -238,6 +238,24 @@ object SparkEntry {
     * never bleed into a timed probe. */
   def dedupIdxWarm(dir: String): Boolean = dedupIdxCache.containsKey(dir)
 
+  private val winnowIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The per-dir persisted winnow index for q_x_winnow_probe_idx
+    * (corpus side = ids >= 50), built on first use — same steady-state
+    * amortization as [[dedupIdxFor]]: the index is built once in
+    * production and probed every batch, so timed runs measure the
+    * recurring probe. */
+  private def winnowIdxFor(s: SparkSession, dir: String): String =
+    winnowIdxCache.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_widx_q_")
+        .resolve("index").toString
+      graft.text.WinnowIndex.ingestBatch(s, d,
+        t(s, dir, "documents").where(col("doc_id") >= 50),
+        "doc_id", "text")
+      d
+    })
+
   /** PCA model for q_x_pca_trace / q_x_pca_project, fitted once per
     * (dir, dims) — PCA is served-model state in production (fit on a
     * corpus snapshot, project every later batch), so repeated runs
@@ -262,6 +280,9 @@ object SparkEntry {
       val p = s"$idx/$tbl"
       if (new java.io.File(p).isDirectory) s.read.parquet(p).count(): Unit
     }
+    val widx = winnowIdxFor(s, dir)
+    if (new java.io.File(s"$widx/fp").isDirectory)
+      s.read.parquet(s"$widx/fp").count(): Unit
   }
 
   /** Shared DuckDB prefix for the q_x_rank_* oracles: rebuilds the
@@ -1298,6 +1319,16 @@ object SparkEntry {
     "q_x_winnow_overlap" -> ((s, dir) => {
       graft.text.Winnow.overlap(t(s, dir, "documents"), "doc_id", "text",
         k = 8, w = 4, minShared = 2, maxDocsPerHash = 50)
+    }),
+
+    // X: persisted winnow-index probe — corpus fingerprints ingested
+    // ONCE (ids >= 50), the batch (ids < 50) probes the mod-pruned
+    // fingerprint table; the corpus is never re-fingerprinted. The
+    // oracle replays the same split, cap and pair count relationally
+    "q_x_winnow_probe_idx" -> ((s, dir) => {
+      graft.text.WinnowIndex.probeBatch(s, winnowIdxFor(s, dir),
+        t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text",
+        minShared = 2, maxDocsPerHash = 50)
     }),
 
     // X: margin-based bitext margin scores (Artetxe-Schwenk'19) —
@@ -4095,6 +4126,22 @@ object SparkEntry {
            FROM ok a JOIN ok b ON a.hash = b.hash AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id)
          SELECT left_id, right_id, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pr WHERE n_shared >= 2"""),
+
+    // winnow index probe: same fingerprints, batch (< 50) x corpus
+    // (>= 50) pairs, cap computed on the CORPUS side only
+    "q_x_winnow_probe_idx" -> (winnowOracleCommon + """,
+         fpd AS (SELECT DISTINCT doc_id, hash FROM fp),
+         hc AS (SELECT hash FROM (SELECT hash, count(*) AS nd
+             FROM fpd WHERE doc_id >= 50 GROUP BY hash)
+           WHERE nd <= 50),
+         pr AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             count(*) AS n_shared
+           FROM fpd b JOIN fpd c ON b.hash = c.hash
+           JOIN hc ON hc.hash = b.hash
+           WHERE b.doc_id < 50 AND c.doc_id >= 50
+           GROUP BY b.doc_id, c.doc_id)
+         SELECT batch_id, corpus_id, CAST(n_shared AS BIGINT) AS n_shared
          FROM pr WHERE n_shared >= 2"""),
 
     // bitext margins: same cosine, same top-k neighborhood means

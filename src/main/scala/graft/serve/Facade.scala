@@ -353,6 +353,25 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     graft.vec.Align.applyMap(corpus(vecsPath), vecCol, "aligned", w)
   }
 
+  /** Persisted winnow index (`graft.text.WinnowIndex`): "ingest"
+    * appends the docs' fingerprints (returns one row with the count of
+    * newly indexed docs), "probe" returns the shared-passage pairs of
+    * the docs against the index. */
+  def winnowIndex(inPath: String, indexDir: String, mode: String = "probe",
+                  idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = mode match {
+    case "ingest" =>
+      val n = graft.text.WinnowIndex.ingestBatch(spark, indexDir,
+        corpus(inPath), idCol, textCol)
+      import spark.implicits._
+      Seq(n).toDF("n_indexed")
+    case "probe" =>
+      graft.text.WinnowIndex.probeBatch(spark, indexDir,
+        corpus(inPath), idCol, textCol)
+    case other => throw new IllegalArgumentException(
+      s"winnowIndex: mode must be 'ingest' or 'probe', got '$other'")
+  }
+
   /** k-center greedy coreset (`graft.vec.Coreset`): the k selected
     * frontier points as (rank, vec_id, dist). */
   def coreset(inPath: String, idCol: String = "vec_id",
