@@ -101,12 +101,20 @@ object WinnowIndex {
     val mods = bfp.select(col("fp_mod")).distinct().as[Int].collect().sorted
     val idx = spark.read.parquet(s"$indexDir/fp")
       .where(col("fp_mod").isin(mods.map(Integer.valueOf): _*))
-    // boilerplate cap by CORPUS-side doc count per hash
-    val hashCount = idx.groupBy(col("fp_mod"), col("hash"))
+    // restrict the index to the batch's hashes FIRST (one columnar scan
+    // filtered through a broadcast hash join — no full-index shuffle,
+    // no full-index aggregation: the probe's only corpus-sized work is
+    // the scan itself). All rows of a surviving hash survive, so the
+    // per-hash corpus doc counts computed on the RESTRICTED set are the
+    // exact corpus-side counts the boilerplate cap needs.
+    val cand = idx.join(broadcast(bfp.select(col("fp_mod"), col("hash"))
+        .distinct()), Seq("fp_mod", "hash"))
+      .localCheckpoint()
+    val okHash = cand.groupBy(col("fp_mod"), col("hash"))
       .agg(count(lit(1)).as("__nd"))
       .where(col("__nd") <= maxDocsPerHash)
       .select(col("fp_mod"), col("hash"))
-    idx.join(hashCount, Seq("fp_mod", "hash"), "left_semi")
+    cand.join(broadcast(okHash), Seq("fp_mod", "hash"), "left_semi")
       .join(broadcast(bfp.select(col("fp_mod"), col("hash"),
         col("id").as("batch_id"))), Seq("fp_mod", "hash"))
       .where(col("id") =!= col("batch_id"))
@@ -132,7 +140,12 @@ object WinnowIndex {
     val rows = fpRows(fresh, idCol, textCol, params).localCheckpoint()
     val n = rows.select(col("id")).distinct().count()
     if (n > 0)
-      rows.write.mode("append").partitionBy("fp_mod")
+      // cluster on the partition column first: ONE file per modulus
+      // bucket per ingest instead of one per (bucket, task) — without
+      // this the table fragments into thousands of small files within a
+      // few ingests and file-open overhead, not data, dominates probes
+      rows.repartition(col("fp_mod"))
+        .write.mode("append").partitionBy("fp_mod")
         .parquet(s"$indexDir/fp")
     n
   }
