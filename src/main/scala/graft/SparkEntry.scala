@@ -1359,6 +1359,37 @@ object SparkEntry {
           (round(col("margin"), 6) + lit(0.0)).as("margin"))
     }),
 
+    // X: the FULL multilingual mining chain, composed and hash-gated —
+    // the tgt side lives in a rotated space (a planted literal Givens
+    // composition standing in for a different encoder); Procrustes
+    // learns the map from 50 seed pairs, the aligned src mines against
+    // the rotated tgt. Cosine is rotation-invariant, so the mined
+    // pairs EQUAL the unrotated mining run — the q_x_bitext_pairs
+    // oracle gates the whole align -> mine composition
+    "q_x_bitext_aligned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val r0 = graft.vec.Align.givens(64,
+        Seq((0, 1, math.Pi / 6), (2, 3, math.Pi / 3), (4, 5, 1.1)))
+      val src = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 400)
+      val tgt = graft.vec.Align.applyMap(
+          emb.where(col("vec_id") % 2 === 1), "embedding", "__rot", r0)
+        .select(col("vec_id"), col("__rot").as("embedding"))
+      // seeds need >= d linearly-independent pairs for a full-rank
+      // cross-covariance (procrustes REJECTS fewer — a 50-pair seed
+      // set at d=64 throws rank-deficient, by design); use the whole
+      // src side (200+ pairs)
+      val seeds = graft.vec.Align.applyMap(src, "embedding", "__y", r0)
+        .select(col("embedding").as("__x"), col("__y"))
+      val w = graft.vec.Align.procrustes(seeds, "__x", "__y", dims = 64)
+      val alignedSrc = graft.vec.Align.applyMap(src, "embedding", "__a", w)
+        .select(col("vec_id"), col("__a").as("embedding"))
+      graft.vec.Bitext.minePairs(alignedSrc, tgt, "vec_id", "embedding",
+          k = 4, minMargin = 1.0)
+        .select(col("src_id"), col("tgt_id"),
+          (round(col("cos"), 6) + lit(0.0)).as("cos"),
+          (round(col("margin"), 6) + lit(0.0)).as("margin"))
+    }),
+
     // X: corpus diversity report — per-language distinct-n (Li'16) and
     // n-gram entropy for orders 1..3; one stacked scan, one
     // (lang, n, gram)-keyed agg, vocabulary-sized reduction
@@ -4211,6 +4242,22 @@ object SparkEntry {
            FROM e, generate_series(0, 63) i(i))
          SELECT vec_id, CAST(i AS INT) AS i, round(v, 6) + 0.0 AS v
          FROM g""",
+
+    // the align -> mine composition: rotation-invariance of cosine
+    // means the mined pairs equal the unrotated run — SAME ORACLE as
+    // q_x_bitext_pairs (the rounding tolerance absorbs the ~1e-12 SVD
+    // recovery error in W vs the exact R0)
+    "q_x_bitext_aligned" ->
+      (bitextOracleCommon + """,
+         sel AS (SELECT src_id, tgt_id, cos, margin,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id) AS bf,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY margin DESC, src_id) AS bb
+           FROM m)
+         SELECT src_id, tgt_id, round(cos, 6) + 0.0 AS cos,
+           round(margin, 6) + 0.0 AS margin
+         FROM sel WHERE bf = 1 AND bb = 1 AND margin >= 1.0"""),
 
     // diversity: same stacked grams, same one-pass entropy identity
     // ln(T) - sum(c ln c)/T

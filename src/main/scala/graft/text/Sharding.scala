@@ -39,6 +39,26 @@ object Sharding {
   def assign(docs: DataFrame, idCol: String, nShards: Int): DataFrame =
     docs.withColumn("shard", shardOf(col(idCol), nShards))
 
+  /** Reconcile two audits (e.g. the manifest shipped with a snapshot
+    * vs one recomputed from a received copy): per shard a verdict —
+    * `ok`, `hash_mismatch` (content changed), `count_mismatch` (XOR
+    * blind spot: counts differ, fold cancelled), `missing` (in
+    * `expected` only), `extra` (in `actual` only). Shard-count-sized
+    * frames; one full-outer join. */
+  def auditDiff(expected: DataFrame, actual: DataFrame): DataFrame = {
+    val e = expected.select(col("shard"), col("n_docs").as("__ed"),
+      col("content_hash").as("__eh"))
+    val a = actual.select(col("shard"), col("n_docs").as("__ad"),
+      col("content_hash").as("__ah"))
+    e.join(a, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("__ed").isNull, lit("extra"))
+          .when(col("__ad").isNull, lit("missing"))
+          .when(col("__eh") =!= col("__ah"), lit("hash_mismatch"))
+          .when(col("__ed") =!= col("__ad"), lit("count_mismatch"))
+          .otherwise(lit("ok")).as("status"))
+  }
+
   /** The audit: per shard (shard, n_docs, n_tokens,
     * content_hash, min_id, max_id). `content_hash` XOR-folds the
     * per-doc 60-bit fingerprint of (id, normalized text): any changed,

@@ -51,6 +51,36 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("auditDiff reconciles shipped vs recomputed manifests per shard") {
+    import org.apache.spark.sql.functions._
+    val shipped = Sharding.audit(docs, "doc_id", "text", 4)
+    // received copy: doc 17 tampered, plus doc 5 duplicated twice
+    // (even count: XOR cancels -> count_mismatch, not hash_mismatch)
+    val received = docs
+      .withColumn("text",
+        when(col("doc_id") === 17L, lit("tampered")).otherwise(col("text")))
+      .union(docs.where(col("doc_id") === 5L))
+      .union(docs.where(col("doc_id") === 5L))
+    val got = Sharding.auditDiff(shipped,
+        Sharding.audit(received, "doc_id", "text", 4))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val s17 = Sharding.assign(docs, "doc_id", 4)
+      .where(col("doc_id") === 17L).select("shard").as[Int].head()
+    val s5 = Sharding.assign(docs, "doc_id", 4)
+      .where(col("doc_id") === 5L).select("shard").as[Int].head()
+    assert(got(s17) == "hash_mismatch")
+    // hash beats count when both hit one shard (md5 spread: distinct here)
+    assert(got(s5) == (if (s5 == s17) "hash_mismatch" else "count_mismatch"))
+    got.foreach { case (s, v) =>
+      if (s != s17 && s != s5) assert(v == "ok", s"shard $s: $v") }
+    // a whole missing shard
+    val partial = Sharding.audit(docs, "doc_id", "text", 4)
+      .where(col("shard") =!= s17)
+    val withMissing = Sharding.auditDiff(shipped, partial)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(withMissing(s17) == "missing")
+  }
+
   test("tamper evidence: a dropped doc flips the hash; an even duplicate is caught by n_docs") {
     import org.apache.spark.sql.functions._
     val base = Sharding.audit(docs, "doc_id", "text", 2).collect()
