@@ -215,6 +215,33 @@ class CliCorpusSpec extends AnyFunSuite {
     assert(dv.count() == 4) // 2 langs x orders 1..2
   }
 
+  test("shard-audit and winnow-index verbs dispatch and write parquet") {
+    val dir = Files.createTempDirectory("graft_cli_corpus10_")
+    val root = Files.createTempDirectory("graft_cli_root10_").toString
+    val boiler = "shared footer passage subscribe to the newsletter today"
+    Seq((1L, s"first corpus doc $boiler"), (2L, s"second corpus doc $boiler"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Cli.main(Array(root, "c1", "shard-audit", s"$dir/corpus", "doc_id",
+      "text", "2", "--out", s"$dir/sa_out"))
+    val sa = spark.read.parquet(s"$dir/sa_out")
+    assert(sa.columns.toSeq == Seq("shard", "n_docs", "n_tokens",
+      "content_hash", "min_id", "max_id"))
+    assert(sa.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) == 2)
+
+    Cli.main(Array(root, "c1", "winnow-index", s"$dir/corpus",
+      s"$dir/widx", "ingest", "--out", s"$dir/wi_out"))
+    assert(spark.read.parquet(s"$dir/wi_out").head().getLong(0) == 2)
+    Seq((10L, s"incoming doc with $boiler"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    Cli.main(Array(root, "c1", "winnow-index", s"$dir/batch",
+      s"$dir/widx", "probe", "--out", s"$dir/wp_out"))
+    val wp = spark.read.parquet(s"$dir/wp_out")
+    assert(wp.columns.toSeq == Seq("batch_id", "corpus_id", "n_shared"))
+    assert(wp.select("corpus_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+  }
+
   test("align verb learns from seed pairs and writes aligned vectors") {
     val dir = Files.createTempDirectory("graft_cli_corpus9_")
     val root = Files.createTempDirectory("graft_cli_root9_").toString
