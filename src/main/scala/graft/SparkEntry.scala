@@ -534,6 +534,68 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"), col("rel"))
   }
 
+  /** Deterministic synthetic annotation table for the label-QA family:
+    * 5 annotators per document, truth = doc_id % 3, annotator `a`
+    * flips to (truth + 1 + a%2) % 3 exactly on rows where
+    * (doc_id + a*a) % (a + 5) == 0 — pure integer arithmetic so the
+    * DuckDB oracles reproduce it verbatim. Annotator 1 is the noisiest
+    * (1/6 flip rate), annotator 5 the cleanest (1/10). */
+  private def synthAnnots(s: SparkSession, dir: String): DataFrame = {
+    val truth = pmod(col("doc_id"), lit(3L))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), lit(5L))).as("annotator"))
+      .select(col("doc_id"), col("annotator"),
+        when(pmod(col("doc_id") + col("annotator") * col("annotator"),
+                  col("annotator") + lit(5L)) === 0,
+          pmod(truth + 1 + pmod(col("annotator"), lit(2L)), lit(3L)))
+          .otherwise(truth).as("label"))
+  }
+
+  /** Deterministic pairwise preference outcomes for Bradley-Terry:
+    * consecutive documents play a "game"; the longer document's source
+    * wins (ties go to the earlier doc). Self-games (same source on
+    * both sides) are kept here and excluded inside bradleyTerry — the
+    * oracle mirrors that. */
+  private def synthPrefGames(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val a = d.select(col("doc_id").as("__i"), col("source").as("__sa"),
+                     col("n_chars").as("__na"))
+    val b = d.select((col("doc_id") - 1).as("__i"), col("source").as("__sb"),
+                     col("n_chars").as("__nb"))
+    a.join(b, "__i").select(
+      when(col("__nb") > col("__na"), col("__sb")).otherwise(col("__sa"))
+        .as("winner"),
+      when(col("__nb") > col("__na"), col("__sa")).otherwise(col("__sb"))
+        .as("loser"))
+  }
+
+  /** Deterministic synthetic crawl URLs (one per document) exercising
+    * every canonicalization rule: uppercase scheme/host, www + mobile
+    * subdomains, default port, duplicate-producing path/query
+    * variants, tracking params, fragments. Mirrored verbatim in the
+    * URL oracles. */
+  private def synthUrl: Column = {
+    val id = col("doc_id")
+    concat(lit("HTTPS://"),
+      when(pmod(id, lit(2L)) === 0, lit("WWW.")).otherwise(lit("")),
+      when(pmod(id, lit(7L)) === 0, lit("m.")).otherwise(lit("")),
+      lit("Site"), pmod(id, lit(5L)).cast("string"), lit("."),
+      when(pmod(id, lit(3L)) === 0, lit("com"))
+        .when(pmod(id, lit(3L)) === 1, lit("co.uk")).otherwise(lit("org")),
+      lit(":443/Path/"), pmod(id, lit(10L)).cast("string"),
+      when(pmod(id, lit(4L)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&b=1&a="), pmod(id, lit(2L)).cast("string"),
+      when(pmod(id, lit(2L)) === 1, lit("&fbclid=XY")).otherwise(lit("")),
+      lit("#frag"))
+  }
+
+  /** Quasi-identifier sets for the privacy-audit queries. */
+  private def privacyQuasi(width: Double): Seq[(String, Column)] = Seq(
+    "c_mktsegment" -> col("c_mktsegment"),
+    "acct_bucket" -> graft.ops.Privacy.generalizeNum(col("c_acctbal"), width))
+
   private def uniqueMap[V](pairs: (String, V)*): Map[String, V] = {
     val dups = pairs.groupBy(_._1).filter(_._2.length > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
@@ -3280,6 +3342,86 @@ object SparkEntry {
         .select(col("media_id"), col("format"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
+    }),
+
+    // X: label-QA — per-item majority-vote consensus with agreement
+    "q_x_label_consensus" -> ((s, dir) => {
+      graft.text.Labels.majorityVote(synthAnnots(s, dir),
+        "doc_id", "annotator", "label")
+    }),
+
+    // X: label-QA — per-annotator reliability vs the consensus
+    "q_x_annotator_accuracy" -> ((s, dir) => {
+      graft.text.Labels.annotatorAccuracy(synthAnnots(s, dir),
+        "doc_id", "annotator", "label")
+    }),
+
+    // X: label-QA — Cohen's kappa for every annotator pair
+    "q_x_cohen_kappa" -> ((s, dir) => {
+      graft.text.Labels.cohenKappa(synthAnnots(s, dir),
+        "doc_id", "annotator", "label")
+    }),
+
+    // X: label-QA — Fleiss' kappa over the full annotator pool
+    "q_x_fleiss_kappa" -> ((s, dir) => {
+      graft.text.Labels.fleissKappa(synthAnnots(s, dir),
+        "doc_id", "annotator", "label")
+    }),
+
+    // X: Bradley-Terry skill ratings from pairwise preference games
+    // (8 fixed MM iterations; matrix is |sources|^2, solved on driver)
+    "q_x_bradley_terry" -> ((s, dir) => {
+      graft.text.Labels.bradleyTerry(synthPrefGames(s, dir),
+        "winner", "loser", iters = 8)
+    }),
+
+    // X: k-anonymity audit — per equivalence class over
+    // (mktsegment, 1000-wide acctbal bucket), k = 10
+    "q_x_k_anonymity" -> ((s, dir) => {
+      graft.ops.Privacy.kAnonymity(t(s, dir, "customer"),
+        privacyQuasi(1000.0), k = 10)
+    }),
+
+    // X: l-diversity audit — same classes, sensitive = c_nationkey,
+    // l = 5 distinct values required per class
+    "q_x_l_diversity" -> ((s, dir) => {
+      graft.ops.Privacy.lDiversity(t(s, dir, "customer"),
+        privacyQuasi(1000.0), "c_nationkey", l = 5)
+    }),
+
+    // X: the anonymity ladder — k-anonymity reports at three
+    // generalization levels; the release gate reads where risk_ratio
+    // first clears the bar
+    "q_x_k_anon_ladder" -> ((s, dir) => {
+      graft.ops.Privacy.anonymityLadder(t(s, dir, "customer"), Seq(
+        "l0_nation_acct100" ->
+          (privacyQuasi(100.0) :+ ("c_nationkey" -> col("c_nationkey"))),
+        "l1_nation_acct1k" ->
+          (privacyQuasi(1000.0) :+ ("c_nationkey" -> col("c_nationkey"))),
+        "l2_acct5k" -> privacyQuasi(5000.0)), k = 10)
+    }),
+
+    // X: URL canonicalization — the crawl-dedup key, row-local
+    "q_x_url_canonical" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        synthUrl.as("url"),
+        graft.text.UrlOps.canonicalizeUrl(synthUrl).as("canonical"))
+    }),
+
+    // X: registrable-domain (eTLD+1) extraction + per-domain counts
+    "q_x_url_domain" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(graft.text.UrlOps.registrableDomain(
+          graft.text.UrlOps.hostOf(synthUrl)).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).cast("long").as("n_urls"))
+    }),
+
+    // X: per-domain URL dedup stats — canonical-key collapse rates
+    "q_x_url_dedup" -> ((s, dir) => {
+      graft.text.UrlOps.urlDedupStats(
+        t(s, dir, "documents").select(col("doc_id"),
+          synthUrl.as("url")), "url")
     })
   )
 
@@ -6673,6 +6815,242 @@ object SparkEntry {
          600 * (1 + doc_id % 5) AS timescale,
          CAST(n_chars * 37 * 1000 // (600 * (1 + doc_id % 5)) AS BIGINT)
            AS duration_ms
-         FROM documents"""
+         FROM documents""",
+
+    "q_x_label_consensus" -> s"""WITH $annSqlCte,
+         c AS (SELECT doc_id, label, COUNT(*) AS n FROM ann GROUP BY doc_id, label),
+         r AS (SELECT doc_id, label, n,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) AS rn,
+                 SUM(n) OVER (PARTITION BY doc_id) AS tot,
+                 MAX(n) OVER (PARTITION BY doc_id) AS mx
+               FROM c)
+         SELECT doc_id, label AS consensus,
+           CAST(tot AS BIGINT) AS n_annotators,
+           CAST(mx AS BIGINT) AS n_majority,
+           round(mx::DOUBLE / tot, 4) AS agreement
+         FROM r WHERE rn = 1""",
+
+    "q_x_annotator_accuracy" -> s"""WITH $annSqlCte,
+         c AS (SELECT doc_id, label, COUNT(*) AS n FROM ann GROUP BY doc_id, label),
+         r AS (SELECT doc_id, label AS consensus,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) AS rn
+               FROM c)
+         SELECT ann.annotator, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN ann.label = r.consensus THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           round(SUM(CASE WHEN ann.label = r.consensus THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS accuracy
+         FROM ann JOIN r ON ann.doc_id = r.doc_id AND r.rn = 1
+         GROUP BY ann.annotator""",
+
+    "q_x_cohen_kappa" -> s"""WITH $annSqlCte,
+         j AS (SELECT a.annotator AS annot_a, b.annotator AS annot_b,
+                 a.label AS la, b.label AS lb
+               FROM ann a JOIN ann b
+                 ON a.doc_id = b.doc_id AND a.annotator < b.annotator),
+         cont AS (SELECT annot_a, annot_b, la, lb, COUNT(*)::DOUBLE AS n
+                  FROM j GROUP BY annot_a, annot_b, la, lb),
+         tot AS (SELECT annot_a, annot_b, SUM(n) AS nn,
+                   SUM(CASE WHEN la = lb THEN n ELSE 0 END) AS diag
+                 FROM cont GROUP BY annot_a, annot_b),
+         rm AS (SELECT annot_a, annot_b, la AS k, SUM(n) AS rk
+                FROM cont GROUP BY annot_a, annot_b, la),
+         cm AS (SELECT annot_a, annot_b, lb AS k, SUM(n) AS ck
+                FROM cont GROUP BY annot_a, annot_b, lb),
+         pexp AS (SELECT annot_a, annot_b, SUM(rk * ck) AS rc
+                  FROM rm JOIN cm USING (annot_a, annot_b, k)
+                  GROUP BY annot_a, annot_b)
+         SELECT t.annot_a, t.annot_b, CAST(nn AS BIGINT) AS n_items,
+           round(diag / nn, 6) + 0.0 AS po,
+           round(rc / (nn * nn), 6) + 0.0 AS pe,
+           round((diag / nn - rc / (nn * nn)) / (1.0 - rc / (nn * nn)), 6) + 0.0 AS kappa
+         FROM tot t JOIN pexp USING (annot_a, annot_b)""",
+
+    "q_x_fleiss_kappa" -> s"""WITH $annSqlCte,
+         c AS (SELECT doc_id, label, COUNT(*)::DOUBLE AS nik
+               FROM ann GROUP BY doc_id, label),
+         pi AS (SELECT doc_id, SUM(nik) AS n, SUM(nik * nik) AS sq
+                FROM c GROUP BY doc_id HAVING SUM(nik) >= 2),
+         pb AS (SELECT COUNT(*) AS n_items,
+                  AVG((sq - n) / (n * (n - 1))) AS pbar,
+                  SUM(n) AS total FROM pi),
+         ls AS (SELECT c.label, SUM(c.nik) AS nk
+                FROM c JOIN pi USING (doc_id) GROUP BY c.label),
+         pexp AS (SELECT COUNT(*) AS n_categories,
+                    SUM((nk / (SELECT total FROM pb)) * (nk / (SELECT total FROM pb))) AS pe
+                  FROM ls)
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n_categories AS BIGINT) AS n_categories,
+           round(pbar, 6) + 0.0 AS p_bar,
+           round(pe, 6) + 0.0 AS p_e,
+           round((pbar - pe) / (1.0 - pe), 6) + 0.0 AS kappa
+         FROM pb, pexp""",
+
+    "q_x_bradley_terry" -> btOracleSql,
+
+    "q_x_k_anonymity" ->
+      """SELECT c_mktsegment, floor(c_acctbal / 1000.0) * 1000.0 AS acct_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) < 10 AS violates
+         FROM customer GROUP BY 1, 2""",
+
+    "q_x_l_diversity" ->
+      """SELECT c_mktsegment, floor(c_acctbal / 1000.0) * 1000.0 AS acct_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT c_nationkey) < 5 AS violates
+         FROM customer GROUP BY 1, 2""",
+
+    "q_x_k_anon_ladder" ->
+      """WITH lv AS (
+           SELECT 'l0_nation_acct100' AS level, c_mktsegment,
+             floor(c_acctbal / 100.0) * 100.0 AS acct_bucket,
+             c_nationkey AS nat FROM customer
+           UNION ALL
+           SELECT 'l1_nation_acct1k', c_mktsegment,
+             floor(c_acctbal / 1000.0) * 1000.0, c_nationkey FROM customer
+           UNION ALL
+           SELECT 'l2_acct5k', c_mktsegment,
+             floor(c_acctbal / 5000.0) * 5000.0, 0 FROM customer),
+         cls AS (SELECT level, c_mktsegment, acct_bucket, nat,
+                   COUNT(*) AS class_size
+                 FROM lv GROUP BY 1, 2, 3, 4)
+         SELECT level, CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           round(SUM(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)::DOUBLE
+                 / SUM(class_size), 4) AS risk_ratio
+         FROM cls GROUP BY level""",
+
+    "q_x_url_canonical" -> s"""WITH $urlSqlCtes
+         SELECT doc_id, url, canonical FROM canon""",
+
+    "q_x_url_domain" -> s"""WITH $urlSqlCtes
+         SELECT $domainSqlExpr AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+         FROM c2 GROUP BY 1""",
+
+    "q_x_url_dedup" -> s"""WITH $urlSqlCtes,
+         d AS (SELECT $domainSqlExpr AS domain, canonical
+               FROM c2 JOIN canon USING (doc_id))
+         SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           round((COUNT(*) - COUNT(DISTINCT canonical))::DOUBLE
+                 / COUNT(*), 4) AS dup_ratio
+         FROM d GROUP BY domain"""
   )
+
+  /** Shared CTE for the synthetic annotation table — must stay in
+    * lock-step with [[synthAnnots]]. */
+  private val annSqlCte: String =
+    """ann AS (SELECT doc_id, annotator,
+         CASE WHEN (doc_id + annotator * annotator) % (annotator + 5) = 0
+              THEN ((doc_id % 3) + 1 + (annotator % 2)) % 3
+              ELSE doc_id % 3 END AS label
+       FROM documents,
+            (SELECT unnest(generate_series(1, 5)) AS annotator) an)"""
+
+  /** Bradley-Terry oracle: aggregates the same win matrix in SQL and
+    * unrolls the 8 MM iterations as chained CTEs — identical
+    * arithmetic to [[graft.text.Labels.bradleyTerry]]. */
+  private def btOracleSql: String = {
+    val iters = 8
+    val steps = (1 to iters).map { i =>
+      val prev = s"it${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT g.i AS player, SUM(g.g / (pa.p + pb.p)) AS denom
+             FROM gm g JOIN $prev pa ON pa.player = g.i
+                       JOIN $prev pb ON pb.player = g.j
+             GROUP BY g.i),
+         u$i AS MATERIALIZED (SELECT a.player,
+                   CASE WHEN s.denom IS NULL OR s.denom = 0 THEN prev.p
+                        ELSE COALESCE(wt.w, 0) / s.denom END AS p
+                 FROM allp a
+                 LEFT JOIN s$i s ON s.player = a.player
+                 LEFT JOIN wtot wt ON wt.i = a.player
+                 JOIN $prev prev ON prev.player = a.player),
+         it$i AS MATERIALIZED (SELECT player, p / (SELECT SUM(p) FROM u$i) AS p FROM u$i)"""
+    }.mkString(",\n         ")
+    s"""WITH p0 AS (SELECT d1.source AS sa, d2.source AS sb,
+               d1.n_chars AS na, d2.n_chars AS nb
+             FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+         pr AS MATERIALIZED (SELECT CASE WHEN nb > na THEN sb ELSE sa END AS winner,
+                       CASE WHEN nb > na THEN sa ELSE sb END AS loser
+                FROM p0),
+         wins AS MATERIALIZED (SELECT winner AS i, loser AS j, COUNT(*)::DOUBLE AS w
+                  FROM pr WHERE winner <> loser GROUP BY winner, loser),
+         allp AS MATERIALIZED (SELECT DISTINCT player FROM
+                    (SELECT i AS player FROM wins
+                     UNION ALL SELECT j FROM wins) q),
+         gm AS MATERIALIZED (SELECT a.player AS i, b.player AS j,
+                  COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS g
+                FROM allp a JOIN allp b ON a.player <> b.player
+                LEFT JOIN wins w1 ON w1.i = a.player AND w1.j = b.player
+                LEFT JOIN wins w2 ON w2.i = b.player AND w2.j = a.player
+                WHERE COALESCE(w1.w, 0) + COALESCE(w2.w, 0) > 0),
+         wtot AS MATERIALIZED (SELECT i, SUM(w) AS w FROM wins GROUP BY i),
+         it0 AS MATERIALIZED (SELECT player, 1.0 / (SELECT COUNT(*) FROM allp) AS p FROM allp),
+         $steps
+         SELECT f.player, CAST(COALESCE(wt.w, 0) AS BIGINT) AS n_wins,
+           CAST(COALESCE(gt.tg, 0) AS BIGINT) AS n_games,
+           round(f.p, 6) + 0.0 AS rating,
+           ROW_NUMBER() OVER (ORDER BY round(f.p, 6) DESC, f.player) AS rank
+         FROM it$iters f
+         LEFT JOIN wtot wt ON wt.i = f.player
+         LEFT JOIN (SELECT i, SUM(g) AS tg FROM gm GROUP BY i) gt
+           ON gt.i = f.player"""
+  }
+
+  /** Shared CTEs for the URL family: `u` rebuilds [[synthUrl]], then
+    * c1/c2/canon mirror [[graft.text.UrlOps.canonicalizeUrl]] step for
+    * step (scheme/host lowering, userinfo + www + default-port strip,
+    * tracking-param filter + byte-wise sort, trailing-slash collapse,
+    * fragment drop). */
+  private val urlSqlCtes: String =
+    """u AS (SELECT doc_id,
+           'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN 'm.' ELSE '' END ||
+           'Site' || CAST(doc_id % 5 AS VARCHAR) || '.' ||
+           CASE WHEN doc_id % 3 = 0 THEN 'com'
+                WHEN doc_id % 3 = 1 THEN 'co.uk' ELSE 'org' END ||
+           ':443/Path/' || CAST(doc_id % 10 AS VARCHAR) ||
+           CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+           '?utm_source=feed&b=1&a=' || CAST(doc_id % 2 AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 1 THEN '&fbclid=XY' ELSE '' END ||
+           '#frag' AS url
+         FROM documents),
+         c1 AS (SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(string_split(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '@')[-1]) AS hp,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+           regexp_extract(url, '\?([^#]*)', 1) AS rawq
+         FROM u),
+         c2 AS (SELECT doc_id, url, scheme,
+           regexp_replace(string_split(hp, ':')[1], '^www\.', '') AS host,
+           CASE WHEN len(string_split(hp, ':')) > 1
+                THEN string_split(hp, ':')[2] ELSE '' END AS port,
+           CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+           array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '^(utm_|fbclid=|gclid=|ref=)'))), '&') AS q
+         FROM c1),
+         canon AS (SELECT doc_id, url,
+           CASE WHEN scheme = '' THEN url ELSE
+             scheme || '://' || host ||
+             CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443'))
+                  THEN ':' || port ELSE '' END ||
+             path || CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS canonical
+         FROM c2)"""
+
+  /** Registrable-domain (eTLD+1) expression over c2.host — the same
+    * two-level suffix list as [[graft.text.UrlOps.defaultMultiSuffixes]]. */
+  private def domainSqlExpr: String = {
+    val list = graft.text.UrlOps.defaultMultiSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN len(string_split(host, '.')) >= 3
+              AND array_to_string(string_split(host, '.')[-2:], '.') IN ($list)
+             THEN array_to_string(string_split(host, '.')[-3:], '.')
+             WHEN len(string_split(host, '.')) >= 2
+             THEN array_to_string(string_split(host, '.')[-2:], '.')
+             ELSE host END"""
+  }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** k-anonymity / l-diversity audits and the generalization ladder. */
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def people = Seq(
+    // (zip, age, disease)
+    ("13053", 28, "heart"), ("13053", 29, "heart"), ("13053", 21, "flu"),
+    ("13068", 21, "flu"), ("13068", 22, "flu"), ("13068", 23, "flu"),
+    ("14850", 50, "cancer")
+  ).toDF("zip", "age", "disease")
+
+  test("kAnonymity flags classes smaller than k") {
+    val got = Privacy.kAnonymity(people,
+      Seq("zip" -> col("zip")), k = 3)
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("13053") == (("13053", 3L, false)))
+    assert(got("13068") == (("13068", 3L, false)))
+    assert(got("14850") == (("14850", 1L, true)))
+  }
+
+  test("kAnonymityReport aggregates the risk share") {
+    val got = Privacy.kAnonymityReport(people,
+      Seq("zip" -> col("zip")), k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((7L, 3L, 1L, 1L, 0.1429)))
+  }
+
+  test("generalization raises the achieved k") {
+    // zip prefix 3 merges 13053 + 13068 into one 6-row class
+    val got = Privacy.kAnonymityReport(people,
+      Seq("zip3" -> Privacy.generalizePrefix(col("zip"), 3)), k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._2 == 2L && got._3 == 1L) // still the lone 148 row
+    val coarse = Privacy.kAnonymityReport(people,
+      Seq("zip1" -> Privacy.generalizePrefix(col("zip"), 1)), k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(coarse == ((7L, 1L, 7L, 0L, 0.0)))
+  }
+
+  test("generalizeNum buckets by fixed width including negatives") {
+    val got = Seq(-1500.0, -1.0, 0.0, 999.0, 1000.0)
+      .toDF("v").select(Privacy.generalizeNum(col("v"), 1000.0).as("b"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(-2000.0, -1000.0, 0.0, 0.0, 1000.0))
+  }
+
+  test("lDiversity catches the k-anonymous but sensitive-constant class") {
+    val got = Privacy.lDiversity(people,
+      Seq("zip" -> col("zip")), "disease", l = 2)
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got("13053") == (("13053", 3L, 2L, false)))
+    // 13068 is 3-anonymous yet everyone has the flu -> violates l=2
+    assert(got("13068") == (("13068", 3L, 1L, true)))
+    assert(got("14850")._4)
+  }
+
+  test("anonymityLadder emits one report row per level, risk falling") {
+    val got = Privacy.anonymityLadder(people, Seq(
+      "fine" -> Seq("zip" -> col("zip"), "age" -> col("age")),
+      "mid" -> Seq("zip" -> col("zip")),
+      "coarse" -> Seq("zip1" -> Privacy.generalizePrefix(col("zip"), 1))),
+      k = 3)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 3)
+    assert(got("fine")._6 == 1.0)    // every (zip, age) class is tiny
+    assert(got("mid")._6 == 0.1429)
+    assert(got("coarse")._6 == 0.0)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Annotation/preference analytics: consensus + agreement, annotator
+  * reliability, Cohen's and Fleiss' kappa against hand-computed
+  * values, Bradley-Terry ratings against the closed-form 2-player
+  * solution and invariance properties. */
+class LabelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def annots(rows: (Long, Long, Long)*) =
+    rows.toDF("item", "annotator", "label")
+
+  test("majorityVote picks the modal label, breaks ties low, reports agreement") {
+    val df = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),            // 2-1 for 0
+      (2L, 1L, 2L), (2L, 2L, 1L),                          // 1-1 tie -> 1
+      (3L, 1L, 1L), (3L, 2L, 1L), (3L, 3L, 1L), (3L, 4L, 1L))
+    val got = Labels.majorityVote(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 3L, 2L, 0.6667)))
+    assert(got(2L)._2 == 1L && got(2L)._5 == 0.5)
+    assert(got(3L) == ((3L, 1L, 4L, 4L, 1.0)))
+  }
+
+  test("majorityVote ignores duplicate (item, annotator) rows") {
+    val df = annots((1L, 1L, 0L), (1L, 1L, 0L), (1L, 2L, 1L))
+    val got = Labels.majorityVote(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._3 == 2L, "dup annotator row must count once")
+  }
+
+  test("annotatorAccuracy scores each annotator against the consensus") {
+    val df = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),
+      (2L, 1L, 2L), (2L, 2L, 2L), (2L, 3L, 2L))
+    val got = Labels.annotatorAccuracy(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 2L, 2L, 1.0)))
+    assert(got(3L) == ((3L, 2L, 1L, 0.5)))
+  }
+
+  test("cohenKappa matches the hand-computed 2x2 case") {
+    // classic example: 50 items, a/b agree on 20 yes + 15 no,
+    // disagree 10 (a yes) + 5 (b yes): po=0.7, pe=0.5*0.6+0.5*0.4=0.5
+    val rows =
+      Seq.fill(20)((0L, 1L, 1L)) ++ Seq.fill(15)((0L, 0L, 0L)) ++
+      Seq.fill(10)((0L, 1L, 0L)) ++ Seq.fill(5)((0L, 0L, 1L))
+    val df = rows.zipWithIndex.flatMap { case ((_, la, lb), i) =>
+      Seq((i.toLong, 1L, la), (i.toLong, 2L, lb))
+    }.toDF("item", "annotator", "label")
+    val got = Labels.cohenKappa(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (a, b, n, po, pe, kappa) = got.head
+    assert((a, b, n) == ((1L, 2L, 50L)))
+    assert(po == 0.7 && pe == 0.5 && kappa == 0.4)
+  }
+
+  test("cohenKappa emits one row per annotator pair, perfect agreement = 1") {
+    val df = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 0L),
+      (2L, 1L, 1L), (2L, 2L, 1L), (2L, 3L, 1L))
+    val got = Labels.cohenKappa(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 3) // pairs (1,2) (1,3) (2,3)
+    assert(got.forall(_._6 == 1.0))
+  }
+
+  test("fleissKappa matches a hand-computed example and is 1 on unanimity") {
+    // 4 items, 3 annotators each.
+    // item1: 3x0 -> pi=1; item2: 2x0,1x1 -> pi=(5-3)/6=1/3
+    // item3: 3x1 -> pi=1; item4: 1x0,2x1 -> pi=1/3
+    // pbar = (1 + 1/3 + 1 + 1/3)/4 = 2/3
+    // p0 = 6/12, p1 = 6/12 -> pe = 0.5 ; kappa = (2/3-1/2)/(1/2) = 1/3
+    val df = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 0L),
+      (2L, 1L, 0L), (2L, 2L, 0L), (2L, 3L, 1L),
+      (3L, 1L, 1L), (3L, 2L, 1L), (3L, 3L, 1L),
+      (4L, 1L, 0L), (4L, 2L, 1L), (4L, 3L, 1L))
+    val got = Labels.fleissKappa(df, "item", "annotator", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 4L && got._2 == 2L)
+    assert(got._3 == 0.666667 && got._4 == 0.5 && got._5 == 0.333333)
+    val uni = Labels.fleissKappa(
+      annots((1L, 1L, 2L), (1L, 2L, 2L), (2L, 1L, 0L), (2L, 2L, 0L)),
+      "item", "annotator", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(uni._5 == 1.0)
+  }
+
+  test("fleissKappa drops single-annotation items from both pbar and pe") {
+    val withSingleton = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L), (2L, 1L, 1L), (2L, 2L, 1L),
+      (9L, 1L, 2L)) // item 9 has one annotation -> excluded
+    val base = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L), (2L, 1L, 1L), (2L, 2L, 1L))
+    val a = Labels.fleissKappa(withSingleton, "item", "annotator", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    val b = Labels.fleissKappa(base, "item", "annotator", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(a == b)
+  }
+
+  test("bradleyTerry matches the closed-form two-player solution") {
+    // A beats B 3 times, B beats A once: MM fixed point has
+    // pA/pB = 3 -> normalized pA = 0.75, pB = 0.25.
+    val pairs = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val got = Labels.bradleyTerry(pairs, "winner", "loser", iters = 30)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._2 == 3L && got("A")._3 == 4L)
+    assert(got("B")._2 == 1L && got("B")._3 == 4L)
+    assert(math.abs(got("A")._4 - 0.75) < 1e-4)
+    assert(math.abs(got("B")._4 - 0.25) < 1e-4)
+    assert(got("A")._5 == 1L && got("B")._5 == 2L)
+  }
+
+  test("bradleyTerry ranks a transitive tournament in order and excludes self-games") {
+    // A>B x4, B>C x4, A>C x4 (+ 1 upset each to keep it connected
+    // both ways), plus self-games that must be ignored.
+    val pairs = (
+      Seq.fill(4)(("A", "B")) ++ Seq.fill(4)(("B", "C")) ++
+      Seq.fill(4)(("A", "C")) ++
+      Seq(("B", "A"), ("C", "B"), ("C", "A"), ("A", "A"), ("C", "C"))
+    ).toDF("winner", "loser")
+    val got = Labels.bradleyTerry(pairs, "winner", "loser")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .sortBy(_._5)
+    assert(got.map(_._1).toSeq == Seq("A", "B", "C"))
+    assert(got.map(_._4).sliding(2).forall(w => w(0) > w(1)))
+    // self-games dropped: A played 4+1 vs B and 4+1 vs C
+    assert(got.head._3 == 10L)
+    // ratings normalized to ~1
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4)
+  }
+}
