@@ -43,6 +43,10 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> shard-audit <docs.parquet> [idCol] [textCol] [nShards] [--out D]
   * graft.Cli <root> <collection> label-prop <vecs.parquet> <seeds.parquet> [idCol] [vecCol] [labelCol] [rounds] [--out D]
   * graft.Cli <root> <collection> winnow-index <docs.parquet> <indexDir> [probe|ingest] [idCol] [textCol] [--out D]
+  * graft.Cli <root> <collection> label-audit <annots.parquet> [consensus|accuracy|cohen|fleiss] [itemCol] [annotatorCol] [labelCol] [--out D]
+  * graft.Cli <root> <collection> bradley-terry <games.parquet> [winnerCol] [loserCol] [iters] [--out D]
+  * graft.Cli <root> <collection> privacy-audit <rows.parquet> [report|classes|ldiv] [quasiCol,quasiCol...] [k] [sensitiveCol] [--out D]
+  * graft.Cli <root> <collection> url-curate <urls.parquet> [canon|domain|dedup] [urlCol] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -168,7 +172,9 @@ object Cli {
          | "chunk" | "embed-reduce" | "wordpiece" | "sq8-audit" | "mmr"
          | "dsir" | "eval" | "coreset" | "graph-ann" | "gen-eval"
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
-         | "align" | "shard-audit" | "label-prop" | "winnow-index" =>
+         | "align" | "shard-audit" | "label-prop" | "winnow-index"
+         | "label-audit" | "bradley-terry" | "privacy-audit"
+         | "url-curate" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -240,6 +246,18 @@ object Cli {
           case "winnow-index" =>
             facade.winnowIndex(inPath, pos(1), p(2, "probe"),
               p(3, "doc_id"), p(4, "text"))
+          case "label-audit" =>
+            facade.labelAudit(inPath, p(1, "consensus"), p(2, "item"),
+              p(3, "annotator"), p(4, "label"))
+          case "bradley-terry" =>
+            facade.bradleyTerry(inPath, p(1, "winner"), p(2, "loser"),
+              p(3, "8").toInt)
+          case "privacy-audit" =>
+            facade.privacyAudit(inPath, p(1, "report"),
+              p(2, "zip").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              p(3, "10").toLong, p(4, ""))
+          case "url-curate" =>
+            facade.urlCurate(inPath, p(1, "canon"), p(2, "url"))
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

@@ -145,6 +145,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         toAnalyzableExpression(graft.text.Sharding.shardOf(
           toColumn(children.head),
           children.lift(1).map(intArg(_, "nShards")).getOrElse(8)))))
+    // URL-curation kernels: canonical crawl-dedup key + eTLD+1
+    ext.injectFunction((
+      new FunctionIdentifier("url_canonicalize"),
+      new ExpressionInfo(graft.text.UrlOps.getClass.getName, "url_canonicalize"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.UrlOps.canonicalizeUrl(
+          toColumn(children.head)))))
+    ext.injectFunction((
+      new FunctionIdentifier("url_host"),
+      new ExpressionInfo(graft.text.UrlOps.getClass.getName, "url_host"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.UrlOps.hostOf(toColumn(children.head)))))
+    ext.injectFunction((
+      new FunctionIdentifier("registrable_domain"),
+      new ExpressionInfo(graft.text.UrlOps.getClass.getName, "registrable_domain"),
+      (children: Seq[Expression]) =>
+        toAnalyzableExpression(graft.text.UrlOps.registrableDomain(
+          toColumn(children.head)))))
     // rp_project(vec [, inDim, outDim, seed]): dense-sign random
     // projection — dims/seed must be literals (they parameterize the
     // driver-built sign matrix embedded in the plan)

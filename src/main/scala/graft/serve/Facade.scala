@@ -409,6 +409,60 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       idCol, labelCol, rounds)
   }
 
+  /** Annotation QA (`graft.text.Labels`): consensus labels, annotator
+    * reliability, or chance-corrected agreement (Cohen per pair /
+    * Fleiss pooled) over an (item, annotator, label) table. */
+  def labelAudit(inPath: String, mode: String = "consensus",
+                 itemCol: String = "item", annotatorCol: String = "annotator",
+                 labelCol: String = "label"): DataFrame = mode match {
+    case "consensus" =>
+      graft.text.Labels.majorityVote(corpus(inPath), itemCol, annotatorCol, labelCol)
+    case "accuracy" =>
+      graft.text.Labels.annotatorAccuracy(corpus(inPath), itemCol, annotatorCol, labelCol)
+    case "cohen" =>
+      graft.text.Labels.cohenKappa(corpus(inPath), itemCol, annotatorCol, labelCol)
+    case "fleiss" =>
+      graft.text.Labels.fleissKappa(corpus(inPath), itemCol, annotatorCol, labelCol)
+    case other => throw new IllegalArgumentException(
+      s"label-audit mode '$other' (expected consensus|accuracy|cohen|fleiss)")
+  }
+
+  /** Bradley-Terry ratings (`graft.text.Labels.bradleyTerry`) over a
+    * (winner, loser) preference-outcome table. */
+  def bradleyTerry(inPath: String, winnerCol: String = "winner",
+                   loserCol: String = "loser", iters: Int = 8): DataFrame =
+    graft.text.Labels.bradleyTerry(corpus(inPath), winnerCol, loserCol, iters)
+
+  /** Privacy audit (`graft.ops.Privacy`): k-anonymity per class /
+    * one-row report / l-diversity over comma-separated
+    * quasi-identifier columns. */
+  def privacyAudit(inPath: String, mode: String = "report",
+                   quasiCols: Seq[String] = Seq("zip"), k: Long = 10,
+                   sensitiveCol: String = ""): DataFrame = {
+    val quasi = quasiCols.map(c => c -> col(c))
+    mode match {
+      case "classes" => graft.ops.Privacy.kAnonymity(corpus(inPath), quasi, k)
+      case "report" => graft.ops.Privacy.kAnonymityReport(corpus(inPath), quasi, k)
+      case "ldiv" =>
+        graft.ops.Privacy.lDiversity(corpus(inPath), quasi, sensitiveCol, k)
+      case other => throw new IllegalArgumentException(
+        s"privacy-audit mode '$other' (expected classes|report|ldiv)")
+    }
+  }
+
+  /** URL curation (`graft.text.UrlOps`): canonical forms, registrable
+    * domains, or per-domain dedup stats over a URL column. */
+  def urlCurate(inPath: String, mode: String = "canon",
+                urlCol: String = "url"): DataFrame = mode match {
+    case "canon" => corpus(inPath).withColumn("canonical",
+      graft.text.UrlOps.canonicalizeUrl(col(urlCol)))
+    case "domain" => corpus(inPath).withColumn("domain",
+      graft.text.UrlOps.registrableDomain(graft.text.UrlOps.hostOf(col(urlCol))))
+    case "dedup" => graft.text.UrlOps.urlDedupStats(corpus(inPath), urlCol)
+    case other => throw new IllegalArgumentException(
+      s"url-curate mode '$other' (expected canon|domain|dedup)")
+  }
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {

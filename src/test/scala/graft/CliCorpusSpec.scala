@@ -259,4 +259,51 @@ class CliCorpusSpec extends AnyFunSuite {
     val a = al.getSeq[Double](al.fieldIndex("aligned"))
     assert(math.abs(a(0) - 0.0) < 1e-9 && math.abs(a(1) - 1.0) < 1e-9)
   }
+
+  test("label-audit, bradley-terry, privacy-audit and url-curate verbs dispatch") {
+    val dir = Files.createTempDirectory("graft_cli_corpus10_")
+    val root = Files.createTempDirectory("graft_cli_root10_").toString
+    Seq((1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (2L, 1L, 2L), (2L, 2L, 2L))
+      .toDF("item", "annotator", "label").write.parquet(s"$dir/ann")
+    Cli.main(Array(root, "c1", "label-audit", s"$dir/ann", "consensus",
+      "--out", s"$dir/la_out"))
+    val la = spark.read.parquet(s"$dir/la_out")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(la == Map(1L -> 0L, 2L -> 2L))
+    Cli.main(Array(root, "c1", "label-audit", s"$dir/ann", "fleiss",
+      "--out", s"$dir/fk_out"))
+    assert(spark.read.parquet(s"$dir/fk_out").columns.contains("kappa"))
+
+    (Seq.fill(3)(("A", "B")) :+ (("B", "A"))).toDF("winner", "loser")
+      .write.parquet(s"$dir/games")
+    Cli.main(Array(root, "c1", "bradley-terry", s"$dir/games", "winner",
+      "loser", "20", "--out", s"$dir/bt_out"))
+    val bt = spark.read.parquet(s"$dir/bt_out")
+      .as[(String, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(bt("A")._5 == 1L && math.abs(bt("A")._4 - 0.75) < 1e-3)
+
+    Seq(("13053", "flu"), ("13053", "cold"), ("14850", "flu"))
+      .toDF("zip", "dx").write.parquet(s"$dir/ppl")
+    Cli.main(Array(root, "c1", "privacy-audit", s"$dir/ppl", "report",
+      "zip", "2", "--out", s"$dir/ka_out"))
+    val ka = spark.read.parquet(s"$dir/ka_out")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(ka == ((3L, 2L, 1L, 1L, 0.3333)))
+    Cli.main(Array(root, "c1", "privacy-audit", s"$dir/ppl", "ldiv",
+      "zip", "2", "dx", "--out", s"$dir/ld_out"))
+    assert(spark.read.parquet(s"$dir/ld_out")
+      .where($"zip" === "14850").head().getBoolean(3))
+
+    Seq((1L, "http://WWW.a.com/x/?utm_source=1&b=2")).toDF("id", "url")
+      .write.parquet(s"$dir/urls")
+    Cli.main(Array(root, "c1", "url-curate", s"$dir/urls", "canon", "url",
+      "--out", s"$dir/uc_out"))
+    assert(spark.read.parquet(s"$dir/uc_out").select("canonical")
+      .as[String].head() == "http://a.com/x?b=2")
+    Cli.main(Array(root, "c1", "url-curate", s"$dir/urls", "dedup", "url",
+      "--out", s"$dir/ud_out"))
+    assert(spark.read.parquet(s"$dir/ud_out").select("domain")
+      .as[String].head() == "a.com")
+    assert(!spark.sparkContext.isStopped)
+  }
 }

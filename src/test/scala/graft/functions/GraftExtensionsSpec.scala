@@ -232,4 +232,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select("shard").as[Int].head()
     assert(row.getInt(3) == shardLib)
   }
+
+  test("url_canonicalize / url_host / registrable_domain callable from SQL") {
+    import spark.implicits._
+    Seq("HTTPS://WWW.News.BBC.co.uk:443/Story/?utm_source=x&b=2&a=1#top")
+      .toDF("url").createOrReplaceTempView("urls")
+    val row = spark.sql(
+      """SELECT url_canonicalize(url) AS canon,
+                url_host(url) AS host,
+                registrable_domain(url_host(url)) AS dom
+         FROM urls""").head()
+    assert(row.getString(0) == "https://news.bbc.co.uk/Story?a=1&b=2")
+    assert(row.getString(1) == "news.bbc.co.uk")
+    assert(row.getString(2) == "bbc.co.uk")
+  }
 }
