@@ -3368,6 +3368,15 @@ object SparkEntry {
         "doc_id", "annotator", "label")
     }),
 
+    // X: Krippendorff's alpha — agreement under VARYING annotations
+    // per item (annotator 5 skips every 4th doc)
+    "q_x_kripp_alpha" -> ((s, dir) => {
+      graft.text.Labels.krippendorffAlpha(
+        synthAnnots(s, dir).where(!(col("annotator") === 5 &&
+          pmod(col("doc_id"), lit(4L)) === 0)),
+        "doc_id", "annotator", "label")
+    }),
+
     // X: Bradley-Terry skill ratings from pairwise preference games
     // (8 fixed MM iterations; matrix is |sources|^2, solved on driver)
     "q_x_bradley_terry" -> ((s, dir) => {
@@ -6883,6 +6892,27 @@ object SparkEntry {
            round(pe, 6) + 0.0 AS p_e,
            round((pbar - pe) / (1.0 - pe), 6) + 0.0 AS kappa
          FROM pb, pexp""",
+
+    "q_x_kripp_alpha" -> s"""WITH $annSqlCte,
+         annf AS (SELECT * FROM ann
+                  WHERE NOT (annotator = 5 AND doc_id % 4 = 0)),
+         c AS (SELECT doc_id, label, COUNT(*)::DOUBLE AS nuc
+               FROM annf GROUP BY doc_id, label),
+         pi AS (SELECT doc_id, SUM(nuc) AS mu, SUM(nuc * nuc) AS sq
+                FROM c GROUP BY doc_id HAVING SUM(nuc) >= 2),
+         obs AS (SELECT COUNT(*) AS n_items, SUM(mu) AS n,
+                   SUM((mu * mu - sq) / (mu - 1)) AS dosum FROM pi),
+         nc AS (SELECT c.label, SUM(c.nuc) AS ncv
+                FROM c JOIN pi USING (doc_id) GROUP BY c.label),
+         ex AS (SELECT SUM(ncv * ((SELECT n FROM obs) - ncv)) AS desum FROM nc)
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(n AS BIGINT) AS n_annotations,
+           round(dosum / n, 6) + 0.0 AS d_o,
+           round(desum / (n * (n - 1)), 6) + 0.0 AS d_e,
+           round(CASE WHEN desum / (n * (n - 1)) <> 0
+                 THEN 1.0 - (dosum / n) / (desum / (n * (n - 1))) END, 6)
+             + 0.0 AS alpha
+         FROM obs, ex""",
 
     "q_x_bradley_terry" -> btOracleSql,
 

@@ -423,8 +423,10 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       graft.text.Labels.cohenKappa(corpus(inPath), itemCol, annotatorCol, labelCol)
     case "fleiss" =>
       graft.text.Labels.fleissKappa(corpus(inPath), itemCol, annotatorCol, labelCol)
+    case "alpha" =>
+      graft.text.Labels.krippendorffAlpha(corpus(inPath), itemCol, annotatorCol, labelCol)
     case other => throw new IllegalArgumentException(
-      s"label-audit mode '$other' (expected consensus|accuracy|cohen|fleiss)")
+      s"label-audit mode '$other' (expected consensus|accuracy|cohen|fleiss|alpha)")
   }
 
   /** Bradley-Terry ratings (`graft.text.Labels.bradleyTerry`) over a

@@ -153,6 +153,48 @@ object Labels {
         + lit(0.0)).as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal data): chance-corrected agreement
+    * that — unlike Fleiss — handles a VARYING number of annotations
+    * per item (the real shape of crowdsourced labels). Items with
+    * fewer than 2 annotations are excluded. Using n_uc = annotations
+    * of value c on item u, m_u = their item total, n = grand total,
+    * n_c = per-value total:
+    *   D_o = (1/n) * sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1)
+    *   D_e = (1/(n(n-1))) * sum_c n_c (n - n_c)
+    *   alpha = 1 - D_o / D_e
+    * Returns one row: n_items, n_annotations, d_o, d_e, alpha (null
+    * when D_e = 0 — every annotation the same value, agreement
+    * undefined). Same two tiny keyed aggregations as Fleiss. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        annotatorCol: String, labelCol: String): DataFrame = {
+    val counts = df.dropDuplicates(itemCol, annotatorCol)
+      .groupBy(col(itemCol), col(labelCol).as("__label"))
+      .agg(count(lit(1)).cast("double").as("__nuc"))
+    val perItem = counts.groupBy(col(itemCol))
+      .agg(sum(col("__nuc")).as("__mu"),
+           sum(col("__nuc") * col("__nuc")).as("__sq"))
+      .where(col("__mu") >= 2)
+    val obs = perItem.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      sum(col("__mu")).as("__n"),
+      sum((col("__mu") * col("__mu") - col("__sq")) / (col("__mu") - 1))
+        .as("__dosum"))
+    val kept = counts.join(perItem.select(col(itemCol)), itemCol)
+    val exp = kept.groupBy(col("__label"))
+      .agg(sum(col("__nuc")).as("__nc"))
+      .crossJoin(broadcast(obs.select(col("__n").as("__nn"))))
+      .agg(sum(col("__nc") * (col("__nn") - col("__nc"))).as("__desum"))
+    val dO = col("__dosum") / col("__n")
+    val dE = col("__desum") / (col("__n") * (col("__n") - 1))
+    obs.crossJoin(broadcast(exp)).select(
+      col("n_items"),
+      col("__n").cast("long").as("n_annotations"),
+      (round(dO, 6) + lit(0.0)).as("d_o"),
+      (round(dE, 6) + lit(0.0)).as("d_e"),
+      (round(when(dE =!= 0.0, lit(1.0) - dO / dE), 6) + lit(0.0))
+        .as("alpha"))
+  }
+
   /** Bradley-Terry skill ratings from pairwise preference outcomes
     * (winner, loser) via the classical MM / Zermelo iteration:
     *   p_i <- W_i / sum_j( g_ij / (p_i + p_j) )

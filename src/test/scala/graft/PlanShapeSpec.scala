@@ -283,6 +283,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10g plans: URL kernels are exchange-free; privacy/label audits shuffle once") {
+    // url canonicalization + domain extraction are row-local claims —
+    // an Exchange here would break "scan speed at 100 TB"
+    val urls = spark.range(500).selectExpr(
+      "concat('http://www.s', id % 5, '.co.uk/p/', id, '?utm_source=x&b=1') AS url")
+    val uq = urls.select(
+      graft.text.UrlOps.canonicalizeUrl(col("url")).as("c"),
+      graft.text.UrlOps.registrableDomain(
+        graft.text.UrlOps.hostOf(col("url"))).as("d"))
+    uq.count()
+    assert(!uq.queryExecution.executedPlan.toString.contains("Exchange"),
+      uq.queryExecution.executedPlan.toString.take(1200))
+    // the k-anonymity class audit is ONE keyed aggregation: exactly one
+    // hash-partitioning exchange (partial agg before it = map-side combine)
+    val ppl = spark.range(2000).selectExpr("concat('z', id % 7) AS zip")
+    val kq = graft.ops.Privacy.kAnonymity(ppl, Seq("zip" -> col("zip")), 10)
+    kq.count()
+    val kPlan = kq.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(kPlan).length == 1, kPlan.take(1500))
+    assert(kPlan.contains("partial_count") || kPlan.contains("partial"), kPlan.take(1500))
+    // majority vote is two keyed aggregations -> at most two exchanges,
+    // never a join or window over the corpus
+    val ann = spark.range(3000).selectExpr("id % 600 AS item",
+      "id % 5 AS annotator", "id % 3 AS label")
+    val mq = graft.text.Labels.majorityVote(ann, "item", "annotator", "label")
+    mq.count()
+    val mPlan = mq.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(mPlan).length <= 3, mPlan.take(1500))
+    assert(!mPlan.contains("SortMergeJoin") && !mPlan.contains("Window"),
+      mPlan.take(1500))
+  }
+
   test("parquet aggregate pushdown: count/min/max answer from footer stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_").toString
     spark.range(0, 10000).selectExpr("id", "id % 7 AS v")

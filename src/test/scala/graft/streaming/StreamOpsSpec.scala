@@ -863,6 +863,56 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop() }
   }
 
+  test("round-10f: privacy audit + URL domain counts run as live streaming aggregations (stream == batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10f_stream_")
+    val rows = (1L to 12L).map { i =>
+      (i, s"z${i % 3}", s"http://WWW.site${i % 2}.co.uk/p/$i?utm_source=x")
+    }
+    rows.take(6).toDF("id", "zip", "url")
+      .coalesce(1).write.parquet(dir.resolve("b1").toString)
+    rows.drop(6).toDF("id", "zip", "url")
+      .coalesce(1).write.parquet(dir.resolve("b2").toString)
+    Seq(1, 2).foreach { k =>
+      val part = java.nio.file.Files.list(dir.resolve(s"b$k"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"d$k.parquet"))
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("zip", StringType), StructField("url", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/d*.parquet")
+    // the k-anonymity class audit is ONE keyed aggregation, so it runs
+    // live in complete mode — a release gate that updates as data lands
+    val quasi = Seq("zip" -> col("zip"))
+    val qk = graft.ops.Privacy.kAnonymity(stream, quasi, k = 5)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("r10f_kanon").start()
+    // the URL-curation kernels are row-local projections, so the
+    // per-domain crawl counts stream the same way
+    val qd = stream
+      .select(graft.text.UrlOps.registrableDomain(
+        graft.text.UrlOps.hostOf(col("url"))).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_urls"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("r10f_domains").start()
+    try {
+      qk.processAllAvailable(); qd.processAllAvailable()
+      val sk = spark.table("r10f_kanon")
+        .as[(String, Long, Boolean)].collect().toSet
+      val bk = graft.ops.Privacy.kAnonymity(
+          rows.toDF("id", "zip", "url"), quasi, k = 5)
+        .as[(String, Long, Boolean)].collect().toSet
+      assert(sk == bk && sk.size == 3)
+      val sd = spark.table("r10f_domains")
+        .as[(String, Long)].collect().toSet
+      assert(sd == Set(("site0.co.uk", 6L), ("site1.co.uk", 6L)))
+    } finally { qk.stop(); qd.stop() }
+  }
+
   test("round-10e: shard audit runs as a live streaming aggregation (stream == batch)") {
     import spark.implicits._
     import org.apache.spark.sql.types._

@@ -108,6 +108,33 @@ class LabelsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("krippendorffAlpha matches a hand-computed unequal-m example") {
+    // u1: {0,0}  u2: {0,1}  u3: {1,1,1}  -> n=7
+    // Do = (1/7) * [0 + (4-2)/1 + 0] = 2/7
+    // n_0=3, n_1=4 -> De = (3*4 + 4*3)/(7*6) = 4/7 -> alpha = 0.5
+    val df = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L),
+      (2L, 1L, 0L), (2L, 2L, 1L),
+      (3L, 1L, 1L), (3L, 2L, 1L), (3L, 3L, 1L))
+    val got = Labels.krippendorffAlpha(df, "item", "annotator", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 3L && got._2 == 7L)
+    assert(got._3 == 0.285714 && got._4 == 0.571429 && got._5 == 0.5)
+  }
+
+  test("krippendorffAlpha: perfect agreement = 1, single-annotation items excluded, constant labels -> null") {
+    val perfect = Labels.krippendorffAlpha(
+      annots((1L, 1L, 0L), (1L, 2L, 0L), (2L, 1L, 1L), (2L, 2L, 1L),
+             (9L, 1L, 2L)), // singleton item excluded
+      "item", "annotator", "label")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(perfect._1 == 2L && perfect._2 == 4L && perfect._5 == 1.0)
+    val constant = Labels.krippendorffAlpha(
+      annots((1L, 1L, 0L), (1L, 2L, 0L)), "item", "annotator", "label")
+      .select("alpha").collect().head
+    assert(constant.isNullAt(0))
+  }
+
   test("bradleyTerry matches the closed-form two-player solution") {
     // A beats B 3 times, B beats A once: MM fixed point has
     // pA/pB = 3 -> normalized pA = 0.75, pB = 0.25.
