@@ -47,6 +47,9 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> bradley-terry <games.parquet> [winnerCol] [loserCol] [iters] [--out D]
   * graft.Cli <root> <collection> privacy-audit <rows.parquet> [report|classes|ldiv] [quasiCol,quasiCol...] [k] [sensitiveCol] [--out D]
   * graft.Cli <root> <collection> url-curate <urls.parquet> [canon|domain|dedup] [urlCol] [--out D]
+  * graft.Cli <root> <collection> readability <docs.parquet> [idCol] [textCol] [--out D]
+  * graft.Cli <root> <collection> skew-report <rows.parquet> [keyCol,keyCol...] [targetRowsPerTask] [--out D]
+  * graft.Cli <root> <collection> silhouette <vecs.parquet> [idCol] [vecCol] [labelCol] [dims] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -174,7 +177,7 @@ object Cli {
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
          | "align" | "shard-audit" | "label-prop" | "winnow-index"
          | "label-audit" | "bradley-terry" | "privacy-audit"
-         | "url-curate" =>
+         | "url-curate" | "readability" | "skew-report" | "silhouette" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -258,6 +261,15 @@ object Cli {
               p(3, "10").toLong, p(4, ""))
           case "url-curate" =>
             facade.urlCurate(inPath, p(1, "canon"), p(2, "url"))
+          case "readability" =>
+            facade.readability(inPath, p(1, "doc_id"), p(2, "text"))
+          case "skew-report" =>
+            facade.skewReport(inPath,
+              p(1, "key").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+              p(2, "1000000").toLong)
+          case "silhouette" =>
+            facade.silhouette(inPath, p(1, "vec_id"), p(2, "embedding"),
+              p(3, "label"), p(4, "64").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

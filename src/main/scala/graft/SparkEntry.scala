@@ -3431,6 +3431,26 @@ object SparkEntry {
       graft.text.UrlOps.urlDedupStats(
         t(s, dir, "documents").select(col("doc_id"),
           synthUrl.as("url")), "url")
+    }),
+
+    // X: Flesch readability — row-local register/complexity signal
+    "q_x_readability" -> ((s, dir) => {
+      graft.text.Readability.flesch(t(s, dir, "documents"),
+        "doc_id", "text")
+    }),
+
+    // X: key-skew diagnostic — profile a prospective shuffle key
+    // (events.user_id) before committing the 100 TB shuffle
+    "q_x_skew_report" -> ((s, dir) => {
+      graft.ops.Skew.skewReport(t(s, dir, "events"),
+        Seq("user_id"), targetRowsPerTask = 1000L)
+    }),
+
+    // X: centroid silhouette — are the label clusters real in
+    // embedding space (gates cluster-keyed curation)
+    "q_x_silhouette" -> ((s, dir) => {
+      graft.vec.ClusterEval.silhouette(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", dims = 64)
     })
   )
 
@@ -6966,7 +6986,68 @@ object SparkEntry {
            CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
            round((COUNT(*) - COUNT(DISTINCT canonical))::DOUBLE
                  / COUNT(*), 4) AS dup_ratio
-         FROM d GROUP BY domain"""
+         FROM d GROUP BY domain""",
+
+    "q_x_readability" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+         m AS (SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len(tk) END AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           list_sum(list_transform(tk,
+             w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS syl
+         FROM t)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN n_words > 0 THEN syl ELSE 0 END AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                   - 84.6 * (syl::DOUBLE / n_words), 4) + 0.0 END AS reading_ease,
+           CASE WHEN n_words > 0 THEN
+             round(0.39 * (n_words::DOUBLE / n_sentences)
+                   + 11.8 * (syl::DOUBLE / n_words) - 15.59, 4) + 0.0 END AS fk_grade
+         FROM m""",
+
+    "q_x_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+                    FROM events GROUP BY user_id),
+         top AS (SELECT key FROM c ORDER BY n DESC, key DESC LIMIT 1)
+         SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           (SELECT key FROM top) AS top_key,
+           round(MAX(n)::DOUBLE / SUM(n), 4) AS top_share,
+           quantile_cont(n, 0.5) AS p50_key_rows,
+           quantile_cont(n, 0.99) AS p99_key_rows,
+           round(stddev_pop(n) / AVG(n), 4) AS cv,
+           greatest(1, CAST(ceil(MAX(n)::DOUBLE / 1000) AS BIGINT)) AS salt_factor
+         FROM c""",
+
+    "q_x_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         ex AS (SELECT label, unnest(v) AS val,
+                  unnest(range(1, len(v) + 1)) AS ord FROM e),
+         cent AS (SELECT label, list(av ORDER BY ord) AS c
+                  FROM (SELECT label, ord, AVG(val) AS av
+                        FROM ex GROUP BY label, ord) q
+                  GROUP BY label),
+         d AS (SELECT e.vec_id, e.label, cent.label AS cl,
+                 list_distance(e.v, cent.c) AS dist
+               FROM e CROSS JOIN cent),
+         ab AS (SELECT vec_id, label,
+                  MIN(CASE WHEN label = cl THEN dist END) AS a,
+                  MIN(CASE WHEN label <> cl THEN dist END) AS b
+                FROM d GROUP BY vec_id, label)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           round(AVG(a), 6) + 0.0 AS mean_a,
+           round(AVG(b), 6) + 0.0 AS mean_b,
+           round(AVG(CASE WHEN greatest(a, b) > 0
+                 THEN (b - a) / greatest(a, b) ELSE 0 END), 6) + 0.0
+             AS silhouette
+         FROM ab GROUP BY label"""
   )
 
   /** Shared CTE for the synthetic annotation table — must stay in

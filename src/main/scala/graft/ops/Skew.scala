@@ -52,4 +52,37 @@ object Skew {
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
     saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Key-distribution diagnostic for a PROSPECTIVE groupBy/join key —
+    * run this before committing a 100 TB shuffle to a key you haven't
+    * profiled. One row: totals, the heaviest key and its share,
+    * median/p99 key sizes (exact, linear-interpolated), the
+    * coefficient of variation, and the salt factor that would cap the
+    * hottest key's rows-per-task at `targetRowsPerTask`
+    * (ceil(max_key_rows / target), min 1 — feed it straight into
+    * [[saltedSumCount]] / [[saltedJoin]]).
+    *
+    * Shape: one keyed count (map-side combined) then one global reduce
+    * over the per-key counts — the diagnostic never moves the rows
+    * themselves, only the counts. */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+                 targetRowsPerTask: Long = 1000000L): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+        .as("__key"), col("__n"))
+    counts.agg(
+      sum(col("__n")).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_keys"),
+      max(col("__n")).cast("long").as("max_key_rows"),
+      max_by(col("__key"), struct(col("__n"), col("__key"))).as("top_key"),
+      round(max(col("__n")).cast("double") / sum(col("__n")), 4)
+        .as("top_share"),
+      expr("percentile(__n, 0.5)").as("p50_key_rows"),
+      expr("percentile(__n, 0.99)").as("p99_key_rows"),
+      round(stddev_pop(col("__n")) / avg(col("__n")), 4).as("cv"),
+      greatest(lit(1L),
+        ceil(max(col("__n")).cast("double") / targetRowsPerTask)
+          .cast("long")).as("salt_factor"))
+  }
 }

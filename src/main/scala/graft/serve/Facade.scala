@@ -465,6 +465,26 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       s"url-curate mode '$other' (expected canon|domain|dedup)")
   }
 
+  /** Flesch readability (`graft.text.Readability.flesch`): per-doc
+    * word/sentence/syllable counts, reading ease, FK grade. */
+  def readability(inPath: String, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    graft.text.Readability.flesch(corpus(inPath), idCol, textCol)
+
+  /** Key-skew diagnostic (`graft.ops.Skew.skewReport`): profile a
+    * prospective shuffle key before running the shuffle. */
+  def skewReport(inPath: String, keyCols: Seq[String],
+                 targetRowsPerTask: Long = 1000000L): DataFrame =
+    graft.ops.Skew.skewReport(corpus(inPath), keyCols, targetRowsPerTask)
+
+  /** Centroid silhouette (`graft.vec.ClusterEval.silhouette`): per-
+    * cluster separation quality over an assigned embedding frame. */
+  def silhouette(inPath: String, idCol: String = "vec_id",
+                 vecCol: String = "embedding", labelCol: String = "label",
+                 dims: Int = 64): DataFrame =
+    graft.vec.ClusterEval.silhouette(corpus(inPath), idCol, vecCol,
+      labelCol, dims)
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {

@@ -306,4 +306,30 @@ class CliCorpusSpec extends AnyFunSuite {
       .as[String].head() == "a.com")
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("readability, skew-report and silhouette verbs dispatch") {
+    val dir = Files.createTempDirectory("graft_cli_corpus11_")
+    val root = Files.createTempDirectory("graft_cli_root11_").toString
+    Seq((1L, "he ran. she ran."), (2L, ""))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Cli.main(Array(root, "c1", "readability", s"$dir/docs",
+      "--out", s"$dir/rd_out"))
+    val rd = spark.read.parquet(s"$dir/rd_out")
+    assert(rd.where($"doc_id" === 1L).head().getLong(1) == 4L)
+
+    ((1 to 90).map(_ => ("hot", 1)) ++ Seq(("cold", 1)))
+      .toDF("k", "v").write.parquet(s"$dir/rows")
+    Cli.main(Array(root, "c1", "skew-report", s"$dir/rows", "k", "30",
+      "--out", s"$dir/sk_out"))
+    val sk = spark.read.parquet(s"$dir/sk_out").head()
+    assert(sk.getString(3) == "hot" &&
+      sk.getLong(sk.fieldIndex("salt_factor")) == 3L)
+
+    Seq((1L, Array(0.0f), 0), (2L, Array(10.0f), 1))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$dir/vecs")
+    Cli.main(Array(root, "c1", "silhouette", s"$dir/vecs", "vec_id",
+      "embedding", "label", "1", "--out", s"$dir/si_out"))
+    assert(spark.read.parquet(s"$dir/si_out").count() == 2L)
+    assert(!spark.sparkContext.isStopped)
+  }
 }
