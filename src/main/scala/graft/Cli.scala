@@ -50,6 +50,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> readability <docs.parquet> [idCol] [textCol] [--out D]
   * graft.Cli <root> <collection> skew-report <rows.parquet> [keyCol,keyCol...] [targetRowsPerTask] [--out D]
   * graft.Cli <root> <collection> silhouette <vecs.parquet> [idCol] [vecCol] [labelCol] [dims] [--out D]
+  * graft.Cli <root> <collection> data-card <docs.parquet> [idCol] [textCol] [langCol] [sourceCol] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -177,7 +178,8 @@ object Cli {
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
          | "align" | "shard-audit" | "label-prop" | "winnow-index"
          | "label-audit" | "bradley-terry" | "privacy-audit"
-         | "url-curate" | "readability" | "skew-report" | "silhouette" =>
+         | "url-curate" | "readability" | "skew-report" | "silhouette"
+         | "data-card" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -270,6 +272,9 @@ object Cli {
           case "silhouette" =>
             facade.silhouette(inPath, p(1, "vec_id"), p(2, "embedding"),
               p(3, "label"), p(4, "64").toInt)
+          case "data-card" =>
+            facade.dataCard(inPath, p(1, "doc_id"), p(2, "text"),
+              p(3, "lang"), p(4, "source"))
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

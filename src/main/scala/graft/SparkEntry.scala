@@ -3451,6 +3451,13 @@ object SparkEntry {
     "q_x_silhouette" -> ((s, dir) => {
       graft.vec.ClusterEval.silhouette(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", dims = 64)
+    }),
+
+    // X: the corpus data card — per-source datasheet (volume, dup
+    // ratio, PII density, readability, language mode) in ONE pass
+    "q_x_data_card" -> ((s, dir) => {
+      graft.text.DataCard.perSource(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "source")
     })
   )
 
@@ -7023,6 +7030,40 @@ object SparkEntry {
            round(stddev_pop(n) / AVG(n), 4) AS cv,
            greatest(1, CAST(ceil(MAX(n)::DOUBLE / 1000) AS BIGINT)) AS salt_factor
          FROM c""",
+
+    "q_x_data_card" ->
+      """WITH b AS (SELECT source, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS ntok,
+           len(regexp_extract_all(text, 'https?://[^\s]+'))
+             + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+             + len(regexp_extract_all(text, '\+?\d[\d()\-\s]{6,}\d')) AS pii,
+           CASE WHEN trim(text) = '' THEN NULL ELSE
+             206.835
+             - 1.015 * (len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::DOUBLE
+                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (list_sum(list_transform(
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))::DOUBLE
+                       / len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+           END AS ease,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           round(AVG(ntok), 4) AS mean_tokens,
+           round((COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*), 4) AS dup_ratio,
+           round(SUM(pii)::DOUBLE / COUNT(*), 4) AS pii_per_doc,
+           round(AVG(ease), 4) + 0.0 AS mean_reading_ease
+         FROM b GROUP BY source),
+         lc AS (SELECT source, lang, COUNT(*) AS n FROM b GROUP BY source, lang),
+         lt AS (SELECT source, lang AS top_lang, n,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang DESC) AS rn,
+                  SUM(n) OVER (PARTITION BY source) AS tot
+                FROM lc)
+         SELECT m.*, lt.top_lang, round(lt.n::DOUBLE / lt.tot, 4) AS top_lang_share
+         FROM m JOIN lt ON m.source = lt.source AND lt.rn = 1""",
 
     "q_x_silhouette" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -485,6 +485,14 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     graft.vec.ClusterEval.silhouette(corpus(inPath), idCol, vecCol,
       labelCol, dims)
 
+  /** Corpus datasheet (`graft.text.DataCard.perSource`): per-source
+    * volume, dup ratio, PII density, readability, language mode. */
+  def dataCard(inPath: String, idCol: String = "doc_id",
+               textCol: String = "text", langCol: String = "lang",
+               sourceCol: String = "source"): DataFrame =
+    graft.text.DataCard.perSource(corpus(inPath), idCol, textCol,
+      langCol, sourceCol)
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {

@@ -23,6 +23,22 @@ object Readability {
   private def syllablesOf(w: Column): Column =
     greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
 
+  /** Flesch reading ease as a bare column (null for blank text) — the
+    * composable form [[flesch]] and the data card build on. */
+  def readingEase(text: Column): Column = {
+    val w = words(text)
+    val nWords = when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(w).cast("long"))
+    val nSents = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val nSyl = aggregate(transform(w, syllablesOf(_)), lit(0L),
+      (acc, x) => acc + x.cast("long"))
+    when(nWords > 0,
+      lit(206.835) - lit(1.015) * (nWords.cast("double") / nSents)
+        - lit(84.6) * (nSyl.cast("double") / nWords))
+  }
+
   /** Per-document readability frame: word/sentence/syllable counts,
     * Flesch reading ease (206.835 - 1.015 W/S - 84.6 Syl/W; ~90 =
     * grade school, <30 = academic) and Flesch-Kincaid grade
