@@ -43,9 +43,9 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> shard-audit <docs.parquet> [idCol] [textCol] [nShards] [--out D]
   * graft.Cli <root> <collection> label-prop <vecs.parquet> <seeds.parquet> [idCol] [vecCol] [labelCol] [rounds] [--out D]
   * graft.Cli <root> <collection> winnow-index <docs.parquet> <indexDir> [probe|ingest] [idCol] [textCol] [--out D]
-  * graft.Cli <root> <collection> label-audit <annots.parquet> [consensus|accuracy|cohen|fleiss] [itemCol] [annotatorCol] [labelCol] [--out D]
+  * graft.Cli <root> <collection> label-audit <annots.parquet> [consensus|accuracy|cohen|fleiss|alpha|confusion] [itemCol] [annotatorCol] [labelCol] [--out D]
   * graft.Cli <root> <collection> bradley-terry <games.parquet> [winnerCol] [loserCol] [iters] [--out D]
-  * graft.Cli <root> <collection> privacy-audit <rows.parquet> [report|classes|ldiv] [quasiCol,quasiCol...] [k] [sensitiveCol] [--out D]
+  * graft.Cli <root> <collection> privacy-audit <rows.parquet> [report|classes|ldiv|tclose] [quasiCol,quasiCol...] [k] [sensitiveCol] [t] [--out D]
   * graft.Cli <root> <collection> url-curate <urls.parquet> [canon|domain|dedup] [urlCol] [--out D]
   * graft.Cli <root> <collection> readability <docs.parquet> [idCol] [textCol] [--out D]
   * graft.Cli <root> <collection> skew-report <rows.parquet> [keyCol,keyCol...] [targetRowsPerTask] [--out D]
@@ -260,7 +260,7 @@ object Cli {
           case "privacy-audit" =>
             facade.privacyAudit(inPath, p(1, "report"),
               p(2, "zip").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-              p(3, "10").toLong, p(4, ""))
+              p(3, "10").toLong, p(4, ""), p(5, "0.2").toDouble)
           case "url-curate" =>
             facade.urlCurate(inPath, p(1, "canon"), p(2, "url"))
           case "readability" =>

@@ -3458,6 +3458,23 @@ object SparkEntry {
     "q_x_data_card" -> ((s, dir) => {
       graft.text.DataCard.perSource(t(s, dir, "documents"),
         "doc_id", "text", "lang", "source")
+    }),
+
+    // X: t-closeness — per-class sensitive-distribution drift from
+    // the global one (the leak l-diversity misses); nation bucket as
+    // the sensitive attribute
+    "q_x_t_closeness" -> ((s, dir) => {
+      graft.ops.Privacy.tCloseness(
+        t(s, dir, "customer").withColumn("__nat3",
+          pmod(col("c_nationkey"), lit(3))),
+        Seq("c_mktsegment" -> col("c_mktsegment")), "__nat3", t = 0.1)
+    }),
+
+    // X: per-annotator confusion matrix vs the consensus — where the
+    // errors go, not just how many
+    "q_x_confusion_matrix" -> ((s, dir) => {
+      graft.text.Labels.confusionMatrix(synthAnnots(s, dir),
+        "doc_id", "annotator", "label")
     })
   )
 
@@ -7064,6 +7081,31 @@ object SparkEntry {
                 FROM lc)
          SELECT m.*, lt.top_lang, round(lt.n::DOUBLE / lt.tot, 4) AS top_lang_share
          FROM m JOIN lt ON m.source = lt.source AND lt.rn = 1""",
+
+    "q_x_t_closeness" ->
+      """WITH base AS (SELECT c_mktsegment, c_nationkey % 3 AS v FROM customer),
+         cs AS (SELECT c_mktsegment, v, COUNT(*)::DOUBLE AS ncv
+                FROM base GROUP BY c_mktsegment, v),
+         nc AS (SELECT c_mktsegment, SUM(ncv) AS n_c FROM cs GROUP BY c_mktsegment),
+         gl AS (SELECT v, COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM base) AS p
+                  FROM base GROUP BY v)
+         SELECT cs.c_mktsegment, CAST(MIN(nc.n_c) AS BIGINT) AS class_size,
+           round(0.5 * (1.0 + SUM(abs(cs.ncv / nc.n_c - gl.p) - gl.p)), 6)
+             + 0.0 AS tv_distance,
+           (round(0.5 * (1.0 + SUM(abs(cs.ncv / nc.n_c - gl.p) - gl.p)), 6)
+             + 0.0) > 0.1 AS violates
+         FROM cs JOIN nc USING (c_mktsegment) JOIN gl USING (v)
+         GROUP BY cs.c_mktsegment""",
+
+    "q_x_confusion_matrix" -> s"""WITH $annSqlCte,
+         c AS (SELECT doc_id, label, COUNT(*) AS n FROM ann GROUP BY doc_id, label),
+         r AS (SELECT doc_id, label AS consensus,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, label ASC) AS rn
+               FROM c)
+         SELECT ann.annotator, r.consensus, ann.label AS given,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM ann JOIN r ON ann.doc_id = r.doc_id AND r.rn = 1
+         GROUP BY ann.annotator, r.consensus, ann.label""",
 
     "q_x_silhouette" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -72,6 +72,39 @@ object Privacy {
       .withColumn("violates", col("n_sensitive") < l)
   }
 
+  /** Per-class t-closeness audit (nominal sensitive attribute, total
+    * variation distance): how far each equivalence class's sensitive
+    * distribution sits from the corpus-wide one — the leak l-diversity
+    * misses (a class can hold l distinct values yet still be 90% one
+    * disease). tv = 0.5 * sum_v |q_class(v) - p_global(v)|, computed
+    * without materializing the class x value-domain cross product via
+    * sum_v|q-p| = 1 + sum_{v present in class}(|q-p| - p).
+    *
+    * Shape: one (quasi, sensitive)-keyed count, one quasi-keyed
+    * reduce, one broadcast-sized join against the global value
+    * distribution (key space = sensitive domain). */
+  def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+                 sensitiveCol: String, t: Double): DataFrame = {
+    val keys = quasi.map { case (n, c) => c.as(n) }
+    val names = quasi.map(_._1)
+    val cs = df.groupBy((keys :+ col(sensitiveCol).as("__v")): _*)
+      .agg(count(lit(1)).cast("double").as("__ncv"))
+    val glob = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).cast("double").as("__nv"))
+    val total = df.count().toDouble
+    val joined = cs.join(broadcast(glob), "__v")
+      .withColumn("__p", col("__nv") / total)
+    val nc = cs.groupBy(names.map(col): _*)
+      .agg(sum(col("__ncv")).as("__nc"))
+    joined.join(nc, names)
+      .groupBy(names.map(col): _*)
+      .agg(first(col("__nc")).cast("long").as("class_size"),
+        (round(lit(0.5) * (lit(1.0) +
+          sum(abs(col("__ncv") / col("__nc") - col("__p")) - col("__p"))), 6)
+          + lit(0.0)).as("tv_distance"))
+      .withColumn("violates", col("tv_distance") > t)
+  }
+
   /** The anonymity ladder: k-anonymity reports at successive
     * generalization levels, one row per level (level index + the
     * report columns). `levels` maps a level name to its

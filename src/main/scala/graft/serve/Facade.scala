@@ -425,8 +425,10 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       graft.text.Labels.fleissKappa(corpus(inPath), itemCol, annotatorCol, labelCol)
     case "alpha" =>
       graft.text.Labels.krippendorffAlpha(corpus(inPath), itemCol, annotatorCol, labelCol)
+    case "confusion" =>
+      graft.text.Labels.confusionMatrix(corpus(inPath), itemCol, annotatorCol, labelCol)
     case other => throw new IllegalArgumentException(
-      s"label-audit mode '$other' (expected consensus|accuracy|cohen|fleiss|alpha)")
+      s"label-audit mode '$other' (expected consensus|accuracy|cohen|fleiss|alpha|confusion)")
   }
 
   /** Bradley-Terry ratings (`graft.text.Labels.bradleyTerry`) over a
@@ -440,15 +442,19 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * quasi-identifier columns. */
   def privacyAudit(inPath: String, mode: String = "report",
                    quasiCols: Seq[String] = Seq("zip"), k: Long = 10,
-                   sensitiveCol: String = ""): DataFrame = {
+                   sensitiveCol: String = "",
+                   tThreshold: Double = 0.2): DataFrame = {
     val quasi = quasiCols.map(c => c -> col(c))
     mode match {
       case "classes" => graft.ops.Privacy.kAnonymity(corpus(inPath), quasi, k)
       case "report" => graft.ops.Privacy.kAnonymityReport(corpus(inPath), quasi, k)
       case "ldiv" =>
         graft.ops.Privacy.lDiversity(corpus(inPath), quasi, sensitiveCol, k)
+      case "tclose" =>
+        graft.ops.Privacy.tCloseness(corpus(inPath), quasi, sensitiveCol,
+          tThreshold)
       case other => throw new IllegalArgumentException(
-        s"privacy-audit mode '$other' (expected classes|report|ldiv)")
+        s"privacy-audit mode '$other' (expected classes|report|ldiv|tclose)")
     }
   }
 

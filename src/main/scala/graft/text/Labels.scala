@@ -64,6 +64,22 @@ object Labels {
                     .otherwise(0.0)) / count(lit(1)), 4).as("accuracy"))
   }
 
+  /** Per-annotator confusion matrix vs the majority-vote consensus:
+    * one row per (annotator, consensus, given) cell with its count —
+    * WHERE each annotator's errors go, not just how many (accuracy).
+    * Same join as [[annotatorAccuracy]]; the extra key is
+    * labels-squared, still schema-sized. */
+  def confusionMatrix(df: DataFrame, itemCol: String,
+                      annotatorCol: String, labelCol: String): DataFrame = {
+    val consensus = majorityVote(df, itemCol, annotatorCol, labelCol)
+      .select(col(itemCol), col("consensus"))
+    df.dropDuplicates(itemCol, annotatorCol)
+      .join(consensus, itemCol)
+      .groupBy(col(annotatorCol), col("consensus"),
+        col(labelCol).as("given"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Cohen's kappa for every annotator pair (a < b) over the items
     * both labeled: kappa = (po - pe) / (1 - pe) with po the observed
     * agreement and pe the chance agreement from the two annotators'

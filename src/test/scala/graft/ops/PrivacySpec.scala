@@ -62,6 +62,29 @@ class PrivacySpec extends AnyFunSuite {
     assert(got("14850")._4)
   }
 
+  test("tCloseness measures class distribution drift from the global one") {
+    // global disease dist: flu 4/7, heart 2/7, cancer 1/7
+    val got = Privacy.tCloseness(people,
+      Seq("zip" -> col("zip")), "disease", t = 0.3)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // 13068 is all-flu: tv = 0.5*(|1-4/7| + 2/7 + 1/7) = 3/7
+    assert(got("13068")._3 == BigDecimal(3.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got("13068")._4)
+    // 13053: flu 1/3 heart 2/3 -> tv = 0.5*(|1/3-4/7| + |2/3-2/7| + 1/7)
+    val tv = 0.5 * (math.abs(1.0 / 3 - 4.0 / 7) +
+      math.abs(2.0 / 3 - 2.0 / 7) + 1.0 / 7)
+    assert(got("13053")._3 == BigDecimal(tv)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a class mirroring the global distribution scores 0
+    val uniform = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("zip", "disease")
+    val z = Privacy.tCloseness(uniform, Seq("zip" -> col("zip")),
+      "disease", t = 0.3).as[(String, Long, Double, Boolean)].collect()
+    assert(z.forall(r => r._3 == 0.0 && !r._4))
+  }
+
   test("anonymityLadder emits one report row per level, risk falling") {
     val got = Privacy.anonymityLadder(people, Seq(
       "fine" -> Seq("zip" -> col("zip"), "age" -> col("age")),

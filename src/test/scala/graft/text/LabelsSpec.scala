@@ -46,6 +46,17 @@ class LabelsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 2L, 1L, 0.5)))
   }
 
+  test("confusionMatrix localizes each annotator's errors") {
+    val df = annots(
+      (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),   // consensus 0
+      (2L, 1L, 2L), (2L, 2L, 2L), (2L, 3L, 2L))   // consensus 2
+    val got = Labels.confusionMatrix(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 0L, 1L), (1L, 2L, 2L, 1L),
+      (2L, 0L, 0L, 1L), (2L, 2L, 2L, 1L),
+      (3L, 0L, 1L, 1L), (3L, 2L, 2L, 1L)))
+  }
+
   test("cohenKappa matches the hand-computed 2x2 case") {
     // classic example: 50 items, a/b agree on 20 yes + 15 no,
     // disagree 10 (a yes) + 5 (b yes): po=0.7, pe=0.5*0.6+0.5*0.4=0.5
