@@ -590,6 +590,102 @@ object StreamOps {
             maxCv, autoRebalance): Unit
       }
 
+  /** One micro-batch of the LIVE corpus data card: per-batch partials
+    * land under `cardDir` keyed by the batch id, [[dataCardRender]]
+    * reduces them to the same frame `DataCard.perSource` computes over
+    * the accumulated corpus.
+    *
+    * Exactly-once without state reads: every partial write is
+    * `overwrite` into a `batch_id=<id>` subdir, so a replayed batch
+    * (crash between write and checkpoint commit) REWRITES its own
+    * partial instead of double-counting — the standard idempotent
+    * foreachBatch discipline. Distinct fingerprints are stored as
+    * per-batch DISTINCT sets (not anti-joined against prior state,
+    * which would break replay idempotence); the render counts DISTINCT
+    * over the union, so cross-batch duplicates collapse there. Partials
+    * are source-keyed aggregates — KB per batch, never corpus-sized. */
+  def dataCardIngestBatch(batch: DataFrame, cardDir: String, batchId: Long,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          langCol: String = "lang",
+                          sourceCol: String = "source"): Unit = {
+    import graft.text.{Readability, TextOps}
+    val t = col(textCol)
+    val nTok = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(TextOps.tokens(t)).cast("long"))
+    val pii = Seq(TextOps.urlPattern, TextOps.emailPattern,
+        TextOps.ipv4Pattern, TextOps.phonePattern)
+      .map(p => size(regexp_extract_all(t, lit(p), lit(0))).cast("long"))
+      .reduce(_ + _)
+    val base = batch.select(col(sourceCol).as("source"),
+      col(langCol).as("lang"), nTok.as("__ntok"), pii.as("__pii"),
+      Readability.readingEase(t).as("__ease"),
+      TextOps.fingerprintMd5(t).as("fp")).localCheckpoint()
+    base.groupBy(col("source")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__ntok")).cast("long").as("n_tokens"),
+        sum(col("__pii")).cast("long").as("pii_sum"),
+        sum(col("__ease")).as("ease_sum"),
+        count(col("__ease")).cast("long").as("ease_n"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$cardDir/stats/batch_id=$batchId")
+    base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$cardDir/langs/batch_id=$batchId")
+    base.select(col("source"), col("fp")).distinct()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$cardDir/fps/batch_id=$batchId")
+  }
+
+  /** Render the live card from the accumulated partials — the same
+    * schema and semantics as `DataCard.perSource` over everything
+    * ingested so far. */
+  def dataCardRender(spark: SparkSession, cardDir: String): DataFrame = {
+    val stats = spark.read.parquet(s"$cardDir/stats")
+    val langs = spark.read.parquet(s"$cardDir/langs")
+    val fps = spark.read.parquet(s"$cardDir/fps")
+    val dup = fps.groupBy(col("source"))
+      .agg(countDistinct(col("fp")).cast("long").as("__nfp"))
+    val main = stats.groupBy(col("source")).agg(
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("pii_sum")).cast("long").as("__pii"),
+        sum(col("ease_sum")).as("__esum"),
+        sum(col("ease_n")).cast("long").as("__en"))
+      .join(dup, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4)
+          .as("mean_tokens"),
+        round((col("n_docs") - col("__nfp")).cast("double") /
+          col("n_docs"), 4).as("dup_ratio"),
+        round(col("__pii").cast("double") / col("n_docs"), 4)
+          .as("pii_per_doc"),
+        (round(col("__esum") / col("__en"), 4) + lit(0.0))
+          .as("mean_reading_ease"))
+    val langTop = langs.groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).as("__n"))
+      .groupBy(col("source")).agg(
+        max_by(col("lang"), struct(col("__n"), col("lang"))).as("top_lang"),
+        round(max(col("__n")).cast("double") / sum(col("__n")), 4)
+          .as("top_lang_share"))
+    main.join(langTop, "source")
+  }
+
+  /** Streaming data card: micro-batches fold into the persisted card
+    * partials; read the live card any time with [[dataCardRender]].
+    * Start with a checkpoint — replays rewrite their own batch_id
+    * partials, so the card never double-counts. */
+  def dataCardStream(docs: DataFrame, cardDir: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     langCol: String = "lang", sourceCol: String = "source")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          dataCardIngestBatch(batch, cardDir, batchId, idCol, textCol,
+            langCol, sourceCol)
+      }
+
   /** Wire a streaming query to an in-memory sink (used by tests; a real
     * deployment points this at kafka/parquet with a checkpoint). */
   def toMemorySink(df: DataFrame, name: String,

@@ -863,6 +863,63 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop() }
   }
 
+  test("round-10g: the live data card equals the batch card, and replays never double-count") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10g_card_")
+    val cardDir = dir.resolve("card").toString
+    val b1 = Seq(
+      (1L, "he ran. she ran.", "en", "web"),
+      (2L, "he ran. she ran.", "en", "web"),          // dup of 1
+      (3L, "mail a@b.com now!", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b2 = Seq(
+      (4L, "he ran. she ran.", "en", "web"),          // cross-batch dup
+      (5L, "hola amigo.", "es", "web"),
+      (6L, "clean single doc.", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    graft.streaming.StreamOps.dataCardIngestBatch(b1, cardDir, 0L)
+    graft.streaming.StreamOps.dataCardIngestBatch(b2, cardDir, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val live = graft.streaming.StreamOps.dataCardRender(spark, cardDir)
+    val batchCard = graft.text.DataCard.perSource(
+      b1.unionByName(b2), "doc_id", "text", "lang", "source")
+    assert(rows(live) == rows(batchCard))
+    // the web dup_ratio sees BOTH the in-batch and the cross-batch dup
+    assert(live.where($"source" === "web").select("dup_ratio")
+      .as[Double].head() == 0.4)
+    // a crash replay re-runs batch 1: partials are rewritten in place,
+    // the card is unchanged
+    graft.streaming.StreamOps.dataCardIngestBatch(b1, cardDir, 0L)
+    assert(rows(graft.streaming.StreamOps.dataCardRender(spark, cardDir))
+      == rows(batchCard))
+
+    // the stream wrapper folds file-source micro-batches the same way
+    val sdir = dir.resolve("in")
+    java.nio.file.Files.createDirectories(sdir)
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      val staging = dir.resolve(s"_s$i")
+      b.coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, sdir.resolve(s"d$i.parquet"))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    val cardDir2 = dir.resolve("card2").toString
+    val q = graft.streaming.StreamOps.dataCardStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(sdir.toString), cardDir2)
+      .option("checkpointLocation", dir.resolve("ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      assert(rows(graft.streaming.StreamOps.dataCardRender(spark, cardDir2))
+        == rows(batchCard))
+    } finally { q.stop() }
+  }
+
   test("round-10f: privacy audit + URL domain counts run as live streaming aggregations (stream == batch)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
