@@ -51,6 +51,8 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> skew-report <rows.parquet> [keyCol,keyCol...] [targetRowsPerTask] [--out D]
   * graft.Cli <root> <collection> silhouette <vecs.parquet> [idCol] [vecCol] [labelCol] [dims] [--out D]
   * graft.Cli <root> <collection> data-card <docs.parquet> [idCol] [textCol] [langCol] [sourceCol] [--out D]
+  * graft.Cli <root> <collection> zipf <docs.parquet> [textCol] [topK] [--out D]
+  * graft.Cli <root> <collection> novelty <docs.parquet> [idCol] [textCol] [n] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -179,7 +181,7 @@ object Cli {
          | "align" | "shard-audit" | "label-prop" | "winnow-index"
          | "label-audit" | "bradley-terry" | "privacy-audit"
          | "url-curate" | "readability" | "skew-report" | "silhouette"
-         | "data-card" =>
+         | "data-card" | "zipf" | "novelty" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -275,6 +277,11 @@ object Cli {
           case "data-card" =>
             facade.dataCard(inPath, p(1, "doc_id"), p(2, "text"),
               p(3, "lang"), p(4, "source"))
+          case "zipf" =>
+            facade.zipf(inPath, p(1, "text"), p(2, "100").toInt)
+          case "novelty" =>
+            facade.novelty(inPath, p(1, "doc_id"), p(2, "text"),
+              p(3, "3").toInt)
           case _ =>
             val keys = pos.lift(2).map(_.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq).getOrElse(Nil)

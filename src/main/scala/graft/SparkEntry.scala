@@ -3475,6 +3475,18 @@ object SparkEntry {
     "q_x_confusion_matrix" -> ((s, dir) => {
       graft.text.Labels.confusionMatrix(synthAnnots(s, dir),
         "doc_id", "annotator", "label")
+    }),
+
+    // X: Zipf rank-frequency fit — the corpus naturalness audit
+    "q_x_zipf" -> ((s, dir) => {
+      graft.text.CorpusStats.zipfFit(t(s, dir, "documents"),
+        "text", topK = 100)
+    }),
+
+    // X: per-doc trigram novelty — the gram-level memorization audit
+    "q_x_novelty" -> ((s, dir) => {
+      graft.text.CorpusStats.ngramNovelty(t(s, dir, "documents"),
+        "doc_id", "text", n = 3)
     })
   )
 
@@ -7106,6 +7118,40 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n
          FROM ann JOIN r ON ann.doc_id = r.doc_id AND r.rn = 1
          GROUP BY ann.annotator, r.consensus, ann.label""",
+
+    "q_x_zipf" ->
+      """WITH w AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                    FROM documents),
+         wc AS (SELECT w, COUNT(*) AS n FROM w WHERE w <> '' GROUP BY w),
+         tot AS (SELECT COUNT(*) AS vocab_size, SUM(n) AS total_tokens FROM wc),
+         topw AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 100),
+         rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank FROM topw),
+         fit AS (SELECT COUNT(*) AS top_k,
+                   regr_slope(ln(n::DOUBLE), ln(rank::DOUBLE)) AS s,
+                   regr_intercept(ln(n::DOUBLE), ln(rank::DOUBLE)) AS i,
+                   regr_r2(ln(n::DOUBLE), ln(rank::DOUBLE)) AS r
+                 FROM rk)
+         SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(top_k AS BIGINT) AS top_k,
+           round(s, 6) + 0.0 AS slope,
+           round(i, 6) + 0.0 AS intercept,
+           round(r, 6) + 0.0 AS r2
+         FROM tot, fit""",
+
+    "q_x_novelty" ->
+      """WITH s AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+         FROM s WHERE len(tk) >= 3),
+         g AS (SELECT doc_id, unnest(ss) AS gr FROM sh),
+         c AS (SELECT gr, COUNT(*) AS dc FROM g GROUP BY gr)
+         SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.dc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(SUM(CASE WHEN c.dc = 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS novelty
+         FROM g JOIN c USING (gr) GROUP BY g.doc_id""",
 
     "q_x_silhouette" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -499,6 +499,16 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     graft.text.DataCard.perSource(corpus(inPath), idCol, textCol,
       langCol, sourceCol)
 
+  /** Zipf rank-frequency fit (`graft.text.CorpusStats.zipfFit`). */
+  def zipf(inPath: String, textCol: String = "text",
+           topK: Int = 100): DataFrame =
+    graft.text.CorpusStats.zipfFit(corpus(inPath), textCol, topK)
+
+  /** Per-doc n-gram novelty (`graft.text.CorpusStats.ngramNovelty`). */
+  def novelty(inPath: String, idCol: String = "doc_id",
+              textCol: String = "text", n: Int = 3): DataFrame =
+    graft.text.CorpusStats.ngramNovelty(corpus(inPath), idCol, textCol, n)
+
   /** Metadata cross-tab: column -> table "X" marks (reference:
     * process.py:262-271, the A4 pivot). */
   def metadataOverview(): DataFrame = {
