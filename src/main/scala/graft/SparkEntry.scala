@@ -3487,6 +3487,13 @@ object SparkEntry {
     "q_x_novelty" -> ((s, dir) => {
       graft.text.CorpusStats.ngramNovelty(t(s, dir, "documents"),
         "doc_id", "text", n = 3)
+    }),
+
+    // X: top PMI collocations — multiword-expression / boilerplate
+    // phrase detection
+    "q_x_collocations" -> ((s, dir) => {
+      graft.text.CorpusStats.collocations(t(s, dir, "documents"),
+        "text", minCount = 5, topK = 20)
     })
   )
 
@@ -7138,6 +7145,28 @@ object SparkEntry {
            round(i, 6) + 0.0 AS intercept,
            round(r, 6) + 0.0 AS r2
          FROM tot, fit""",
+
+    "q_x_collocations" ->
+      """WITH tkn AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                      FROM documents),
+         u AS (SELECT unnest(tk) AS w FROM tkn),
+         uc AS (SELECT w, COUNT(*)::DOUBLE AS c FROM u WHERE w <> '' GROUP BY w),
+         n1 AS (SELECT SUM(c) AS n FROM uc),
+         b AS (SELECT unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS bg
+               FROM tkn WHERE len(tk) >= 2),
+         bc AS (SELECT bg, COUNT(*)::DOUBLE AS c FROM b GROUP BY bg),
+         n2 AS (SELECT SUM(c) AS n FROM bc),
+         j AS (SELECT bg, bc.c AS cab, ua.c AS ca, ub.c AS cb
+               FROM bc
+               JOIN uc ua ON ua.w = string_split(bg, ' ')[1]
+               JOIN uc ub ON ub.w = string_split(bg, ' ')[2]
+               WHERE bc.c >= 5)
+         SELECT bg AS bigram, CAST(cab AS BIGINT) AS n,
+           round(ln((cab / (SELECT n FROM n2)) /
+                    ((ca / (SELECT n FROM n1)) * (cb / (SELECT n FROM n1)))), 6)
+             + 0.0 AS pmi
+         FROM j
+         ORDER BY pmi DESC, bigram LIMIT 20""",
 
     "q_x_novelty" ->
       """WITH s AS (SELECT doc_id,

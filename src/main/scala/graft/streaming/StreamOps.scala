@@ -686,6 +686,45 @@ object StreamOps {
             langCol, sourceCol)
       }
 
+  /** One micro-batch of LIVE Bradley-Terry preference ratings: the
+    * batch's (winner, loser) win counts land under `ratingsDir` keyed
+    * by batch id — same idempotent-overwrite discipline as
+    * [[dataCardIngestBatch]], so crash replays rewrite their own
+    * partial instead of double-counting games. Partials are
+    * players^2-sized, never stream-sized. */
+  def prefGamesIngestBatch(batch: DataFrame, ratingsDir: String,
+                           batchId: Long, winnerCol: String = "winner",
+                           loserCol: String = "loser"): Unit =
+    batch.where(col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).cast("string").as("winner"),
+               col(loserCol).cast("string").as("loser"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$ratingsDir/wins/batch_id=$batchId")
+
+  /** Render the live ratings: reduce the accumulated win partials and
+    * run the same fixed-iteration MM solve as the batch
+    * `Labels.bradleyTerry` — ratings over everything ingested so far. */
+  def bradleyTerryRender(spark: SparkSession, ratingsDir: String,
+                         iters: Int = 8): DataFrame =
+    graft.text.Labels.bradleyTerryCounts(
+      spark.read.parquet(s"$ratingsDir/wins"),
+      "winner", "loser", "n", iters)
+
+  /** Streaming preference-rating ingest: game outcomes arriving on a
+    * stream fold into the persisted win matrix; read the live ratings
+    * any time with [[bradleyTerryRender]]. */
+  def bradleyTerryStream(games: DataFrame, ratingsDir: String,
+                         winnerCol: String = "winner",
+                         loserCol: String = "loser")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    games.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          prefGamesIngestBatch(batch, ratingsDir, batchId,
+            winnerCol, loserCol)
+      }
+
   /** Wire a streaming query to an in-memory sink (used by tests; a real
     * deployment points this at kafka/parquet with a checkpoint). */
   def toMemorySink(df: DataFrame, name: String,

@@ -48,6 +48,40 @@ object CorpusStats {
       (round(col("__r"), 6) + lit(0.0)).as("r2"))
   }
 
+  /** Top-k collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) over adjacent word bigrams
+    * with at least `minCount` occurrences — the multiword-expression /
+    * boilerplate-phrase detector. Ordered by (rounded PMI desc,
+    * bigram) so the top-k cut is deterministic cross-engine.
+    *
+    * Shape: two vocabulary-keyed counts (unigrams, bigrams; map-side
+    * combined), two vocab-sized joins to attach the component counts,
+    * two broadcast scalars for the totals, then TakeOrderedAndProject
+    * for the cut. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 20): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val uni = df.select(explode(toks).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).cast("double").as("__cw"))
+    val n1 = uni.agg(sum(col("__cw")).as("__n1"))
+    val bi = df.select(explode(TextOps.wordShingles(toks, 2)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).cast("double").as("__cb"))
+    val n2 = bi.agg(sum(col("__cb")).as("__n2"))
+    val parts = bi.where(col("__cb") >= minCount)
+      .withColumn("__wa", element_at(split(col("__b"), " "), 1))
+      .withColumn("__wb", element_at(split(col("__b"), " "), 2))
+      .join(uni.select(col("__w").as("__wa"), col("__cw").as("__ca")), "__wa")
+      .join(uni.select(col("__w").as("__wb"), col("__cw").as("__cbw")), "__wb")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+    val pmi = (round(log((col("__cb") / col("__n2")) /
+      ((col("__ca") / col("__n1")) * (col("__cbw") / col("__n1")))), 6)
+      + lit(0.0))
+    parts.select(col("__b").as("bigram"),
+        col("__cb").cast("long").as("n"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(topK)
+  }
+
   /** Per-document n-gram novelty: of the doc's DISTINCT word n-grams,
     * the share appearing in no other document. Docs shorter than `n`
     * tokens have no grams and no row (mirrored by the oracle). High

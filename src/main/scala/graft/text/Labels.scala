@@ -228,14 +228,23 @@ object Labels {
     * normalized BT strength, rounded to 6), rank (1 = strongest,
     * rating ties broken by player name). */
   def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
-                   iters: Int = 8): DataFrame = {
-    val spark = pairs.sparkSession
+                   iters: Int = 8): DataFrame =
+    bradleyTerryCounts(pairs.select(col(winnerCol), col(loserCol),
+      lit(1L).as("__one")), winnerCol, loserCol, "__one", iters)
+
+  /** [[bradleyTerry]] over a PRE-AGGREGATED win table (winner, loser,
+    * count) — the form streaming partials and sharded pipelines hand
+    * in. Identical solve, identical output. */
+  def bradleyTerryCounts(counts: DataFrame, winnerCol: String,
+                         loserCol: String, nCol: String,
+                         iters: Int = 8): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    val wins = pairs
+    val wins = counts
       .where(col(winnerCol) =!= col(loserCol))
       .groupBy(col(winnerCol).cast("string").as("__w"),
                col(loserCol).cast("string").as("__l"))
-      .agg(count(lit(1)).cast("double").as("__n"))
+      .agg(sum(col(nCol)).cast("double").as("__n"))
       .collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
       .toMap

@@ -920,6 +920,28 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop() }
   }
 
+  test("round-10g: live Bradley-Terry ratings equal the batch solve; replays absorbed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r10g_bt_")
+    val rdir = dir.resolve("ratings").toString
+    val b1 = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "C"), ("A", "A")))
+      .toDF("winner", "loser")
+    val b2 = (Seq.fill(2)(("B", "A")) ++ Seq(("C", "B"), ("A", "C")))
+      .toDF("winner", "loser")
+    graft.streaming.StreamOps.prefGamesIngestBatch(b1, rdir, 0L)
+    graft.streaming.StreamOps.prefGamesIngestBatch(b2, rdir, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val live = graft.streaming.StreamOps.bradleyTerryRender(spark, rdir)
+    val batch = graft.text.Labels.bradleyTerry(
+      b1.unionByName(b2), "winner", "loser")
+    assert(rows(live) == rows(batch) && live.count() == 3)
+    // crash replay of batch 0: partial rewritten, ratings unchanged
+    graft.streaming.StreamOps.prefGamesIngestBatch(b1, rdir, 0L)
+    assert(rows(graft.streaming.StreamOps.bradleyTerryRender(spark, rdir))
+      == rows(batch))
+  }
+
   test("round-10f: privacy audit + URL domain counts run as live streaming aggregations (stream == batch)") {
     import spark.implicits._
     import org.apache.spark.sql.types._

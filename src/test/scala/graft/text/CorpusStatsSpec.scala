@@ -29,6 +29,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got._4 == 0.0)
   }
 
+  test("collocations: a true collocation outranks frequent-but-independent pairs") {
+    // "new york": both words exist ONLY in the pair. "the end": same
+    // pair count, but "the" occurs 3x per doc -> PMI lower by ln(3).
+    val docs = (1 to 20)
+      .map(i => s"the f${i % 5} new york the g${i % 5} the end")
+      .toDF("text")
+    val got = CorpusStats.collocations(docs, "text", minCount = 5, topK = 5)
+      .as[(String, Long, Double)].collect()
+    assert(got.head._1 == "new york" && got.head._2 == 20L)
+    val byName = got.map(r => r._1 -> r._3).toMap
+    assert(byName("new york") > byName("the end"))
+    assert(math.abs((byName("new york") - byName("the end")) - math.log(3.0)) < 1e-4)
+    // sub-minCount pairs are filtered out entirely
+    assert(!got.exists(_._1.startsWith("f")))
+  }
+
   test("ngramNovelty separates unique text from corpus-shared phrasing") {
     val shared = "the quick brown fox jumps"
     val df = Seq(
