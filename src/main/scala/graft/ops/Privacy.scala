@@ -82,21 +82,33 @@ object Privacy {
     *
     * Shape: one (quasi, sensitive)-keyed count, one quasi-keyed
     * reduce, one broadcast-sized join against the global value
-    * distribution (key space = sensitive domain). */
+    * distribution (key space = sensitive domain, collected to the
+    * driver like every other domain-sized frame — this also yields
+    * the grand total, so no separate df.count() scan). NULL is a
+    * first-class value on both sides: null-safe join keys keep
+    * classes with NULL quasi values and rows with a NULL sensitive
+    * value in both distributions, consistent with kAnonymity /
+    * lDiversity's groupBy semantics. */
   def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
                  sensitiveCol: String, t: Double): DataFrame = {
+    val spark = df.sparkSession
     val keys = quasi.map { case (n, c) => c.as(n) }
     val names = quasi.map(_._1)
     val cs = df.groupBy((keys :+ col(sensitiveCol).as("__v")): _*)
       .agg(count(lit(1)).cast("double").as("__ncv"))
-    val glob = df.groupBy(col(sensitiveCol).as("__v"))
+    val glob = df.groupBy(col(sensitiveCol).as("__gv"))
       .agg(count(lit(1)).cast("double").as("__nv"))
-    val total = df.count().toDouble
-    val joined = cs.join(broadcast(glob), "__v")
-      .withColumn("__p", col("__nv") / total)
+    val globRows = glob.collect()
+    val total = globRows.map(_.getDouble(1)).sum
+    val globP = spark.createDataFrame(
+        java.util.Arrays.asList(globRows: _*), glob.schema)
+      .select(col("__gv"), (col("__nv") / lit(total)).as("__p"))
+    val joined = cs.join(broadcast(globP), col("__v") <=> col("__gv"))
     val nc = cs.groupBy(names.map(col): _*)
       .agg(sum(col("__ncv")).as("__nc"))
-    joined.join(nc, names)
+      .select(names.map(n => col(n).as(s"__q_$n")) :+ col("__nc"): _*)
+    val onQuasi = names.map(n => col(n) <=> col(s"__q_$n")).reduce(_ && _)
+    joined.join(nc, onQuasi)
       .groupBy(names.map(col): _*)
       .agg(first(col("__nc")).cast("long").as("class_size"),
         (round(lit(0.5) * (lit(1.0) +

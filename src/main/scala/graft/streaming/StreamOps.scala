@@ -590,20 +590,38 @@ object StreamOps {
             maxCv, autoRebalance): Unit
       }
 
+  /** The shared idempotent-partials write: one micro-batch's partial
+    * frame overwrites its OWN `batch_id=<id>` subdir, so a replayed
+    * batch (crash between write and checkpoint commit) rewrites rather
+    * than double-counts — the standard idempotent foreachBatch
+    * discipline. Renders reduce `spark.read.parquet(dir)` over the
+    * accumulated subdirs. `singleFile` coalesces the partial to one
+    * file and is ONLY for partials whose row count is key-domain-sized
+    * (sources, players, shards); partials that scale with the batch
+    * (per-doc fingerprints) must keep their natural write parallelism. */
+  def writeBatchPartial(partial: DataFrame, dir: String, batchId: Long,
+                        singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) partial.coalesce(1) else partial
+    out.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+  }
+
   /** One micro-batch of the LIVE corpus data card: per-batch partials
-    * land under `cardDir` keyed by the batch id, [[dataCardRender]]
+    * land under `cardDir` keyed by the batch id (the
+    * [[writeBatchPartial]] replay-proof discipline), [[dataCardRender]]
     * reduces them to the same frame `DataCard.perSource` computes over
     * the accumulated corpus.
     *
-    * Exactly-once without state reads: every partial write is
-    * `overwrite` into a `batch_id=<id>` subdir, so a replayed batch
-    * (crash between write and checkpoint commit) REWRITES its own
-    * partial instead of double-counting — the standard idempotent
-    * foreachBatch discipline. Distinct fingerprints are stored as
-    * per-batch DISTINCT sets (not anti-joined against prior state,
-    * which would break replay idempotence); the render counts DISTINCT
-    * over the union, so cross-batch duplicates collapse there. Partials
-    * are source-keyed aggregates — KB per batch, never corpus-sized. */
+    * Distinct fingerprints are stored as per-batch DISTINCT sets (not
+    * anti-joined against prior state, which would break replay
+    * idempotence); the render counts DISTINCT over the union, so
+    * cross-batch duplicates collapse there. The stats and langs
+    * partials are source-keyed aggregates — KB per batch; the fps
+    * partial is one row per distinct document in the BATCH (and
+    * corpus-sized accumulated under `cardDir/fps`), so it keeps its
+    * write parallelism and the render's exact dup_ratio costs one
+    * corpus-sized distinct per read — the price of an exact live
+    * dup_ratio (switch to per-source sketches if approximate is
+    * acceptable at your scale). */
   def dataCardIngestBatch(batch: DataFrame, cardDir: String, batchId: Long,
                           idCol: String = "doc_id", textCol: String = "text",
                           langCol: String = "lang",
@@ -620,21 +638,18 @@ object StreamOps {
       col(langCol).as("lang"), nTok.as("__ntok"), pii.as("__pii"),
       Readability.readingEase(t).as("__ease"),
       TextOps.fingerprintMd5(t).as("fp")).localCheckpoint()
-    base.groupBy(col("source")).agg(
+    writeBatchPartial(base.groupBy(col("source")).agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(col("__ntok")).cast("long").as("n_tokens"),
         sum(col("__pii")).cast("long").as("pii_sum"),
         sum(col("__ease")).as("ease_sum"),
-        count(col("__ease")).cast("long").as("ease_n"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$cardDir/stats/batch_id=$batchId")
-    base.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).cast("long").as("n"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$cardDir/langs/batch_id=$batchId")
-    base.select(col("source"), col("fp")).distinct()
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$cardDir/fps/batch_id=$batchId")
+        count(col("__ease")).cast("long").as("ease_n")),
+      s"$cardDir/stats", batchId)
+    writeBatchPartial(base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("long").as("n")),
+      s"$cardDir/langs", batchId)
+    writeBatchPartial(base.select(col("source"), col("fp")).distinct(),
+      s"$cardDir/fps", batchId, singleFile = false)
   }
 
   /** Render the live card from the accumulated partials — the same
@@ -695,12 +710,12 @@ object StreamOps {
   def prefGamesIngestBatch(batch: DataFrame, ratingsDir: String,
                            batchId: Long, winnerCol: String = "winner",
                            loserCol: String = "loser"): Unit =
-    batch.where(col(winnerCol) =!= col(loserCol))
-      .groupBy(col(winnerCol).cast("string").as("winner"),
-               col(loserCol).cast("string").as("loser"))
-      .agg(count(lit(1)).cast("long").as("n"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$ratingsDir/wins/batch_id=$batchId")
+    writeBatchPartial(
+      batch.where(col(winnerCol) =!= col(loserCol))
+        .groupBy(col(winnerCol).cast("string").as("winner"),
+                 col(loserCol).cast("string").as("loser"))
+        .agg(count(lit(1)).cast("long").as("n")),
+      s"$ratingsDir/wins", batchId)
 
   /** Render the live ratings: reduce the accumulated win partials and
     * run the same fixed-iteration MM solve as the batch

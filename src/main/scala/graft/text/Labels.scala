@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Labels {
 
+  /** One deterministic annotation per (item, annotator): where the
+    * same annotator labeled one item more than once (re-annotation),
+    * keep the SMALLEST label — a groupBy min, not dropDuplicates, so
+    * conflicting re-annotations resolve the same way on every run and
+    * every partitioning. All agreement stats below share this base. */
+  private def dedupAnnotations(df: DataFrame, itemCol: String,
+                               annotatorCol: String,
+                               labelCol: String): DataFrame =
+    df.groupBy(col(itemCol), col(annotatorCol))
+      .agg(min(col(labelCol)).as(labelCol))
+
   /** Per-item consensus: majority label (ties broken toward the
     * smallest label — deterministic), annotator count, majority count,
     * and agreement = n_majority / n_annotators. One (item,label)
@@ -30,13 +41,15 @@ object Labels {
     */
   def majorityVote(df: DataFrame, itemCol: String, annotatorCol: String,
                    labelCol: String): DataFrame = {
-    val counts = df
-      .dropDuplicates(itemCol, annotatorCol)
+    val counts = dedupAnnotations(df, itemCol, annotatorCol, labelCol)
       .groupBy(col(itemCol), col(labelCol).as("__label"))
       .agg(count(lit(1)).as("__n"))
+    // min_by over (-count, label): max count wins, ties break toward
+    // the smallest label for ANY orderable label type (negating the
+    // count, not the label — strings can't be negated).
     counts.groupBy(col(itemCol)).agg(
-      max_by(col("__label"),
-             struct(col("__n"), (-col("__label")).as("__tie")))
+      min_by(col("__label"),
+             struct((-col("__n")).as("__negn"), col("__label")))
         .as("consensus"),
       sum(col("__n")).cast("long").as("n_annotators"),
       max(col("__n")).cast("long").as("n_majority"),
@@ -53,7 +66,7 @@ object Labels {
                         annotatorCol: String, labelCol: String): DataFrame = {
     val consensus = majorityVote(df, itemCol, annotatorCol, labelCol)
       .select(col(itemCol), col("consensus"))
-    df.dropDuplicates(itemCol, annotatorCol)
+    dedupAnnotations(df, itemCol, annotatorCol, labelCol)
       .join(consensus, itemCol)
       .groupBy(col(annotatorCol))
       .agg(
@@ -73,7 +86,7 @@ object Labels {
                       annotatorCol: String, labelCol: String): DataFrame = {
     val consensus = majorityVote(df, itemCol, annotatorCol, labelCol)
       .select(col(itemCol), col("consensus"))
-    df.dropDuplicates(itemCol, annotatorCol)
+    dedupAnnotations(df, itemCol, annotatorCol, labelCol)
       .join(consensus, itemCol)
       .groupBy(col(annotatorCol), col("consensus"),
         col(labelCol).as("given"))
@@ -92,7 +105,7 @@ object Labels {
     * frame of |pairs| * |labels|^2 rows. */
   def cohenKappa(df: DataFrame, itemCol: String, annotatorCol: String,
                  labelCol: String): DataFrame = {
-    val base = df.dropDuplicates(itemCol, annotatorCol)
+    val base = dedupAnnotations(df, itemCol, annotatorCol, labelCol)
     val a = base.select(col(itemCol).as("__item"),
                         col(annotatorCol).as("annot_a"),
                         col(labelCol).as("__la"))
@@ -113,10 +126,15 @@ object Labels {
     val colm = cont.groupBy(col("annot_a"), col("annot_b"),
                             col("__lb").as("__k"))
       .agg(sum(col("__n")).as("__ck"))
+    // pe sums p_a(k)*p_b(k) over labels BOTH annotators used (terms
+    // where either marginal is 0 vanish); a pair with fully disjoint
+    // label usage has no shared k at all — left join + coalesce keeps
+    // the pair with pe = 0 instead of silently dropping it.
     val pe = rowm.join(colm, Seq("annot_a", "annot_b", "__k"))
       .groupBy(col("annot_a"), col("annot_b"))
-      .agg(sum(col("__rk") * col("__ck")).as("__rc"))
-    tot.join(pe, Seq("annot_a", "annot_b"))
+      .agg(sum(col("__rk") * col("__ck")).as("__rc0"))
+    tot.join(pe, Seq("annot_a", "annot_b"), "left")
+      .withColumn("__rc", coalesce(col("__rc0"), lit(0.0)))
       .select(col("annot_a"), col("annot_b"),
         col("__N").cast("long").as("n_items"),
         (round(col("__diag") / col("__N"), 6) + lit(0.0)).as("po"),
@@ -137,8 +155,7 @@ object Labels {
     * then item — followed by a global reduce. */
   def fleissKappa(df: DataFrame, itemCol: String, annotatorCol: String,
                   labelCol: String): DataFrame = {
-    val counts = df
-      .dropDuplicates(itemCol, annotatorCol)
+    val counts = dedupAnnotations(df, itemCol, annotatorCol, labelCol)
       .groupBy(col(itemCol), col(labelCol).as("__label"))
       .agg(count(lit(1)).cast("double").as("__nik"))
     val perItem = counts.groupBy(col(itemCol)).agg(
@@ -183,7 +200,7 @@ object Labels {
     * undefined). Same two tiny keyed aggregations as Fleiss. */
   def krippendorffAlpha(df: DataFrame, itemCol: String,
                         annotatorCol: String, labelCol: String): DataFrame = {
-    val counts = df.dropDuplicates(itemCol, annotatorCol)
+    val counts = dedupAnnotations(df, itemCol, annotatorCol, labelCol)
       .groupBy(col(itemCol), col(labelCol).as("__label"))
       .agg(count(lit(1)).cast("double").as("__nuc"))
     val perItem = counts.groupBy(col(itemCol))

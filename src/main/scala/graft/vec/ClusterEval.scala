@@ -24,7 +24,12 @@ object ClusterEval {
   /** Per-cluster silhouette frame: label, n, mean_a (own-centroid
     * distance), mean_b (nearest-other-centroid distance), silhouette.
     * Distances are Euclidean over `dims`-wide vectors (cast to
-    * double). Degenerate points with a = b = 0 score 0. */
+    * double). Degenerate points with a = b = 0 score 0. Degenerate
+    * INPUTS fail loudly instead of silently scoring null: a null (or
+    * non-castable) cluster label is rejected on the centroid pass, and
+    * any vector whose size != dims raises in the scoring pass (both
+    * too-short — which zip_with would silently null-pad — and
+    * too-wide). */
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
                  labelCol: String, dims: Int): DataFrame = {
     val v = col(vecCol).cast("array<double>")
@@ -34,6 +39,9 @@ object ClusterEval {
       .groupBy(col("__l"), col("__d"))
       .agg(avg(col("__v")).as("__c"))
       .collect()
+    require(!centRows.exists(_.isNullAt(0)),
+      s"silhouette: null (or non-numeric) cluster label in '$labelCol' — " +
+        "filter or assign labels before scoring")
     val cents: Map[Long, Array[Double]] = centRows
       .groupBy(_.getLong(0))
       .map { case (l, rows) =>
@@ -58,7 +66,13 @@ object ClusterEval {
       when(lab =!= l, dist(cents(l)))): _*)
     val s = when(greatest(aCol, bCol) > 0,
       (bCol - aCol) / greatest(aCol, bCol)).otherwise(lit(0.0))
-    df.select(lab.as("label"), aCol.as("__a"), bCol.as("__b"), s.as("__s"))
+    // row-local guard, no extra scan: a short vector would otherwise
+    // null-pad through zip_with and silently drop out of the means
+    val sGuarded = when(size(v) === dims, s).otherwise(
+      raise_error(lit(s"silhouette: vector size != dims=$dims in " +
+        s"'$vecCol' — validate embeddings before scoring")).cast("double"))
+    df.select(lab.as("label"), aCol.as("__a"), bCol.as("__b"),
+        sGuarded.as("__s"))
       .groupBy(col("label"))
       .agg(count(lit(1)).cast("long").as("n"),
         (round(avg(col("__a")), 6) + lit(0.0)).as("mean_a"),

@@ -85,6 +85,42 @@ class PrivacySpec extends AnyFunSuite {
     assert(z.forall(r => r._3 == 0.0 && !r._4))
   }
 
+  test("tCloseness keeps NULL quasi classes and NULL sensitive values (triad-consistent)") {
+    // one class with a NULL zip, one row with a NULL disease: both must
+    // appear in the audit exactly as kAnonymity/lDiversity's groupBy
+    // would keep them, and the NULL-disease row must count in both the
+    // class and the global distribution.
+    val df = Seq(
+      (Some("13053"), Some("heart")), (Some("13053"), Some("heart")),
+      (None: Option[String], Some("flu")), (None: Option[String], None: Option[String]))
+      .toDF("zip", "disease")
+    val got = Privacy.tCloseness(df, Seq("zip" -> col("zip")),
+      "disease", t = 0.3)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(Some("13053"), None),
+      "NULL-zip class must be audited, not dropped")
+    assert(got(None)._1 == 2L,
+      "NULL-disease row must count in its class size")
+    // global: heart 1/2, flu 1/4, null 1/4.
+    // 13053 class (all heart): tv = 0.5*(|1-1/2| + 1/4 + 1/4) = 0.5
+    assert(got(Some("13053"))._2 == 0.5)
+    // null-zip class (flu 1/2, null 1/2): tv = 0.5*(1/2 + |1/2-1/4| + |1/2-1/4|) = 0.5
+    assert(got(None)._2 == 0.5)
+  }
+
+  test("tCloseness's audit plan carries the global distribution as literal rows, not a re-scan") {
+    // regression for the extra df.count() corpus scan: the global
+    // value distribution (and the grand total folded into __p) must be
+    // pre-collected once and enter the audit plan as a LocalRelation —
+    // the optimized plan must contain no __nv aggregate branch.
+    val plan = Privacy.tCloseness(people, Seq("zip" -> col("zip")),
+      "disease", t = 0.3).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__nv"),
+      "global distribution must be pre-collected, not re-aggregated in the audit plan")
+    assert(plan.contains("__p"), "broadcast side must carry the literal shares")
+  }
+
   test("anonymityLadder emits one report row per level, risk falling") {
     val got = Privacy.anonymityLadder(people, Seq(
       "fine" -> Seq("zip" -> col("zip"), "age" -> col("age")),

@@ -35,6 +35,37 @@ class LabelsSpec extends AnyFunSuite {
     assert(got._3 == 2L, "dup annotator row must count once")
   }
 
+  test("majorityVote handles STRING labels: modal label wins, ties break to the smallest string") {
+    val df = Seq(
+      (1L, 1L, "spam"), (1L, 2L, "spam"), (1L, 3L, "ham"),  // 2-1 spam
+      (2L, 1L, "ham"), (2L, 2L, "spam"),                    // tie -> "ham"
+      (3L, 1L, "ok"), (3L, 2L, "ok"))
+      .toDF("item", "annotator", "label")
+    val got = Labels.majorityVote(df, "item", "annotator", "label")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "spam" && got(1L)._5 == 0.6667)
+    assert(got(2L)._2 == "ham", "string tie must break to smallest label")
+    assert(got(3L)._2 == "ok" && got(3L)._5 == 1.0)
+    // accuracy + kappa inherit the same base and must not throw on strings
+    val acc = Labels.annotatorAccuracy(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(acc(1L) == 1.0 && acc(3L) == 0.0)
+    assert(Labels.cohenKappa(df, "item", "annotator", "label").count() == 3)
+  }
+
+  test("conflicting re-annotations by one annotator resolve deterministically to the min label") {
+    // annotator 1 labeled item 1 twice with different labels: the
+    // smaller label ("a") must win on every run, so consensus is a 2-1
+    // for "a" rather than depending on physical row order.
+    val df = Seq(
+      (1L, 1L, "b"), (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"))
+      .toDF("item", "annotator", "label")
+    val got = Labels.majorityVote(df, "item", "annotator", "label")
+      .as[(Long, String, Long, Long, Double)].collect().head
+    assert(got._2 == "a" && got._3 == 3L && got._4 == 2L)
+  }
+
   test("annotatorAccuracy scores each annotator against the consensus") {
     val df = annots(
       (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),
@@ -82,6 +113,16 @@ class LabelsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Double, Double)].collect()
     assert(got.length == 3) // pairs (1,2) (1,3) (2,3)
     assert(got.forall(_._6 == 1.0))
+  }
+
+  test("cohenKappa keeps pairs with fully disjoint label usage (pe = 0, kappa = po)") {
+    // annotators 1 and 2 never use a common label: pe has no shared
+    // term and must be 0, not a silently dropped pair
+    val df = annots((1L, 1L, 0L), (1L, 2L, 1L), (2L, 1L, 0L), (2L, 2L, 2L))
+    val got = Labels.cohenKappa(df, "item", "annotator", "label")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head == ((1L, 2L, 2L, 0.0, 0.0, 0.0)))
   }
 
   test("fleissKappa matches a hand-computed example and is 1 on unanimity") {

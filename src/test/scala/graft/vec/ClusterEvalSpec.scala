@@ -61,4 +61,29 @@ class ClusterEvalSpec extends AnyFunSuite {
       ClusterEval.silhouette(wide, "vec_id", "embedding", "label", 1)
     }
   }
+
+  test("silhouette fails loudly on null labels and too-short vectors") {
+    val nullLab = Seq(
+      (1L, Array(1.0f), Some(0)), (2L, Array(2.0f), Some(1)),
+      (3L, Array(3.0f), None: Option[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      ClusterEval.silhouette(nullLab, "vec_id", "embedding", "label", 1)
+    }
+    assert(e.getMessage.contains("null"))
+    // a 1-wide vector in a dims=2 corpus: zip_with would null-pad it
+    // silently — the scoring pass must raise instead
+    val short = Seq(
+      (1L, Array(1.0f, 1.0f), 0), (2L, Array(2.0f, 2.0f), 1),
+      (3L, Array(3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val thrown = intercept[Exception] {
+      ClusterEval.silhouette(short, "vec_id", "embedding", "label", 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(thrown).exists(_.contains("vector size != dims")))
+  }
 }
