@@ -42,7 +42,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> align <pairs.parquet> <vecs.parquet> [srcCol] [tgtCol] [vecCol] [dims] [--out D]
   * graft.Cli <root> <collection> shard-audit <docs.parquet> [idCol] [textCol] [nShards] [--out D]
   * graft.Cli <root> <collection> label-prop <vecs.parquet> <seeds.parquet> [idCol] [vecCol] [labelCol] [rounds] [--out D]
-  * graft.Cli <root> <collection> winnow-index <docs.parquet> <indexDir> [probe|ingest] [idCol] [textCol] [--out D]
+  * graft.Cli <root> <collection> winnow-index <docs.parquet> <indexDir> [probe|ingest|compact] [idCol] [textCol] [--out D]
   * graft.Cli <root> <collection> label-audit <annots.parquet> [consensus|accuracy|cohen|fleiss|alpha|confusion] [itemCol] [annotatorCol] [labelCol] [--out D]
   * graft.Cli <root> <collection> bradley-terry <games.parquet> [winnerCol] [loserCol] [iters] [--out D]
   * graft.Cli <root> <collection> privacy-audit <rows.parquet> [report|classes|ldiv|tclose] [quasiCol,quasiCol...] [k] [sensitiveCol] [t] [--out D]

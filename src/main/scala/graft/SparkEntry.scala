@@ -1452,6 +1452,60 @@ object SparkEntry {
           (round(col("margin"), 6) + lit(0.0)).as("margin"))
     }),
 
+    // X: multilingual END-TO-END composition — Procrustes-align a
+    // rotated target space (planted rotation, learned back from seed
+    // pairs), margin-mine bitext in the aligned space, drop mined pairs
+    // whose EITHER side shares a 5-gram with the eval slice
+    // (decontamination), pack the survivors into fixed 512-token
+    // sequences. Gated end to end: cosine rotation-invariance makes the
+    // mining SQL-replayable (the q_x_bitext_aligned trick); the
+    // decontamination and packing replay as their standalone oracles
+    // do. Output is id/count-typed only, so the ~1e-12 SVD recovery
+    // error cannot perturb the hash.
+    "q_x_multiling_pipeline" -> ((s, dir) => {
+      import graft.text.TextOps
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val r0 = graft.vec.Align.givens(64,
+        Seq((0, 1, math.Pi / 6), (2, 3, math.Pi / 3), (4, 5, 1.1)))
+      val src = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 400)
+      val tgt = graft.vec.Align.applyMap(
+          emb.where(col("vec_id") % 2 === 1), "embedding", "__rot", r0)
+        .select(col("vec_id"), col("__rot").as("embedding"))
+      val seeds = graft.vec.Align.applyMap(src, "embedding", "__y", r0)
+        .select(col("embedding").as("__x"), col("__y"))
+      val w = graft.vec.Align.procrustes(seeds, "__x", "__y", dims = 64)
+      val alignedSrc = graft.vec.Align.applyMap(src, "embedding", "__a", w)
+        .select(col("vec_id"), col("__a").as("embedding"))
+      val mined = graft.vec.Bitext.minePairs(alignedSrc, tgt, "vec_id",
+          "embedding", k = 4, minMargin = 1.0)
+        .select(col("src_id"), col("tgt_id"))
+      val contaminated = TextOps.ngramOverlapIds(
+        docs, docs.where(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", "text", n = 5)
+      val clean = mined
+        .join(contaminated.select(col("doc_id").as("src_id")),
+          Seq("src_id"), "left_anti")
+        .join(contaminated.select(col("doc_id").as("tgt_id")),
+          Seq("tgt_id"), "left_anti")
+      val toks = docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      val sized = clean
+        .join(toks.select(col("doc_id").as("src_id"),
+          col("__nt").as("__ns")), "src_id")
+        .join(toks.select(col("doc_id").as("tgt_id"),
+          col("__nt").as("__ntg")), "tgt_id")
+        .select(col("src_id"), col("tgt_id"),
+          (col("__ns") + col("__ntg")).as("pair_tokens"))
+      graft.text.Packing.packSequences(sized, "src_id", "pair_tokens",
+          ctxLen = 512)
+        .join(sized.select(col("src_id"), col("tgt_id")), "src_id")
+        .select(col("src_id"), col("tgt_id"),
+          col("n_tokens"), col("start_offset"),
+          col("seq_first").cast("long").as("seq_first"),
+          col("seq_last").cast("long").as("seq_last"))
+    }),
+
     // X: corpus diversity report — per-language distinct-n (Li'16) and
     // n-gram entropy for orders 1..3; one stacked scan, one
     // (lang, n, gram)-keyed agg, vocabulary-sized reduction
@@ -2322,6 +2376,28 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "comp")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
           round(col("comp"), 4).as("comp"))
+    }),
+
+    // X: pcaProject's projection arithmetic gated END TO END with a
+    // PLANTED model (the q_x_procrustes_align trick): md5-sign unit
+    // components + literal means + power-of-2 whiten scales, all
+    // rebuildable in SQL — everything q_x_pca_project exercises except
+    // the (trace/Frobenius/spec-gated) eigensolver itself
+    "q_x_pca_project_planted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.vec.Reduce.PcaModel(
+        means = Array.tabulate(16)(i => i / 32.0),
+        components = graft.vec.Reduce.signMatrix(16, 4, seed = 11)
+          .map(_.map(_ / 4.0)),
+        // whiten scales 1/sqrt(ev) = 0.5, 1, 2, 4 — exact powers of two
+        // so Spark's 1.0/math.sqrt(ev) and the oracle's power(2, c-1)
+        // are the same double bit for bit
+        eigenvalues = Array(4.0, 1.0, 0.25, 0.0625))
+      graft.vec.Reduce.pcaProject(emb, "embedding", "proj", model,
+          k = 4, whiten = true)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "comp")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          (round(col("comp"), 4) + lit(0.0)).as("comp"))
     }),
 
     // X: script detection by Unicode block — the corpus is ASCII, so the
@@ -4461,6 +4537,46 @@ object SparkEntry {
     // means the mined pairs equal the unrotated run — SAME ORACLE as
     // q_x_bitext_pairs (the rounding tolerance absorbs the ~1e-12 SVD
     // recovery error in W vs the exact R0)
+    // align -> mine -> decontaminate (either side 5-gram-overlaps the
+    // doc_id%37 eval slice) -> pack: mining replays rotation-invariant,
+    // decontamination and packing replay their standalone oracle forms
+    "q_x_multiling_pipeline" ->
+      (bitextOracleCommon + """,
+         sel AS (SELECT src_id, tgt_id, margin,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id) AS bf,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY margin DESC, src_id) AS bb
+           FROM m),
+         mined AS (SELECT src_id, tgt_id FROM sel
+           WHERE bf = 1 AND bb = 1 AND margin >= 1.0),
+         tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+         FROM tok),
+         bg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0),
+         dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (ng)),
+         clean AS (SELECT src_id, tgt_id FROM mined
+           WHERE src_id NOT IN (SELECT doc_id FROM dirty)
+             AND tgt_id NOT IN (SELECT doc_id FROM dirty)),
+         nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM tok),
+         sized AS (SELECT c.src_id, c.tgt_id,
+             ns.n + ntg.n AS pair_tokens
+           FROM clean c JOIN nt ns ON ns.doc_id = c.src_id
+                        JOIN nt ntg ON ntg.doc_id = c.tgt_id),
+         packed AS (SELECT src_id, tgt_id, pair_tokens AS n_tokens,
+             CAST(sum(pair_tokens) OVER (ORDER BY src_id
+               ROWS UNBOUNDED PRECEDING) - pair_tokens AS BIGINT)
+               AS start_offset
+           FROM sized WHERE pair_tokens > 0)
+         SELECT src_id, tgt_id, n_tokens, start_offset,
+           start_offset // 512 AS seq_first,
+           (start_offset + n_tokens - 1) // 512 AS seq_last
+         FROM packed"""),
+
     "q_x_bitext_aligned" ->
       (bitextOracleCommon + """,
          sel AS (SELECT src_id, tgt_id, cos, margin,
@@ -5524,6 +5640,23 @@ object SparkEntry {
            round(SUM(CASE WHEN i = j THEN cov ELSE 0 END), 6) AS eigen_sum,
            round(SUM(CASE WHEN i = j THEN cov * cov ELSE 2 * cov * cov END), 6) AS eigen_sumsq
          FROM c""",
+
+    // planted model: components = md5-sign/4 (unit norm), means = i/32,
+    // whiten scale = power(2, c-1) in {0.5, 1, 2, 4} — all exact doubles
+    "q_x_pca_project_planted" ->
+      """WITH pc AS (
+           SELECT c,
+             list(CASE WHEN strpos('01234567',
+                   substr(md5('rp:11:' || i || ':' || c), 1, 1)) > 0
+                 THEN 0.25 ELSE -0.25 END ORDER BY i) AS pcv,
+             list(i / 32.0 ORDER BY i) AS mv
+           FROM generate_series(0, 15) g1(i), generate_series(0, 3) g2(c)
+           GROUP BY c)
+         SELECT e.vec_id, CAST(pc.c AS BIGINT) AS dim,
+           round((list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]), pcv)
+                  - list_dot_product(mv, pcv)) * power(2.0, pc.c - 1), 4)
+             + 0.0 AS comp
+         FROM embeddings e CROSS JOIN pc""",
 
     "q_x_script_profile" ->
       """WITH m AS (SELECT doc_id,

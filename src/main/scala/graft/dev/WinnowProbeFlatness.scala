@@ -65,13 +65,19 @@ object WinnowProbeFlatness {
       def time(f: => Long): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // maxDocsPerHash = 600: keeps every true window match (500-doc
+      // windows) while capping the synthetic footer's corpus-wide
+      // 8-char grams — with the cap DISABLED those grams join every
+      // corpus doc against every batch doc (a deliberate boilerplate
+      // blowup the cap exists to stop) and the measurement degrades to
+      // the quadratic pair expansion instead of the probe's real cost
       val ti = if (modes.contains("indexed"))
         time(WinnowIndex.probeBatch(spark, idxDir, batch,
-          "doc_id", "text", minShared = 1, maxDocsPerHash = 1 << 20).count())
+          "doc_id", "text", minShared = 1, maxDocsPerHash = 600).count())
       else -1.0
       val ts = if (modes.contains("scan"))
         time(Winnow.overlap(corpusSoFar.union(batch), "doc_id", "text",
-          minShared = 1, maxDocsPerHash = 1 << 20)
+          minShared = 1, maxDocsPerHash = 600)
           .where(col("right_id") >= 10000000L || col("left_id") >= 10000000L)
           .count())
       else -1.0
@@ -86,7 +92,7 @@ object WinnowProbeFlatness {
     if (modes.contains("indexed")) (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       WinnowIndex.probeBatch(spark, idxDir, batch,
-        "doc_id", "text", minShared = 1, maxDocsPerHash = 1 << 20).count()
+        "doc_id", "text", minShared = 1, maxDocsPerHash = 600).count()
       println(f"rep$i   final     ${(System.nanoTime() - t0) / 1e9}%-10.2f")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))

@@ -368,8 +368,12 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     case "probe" =>
       graft.text.WinnowIndex.probeBatch(spark, indexDir,
         corpus(inPath), idCol, textCol)
+    case "compact" =>
+      val n = graft.text.WinnowIndex.compact(spark, indexDir)
+      import spark.implicits._
+      Seq(n).toDF("n_rows_compacted")
     case other => throw new IllegalArgumentException(
-      s"winnowIndex: mode must be 'ingest' or 'probe', got '$other'")
+      s"winnowIndex: mode must be 'ingest', 'probe' or 'compact', got '$other'")
   }
 
   /** k-center greedy coreset (`graft.vec.Coreset`): the k selected

@@ -590,6 +590,27 @@ object StreamOps {
             maxCv, autoRebalance): Unit
       }
 
+  /** Streaming winnow-index ingest: every micro-batch of documents
+    * lands in the persisted [[graft.text.WinnowIndex]] at `indexDir`,
+    * so passage attribution ([[graft.text.WinnowIndex.probeBatch]])
+    * runs against a LIVE corpus. Replay-safe without batch-id
+    * bookkeeping: ingestBatch drops ids already indexed (and in-batch
+    * duplicates), so a batch re-delivered after a crash between append
+    * and checkpoint commit appends nothing — the vecIndexIngestBatch
+    * discipline. Start with `.option("checkpointLocation", ...)`. */
+  def winnowIndexIngestStream(docs: DataFrame, indexDir: String,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              params: graft.text.WinnowIndex.Params =
+                                graft.text.WinnowIndex.Params())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.text.WinnowIndex.ingestBatch(batch.sparkSession, indexDir,
+            batch, idCol, textCol, params): Unit
+      }
+
   /** The shared idempotent-partials write: one micro-batch's partial
     * frame overwrites its OWN `batch_id=<id>` subdir, so a replayed
     * batch (crash between write and checkpoint commit) rewrites rather
@@ -716,6 +737,45 @@ object StreamOps {
                  col(loserCol).cast("string").as("loser"))
         .agg(count(lit(1)).cast("long").as("n")),
       s"$ratingsDir/wins", batchId)
+
+  /** One micro-batch of LIVE bitext mining — the streaming form of the
+    * align -> mine composition (`q_x_multiling_pipeline`'s first two
+    * stages): align the incoming source vectors with a FROZEN
+    * Procrustes map, margin-mine them against the static target side,
+    * land the mined pairs as a replay-proof [[writeBatchPartial]]
+    * batch_id partial (fourth adopter of the shared discipline).
+    * Margin neighborhoods are per batch on the source side — the
+    * streaming semantics: a batch's pairs depend on the batch plus the
+    * full target side, never on future batches. */
+  def bitextMineIngestBatch(batch: DataFrame, tgt: DataFrame,
+                            w: Array[Array[Double]], outDir: String,
+                            batchId: Long, idCol: String = "vec_id",
+                            vecCol: String = "embedding", k: Int = 4,
+                            minMargin: Double = 1.0): Unit = {
+    val aligned = graft.vec.Align.applyMap(batch, vecCol, "__a", w)
+      .select(col(idCol), col("__a").as(vecCol))
+    writeBatchPartial(
+      graft.vec.Bitext.minePairs(aligned, tgt, idCol, vecCol, k, minMargin),
+      s"$outDir/pairs", batchId)
+  }
+
+  /** Streaming bitext mining: source vectors arriving on a stream are
+    * aligned + mined per micro-batch against the static target side;
+    * read the accumulated pairs any time with
+    * `spark.read.parquet(s"$outDir/pairs")`. Start with a checkpoint —
+    * replays rewrite their own batch_id partial. */
+  def bitextMineStream(src: DataFrame, tgt: DataFrame,
+                       w: Array[Array[Double]], outDir: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding", k: Int = 4,
+                       minMargin: Double = 1.0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    src.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          bitextMineIngestBatch(batch, tgt, w, outDir, batchId,
+            idCol, vecCol, k, minMargin)
+      }
 
   /** Render the live ratings: reduce the accumulated win partials and
     * run the same fixed-iteration MM solve as the batch

@@ -94,6 +94,22 @@ object DedupIndex {
         .coalesce(1).write.parquet(dir)
   }
 
+
+  /** The one writer for each index table: sort rows by the probe key
+    * within every file and cap parquet pages at
+    * [[graft.ops.ScanPrune.PageRowLimit]] rows, so probes can push a
+    * point-set predicate and read only the pages their keys touch
+    * (the ScanPrune discipline; engages only above the size gate). */
+  private def writeSorted(df: DataFrame, dir: String,
+                          sortCols: Seq[String],
+                          partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("append")
+      .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir)
+  }
+
   /** Batch rows + (__fp, __sig, __bands) service columns — computed once
     * per ingest; the caller's own columns ride along untouched. Docs too
     * short to shingle keep a null __sig/__bands (exact-dedup still
@@ -137,12 +153,30 @@ object DedupIndex {
     val sigs = batchSignatures(collapsed, textCol, params).localCheckpoint()
 
     // exact probe: fp anti-join — the index side streams through its
-    // scan, the (small) batch is the build side
+    // scan, the (small) batch is the build side. When the fp table has
+    // outgrown the ScanPrune size gate, the scan additionally pushes
+    // the batch's fp point set so only the pages those keys can touch
+    // are read (exact superset filter: fps outside the batch's set
+    // could not anti-match anyway).
     val afterExact =
-      if (hasData(spark, s"$indexDir/fp"))
-        sigs.join(spark.read.parquet(s"$indexDir/fp").select(col("fp")),
-          sigs("__fp") === col("fp"), "left_anti")
-      else sigs
+      if (hasData(spark, s"$indexDir/fp")) {
+        import spark.implicits._
+        val fpDir = s"$indexDir/fp"
+        val idxFp0 = spark.read.parquet(fpDir).select(col("fp"))
+        // size gate FIRST (a driver fs call), so the batch-fp collect
+        // job only runs when the table is big enough to benefit
+        val idxFp =
+          if (graft.ops.ScanPrune.tableBytes(spark, fpDir) >=
+              graft.ops.ScanPrune.PushMinTableBytes) {
+            val batchFps = sigs.select(col("__fp")).distinct().as[String]
+              .collect().sorted
+            if (batchFps.length <= graft.ops.ScanPrune.MaxPushKeys)
+              idxFp0.where(
+                graft.ops.ScanPrune.pointSetPredicate(batchFps, col("fp")))
+            else idxFp0
+          } else idxFp0
+        sigs.join(idxFp, sigs("__fp") === col("fp"), "left_anti")
+      } else sigs
 
     // near probe, every stage candidate-bounded
     val dupIds: DataFrame =
@@ -165,7 +199,25 @@ object DedupIndex {
         // with a uniform J~0.3 background). Aggregate the MATCHED index
         // rows per band key first (linear in matches, never pairs),
         // drop oversized buckets, THEN expand against the probe rows.
-        val matched = spark.read.parquet(s"$indexDir/bands")
+        // band-hash point set from the CHECKPOINTED sigs (a SUPERSET of
+        // the probe's keys — exactness stays with the join): pushes the
+        // page filter when the band table clears the size gate (gate
+        // first, so the collect job only runs on big tables)
+        val bandsDir = s"$indexDir/bands"
+        val bandTable0 = spark.read.parquet(bandsDir)
+        val bandTable =
+          if (graft.ops.ScanPrune.tableBytes(spark, bandsDir) >=
+              graft.ops.ScanPrune.PushMinTableBytes) {
+            import spark.implicits._
+            val probeBandHashes = sigs.where(col("__bands").isNotNull)
+              .select(explode(col("__bands")).as("__bh")).distinct()
+              .as[Long].collect().sorted
+            if (probeBandHashes.length <= graft.ops.ScanPrune.MaxPushKeys)
+              bandTable0.where(graft.ops.ScanPrune.pointSetPredicate(
+                probeBandHashes, col("band_hash")))
+            else bandTable0
+          } else bandTable0
+        val matched = bandTable
           .join(broadcast(probe.select(bandKey.map(col): _*).distinct()), bandKey)
           .localCheckpoint()
         // partial-aggregated COUNT per key (map-side combine, no
@@ -181,8 +233,23 @@ object DedupIndex {
           .select(col("id").as("id_l"), col("id_r"))
           .distinct()
           .localCheckpoint()
+        // candidate ids are bucket-capped (bounded by batch x maxBucket):
+        // push them as a point set when the sig table clears the gate
+        val sigDir = s"$indexDir/sig"
+        val sigTable0 = spark.read.parquet(sigDir)
+        val sigTable =
+          if (graft.ops.ScanPrune.tableBytes(spark, sigDir) >=
+              graft.ops.ScanPrune.PushMinTableBytes) {
+            import spark.implicits._
+            val candIds = candidates.select(col("id_l")).distinct()
+              .as[Long].collect().sorted
+            if (candIds.length <= graft.ops.ScanPrune.MaxPushKeys)
+              sigTable0.where(
+                graft.ops.ScanPrune.pointSetPredicate(candIds, col("id")))
+            else sigTable0
+          } else sigTable0
         val estimated = candidates
-          .join(spark.read.parquet(s"$indexDir/sig")
+          .join(sigTable
             .withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
           .join(afterExact.select(col(idCol).as("id_r"), col("__sig").as("sig_r")), "id_r")
           .withColumn("est",
@@ -243,16 +310,16 @@ object DedupIndex {
     checkOrWriteParams(spark, indexDir, params)
     val sigs = batchSignatures(
       corpus.select(col(idCol), col(textCol)), textCol, params)
-    sigs.select(col(idCol).as("id"), col("__fp").as("fp"))
-      .write.mode("append").parquet(s"$indexDir/fp")
-    sigs.where(col("__sig").isNotNull)
-      .select(col(idCol).as("id"), col("__sig").as("sig"))
-      .write.mode("append").parquet(s"$indexDir/sig")
-    sigs.where(col("__bands").isNotNull)
-      .select(col(idCol).as("id"),
-        posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
-      .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods)))
-      .write.mode("append").partitionBy("band_mod").parquet(s"$indexDir/bands")
+    writeSorted(sigs.select(col(idCol).as("id"), col("__fp").as("fp")),
+      s"$indexDir/fp", Seq("fp"))
+    writeSorted(sigs.where(col("__sig").isNotNull)
+        .select(col(idCol).as("id"), col("__sig").as("sig")),
+      s"$indexDir/sig", Seq("id"))
+    writeSorted(sigs.where(col("__bands").isNotNull)
+        .select(col(idCol).as("id"),
+          posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+        .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods))),
+      s"$indexDir/bands", Seq("band_mod", "band_hash"), Seq("band_mod"))
     sigs.count()
   }
 
@@ -281,16 +348,16 @@ object DedupIndex {
       // corpus keeps the caller's full row shape
       survivors.select(batch.columns.map(col): _*)
         .write.mode("append").parquet(corpusDir)
-      survivors.select(col(idCol).as("id"), col("__fp").as("fp"))
-        .write.mode("append").parquet(s"$indexDir/fp")
-      survivors.where(col("__sig").isNotNull)
-        .select(col(idCol).as("id"), col("__sig").as("sig"))
-        .write.mode("append").parquet(s"$indexDir/sig")
-      survivors.where(col("__bands").isNotNull)
-        .select(col(idCol).as("id"),
-          posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
-        .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods)))
-        .write.mode("append").partitionBy("band_mod").parquet(s"$indexDir/bands")
+      writeSorted(survivors.select(col(idCol).as("id"), col("__fp").as("fp")),
+        s"$indexDir/fp", Seq("fp"))
+      writeSorted(survivors.where(col("__sig").isNotNull)
+          .select(col(idCol).as("id"), col("__sig").as("sig")),
+        s"$indexDir/sig", Seq("id"))
+      writeSorted(survivors.where(col("__bands").isNotNull)
+          .select(col(idCol).as("id"),
+            posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+          .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods))),
+        s"$indexDir/bands", Seq("band_mod", "band_hash"), Seq("band_mod"))
     }
     n
   }

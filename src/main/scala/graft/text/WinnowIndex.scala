@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted winnowing-fingerprint index: incremental passage
@@ -8,13 +8,9 @@ import org.apache.spark.sql.functions._
   * WHOLE corpus per run — O(corpus) CPU every time a new batch asks
   * "which existing documents share a passage with me?". This index
   * persists the corpus side's fingerprints once, so a batch probe
-  * costs: fingerprint the (small) batch + one join against the
-  * fingerprint table PRUNED to the hash-modulus buckets the batch
-  * actually hits — the corpus is never re-fingerprinted and its text
-  * never read. Same persisted-state discipline as [[DedupIndex]]
-  * (whose probe cost is measured FLAT as the corpus grows —
-  * IndexIngestProbe, COVERAGE.md); the table layout is identical in
-  * kind: a 3-column parquet table partitioned by a hash modulus.
+  * costs: fingerprint the (small) batch + one PRUNED scan of the
+  * fingerprint table — the corpus is never re-fingerprinted and its
+  * text never read. Same persisted-state discipline as [[DedupIndex]].
   *
   * Layout under `indexDir` (parquet, append-only):
   *  - `params/` one row (k, w, n_mods) — written at first ingest,
@@ -22,11 +18,35 @@ import org.apache.spark.sql.functions._
   *    would silently miss shared passages, so a mismatch throws.
   *  - `fp/` partitioned by fp_mod = pmod(hash, n_mods): (hash, id) —
   *    DISTINCT per doc, so an in-doc repeated k-gram cannot multiply
-  *    pair counts.
+  *    pair counts. Rows are SORTED BY HASH within every file and pages
+  *    are capped at [[PageRowLimit]] rows, so parquet column-index
+  *    (page-level min/max) stats can skip pages a probe's hash set
+  *    cannot touch.
+  *
+  * Probe pruning — the sub-linear story: a probe's distinct hash set
+  * is batch-sized (driver-collectable; it already had to fit the
+  * driver to broadcast). When it holds <= [[MaxPushHashes]] values the
+  * probe pushes a BALANCED interval tree of point-equality leaves over
+  * the sorted table ([[hashTreePredicate]]): parquet evaluates the
+  * tree against per-page min/max stats and reads only pages whose
+  * narrow hash range contains a probed value — touched pages are
+  * bounded by the PROBE's hash count, not the corpus, so per-probe IO
+  * goes flat once the table outgrows |probe hashes| x page rows.
+  * Residual (per-row) evaluation of the tree is O(log |hashes|): every
+  * internal node carries its subtree's [min,max] guard, so
+  * non-matching rows descend one branch and exit. Batches above the
+  * cap skip the predicate — a scan that size is amortized by the batch
+  * itself, and giant literal trees would blow codegen for no pruning
+  * gain (a 5000-point set covers every page of a uniform hash space).
   *
   * Replay safety: [[ingestBatch]] drops batch ids already present in
   * the index (and in-batch duplicates), so a re-delivered batch
   * appends nothing — the vecIndexIngestBatch discipline.
+  *
+  * Maintenance: appends accumulate one file per (ingest, modulus);
+  * [[compact]] rewrites `fp/` into one hash-sorted file per modulus
+  * (crash-safe two-rename swap, healed on next open), restoring both
+  * the file-count constant and whole-file hash locality.
   */
 object WinnowIndex {
 
@@ -35,16 +55,27 @@ object WinnowIndex {
       s"WinnowIndex: bad params (k=$k, w=$w, nMods=$nMods)")
   }
 
-  private def exists(spark: SparkSession, dir: String): Boolean = {
+  /** Probe pushdown knobs and the tree itself are the shared
+    * [[graft.ops.ScanPrune]] discipline (used by every persisted
+    * index). */
+  val MaxPushHashes: Int = graft.ops.ScanPrune.MaxPushKeys
+  val PushMinTableBytes: Long = graft.ops.ScanPrune.PushMinTableBytes
+  val PageRowLimit: Int = graft.ops.ScanPrune.PageRowLimit
+
+  private def fs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val (f, p) = fs(spark, dir)
+    f.exists(p)
   }
 
   private def hasData(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      val it = fs.listFiles(p, true)
+    val (f, p) = fs(spark, dir)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
       var found = false
       while (it.hasNext && !found) {
         val name = it.next().getPath.getName
@@ -70,6 +101,23 @@ object WinnowIndex {
     }
   }
 
+  /** Heal a compact interrupted mid-swap: an orphan `fp__old` is the
+    * pre-compact table (restore it if `fp` is gone, else it is a
+    * leftover after a completed swap — drop it); an orphan `fp__tmp`
+    * is an incomplete rewrite — drop it. Idempotent; called on every
+    * open. */
+  private def healCompact(spark: SparkSession, indexDir: String): Unit = {
+    val (f, _) = fs(spark, indexDir)
+    val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(old)) {
+      if (!f.exists(fp)) f.rename(old, fp)
+      else f.delete(old, true)
+    }: Unit
+  }
+
   /** Distinct (fp_mod, hash, id) fingerprint rows for a batch — the
     * row-local kernel scan + one explode, positions collapsed. */
   private def fpRows(batch: DataFrame, idCol: String, textCol: String,
@@ -78,36 +126,63 @@ object WinnowIndex {
       .select(col("hash"), col(idCol).as("id")).distinct()
       .withColumn("fp_mod", pmod(col("hash"), lit(p.nMods.toLong)).cast("int"))
 
+  /** The balanced interval tree — [[graft.ops.ScanPrune]]'s shared
+    * point-set predicate. */
+  private[graft] def hashTreePredicate(sorted: Array[Long], c: Column,
+                                       leaf: Int = 8): Column =
+    graft.ops.ScanPrune.pointSetPredicate(sorted, c, leaf)
+
   /** Probe: for each batch doc, the corpus docs sharing >= `minShared`
     * DISTINCT fingerprint hashes — (batch_id, corpus_id, n_shared).
-    * The fingerprint table scan is PRUNED to the batch's fp_mod
-    * buckets; `maxDocsPerHash` drops boilerplate hashes by corpus-side
-    * doc count (the [[Winnow.overlap]] cap, applied index-side). */
+    * The batch's fingerprints are computed ONCE and collected (they
+    * are batch-sized and fed every broadcast side anyway); the
+    * fingerprint-table scan is pruned to the batch's fp_mod partitions
+    * AND — for batches within [[MaxPushHashes]] — to the parquet pages
+    * its hash set can actually touch. `maxDocsPerHash` drops
+    * boilerplate hashes by corpus-side doc count (the
+    * [[Winnow.overlap]] cap, applied index-side). */
   def probeBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
                  idCol: String, textCol: String, params: Params = Params(),
                  minShared: Int = 2, maxDocsPerHash: Int = 50): DataFrame = {
     require(minShared >= 1 && maxDocsPerHash >= 1,
       s"probeBatch: bad minShared=$minShared / maxDocsPerHash=$maxDocsPerHash")
+    healCompact(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
     import spark.implicits._
-    if (!hasData(spark, s"$indexDir/fp"))
-      return Seq.empty[(Long, Long, Long)]
-        .toDF("batch_id", "corpus_id", "n_shared")
-        .select(col("batch_id").cast("long"), col("corpus_id").cast("long"),
-          col("n_shared").cast("long"))
-    // fingerprint the batch once; it feeds the mod-pruning literal set
-    // and the hash join
-    val bfp = fpRows(batch, idCol, textCol, params).localCheckpoint()
-    val mods = bfp.select(col("fp_mod")).distinct().as[Int].collect().sorted
-    val idx = spark.read.parquet(s"$indexDir/fp")
-      .where(col("fp_mod").isin(mods.map(Integer.valueOf): _*))
-    // restrict the index to the batch's hashes FIRST (one columnar scan
-    // filtered through a broadcast hash join — no full-index shuffle,
-    // no full-index aggregation: the probe's only corpus-sized work is
-    // the scan itself). All rows of a surviving hash survive, so the
-    // per-hash corpus doc counts computed on the RESTRICTED set are the
-    // exact corpus-side counts the boilerplate cap needs.
-    val cand = idx.join(broadcast(bfp.select(col("fp_mod"), col("hash"))
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("batch_id", "corpus_id", "n_shared")
+      .select(col("batch_id").cast("long"), col("corpus_id").cast("long"),
+        col("n_shared").cast("long"))
+    if (!hasData(spark, s"$indexDir/fp")) return empty
+    // fingerprint the batch once, to the driver: one job instead of a
+    // checkpoint job + a mods-collect job + per-join broadcast collects
+    val bfpRows: Array[Row] =
+      fpRows(batch, idCol, textCol, params).collect()
+    if (bfpRows.isEmpty) return empty
+    val bfp = spark.createDataFrame(
+      java.util.Arrays.asList(bfpRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("hash",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("fp_mod",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val mods = bfpRows.map(_.getInt(2)).distinct.sorted
+    val hashes = bfpRows.map(_.getLong(0)).distinct.sorted
+    val pruned0 = spark.read.parquet(s"$indexDir/fp")
+      .where(col("fp_mod").isin(mods.map(Integer.valueOf).toSeq: _*))
+    val pruned =
+      if (graft.ops.ScanPrune.shouldPush(spark, s"$indexDir/fp", hashes.length))
+        pruned0.where(hashTreePredicate(hashes, col("hash")))
+      else pruned0
+    // restrict the index to the batch's hashes (exact) — with the tree
+    // pushed this is page-bounded IO; without it, one columnar scan
+    // filtered through a broadcast hash join. All rows of a surviving
+    // hash survive, so the per-hash corpus doc counts computed on the
+    // RESTRICTED set are the exact corpus-side counts the boilerplate
+    // cap needs.
+    val cand = pruned.join(broadcast(bfp.select(col("fp_mod"), col("hash"))
         .distinct()), Seq("fp_mod", "hash"))
       .localCheckpoint()
     val okHash = cand.groupBy(col("fp_mod"), col("hash"))
@@ -125,10 +200,14 @@ object WinnowIndex {
 
   /** Ingest: append the batch's fingerprints (ids already in the index
     * and in-batch duplicate ids dropped — replays are absorbed).
-    * Returns the number of NEW documents indexed. */
+    * Returns the number of NEW documents indexed. Rows are clustered
+    * one file per modulus bucket per ingest (file-count discipline) and
+    * SORTED BY HASH within each file with [[PageRowLimit]]-row pages,
+    * so probes can page-prune (see the object doc). */
   def ingestBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
                   idCol: String, textCol: String,
                   params: Params = Params()): Long = {
+    healCompact(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
     val fresh0 = batch.dropDuplicates(idCol)
     val fresh =
@@ -139,14 +218,45 @@ object WinnowIndex {
       else fresh0
     val rows = fpRows(fresh, idCol, textCol, params).localCheckpoint()
     val n = rows.select(col("id")).distinct().count()
-    if (n > 0)
-      // cluster on the partition column first: ONE file per modulus
-      // bucket per ingest instead of one per (bucket, task) — without
-      // this the table fragments into thousands of small files within a
-      // few ingests and file-open overhead, not data, dominates probes
-      rows.repartition(col("fp_mod"))
-        .write.mode("append").partitionBy("fp_mod")
-        .parquet(s"$indexDir/fp")
+    if (n > 0) writeFp(rows, s"$indexDir/fp")
+    n
+  }
+
+  /** The one fp/ writer: cluster on the partition column (ONE file per
+    * modulus bucket per write — without this the table fragments into
+    * thousands of small files within a few ingests and file-open
+    * overhead, not data, dominates probes), sort by hash within each
+    * bucket (satisfying the dynamic-partition writer's required
+    * ordering prefix, so no order-destroying extra sort is inserted),
+    * and cap page rows so column-index stats stay probe-granular. */
+  private def writeFp(rows: DataFrame, fpDir: String): Unit =
+    rows.repartition(col("fp_mod"))
+      .sortWithinPartitions(col("fp_mod"), col("hash"))
+      .write.mode("append").partitionBy("fp_mod")
+      .option("parquet.page.row.count.limit", PageRowLimit)
+      .parquet(fpDir)
+
+  /** Compact `fp/` back to one hash-sorted file per modulus bucket:
+    * rewrite to `fp__tmp`, swap via `fp` -> `fp__old` -> delete. A
+    * crash at any point is healed on the next open ([[healCompact]]):
+    * the index is never observable without a complete `fp/`. Run it
+    * when appends have accumulated enough files that probe task counts
+    * (not data) dominate — the same maintenance cadence as any
+    * LSM-style store. Returns the row count compacted. */
+  def compact(spark: SparkSession, indexDir: String): Long = {
+    healCompact(spark, indexDir)
+    if (!hasData(spark, s"$indexDir/fp")) return 0L
+    val (f, _) = fs(spark, indexDir)
+    val rows = spark.read.parquet(s"$indexDir/fp")
+      .select(col("hash"), col("id"), col("fp_mod"))
+    val n = rows.count()
+    writeFp(rows, s"$indexDir/fp__tmp")
+    val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
+    require(f.rename(fp, old), s"compact: could not stage $fp aside")
+    require(f.rename(tmp, fp), s"compact: could not install $tmp")
+    f.delete(old, true)
     n
   }
 }

@@ -49,7 +49,7 @@ object Reduce {
   }
 
   /** outDim rows of inDim signs; row j is output component j. */
-  private[vec] def signMatrix(inDim: Int, outDim: Int, seed: Int): Array[Array[Double]] =
+  private[graft] def signMatrix(inDim: Int, outDim: Int, seed: Int): Array[Array[Double]] =
     Array.tabulate(outDim)(j => Array.tabulate(inDim)(i => mdSign(seed, i, j)))
 
   // -------------------------------------------------- random projection

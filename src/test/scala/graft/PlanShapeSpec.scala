@@ -315,6 +315,47 @@ class PlanShapeSpec extends AnyFunSuite {
       mPlan.take(1500))
   }
 
+  test("unpartitioned windows are confined to the audited bounded-input sites") {
+    // A Window.orderBy with NO partitionBy plans as a single-partition
+    // global sort — fine on a bounded/validation-mode input, a cluster
+    // killer on a corpus. Every such site in main is enumerated here
+    // with WHY its input is bounded; a new one fails this test until it
+    // is either partitioned or audited onto the list.
+    val allowed = Map(
+      // bench-only corpus loader: caps the table before numbering
+      "text/TextOps.scala" -> 1,
+      // exactRank oracle-VALIDATION mode; default path is approx cuts
+      "text/Curation.scala" -> 1,
+      // AUC sweep runs on the distinct-SCORE domain, not the corpus
+      "text/Eval.scala" -> 1,
+      // top-k word list is LIMITed before ranking
+      "text/CorpusStats.scala" -> 1,
+      // ingest log: one row per ingest, metadata-sized
+      "store/Store.scala" -> 1,
+      // per-sheet row numbering at READ: sheets are workbook-sized
+      "etl/Transform.scala" -> 1)
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val re = """Window(\s*\n\s*)?\.orderBy""".r
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val n = re.findAllIn(src)
+          // ignore mentions inside comments/scaladoc (lines led by * or //)
+          .matchData.count { m =>
+            val lineStart = src.lastIndexOf('\n', m.start) + 1
+            val lead = src.slice(lineStart, m.start).trim
+            !lead.startsWith("*") && !lead.startsWith("//")
+          }
+        if (n > 0) found(root.relativize(p).toString) = n
+      }
+    }
+    assert(found.toMap == allowed,
+      s"unpartitioned Window sites changed: found=$found allowed=$allowed — " +
+        "partition the new window or audit it into this allowlist with a " +
+        "bounded-input justification")
+  }
+
   test("parquet aggregate pushdown: count/min/max answer from footer stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_").toString
     spark.range(0, 10000).selectExpr("id", "id % 7 AS v")

@@ -1077,4 +1077,124 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(probe.count() == 3)
     } finally q.stop()
   }
+
+  test("streaming winnow-index ingest: live passage attribution, replays append nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widx_stream_")
+    val idxDir = dir.resolve("idx").toString
+    val boiler = "subscribe to our weekly newsletter for updates and news"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = dir.resolve(s"_s_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"in/in_$name.parquet"))
+    }
+    java.nio.file.Files.createDirectories(dir.resolve("in"))
+    // batch 1: docs 1-2 share the boilerplate (2 duplicated in-batch);
+    // batch 2: doc 3 new + REPLAY of doc 1
+    writeBatch("b1", Seq(
+      (1L, s"first document body $boiler"),
+      (2L, s"second entirely different body $boiler"),
+      (2L, s"second entirely different body $boiler")))
+    writeBatch("b2", Seq(
+      (3L, "third doc shares nothing kumquat zephyr veldt fjord aurora"),
+      (1L, s"first document body $boiler")))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+    val q = StreamOps.winnowIndexIngestStream(stream, idxDir)
+      .option("checkpointLocation", dir.resolve("ck").toString).start()
+    try {
+      q.processAllAvailable()
+      // each id indexed exactly once despite the in-batch dup + replay
+      val ids = spark.read.parquet(s"$idxDir/fp").select("id")
+        .distinct().as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+      // a probe against the LIVE index attributes the shared passage,
+      // and matches the batch-mode probe over the same corpus
+      val probeDocs = Seq((10L, s"incoming passage check $boiler"))
+        .toDF("doc_id", "text")
+      val live = graft.text.WinnowIndex.probeBatch(spark, idxDir,
+        probeDocs, "doc_id", "text", minShared = 2, maxDocsPerHash = 50)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(live.map(_._1) == Set(1L, 2L))
+      val batchDir = dir.resolve("batch_idx").toString
+      graft.text.WinnowIndex.ingestBatch(spark, batchDir, Seq(
+        (1L, s"first document body $boiler"),
+        (2L, s"second entirely different body $boiler"),
+        (3L, "third doc shares nothing kumquat zephyr veldt fjord aurora"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      val batchProbe = graft.text.WinnowIndex.probeBatch(spark, batchDir,
+        probeDocs, "doc_id", "text", minShared = 2, maxDocsPerHash = 50)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(live == batchProbe)
+    } finally q.stop()
+  }
+
+  test("streaming bitext mining: align + mine per batch equals the batch composition; replays rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext_stream_")
+    val outDir = dir.resolve("mined").toString
+    def vec(seed: Int): Array[Float] = {
+      val rng = new scala.util.Random(seed)
+      val v = Array.fill(8)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // planted rotation: the target side lives in a rotated space; the
+    // frozen Procrustes map (here: the exact rotation) aligns sources
+    val r0 = graft.vec.Align.givens(8, Seq((0, 1, 0.7), (2, 3, 1.3)))
+    val tgtRaw = (100L until 120L).map(i => (i, vec((i % 50).toInt)))
+      .toDF("vec_id", "embedding")
+    val tgt = graft.vec.Align.applyMap(tgtRaw, "embedding", "__r", r0)
+      .select($"vec_id", $"__r".as("embedding")).localCheckpoint()
+    def writeBatch(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val staging = dir.resolve(s"_s_$name")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"in/in_$name.parquet"))
+    }
+    java.nio.file.Files.createDirectories(dir.resolve("in"))
+    val b1 = (0L until 8L).map(i => (i, vec(i.toInt)))
+    val b2 = (8L until 16L).map(i => (i, vec(i.toInt)))
+    writeBatch("b1", b1)
+    writeBatch("b2", b2)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+    val q = StreamOps.bitextMineStream(stream, tgt, r0, outDir)
+      .option("checkpointLocation", dir.resolve("ck").toString).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$outDir/pairs")
+        .select("src_id", "tgt_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: the same per-batch align+mine calls
+      def mineBatch(rows: Seq[(Long, Array[Float])]) = {
+        val aligned = graft.vec.Align.applyMap(
+            rows.toDF("vec_id", "embedding"), "embedding", "__a", r0)
+          .select($"vec_id", $"__a".as("embedding"))
+        graft.vec.Bitext.minePairs(aligned, tgt, "vec_id", "embedding",
+            k = 4, minMargin = 1.0)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      assert(streamed == (mineBatch(b1) ++ mineBatch(b2)))
+      assert(streamed.nonEmpty,
+        "planted rotation must yield at least one mutual-best pair")
+      // replay: re-delivering batch 0 rewrites its own partial — the
+      // accumulated pair set is unchanged
+      StreamOps.bitextMineIngestBatch(b1.toDF("vec_id", "embedding"),
+        tgt, r0, outDir, batchId = 0L)
+      val replayed = spark.read.parquet(s"$outDir/pairs")
+        .select("src_id", "tgt_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(replayed == streamed)
+    } finally q.stop()
+  }
 }

@@ -91,4 +91,103 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("batch_id", "corpus_id", "n_shared"))
   }
+
+  test("hashTreePredicate selects exactly the probed hashes, any size") {
+    import org.apache.spark.sql.functions.col
+    val table = (0L until 5000L).map(h => h * 37L).toDF("hash")
+    for (n <- Seq(1, 7, 8, 9, 100)) {
+      val probe = (0 until n).map(i => (i * 971L) % 5000L * 37L)
+        .distinct.toArray.sorted
+      val got = table
+        .where(WinnowIndex.hashTreePredicate(probe, col("hash")))
+        .as[Long].collect().sorted
+      assert(got.toSeq == probe.toSeq, s"n=$n")
+    }
+    // non-members never match
+    val miss = Array(1L, 38L, 184999L)
+    assert(table.where(WinnowIndex.hashTreePredicate(miss, col("hash")))
+      .count() == 0)
+    assert(table.where(WinnowIndex.hashTreePredicate(Array.empty[Long],
+      col("hash"))).count() == 0)
+  }
+
+  test("probe results are identical with and without the pushdown tree") {
+    val dir = tmp()
+    val many = (1L to 20L).map(i =>
+      (i, s"unique lead $i about topic ${i % 3} $boiler"))
+      .toDF("doc_id", "text")
+    WinnowIndex.ingestBatch(spark, dir, many, "doc_id", "text")
+    val batch = Seq((100L, s"incoming one $boiler"),
+      (101L, "incoming two nothing shared kumquat zephyr"))
+      .toDF("doc_id", "text")
+    def run(maxDocs: Int) = WinnowIndex
+      .probeBatch(spark, dir, batch, "doc_id", "text",
+        minShared = 1, maxDocsPerHash = maxDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val withTree = run(50)
+    // the big-batch path (tree skipped) is exercised via the scan-form
+    // equivalence test above; here assert the tree path's exactness by
+    // replaying the same probe against the raw table without pruning
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"$dir/fp")
+    val bfp = Winnow.fingerprints(batch, "doc_id", "text")
+      .select(col("hash"), col("doc_id").as("batch_id")).distinct()
+    val expect = raw.join(bfp, "hash")
+      .where(col("id") =!= col("batch_id"))
+      .groupBy(col("batch_id"), col("id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(withTree == expect && withTree.nonEmpty)
+  }
+
+  test("compact rewrites to one file per modulus and probes are unchanged") {
+    val dir = tmp()
+    // several ingests -> several files per modulus bucket
+    (0 until 4).foreach { g =>
+      val docs = (1L to 5L).map(i => (g * 10L + i,
+        s"unique lead ${g * 10 + i} $boiler")).toDF("doc_id", "text")
+      WinnowIndex.ingestBatch(spark, dir, docs, "doc_id", "text")
+    }
+    val batch = Seq((100L, s"incoming with $boiler")).toDF("doc_id", "text")
+    val before = WinnowIndex.probeBatch(spark, dir, batch, "doc_id", "text",
+      minShared = 1, maxDocsPerHash = 50)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    def fileCount = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/fp")
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fsys.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      }
+      n
+    }
+    val filesBefore = fileCount
+    val rows = WinnowIndex.compact(spark, dir)
+    assert(rows > 0)
+    assert(fileCount < filesBefore, "compact must shrink the file count")
+    val after = WinnowIndex.probeBatch(spark, dir, batch, "doc_id", "text",
+      minShared = 1, maxDocsPerHash = 50)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(after == before && after.size == 20)
+  }
+
+  test("a crash mid-compact heals on the next open") {
+    val dir = tmp()
+    WinnowIndex.ingestBatch(spark, dir, corpusDocs, "doc_id", "text")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = new org.apache.hadoop.fs.Path(s"$dir/fp")
+    val fsys = fp.getFileSystem(conf)
+    // simulate: crash after fp -> fp__old but before fp__tmp -> fp
+    fsys.rename(fp, new org.apache.hadoop.fs.Path(s"$dir/fp__old"))
+    val batch = Seq((10L, s"again $boiler")).toDF("doc_id", "text")
+    val healed = WinnowIndex.probeBatch(spark, dir, batch, "doc_id", "text",
+      minShared = 1, maxDocsPerHash = 50)
+    assert(healed.count() == 2, "heal must restore the staged-aside table")
+    // simulate: leftover tmp from an interrupted rewrite
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/fp__tmp"))
+    assert(WinnowIndex.compact(spark, dir) > 0)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/fp__tmp")))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/fp__old")))
+  }
 }
