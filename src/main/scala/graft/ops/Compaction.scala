@@ -71,14 +71,21 @@ object Compaction {
         "the layout (a plain rewrite would flatten it)")
     val nOut = planFiles(spark, dir, targetBytes)
     val df = spark.read.parquet(dir)
+    // partitionBy + sortBy compose: keys cluster to their hive dirs and
+    // rows sort by (partition cols ++ sortBy) within each task — the
+    // partition-col prefix satisfies the dynamic writer's required
+    // ordering (no order-destroying extra sort), the sortBy suffix
+    // preserves each file's key order for page/footer-stats pruning
     val shaped =
       if (partitionBy.nonEmpty)
         df.repartition(nOut, partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
       else if (sortBy.isEmpty) df.repartition(nOut)
       else df.repartitionByRange(nOut, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
     val tmp = dir.stripSuffix("/") + "__compact_tmp"
     val writer = shaped.write.mode("overwrite")
+      .option("parquet.page.row.count.limit", ScanPrune.PageRowLimit)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp)
     swapDir(spark, tmp, dir)

@@ -372,12 +372,17 @@ object DedupIndex {
   def compact(spark: SparkSession, indexDir: String,
               targetBytes: Long = 128L << 20)
       : Map[String, graft.ops.Compaction.CompactionStats] = {
-    val tables = Seq(("fp", Nil), ("sig", Nil), ("bands", Seq("band_mod")))
-    tables.flatMap { case (t, parts) =>
+    // each table keeps its probe-key sort through the rewrite, so
+    // ScanPrune page pruning survives compaction
+    val tables = Seq(
+      ("fp", Seq("fp"), Nil),
+      ("sig", Seq("id"), Nil),
+      ("bands", Seq("band_hash"), Seq("band_mod")))
+    tables.flatMap { case (t, sortCols, parts) =>
       val dir = s"$indexDir/$t"
       if (hasData(spark, dir))
         Some(t -> graft.ops.Compaction.compact(spark, dir, targetBytes,
-          partitionBy = parts))
+          sortBy = sortCols, partitionBy = parts))
       else None
     }.toMap
   }
