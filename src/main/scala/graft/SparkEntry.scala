@@ -1384,9 +1384,11 @@ object SparkEntry {
     }),
 
     // X: persisted winnow-index probe — corpus fingerprints ingested
-    // ONCE (ids >= 50), the batch (ids < 50) probes the mod-pruned
-    // fingerprint table; the corpus is never re-fingerprinted. The
-    // oracle replays the same split, cap and pair count relationally
+    // ONCE (ids >= 50), the batch (ids < 50) probes the hash-sorted
+    // fingerprint table (mod partition pruning always; page-level
+    // point-set pruning once the table clears the ScanPrune gate); the
+    // corpus is never re-fingerprinted. The oracle replays the same
+    // split, cap and pair count relationally
     "q_x_winnow_probe_idx" -> ((s, dir) => {
       graft.text.WinnowIndex.probeBatch(s, winnowIdxFor(s, dir),
         t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text",
