@@ -3301,6 +3301,29 @@ object SparkEntry {
     // memory sink); the exact columns are oracle-gated, the HLL
     // approx_dup_mass column is spec-gated (a sketch by design — a
     // stream gets one stateful pass)
+    // X: LIVE uniform corpus sample executed for REAL (file stream ->
+    // per-batch bottom-k md5-priority partials -> exact-k render) —
+    // the deterministic streaming reservoir equivalent; the oracle is
+    // the same bottom-k over the full table in SQL
+    "q_x_stream_sample" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_samp_q_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      val sampleDir = java.nio.file.Files
+        .createTempDirectory("graft_samp_out_").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+      val q = StreamOps.sampleStream(docs, sampleDir, "doc_id", k = 100)
+        .option("checkpointLocation", streamDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      StreamOps.sampleRender(s, sampleDir, k = 100)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q_x_stream_health" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
@@ -6974,6 +6997,12 @@ object SparkEntry {
                   WHERE s0.user_id NOT IN (SELECT user_id FROM c2)
                     AND s0.t0 + INTERVAL 30 MINUTE < (SELECT w FROM wm))
          SELECT * FROM done UNION ALL SELECT * FROM part""",
+
+    "q_x_stream_sample" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             md5('samp:' || doc_id) AS pri
+           FROM documents ORDER BY pri LIMIT 100)""",
 
     "q_x_stream_health" ->
       """WITH d AS (SELECT doc_id,

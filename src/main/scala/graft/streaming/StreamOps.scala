@@ -738,6 +738,53 @@ object StreamOps {
         .agg(count(lit(1)).cast("long").as("n")),
       s"$ratingsDir/wins", batchId)
 
+  /** One micro-batch of the LIVE uniform corpus sample: bottom-k by
+    * deterministic md5 priority is a MERGEABLE sketch (the bottom-k of
+    * a union is the bottom-k of the per-part bottom-ks), so each batch
+    * lands only its own k smallest-priority rows as a replay-proof
+    * [[writeBatchPartial]] partial (k rows, never batch-sized) and
+    * [[sampleRender]] reduces the accumulated partials to the exact
+    * uniform-k sample of EVERYTHING ingested — the streaming
+    * reservoir-sample equivalent, deterministic and oracle-replayable
+    * where a classical reservoir is RNG-and-order-dependent. Rows keep
+    * their full payload, so the sample is directly usable. */
+  def sampleIngestBatch(batch: DataFrame, sampleDir: String, batchId: Long,
+                        idCol: String = "doc_id", k: Int = 100,
+                        salt: String = "samp"): Unit = {
+    require(k >= 1, s"sampleIngestBatch: k must be >= 1, got $k")
+    writeBatchPartial(
+      batch.withColumn("__pri",
+          md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+        .orderBy(col("__pri")).limit(k),
+      s"$sampleDir/bk", batchId)
+  }
+
+  /** The live sample: global bottom-k over the accumulated partials
+    * (partials are k rows per batch — the reduce is tiny). Documents
+    * ingested twice (replays, re-deliveries ACROSS batches) collapse:
+    * priority is a pure function of the id, so duplicates tie and one
+    * row per id survives the distinct. */
+  def sampleRender(spark: SparkSession, sampleDir: String, k: Int = 100)
+      : DataFrame =
+    spark.read.parquet(s"$sampleDir/bk")
+      .dropDuplicates("__pri")
+      .orderBy(col("__pri")).limit(k)
+      .drop("__pri")
+
+  /** Streaming uniform corpus sampling: micro-batches fold into the
+    * persisted bottom-k partials; read the live exact-k sample any time
+    * with [[sampleRender]]. Start with a checkpoint — replays rewrite
+    * their own batch_id partial. */
+  def sampleStream(docs: DataFrame, sampleDir: String,
+                   idCol: String = "doc_id", k: Int = 100,
+                   salt: String = "samp")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sampleIngestBatch(batch, sampleDir, batchId, idCol, k, salt)
+      }
+
   /** One micro-batch of LIVE bitext mining — the streaming form of the
     * align -> mine composition (`q_x_multiling_pipeline`'s first two
     * stages): align the incoming source vectors with a FROZEN

@@ -1134,6 +1134,56 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming uniform sample: bottom-k partials merge to the exact batch-mode sample; replays collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_samp_stream_")
+    val sampleDir = dir.resolve("sample").toString
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = dir.resolve(s"_s_$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"in/in_$name.parquet"))
+    }
+    java.nio.file.Files.createDirectories(dir.resolve("in"))
+    val all = (0L until 500L).map(i => (i, s"doc body $i"))
+    writeBatch("b1", all.take(200))
+    writeBatch("b2", all.slice(200, 400))
+    writeBatch("b3", all.drop(400))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+    val q = StreamOps.sampleStream(stream, sampleDir, "doc_id", k = 50)
+      .option("checkpointLocation", dir.resolve("ck").toString).start()
+    try {
+      q.processAllAvailable()
+      // partials are k rows per batch, never batch-sized
+      import org.apache.spark.sql.functions.{col, concat, input_file_name, lit, md5}
+      val partialRows = spark.read.parquet(s"$sampleDir/bk")
+        .groupBy(input_file_name()).count().select("count")
+        .as[Long].collect()
+      assert(partialRows.forall(_ <= 50))
+      val streamed = StreamOps.sampleRender(spark, sampleDir, k = 50)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      // batch twin: global bottom-50 by the same priority
+      val expect = all.toDF("doc_id", "text")
+        .withColumn("__pri", md5(concat(lit("samp:"), $"doc_id".cast("string"))))
+        .orderBy($"__pri").limit(50)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == expect)
+      // replay: re-delivering batch 0 rewrites its own partial; a
+      // cross-batch duplicate id ties on priority and collapses
+      StreamOps.sampleIngestBatch(
+        (all.take(200) ++ all.slice(200, 210)).toDF("doc_id", "text"),
+        sampleDir, batchId = 0L, "doc_id", k = 50)
+      val replayed = StreamOps.sampleRender(spark, sampleDir, k = 50)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(replayed == expect)
+    } finally q.stop()
+  }
+
   test("streaming bitext mining: align + mine per batch equals the batch composition; replays rewrite") {
     import spark.implicits._
     import org.apache.spark.sql.types._
