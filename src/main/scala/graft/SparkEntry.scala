@@ -3324,6 +3324,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // X: LIVE per-source cap / stratified sample (grouped bottom-k by
+    // md5 priority — deterministic keep rule, mergeable partials); the
+    // oracle is the same per-source window rank in SQL
+    "q_x_stream_source_cap" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_scap_q_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      val sampleDir = java.nio.file.Files
+        .createTempDirectory("graft_scap_out_").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+      val q = StreamOps.sampleByStream(docs, sampleDir, "source",
+          "doc_id", k = 20)
+        .option("checkpointLocation", streamDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      StreamOps.sampleByRender(s, sampleDir, "source", k = 20)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "q_x_stream_health" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
@@ -7003,6 +7026,13 @@ object SparkEntry {
            SELECT doc_id, lang, source,
              md5('samp:' || doc_id) AS pri
            FROM documents ORDER BY pri LIMIT 100)""",
+
+    "q_x_stream_source_cap" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('samp:' || doc_id)) AS rn
+           FROM documents) WHERE rn <= 20""",
 
     "q_x_stream_health" ->
       """WITH d AS (SELECT doc_id,

@@ -785,6 +785,53 @@ object StreamOps {
           sampleIngestBatch(batch, sampleDir, batchId, idCol, k, salt)
       }
 
+  /** The grouped form of [[sampleIngestBatch]]: per-GROUP bottom-k by
+    * md5 priority — the live stratified sample, and equally the live
+    * per-source cap ("keep at most k docs per source, deterministic")
+    * since per-group bottom-k IS a cap with a reproducible keep rule.
+    * Partials are (groups-in-batch) x k rows; the render reduces to the
+    * exact per-group bottom-k of everything ingested. */
+  def sampleByIngestBatch(batch: DataFrame, sampleDir: String, batchId: Long,
+                          groupCol: String, idCol: String = "doc_id",
+                          k: Int = 100, salt: String = "samp"): Unit = {
+    require(k >= 1, s"sampleByIngestBatch: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__pri"))
+    writeBatchPartial(
+      batch.withColumn("__pri",
+          md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k).drop("__rn"),
+      s"$sampleDir/bkg", batchId, singleFile = false)
+  }
+
+  /** The live per-group sample/cap: reduce the accumulated grouped
+    * partials to the exact per-group bottom-k. Cross-batch duplicate
+    * ids collapse on the deterministic priority. */
+  def sampleByRender(spark: SparkSession, sampleDir: String,
+                     groupCol: String, k: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__pri"))
+    spark.read.parquet(s"$sampleDir/bkg")
+      .dropDuplicates("__pri")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn", "__pri")
+  }
+
+  /** Streaming per-group sampling/capping; see [[sampleByIngestBatch]].
+    * Start with a checkpoint — replays rewrite their own partial. */
+  def sampleByStream(docs: DataFrame, sampleDir: String, groupCol: String,
+                     idCol: String = "doc_id", k: Int = 100,
+                     salt: String = "samp")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sampleByIngestBatch(batch, sampleDir, batchId, groupCol,
+            idCol, k, salt)
+      }
+
   /** One micro-batch of LIVE bitext mining — the streaming form of the
     * align -> mine composition (`q_x_multiling_pipeline`'s first two
     * stages): align the incoming source vectors with a FROZEN

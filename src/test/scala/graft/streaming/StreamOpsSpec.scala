@@ -1184,6 +1184,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming per-source cap: grouped bottom-k partials merge to the exact batch-mode cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, row_number}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scap_stream_")
+    val sampleDir = dir.resolve("sample").toString
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = dir.resolve(s"_s_$name")
+      rows.toDF("doc_id", "source").coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, dir.resolve(s"in/in_$name.parquet"))
+    }
+    java.nio.file.Files.createDirectories(dir.resolve("in"))
+    val all = (0L until 300L).map(i => (i, s"src${i % 3}"))
+    writeBatch("b1", all.take(150))
+    writeBatch("b2", all.drop(150))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.resolve("in").toString)
+    val q = StreamOps.sampleByStream(stream, sampleDir, "source",
+        "doc_id", k = 10)
+      .option("checkpointLocation", dir.resolve("ck").toString).start()
+    try {
+      q.processAllAvailable()
+      val streamed = StreamOps.sampleByRender(spark, sampleDir, "source", k = 10)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))))
+      val expect = all.toDF("doc_id", "source")
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") <= 10)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == expect && streamed.size == 30)
+    } finally q.stop()
+  }
+
   test("streaming bitext mining: align + mine per batch equals the batch composition; replays rewrite") {
     import spark.implicits._
     import org.apache.spark.sql.types._
