@@ -1492,6 +1492,10 @@ object SparkEntry {
           Seq("tgt_id"), "left_anti")
       val toks = docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      // checkpoint the mined-pair frame (tiny: at most one pair per
+      // src) — it feeds BOTH the packer and the final tgt_id re-join,
+      // and without truncation each consumer re-runs the whole
+      // mine + decontaminate subtree (4 windows + the gram join)
       val sized = clean
         .join(toks.select(col("doc_id").as("src_id"),
           col("__nt").as("__ns")), "src_id")
@@ -1499,6 +1503,7 @@ object SparkEntry {
           col("__nt").as("__ntg")), "tgt_id")
         .select(col("src_id"), col("tgt_id"),
           (col("__ns") + col("__ntg")).as("pair_tokens"))
+        .localCheckpoint()
       graft.text.Packing.packSequences(sized, "src_id", "pair_tokens",
           ctxLen = 512)
         .join(sized.select(col("src_id"), col("tgt_id")), "src_id")
