@@ -238,6 +238,25 @@ object SparkEntry {
     * never bleed into a timed probe. */
   def dedupIdxWarm(dir: String): Boolean = dedupIdxCache.containsKey(dir)
 
+
+  /** Copy a parquet input (single file at testdata scale, a directory
+    * of part files for synthesized 10x corpora) into a streaming
+    * source dir — stream queries read it as a file stream. */
+  private def copyParquetInput(srcPath: String, dstDir: java.nio.file.Path): Unit = {
+    val src = java.nio.file.Paths.get(srcPath)
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, dstDir.resolve(f"part_$i%05d.parquet"))
+          i += 1
+        }
+      }
+    } else java.nio.file.Files.copy(src, dstDir.resolve(src.getFileName))
+  }
+
   private val winnowIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3266,9 +3285,7 @@ object SparkEntry {
     "q_x_stream_window" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_q_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      copyParquetInput(s"$dir/events.parquet", streamDir)
       val agg = StreamOps.windowedCounts(
         StreamOps.readEventsStream(s, streamDir.toString))
       val q = agg.writeStream.outputMode("complete")
@@ -3288,9 +3305,7 @@ object SparkEntry {
     "q_x_stream_funnel" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_funnel_q_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      copyParquetInput(s"$dir/events.parquet", streamDir)
       val q = StreamOps.funnelStream(
           StreamOps.readEventsStream(s, streamDir.toString),
           Seq("signup", "view", "click"),
@@ -3313,9 +3328,7 @@ object SparkEntry {
     "q_x_stream_sample" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_samp_q_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
+      copyParquetInput(s"$dir/documents.parquet", streamDir)
       val sampleDir = java.nio.file.Files
         .createTempDirectory("graft_samp_out_").toString
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -3335,9 +3348,7 @@ object SparkEntry {
     "q_x_stream_source_cap" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_scap_q_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
+      copyParquetInput(s"$dir/documents.parquet", streamDir)
       val sampleDir = java.nio.file.Files
         .createTempDirectory("graft_scap_out_").toString
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -3355,9 +3366,7 @@ object SparkEntry {
     "q_x_stream_health" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
+      copyParquetInput(s"$dir/documents.parquet", streamDir)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
@@ -3380,9 +3389,7 @@ object SparkEntry {
     "q_x_stream_interval_join" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_ij_")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      copyParquetInput(s"$dir/events.parquet", streamDir)
       val s1 = StreamOps.readEventsStream(s, streamDir.toString)
       val s2 = StreamOps.readEventsStream(s, streamDir.toString)
       val joined = StreamOps.intervalJoinStream(
