@@ -3363,6 +3363,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // X: the LIVE decontamination gate executed for REAL (file stream
+    // -> the stateless row-local arrays_overlap form of
+    // StreamOps.decontaminateStream -> memory sink); the oracle is the
+    // batch NOT-IN form of the same 5-gram overlap
+    "q_x_stream_decontaminate" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sdec_q_")
+      copyParquetInput(s"$dir/documents.parquet", streamDir)
+      val bench = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+      val q = StreamOps.decontaminateStream(docs, bench, "text", "text",
+          n = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_stream_decontaminate").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_stream_decontaminate")
+    }),
+
     "q_x_stream_health" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
@@ -7045,6 +7067,19 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source
                ORDER BY md5('samp:' || doc_id)) AS rn
            FROM documents) WHERE rn <= 20""",
+
+    "q_x_stream_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+         FROM tok),
+         bg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0),
+         dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (ng))
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""",
 
     "q_x_stream_health" ->
       """WITH d AS (SELECT doc_id,
