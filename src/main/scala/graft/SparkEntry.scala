@@ -3385,6 +3385,47 @@ object SparkEntry {
       s.table("graft_stream_decontaminate")
     }),
 
+    // X: the LIVE data card executed for REAL (file stream ->
+    // replay-proof batch_id partials -> render); the oracle is the
+    // SAME SQL as the batch card — the partials must reduce to it
+    "q_x_stream_data_card" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sdc_q_")
+      copyParquetInput(s"$dir/documents.parquet", streamDir)
+      val cardDir = java.nio.file.Files
+        .createTempDirectory("graft_sdc_card_").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+      val q = StreamOps.dataCardStream(docs, cardDir)
+        .option("checkpointLocation", streamDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      StreamOps.dataCardRender(s, cardDir)
+    }),
+
+    // X: LIVE Bradley-Terry ratings executed for REAL (the synthetic
+    // game log streamed in multiple micro-batches -> per-batch win
+    // partials -> render solve); same oracle as the batch solve — the
+    // win matrix reduced from partials must be identical
+    "q_x_stream_bradley_terry" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sbt_q_")
+      val gamesDir = streamDir.resolve("games")
+      synthPrefGames(s, dir).repartition(4).write.parquet(gamesDir.toString)
+      val ratingsDir = java.nio.file.Files
+        .createTempDirectory("graft_sbt_r_").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "winner STRING, loser STRING")
+      val games = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(gamesDir.toString)
+      val q = StreamOps.bradleyTerryStream(games, ratingsDir)
+        .option("checkpointLocation", streamDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      StreamOps.bradleyTerryRender(s, ratingsDir, iters = 8)
+    }),
+
     "q_x_stream_health" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
@@ -3658,6 +3699,42 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — identical aliases, identical semantics.
   // ------------------------------------------------------------------
+
+  /** Shared by q_x_data_card (batch) and q_x_stream_data_card (the
+    * live partials+render path must reduce to the SAME card). */
+  private val dataCardOracleSql: String =
+    """WITH b AS (SELECT source, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS ntok,
+           len(regexp_extract_all(text, 'https?://[^\s]+'))
+             + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+             + len(regexp_extract_all(text, '\+?\d[\d()\-\s]{6,}\d')) AS pii,
+           CASE WHEN trim(text) = '' THEN NULL ELSE
+             206.835
+             - 1.015 * (len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::DOUBLE
+                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (list_sum(list_transform(
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))::DOUBLE
+                       / len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+           END AS ease,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents),
+         m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           round(AVG(ntok), 4) AS mean_tokens,
+           round((COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*), 4) AS dup_ratio,
+           round(SUM(pii)::DOUBLE / COUNT(*), 4) AS pii_per_doc,
+           round(AVG(ease), 4) + 0.0 AS mean_reading_ease
+         FROM b GROUP BY source),
+         lc AS (SELECT source, lang, COUNT(*) AS n FROM b GROUP BY source, lang),
+         lt AS (SELECT source, lang AS top_lang, n,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang DESC) AS rn,
+                  SUM(n) OVER (PARTITION BY source) AS tot
+                FROM lc)
+         SELECT m.*, lt.top_lang, round(lt.n::DOUBLE / lt.tot, 4) AS top_lang_share
+         FROM m JOIN lt ON m.source = lt.source AND lt.rn = 1"""
 
   def oracleSql: Map[String, String] = uniqueMap(
     "q_s3_scan_filter" ->
@@ -7220,6 +7297,8 @@ object SparkEntry {
 
     "q_x_bradley_terry" -> btOracleSql,
 
+    "q_x_stream_bradley_terry" -> btOracleSql,
+
     "q_x_k_anonymity" ->
       """SELECT c_mktsegment, floor(c_acctbal / 1000.0) * 1000.0 AS acct_bucket,
            CAST(COUNT(*) AS BIGINT) AS class_size,
@@ -7308,39 +7387,9 @@ object SparkEntry {
            greatest(1, CAST(ceil(MAX(n)::DOUBLE / 1000) AS BIGINT)) AS salt_factor
          FROM c""",
 
-    "q_x_data_card" ->
-      """WITH b AS (SELECT source, lang,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS ntok,
-           len(regexp_extract_all(text, 'https?://[^\s]+'))
-             + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-             + len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
-             + len(regexp_extract_all(text, '\+?\d[\d()\-\s]{6,}\d')) AS pii,
-           CASE WHEN trim(text) = '' THEN NULL ELSE
-             206.835
-             - 1.015 * (len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::DOUBLE
-                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
-             - 84.6 * (list_sum(list_transform(
-                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-                         w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))::DOUBLE
-                       / len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
-           END AS ease,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-         FROM documents),
-         m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-           round(AVG(ntok), 4) AS mean_tokens,
-           round((COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*), 4) AS dup_ratio,
-           round(SUM(pii)::DOUBLE / COUNT(*), 4) AS pii_per_doc,
-           round(AVG(ease), 4) + 0.0 AS mean_reading_ease
-         FROM b GROUP BY source),
-         lc AS (SELECT source, lang, COUNT(*) AS n FROM b GROUP BY source, lang),
-         lt AS (SELECT source, lang AS top_lang, n,
-                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang DESC) AS rn,
-                  SUM(n) OVER (PARTITION BY source) AS tot
-                FROM lc)
-         SELECT m.*, lt.top_lang, round(lt.n::DOUBLE / lt.tot, 4) AS top_lang_share
-         FROM m JOIN lt ON m.source = lt.source AND lt.rn = 1""",
+    "q_x_data_card" -> dataCardOracleSql,
+
+    "q_x_stream_data_card" -> dataCardOracleSql,
 
     "q_x_t_closeness" ->
       """WITH base AS (SELECT c_mktsegment, c_nationkey % 3 AS v FROM customer),
