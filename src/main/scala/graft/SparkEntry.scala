@@ -3426,6 +3426,32 @@ object SparkEntry {
       StreamOps.bradleyTerryRender(s, ratingsDir, iters = 8)
     }),
 
+    // X: stream-built winnow index probed for REAL — the corpus slice
+    // (ids >= 50) arrives through winnowIndexIngestStream in multiple
+    // micro-batches, then the batch probe (ids < 50) runs against the
+    // LIVE index; same oracle as the batch-built q_x_winnow_probe_idx,
+    // so the stream-built index is hash-proven indistinguishable
+    "q_x_stream_winnow_probe" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_swp_q_")
+      val corpusDir = streamDir.resolve("corpus")
+      t(s, dir, "documents").where(col("doc_id") >= 50)
+        .repartition(4).write.parquet(corpusDir.toString)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_swp_idx_").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val docs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(corpusDir.toString)
+      val q = StreamOps.winnowIndexIngestStream(docs, idxDir)
+        .option("checkpointLocation", streamDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.text.WinnowIndex.probeBatch(s, idxDir,
+        t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text",
+        minShared = 2, maxDocsPerHash = 50)
+    }),
+
     "q_x_stream_health" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
@@ -3735,6 +3761,24 @@ object SparkEntry {
                 FROM lc)
          SELECT m.*, lt.top_lang, round(lt.n::DOUBLE / lt.tot, 4) AS top_lang_share
          FROM m JOIN lt ON m.source = lt.source AND lt.rn = 1"""
+
+  /** Shared by q_x_winnow_probe_idx (batch-built index) and
+    * q_x_stream_winnow_probe (stream-built index): a corpus ingested
+    * through the streaming sink must produce a hash-identical probe. */
+  private lazy val winnowProbeIdxOracleSql: String =
+    winnowOracleCommon + """,
+         fpd AS (SELECT DISTINCT doc_id, hash FROM fp),
+         hc AS (SELECT hash FROM (SELECT hash, count(*) AS nd
+             FROM fpd WHERE doc_id >= 50 GROUP BY hash)
+           WHERE nd <= 50),
+         pr AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             count(*) AS n_shared
+           FROM fpd b JOIN fpd c ON b.hash = c.hash
+           JOIN hc ON hc.hash = b.hash
+           WHERE b.doc_id < 50 AND c.doc_id >= 50
+           GROUP BY b.doc_id, c.doc_id)
+         SELECT batch_id, corpus_id, CAST(n_shared AS BIGINT) AS n_shared
+         FROM pr WHERE n_shared >= 2"""
 
   def oracleSql: Map[String, String] = uniqueMap(
     "q_s3_scan_filter" ->
@@ -4610,19 +4654,9 @@ object SparkEntry {
 
     // winnow index probe: same fingerprints, batch (< 50) x corpus
     // (>= 50) pairs, cap computed on the CORPUS side only
-    "q_x_winnow_probe_idx" -> (winnowOracleCommon + """,
-         fpd AS (SELECT DISTINCT doc_id, hash FROM fp),
-         hc AS (SELECT hash FROM (SELECT hash, count(*) AS nd
-             FROM fpd WHERE doc_id >= 50 GROUP BY hash)
-           WHERE nd <= 50),
-         pr AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-             count(*) AS n_shared
-           FROM fpd b JOIN fpd c ON b.hash = c.hash
-           JOIN hc ON hc.hash = b.hash
-           WHERE b.doc_id < 50 AND c.doc_id >= 50
-           GROUP BY b.doc_id, c.doc_id)
-         SELECT batch_id, corpus_id, CAST(n_shared AS BIGINT) AS n_shared
-         FROM pr WHERE n_shared >= 2"""),
+    "q_x_winnow_probe_idx" -> winnowProbeIdxOracleSql,
+
+    "q_x_stream_winnow_probe" -> winnowProbeIdxOracleSql,
 
     // bitext margins: same cosine, same top-k neighborhood means
     // (ties by opposite id), same ratio margin over the fwd/bwd union
