@@ -3452,6 +3452,34 @@ object SparkEntry {
         minShared = 2, maxDocsPerHash = 50)
     }),
 
+    // X: stream-grown ANN index probed for REAL — seed the VecIndex
+    // from vec_id < 100, stream the rest through vecIndexIngestStream
+    // in micro-batches, then probe EXHAUSTIVELY (nprobe = nlist): the
+    // result must equal the exact top-k, same oracle as the
+    // batch-built q_x_ann_vecidx_exhaustive
+    "q_x_stream_ann_probe" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val emb = t(s, dir, "embeddings")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sann_q_")
+      val restDir = streamDir.resolve("rest")
+      emb.where(col("vec_id") >= 100)
+        .repartition(4).write.parquet(restDir.toString)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_sann_idx_").toString
+      graft.vec.VecIndex.build(emb.where(col("vec_id") < 100), idx,
+        nlist = 16, kmeansIters = 2)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      val rest = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(restDir.toString)
+      val q = StreamOps.vecIndexIngestStream(rest, idx)
+        .option("checkpointLocation", streamDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.vec.VecIndex.topK(emb.where(col("vec_id") < 8), idx,
+        k = 5, nprobe = 16)
+    }),
+
     "q_x_stream_health" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
@@ -3779,6 +3807,22 @@ object SparkEntry {
            GROUP BY b.doc_id, c.doc_id)
          SELECT batch_id, corpus_id, CAST(n_shared AS BIGINT) AS n_shared
          FROM pr WHERE n_shared >= 2"""
+
+  /** Shared by q_x_ann_vecidx_exhaustive (batch-built index) and
+    * q_x_stream_ann_probe (seed + streamed appends): an exhaustive
+    * probe over a stream-grown index must equal the exact top-k. */
+  private val vecIdxExhaustiveOracleSql: String =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                      CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
+                    FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+         r AS (SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id) AS rank
+               FROM scored)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
+         FROM r WHERE rank <= 5"""
 
   def oracleSql: Map[String, String] = uniqueMap(
     "q_s3_scan_filter" ->
@@ -6925,18 +6969,9 @@ object SparkEntry {
                 cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5""",
 
-    "q_x_ann_vecidx_exhaustive" ->
-      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                      CAST(list_cosine_similarity(c.embedding, q.embedding) AS DOUBLE) AS cos
-                    FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
-         r AS (SELECT query_id, cand_id, cos,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cos DESC, cand_id) AS rank
-               FROM scored)
-         SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
-         FROM r WHERE rank <= 5""",
+    "q_x_ann_vecidx_exhaustive" -> vecIdxExhaustiveOracleSql,
+
+    "q_x_stream_ann_probe" -> vecIdxExhaustiveOracleSql,
 
     // break at STRICTLY > gap: session_window merges a window starting
     // exactly at the previous session's end (verified on a boundary
