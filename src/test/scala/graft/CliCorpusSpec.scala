@@ -240,6 +240,14 @@ class CliCorpusSpec extends AnyFunSuite {
     assert(wp.columns.toSeq == Seq("batch_id", "corpus_id", "n_shared"))
     assert(wp.select("corpus_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L))
+    // compact mode: rewrites the fp table, probes unchanged
+    Cli.main(Array(root, "c1", "winnow-index", s"$dir/batch",
+      s"$dir/widx", "compact", "--out", s"$dir/wc_out"))
+    assert(spark.read.parquet(s"$dir/wc_out").head().getLong(0) > 0)
+    Cli.main(Array(root, "c1", "winnow-index", s"$dir/batch",
+      s"$dir/widx", "probe", "--out", s"$dir/wp2_out"))
+    assert(spark.read.parquet(s"$dir/wp2_out")
+      .select("corpus_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
   test("align verb learns from seed pairs and writes aligned vectors") {
