@@ -1484,7 +1484,6 @@ object SparkEntry {
     // do. Output is id/count-typed only, so the ~1e-12 SVD recovery
     // error cannot perturb the hash.
     "q_x_multiling_pipeline" -> ((s, dir) => {
-      import graft.text.TextOps
       val emb = t(s, dir, "embeddings")
       val docs = t(s, dir, "documents")
       val r0 = graft.vec.Align.givens(64,
@@ -1495,41 +1494,8 @@ object SparkEntry {
         .select(col("vec_id"), col("__rot").as("embedding"))
       val seeds = graft.vec.Align.applyMap(src, "embedding", "__y", r0)
         .select(col("embedding").as("__x"), col("__y"))
-      val w = graft.vec.Align.procrustes(seeds, "__x", "__y", dims = 64)
-      val alignedSrc = graft.vec.Align.applyMap(src, "embedding", "__a", w)
-        .select(col("vec_id"), col("__a").as("embedding"))
-      val mined = graft.vec.Bitext.minePairs(alignedSrc, tgt, "vec_id",
-          "embedding", k = 4, minMargin = 1.0)
-        .select(col("src_id"), col("tgt_id"))
-      val contaminated = TextOps.ngramOverlapIds(
-        docs, docs.where(pmod(col("doc_id"), lit(37)) === 0),
-        "doc_id", "text", "text", n = 5)
-      val clean = mined
-        .join(contaminated.select(col("doc_id").as("src_id")),
-          Seq("src_id"), "left_anti")
-        .join(contaminated.select(col("doc_id").as("tgt_id")),
-          Seq("tgt_id"), "left_anti")
-      val toks = docs.select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
-      // checkpoint the mined-pair frame (tiny: at most one pair per
-      // src) — it feeds BOTH the packer and the final tgt_id re-join,
-      // and without truncation each consumer re-runs the whole
-      // mine + decontaminate subtree (4 windows + the gram join)
-      val sized = clean
-        .join(toks.select(col("doc_id").as("src_id"),
-          col("__nt").as("__ns")), "src_id")
-        .join(toks.select(col("doc_id").as("tgt_id"),
-          col("__nt").as("__ntg")), "tgt_id")
-        .select(col("src_id"), col("tgt_id"),
-          (col("__ns") + col("__ntg")).as("pair_tokens"))
-        .localCheckpoint()
-      graft.text.Packing.packSequences(sized, "src_id", "pair_tokens",
-          ctxLen = 512)
-        .join(sized.select(col("src_id"), col("tgt_id")), "src_id")
-        .select(col("src_id"), col("tgt_id"),
-          col("n_tokens"), col("start_offset"),
-          col("seq_first").cast("long").as("seq_first"),
-          col("seq_last").cast("long").as("seq_last"))
+      graft.text.MultilingPipeline.run(src, tgt, seeds, docs,
+        docs.where(pmod(col("doc_id"), lit(37)) === 0))
     }),
 
     // X: corpus diversity report — per-language distinct-n (Li'16) and
