@@ -59,6 +59,37 @@ object ScanPrune {
     nKeys > 0 && nKeys <= MaxPushKeys &&
       tableBytes(spark, dir) >= PushMinTableBytes
 
+  /** The one gated pushdown every index probe should use: returns
+    * `scan` filtered to the probe's key point set when BOTH gates pass,
+    * `scan` unchanged otherwise. `keys` is by-name so the driver
+    * collect only runs once the (cheap, fs-metadata) size gate has
+    * passed; nulls are dropped (a null key cannot equi-match any index
+    * row, so excluding null-keyed index rows is exact); values are
+    * deduped and sorted here; unsupported key types skip the pushdown
+    * instead of crashing — the filter is an optimization, never a
+    * correctness dependency. */
+  def prunedScan(spark: SparkSession, dir: String,
+                 scan: org.apache.spark.sql.DataFrame, keyCol: String,
+                 keys: => Array[Any]): org.apache.spark.sql.DataFrame = {
+    if (tableBytes(spark, dir) < PushMinTableBytes) return scan
+    val ks = keys.filter(_ != null)
+    if (ks.isEmpty || ks.length > MaxPushKeys) return scan
+    ks.head match {
+      case _: java.lang.Long =>
+        scan.where(pointSetPredicate(
+          ks.map(_.asInstanceOf[java.lang.Long].longValue)
+            .distinct.sorted, col(keyCol)))
+      case _: java.lang.Integer =>
+        scan.where(pointSetPredicate(
+          ks.map(_.asInstanceOf[java.lang.Integer].intValue)
+            .distinct.sorted, col(keyCol)))
+      case _: String =>
+        scan.where(pointSetPredicate(
+          ks.map(_.asInstanceOf[String]).distinct.sorted, col(keyCol)))
+      case _ => scan
+    }
+  }
+
   /** The balanced interval tree over a SORTED key array (Long or
     * String — both order identically in Spark and parquet stats for
     * the ASCII/hex keys the indexes use). `sorted` MUST be ascending

@@ -752,6 +752,7 @@ object StreamOps {
                         idCol: String = "doc_id", k: Int = 100,
                         salt: String = "samp"): Unit = {
     require(k >= 1, s"sampleIngestBatch: k must be >= 1, got $k")
+    checkOrWriteSampleParams(batch.sparkSession, sampleDir, k, salt)
     writeBatchPartial(
       batch.withColumn("__pri",
           md5(concat(lit(s"$salt:"), col(idCol).cast("string"))))
@@ -759,17 +760,42 @@ object StreamOps {
       s"$sampleDir/bk", batchId)
   }
 
+  /** Pin (k, salt) at first ingest, CHECK on every later ingest and on
+    * render: partials only keep the ingest-time bottom-k per batch, so
+    * rendering more than that k (or mixing salts) would silently return
+    * a non-bottom-k sample — the WinnowIndex params discipline. */
+  private def checkOrWriteSampleParams(spark: SparkSession, sampleDir: String,
+                                       k: Int, salt: String): Unit = {
+    import spark.implicits._
+    val dir = s"$sampleDir/params"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) {
+      val r = spark.read.parquet(dir).head()
+      val stored = (r.getAs[Int]("k"), r.getAs[String]("salt"))
+      require(stored._1 >= k && stored._2 == salt,
+        s"sample at $sampleDir was ingested with (k, salt) = $stored; " +
+          s"k=$k/salt=$salt would silently return a non-bottom-k sample")
+    } else Seq((k, salt)).toDF("k", "salt").coalesce(1).write.parquet(dir)
+  }
+
   /** The live sample: global bottom-k over the accumulated partials
     * (partials are k rows per batch — the reduce is tiny). Documents
     * ingested twice (replays, re-deliveries ACROSS batches) collapse:
     * priority is a pure function of the id, so duplicates tie and one
-    * row per id survives the distinct. */
+    * row per id survives the distinct. `k` must not exceed the pinned
+    * ingest k (checked — partials never kept more). */
   def sampleRender(spark: SparkSession, sampleDir: String, k: Int = 100)
-      : DataFrame =
+      : DataFrame = {
+    val stored = spark.read.parquet(s"$sampleDir/params").head()
+    require(k <= stored.getAs[Int]("k"),
+      s"sampleRender: k=$k exceeds the ingest-time k=${stored.getAs[Int]("k")} " +
+        "— partials never kept more than that per batch")
     spark.read.parquet(s"$sampleDir/bk")
       .dropDuplicates("__pri")
       .orderBy(col("__pri")).limit(k)
-      .drop("__pri")
+      .drop("__pri", "batch_id")
+  }
 
   /** Streaming uniform corpus sampling: micro-batches fold into the
     * persisted bottom-k partials; read the live exact-k sample any time
@@ -795,6 +821,7 @@ object StreamOps {
                           groupCol: String, idCol: String = "doc_id",
                           k: Int = 100, salt: String = "samp"): Unit = {
     require(k >= 1, s"sampleByIngestBatch: k must be >= 1, got $k")
+    checkOrWriteSampleParams(batch.sparkSession, sampleDir, k, salt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__pri"))
     writeBatchPartial(
@@ -810,13 +837,17 @@ object StreamOps {
     * ids collapse on the deterministic priority. */
   def sampleByRender(spark: SparkSession, sampleDir: String,
                      groupCol: String, k: Int = 100): DataFrame = {
+    val stored = spark.read.parquet(s"$sampleDir/params").head()
+    require(k <= stored.getAs[Int]("k"),
+      s"sampleByRender: k=$k exceeds the ingest-time k=${stored.getAs[Int]("k")} " +
+        "— partials never kept more than that per group per batch")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__pri"))
     spark.read.parquet(s"$sampleDir/bkg")
       .dropDuplicates("__pri")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
-      .drop("__rn", "__pri")
+      .drop("__rn", "__pri", "batch_id")
   }
 
   /** Streaming per-group sampling/capping; see [[sampleByIngestBatch]].
@@ -850,7 +881,7 @@ object StreamOps {
       .select(col(idCol), col("__a").as(vecCol))
     writeBatchPartial(
       graft.vec.Bitext.minePairs(aligned, tgt, idCol, vecCol, k, minMargin),
-      s"$outDir/pairs", batchId)
+      s"$outDir/pairs", batchId, singleFile = false)
   }
 
   /** Streaming bitext mining: source vectors arriving on a stream are

@@ -160,21 +160,13 @@ object DedupIndex {
     // could not anti-match anyway).
     val afterExact =
       if (hasData(spark, s"$indexDir/fp")) {
-        import spark.implicits._
         val fpDir = s"$indexDir/fp"
-        val idxFp0 = spark.read.parquet(fpDir).select(col("fp"))
-        // size gate FIRST (a driver fs call), so the batch-fp collect
-        // job only runs when the table is big enough to benefit
-        val idxFp =
-          if (graft.ops.ScanPrune.tableBytes(spark, fpDir) >=
-              graft.ops.ScanPrune.PushMinTableBytes) {
-            val batchFps = sigs.select(col("__fp")).distinct().as[String]
-              .collect().sorted
-            if (batchFps.length <= graft.ops.ScanPrune.MaxPushKeys)
-              idxFp0.where(
-                graft.ops.ScanPrune.pointSetPredicate(batchFps, col("fp")))
-            else idxFp0
-          } else idxFp0
+        // ScanPrune.prunedScan gates size-first (fs metadata), so the
+        // batch-fp collect job only runs on gate-sized tables; null
+        // fingerprints are dropped inside (a null can't equi-match)
+        val idxFp = graft.ops.ScanPrune.prunedScan(spark, fpDir,
+          spark.read.parquet(fpDir).select(col("fp")), "fp",
+          sigs.select(col("__fp")).distinct().collect().map(_.get(0)))
         sigs.join(idxFp, sigs("__fp") === col("fp"), "left_anti")
       } else sigs
 
@@ -201,22 +193,13 @@ object DedupIndex {
         // drop oversized buckets, THEN expand against the probe rows.
         // band-hash point set from the CHECKPOINTED sigs (a SUPERSET of
         // the probe's keys — exactness stays with the join): pushes the
-        // page filter when the band table clears the size gate (gate
-        // first, so the collect job only runs on big tables)
+        // page filter when the band table clears the size gate
         val bandsDir = s"$indexDir/bands"
-        val bandTable0 = spark.read.parquet(bandsDir)
-        val bandTable =
-          if (graft.ops.ScanPrune.tableBytes(spark, bandsDir) >=
-              graft.ops.ScanPrune.PushMinTableBytes) {
-            import spark.implicits._
-            val probeBandHashes = sigs.where(col("__bands").isNotNull)
-              .select(explode(col("__bands")).as("__bh")).distinct()
-              .as[Long].collect().sorted
-            if (probeBandHashes.length <= graft.ops.ScanPrune.MaxPushKeys)
-              bandTable0.where(graft.ops.ScanPrune.pointSetPredicate(
-                probeBandHashes, col("band_hash")))
-            else bandTable0
-          } else bandTable0
+        val bandTable = graft.ops.ScanPrune.prunedScan(spark, bandsDir,
+          spark.read.parquet(bandsDir), "band_hash",
+          sigs.where(col("__bands").isNotNull)
+            .select(explode(col("__bands")).as("__bh")).distinct()
+            .collect().map(_.get(0)))
         val matched = bandTable
           .join(broadcast(probe.select(bandKey.map(col): _*).distinct()), bandKey)
           .localCheckpoint()
@@ -234,20 +217,13 @@ object DedupIndex {
           .distinct()
           .localCheckpoint()
         // candidate ids are bucket-capped (bounded by batch x maxBucket):
-        // push them as a point set when the sig table clears the gate
+        // push them as a point set when the sig table clears the gate —
+        // prunedScan dispatches on the actual id type (long/int/string)
+        // instead of assuming bigint ids
         val sigDir = s"$indexDir/sig"
-        val sigTable0 = spark.read.parquet(sigDir)
-        val sigTable =
-          if (graft.ops.ScanPrune.tableBytes(spark, sigDir) >=
-              graft.ops.ScanPrune.PushMinTableBytes) {
-            import spark.implicits._
-            val candIds = candidates.select(col("id_l")).distinct()
-              .as[Long].collect().sorted
-            if (candIds.length <= graft.ops.ScanPrune.MaxPushKeys)
-              sigTable0.where(
-                graft.ops.ScanPrune.pointSetPredicate(candIds, col("id")))
-            else sigTable0
-          } else sigTable0
+        val sigTable = graft.ops.ScanPrune.prunedScan(spark, sigDir,
+          spark.read.parquet(sigDir), "id",
+          candidates.select(col("id_l")).distinct().collect().map(_.get(0)))
         val estimated = candidates
           .join(sigTable
             .withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")

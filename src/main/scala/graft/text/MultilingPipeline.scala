@@ -47,8 +47,12 @@ object MultilingPipeline {
     val mined = graft.vec.Bitext.minePairs(alignedSrc, tgtVecs, idCol,
         vecCol, k, minMargin)
       .select(col("src_id"), col("tgt_id"))
+    // checkpointed: the (tiny) contaminated-id list feeds BOTH anti-
+    // joins — without truncation the gram-explode over all docs runs
+    // twice (the same two-consumer shape as `sized` below)
     val contaminated = TextOps.ngramOverlapIds(
       docs, benchmark, docIdCol, textCol, textCol, ngramN)
+      .localCheckpoint()
     val clean = mined
       .join(contaminated.select(col(docIdCol).as("src_id")),
         Seq("src_id"), "left_anti")

@@ -102,16 +102,16 @@ object WinnowIndex {
   }
 
   /** Heal a compact interrupted mid-swap: an orphan `fp__old` is the
-    * pre-compact table (restore it if `fp` is gone, else it is a
-    * leftover after a completed swap — drop it); an orphan `fp__tmp`
-    * is an incomplete rewrite — drop it. Idempotent; called on every
-    * open. */
+    * pre-compact table — restore it if `fp` is gone, else it is a
+    * leftover after a completed swap, drop it. An orphan `fp__tmp`
+    * (incomplete rewrite) is NOT touched here: [[compact]] owns that
+    * path and clears it itself before rewriting, so a concurrent open
+    * can never yank an in-flight compact's staging dir out from under
+    * it. Idempotent; called on every open. */
   private def healCompact(spark: SparkSession, indexDir: String): Unit = {
     val (f, _) = fs(spark, indexDir)
     val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
-    if (f.exists(tmp)) f.delete(tmp, true)
     if (f.exists(old)) {
       if (!f.exists(fp)) f.rename(old, fp)
       else f.delete(old, true)
@@ -155,19 +155,14 @@ object WinnowIndex {
         col("n_shared").cast("long"))
     if (!hasData(spark, s"$indexDir/fp")) return empty
     // fingerprint the batch once, to the driver: one job instead of a
-    // checkpoint job + a mods-collect job + per-join broadcast collects
-    val bfpRows: Array[Row] =
-      fpRows(batch, idCol, textCol, params).collect()
+    // checkpoint job + a mods-collect job + per-join broadcast collects.
+    // The local-relation schema comes from the frame itself, so the id
+    // column keeps the CALLER's type (long, int, string, ...)
+    val bfpDf = fpRows(batch, idCol, textCol, params)
+    val bfpRows: Array[Row] = bfpDf.collect()
     if (bfpRows.isEmpty) return empty
     val bfp = spark.createDataFrame(
-      java.util.Arrays.asList(bfpRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("hash",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("fp_mod",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
+      java.util.Arrays.asList(bfpRows: _*), bfpDf.schema)
     val mods = bfpRows.map(_.getInt(2)).distinct.sorted
     val hashes = bfpRows.map(_.getLong(0)).distinct.sorted
     val pruned0 = spark.read.parquet(s"$indexDir/fp")
@@ -242,20 +237,37 @@ object WinnowIndex {
     * the index is never observable without a complete `fp/`. Run it
     * when appends have accumulated enough files that probe task counts
     * (not data) dominate — the same maintenance cadence as any
-    * LSM-style store. Returns the row count compacted. */
+    * LSM-style store, and like [[graft.ops.Compaction]]'s swap, NOT
+    * concurrent-safe against in-flight ingests/probes (a racing open
+    * can heal the staged table back mid-swap; compact then restores
+    * and throws rather than leaving a headless index). Returns the row
+    * count compacted. */
   def compact(spark: SparkSession, indexDir: String): Long = {
     healCompact(spark, indexDir)
     if (!hasData(spark, s"$indexDir/fp")) return 0L
     val (f, _) = fs(spark, indexDir)
+    val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
+    // compact owns the staging dir: clear any crashed rewrite's
+    // leftovers (writeFp appends — stale rows would double-count)
+    if (f.exists(tmp)) f.delete(tmp, true)
     val rows = spark.read.parquet(s"$indexDir/fp")
       .select(col("hash"), col("id"), col("fp_mod"))
     val n = rows.count()
     writeFp(rows, s"$indexDir/fp__tmp")
-    val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
     require(f.rename(fp, old), s"compact: could not stage $fp aside")
-    require(f.rename(tmp, fp), s"compact: could not install $tmp")
+    if (!f.rename(tmp, fp)) {
+      // a concurrent open healed fp back while we were mid-swap (or the
+      // fs refused): restore is already in place, drop our staging and
+      // surface the conflict instead of leaving a headless index
+      f.delete(tmp, true)
+      if (!f.exists(fp)) require(f.rename(old, fp),
+        s"compact: could not restore $old after failed install")
+      throw new IllegalStateException(
+        s"compact: could not install $tmp — concurrent open or fs error; " +
+          "index restored, re-run compact with ingests/probes quiesced")
+    }
     f.delete(old, true)
     n
   }

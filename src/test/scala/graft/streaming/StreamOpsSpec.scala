@@ -1181,6 +1181,20 @@ class StreamOpsSpec extends AnyFunSuite {
       val replayed = StreamOps.sampleRender(spark, sampleDir, k = 50)
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(replayed == expect)
+      // the sample is directly usable: no leaked partition bookkeeping
+      assert(!StreamOps.sampleRender(spark, sampleDir, k = 50)
+        .columns.contains("batch_id"))
+      // k is pinned at ingest: rendering MORE than the partials kept
+      // would silently be non-bottom-k, so it throws instead
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.sampleRender(spark, sampleDir, k = 51)
+      }
+      assert(e.getMessage.contains("exceeds the ingest-time k"))
+      val e2 = intercept[IllegalArgumentException] {
+        StreamOps.sampleIngestBatch(all.take(5).toDF("doc_id", "text"),
+          sampleDir, batchId = 9L, "doc_id", k = 50, salt = "other")
+      }
+      assert(e2.getMessage.contains("salt"))
     } finally q.stop()
   }
 
