@@ -773,9 +773,10 @@ object StreamOps {
     if (fsys.exists(p)) {
       val r = spark.read.parquet(dir).head()
       val stored = (r.getAs[Int]("k"), r.getAs[String]("salt"))
-      require(stored._1 >= k && stored._2 == salt,
+      require(stored._1 == k && stored._2 == salt,
         s"sample at $sampleDir was ingested with (k, salt) = $stored; " +
-          s"k=$k/salt=$salt would silently return a non-bottom-k sample")
+          s"k=$k/salt=$salt would make the accumulated partials " +
+          "non-bottom-k (each batch keeps exactly its pinned k)")
     } else Seq((k, salt)).toDF("k", "salt").coalesce(1).write.parquet(dir)
   }
 
