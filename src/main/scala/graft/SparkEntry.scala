@@ -271,6 +271,12 @@ object SparkEntry {
   private val streamAnnIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The documents stream-read schema shared by every file-stream
+    * query (readStream needs an explicit schema). */
+  private val docsStreamSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+
   private val winnowIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3311,8 +3317,7 @@ object SparkEntry {
       copyParquetInput(s"$dir/documents.parquet", streamDir)
       val sampleDir = java.nio.file.Files
         .createTempDirectory("graft_samp_out_").toString
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val schema = docsStreamSchema
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
       val q = StreamOps.sampleStream(docs, sampleDir, "doc_id", k = 100)
         .option("checkpointLocation", streamDir.resolve("ck").toString)
@@ -3331,8 +3336,7 @@ object SparkEntry {
       copyParquetInput(s"$dir/documents.parquet", streamDir)
       val sampleDir = java.nio.file.Files
         .createTempDirectory("graft_scap_out_").toString
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val schema = docsStreamSchema
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
       val q = StreamOps.sampleByStream(docs, sampleDir, "source",
           "doc_id", k = 20)
@@ -3353,8 +3357,7 @@ object SparkEntry {
       copyParquetInput(s"$dir/documents.parquet", streamDir)
       val bench = t(s, dir, "documents")
         .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val schema = docsStreamSchema
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
       val q = StreamOps.decontaminateStream(docs, bench, "text", "text",
           n = 5)
@@ -3374,8 +3377,7 @@ object SparkEntry {
       copyParquetInput(s"$dir/documents.parquet", streamDir)
       val cardDir = java.nio.file.Files
         .createTempDirectory("graft_sdc_card_").toString
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val schema = docsStreamSchema
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
       val q = StreamOps.dataCardStream(docs, cardDir)
         .option("checkpointLocation", streamDir.resolve("ck").toString)
@@ -3420,9 +3422,7 @@ object SparkEntry {
           .repartition(4).write.parquet(corpusDir.toString)
         val d = java.nio.file.Files
           .createTempDirectory("graft_swp_idx_").toString
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        val docs = s.readStream.schema(schema)
+        val docs = s.readStream.schema(docsStreamSchema)
           .option("maxFilesPerTrigger", "2").parquet(corpusDir.toString)
         val q = StreamOps.winnowIndexIngestStream(docs, d)
           .option("checkpointLocation", streamDir.resolve("ck").toString)
@@ -3470,8 +3470,7 @@ object SparkEntry {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_health_q_")
       copyParquetInput(s"$dir/documents.parquet", streamDir)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      val schema = docsStreamSchema
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
         .withColumn("ts", expr(
           "timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')"))

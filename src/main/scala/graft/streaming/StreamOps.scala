@@ -763,21 +763,54 @@ object StreamOps {
   /** Pin (k, salt) at first ingest, CHECK on every later ingest and on
     * render: partials only keep the ingest-time bottom-k per batch, so
     * rendering more than that k (or mixing salts) would silently return
-    * a non-bottom-k sample — the WinnowIndex params discipline. */
+    * a non-bottom-k sample — the WinnowIndex params discipline. The
+    * validated pin is memoized per dir so the per-micro-batch hot path
+    * pays one fs-exists, not a parquet-read job, after the first batch. */
+  private val sampleParamsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, String)]()
   private def checkOrWriteSampleParams(spark: SparkSession, sampleDir: String,
                                        k: Int, salt: String): Unit = {
     import spark.implicits._
+    val cached = sampleParamsCache.get(sampleDir)
+    val stored: (Int, String) =
+      if (cached != null) cached
+      else {
+        val dir = s"$sampleDir/params"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val s0 =
+          if (fsys.exists(p)) {
+            val r = spark.read.parquet(dir).head()
+            (r.getAs[Int]("k"), r.getAs[String]("salt"))
+          } else {
+            Seq((k, salt)).toDF("k", "salt").coalesce(1).write.parquet(dir)
+            (k, salt)
+          }
+        sampleParamsCache.put(sampleDir, s0)
+        s0
+      }
+    require(stored._1 == k && stored._2 == salt,
+      s"sample at $sampleDir was ingested with (k, salt) = $stored; " +
+        s"k=$k/salt=$salt would make the accumulated partials " +
+        "non-bottom-k (each batch keeps exactly its pinned k)")
+  }
+
+  /** The pinned ingest k for render checks; None for a dir with no
+    * params (pre-pinning layout) — render then trusts the caller's k,
+    * the pre-params behavior. */
+  private def storedSampleK(spark: SparkSession, sampleDir: String): Option[Int] = {
+    val cached = sampleParamsCache.get(sampleDir)
+    if (cached != null) return Some(cached._1)
     val dir = s"$sampleDir/params"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fsys.exists(p)) {
+    if (!fsys.exists(p)) None
+    else {
       val r = spark.read.parquet(dir).head()
-      val stored = (r.getAs[Int]("k"), r.getAs[String]("salt"))
-      require(stored._1 == k && stored._2 == salt,
-        s"sample at $sampleDir was ingested with (k, salt) = $stored; " +
-          s"k=$k/salt=$salt would make the accumulated partials " +
-          "non-bottom-k (each batch keeps exactly its pinned k)")
-    } else Seq((k, salt)).toDF("k", "salt").coalesce(1).write.parquet(dir)
+      val s0 = (r.getAs[Int]("k"), r.getAs[String]("salt"))
+      sampleParamsCache.put(sampleDir, s0)
+      Some(s0._1)
+    }
   }
 
   /** The live sample: global bottom-k over the accumulated partials
@@ -788,10 +821,9 @@ object StreamOps {
     * ingest k (checked — partials never kept more). */
   def sampleRender(spark: SparkSession, sampleDir: String, k: Int = 100)
       : DataFrame = {
-    val stored = spark.read.parquet(s"$sampleDir/params").head()
-    require(k <= stored.getAs[Int]("k"),
-      s"sampleRender: k=$k exceeds the ingest-time k=${stored.getAs[Int]("k")} " +
-        "— partials never kept more than that per batch")
+    storedSampleK(spark, sampleDir).foreach(pinned => require(k <= pinned,
+      s"sampleRender: k=$k exceeds the ingest-time k=$pinned " +
+        "— partials never kept more than that per batch"))
     spark.read.parquet(s"$sampleDir/bk")
       .dropDuplicates("__pri")
       .orderBy(col("__pri")).limit(k)
@@ -838,10 +870,9 @@ object StreamOps {
     * ids collapse on the deterministic priority. */
   def sampleByRender(spark: SparkSession, sampleDir: String,
                      groupCol: String, k: Int = 100): DataFrame = {
-    val stored = spark.read.parquet(s"$sampleDir/params").head()
-    require(k <= stored.getAs[Int]("k"),
-      s"sampleByRender: k=$k exceeds the ingest-time k=${stored.getAs[Int]("k")} " +
-        "— partials never kept more than that per group per batch")
+    storedSampleK(spark, sampleDir).foreach(pinned => require(k <= pinned,
+      s"sampleByRender: k=$k exceeds the ingest-time k=$pinned " +
+        "— partials never kept more than that per group per batch"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__pri"))
     spark.read.parquet(s"$sampleDir/bkg")

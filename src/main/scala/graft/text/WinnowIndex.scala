@@ -103,15 +103,19 @@ object WinnowIndex {
 
   /** Heal a compact interrupted mid-swap: an orphan `fp__old` is the
     * pre-compact table — restore it if `fp` is gone, else it is a
-    * leftover after a completed swap, drop it. An orphan `fp__tmp`
-    * (incomplete rewrite) is NOT touched here: [[compact]] owns that
-    * path and clears it itself before rewriting, so a concurrent open
-    * can never yank an in-flight compact's staging dir out from under
-    * it. Idempotent; called on every open. */
+    * leftover after a completed swap, drop it. An orphan `fp__tmp` is
+    * a crashed rewrite's table-sized staging copy — reclaim it here
+    * (compact also clears it defensively before rewriting; compact is
+    * documented NOT concurrent-safe against opens, so an in-flight
+    * rewrite losing its staging dir to a racing open is out of
+    * contract, while the disk leak from never reclaiming it is not).
+    * Idempotent; called on every open. */
   private def healCompact(spark: SparkSession, indexDir: String): Unit = {
     val (f, _) = fs(spark, indexDir)
     val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
     if (f.exists(old)) {
       if (!f.exists(fp)) f.rename(old, fp)
       else f.delete(old, true)
@@ -148,11 +152,11 @@ object WinnowIndex {
       s"probeBatch: bad minShared=$minShared / maxDocsPerHash=$maxDocsPerHash")
     healCompact(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
-    import spark.implicits._
-    val empty = Seq.empty[(Long, Long, Long)]
-      .toDF("batch_id", "corpus_id", "n_shared")
-      .select(col("batch_id").cast("long"), col("corpus_id").cast("long"),
-        col("n_shared").cast("long"))
+    // typed from the batch's own id column, so empty-index and
+    // populated-index probes return the SAME schema for any id type
+    val empty = batch.select(col(idCol).as("batch_id"),
+        col(idCol).as("corpus_id"), lit(0L).as("n_shared"))
+      .limit(0)
     if (!hasData(spark, s"$indexDir/fp")) return empty
     // fingerprint the batch once, to the driver: one job instead of a
     // checkpoint job + a mods-collect job + per-join broadcast collects.
