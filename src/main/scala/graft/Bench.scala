@@ -86,12 +86,28 @@ object Bench {
     }
     def r3(d: Double): Double = math.round(d * 1000).toDouble / 1000
 
+    // Load sentinel (round-12, after the driver's 184.6 s re-run of a
+    // committed 132.9 s tree): a FIXED trivial query re-timed between
+    // every timed query group. Identical work every time, so when the
+    // sentinel drifts the HOST is under pressure (CPU steal on a shared
+    // VM), not the plans — the run self-identifies as pressured instead
+    // of reading as a regression. Base = min of 5 (the no-steal
+    // estimate); flagged when any later sample exceeds 1.5x base.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("sum(id * 3 + 1)").collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelBase = (1 to 5).map(_ => sentinelOnce()).min
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     val firstPass = selected.toSeq.map { case (name, fn) =>
       if (name == "q_x_dedup_incremental_idx")
         require(SparkEntry.dedupIdxWarm(sfDir),
           "dedup index must be prewarmed before timed runs")
       runOnce(name, fn) // discarded warm-up: JIT + footer/broadcast caches
       val runs = (1 to nRuns).map(_ => runOnce(name, fn))
+      sentinelSamples += sentinelOnce()
       (name, fn, runs)
     }
     // the top-10 by first-pass median get 2 extra timed runs: their
@@ -114,11 +130,17 @@ object Bench {
       .mkString("[", ",", "]")
     val nFailed = results.count(!_._5)
     val total = r3(results.map(_._2).sum)
+    // min-of-N total: the steadier statistic under shared-VM CPU steal —
+    // read THIS against prior rounds when the sentinel flags the run
+    val totalMin = r3(results.map(_._4).sum)
+    val sentinelMax =
+      if (sentinelSamples.isEmpty) sentinelBase else sentinelSamples.max
+    val loadFlagged = sentinelMax > 1.5 * sentinelBase
     // The harness that records this output keeps only a bounded TAIL of
     // stdout, and the per-query maps alone exceed it at ~120 queries — so
     // the headline fields go LAST on the line (the big maps first), and
     // the full line is also written to BENCH_FULL.json for inspection.
-    val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may overwrite the inspection file — a
     // SPARK_GRAFT_BENCH_ONLY iteration run would clobber the complete

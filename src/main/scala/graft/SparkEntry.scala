@@ -3314,11 +3314,16 @@ object SparkEntry {
     "q_x_stream_sample" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_samp_q_")
-      copyParquetInput(s"$dir/documents.parquet", streamDir)
+      // source in a SUBDIR, checkpoint beside it: whether the file
+      // stream's listing descends into subdirectories is
+      // version-dependent, so a ck/ inside the watched dir risks
+      // checkpoint metadata being read as data after a Spark upgrade
+      val srcDir = java.nio.file.Files.createDirectories(streamDir.resolve("src"))
+      copyParquetInput(s"$dir/documents.parquet", srcDir)
       val sampleDir = java.nio.file.Files
         .createTempDirectory("graft_samp_out_").toString
       val schema = docsStreamSchema
-      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+      val docs = s.readStream.schema(schema).parquet(srcDir.toString)
       val q = StreamOps.sampleStream(docs, sampleDir, "doc_id", k = 100)
         .option("checkpointLocation", streamDir.resolve("ck").toString)
         .start()
@@ -3333,11 +3338,13 @@ object SparkEntry {
     "q_x_stream_source_cap" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_scap_q_")
-      copyParquetInput(s"$dir/documents.parquet", streamDir)
+      // source in a subdir, ck beside it (see q_x_stream_sample)
+      val srcDir = java.nio.file.Files.createDirectories(streamDir.resolve("src"))
+      copyParquetInput(s"$dir/documents.parquet", srcDir)
       val sampleDir = java.nio.file.Files
         .createTempDirectory("graft_scap_out_").toString
       val schema = docsStreamSchema
-      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+      val docs = s.readStream.schema(schema).parquet(srcDir.toString)
       val q = StreamOps.sampleByStream(docs, sampleDir, "source",
           "doc_id", k = 20)
         .option("checkpointLocation", streamDir.resolve("ck").toString)
@@ -3374,11 +3381,13 @@ object SparkEntry {
     "q_x_stream_data_card" -> ((s, dir) => {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_sdc_q_")
-      copyParquetInput(s"$dir/documents.parquet", streamDir)
+      // source in a subdir, ck beside it (see q_x_stream_sample)
+      val srcDir = java.nio.file.Files.createDirectories(streamDir.resolve("src"))
+      copyParquetInput(s"$dir/documents.parquet", srcDir)
       val cardDir = java.nio.file.Files
         .createTempDirectory("graft_sdc_card_").toString
       val schema = docsStreamSchema
-      val docs = s.readStream.schema(schema).parquet(streamDir.toString)
+      val docs = s.readStream.schema(schema).parquet(srcDir.toString)
       val q = StreamOps.dataCardStream(docs, cardDir)
         .option("checkpointLocation", streamDir.resolve("ck").toString)
         .start()

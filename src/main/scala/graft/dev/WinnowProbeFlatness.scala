@@ -57,14 +57,17 @@ object WinnowProbeFlatness {
     // blocks and a truncated lineage cannot recompute; the frame is a
     // trivial range projection anyway
 
-    println(f"${"round"}%-6s ${"corpus"}%-9s ${"indexed_s"}%-10s scan_s")
+    println(f"${"round"}%-6s ${"corpus"}%-9s ${"ingest_s"}%-9s ${"indexed_s"}%-10s scan_s")
     (1 to nRounds).foreach { r =>
       val step = docsDf((r - 1).toLong * perStep, perStep).localCheckpoint()
-      WinnowIndex.ingestBatch(spark, idxDir, step, "doc_id", "text")
-      val corpusSoFar = docsDf(0, r.toLong * perStep)
       def time(f: => Long): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // ingest a FIXED-size step each round: flat ingest_s as the index
+      // grows is the claim under test for the manifest-based replay
+      // dedup (the old fp.id.distinct() form grew with the corpus)
+      val tg = time(WinnowIndex.ingestBatch(spark, idxDir, step, "doc_id", "text"))
+      val corpusSoFar = docsDf(0, r.toLong * perStep)
       // maxDocsPerHash = 600: keeps every true window match (500-doc
       // windows) while capping the synthetic footer's corpus-wide
       // 8-char grams — with the cap DISABLED those grams join every
@@ -81,7 +84,7 @@ object WinnowProbeFlatness {
           .where(col("right_id") >= 10000000L || col("left_id") >= 10000000L)
           .count())
       else -1.0
-      println(f"$r%-6d ${r.toLong * perStep}%-9d $ti%-10.2f $ts%.2f")
+      println(f"$r%-6d ${r.toLong * perStep}%-9d $tg%-9.2f $ti%-10.2f $ts%.2f")
       // drop accumulated localCheckpoint blocks (the Bench discipline)
       // so block-manager churn can't masquerade as probe growth
       spark.sparkContext.getPersistentRDDs.values

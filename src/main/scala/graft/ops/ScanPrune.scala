@@ -84,8 +84,18 @@ object ScanPrune {
           ks.map(_.asInstanceOf[java.lang.Integer].intValue)
             .distinct.sorted, col(keyCol)))
       case _: String =>
-        scan.where(pointSetPredicate(
-          ks.map(_.asInstanceOf[String]).distinct.sorted, col(keyCol)))
+        // the tree's range guards evaluate under Spark's UTF-8 BINARY
+        // ordering, but Ordering[String] sorts by UTF-16 code units —
+        // the two disagree once keys mix [U+E000, U+FFFF] chars with
+        // supplementary-plane chars, and a key sorted "into" the wrong
+        // subtree would make its guard silently exclude matching rows.
+        // ASCII orders identically under both, so gate on it and fall
+        // back to the unpruned scan otherwise (the filter is an
+        // optimization, never a correctness dependency).
+        val ss = ks.map(_.asInstanceOf[String])
+        if (ss.forall(_.forall(_ < 0x80)))
+          scan.where(pointSetPredicate(ss.distinct.sorted, col(keyCol)))
+        else scan
       case _ => scan
     }
   }

@@ -302,6 +302,15 @@ object StreamOps {
         round(col("__n_short").cast("double") / col("n_docs"), 4).as("pct_short"))
   }
 
+  /** Above this many distinct benchmark grams the exact collected-
+    * literal kernel switches to the Bloom kernel: `arrays_overlap`
+    * against a constant array costs O(|bench grams|) PER ROW (the
+    * measured 10x probe: 2.67 -> 20.66 s as corpus x grams grew), so
+    * past this point the per-row cost must become gram-set-independent.
+    * Below it the literal stays exact — the same two-sided gating
+    * discipline as [[graft.ops.ScanPrune]]. */
+  val DecontExactGramCap: Int = 1 << 16
+
   /** Streaming benchmark decontamination: drop arriving docs that share
     * any word n-gram with the (static) benchmark — the ingest-time guard
     * that keeps eval contamination out of a continuously-growing corpus
@@ -309,25 +318,44 @@ object StreamOps {
     *
     * The batch shape (explode + semi-join + collapse + anti-join) is a
     * stream self-join, which Structured Streaming rejects; the streaming
-    * shape must decide contamination PER ROW. The benchmark's distinct
-    * gram set — small by the same assumption that lets the batch path
-    * broadcast it — is collected once at plan time and the check becomes
-    * one codegen'd `arrays_overlap` against it: stateless, shuffle-free,
-    * any stream rate. Works identically on batch frames. */
+    * shape must decide contamination PER ROW. Two row-local kernels,
+    * auto-gated by the benchmark's distinct gram count (one cheap static
+    * count at plan time):
+    *
+    *  - `<= maxExactGrams`: the gram set is collected once and the check
+    *    is one codegen'd `arrays_overlap` against the literal — EXACT,
+    *    stateless, shuffle-free, but O(|grams|) per row.
+    *  - above it: the grams collapse into a Bloom filter (never
+    *    collected) and the check is `exists(gram -> might_contain)` —
+    *    per-row cost independent of the gram-set size. One-sided error
+    *    in the SAFE direction: a false positive drops a CLEAN doc
+    *    (rate <= `fpp` per doc-gram, tune with `fpp`); contaminated
+    *    docs can NEVER leak through, because a true member always hits.
+    *
+    * Works identically on batch frames. */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
                           textCol: String, benchTextCol: String,
-                          n: Int = 13): DataFrame = {
+                          n: Int = 13,
+                          maxExactGrams: Int = DecontExactGramCap,
+                          fpp: Double = 0.001): DataFrame = {
     import graft.text.TextOps
     require(!benchmark.isStreaming,
       "decontaminateStream: benchmark side must be static")
-    val grams = benchmark
+    val gramsDf = benchmark
       .select(explode(TextOps.wordShingles(
         TextOps.tokens(col(benchTextCol)), n)).as("__ng"))
-      .distinct().as[String](org.apache.spark.sql.Encoders.STRING)
-      .collect().sorted
-    docs.where(!arrays_overlap(
-      TextOps.wordShingles(TextOps.tokens(col(textCol)), n),
-      typedlit(grams.toSeq)))
+      .distinct()
+    val nGrams = gramsDf.count()
+    val docGrams = TextOps.wordShingles(TextOps.tokens(col(textCol)), n)
+    if (nGrams <= maxExactGrams) {
+      val grams = gramsDf.as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().sorted
+      docs.where(!arrays_overlap(docGrams, typedlit(grams.toSeq)))
+    } else {
+      val bloom = graft.ops.BloomJoin.bloomBytes(gramsDf, "__ng", nGrams, fpp)
+      docs.where(!exists(docGrams,
+        g => graft.ops.BloomJoin.mightContain(bloom, g)))
+    }
   }
 
   /** Open the events directory as a file stream. The stream schema is
@@ -622,8 +650,94 @@ object StreamOps {
     * (per-doc fingerprints) must keep their natural write parallelism. */
   def writeBatchPartial(partial: DataFrame, dir: String, batchId: Long,
                         singleFile: Boolean = true): Unit = {
+    healPartials(partial.sparkSession, dir)
     val out = if (singleFile) partial.coalesce(1) else partial
     out.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+  }
+
+  /** The reserved batch_id the folded base partial lives under — never
+    * a real micro-batch id (Structured Streaming batch ids start at 0),
+    * so no replay can ever overwrite the folded history. */
+  val CompactedBatchId: Long = -1L
+
+  /** Heal a [[compactPartials]] interrupted mid-swap — the WinnowIndex
+    * heal-on-open discipline applied to a partials root: an orphan
+    * `<dir>__old` is the pre-compact tree (restore it if `<dir>` is
+    * gone, else drop it); an orphan `<dir>__tmp` is a crashed rewrite's
+    * staging copy, reclaimed. Idempotent; [[writeBatchPartial]] and the
+    * renders call it on every open. */
+  def healPartials(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val f = live.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$dir__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir__tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(old)) {
+      if (!f.exists(live)) require(f.rename(old, live),
+        s"healPartials: could not restore $old to $live")
+      else f.delete(old, true)
+    }: Unit
+  }
+
+  /** Compact a partials directory: fold every `batch_id=` subdir BELOW
+    * the maximum id (plus any previous base) into one base partial under
+    * `batch_id=`[[CompactedBatchId]], keep the max-id subdir as is, and
+    * install the new tree via the two-rename swap healed by
+    * [[healPartials]]. Without this, a long-running stream accumulates
+    * one subdir per micro-batch forever and render cost drifts from data
+    * to file-open overhead — the same file-count wall
+    * [[graft.text.WinnowIndex.compact]] fixes for its fp table.
+    *
+    * Replay safety is WHY the max id is never folded: after a crash
+    * between a sink write and its checkpoint commit, the one batch that
+    * can be re-delivered is the LAST one (earlier ids have committed, or
+    * the later ones could not have run). The replay overwrites its own
+    * preserved `batch_id=` subdir exactly as before; folding it would
+    * double-count its rows against the base. Folding is a pure file
+    * reorganisation — rows are concatenated, never aggregated — so every
+    * render reduces over the same multiset of rows before and after.
+    *
+    * NOT concurrent-safe against in-flight writes (an append landing
+    * mid-swap would be lost with the old tree) — run it with the stream
+    * quiesced, the WinnowIndex.compact contract. Returns the number of
+    * subdirs folded (0 = nothing to do). */
+  def compactPartials(spark: SparkSession, dir: String): Int = {
+    healPartials(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val f = live.getFileSystem(conf)
+    if (!f.exists(live)) return 0
+    val subs = f.listStatus(live).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath.getName.stripPrefix("batch_id=").toLong -> s.getPath)
+      .sortBy(_._1)
+    if (subs.isEmpty) return 0
+    val maxId = subs.last._1
+    val foldable = subs.filter(_._1 < maxId)
+    if (foldable.size < 2) return 0 // already compact (base + max at most)
+    val tmp = s"$dir__tmp"
+    // read the foldable subdirs DIRECTLY (leaf reads — no partition
+    // discovery, so no batch_id column sneaks into the written schema)
+    spark.read.parquet(foldable.map(_._2.toString): _*)
+      .write.mode("overwrite")
+      .parquet(s"$tmp/batch_id=$CompactedBatchId")
+    // the kept max-id subdir is copied into the new tree (read+write of
+    // ONE batch partial — bounded), so the swap replaces the whole root
+    spark.read.parquet(subs.last._2.toString)
+      .write.mode("overwrite").parquet(s"$tmp/batch_id=$maxId")
+    val old = new org.apache.hadoop.fs.Path(s"$dir__old")
+    require(f.rename(live, old), s"compactPartials: could not stage $live aside")
+    if (f.exists(live) || !f.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      if (!f.exists(live)) require(f.rename(old, live),
+        s"compactPartials: could not restore $old after failed install")
+      throw new IllegalStateException(
+        s"compactPartials: could not install $tmp — concurrent open or fs " +
+          "error; partials restored, re-run with the stream quiesced")
+    }
+    f.delete(old, true)
+    foldable.size
   }
 
   /** One micro-batch of the LIVE corpus data card: per-batch partials
@@ -632,21 +746,33 @@ object StreamOps {
     * reduces them to the same frame `DataCard.perSource` computes over
     * the accumulated corpus.
     *
-    * Distinct fingerprints are stored as per-batch DISTINCT sets (not
-    * anti-joined against prior state, which would break replay
-    * idempotence); the render counts DISTINCT over the union, so
-    * cross-batch duplicates collapse there. The stats and langs
-    * partials are source-keyed aggregates — KB per batch; the fps
-    * partial is one row per distinct document in the BATCH (and
-    * corpus-sized accumulated under `cardDir/fps`), so it keeps its
-    * write parallelism and the render's exact dup_ratio costs one
-    * corpus-sized distinct per read — the price of an exact live
-    * dup_ratio (switch to per-source sketches if approximate is
-    * acceptable at your scale). */
+    * Two dup_ratio modes, chosen per CARD (the render follows whichever
+    * layout the ingests wrote):
+    *
+    *  - exact (default): fingerprints are stored as per-batch DISTINCT
+    *    sets (not anti-joined against prior state, which would break
+    *    replay idempotence); the render counts DISTINCT over the union,
+    *    so cross-batch duplicates collapse there. The fps partial is one
+    *    row per distinct document in the BATCH (and corpus-sized
+    *    accumulated under `cardDir/fps`), so the render's exact
+    *    dup_ratio costs one corpus-sized distinct per read — the
+    *    oracle-gated validation mode.
+    *  - `dupSketch = true`: per-(source) HLL sketches of the batch's
+    *    fingerprints land under `cardDir/fps_hll` instead — KB per
+    *    batch like the stats partials, and the render merges sketches
+    *    (`hll_union_agg`), so BOTH the stored state and the render cost
+    *    are flat in the corpus; dup_ratio is then approximate
+    *    (~±2% relative at the default lgK), clamped at 0. Replays
+    *    rewrite their own sketch partial — same idempotence.
+    *
+    * The stats and langs partials are source-keyed aggregates — KB per
+    * batch in either mode. A card must stick to ONE mode: the render
+    * refuses a mixed layout rather than silently preferring one. */
   def dataCardIngestBatch(batch: DataFrame, cardDir: String, batchId: Long,
                           idCol: String = "doc_id", textCol: String = "text",
                           langCol: String = "lang",
-                          sourceCol: String = "source"): Unit = {
+                          sourceCol: String = "source",
+                          dupSketch: Boolean = false): Unit = {
     import graft.text.{Readability, TextOps}
     val t = col(textCol)
     val nTok = when(length(trim(t)) === 0, lit(0L))
@@ -669,19 +795,42 @@ object StreamOps {
     writeBatchPartial(base.groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).cast("long").as("n")),
       s"$cardDir/langs", batchId)
-    writeBatchPartial(base.select(col("source"), col("fp")).distinct(),
-      s"$cardDir/fps", batchId, singleFile = false)
+    if (dupSketch)
+      writeBatchPartial(base.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("fp")).as("fp_sketch")),
+        s"$cardDir/fps_hll", batchId)
+    else
+      writeBatchPartial(base.select(col("source"), col("fp")).distinct(),
+        s"$cardDir/fps", batchId, singleFile = false)
   }
 
   /** Render the live card from the accumulated partials — the same
     * schema and semantics as `DataCard.perSource` over everything
-    * ingested so far. */
+    * ingested so far. Follows the ingest-time dup mode: exact when the
+    * card holds `fps/` partials, HLL-merged when it holds `fps_hll/`
+    * (a mixed layout is refused — the two modes answer with different
+    * error contracts and must not silently blend). */
   def dataCardRender(spark: SparkSession, cardDir: String): DataFrame = {
+    Seq("stats", "langs", "fps", "fps_hll")
+      .foreach(d => healPartials(spark, s"$cardDir/$d"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def has(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$cardDir/$d")
+      p.getFileSystem(conf).exists(p)
+    }
+    require(!(has("fps") && has("fps_hll")),
+      s"dataCardRender: $cardDir holds BOTH exact fps/ and sketch " +
+        "fps_hll/ partials — a card must be ingested in one dup mode")
     val stats = spark.read.parquet(s"$cardDir/stats")
     val langs = spark.read.parquet(s"$cardDir/langs")
-    val fps = spark.read.parquet(s"$cardDir/fps")
-    val dup = fps.groupBy(col("source"))
-      .agg(countDistinct(col("fp")).cast("long").as("__nfp"))
+    val dup =
+      if (has("fps_hll"))
+        spark.read.parquet(s"$cardDir/fps_hll").groupBy(col("source"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("fp_sketch")))
+            .cast("long").as("__nfp"))
+      else
+        spark.read.parquet(s"$cardDir/fps").groupBy(col("source"))
+          .agg(countDistinct(col("fp")).cast("long").as("__nfp"))
     val main = stats.groupBy(col("source")).agg(
         sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"),
@@ -692,8 +841,10 @@ object StreamOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens").cast("double") / col("n_docs"), 4)
           .as("mean_tokens"),
-        round((col("n_docs") - col("__nfp")).cast("double") /
-          col("n_docs"), 4).as("dup_ratio"),
+        // clamped at 0: HLL can overcount distincts slightly (exact
+        // mode never goes negative, so the clamp is a no-op there)
+        round(greatest(lit(0.0), (col("n_docs") - col("__nfp")).cast("double") /
+          col("n_docs")), 4).as("dup_ratio"),
         round(col("__pii").cast("double") / col("n_docs"), 4)
           .as("pii_per_doc"),
         (round(col("__esum") / col("__en"), 4) + lit(0.0))
@@ -713,13 +864,14 @@ object StreamOps {
     * partials, so the card never double-counts. */
   def dataCardStream(docs: DataFrame, cardDir: String,
                      idCol: String = "doc_id", textCol: String = "text",
-                     langCol: String = "lang", sourceCol: String = "source")
+                     langCol: String = "lang", sourceCol: String = "source",
+                     dupSketch: Boolean = false)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           dataCardIngestBatch(batch, cardDir, batchId, idCol, textCol,
-            langCol, sourceCol)
+            langCol, sourceCol, dupSketch)
       }
 
   /** One micro-batch of LIVE Bradley-Terry preference ratings: the
@@ -824,6 +976,7 @@ object StreamOps {
     storedSampleK(spark, sampleDir).foreach(pinned => require(k <= pinned,
       s"sampleRender: k=$k exceeds the ingest-time k=$pinned " +
         "— partials never kept more than that per batch"))
+    healPartials(spark, s"$sampleDir/bk")
     spark.read.parquet(s"$sampleDir/bk")
       .dropDuplicates("__pri")
       .orderBy(col("__pri")).limit(k)
@@ -875,6 +1028,7 @@ object StreamOps {
         "— partials never kept more than that per group per batch"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__pri"))
+    healPartials(spark, s"$sampleDir/bkg")
     spark.read.parquet(s"$sampleDir/bkg")
       .dropDuplicates("__pri")
       .withColumn("__rn", row_number().over(w))
@@ -938,10 +1092,12 @@ object StreamOps {
     * run the same fixed-iteration MM solve as the batch
     * `Labels.bradleyTerry` — ratings over everything ingested so far. */
   def bradleyTerryRender(spark: SparkSession, ratingsDir: String,
-                         iters: Int = 8): DataFrame =
+                         iters: Int = 8): DataFrame = {
+    healPartials(spark, s"$ratingsDir/wins")
     graft.text.Labels.bradleyTerryCounts(
       spark.read.parquet(s"$ratingsDir/wins"),
       "winner", "loser", "n", iters)
+  }
 
   /** Streaming preference-rating ingest: game outcomes arriving on a
     * stream fold into the persisted win matrix; read the live ratings

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   *    are capped at [[PageRowLimit]] rows, so parquet column-index
   *    (page-level min/max) stats can skip pages a probe's hash set
   *    cannot touch.
+  *  - `ids/` the doc-id manifest: ONE row per indexed document, sorted
+  *    by id with page-capped files — the replay-dedup side. Ingest's
+  *    already-indexed check reads THIS (corpus-doc-sized, one slim
+  *    column, [[graft.ops.ScanPrune]]-prunable to the batch's id pages
+  *    once the manifest passes the size gate) instead of distinct-ing
+  *    the fp table's id column, which is per-GRAM sized and was a full
+  *    corpus shuffle per micro-batch. Backfilled once from fp/ when an
+  *    older index is first ingested into.
   *
   * Probe pruning — the sub-linear story: a probe's distinct hash set
   * is batch-sized (driver-collectable; it already had to fit the
@@ -41,7 +49,14 @@ import org.apache.spark.sql.functions._
   *
   * Replay safety: [[ingestBatch]] drops batch ids already present in
   * the index (and in-batch duplicates), so a re-delivered batch
-  * appends nothing — the vecIndexIngestBatch discipline.
+  * appends nothing — the vecIndexIngestBatch discipline: the manifest
+  * scan rides the broadcast side of two joins (semi vs the broadcast
+  * batch ids, then the batch anti vs the broadcast batch-sized
+  * `present`), so NOTHING corpus-sized ever shuffles on ingest. A
+  * crash between the fp append and the ids append can let one replay
+  * re-append its fp rows; duplicates are harmless ([[probeBatch]]
+  * dedups its batch-bounded candidate slice) and [[compact]] rewrites
+  * fp distinct, healing them durably.
   *
   * Maintenance: appends accumulate one file per (ingest, modulus);
   * [[compact]] rewrites `fp/` into one hash-sorted file per modulus
@@ -112,14 +127,22 @@ object WinnowIndex {
     * Idempotent; called on every open. */
   private def healCompact(spark: SparkSession, indexDir: String): Unit = {
     val (f, _) = fs(spark, indexDir)
-    val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
-    if (f.exists(tmp)) f.delete(tmp, true)
-    if (f.exists(old)) {
-      if (!f.exists(fp)) f.rename(old, fp)
-      else f.delete(old, true)
-    }: Unit
+    Seq("fp", "ids").foreach { name =>
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+      val old = new org.apache.hadoop.fs.Path(s"$indexDir/${name}__old")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${name}__tmp")
+      if (f.exists(tmp)) f.delete(tmp, true)
+      if (f.exists(old)) {
+        // a failed restore must fail LOUDLY: swallowing it would leave
+        // no live table and every probe silently returning empty
+        // results for an index that has data (compact's restore path
+        // requires too)
+        if (!f.exists(live)) require(f.rename(old, live),
+          s"healCompact: could not restore $old to $live — " +
+            "index unreadable until the rename succeeds")
+        else f.delete(old, true)
+      }: Unit
+    }
   }
 
   /** Distinct (fp_mod, hash, id) fingerprint rows for a batch — the
@@ -183,6 +206,13 @@ object WinnowIndex {
     // cap needs.
     val cand = pruned.join(broadcast(bfp.select(col("fp_mod"), col("hash"))
         .distinct()), Seq("fp_mod", "hash"))
+      // defensive dedup on the BATCH-BOUNDED candidate slice: an ingest
+      // crash between its fp append and its ids append lets the replay
+      // re-append the same fp rows, and duplicate (hash, id) rows would
+      // inflate both the boilerplate-cap counts and n_shared. One
+      // exchange over cand (probe-sized), never the corpus; compact
+      // heals the duplicates durably.
+      .dropDuplicates("fp_mod", "hash", "id")
       .localCheckpoint()
     val okHash = cand.groupBy(col("fp_mod"), col("hash"))
       .agg(count(lit(1)).as("__nd"))
@@ -210,16 +240,57 @@ object WinnowIndex {
     checkOrWriteParams(spark, indexDir, params)
     val fresh0 = batch.dropDuplicates(idCol)
     val fresh =
-      if (hasData(spark, s"$indexDir/fp"))
-        fresh0.join(spark.read.parquet(s"$indexDir/fp")
-            .select(col("id").as(idCol)).distinct(),
-          Seq(idCol), "left_anti")
-      else fresh0
+      if (hasData(spark, s"$indexDir/fp")) {
+        ensureIdsManifest(spark, indexDir)
+        // batch-bounded replay dedup (the vecIndexIngestBatch
+        // discipline): the manifest scan never shuffles — it semi-joins
+        // the BROADCAST batch ids (so `present` is at most batch-sized;
+        // the manifest holds one row per doc, so no post-semi distinct
+        // is needed) and the batch then anti-joins the broadcast
+        // `present`. The previous form distinct-ed the fp table's id
+        // column: per-GRAM sized, a full corpus shuffle per micro-batch.
+        // Above ScanPrune's size gate the manifest scan is additionally
+        // pruned to the parquet pages the batch's ids can touch, so
+        // per-ingest IO is bounded by the BATCH, not the corpus.
+        val batchIds = fresh0.select(col(idCol).as("id"))
+        val idScan = graft.ops.ScanPrune.prunedScan(spark, s"$indexDir/ids",
+          spark.read.parquet(s"$indexDir/ids"), "id",
+          batchIds.collect().map(_.get(0)))
+        val present = idScan.join(broadcast(batchIds), Seq("id"), "left_semi")
+        fresh0.join(broadcast(present), fresh0(idCol) === present("id"),
+          "left_anti")
+      } else fresh0
     val rows = fpRows(fresh, idCol, textCol, params).localCheckpoint()
     val n = rows.select(col("id")).distinct().count()
-    if (n > 0) writeFp(rows, s"$indexDir/fp")
+    if (n > 0) {
+      // fp FIRST, manifest second: a crash in between lets the replay
+      // re-append fp rows (harmless duplicates — probeBatch dedups its
+      // candidate slice, compact rewrites distinct). The reverse order
+      // would mark the docs indexed with their fingerprints NEVER
+      // written — silent data loss, the unacceptable side.
+      writeFp(rows, s"$indexDir/fp")
+      writeIds(rows.select(col("id")).distinct(), s"$indexDir/ids")
+    }
     n
   }
+
+  /** One-time migration for indexes written before the `ids/` manifest
+    * existed: derive it from the fp table (a single distinct — the one
+    * corpus-sized pass, paid once per old index, never per ingest). */
+  private def ensureIdsManifest(spark: SparkSession, indexDir: String): Unit =
+    if (!hasData(spark, s"$indexDir/ids"))
+      writeIds(spark.read.parquet(s"$indexDir/fp").select(col("id")).distinct(),
+        s"$indexDir/ids")
+
+  /** The one ids/ writer: one sorted file per write (the manifest grows
+    * one batch-sized file per ingest; [[compact]] folds them back to
+    * one), page rows capped so [[graft.ops.ScanPrune]] point lookups
+    * stay page-granular once the manifest outgrows the push gate. */
+  private def writeIds(ids: DataFrame, idsDir: String): Unit =
+    ids.coalesce(1).sortWithinPartitions(col("id"))
+      .write.mode("append")
+      .option("parquet.page.row.count.limit", PageRowLimit)
+      .parquet(idsDir)
 
   /** The one fp/ writer: cluster on the partition column (ONE file per
     * modulus bucket per write — without this the table fragments into
@@ -250,29 +321,56 @@ object WinnowIndex {
     healCompact(spark, indexDir)
     if (!hasData(spark, s"$indexDir/fp")) return 0L
     val (f, _) = fs(spark, indexDir)
-    val fp = new org.apache.hadoop.fs.Path(s"$indexDir/fp")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/fp__old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/fp__tmp")
-    // compact owns the staging dir: clear any crashed rewrite's
-    // leftovers (writeFp appends — stale rows would double-count)
-    if (f.exists(tmp)) f.delete(tmp, true)
+    // compact owns the staging dirs: clear any crashed rewrite's
+    // leftovers (writeFp/writeIds append — stale rows would double-count)
+    Seq("fp__tmp", "ids__tmp").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+      if (f.exists(p)) f.delete(p, true): Unit
+    }
+    // DISTINCT: heals the duplicate (hash, id) rows an ingest crash
+    // between its fp append and its ids append can leave behind
     val rows = spark.read.parquet(s"$indexDir/fp")
-      .select(col("hash"), col("id"), col("fp_mod"))
+      .select(col("hash"), col("id"), col("fp_mod")).distinct()
+      .localCheckpoint() // feeds the fp rewrite AND the manifest rebuild
     val n = rows.count()
     writeFp(rows, s"$indexDir/fp__tmp")
-    require(f.rename(fp, old), s"compact: could not stage $fp aside")
-    if (!f.rename(tmp, fp)) {
-      // a concurrent open healed fp back while we were mid-swap (or the
-      // fs refused): restore is already in place, drop our staging and
-      // surface the conflict instead of leaving a headless index
+    // the manifest is REBUILT from the compacted fp rows, not copied:
+    // compact is the self-heal point where ids/ provably matches fp/
+    writeIds(rows.select(col("id")).distinct(), s"$indexDir/ids__tmp")
+    installCompacted(f, indexDir, "fp")
+    // a crash between the two installs leaves the OLD manifest under
+    // the new fp — same id set (compact never changes it), so ingest
+    // dedup stays exact; the next compact converges the layout
+    installCompacted(f, indexDir, "ids")
+    n
+  }
+
+  /** Two-rename install of `<name>__tmp` over `<name>`, healed by
+    * [[healCompact]] at every crash point. */
+  private def installCompacted(f: org.apache.hadoop.fs.FileSystem,
+                               indexDir: String, name: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/${name}__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${name}__tmp")
+    if (f.exists(live))
+      require(f.rename(live, old), s"compact: could not stage $live aside")
+    // on HDFS, rename(tmp, live) with live ALREADY BACK (a racing open
+    // healed <name>__old mid-swap) moves tmp INSIDE live as a child
+    // instead of returning false — the conflict the guard below is
+    // meant to catch would corrupt the table instead of tripping it.
+    // Probe for reappearance first and take the same
+    // restore-and-throw path.
+    if (f.exists(live) || !f.rename(tmp, live)) {
+      // a concurrent open healed live back while we were mid-swap (or
+      // the fs refused): restore is already in place, drop our staging
+      // and surface the conflict instead of leaving a headless index
       f.delete(tmp, true)
-      if (!f.exists(fp)) require(f.rename(old, fp),
+      if (!f.exists(live)) require(f.rename(old, live),
         s"compact: could not restore $old after failed install")
       throw new IllegalStateException(
         s"compact: could not install $tmp — concurrent open or fs error; " +
           "index restored, re-run compact with ingests/probes quiesced")
     }
-    f.delete(old, true)
-    n
+    f.delete(old, true): Unit
   }
 }

@@ -537,6 +537,56 @@ object VecIndex {
       .repartition(col("id"))
       .localCheckpoint() // feeds refinement sweeps AND the re-assignment
     val cents = VectorOps.kmeansCentroids(base, "vec", cents0, kmeansIters)
+    reassignAll(spark, indexDir, base, cents)
+    (before, listStats(spark, indexDir))
+  }
+
+  /** Centroid REFRESH for a drifted index — the bounded-cost form of
+    * [[rebalance]]: appends assign into FROZEN centroids, so as the
+    * data distribution drifts, mass piles into few lists and probe
+    * recall decays (the skew policy sees the count imbalance, but only
+    * moving the CENTROIDS toward the drifted mass repairs recall).
+    * [[rebalance]]'s k-means refinement sweeps the FULL lists table
+    * `kmeansIters` times; here the sweeps run over a bounded
+    * DETERMINISTIC uniform sample (hash-mod thinning sized from the
+    * metadata-scale `stats/` count — no scan, no RNG, replay-stable),
+    * so refinement cost is flat in the corpus. The reassignment pass
+    * that rewrites every row into its new list is shared with rebalance
+    * (tmp + atomic swap) — that pass is the irreducible cost of ANY
+    * centroid change, not of the refresh. Same concurrency contract as
+    * rebalance: not safe against in-flight probes.
+    * Returns (before, after) skew stats. */
+  def refreshCentroids(spark: SparkSession, indexDir: String,
+                       sampleSize: Int = 100000,
+                       kmeansIters: Int = 2): (ListStats, ListStats) = {
+    require(sampleSize >= 1, s"refreshCentroids: sampleSize >= 1, got $sampleSize")
+    require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
+      s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
+        "use rebalancePq with the original vector table")
+    val before = listStats(spark, indexDir)
+    val cents0 = loadCentroids(spark, indexDir)
+    val base = spark.read.parquet(s"$indexDir/lists")
+      .select(col("id"), col("vec"))
+      .repartition(col("id"))
+      .localCheckpoint() // feeds the sample filter AND the re-assignment
+    // 1-in-d hash thinning: d from the incrementally-maintained stats
+    // count, so sizing the sample never scans the lists
+    val d = math.max(1L, before.nVectors / sampleSize)
+    val sample =
+      if (d == 1L) base
+      else base.where(pmod(xxhash64(col("id"), lit("cref")), lit(d)) === 0)
+    val cents = VectorOps.kmeansCentroids(sample, "vec", cents0, kmeansIters)
+    reassignAll(spark, indexDir, base, cents)
+    (before, listStats(spark, indexDir))
+  }
+
+  /** The shared reassign-and-swap tail of [[rebalance]] and
+    * [[refreshCentroids]]: every row lands in its nearest NEW centroid's
+    * list, installed through the tmp + live/_bak swap, centroids and
+    * stats rewritten to match. */
+  private def reassignAll(spark: SparkSession, indexDir: String,
+                          base: DataFrame,
+                          cents: Seq[(Long, Array[Double])]): Unit = {
     val tmp = s"$indexDir/lists__rebal_tmp"
     base.withColumn("list_id",
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
@@ -544,7 +594,6 @@ object VecIndex {
     swapDir(spark, tmp, s"$indexDir/lists")
     writeCentroids(spark, indexDir, cents)
     refreshStatCounts(spark, indexDir)
-    (before, listStats(spark, indexDir))
   }
 
   /** [[rebalance]] for the IVF-PQ layout. The index stores codes only,

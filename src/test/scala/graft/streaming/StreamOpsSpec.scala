@@ -394,6 +394,124 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontamination gram gate: the Bloom kernel engages above the cap and never leaks") {
+    import spark.implicits._
+    // 200 docs, half contaminated (share a bench 3-gram), half clean
+    val docs = (1L to 200L).map { i =>
+      if (i % 2 == 0) (i, s"clean document number $i with words w${i}a w${i}b w${i}c")
+      else (i, s"leading text $i then shared secret passage ${i % 5} here")
+    }.toDF("doc_id", "text")
+    val bench = (0L to 4L).map(j => s"the shared secret passage $j here verbatim")
+      .toDF("btext")
+    val exact = StreamOps.decontaminateStream(docs, bench, "text", "btext",
+        n = 3).select("doc_id").as[Long].collect().toSet
+    assert(exact == (2L to 200L by 2).toSet, "exact kernel keeps exactly the clean half")
+    // force the Bloom kernel (gate at 0 grams): one-sided error only —
+    // every contaminated doc still drops; survivors are a subset of the
+    // exact survivors (false positives drop clean docs, never leak)
+    val bloomKept = StreamOps.decontaminateStream(docs, bench, "text", "btext",
+        n = 3, maxExactGrams = 0).select("doc_id").as[Long].collect().toSet
+    assert(bloomKept.subsetOf(exact), "bloom kernel must never keep a contaminated doc")
+    // at fpp=0.001 over ~10 grams/doc, dropping >10% of clean docs
+    // would mean the filter is broken, not just unlucky
+    assert(bloomKept.size >= (exact.size * 0.9).toInt,
+      s"bloom kept ${bloomKept.size} of ${exact.size} clean docs")
+  }
+
+  test("compactPartials folds history, renders unchanged, replayed max batch absorbed, crash heals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpart_")
+    val cardDir = dir.resolve("card").toString
+    def mkBatch(ids: Seq[Long], src: String) = ids
+      .map(i => (i, s"some text body number $i.", "en", src))
+      .toDF("doc_id", "text", "lang", "source")
+    val batches = Seq(mkBatch(1L to 3L, "web"), mkBatch(4L to 6L, "web"),
+      mkBatch(7L to 9L, "books"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamOps.dataCardIngestBatch(b, cardDir, i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def subdirs(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.listStatus(p).count(_.getPath.getName.startsWith("batch_id="))
+    }
+    val before = rows(graft.streaming.StreamOps.dataCardRender(spark, cardDir))
+    Seq("stats", "langs", "fps").foreach { fam =>
+      assert(subdirs(s"$cardDir/$fam") == 3)
+      assert(graft.streaming.StreamOps.compactPartials(spark, s"$cardDir/$fam") == 2)
+      assert(subdirs(s"$cardDir/$fam") == 2) // base + preserved max
+      // idempotent: nothing left to fold
+      assert(graft.streaming.StreamOps.compactPartials(spark, s"$cardDir/$fam") == 0)
+    }
+    assert(rows(graft.streaming.StreamOps.dataCardRender(spark, cardDir)) == before)
+    // the one re-deliverable batch (max id, crash between write and
+    // checkpoint commit) overwrites its own PRESERVED subdir: no double count
+    graft.streaming.StreamOps.dataCardIngestBatch(batches(2), cardDir, 2L)
+    assert(rows(graft.streaming.StreamOps.dataCardRender(spark, cardDir)) == before)
+    // second adopter: the uniform sample's bottom-k partials
+    val sampDir = dir.resolve("samp").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamOps.sampleIngestBatch(b, sampDir, i.toLong, "doc_id", k = 4)
+    }
+    val sBefore = rows(graft.streaming.StreamOps.sampleRender(spark, sampDir, k = 4))
+    assert(graft.streaming.StreamOps.compactPartials(spark, s"$sampDir/bk") == 2)
+    assert(rows(graft.streaming.StreamOps.sampleRender(spark, sampDir, k = 4)) == sBefore)
+    graft.streaming.StreamOps.sampleIngestBatch(batches(2), sampDir, 2L, "doc_id", k = 4)
+    assert(rows(graft.streaming.StreamOps.sampleRender(spark, sampDir, k = 4)) == sBefore)
+    // crash mid-swap: live staged aside, tmp gone — the next render heals
+    val statsDir = s"$cardDir/stats"
+    val p = new org.apache.hadoop.fs.Path(statsDir)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.rename(p, new org.apache.hadoop.fs.Path(s"${statsDir}__old"))
+    assert(rows(graft.streaming.StreamOps.dataCardRender(spark, cardDir)) == before)
+  }
+
+  test("data card dup-sketch mode: flat partials, bounded error, mixed layout refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cardhll_")
+    val exactDir = dir.resolve("exact").toString
+    val hllDir = dir.resolve("hll").toString
+    // 3 batches x 400 docs, 25% cross/in-batch duplicates
+    val batches = (0 until 3).map { b =>
+      (0 until 400).map { i =>
+        val id = b * 400L + i
+        val body = if (i % 4 == 0) "the one shared duplicate body."
+          else s"unique body $id with extra words."
+        (id, body, "en", if (i % 2 == 0) "web" else "books")
+      }.toDF("doc_id", "text", "lang", "source")
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamOps.dataCardIngestBatch(b, exactDir, i.toLong)
+      graft.streaming.StreamOps.dataCardIngestBatch(b, hllDir, i.toLong,
+        dupSketch = true)
+    }
+    // sketch partials are per-source rows (2), never per-doc (400)
+    val hllRows = spark.read.parquet(s"$hllDir/fps_hll/batch_id=0").count()
+    assert(hllRows == 2, s"sketch partial must be source-keyed, got $hllRows rows")
+    val exact = graft.streaming.StreamOps.dataCardRender(spark, exactDir)
+      .select("source", "dup_ratio").as[(String, Double)].collect().toMap
+    val approx = graft.streaming.StreamOps.dataCardRender(spark, hllDir)
+      .select("source", "dup_ratio").as[(String, Double)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, e) =>
+      assert(math.abs(approx(src) - e) <= 0.05,
+        s"$src: sketch dup_ratio ${approx(src)} vs exact $e")
+    }
+    // replays rewrite their own sketch partial — never double-merge
+    graft.streaming.StreamOps.dataCardIngestBatch(batches(1), hllDir, 1L,
+      dupSketch = true)
+    val replayed = graft.streaming.StreamOps.dataCardRender(spark, hllDir)
+      .select("source", "dup_ratio").as[(String, Double)].collect().toMap
+    assert(replayed == approx)
+    // a card ingested in both modes is refused, not silently blended
+    graft.streaming.StreamOps.dataCardIngestBatch(batches(0), hllDir, 7L)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.dataCardRender(spark, hllDir)
+    }
+    assert(e.getMessage.contains("one dup mode"))
+  }
+
   test("streaming dedup ingest: corpus accumulates only novel docs; replay is a no-op") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_dingest_in_")

@@ -172,6 +172,46 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(after == before && after.size == 20)
   }
 
+  test("the ids manifest holds one row per doc and backfills for old indexes") {
+    val dir = tmp()
+    WinnowIndex.ingestBatch(spark, dir, corpusDocs, "doc_id", "text")
+    val ids = spark.read.parquet(s"$dir/ids").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+    // pre-manifest index: drop ids/, the next ingest backfills it from
+    // fp and replay dedup still holds
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ids")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(p, true)
+    assert(WinnowIndex.ingestBatch(spark, dir, corpusDocs,
+      "doc_id", "text") == 0, "backfilled manifest must absorb the replay")
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("crash-window fp duplicates: probes dedup, compact heals durably") {
+    val dir = tmp()
+    WinnowIndex.ingestBatch(spark, dir, corpusDocs, "doc_id", "text")
+    val batch = Seq((10L, s"incoming text $boiler")).toDF("doc_id", "text")
+    def probe() = WinnowIndex.probeBatch(spark, dir, batch, "doc_id", "text",
+        minShared = 1, maxDocsPerHash = 50)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val clean = probe()
+    // simulate the ingest crash window (fp appended, ids not, replay
+    // re-appends): duplicate every fp row
+    val fpRows = spark.read.parquet(s"$dir/fp").localCheckpoint()
+    val nDistinct = fpRows.count()
+    fpRows.write.mode("append").partitionBy("fp_mod").parquet(s"$dir/fp")
+    assert(spark.read.parquet(s"$dir/fp").count() == 2 * nDistinct)
+    assert(probe() == clean,
+      "duplicate (hash, id) rows must not inflate n_shared or cap counts")
+    // compact rewrites distinct and rebuilds the manifest to match
+    assert(WinnowIndex.compact(spark, dir) == nDistinct)
+    assert(spark.read.parquet(s"$dir/fp").count() == nDistinct)
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    assert(probe() == clean)
+  }
+
   test("a crash mid-compact heals on the next open") {
     val dir = tmp()
     WinnowIndex.ingestBatch(spark, dir, corpusDocs, "doc_id", "text")
@@ -184,10 +224,17 @@ class WinnowIndexSpec extends AnyFunSuite {
     val healed = WinnowIndex.probeBatch(spark, dir, batch, "doc_id", "text",
       minShared = 1, maxDocsPerHash = 50)
     assert(healed.count() == 2, "heal must restore the staged-aside table")
+    // simulate: crash after ids -> ids__old but before ids__tmp -> ids
+    val ids = new org.apache.hadoop.fs.Path(s"$dir/ids")
+    fsys.rename(ids, new org.apache.hadoop.fs.Path(s"$dir/ids__old"))
+    assert(WinnowIndex.ingestBatch(spark, dir, corpusDocs,
+      "doc_id", "text") == 0, "heal must restore the staged-aside manifest")
     // simulate: leftover tmp from an interrupted rewrite
     fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/fp__tmp"))
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/ids__tmp"))
     assert(WinnowIndex.compact(spark, dir) > 0)
-    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/fp__tmp")))
-    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/fp__old")))
+    Seq("fp__tmp", "fp__old", "ids__tmp", "ids__old").foreach { d =>
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/$d")), d)
+    }
   }
 }

@@ -147,6 +147,33 @@ class VecIndexSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("refreshCentroids: bounded-sample refinement repairs drift, probes stay equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, dir, nlist = 4, kmeansIters = 2)
+    VecIndex.append(late, dir)
+    val skewed = VecIndex.listStats(spark, dir)
+    // sampleSize 40 over 120 rows -> 1-in-3 hash thinning: the k-means
+    // sweeps see a strict sample, never the full table
+    val (pre, post) = VecIndex.refreshCentroids(spark, dir,
+      sampleSize = 40, kmeansIters = 2)
+    assert(pre == skewed)
+    assert(post.nVectors == 120L, "refresh must reassign, never drop rows")
+    assert(post.cv < skewed.cv,
+      s"refresh should reduce drift skew: cv ${skewed.cv} -> ${post.cv}")
+    // exhaustive probe is still exactly brute force after the swap
+    val got = shape(VecIndex.topK(queries, dir, k = 4, nprobe = 4))
+    val brute = shape(VectorOps.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 4))
+    assert(got == brute)
+    // PQ layouts are refused (their lists hold codes, not vectors)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.buildPq(vecs, pqDir, nlist = 4, m = 4, ksub = 16)
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.refreshCentroids(spark, pqDir, sampleSize = 40)
+    }
+    assert(e.getMessage.contains("IVF-PQ"))
+  }
+
   test("append policy: skewed appends trip it, auto mode repairs, probes stay equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
     VecIndex.build(early, dir, nlist = 4, kmeansIters = 2)
