@@ -3395,6 +3395,35 @@ object SparkEntry {
       StreamOps.dataCardRender(s, cardDir)
     }),
 
+    // X: the END-TO-END live curation pipeline executed for REAL — one
+    // file stream through gated decontamination, then per micro-batch
+    // of survivors: live data-card partials + per-source cap partials +
+    // exact-dedup corpus ingest; ONE render row per source audits all
+    // four stages. The oracle is the identical composition in batch SQL
+    // (decontaminated set -> card aggregates, window-rank cap, distinct
+    // fingerprints) — every stage is order-independent at render time,
+    // so the stream must hash-match it
+    "q_x_stream_pipeline" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_spipe_q_")
+      val srcDir = streamDir.resolve("src")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(4).write.parquet(srcDir.toString)
+      val pipeDir = streamDir.resolve("pipe").toString
+      val bench = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+      val docs = s.readStream.schema(docsStreamSchema)
+        .option("maxFilesPerTrigger", "2").parquet(srcDir.toString)
+      val q = StreamOps.curationPipelineStream(docs, pipeDir, bench,
+          "text", n = 5, capK = 20)
+        .option("checkpointLocation", streamDir.resolve("ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      StreamOps.curationRender(s, pipeDir, capK = 20)
+    }),
+
     // X: LIVE Bradley-Terry ratings executed for REAL (the synthetic
     // game log streamed in multiple micro-batches -> per-batch win
     // partials -> render solve); same oracle as the batch solve — the
@@ -7207,6 +7236,63 @@ object SparkEntry {
              row_number() OVER (PARTITION BY source
                ORDER BY md5('samp:' || doc_id)) AS rn
            FROM documents) WHERE rn <= 20""",
+
+    // the live pipeline render: data-card aggregates over the
+    // DECONTAMINATED set + window-rank per-source cap stats + the
+    // global distinct-fingerprint corpus size
+    "q_x_stream_pipeline" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+         FROM tok),
+         bgr AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0),
+         dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bgr USING (ng)),
+         docs AS (SELECT * FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         b AS (SELECT source, lang, doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS ntok,
+           len(regexp_extract_all(text, 'https?://[^\s]+'))
+             + len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+             + len(regexp_extract_all(text, '\+?\d[\d()\-\s]{6,}\d')) AS pii,
+           CASE WHEN trim(text) = '' THEN NULL ELSE
+             206.835
+             - 1.015 * (len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))::DOUBLE
+                        / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 84.6 * (list_sum(list_transform(
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))::DOUBLE
+                       / len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))
+           END AS ease,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM docs),
+         m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           round(AVG(ntok), 4) AS mean_tokens,
+           round(greatest(0.0, (COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*)), 4) AS dup_ratio,
+           round(SUM(pii)::DOUBLE / COUNT(*), 4) AS pii_per_doc,
+           round(AVG(ease), 4) + 0.0 AS mean_reading_ease
+         FROM b GROUP BY source),
+         lc AS (SELECT source, lang, COUNT(*) AS n FROM b GROUP BY source, lang),
+         lt AS (SELECT source, lang AS top_lang, n,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang DESC) AS rn,
+                  SUM(n) OVER (PARTITION BY source) AS tot
+                FROM lc),
+         cap AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cap_n,
+                   MIN(doc_id) AS cap_min_doc
+                 FROM (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY md5('samp:' || doc_id)) AS rn
+                       FROM docs) WHERE rn <= 20 GROUP BY source),
+         corp AS (SELECT CAST(COUNT(DISTINCT fp) AS BIGINT) AS corpus_docs FROM b)
+         SELECT m.*, lt.top_lang, round(lt.n::DOUBLE / lt.tot, 4) AS top_lang_share,
+           cap.cap_n, cap.cap_min_doc, corp.corpus_docs
+         FROM m JOIN lt ON m.source = lt.source AND lt.rn = 1
+         JOIN cap ON cap.source = m.source CROSS JOIN corp""",
 
     "q_x_stream_decontaminate" ->
       """WITH tok AS (SELECT doc_id,

@@ -1,0 +1,51 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Dev tool: cost of the streaming decontamination gate's two kernels as
+  * the corpus (and with it the %37 benchmark slice's gram set) grows —
+  * the numbers behind [[StreamOps.DecontExactGramCap]] (recorded in
+  * COVERAGE.md). The exact kernel's `arrays_overlap` against a constant
+  * array costs O(|bench grams|) per row (the r11 10x probe's 2.67 ->
+  * 20.66 s); the Bloom kernel's per-row cost is gram-set-independent, so
+  * past the gate the sweep scales with the stream alone. Both kernels
+  * run on the same batch frames here (they are row-local — stream
+  * machinery adds nothing to the comparison) and the Bloom keep-count is
+  * printed next to the exact one, bounding the observed false-drop mass.
+  * Usage: graft.dev.DecontGateProbe [sfDir] [scale10xDir] [n]
+  */
+object DecontGateProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val bigDir = args.lift(1).getOrElse("/tmp/graft_scale10x")
+    val n = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    println(f"${"dir"}%-24s ${"kernel"}%-8s kept      sec")
+    Seq(sfDir, bigDir).foreach { d =>
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val bench = docs.where(pmod(col("doc_id"), lit(37)) === 0)
+        .localCheckpoint()
+      Seq("exact" -> Int.MaxValue, "bloom" -> 0).foreach { case (label, cap) =>
+        // discarded warm-up + 2 timed runs, min reported
+        def run() = time(StreamOps.decontaminateStream(
+          docs, bench, "text", "text", n, maxExactGrams = cap).count())
+        run()
+        val rs = Seq(run(), run())
+        val kept = rs.head._1
+        println(f"$d%-24s $label%-8s $kept%-9d ${rs.map(_._2).min}%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

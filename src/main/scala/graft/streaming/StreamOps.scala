@@ -670,8 +670,8 @@ object StreamOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(dir)
     val f = live.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"$dir__old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir__tmp")
+    val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
+    val tmp = new org.apache.hadoop.fs.Path(s"${dir}__tmp")
     if (f.exists(tmp)) f.delete(tmp, true)
     if (f.exists(old)) {
       if (!f.exists(live)) require(f.rename(old, live),
@@ -716,7 +716,7 @@ object StreamOps {
     val maxId = subs.last._1
     val foldable = subs.filter(_._1 < maxId)
     if (foldable.size < 2) return 0 // already compact (base + max at most)
-    val tmp = s"$dir__tmp"
+    val tmp = s"${dir}__tmp"
     // read the foldable subdirs DIRECTLY (leaf reads — no partition
     // discovery, so no batch_id column sneaks into the written schema)
     spark.read.parquet(foldable.map(_._2.toString): _*)
@@ -726,7 +726,7 @@ object StreamOps {
     // ONE batch partial — bounded), so the swap replaces the whole root
     spark.read.parquet(subs.last._2.toString)
       .write.mode("overwrite").parquet(s"$tmp/batch_id=$maxId")
-    val old = new org.apache.hadoop.fs.Path(s"$dir__old")
+    val old = new org.apache.hadoop.fs.Path(s"${dir}__old")
     require(f.rename(live, old), s"compactPartials: could not stage $live aside")
     if (f.exists(live) || !f.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -1087,6 +1087,92 @@ object StreamOps {
           bitextMineIngestBatch(batch, tgt, w, outDir, batchId,
             idCol, vecCol, k, minMargin)
       }
+
+  /** One micro-batch of the exact-dedup corpus ingest the curation
+    * pipeline uses: drop batch rows whose normalized-text fingerprint is
+    * already in the corpus (and in-batch fp duplicates), append the
+    * survivors WITH their fingerprint (the corpus stores `__fp` so the
+    * presence check is a column-pruned scan riding the broadcast side of
+    * two joins — the vecIndexIngestBatch discipline; nothing corpus-sized
+    * ever shuffles). Replay-absorbed: a re-delivered batch's fps all
+    * match what the first delivery appended and the batch filters to
+    * empty. The corpus row count is therefore exactly COUNT(DISTINCT fp)
+    * of everything ingested — order-independent, which is what lets the
+    * full pipeline render hash-match a SQL oracle. */
+  def exactDedupIngestBatch(batch: DataFrame, corpusDir: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): Long = {
+    import graft.text.TextOps
+    val spark = batch.sparkSession
+    val withFp = batch
+      .withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
+      .dropDuplicates("__fp")
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (f.exists(p)) {
+        val present = spark.read.parquet(corpusDir).select(col("__fp"))
+          .join(broadcast(withFp.select(col("__fp"))), Seq("__fp"), "left_semi")
+        withFp.join(broadcast(present), Seq("__fp"), "left_anti")
+      } else withFp
+    val kept = fresh.localCheckpoint()
+    val n = kept.count()
+    if (n > 0) kept.write.mode("append").parquet(corpusDir)
+    n
+  }
+
+  /** The END-TO-END live curation pipeline — the streaming twin of the
+    * batch `q_x_corpus_pipeline_v2` composition, chaining the proven
+    * live pieces over one stream: benchmark DECONTAMINATION (the gated
+    * row-local kernel, planned once on the stream), then per batch of
+    * survivors the live DATA CARD partials, the per-source CAP partials
+    * (grouped bottom-k — the deterministic stratified sample), and the
+    * exact-dedup CORPUS ingest. Every stage is either row-local or a
+    * replay-proof idempotent partial/absorbing append, so a crash replay
+    * changes nothing — and every stage is order-independent at render
+    * time, which is why [[curationRender]] is hash-checkable against one
+    * batch SQL oracle over the same input. */
+  def curationPipelineStream(docs: DataFrame, pipeDir: String,
+                             benchmark: DataFrame,
+                             benchTextCol: String = "text", n: Int = 5,
+                             capK: Int = 20, idCol: String = "doc_id",
+                             textCol: String = "text",
+                             langCol: String = "lang",
+                             sourceCol: String = "source")
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val gated = decontaminateStream(docs, benchmark, textCol, benchTextCol, n)
+    gated.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // one materialization feeds all three consumers — the
+          // checkpointed-frames discipline from the batch pipeline
+          val b = batch.localCheckpoint()
+          dataCardIngestBatch(b, s"$pipeDir/card", batchId, idCol, textCol,
+            langCol, sourceCol)
+          sampleByIngestBatch(b, s"$pipeDir/cap", batchId, sourceCol,
+            idCol, capK)
+          exactDedupIngestBatch(b, s"$pipeDir/corpus", idCol, textCol): Unit
+        }
+      }
+  }
+
+  /** The live pipeline audit row per source: the data card over every
+    * decontaminated doc, the per-source cap's kept count and minimum
+    * kept doc id (the deterministic keep rule, so both are
+    * oracle-checkable), and the global deduped corpus size (a
+    * driver-held count — one column, same value each row, the corpus's
+    * distinct-fingerprint total). */
+  def curationRender(spark: SparkSession, pipeDir: String,
+                     capK: Int = 20, idCol: String = "doc_id",
+                     sourceCol: String = "source"): DataFrame = {
+    val card = dataCardRender(spark, s"$pipeDir/card")
+    val cap = sampleByRender(spark, s"$pipeDir/cap", sourceCol, capK)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).cast("long").as("cap_n"),
+        min(col(idCol)).as("cap_min_doc"))
+    val corpusDocs = spark.read.parquet(s"$pipeDir/corpus").count()
+    card.join(cap, "source").withColumn("corpus_docs", lit(corpusDocs))
+  }
 
   /** Render the live ratings: reduce the accumulated win partials and
     * run the same fixed-iteration MM solve as the batch

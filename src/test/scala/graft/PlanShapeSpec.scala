@@ -356,6 +356,61 @@ class PlanShapeSpec extends AnyFunSuite {
         "bounded-input justification")
   }
 
+  test("crossJoins are confined to the audited broadcast/1-row/capped sites") {
+    // A crossJoin between two corpus-sized frames is a cluster killer;
+    // every site in main is enumerated here with WHY its blowup is
+    // bounded (a broadcast 1-row/driver-sized side, or a documented
+    // capped validation mode). A new one fails this test until it is
+    // audited onto the list — the unpartitioned-window discipline
+    // applied to cross products.
+    val allowed = Map(
+      // scalar Procrustes seed-pair fold: broadcast driver-sized side
+      "vec/Bitext.scala" -> 1,
+      // SQ8 exhaustive probe: broadcast query side (probe-batch-sized)
+      "vec/Quantize.scala" -> 1,
+      // brute-force/ADC/RP probes: broadcast query side each
+      "vec/VectorOps.scala" -> 3,
+      // MMR pooling: broadcast query side
+      "vec/Mmr.scala" -> 1,
+      // beam search entry step: broadcast query-id frame x entry row
+      "vec/GraphAnn.scala" -> 1,
+      // normalization fold: broadcast 1-row min/max agg
+      "functions/Stats.scala" -> 1,
+      // shard planner: broadcast 1-row total agg
+      "etl/Shards.scala" -> 1,
+      // zipf fit + log-likelihood folds: broadcast 1-row aggs
+      "text/CorpusStats.scala" -> 3,
+      // AUC: two 1-row aggs (positive/negative totals)
+      "text/Eval.scala" -> 1,
+      // health report: 1-row corpus totals agg
+      "text/SnapshotOps.scala" -> 1,
+      // kappa/alpha/BT folds: broadcast 1-row/domain-sized aggs
+      "text/Labels.scala" -> 4,
+      // containment validation mode (CAPPED exhaustive, documented) +
+      // two broadcast 1-row stats folds
+      "text/TextOps.scala" -> 3,
+      // q_x_ann oracle harness (8-query broadcast) + near-dup 1-row agg
+      "SparkEntry.scala" -> 2)
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val re = """\.crossJoin\(""".r
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val n = re.findAllIn(src).matchData.count { m =>
+          val lineStart = src.lastIndexOf('\n', m.start) + 1
+          val lead = src.slice(lineStart, m.start).trim
+          !lead.startsWith("*") && !lead.startsWith("//")
+        }
+        if (n > 0) found(root.relativize(p).toString) = n
+      }
+    }
+    assert(found.toMap == allowed,
+      s"crossJoin sites changed: found=$found allowed=$allowed — bound the " +
+        "new cross product (broadcast a 1-row/driver-sized side, or cap " +
+        "and document a validation mode) and audit it into this allowlist")
+  }
+
   test("parquet aggregate pushdown: count/min/max answer from footer stats") {
     val dir = java.nio.file.Files.createTempDirectory("graft_aggpd_").toString
     spark.range(0, 10000).selectExpr("id", "id % 7 AS v")

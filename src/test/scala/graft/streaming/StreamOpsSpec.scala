@@ -512,6 +512,81 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("one dup mode"))
   }
 
+  test("curation pipeline: checkpoint restart resumes; replayed batch changes nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spipe_t_")
+    val srcDir = java.nio.file.Files.createDirectories(dir.resolve("src"))
+    val ckpt = dir.resolve("ck").toString
+    val pipeDir = dir.resolve("pipe").toString
+    def mkDocs(ids: Seq[Long]) = ids.map { i =>
+      val body = if (i % 6 == 0) "the forbidden benchmark passage appears right here today"
+        else if (i % 3 == 0) "one shared duplicate body for the dedup stage to collapse."
+        else s"unique clean document $i about topic ${i % 4} with several words."
+      (i, body, "en", if (i % 2 == 0) "web" else "books")
+    }.toDF("doc_id", "text", "lang", "source")
+    def writeFile(ids: Seq[Long], name: String): Unit = {
+      val staging = dir.resolve(s"_s$name")
+      mkDocs(ids).coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"$name.parquet")): Unit
+    }
+    val bench = Seq("the forbidden benchmark passage appears right here today")
+      .toDF("text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = graft.streaming.StreamOps.curationPipelineStream(
+          docs, pipeDir, bench, "text", n = 3, capK = 5)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(1L to 12L, "d0")
+    run()
+    // "restart": a new query on the same checkpoint consumes only d1
+    writeFile(13L to 24L, "d1")
+    run()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val render = graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = 5)
+    val got = rows(render)
+    // the batch composition over the SAME 24 docs: decontaminate, card,
+    // cap, distinct-fp corpus — computed with the proven batch pieces
+    val all = mkDocs(1L to 24L)
+    val decon = graft.text.TextOps.decontaminateNgramOverlap(
+      all, bench, "doc_id", "text", "text", n = 3).localCheckpoint()
+    val card = graft.text.DataCard.perSource(decon, "doc_id", "text", "lang", "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5(concat(lit("samp:"), $"doc_id".cast("string"))))
+    val cap = decon.withColumn("__rn", row_number().over(w)).where($"__rn" <= 5)
+      .groupBy($"source").agg(count(lit(1)).cast("long").as("cap_n"),
+        min($"doc_id").as("cap_min_doc"))
+    val corpusDocs = decon
+      .select(graft.text.TextOps.fingerprintMd5($"text")).distinct().count()
+    val expect = rows(card.join(cap, "source")
+      .withColumn("corpus_docs", lit(corpusDocs)))
+    assert(got == expect && got.nonEmpty)
+    // every doc dropped by the gate shares the benchmark passage; the
+    // corpus holds one row per distinct fingerprint
+    assert(spark.read.parquet(s"$pipeDir/corpus").count() == corpusDocs)
+    // a crash replay of the LAST batch re-runs all three stage ingests
+    // with the same batch id: partials rewrite in place, the absorbing
+    // corpus append filters to empty — the render is unchanged
+    val lastBatch = graft.streaming.StreamOps.decontaminateStream(
+      mkDocs(13L to 24L), bench, "text", "text", n = 3)
+    graft.streaming.StreamOps.dataCardIngestBatch(lastBatch, s"$pipeDir/card", 1L)
+    graft.streaming.StreamOps.sampleByIngestBatch(lastBatch, s"$pipeDir/cap", 1L,
+      "source", "doc_id", k = 5)
+    assert(graft.streaming.StreamOps.exactDedupIngestBatch(
+      lastBatch, s"$pipeDir/corpus") == 0L)
+    assert(rows(graft.streaming.StreamOps.curationRender(spark, pipeDir,
+      capK = 5)) == expect)
+  }
+
   test("streaming dedup ingest: corpus accumulates only novel docs; replay is a no-op") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_dingest_in_")
