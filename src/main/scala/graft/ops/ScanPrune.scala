@@ -70,8 +70,10 @@ object ScanPrune {
     * correctness dependency. */
   def prunedScan(spark: SparkSession, dir: String,
                  scan: org.apache.spark.sql.DataFrame, keyCol: String,
-                 keys: => Array[Any]): org.apache.spark.sql.DataFrame = {
-    if (tableBytes(spark, dir) < PushMinTableBytes) return scan
+                 keys: => Array[Any],
+                 minTableBytes: Long = PushMinTableBytes)
+      : org.apache.spark.sql.DataFrame = {
+    if (tableBytes(spark, dir) < minTableBytes) return scan
     val ks = keys.filter(_ != null)
     if (ks.isEmpty || ks.length > MaxPushKeys) return scan
     ks.head match {
@@ -99,6 +101,27 @@ object ScanPrune {
       case _ => scan
     }
   }
+
+  /** [[prunedScan]] with the probe keys still a FRAME: collects them
+    * through `limit(MaxPushKeys + 1)`, so an over-cap key set is
+    * detected after at most cap+1 rows reach the driver instead of
+    * collecting the whole batch's key column only to refuse it — the
+    * hot-path form every per-ingest/per-probe caller should use (a
+    * micro-batch routinely carries far more than [[MaxPushKeys]] keys,
+    * and the old shape paid a full distinct+collect job per batch for
+    * a pushdown that could never engage). When the limited collect
+    * comes back at or under the cap it IS the complete distinct key
+    * set, so exactness is unchanged. Runs nothing unless the (fs
+    * metadata) size gate passes. */
+  def prunedScanDf(spark: SparkSession, dir: String,
+                   scan: org.apache.spark.sql.DataFrame, keyCol: String,
+                   keysDf: org.apache.spark.sql.DataFrame,
+                   minTableBytes: Long = PushMinTableBytes)
+      : org.apache.spark.sql.DataFrame =
+    prunedScan(spark, dir, scan, keyCol, {
+      val sample = keysDf.limit(MaxPushKeys + 1).collect().map(_.get(0))
+      if (sample.length > MaxPushKeys) Array.empty[Any] else sample
+    }, minTableBytes)
 
   /** The balanced interval tree over a SORTED key array (Long or
     * String — both order identically in Spark and parquet stats for

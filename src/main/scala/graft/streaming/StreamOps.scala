@@ -345,13 +345,18 @@ object StreamOps {
       .select(explode(TextOps.wordShingles(
         TextOps.tokens(col(benchTextCol)), n)).as("__ng"))
       .distinct()
-    val nGrams = gramsDf.count()
+    // ONE gate job, not count-then-collect: a limit(cap+1) collect both
+    // decides the gate (size cap+1 means over) and, when at or under
+    // the cap, IS the complete literal gram set — and it bounds driver
+    // memory in the over-cap case instead of counting the whole set
+    val gramSample = gramsDf.limit(maxExactGrams + 1)
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
     val docGrams = TextOps.wordShingles(TextOps.tokens(col(textCol)), n)
-    if (nGrams <= maxExactGrams) {
-      val grams = gramsDf.as[String](org.apache.spark.sql.Encoders.STRING)
-        .collect().sorted
-      docs.where(!arrays_overlap(docGrams, typedlit(grams.toSeq)))
+    if (gramSample.length <= maxExactGrams) {
+      docs.where(!arrays_overlap(docGrams, typedlit(gramSample.sorted.toSeq)))
     } else {
+      // over-cap: the count runs only here, purely to size the Bloom
+      val nGrams = gramsDf.count()
       val bloom = graft.ops.BloomJoin.bloomBytes(gramsDf, "__ng", nGrams, fpp)
       docs.where(!exists(docGrams,
         g => graft.ops.BloomJoin.mightContain(bloom, g)))
@@ -464,10 +469,13 @@ object StreamOps {
                        shingleN: Int = 3, threshold: Double = 0.5): Long = {
     import graft.text.TextOps
     val spark = batch.sparkSession
-    val path = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healPartials(spark, corpusDir) // restore a compactCorpus mid-swap crash
+    // hasCommittedData, not bare exists: a crash during the first append
+    // leaves the dir with only a _temporary skeleton, and reading it as
+    // parquet would throw on every replay — wedging the stream
     val existing =
-      if (fs.exists(path)) spark.read.parquet(corpusDir).select(col(idCol), col(textCol))
+      if (hasCommittedData(spark, corpusDir))
+        spark.read.parquet(corpusDir).select(col(idCol), col(textCol))
       else batch.select(col(idCol), col(textCol)).limit(0)
     val survivors = TextOps.dedupIncremental(
       batch, existing, idCol, textCol, shingleN, threshold)
@@ -639,6 +647,28 @@ object StreamOps {
             batch, idCol, textCol, params): Unit
       }
 
+  /** True iff `dir` holds at least one COMMITTED part file. The
+    * presence gate for absorbing-append corpus ingests: a crash during
+    * the first append leaves the directory existing with only a
+    * `_temporary` skeleton, and gating on bare exists would then read
+    * an empty parquet dir (unable-to-infer-schema) on every replay —
+    * permanently wedging the stream. Same discipline as
+    * WinnowIndex/DedupIndex `hasData`. */
+  private def hasCommittedData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (it.hasNext && !found) {
+        val name = it.next().getPath.getName
+        found = name.startsWith("part-") && !name.startsWith("_") &&
+          !name.startsWith(".")
+      }
+      found
+    }
+  }
+
   /** The shared idempotent-partials write: one micro-batch's partial
     * frame overwrites its OWN `batch_id=<id>` subdir, so a replayed
     * batch (crash between write and checkpoint commit) rewrites rather
@@ -738,6 +768,59 @@ object StreamOps {
     }
     f.delete(old, true)
     foldable.size
+  }
+
+  /** Compact an absorbing-append CORPUS directory (the
+    * [[exactDedupIngestBatch]] / [[dedupIngestBatch]] sinks): every
+    * micro-batch appends its own parquet file set, so a long-running
+    * ingest accumulates files forever and the per-batch presence scan
+    * drifts from data cost to file-open overhead — the same wall
+    * [[compactPartials]] closes for partials roots. The whole corpus is
+    * rewritten into `targetFiles` files through the two-rename swap
+    * healed by [[healPartials]] (both ingests and [[curationRender]]
+    * heal on open). Pure file reorganisation — rows are concatenated,
+    * never filtered or aggregated.
+    *
+    * Replay safety needs NO preserved subdir here, unlike partials:
+    * these corpora absorb replays by CONTENT (the fingerprint/near-dup
+    * anti-join), not by batch id, so a re-delivered batch filters to
+    * empty against the compacted corpus exactly as it would against the
+    * original files. NOT concurrent-safe against an in-flight ingest
+    * (an append landing mid-swap would be lost with the old tree) — run
+    * with the stream quiesced, the compactPartials contract. Returns
+    * the number of data files before compaction (0 = nothing to do). */
+  def compactCorpus(spark: SparkSession, corpusDir: String,
+                    targetFiles: Int = 32): Int = {
+    require(targetFiles >= 1, s"compactCorpus: targetFiles >= 1, got $targetFiles")
+    healPartials(spark, corpusDir)
+    if (!hasCommittedData(spark, corpusDir)) return 0
+    val live = new org.apache.hadoop.fs.Path(corpusDir)
+    val f = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = {
+      val it = f.listFiles(live, true)
+      var n = 0
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (name.startsWith("part-")) n += 1
+      }
+      n
+    }
+    if (nFiles <= targetFiles) return 0
+    val tmp = s"${corpusDir}__tmp"
+    spark.read.parquet(corpusDir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"${corpusDir}__old")
+    require(f.rename(live, old), s"compactCorpus: could not stage $live aside")
+    if (f.exists(live) || !f.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      if (!f.exists(live)) require(f.rename(old, live),
+        s"compactCorpus: could not restore $old after failed install")
+      throw new IllegalStateException(
+        s"compactCorpus: could not install $tmp — concurrent open or fs " +
+          "error; corpus restored, re-run with the stream quiesced")
+    }
+    f.delete(old, true)
+    nFiles
   }
 
   /** One micro-batch of the LIVE corpus data card: per-batch partials
@@ -1072,9 +1155,9 @@ object StreamOps {
 
   /** Streaming bitext mining: source vectors arriving on a stream are
     * aligned + mined per micro-batch against the static target side;
-    * read the accumulated pairs any time with
-    * `spark.read.parquet(s"$outDir/pairs")`. Start with a checkpoint —
-    * replays rewrite their own batch_id partial. */
+    * read the accumulated pairs any time with [[bitextPairsRender]].
+    * Start with a checkpoint — replays rewrite their own batch_id
+    * partial. */
   def bitextMineStream(src: DataFrame, tgt: DataFrame,
                        w: Array[Array[Double]], outDir: String,
                        idCol: String = "vec_id",
@@ -1088,6 +1171,17 @@ object StreamOps {
             idCol, vecCol, k, minMargin)
       }
 
+  /** The accumulated mined pairs, healed first: like every
+    * [[writeBatchPartial]] family, the pairs dir is compactPartials-
+    * managed, so a raw `spark.read.parquet` would fail if a compaction
+    * crashed mid-swap (live renamed away, data intact under `__old`) —
+    * the render must heal before reading, exactly as the card/sample/
+    * ratings renders do. */
+  def bitextPairsRender(spark: SparkSession, outDir: String): DataFrame = {
+    healPartials(spark, s"$outDir/pairs")
+    spark.read.parquet(s"$outDir/pairs")
+  }
+
   /** One micro-batch of the exact-dedup corpus ingest the curation
     * pipeline uses: drop batch rows whose normalized-text fingerprint is
     * already in the corpus (and in-batch fp duplicates), append the
@@ -1098,19 +1192,25 @@ object StreamOps {
     * match what the first delivery appended and the batch filters to
     * empty. The corpus row count is therefore exactly COUNT(DISTINCT fp)
     * of everything ingested — order-independent, which is what lets the
-    * full pipeline render hash-match a SQL oracle. */
+    * full pipeline render hash-match a SQL oracle. Null texts are
+    * dropped: a null fingerprint never equi-matches the anti-join, so
+    * a null-text row would re-append on EVERY batch, silently inflating
+    * the corpus past its distinct-fp contract. The presence gate is
+    * [[hasCommittedData]], not bare exists — a crash during the very
+    * first append leaves the directory with a `_temporary` skeleton and
+    * no committed part files, and a bare-exists gate would then throw
+    * unable-to-infer-schema on every replay, wedging the stream. */
   def exactDedupIngestBatch(batch: DataFrame, corpusDir: String,
-                            idCol: String = "doc_id",
                             textCol: String = "text"): Long = {
     import graft.text.TextOps
     val spark = batch.sparkSession
+    healPartials(spark, corpusDir) // restore a compactCorpus mid-swap crash
     val withFp = batch
       .withColumn("__fp", TextOps.fingerprintMd5(col(textCol)))
+      .where(col("__fp").isNotNull)
       .dropDuplicates("__fp")
-    val p = new org.apache.hadoop.fs.Path(corpusDir)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (f.exists(p)) {
+      if (hasCommittedData(spark, corpusDir)) {
         val present = spark.read.parquet(corpusDir).select(col("__fp"))
           .join(broadcast(withFp.select(col("__fp"))), Seq("__fp"), "left_semi")
         withFp.join(broadcast(present), Seq("__fp"), "left_anti")
@@ -1151,7 +1251,7 @@ object StreamOps {
             langCol, sourceCol)
           sampleByIngestBatch(b, s"$pipeDir/cap", batchId, sourceCol,
             idCol, capK)
-          exactDedupIngestBatch(b, s"$pipeDir/corpus", idCol, textCol): Unit
+          exactDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit
         }
       }
   }
@@ -1170,6 +1270,7 @@ object StreamOps {
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).cast("long").as("cap_n"),
         min(col(idCol)).as("cap_min_doc"))
+    healPartials(spark, s"$pipeDir/corpus") // compactCorpus mid-swap crash
     val corpusDocs = spark.read.parquet(s"$pipeDir/corpus").count()
     card.join(cap, "source").withColumn("corpus_docs", lit(corpusDocs))
   }

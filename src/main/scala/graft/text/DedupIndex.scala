@@ -164,9 +164,9 @@ object DedupIndex {
         // ScanPrune.prunedScan gates size-first (fs metadata), so the
         // batch-fp collect job only runs on gate-sized tables; null
         // fingerprints are dropped inside (a null can't equi-match)
-        val idxFp = graft.ops.ScanPrune.prunedScan(spark, fpDir,
+        val idxFp = graft.ops.ScanPrune.prunedScanDf(spark, fpDir,
           spark.read.parquet(fpDir).select(col("fp")), "fp",
-          sigs.select(col("__fp")).distinct().collect().map(_.get(0)))
+          sigs.select(col("__fp")).distinct())
         sigs.join(idxFp, sigs("__fp") === col("fp"), "left_anti")
       } else sigs
 
@@ -195,11 +195,10 @@ object DedupIndex {
         // the probe's keys — exactness stays with the join): pushes the
         // page filter when the band table clears the size gate
         val bandsDir = s"$indexDir/bands"
-        val bandTable = graft.ops.ScanPrune.prunedScan(spark, bandsDir,
+        val bandTable = graft.ops.ScanPrune.prunedScanDf(spark, bandsDir,
           spark.read.parquet(bandsDir), "band_hash",
           sigs.where(col("__bands").isNotNull)
-            .select(explode(col("__bands")).as("__bh")).distinct()
-            .collect().map(_.get(0)))
+            .select(explode(col("__bands")).as("__bh")).distinct())
         val matched = bandTable
           .join(broadcast(probe.select(bandKey.map(col): _*).distinct()), bandKey)
           .localCheckpoint()
@@ -221,9 +220,9 @@ object DedupIndex {
         // prunedScan dispatches on the actual id type (long/int/string)
         // instead of assuming bigint ids
         val sigDir = s"$indexDir/sig"
-        val sigTable = graft.ops.ScanPrune.prunedScan(spark, sigDir,
+        val sigTable = graft.ops.ScanPrune.prunedScanDf(spark, sigDir,
           spark.read.parquet(sigDir), "id",
-          candidates.select(col("id_l")).distinct().collect().map(_.get(0)))
+          candidates.select(col("id_l")).distinct())
         val estimated = candidates
           .join(sigTable
             .withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")

@@ -249,13 +249,14 @@ object WinnowIndex {
         // is needed) and the batch then anti-joins the broadcast
         // `present`. The previous form distinct-ed the fp table's id
         // column: per-GRAM sized, a full corpus shuffle per micro-batch.
-        // Above ScanPrune's size gate the manifest scan is additionally
-        // pruned to the parquet pages the batch's ids can touch, so
-        // per-ingest IO is bounded by the BATCH, not the corpus.
+        // Above ScanPrune's size gate, TRICKLE batches (<= MaxPushKeys
+        // ids) additionally prune the manifest scan to the pages their
+        // ids can touch; larger batches keep the plain columnar scan of
+        // the one-row-per-doc manifest (prunedScanDf detects over-cap
+        // after cap+1 collected rows — it never collects the batch).
         val batchIds = fresh0.select(col(idCol).as("id"))
-        val idScan = graft.ops.ScanPrune.prunedScan(spark, s"$indexDir/ids",
-          spark.read.parquet(s"$indexDir/ids"), "id",
-          batchIds.collect().map(_.get(0)))
+        val idScan = graft.ops.ScanPrune.prunedScanDf(spark, s"$indexDir/ids",
+          spark.read.parquet(s"$indexDir/ids"), "id", batchIds.distinct())
         val present = idScan.join(broadcast(batchIds), Seq("id"), "left_semi")
         fresh0.join(broadcast(present), fresh0(idCol) === present("id"),
           "left_anti")

@@ -86,11 +86,13 @@ object VecIndex {
   }
 
   private def loadCentroids(spark: SparkSession,
-                            indexDir: String): Seq[(Long, Array[Double])] =
+                            indexDir: String): Seq[(Long, Array[Double])] = {
+    healReassign(spark, indexDir)
     spark.read.parquet(s"$indexDir/centroids")
       .collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).toSeq
+  }
 
   private def checkDim(spark: SparkSession, indexDir: String,
                        vectors: DataFrame, idCol: String, vecCol: String): Unit = {
@@ -582,8 +584,8 @@ object VecIndex {
 
   /** The shared reassign-and-swap tail of [[rebalance]] and
     * [[refreshCentroids]]: every row lands in its nearest NEW centroid's
-    * list, installed through the tmp + live/_bak swap, centroids and
-    * stats rewritten to match. */
+    * list, installed through [[installReassigned]]'s crash-consistent
+    * pending-epoch protocol (centroids and stats rewritten to match). */
   private def reassignAll(spark: SparkSession, indexDir: String,
                           base: DataFrame,
                           cents: Seq[(Long, Array[Double])]): Unit = {
@@ -591,9 +593,113 @@ object VecIndex {
     base.withColumn("list_id",
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
       .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    installReassigned(spark, indexDir, tmp, cents)
+  }
+
+  private val ReassignEpochFile = "_REASSIGN_EPOCH"
+
+  /** Install freshly reassigned lists TOGETHER with the centroids they
+    * were assigned against. Two directories cannot swap atomically, and
+    * either interim state (new lists routed by old centroids, or the
+    * reverse) silently collapses probe recall — the exact decay
+    * [[refreshCentroids]] exists to repair. So the interim states are
+    * made detectable and healable instead: the new centroids persist
+    * FIRST under `centroids__pending` stamped with a fresh epoch, the
+    * new lists carry the SAME epoch through their swap (an `_`-prefixed
+    * marker file travels with the directory rename; parquet readers
+    * ignore it), and [[healReassign]] — run on every [[loadCentroids]],
+    * i.e. by every probe/append/maintenance entry — either completes
+    * the install (epochs match: the lists swap committed, the pending
+    * centroids are the routing table those lists need) or aborts it
+    * (epochs differ: the lists swap never happened; the old state is
+    * intact and self-consistent, the caller just reruns). */
+  private def installReassigned(spark: SparkSession, indexDir: String,
+                                tmp: String,
+                                cents: Seq[(Long, Array[Double])]): Unit = {
+    import spark.implicits._
+    val epoch = java.util.UUID.randomUUID().toString
+    val pending = s"$indexDir/centroids__pending"
+    cents.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(pending)
+    writeEpoch(spark, pending, epoch)
+    writeEpoch(spark, tmp, epoch)
     swapDir(spark, tmp, s"$indexDir/lists")
+    completePending(spark, indexDir)
+  }
+
+  /** Finish a committed pending install: centroids, then stats, then
+    * retire the pending dir. Idempotent — a crash at any point leaves
+    * the pending in place and the next heal retries the whole tail. */
+  private def completePending(spark: SparkSession, indexDir: String): Unit = {
+    val pending = s"$indexDir/centroids__pending"
+    val cents = spark.read.parquet(pending)
+      .select(col("centroid_id"), col("centroid"))
+      .collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
     writeCentroids(spark, indexDir, cents)
     refreshStatCounts(spark, indexDir)
+    val (f, p) = fsPath(spark, pending)
+    f.delete(p, true): Unit
+  }
+
+  /** Heal-on-open for [[installReassigned]]'s crash windows. First
+    * restores any half-finished [[swapDir]] (live renamed away, data
+    * intact under `_bak` — a raw read would otherwise fail loudly on a
+    * healthy index), then resolves a leftover pending install by epoch
+    * comparison. Runs on every [[loadCentroids]]; maintenance ops are
+    * single-writer by contract, so the heal never races an in-flight
+    * install. */
+  private def healReassign(spark: SparkSession, indexDir: String): Unit = {
+    Seq("lists", "centroids", "stats")
+      .foreach(d => restoreBak(spark, s"$indexDir/$d"))
+    val pending = s"$indexDir/centroids__pending"
+    val (f, pp) = fsPath(spark, pending)
+    if (f.exists(pp)) {
+      val pe = readEpoch(spark, pending)
+      val le = readEpoch(spark, s"$indexDir/lists")
+      if (pe.isDefined && pe == le) completePending(spark, indexDir)
+      else f.delete(pp, true): Unit
+    }
+  }
+
+  private def restoreBak(spark: SparkSession, live: String): Unit = {
+    val (f, liveP) = fsPath(spark, live)
+    val bakP = new org.apache.hadoop.fs.Path(live + "_bak")
+    if (!f.exists(liveP) && f.exists(bakP))
+      require(f.rename(bakP, liveP),
+        s"healReassign: could not restore $bakP to $liveP")
+  }
+
+  private def fsPath(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeEpoch(spark: SparkSession, dir: String,
+                         epoch: String): Unit = {
+    val (f, _) = fsPath(spark, dir)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$dir/$ReassignEpochFile"), true)
+    try out.write(epoch.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readEpoch(spark: SparkSession, dir: String): Option[String] = {
+    val (f, _) = fsPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ReassignEpochFile")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(buf.toString("UTF-8"))
+      } finally in.close()
+    }
   }
 
   /** [[rebalance]] for the IVF-PQ layout. The index stores codes only,
@@ -638,9 +744,7 @@ object VecIndex {
     VectorOps.pqEncode(resid, "id", "residual", model)
       .join(resid.select(col("id"), col("list_id")), "id")
       .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
-    swapDir(spark, tmp, s"$indexDir/lists")
-    writeCentroids(spark, indexDir, cents)
-    refreshStatCounts(spark, indexDir)
+    installReassigned(spark, indexDir, tmp, cents)
     (before, listStats(spark, indexDir))
   }
 

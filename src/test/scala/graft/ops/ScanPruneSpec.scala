@@ -52,6 +52,28 @@ class ScanPruneSpec extends AnyFunSuite {
     }
   }
 
+  test("prunedScanDf: exact under the cap, unchanged scan over it, bounded collect") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scanprunedf_").toString + "/t"
+    (0L until 5000L).map(_ * 3L).toDF("id")
+      .coalesce(1).sortWithinPartitions(col("id")).write.parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // under the cap (minTableBytes forced to 0 so the unit-test-sized
+    // table passes the gate): precisely the probed keys survive
+    val probe = Seq(0L, 33L, 999L, 1L, 15000L).toDF("id")
+    val got = ScanPrune.prunedScanDf(spark, dir, scan, "id", probe,
+      minTableBytes = 0L).as[Long].collect().sorted
+    assert(got.toSeq == Seq(0L, 33L, 999L)) // 1 (not a multiple of 3) and 15000 (out of range) miss
+    // over the cap: the key frame exceeds MaxPushKeys, so the scan comes
+    // back unfiltered — and only cap+1 rows were ever collected
+    val big = (0L until (ScanPrune.MaxPushKeys + 100L)).toDF("id")
+    assert(ScanPrune.prunedScanDf(spark, dir, scan, "id", big,
+      minTableBytes = 0L).count() == 5000L)
+    // below the size gate nothing is collected or filtered at all
+    assert(ScanPrune.prunedScanDf(spark, dir, scan, "id", probe)
+      .count() == 5000L)
+  }
+
   test("shouldPush gates on both key count and table size") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_scanprune_").toString + "/t"

@@ -587,6 +587,66 @@ class StreamOpsSpec extends AnyFunSuite {
       capK = 5)) == expect)
   }
 
+  test("exactDedupIngestBatch: null texts never inflate the corpus; a crashed first append cannot wedge the stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_exdedup_")
+    val corpus = dir.resolve("corpus").toString
+    // a crashed very first append: the dir exists with only the
+    // committer's _temporary skeleton and NO committed part files — the
+    // replay must treat it as an empty corpus, not throw
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(corpus, "_temporary", "0"))
+    def batch(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val b = Seq(1L -> "alpha body", 2L -> (null: String), 3L -> "beta body")
+    assert(graft.streaming.StreamOps.exactDedupIngestBatch(
+      batch(b), corpus) == 2L) // null text dropped, two real docs kept
+    // a second batch carrying ANOTHER null text and one replayed doc:
+    // without the null filter the null-fp row would re-append forever
+    val b2 = Seq(4L -> (null: String), 5L -> "alpha body", 6L -> "gamma body")
+    assert(graft.streaming.StreamOps.exactDedupIngestBatch(
+      batch(b2), corpus) == 1L)
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 3L) // alpha, beta, gamma — no null rows, no dups
+    assert(got.where($"text".isNull).count() == 0L)
+  }
+
+  test("compactCorpus: folds the absorbing-append corpus, replays still absorbed, mid-swap crash heals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccorpus_")
+    val corpus = dir.resolve("corpus").toString
+    def batch(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def ingest(rows: Seq[(Long, String)]) =
+      graft.streaming.StreamOps.exactDedupIngestBatch(batch(rows), corpus)
+    def parts() = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(corpus))
+      try s.filter(p => p.getFileName.toString.startsWith("part-")).count()
+      finally s.close()
+    }
+    def rowSet() = spark.read.parquet(corpus)
+      .select($"doc_id", $"text").collect().map(_.toSeq).toSet
+    // many tiny batches -> many file sets
+    (0 until 6).foreach(i => ingest(Seq(i.toLong -> s"doc body $i")))
+    val before = rowSet()
+    assert(parts() > 2)
+    assert(graft.streaming.StreamOps.compactCorpus(spark, corpus,
+      targetFiles = 2) > 0)
+    assert(parts() <= 2, "corpus must fold to the target file count")
+    assert(rowSet() == before, "compaction is a pure file reorganisation")
+    // idempotent: already at target -> nothing to do
+    assert(graft.streaming.StreamOps.compactCorpus(spark, corpus,
+      targetFiles = 2) == 0)
+    // replays absorb by CONTENT against the compacted corpus
+    assert(ingest(Seq(3L -> "doc body 3")) == 0L)
+    // new docs still land
+    assert(ingest(Seq(99L -> "novel body")) == 1L)
+    // mid-swap crash: live renamed aside, __old holds the corpus — the
+    // next ingest heals before reading
+    java.nio.file.Files.move(java.nio.file.Paths.get(corpus),
+      java.nio.file.Paths.get(corpus + "__old"))
+    assert(ingest(Seq(100L -> "post-crash body")) == 1L)
+    assert(rowSet().size == before.size + 2)
+  }
+
   test("streaming dedup ingest: corpus accumulates only novel docs; replay is a no-op") {
     import spark.implicits._
     val in = java.nio.file.Files.createTempDirectory("graft_dingest_in_")
@@ -1467,7 +1527,7 @@ class StreamOpsSpec extends AnyFunSuite {
       .option("checkpointLocation", dir.resolve("ck").toString).start()
     try {
       q.processAllAvailable()
-      val streamed = spark.read.parquet(s"$outDir/pairs")
+      val streamed = StreamOps.bitextPairsRender(spark, outDir)
         .select("src_id", "tgt_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // batch twin: the same per-batch align+mine calls
@@ -1486,7 +1546,7 @@ class StreamOpsSpec extends AnyFunSuite {
       // accumulated pair set is unchanged
       StreamOps.bitextMineIngestBatch(b1.toDF("vec_id", "embedding"),
         tgt, r0, outDir, batchId = 0L)
-      val replayed = spark.read.parquet(s"$outDir/pairs")
+      val replayed = StreamOps.bitextPairsRender(spark, outDir)
         .select("src_id", "tgt_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(replayed == streamed)

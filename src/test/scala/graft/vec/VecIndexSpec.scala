@@ -174,6 +174,63 @@ class VecIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("IVF-PQ"))
   }
 
+  test("reassign install is crash-consistent: heal completes or aborts a pending install by epoch") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def centroidRows(d: String) = spark.read.parquet(s"$d/centroids")
+      .select(col("centroid_id"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    def writeEpoch(d: String, e: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "_REASSIGN_EPOCH"),
+        e.getBytes("UTF-8")): Unit
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs, dir, nlist = 4, kmeansIters = 2)
+    val goodCents = centroidRows(dir)
+
+    // ABORT case: a reassign crashed BEFORE its lists swap — pending
+    // exists with an epoch the lists never received. Heal must drop the
+    // pending and leave the (consistent) old state untouched.
+    spark.read.parquet(s"$dir/centroids")
+      .withColumn("centroid", expr("transform(centroid, x -> x + 99.0)"))
+      .write.parquet(s"$dir/centroids__pending")
+    writeEpoch(s"$dir/centroids__pending", "epoch-abort")
+    val statsBefore = VecIndex.listStats(spark, dir) // public entry -> heal
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/centroids__pending")))
+    assert(centroidRows(dir) == goodCents, "abort must not touch live centroids")
+    assert(statsBefore.nVectors == 120L)
+
+    // COMPLETE case: a reassign crashed AFTER its lists swap (lists
+    // carry the pending's epoch) but BEFORE the centroid install — the
+    // live centroids are stale. Heal must install the pending centroids
+    // (the routing table the swapped lists were assigned against).
+    // Simulated with the pending holding the TRUE centroids and the
+    // live dir corrupted to stale values.
+    spark.read.parquet(s"$dir/centroids").localCheckpoint()
+      .write.parquet(s"$dir/centroids__pending")
+    writeEpoch(s"$dir/centroids__pending", "epoch-complete")
+    writeEpoch(s"$dir/lists", "epoch-complete")
+    val stale = spark.read.parquet(s"$dir/centroids").localCheckpoint()
+      .withColumn("centroid", expr("transform(centroid, x -> 0.0d)"))
+    stale.write.mode("overwrite").parquet(s"$dir/centroids")
+    assert(centroidRows(dir) != goodCents) // corruption took
+    val got = shape(VecIndex.topK(queries, dir, k = 4, nprobe = 4)) // -> heal
+    assert(centroidRows(dir) == goodCents,
+      "heal must complete the matched-epoch pending install")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/centroids__pending")))
+    val brute = shape(VectorOps.bruteForceTopK(vecs, queries,
+      "vec_id", "embedding", k = 4))
+    assert(got == brute)
+
+    // SWAP-WINDOW case: a swapDir crashed with live renamed to _bak —
+    // heal must restore it before any read touches the missing dir.
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/centroids"),
+      java.nio.file.Paths.get(s"$dir/centroids_bak"))
+    assert(VecIndex.listStats(spark, dir).nVectors == 120L)
+    assert(centroidRows(dir) == goodCents)
+  }
+
   test("append policy: skewed appends trip it, auto mode repairs, probes stay equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
     VecIndex.build(early, dir, nlist = 4, kmeansIters = 2)
