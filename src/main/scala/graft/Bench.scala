@@ -47,8 +47,11 @@ object Bench {
     // strictly before any timed run
     SparkEntry.prewarm(spark, sfDir)
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
+    // maintenance-proof twins are skipped (declared below in the JSON,
+    // never silently) unless explicitly requested via BENCH_ONLY
     val selected =
-      if (only.isEmpty) SparkEntry.queries
+      if (only.isEmpty)
+        SparkEntry.queries.filter { case (k, _) => !SparkEntry.benchVerifyOnly(k) }
       else SparkEntry.queries.filter { case (k, _) => only.contains(k) }
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -146,7 +149,10 @@ object Bench {
     // stdout, and the per-query maps alone exceed it at ~120 queries — so
     // the headline fields go LAST on the line (the big maps first), and
     // the full line is also written to BENCH_FULL.json for inspection.
-    val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
+    val skipped = SparkEntry.benchVerifyOnly.toSeq.sorted
+      .filter(SparkEntry.queries.contains).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"verify_only_skipped":$skipped,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may overwrite the inspection file — a
     // SPARK_GRAFT_BENCH_ONLY iteration run would clobber the complete

@@ -788,9 +788,14 @@ object StreamOps {
     * original files. NOT concurrent-safe against an in-flight ingest
     * (an append landing mid-swap would be lost with the old tree) — run
     * with the stream quiesced, the compactPartials contract. Returns
-    * the number of data files before compaction (0 = nothing to do). */
+    * the number of data files before compaction (0 = nothing to do).
+    * `sortCol` preserves a sorted-page layout through the rewrite (pass
+    * `Some("__fp")` for the exact-dedup corpus, whose presence probe
+    * page-prunes on the fp sort; the near-dup corpus has no sorted
+    * column and passes None). */
   def compactCorpus(spark: SparkSession, corpusDir: String,
-                    targetFiles: Int = 32): Int = {
+                    targetFiles: Int = 32,
+                    sortCol: Option[String] = None): Int = {
     require(targetFiles >= 1, s"compactCorpus: targetFiles >= 1, got $targetFiles")
     healPartials(spark, corpusDir)
     if (!hasCommittedData(spark, corpusDir)) return 0
@@ -807,8 +812,12 @@ object StreamOps {
     }
     if (nFiles <= targetFiles) return 0
     val tmp = s"${corpusDir}__tmp"
-    spark.read.parquet(corpusDir).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
+    val repart = spark.read.parquet(corpusDir).repartition(targetFiles)
+    sortCol.map(c => repart.sortWithinPartitions(col(c)))
+      .getOrElse(repart)
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
+      .parquet(tmp)
     val old = new org.apache.hadoop.fs.Path(s"${corpusDir}__old")
     require(f.rename(live, old), s"compactCorpus: could not stage $live aside")
     if (f.exists(live) || !f.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
@@ -1211,13 +1220,24 @@ object StreamOps {
       .dropDuplicates("__fp")
     val fresh =
       if (hasCommittedData(spark, corpusDir)) {
-        val present = spark.read.parquet(corpusDir).select(col("__fp"))
+        // every corpus file is written fp-sorted with page-capped rows
+        // (below), so once the corpus clears ScanPrune's size gate a
+        // trickle batch's presence check reads only the pages its fps
+        // can touch — the DedupIndex probe discipline, instead of a
+        // full (column-pruned but corpus-sized) fp scan per batch
+        val scan = graft.ops.ScanPrune.prunedScanDf(spark, corpusDir,
+          spark.read.parquet(corpusDir).select(col("__fp")), "__fp",
+          withFp.select(col("__fp")))
+        val present = scan
           .join(broadcast(withFp.select(col("__fp"))), Seq("__fp"), "left_semi")
         withFp.join(broadcast(present), Seq("__fp"), "left_anti")
       } else withFp
     val kept = fresh.localCheckpoint()
     val n = kept.count()
-    if (n > 0) kept.write.mode("append").parquet(corpusDir)
+    if (n > 0) kept.sortWithinPartitions(col("__fp"))
+      .write.mode("append")
+      .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
+      .parquet(corpusDir)
     n
   }
 
