@@ -149,9 +149,14 @@ object Bench {
     // stdout, and the per-query maps alone exceed it at ~120 queries — so
     // the headline fields go LAST on the line (the big maps first), and
     // the full line is also written to BENCH_FULL.json for inspection.
-    val skipped = SparkEntry.benchVerifyOnly.toSeq.sorted
-      .filter(SparkEntry.queries.contains).map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
+    // declared only for FULL runs: a BENCH_ONLY run skipped everything
+    // outside its filter, and may have explicitly timed a verify-only
+    // twin — listing it as skipped there would contradict the record
+    val skipped = (if (only.isEmpty)
+        SparkEntry.benchVerifyOnly.toSeq.sorted
+          .filter(SparkEntry.queries.contains)
+      else Seq.empty[String])
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"verify_only_skipped":$skipped,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may overwrite the inspection file — a

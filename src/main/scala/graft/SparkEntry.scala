@@ -307,12 +307,6 @@ object SparkEntry {
     pcaCache.computeIfAbsent((dir, dims), _ =>
       graft.vec.Reduce.pca(t(s, dir, "embeddings"), "embedding", dims))
 
-  /** One-time bench warm-up for queries with PERSISTENT setup state:
-    * builds the [[graft.text.DedupIndex]] for `dir` (the steady-state
-    * amortized cost) and pages its fp/sig/bands tables in with a count
-    * each, so timed runs of q_x_dedup_incremental_idx measure the
-    * recurring per-batch probe and nothing else. Idempotent and cheap
-    * when already warm. */
   /** Queries the bench SKIPS (and names in its JSON under
     * `verify_only_skipped` — never silently): correctness-machinery
     * proofs whose runtime is deliberately-redundant maintenance
@@ -321,6 +315,12 @@ object SparkEntry {
     * correctness gate on every round. */
   val benchVerifyOnly: Set[String] = Set("q_x_stream_pipeline_compacted")
 
+  /** One-time bench warm-up for queries with PERSISTENT setup state:
+    * builds the [[graft.text.DedupIndex]] for `dir` (the steady-state
+    * amortized cost) and pages its fp/sig/bands tables in with a count
+    * each, so timed runs of q_x_dedup_incremental_idx measure the
+    * recurring per-batch probe and nothing else. Idempotent and cheap
+    * when already warm. */
   def prewarm(s: SparkSession, dir: String): Unit = {
     val idx = dedupIdxFor(s, dir)
     Seq("fp", "sig", "bands").foreach { tbl =>
@@ -3489,7 +3489,7 @@ object SparkEntry {
           s"compacted-twin degenerated: nothing folded under $d")
       }
       require(StreamOps.compactCorpus(s, s"$pipeDir/corpus",
-          targetFiles = 2) > 0,
+          targetFiles = 2, sortCol = Some("__fp")) > 0,
         "compacted-twin degenerated: corpus had nothing to fold")
       // half B lands in one batch after a checkpoint RESTART over the
       // compacted state
@@ -3921,7 +3921,15 @@ object SparkEntry {
                 cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5"""
 
-  def oracleSql: Map[String, String] = uniqueMap(
+  def oracleSql: Map[String, String] = {
+    val dup = oracleSqlHead.keySet.intersect(oracleSqlTail.keySet)
+    require(dup.isEmpty,
+      s"oracle defined in both map halves (tail would silently shadow " +
+        s"head): ${dup.mkString(", ")}")
+    oracleSqlHead ++ oracleSqlTail
+  }
+
+  private lazy val oracleSqlHead: Map[String, String] = uniqueMap(
     "q_s3_scan_filter" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          l_quantity, l_extendedprice
@@ -7324,7 +7332,7 @@ object SparkEntry {
     // is already carried by q_x_stream_pipeline)
     "q_x_stream_pipeline_compacted" -> streamPipelineOracleSql(
       "(SELECT * FROM documents WHERE doc_id % 3 = 0)"),
-  ) ++ oracleSqlTail
+  )
 
   /** The live-pipeline oracle with its document source injectable, so
     * the full-corpus stream and the subset maintenance twin share the
@@ -7388,8 +7396,9 @@ object SparkEntry {
          JOIN cap ON cap.source = m.source CROSS JOIN corp"""
 
   // continuation of [[oracleSql]] (split so shared-oracle vals can sit
-  // between the halves; uniqueMap guards each half, the halves share no
-  // names by construction — verify would flag a shadowed oracle)
+  // between the halves; uniqueMap guards each half and oracleSql
+  // REQUIRES the halves disjoint, so a name landing in both fails at
+  // load instead of the tail silently shadowing the head)
   private lazy val oracleSqlTail: Map[String, String] = uniqueMap(
 
     "q_x_stream_decontaminate" ->

@@ -53,6 +53,45 @@ object ScanPrune {
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
+  /** On-disk compressed bytes of ONE column under `dir`, summed from
+    * the parquet footers (driver-side metadata reads, no data pages).
+    * The right size gate for probes over a FULL-ROW table: a 1 GB
+    * corpus of ~1 KB documents holds only tens of MB of fingerprint
+    * column, and the pushdown's ~1 s tree cost must be weighed against
+    * the bytes the scan would actually read — the key column, not the
+    * rows. Checked cheaply: callers should test [[tableBytes]] first
+    * (total >= threshold is necessary for any column to reach it), so
+    * the footer walk runs only on candidate tables. Files written by
+    * crashed jobs (`_`/`.` prefixed, non-parquet) are skipped. */
+  def columnBytes(spark: SparkSession, dir: String, colName: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("part-") && name.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try {
+          val blocks = r.getFooter.getBlocks.iterator()
+          while (blocks.hasNext) {
+            val cols = blocks.next().getColumns.iterator()
+            while (cols.hasNext) {
+              val c = cols.next()
+              if (c.getPath.toDotString == colName)
+                total += c.getTotalSize
+            }
+          }
+        } finally r.close()
+      }
+    }
+    total
+  }
+
   /** Both gates at once: push iff the key set is tree-sized and the
     * table is big enough that pruning beats the tree's fixed cost. */
   def shouldPush(spark: SparkSession, dir: String, nKeys: Int): Boolean =

@@ -1224,10 +1224,20 @@ object StreamOps {
         // (below), so once the corpus clears ScanPrune's size gate a
         // trickle batch's presence check reads only the pages its fps
         // can touch — the DedupIndex probe discipline, instead of a
-        // full (column-pruned but corpus-sized) fp scan per batch
-        val scan = graft.ops.ScanPrune.prunedScanDf(spark, corpusDir,
-          spark.read.parquet(corpusDir).select(col("__fp")), "__fp",
-          withFp.select(col("__fp")))
+        // full (column-pruned but corpus-sized) fp scan per batch.
+        // This is a FULL-ROW table (docs, not an fp-only index), so the
+        // gate weighs the pushdown's ~1 s tree cost against the bytes
+        // the scan actually reads — the fp COLUMN's footer-summed size,
+        // behind the cheap total-size precheck (total >= threshold is
+        // necessary for any column to reach it)
+        val sp = graft.ops.ScanPrune
+        val fpScan = spark.read.parquet(corpusDir).select(col("__fp"))
+        val scan =
+          if (sp.tableBytes(spark, corpusDir) >= sp.PushMinTableBytes &&
+              sp.columnBytes(spark, corpusDir, "__fp") >= sp.PushMinTableBytes)
+            sp.prunedScanDf(spark, corpusDir, fpScan, "__fp",
+              withFp.select(col("__fp")), minTableBytes = 0L)
+          else fpScan
         val present = scan
           .join(broadcast(withFp.select(col("__fp"))), Seq("__fp"), "left_semi")
         withFp.join(broadcast(present), Seq("__fp"), "left_anti")

@@ -74,6 +74,22 @@ class ScanPruneSpec extends AnyFunSuite {
       .count() == 5000L)
   }
 
+  test("columnBytes sums one column's footer size: text dwarfs a hash column") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_colbytes_").toString + "/t"
+    (0 until 500).map(i =>
+        (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"d$i"),
+          s"document body $i " + ("lorem ipsum dolor sit amet " * 40)))
+      .toDF("fp", "text").coalesce(1).write.parquet(dir)
+    val fpB = ScanPrune.columnBytes(spark, dir, "fp")
+    val txtB = ScanPrune.columnBytes(spark, dir, "text")
+    assert(fpB > 0 && txtB > fpB,
+      s"text column ($txtB) must dominate the fp column ($fpB)")
+    assert(fpB + txtB <= ScanPrune.tableBytes(spark, dir))
+    assert(ScanPrune.columnBytes(spark, dir, "missing") == 0L)
+    assert(ScanPrune.columnBytes(spark, dir + "_absent", "fp") == 0L)
+  }
+
   test("shouldPush gates on both key count and table size") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_scanprune_").toString + "/t"
