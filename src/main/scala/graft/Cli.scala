@@ -53,6 +53,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> data-card <docs.parquet> [idCol] [textCol] [langCol] [sourceCol] [--out D]
   * graft.Cli <root> <collection> zipf <docs.parquet> [textCol] [topK] [--out D]
   * graft.Cli <root> <collection> novelty <docs.parquet> [idCol] [textCol] [n] [--out D]
+  * graft.Cli <root> <collection> curation <pipeDir> [render|compact] [capK] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -181,7 +182,7 @@ object Cli {
          | "align" | "shard-audit" | "label-prop" | "winnow-index"
          | "label-audit" | "bradley-terry" | "privacy-audit"
          | "url-curate" | "readability" | "skew-report" | "silhouette"
-         | "data-card" | "zipf" | "novelty" =>
+         | "data-card" | "zipf" | "novelty" | "curation" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -277,6 +278,8 @@ object Cli {
           case "data-card" =>
             facade.dataCard(inPath, p(1, "doc_id"), p(2, "text"),
               p(3, "lang"), p(4, "source"))
+          case "curation" =>
+            facade.curation(inPath, p(1, "render"), p(2, "20").toInt)
           case "zipf" =>
             facade.zipf(inPath, p(1, "text"), p(2, "100").toInt)
           case "novelty" =>

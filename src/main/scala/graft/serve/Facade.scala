@@ -503,6 +503,31 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     graft.text.DataCard.perSource(corpus(inPath), idCol, textCol,
       langCol, sourceCol)
 
+  /** Live curation pipeline audit + maintenance
+    * (`graft.streaming.StreamOps`): "render" reduces the accumulated
+    * partials of a `curationPipelineStream` root to the per-source
+    * audit row; "compact" folds every partials family plus the
+    * exact-dedup corpus (fp-sorted layout preserved) and returns one
+    * row of fold counts — the quiesced-stream maintenance verb. */
+  def curation(pipeDir: String, mode: String = "render",
+               capK: Int = 20): DataFrame = mode match {
+    case "render" =>
+      graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = capK)
+    case "compact" =>
+      import graft.streaming.StreamOps
+      val families =
+        Seq("card/stats", "card/langs", "card/fps", "card/fps_hll", "cap/bkg")
+      val folded = families.map(f =>
+        StreamOps.compactPartials(spark, s"$pipeDir/$f")).sum
+      val files = StreamOps.compactCorpus(spark, s"$pipeDir/corpus",
+        sortCol = Some("__fp"))
+      import spark.implicits._
+      Seq((folded.toLong, files.toLong))
+        .toDF("n_partials_folded", "n_corpus_files_folded")
+    case other => throw new IllegalArgumentException(
+      s"curation: mode must be 'render' or 'compact', got '$other'")
+  }
+
   /** Zipf rank-frequency fit (`graft.text.CorpusStats.zipfFit`). */
   def zipf(inPath: String, textCol: String = "text",
            topK: Int = 100): DataFrame =

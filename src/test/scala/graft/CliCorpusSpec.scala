@@ -340,4 +340,38 @@ class CliCorpusSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/si_out").count() == 2L)
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("curation verb: render audits the live pipe, compact folds it, render unchanged") {
+    import graft.streaming.StreamOps
+    val dir = Files.createTempDirectory("graft_cli_corpus12_")
+    val root = Files.createTempDirectory("graft_cli_root12_").toString
+    val pipe = s"$dir/pipe"
+    def batch(ids: Seq[Long]) = ids.map(i =>
+        (i, s"document body $i with several words", "en",
+          if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    // three micro-batches through the pipeline's own ingest pieces
+    (0 until 3).foreach { b =>
+      val rows = batch((b * 4L) until (b * 4L + 4L))
+      StreamOps.dataCardIngestBatch(rows, s"$pipe/card", b.toLong)
+      StreamOps.sampleByIngestBatch(rows, s"$pipe/cap", b.toLong,
+        "source", "doc_id", k = 3)
+      StreamOps.exactDedupIngestBatch(rows, s"$pipe/corpus"): Unit
+    }
+    Cli.main(Array(root, "c1", "curation", pipe, "render", "3",
+      "--out", s"$dir/ren1"))
+    val before = spark.read.parquet(s"$dir/ren1")
+      .collect().map(_.toSeq).toSet
+    assert(before.nonEmpty)
+    Cli.main(Array(root, "c1", "curation", pipe, "compact", "3",
+      "--out", s"$dir/cmp"))
+    val folds = spark.read.parquet(s"$dir/cmp").head()
+    assert(folds.getLong(0) > 0L, "partials must fold")
+    Cli.main(Array(root, "c1", "curation", pipe, "render", "3",
+      "--out", s"$dir/ren2"))
+    val after = spark.read.parquet(s"$dir/ren2")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must be invisible to the render")
+    assert(!spark.sparkContext.isStopped)
+  }
 }
