@@ -145,6 +145,12 @@ object Bench {
     val sentinelMax =
       if (sentinelSamples.isEmpty) sentinelBase else sentinelSamples.max
     val loadFlagged = sentinelMax > 1.5 * sentinelBase
+    // the full series (ordered) disambiguates WHAT the flag means: a
+    // monotone ramp is the bench session itself aging (heap/GC/state
+    // accumulation), random spikes are host CPU steal — different
+    // remedies, same max
+    val sentinelSeries = sentinelSamples.map(r3)
+      .mkString("[", ",", "]")
     // The harness that records this output keeps only a bounded TAIL of
     // stdout, and the per-query maps alone exceed it at ~120 queries — so
     // the headline fields go LAST on the line (the big maps first), and
@@ -157,7 +163,7 @@ object Bench {
           .filter(SparkEntry.queries.contains)
       else Seq.empty[String])
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"verify_only_skipped":$skipped,"sf":"$sfDir"}"""
+    val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged,"series":$sentinelSeries},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"verify_only_skipped":$skipped,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may overwrite the inspection file — a
     // SPARK_GRAFT_BENCH_ONLY iteration run would clobber the complete
