@@ -163,7 +163,10 @@ object Bench {
           .filter(SparkEntry.queries.contains)
       else Seq.empty[String])
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"mins":$mins,"spread":$spreads,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged,"series":$sentinelSeries},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"verify_only_skipped":$skipped,"sf":"$sfDir"}"""
+    // series goes with the BIG maps at the front — the harness keeps a
+    // bounded stdout tail, and growing the sentinel object in place
+    // would push the headline fields out of it
+    val line = s"""{"mins":$mins,"spread":$spreads,"sentinel_series":$sentinelSeries,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"verify_only_skipped":$skipped,"sf":"$sfDir"}"""
     println(line)
     // only a FULL run may overwrite the inspection file — a
     // SPARK_GRAFT_BENCH_ONLY iteration run would clobber the complete

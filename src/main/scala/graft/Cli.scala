@@ -53,7 +53,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> data-card <docs.parquet> [idCol] [textCol] [langCol] [sourceCol] [--out D]
   * graft.Cli <root> <collection> zipf <docs.parquet> [textCol] [topK] [--out D]
   * graft.Cli <root> <collection> novelty <docs.parquet> [idCol] [textCol] [n] [--out D]
-  * graft.Cli <root> <collection> curation <pipeDir> [render|compact] [capK] [--out D]
+  * graft.Cli <root> <collection> curation <pipeDir> [render|compact] [capK] [idCol] [sourceCol] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -279,7 +279,8 @@ object Cli {
             facade.dataCard(inPath, p(1, "doc_id"), p(2, "text"),
               p(3, "lang"), p(4, "source"))
           case "curation" =>
-            facade.curation(inPath, p(1, "render"), p(2, "20").toInt)
+            facade.curation(inPath, p(1, "render"), p(2, "20").toInt,
+              p(3, "doc_id"), p(4, "source"))
           case "zipf" =>
             facade.zipf(inPath, p(1, "text"), p(2, "100").toInt)
           case "novelty" =>

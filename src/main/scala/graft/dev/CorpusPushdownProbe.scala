@@ -7,17 +7,26 @@ import graft.ops.ScanPrune
 
 /** Dev tool: evidence for the round-12 exact-dedup CORPUS presence
   * probe — the full-row analogue of [[FpPushdownProbe]]. Builds a
-  * corpus the way `exactDedupIngestBatch` lays it out (full doc rows,
-  * each file fp-SORTED with page-capped rows) at a size where the fp
-  * COLUMN clears `ScanPrune.PushMinTableBytes`, then runs the ingest's
-  * actual presence check for a trickle batch (half already-present,
-  * half novel) three ways:
+  * corpus in the STEADY-STATE MAINTAINED layout — what
+  * `compactCorpus(sortCol = Some("__fp"))` leaves behind: full doc
+  * rows, fp-RANGE-partitioned files (disjoint per-file key ranges),
+  * fp-sorted within each file, page-capped rows. That is the layout
+  * whose pruning the gate decision is about: fresh appends between
+  * compacts are batch-sized files whose page counts are small either
+  * way, and a round-robin layout (every file spanning the full range)
+  * would let a k-key probe touch ~every page — which is exactly why
+  * compactCorpus range-partitions under sortCol. At a size where the
+  * fp COLUMN clears `ScanPrune.PushMinTableBytes`, runs the ingest's
+  * presence check for a trickle batch (half present, half novel):
   *
-  *  - plain: the column-pruned full fp scan (the below-gate plan)
+  *  - plain: the column-pruned full fp scan (the below-gate plan),
+  *    timed after a warm-up count so page cache + reader JIT are not
+  *    billed to it, and re-timed at the end (A/B/A)
   *  - pushed: the `columnBytes`-gated point-set pushdown (the
-  *    above-gate plan the ingest now plans)
-  *  - end-to-end: `exactDedupIngestBatch` itself against the corpus
-  *    (gates evaluated inside the production code path)
+  *    above-gate plan), same join shape as production incl. the
+  *    broadcast hint on the anti side
+  *  - end-to-end: `exactDedupIngestBatch` itself (gates evaluated
+  *    inside the production code path)
   *
   * Also prints the two gate measurements (total dir bytes vs fp column
   * bytes) so the gate's reasoning is visible: on a full-row table the
@@ -59,11 +68,16 @@ object CorpusPushdownProbe {
       .withColumn("__fp", graft.text.TextOps.fingerprintMd5(col("text")))
       .dropDuplicates("__fp").localCheckpoint()
     val fpScan = spark.read.parquet(dir).select(col("__fp"))
+    // warm-up: page cache + parquet reader JIT must not be billed to
+    // whichever variant happens to run first
+    fpScan.count(): Unit
     def timeAnti(scan: org.apache.spark.sql.DataFrame, tag: String): Long = {
       val t0 = System.nanoTime()
+      // the production join shape (StreamOps.exactDedupIngestBatch):
+      // broadcast semi to batch-size `present`, broadcast anti back
       val n = withFp.join(
-        scan.join(broadcast(withFp.select(col("__fp"))), Seq("__fp"),
-          "left_semi"),
+        broadcast(scan.join(broadcast(withFp.select(col("__fp"))),
+          Seq("__fp"), "left_semi")),
         Seq("__fp"), "left_anti").count()
       println(f"[$tag%-7s] fresh=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
       n
@@ -72,6 +86,7 @@ object CorpusPushdownProbe {
     val pushed = timeAnti(
       ScanPrune.prunedScanDf(spark, dir, fpScan, "__fp",
         withFp.select(col("__fp")), minTableBytes = 0L), "pushed")
+    timeAnti(fpScan, "plain2"): Unit // A/B/A: warm re-run of plain
     assert(plain == pushed, s"pushdown changed the result: $plain vs $pushed")
     // the production path end to end (gates evaluated inside)
     val t0 = System.nanoTime()

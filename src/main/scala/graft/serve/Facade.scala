@@ -509,18 +509,17 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * audit row; "compact" folds every partials family plus the
     * exact-dedup corpus (fp-sorted layout preserved) and returns one
     * row of fold counts — the quiesced-stream maintenance verb. */
-  def curation(pipeDir: String, mode: String = "render",
-               capK: Int = 20): DataFrame = mode match {
+  def curation(pipeDir: String, mode: String = "render", capK: Int = 20,
+               idCol: String = "doc_id",
+               sourceCol: String = "source"): DataFrame = mode match {
     case "render" =>
-      graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = capK)
+      graft.streaming.StreamOps.curationRender(spark, pipeDir,
+        capK = capK, idCol = idCol, sourceCol = sourceCol)
     case "compact" =>
-      import graft.streaming.StreamOps
-      val families =
-        Seq("card/stats", "card/langs", "card/fps", "card/fps_hll", "cap/bkg")
-      val folded = families.map(f =>
-        StreamOps.compactPartials(spark, s"$pipeDir/$f")).sum
-      val files = StreamOps.compactCorpus(spark, s"$pipeDir/corpus",
-        sortCol = Some("__fp"))
+      // the family list lives with the ingests (StreamOps owns the
+      // pipeline's directory layout)
+      val (folded, files) =
+        graft.streaming.StreamOps.curationCompact(spark, pipeDir)
       import spark.implicits._
       Seq((folded.toLong, files.toLong))
         .toDF("n_partials_folded", "n_corpus_files_folded")

@@ -812,9 +812,16 @@ object StreamOps {
     }
     if (nFiles <= targetFiles) return 0
     val tmp = s"${corpusDir}__tmp"
-    val repart = spark.read.parquet(corpusDir).repartition(targetFiles)
-    sortCol.map(c => repart.sortWithinPartitions(col(c)))
-      .getOrElse(repart)
+    val live0 = spark.read.parquet(corpusDir)
+    // sortCol: RANGE-partition + sort, not round-robin + sort — with
+    // round-robin every output file spans the full key range, so a
+    // point-set probe touches ~every page of ~every file and the
+    // pushdown prunes nothing; disjoint per-file ranges are what make
+    // a k-key probe touch O(k) pages total (CorpusPushdownProbe
+    // measures this exact layout)
+    sortCol.map(c => live0.repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(col(c)))
+      .getOrElse(live0.repartition(targetFiles))
       .write.mode("overwrite")
       .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
       .parquet(tmp)
@@ -830,6 +837,23 @@ object StreamOps {
     }
     f.delete(old, true)
     nFiles
+  }
+
+  /** Quiesced-stream maintenance for a [[curationPipelineStream]]
+    * root: fold every partials family ([[CardFamilies]] + the cap's
+    * grouped bottom-k) and the exact-dedup corpus (fp-sorted range
+    * layout preserved — the layout the presence probe page-prunes on).
+    * Lives HERE, next to the ingests that own the directory layout, so
+    * a family added to the pipeline is compacted by construction
+    * instead of silently accumulating subdirs forever. Returns
+    * (partials subdirs folded, corpus files folded). */
+  def curationCompact(spark: SparkSession, pipeDir: String): (Int, Int) = {
+    val partialRoots =
+      CardFamilies.map(f => s"$pipeDir/card/$f") :+ s"$pipeDir/cap/bkg"
+    val folded = partialRoots.map(d => compactPartials(spark, d)).sum
+    val files = compactCorpus(spark, s"$pipeDir/corpus",
+      sortCol = Some("__fp"))
+    (folded, files)
   }
 
   /** One micro-batch of the LIVE corpus data card: per-batch partials
@@ -902,9 +926,13 @@ object StreamOps {
     * card holds `fps/` partials, HLL-merged when it holds `fps_hll/`
     * (a mixed layout is refused — the two modes answer with different
     * error contracts and must not silently blend). */
+  /** The card's partials families — ONE owner for every consumer
+    * (render heal, [[curationCompact]]): a family added here is
+    * automatically healed and compacted everywhere. */
+  val CardFamilies: Seq[String] = Seq("stats", "langs", "fps", "fps_hll")
+
   def dataCardRender(spark: SparkSession, cardDir: String): DataFrame = {
-    Seq("stats", "langs", "fps", "fps_hll")
-      .foreach(d => healPartials(spark, s"$cardDir/$d"))
+    CardFamilies.foreach(d => healPartials(spark, s"$cardDir/$d"))
     val conf = spark.sparkContext.hadoopConfiguration
     def has(d: String) = {
       val p = new org.apache.hadoop.fs.Path(s"$cardDir/$d")
