@@ -25,7 +25,7 @@ import graft.ops.ScanPrune
   *  - pushed: the `columnBytes`-gated point-set pushdown (the
   *    above-gate plan), same join shape as production incl. the
   *    broadcast hint on the anti side
-  *  - end-to-end: `exactDedupIngestBatch` itself (gates evaluated
+  *  - end-to-end: `fpDedupIngestBatch` itself (gates evaluated
   *    inside the production code path)
   *
   * Also prints the two gate measurements (total dir bytes vs fp column
@@ -73,7 +73,7 @@ object CorpusPushdownProbe {
     fpScan.count(): Unit
     def timeAnti(scan: org.apache.spark.sql.DataFrame, tag: String): Long = {
       val t0 = System.nanoTime()
-      // the production join shape (StreamOps.exactDedupIngestBatch):
+      // the production join shape (StreamOps.fpDedupIngestBatch):
       // broadcast semi to batch-size `present`, broadcast anti back
       val n = withFp.join(
         broadcast(scan.join(broadcast(withFp.select(col("__fp"))),
@@ -90,7 +90,7 @@ object CorpusPushdownProbe {
     assert(plain == pushed, s"pushdown changed the result: $plain vs $pushed")
     // the production path end to end (gates evaluated inside)
     val t0 = System.nanoTime()
-    val kept = graft.streaming.StreamOps.exactDedupIngestBatch(batch, dir)
+    val kept = graft.streaming.StreamOps.fpDedupIngestBatch(batch, dir)
     println(f"[ingest ] kept=$kept time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     assert(kept == plain, s"ingest kept $kept, presence check says $plain")
     spark.stop()

@@ -34,7 +34,11 @@ object Compaction {
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+      // hidden-ancestor filter too: a crashed write's file under
+      // `_temporary/` has a clean final name, and compacting it INTO
+      // the table would resurrect uncommitted rows
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          FsPaths.committedUnder(p, f.getPath))
         out += ((f.getPath.toString, f.getLen))
     }
     out.toSeq

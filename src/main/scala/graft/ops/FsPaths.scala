@@ -1,0 +1,40 @@
+package graft.ops
+
+/** The one hidden-path filter every driver-side directory walk must
+  * share. `FileSystem.listFiles(dir, recursive = true)` surfaces files
+  * under in-flight/crashed commit-protocol subtrees —
+  * `_temporary/0/_temporary/attempt_N/part-00000-....parquet` — whose
+  * FINAL name component looks exactly like a committed part file. Any
+  * walk that checks only that last component (a presence gate, a file
+  * count, a footer-bytes sum) silently counts uncommitted attempts: a
+  * presence gate then answers "data exists" for a directory whose
+  * parquet read will throw unable-to-infer-schema on every replay — the
+  * precise wedged-stream failure those gates exist to prevent.
+  *
+  * Spark itself never sees those files because its scans apply a
+  * hidden-path filter at EVERY ancestor level; this mirrors it: a file
+  * is committed only if no directory strictly between `root` and the
+  * file is `_`- or `.`-prefixed.
+  */
+object FsPaths {
+
+  /** True iff no ancestor directory of `file` strictly below `root` is
+    * hidden (`_`/`.`-prefixed). The file's own name is NOT checked here
+    * — callers match it against their expected pattern (`part-*`,
+    * `*.parquet`) which already excludes hidden names. Paths returned
+    * by `listFiles` are fully qualified while callers routinely hold an
+    * unqualified `root`, so the comparison uses the URI path component
+    * (scheme/authority-insensitive — both sides name the same
+    * filesystem because one walk produced them). */
+  def committedUnder(root: org.apache.hadoop.fs.Path,
+                     file: org.apache.hadoop.fs.Path): Boolean = {
+    val rootPath = root.toUri.getPath
+    var p = file.getParent
+    while (p != null && p.toUri.getPath != rootPath) {
+      val n = p.getName
+      if (n.startsWith("_") || n.startsWith(".")) return false
+      p = p.getParent
+    }
+    p != null
+  }
+}

@@ -62,7 +62,10 @@ object ScanPrune {
     * rows. Checked cheaply: callers should test [[tableBytes]] first
     * (total >= threshold is necessary for any column to reach it), so
     * the footer walk runs only on candidate tables. Files written by
-    * crashed jobs (`_`/`.` prefixed, non-parquet) are skipped. */
+    * crashed jobs are skipped — by name (`_`/`.` prefixed, non-parquet)
+    * AND by [[FsPaths.committedUnder]]'s hidden-ancestor filter, since
+    * an in-flight attempt under `_temporary/` carries a
+    * committed-looking final name. */
   def columnBytes(spark: SparkSession, dir: String, colName: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -73,7 +76,8 @@ object ScanPrune {
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (st.isFile && name.startsWith("part-") && name.endsWith(".parquet")) {
+      if (st.isFile && name.startsWith("part-") && name.endsWith(".parquet") &&
+          FsPaths.committedUnder(p, st.getPath)) {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         try {

@@ -653,7 +653,13 @@ object StreamOps {
     * `_temporary` skeleton, and gating on bare exists would then read
     * an empty parquet dir (unable-to-infer-schema) on every replay —
     * permanently wedging the stream. Same discipline as
-    * WinnowIndex/DedupIndex `hasData`. */
+    * WinnowIndex/DedupIndex `hasData`. A crash that kills a task
+    * MID-write leaves `_temporary/.../attempt_N/part-...` files whose
+    * final name component matches a committed part — only
+    * [[graft.ops.FsPaths.committedUnder]]'s hidden-ancestor filter
+    * (Spark's own scan filter) tells them apart, so the gate applies
+    * it; matching the last component alone would answer "committed"
+    * for a directory whose read then throws on every replay. */
   private def hasCommittedData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -661,9 +667,9 @@ object StreamOps {
       val it = f.listFiles(p, true)
       var found = false
       while (it.hasNext && !found) {
-        val name = it.next().getPath.getName
-        found = name.startsWith("part-") && !name.startsWith("_") &&
-          !name.startsWith(".")
+        val st = it.next()
+        found = st.getPath.getName.startsWith("part-") &&
+          graft.ops.FsPaths.committedUnder(p, st.getPath)
       }
       found
     }
@@ -771,7 +777,7 @@ object StreamOps {
   }
 
   /** Compact an absorbing-append CORPUS directory (the
-    * [[exactDedupIngestBatch]] / [[dedupIngestBatch]] sinks): every
+    * [[fpDedupIngestBatch]] / [[dedupIngestBatch]] sinks): every
     * micro-batch appends its own parquet file set, so a long-running
     * ingest accumulates files forever and the per-batch presence scan
     * drifts from data cost to file-open overhead — the same wall
@@ -802,11 +808,15 @@ object StreamOps {
     val live = new org.apache.hadoop.fs.Path(corpusDir)
     val f = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nFiles = {
+      // committed files only (hidden-ancestor filter): an orphaned
+      // _temporary attempt from a crashed append must not inflate the
+      // count and trigger rewrites of an already-compact corpus
       val it = f.listFiles(live, true)
       var n = 0
       while (it.hasNext) {
-        val name = it.next().getPath.getName
-        if (name.startsWith("part-")) n += 1
+        val st = it.next()
+        if (st.getPath.getName.startsWith("part-") &&
+            graft.ops.FsPaths.committedUnder(live, st.getPath)) n += 1
       }
       n
     }
@@ -1040,13 +1050,32 @@ object StreamOps {
     * pays one fs-exists, not a parquet-read job, after the first batch. */
   private val sampleParamsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, String)]()
+
+  /** The memoized pin, revalidated by one cheap fs-exists on the params
+    * dir: a sample dir deleted and re-created with different (k, salt)
+    * in one long-lived server process must re-pin against the NEW dir,
+    * not validate against the dead dir's cached pin. The exists check
+    * is the cost the memo was already documented to pay. */
+  private def cachedSampleParams(spark: SparkSession,
+                                 sampleDir: String): Option[(Int, String)] = {
+    val cached = sampleParamsCache.get(sampleDir)
+    if (cached == null) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$sampleDir/params")
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Some(cached)
+      else {
+        sampleParamsCache.remove(sampleDir)
+        None
+      }
+    }
+  }
+
   private def checkOrWriteSampleParams(spark: SparkSession, sampleDir: String,
                                        k: Int, salt: String): Unit = {
     import spark.implicits._
-    val cached = sampleParamsCache.get(sampleDir)
     val stored: (Int, String) =
-      if (cached != null) cached
-      else {
+      cachedSampleParams(spark, sampleDir).getOrElse {
         val dir = s"$sampleDir/params"
         val p = new org.apache.hadoop.fs.Path(dir)
         val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1071,8 +1100,7 @@ object StreamOps {
     * params (pre-pinning layout) — render then trusts the caller's k,
     * the pre-params behavior. */
   private def storedSampleK(spark: SparkSession, sampleDir: String): Option[Int] = {
-    val cached = sampleParamsCache.get(sampleDir)
-    if (cached != null) return Some(cached._1)
+    cachedSampleParams(spark, sampleDir).foreach(c => return Some(c._1))
     val dir = s"$sampleDir/params"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1236,9 +1264,16 @@ object StreamOps {
     * [[hasCommittedData]], not bare exists — a crash during the very
     * first append leaves the directory with a `_temporary` skeleton and
     * no committed part files, and a bare-exists gate would then throw
-    * unable-to-infer-schema on every replay, wedging the stream. */
-  def exactDedupIngestBatch(batch: DataFrame, corpusDir: String,
-                            textCol: String = "text"): Long = {
+    * unable-to-infer-schema on every replay, wedging the stream.
+    *
+    * Named for its KEY — the text fingerprint. An earlier signature
+    * took (batch, dir, idCol, textCol); when the unused idCol was
+    * dropped, a stale 3-arg caller `(b, dir, "doc_id")` would have
+    * COMPILED against `(batch, dir, textCol)` and silently
+    * fingerprinted the id column. The rename makes that break loud:
+    * no method of the old name exists to mis-bind against. */
+  def fpDedupIngestBatch(batch: DataFrame, corpusDir: String,
+                         textCol: String = "text"): Long = {
     import graft.text.TextOps
     val spark = batch.sparkSession
     healPartials(spark, corpusDir) // restore a compactCorpus mid-swap crash
@@ -1260,9 +1295,9 @@ object StreamOps {
         // necessary for any column to reach it)
         val sp = graft.ops.ScanPrune
         val fpScan = spark.read.parquet(corpusDir).select(col("__fp"))
+        val total = sp.tableBytes(spark, corpusDir)
         val scan =
-          if (sp.tableBytes(spark, corpusDir) >= sp.PushMinTableBytes &&
-              sp.columnBytes(spark, corpusDir, "__fp") >= sp.PushMinTableBytes)
+          if (total >= sp.PushMinTableBytes && fpColumnGate(spark, corpusDir, total))
             sp.prunedScanDf(spark, corpusDir, fpScan, "__fp",
               withFp.select(col("__fp")), minTableBytes = 0L)
           else fpScan
@@ -1277,6 +1312,36 @@ object StreamOps {
       .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
       .parquet(corpusDir)
     n
+  }
+
+  /** Cached verdict of the fp-COLUMN size gate ([[fpDedupIngestBatch]]):
+    * the footer walk behind [[graft.ops.ScanPrune.columnBytes]] opens
+    * every parquet footer under the corpus, and between compactions the
+    * file count grows one file-set per micro-batch — so paying the walk
+    * per batch makes the GATE itself O(files) even when it then rejects
+    * the pushdown. The verdict is monotone under the corpus's only two
+    * writers (append grows the column; compaction is a row-preserving
+    * rewrite), so TRUE is sticky, and FALSE holds until the table's
+    * total size — already in hand from the cheap [[graft.ops.ScanPrune
+    * .tableBytes]] precheck — has grown ~12.5% past the last
+    * measurement: footer walks amortize to O(log growth), not
+    * O(batches). A table that SHRANK below half its measured size was
+    * deleted and recreated in-process (tests do this); the stale entry
+    * is dropped and remeasured. */
+  private val fpGateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+  private def fpColumnGate(spark: SparkSession, corpusDir: String,
+                           totalBytes: Long): Boolean = {
+    val sp = graft.ops.ScanPrune
+    val cached = fpGateCache.get(corpusDir)
+    if (cached != null) {
+      val (atCheck, verdict) = cached
+      if (totalBytes >= atCheck / 2 &&
+          (verdict || totalBytes < atCheck + atCheck / 8)) return verdict
+    }
+    val v = sp.columnBytes(spark, corpusDir, "__fp") >= sp.PushMinTableBytes
+    fpGateCache.put(corpusDir, (totalBytes, v))
+    v
   }
 
   /** The END-TO-END live curation pipeline — the streaming twin of the
@@ -1309,7 +1374,7 @@ object StreamOps {
             langCol, sourceCol)
           sampleByIngestBatch(b, s"$pipeDir/cap", batchId, sourceCol,
             idCol, capK)
-          exactDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit
+          fpDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit
         }
       }
   }

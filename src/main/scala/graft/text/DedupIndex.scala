@@ -56,11 +56,14 @@ object DedupIndex {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && {
+      // hidden-ancestor filter: an in-flight `_temporary/.../part-*`
+      // attempt must not make an unreadable dir look probe-able
       val it = fs.listFiles(p, true)
       var found = false
       while (it.hasNext && !found) {
-        val name = it.next().getPath.getName
-        found = name.startsWith("part-") && !name.startsWith("_") && !name.startsWith(".")
+        val st = it.next()
+        found = st.getPath.getName.startsWith("part-") &&
+          graft.ops.FsPaths.committedUnder(p, st.getPath)
       }
       found
     }

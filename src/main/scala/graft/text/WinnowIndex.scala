@@ -90,11 +90,14 @@ object WinnowIndex {
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val (f, p) = fs(spark, dir)
     f.exists(p) && {
+      // hidden-ancestor filter: an in-flight `_temporary/.../part-*`
+      // attempt must not make an unreadable dir look probe-able
       val it = f.listFiles(p, true)
       var found = false
       while (it.hasNext && !found) {
-        val name = it.next().getPath.getName
-        found = name.startsWith("part-") && !name.startsWith("_") && !name.startsWith(".")
+        val st = it.next()
+        found = st.getPath.getName.startsWith("part-") &&
+          graft.ops.FsPaths.committedUnder(p, st.getPath)
       }
       found
     }

@@ -451,6 +451,12 @@ object VecIndex {
     * before stats existed self-heal: the one-time fallback counts rows
     * from the parquet footers (no data columns read) and persists. */
   def listStats(spark: SparkSession, indexDir: String): ListStats = {
+    // heal BEFORE the counts read: loadCentroids heals a crashed
+    // reassign (which rewrites stats/), so reading counts first could
+    // combine pre-heal counts with post-heal centroid ids — wrong
+    // min/max/cv for exactly one call, but that call may be the one
+    // appendWithPolicy bases its rebalance decision on
+    healReassign(spark, indexDir)
     val counts = loadStatCounts(spark, indexDir)
     val centIds = loadCentroids(spark, indexDir).map(_._1)
     val sizes = centIds.map(cid => counts.getOrElse(cid, 0L))

@@ -356,7 +356,7 @@ class CliCorpusSpec extends AnyFunSuite {
       StreamOps.dataCardIngestBatch(rows, s"$pipe/card", b.toLong)
       StreamOps.sampleByIngestBatch(rows, s"$pipe/cap", b.toLong,
         "source", "doc_id", k = 3)
-      StreamOps.exactDedupIngestBatch(rows, s"$pipe/corpus"): Unit
+      StreamOps.fpDedupIngestBatch(rows, s"$pipe/corpus"): Unit
     }
     Cli.main(Array(root, "c1", "curation", pipe, "render", "3",
       "--out", s"$dir/ren1"))

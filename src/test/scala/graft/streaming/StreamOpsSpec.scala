@@ -581,13 +581,13 @@ class StreamOpsSpec extends AnyFunSuite {
     graft.streaming.StreamOps.dataCardIngestBatch(lastBatch, s"$pipeDir/card", 1L)
     graft.streaming.StreamOps.sampleByIngestBatch(lastBatch, s"$pipeDir/cap", 1L,
       "source", "doc_id", k = 5)
-    assert(graft.streaming.StreamOps.exactDedupIngestBatch(
+    assert(graft.streaming.StreamOps.fpDedupIngestBatch(
       lastBatch, s"$pipeDir/corpus") == 0L)
     assert(rows(graft.streaming.StreamOps.curationRender(spark, pipeDir,
       capK = 5)) == expect)
   }
 
-  test("exactDedupIngestBatch: null texts never inflate the corpus; a crashed first append cannot wedge the stream") {
+  test("fpDedupIngestBatch: null texts never inflate the corpus; a crashed first append cannot wedge the stream") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_exdedup_")
     val corpus = dir.resolve("corpus").toString
@@ -598,12 +598,12 @@ class StreamOpsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(corpus, "_temporary", "0"))
     def batch(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
     val b = Seq(1L -> "alpha body", 2L -> (null: String), 3L -> "beta body")
-    assert(graft.streaming.StreamOps.exactDedupIngestBatch(
+    assert(graft.streaming.StreamOps.fpDedupIngestBatch(
       batch(b), corpus) == 2L) // null text dropped, two real docs kept
     // a second batch carrying ANOTHER null text and one replayed doc:
     // without the null filter the null-fp row would re-append forever
     val b2 = Seq(4L -> (null: String), 5L -> "alpha body", 6L -> "gamma body")
-    assert(graft.streaming.StreamOps.exactDedupIngestBatch(
+    assert(graft.streaming.StreamOps.fpDedupIngestBatch(
       batch(b2), corpus) == 1L)
     val got = spark.read.parquet(corpus)
     assert(got.count() == 3L) // alpha, beta, gamma — no null rows, no dups
@@ -616,7 +616,7 @@ class StreamOpsSpec extends AnyFunSuite {
     val corpus = dir.resolve("corpus").toString
     def batch(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
     def ingest(rows: Seq[(Long, String)]) =
-      graft.streaming.StreamOps.exactDedupIngestBatch(batch(rows), corpus)
+      graft.streaming.StreamOps.fpDedupIngestBatch(batch(rows), corpus)
     def parts() = {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(corpus))
       try s.filter(p => p.getFileName.toString.startsWith("part-")).count()
@@ -1551,5 +1551,80 @@ class StreamOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(replayed == streamed)
     } finally q.stop()
+  }
+
+  test("hidden-ancestor filter: a mid-write task-attempt file neither unwedges the presence gate nor inflates the compaction count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hidanc_")
+    val corpus = dir.resolve("corpus").toString
+    // a crash that killed a task MID-write: the attempt file carries a
+    // committed-looking final name but lives under _temporary — the
+    // presence gate must still answer "no data" (reading the dir as
+    // parquet ignores the subtree and would throw on every replay)
+    def plantAttempt(): java.nio.file.Path = {
+      val attempt = java.nio.file.Paths.get(corpus,
+        "_temporary", "0", "_temporary", "attempt_202608161200_0001_m_000000_1")
+      java.nio.file.Files.createDirectories(attempt)
+      java.nio.file.Files.write(
+        attempt.resolve("part-00000-dead.c000.snappy.parquet"),
+        "not really parquet".getBytes("UTF-8"))
+    }
+    plantAttempt()
+    def batch(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    assert(graft.streaming.StreamOps.fpDedupIngestBatch(
+      batch(Seq(1L -> "alpha body", 2L -> "beta body")), corpus) == 2L)
+    assert(spark.read.parquet(corpus).count() == 2L)
+    // the committer cleans _temporary on job commit; plant a NEW orphan
+    // (a later crashed append) and count committed files directly
+    val orphan = plantAttempt()
+    def committedParts() = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(corpus))
+      try s.filter { p =>
+        p.getFileName.toString.startsWith("part-") &&
+          !p.toString.contains("_temporary")
+      }.count()
+      finally s.close()
+    }
+    val nCommitted = committedParts().toInt
+    assert(java.nio.file.Files.exists(orphan.getParent), "orphan must persist")
+    // compactCorpus counts COMMITTED files only: at target == committed
+    // count it must be a no-op even though the orphan is on disk
+    assert(graft.streaming.StreamOps.compactCorpus(spark, corpus,
+      targetFiles = nCommitted) == 0)
+    // ScanPrune.columnBytes must not open the orphan either (it is not
+    // parquet — without the ancestor filter the footer read would throw)
+    val fpBytes = graft.ops.ScanPrune.columnBytes(spark, corpus, "__fp")
+    assert(fpBytes > 0L)
+    // and replays still absorb with the orphan present
+    assert(graft.streaming.StreamOps.fpDedupIngestBatch(
+      batch(Seq(3L -> "alpha body")), corpus) == 0L)
+  }
+
+  test("sample params pin: a deleted-and-recreated sample dir re-pins instead of validating against the stale cached pin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparams_")
+    val sample = dir.resolve("s").toString
+    def batch = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    graft.streaming.StreamOps.sampleIngestBatch(batch, sample, 0L,
+      k = 2, salt = "s1")
+    // same-dir mismatch is still refused (the pin works)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.sampleIngestBatch(batch, sample, 1L,
+        k = 3, salt = "s1")
+    }
+    // delete and RECREATE with different (k, salt) in the same JVM — a
+    // long-lived server must re-pin against the new dir, not validate
+    // against the dead dir's cached pin
+    val hp = new org.apache.hadoop.fs.Path(sample)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    graft.streaming.StreamOps.sampleIngestBatch(batch, sample, 0L,
+      k = 3, salt = "s2")
+    assert(graft.streaming.StreamOps.sampleRender(spark, sample, k = 3)
+      .count() == 3L)
+    // and the NEW pin enforces from the cache path too
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.sampleIngestBatch(batch, sample, 1L,
+        k = 2, salt = "s1")
+    }
   }
 }

@@ -231,6 +231,33 @@ class VecIndexSpec extends AnyFunSuite {
     assert(centroidRows(dir) == goodCents)
   }
 
+  test("listStats heals BEFORE reading counts: the first post-crash call reports healed stats, not stale ones") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def writeEpoch(d: String, e: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "_REASSIGN_EPOCH"),
+        e.getBytes("UTF-8")): Unit
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs, dir, nlist = 4, kmeansIters = 2)
+    // crash in the complete-pending window: the lists swap committed
+    // (epochs match) but the centroid/stats install had not run — the
+    // persisted stats still describe the PRE-swap lists. Simulated with
+    // pending = live centroids and stats overwritten with garbage.
+    spark.read.parquet(s"$dir/centroids").localCheckpoint()
+      .write.parquet(s"$dir/centroids__pending")
+    writeEpoch(s"$dir/centroids__pending", "epoch-stats")
+    writeEpoch(s"$dir/lists", "epoch-stats")
+    Seq((0L, 999L)).toDF("list_id", "n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    // the FIRST call after the crash must already combine healed counts
+    // with healed centroids — reading counts before the heal would hand
+    // appendWithPolicy a 999-vector fiction for one policy decision
+    val st = VecIndex.listStats(spark, dir)
+    assert(st.nVectors == 120L,
+      s"first post-crash listStats saw stale counts: $st")
+    assert(st.nLists == 4L)
+  }
+
   test("append policy: skewed appends trip it, auto mode repairs, probes stay equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
     VecIndex.build(early, dir, nlist = 4, kmeansIters = 2)
