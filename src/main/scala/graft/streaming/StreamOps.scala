@@ -1354,14 +1354,27 @@ object StreamOps {
     * replay-proof idempotent partial/absorbing append, so a crash replay
     * changes nothing — and every stage is order-independent at render
     * time, which is why [[curationRender]] is hash-checkable against one
-    * batch SQL oracle over the same input. */
+    * batch SQL oracle over the same input.
+    *
+    * `dupSketch` selects the card's dup_ratio mode (see
+    * [[dataCardIngestBatch]]): the exact default keeps the pipeline
+    * oracle-gated but accumulates one `fps/` row per distinct doc —
+    * corpus-sized card state, and a corpus-sized distinct at every
+    * render. A DEPLOYED pipeline should pass `dupSketch = true`: the
+    * card's fp state collapses to per-source HLL sketches (KB per
+    * batch), render cost goes flat in the corpus, and dup_ratio becomes
+    * approximate (~±2% relative) — every other rendered column is
+    * unchanged and stays exact. The mode is pinned at the card's first
+    * batch ([[dataCardRender]] refuses a mixed layout), so flipping it
+    * on an EXISTING pipeline root is refused rather than blended. */
   def curationPipelineStream(docs: DataFrame, pipeDir: String,
                              benchmark: DataFrame,
                              benchTextCol: String = "text", n: Int = 5,
                              capK: Int = 20, idCol: String = "doc_id",
                              textCol: String = "text",
                              langCol: String = "lang",
-                             sourceCol: String = "source")
+                             sourceCol: String = "source",
+                             dupSketch: Boolean = false)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val gated = decontaminateStream(docs, benchmark, textCol, benchTextCol, n)
     gated.writeStream.outputMode("append")
@@ -1371,7 +1384,7 @@ object StreamOps {
           // checkpointed-frames discipline from the batch pipeline
           val b = batch.localCheckpoint()
           dataCardIngestBatch(b, s"$pipeDir/card", batchId, idCol, textCol,
-            langCol, sourceCol)
+            langCol, sourceCol, dupSketch)
           sampleByIngestBatch(b, s"$pipeDir/cap", batchId, sourceCol,
             idCol, capK)
           fpDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit

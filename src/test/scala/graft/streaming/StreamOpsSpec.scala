@@ -1553,6 +1553,96 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation pipeline in SKETCH mode: full stream + restart; exact columns match the batch twin, dup_ratio bounded, card fp state KB-sized") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cursketch_")
+    val srcDir = java.nio.file.Files.createDirectories(dir.resolve("src"))
+    val ckpt = dir.resolve("ck").toString
+    val pipeDir = dir.resolve("pipe").toString
+    def mkDocs(ids: Seq[Long]) = ids.map { i =>
+      val body = if (i % 6 == 0) "the forbidden benchmark passage appears right here today"
+        else if (i % 3 == 0) "one shared duplicate body for the dedup stage to collapse."
+        else s"unique clean document $i about topic ${i % 4} with several words."
+      (i, body, "en", if (i % 2 == 0) "web" else "books")
+    }.toDF("doc_id", "text", "lang", "source")
+    def writeFile(ids: Seq[Long], name: String): Unit = {
+      val staging = dir.resolve(s"_s$name")
+      mkDocs(ids).coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"$name.parquet")): Unit
+    }
+    val bench = Seq("the forbidden benchmark passage appears right here today")
+      .toDF("text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = graft.streaming.StreamOps.curationPipelineStream(
+          docs, pipeDir, bench, "text", n = 3, capK = 5,
+          dupSketch = true) // the deployed configuration under test
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(1L to 12L, "d0")
+    run()
+    writeFile(13L to 24L, "d1")
+    run() // checkpoint restart, second half
+    val render = graft.streaming.StreamOps.curationRender(spark, pipeDir,
+      capK = 5).localCheckpoint()
+    // layout: the card's fp state is per-source sketches, never per-doc
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(pipeDir, "card", "fps_hll")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(pipeDir, "card", "fps")),
+      "sketch mode must not accumulate per-doc fingerprint partials")
+    val hllBytes = {
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(pipeDir, "card", "fps_hll"))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    assert(hllBytes > 0 && hllBytes < 256L * 1024,
+      s"fps_hll partials should be KB-sized, got $hllBytes bytes")
+    // every column except dup_ratio is EXACT and must equal the batch
+    // twin; dup_ratio is sketch-approximate with a small absolute error
+    val all = mkDocs(1L to 24L)
+    val decon = graft.text.TextOps.decontaminateNgramOverlap(
+      all, bench, "doc_id", "text", "text", n = 3).localCheckpoint()
+    val card = graft.text.DataCard.perSource(decon, "doc_id", "text",
+      "lang", "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5(concat(lit("samp:"), $"doc_id".cast("string"))))
+    val cap = decon.withColumn("__rn", row_number().over(w)).where($"__rn" <= 5)
+      .groupBy($"source").agg(count(lit(1)).cast("long").as("cap_n"),
+        min($"doc_id").as("cap_min_doc"))
+    val corpusDocs = decon
+      .select(graft.text.TextOps.fingerprintMd5($"text")).distinct().count()
+    val expect = card.join(cap, "source")
+      .withColumn("corpus_docs", lit(corpusDocs)).localCheckpoint()
+    val exactCols = render.columns.filterNot(_ == "dup_ratio").toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(exactCols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(render) == rows(expect) && render.count() == 2L)
+    val dupErr = render.select($"source", $"dup_ratio")
+      .join(expect.select($"source", $"dup_ratio".as("__exact")), "source")
+      .select(max(abs($"dup_ratio" - $"__exact"))).head().getDouble(0)
+    assert(dupErr <= 0.05, s"sketch dup_ratio drifted: max abs error $dupErr")
+    // replaying the last batch id rewrites its own sketch partial — the
+    // render must be unchanged (idempotent partials discipline)
+    val lastBatch = graft.streaming.StreamOps.decontaminateStream(
+      mkDocs(13L to 24L), bench, "text", "text", n = 3)
+    graft.streaming.StreamOps.dataCardIngestBatch(lastBatch,
+      s"$pipeDir/card", 1L, dupSketch = true)
+    val again = graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = 5)
+    assert(rows(again) == rows(expect))
+  }
+
   test("hidden-ancestor filter: a mid-write task-attempt file neither unwedges the presence gate nor inflates the compaction count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hidanc_")
