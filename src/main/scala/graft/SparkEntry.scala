@@ -3498,6 +3498,62 @@ object SparkEntry {
       StreamOps.curationRender(s, pipeDir, capK = 20)
     }),
 
+    // X: the live curation pipeline with the NEAR-dup corpus stage —
+    // per micro-batch the persisted DedupIndex drops exact (fp probe)
+    // and near (banded LSH -> signature estimate -> exact-Jaccard
+    // verify) duplicates of everything already admitted; survivors
+    // append to corpus + index and the per-batch cost never re-signs
+    // the corpus. Two controlled batches (the even half seeds the
+    // index, the odd half probes it) make the greedy cross-batch
+    // semantics deterministic, so the admitted ID set hash-matches a
+    // brute-force exact-Jaccard SQL twin (banding recall is total on
+    // this data at threshold 0.5 — the q_x_dedup_minhash precedent,
+    // hash-matched at both sf gates)
+    "q_x_stream_pipeline_neardup" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_spipen_q_")
+      val srcDir = java.nio.file.Files.createDirectories(streamDir.resolve("src"))
+      val pipeDir = streamDir.resolve("pipe").toString
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val bench = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+      def land(half: DataFrame, tag: String, files: Int): Unit = {
+        val staging = streamDir.resolve(s"stage_$tag")
+        half.repartition(files).write.parquet(staging.toString)
+        val listing = java.nio.file.Files.list(staging)
+        try {
+          val it = listing.iterator(); var i = 0
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              java.nio.file.Files.copy(f,
+                srcDir.resolve(f"${tag}_$i%05d.parquet"))
+              i += 1
+            }
+          }
+        } finally listing.close()
+      }
+      def run(): Unit = {
+        val docs = s.readStream.schema(docsStreamSchema)
+          .option("maxFilesPerTrigger", "4").parquet(srcDir.toString)
+        val q = StreamOps.curationPipelineStream(docs, pipeDir, bench,
+            "text", n = 5, capK = 20,
+            nearDedup = Some(graft.text.DedupIndex.Params()))
+          .option("checkpointLocation", streamDir.resolve("ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // batch 1: even half (seeds corpus + index); batch 2 (after a
+      // checkpoint restart): odd half, probed against the seeded index
+      land(base.where(pmod(col("doc_id"), lit(2)) === 0), "a", files = 2)
+      run()
+      land(base.where(pmod(col("doc_id"), lit(2)) === 1), "b", files = 2)
+      run()
+      s.read.parquet(s"$pipeDir/corpus").select(col("doc_id"), col("source"))
+    }),
+
     // X: LIVE Bradley-Terry ratings executed for REAL (the synthetic
     // game log streamed in multiple micro-batches -> per-batch win
     // partials -> render solve); same oracle as the batch solve — the
@@ -7326,6 +7382,52 @@ object SparkEntry {
     // checkpoint restart mid-stream — maintenance must be invisible, so
     // it shares this oracle verbatim
     "q_x_stream_pipeline" -> streamPipelineOracleSql("documents"),
+
+    // the near-dup pipeline's admitted set, brute-forced: decontaminate
+    // (5-gram overlap with the doc_id%37 benchmark), split into the two
+    // streamed batches (even seeds, odd probes), exact-fp collapse
+    // within each batch (min doc_id per fingerprint survives), odd-half
+    // rows drop on an exact fp hit against the even half or a true
+    // 3-shingle Jaccard >= 0.5 against any admitted even-half doc.
+    // NOT EXISTS (not NOT IN) for the fp probe: a null fingerprint
+    // never equi-matches in the Spark anti-join either
+    "q_x_stream_pipeline_neardup" ->
+      """WITH src AS (SELECT * FROM documents),
+         tok AS (SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+         FROM src),
+         g AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS ng
+         FROM tok),
+         bgr AS (SELECT DISTINCT ng FROM g WHERE doc_id % 37 = 0),
+         dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bgr USING (ng)),
+         docs AS (SELECT src.*,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM src WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         ak AS (SELECT * FROM (SELECT d.*,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM docs d WHERE doc_id % 2 = 0) WHERE rn = 1),
+         bk AS (SELECT * FROM (SELECT d.*,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+           FROM docs d WHERE doc_id % 2 = 1) WHERE rn = 1),
+         bex AS (SELECT * FROM bk
+           WHERE NOT EXISTS (SELECT 1 FROM ak WHERE ak.fp = bk.fp)),
+         ash AS (SELECT doc_id,
+             list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk FROM ak)
+           WHERE len(tk) >= 3),
+         bsh AS (SELECT doc_id,
+             list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS ss
+           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk FROM bex)
+           WHERE len(tk) >= 3),
+         bdrop AS (SELECT DISTINCT b.doc_id FROM bsh b, ash a
+           WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(a.ss || b.ss)) >= 0.5)
+         SELECT doc_id, source FROM ak
+         UNION ALL
+         SELECT doc_id, source FROM bex
+         WHERE doc_id NOT IN (SELECT doc_id FROM bdrop)""",
     // the compacted twin runs on a 1/3 subset: its job is proving the
     // MAINTENANCE machinery invisible across a restart, which needs
     // batches + folds, not corpus mass (the full-corpus pipeline cost

@@ -16,9 +16,13 @@ import graft.text.DedupIndex
   * ingests them sequentially through both paths, prints per-batch
   * seconds. Recorded in COVERAGE.md.
   * Usage: graft.dev.IndexIngestProbe [nBatches] [docsPerBatch] [modes]
-  * (modes: comma list of indexed,scan — scan at 10k docs/batch takes
-  * tens of minutes BECAUSE of the blowup the index avoids; probe it at
-  * a smaller docsPerBatch)
+  * (modes: comma list of indexed,scan,pipeline — scan at 10k docs/batch
+  * takes tens of minutes BECAUSE of the blowup the index avoids; probe
+  * it at a smaller docsPerBatch. `pipeline` drives the FULL near-dup
+  * curation foreachBatch body — card partials + cap partials + heal +
+  * DedupIndex ingest — i.e. curationPipelineStream(nearDedup=Some(...))
+  * minus the row-local decontamination plan stage, whose cost
+  * DecontGateProbe owns.)
   */
 object IndexIngestProbe {
   def main(args: Array[String]): Unit = {
@@ -58,13 +62,28 @@ object IndexIngestProbe {
     for (mode <- modes) {
       val corpus = s"$root/corpus_$mode"
       val index = s"$root/index_$mode"
+      val pipe = s"$root/pipe_$mode"
       println(s"== $mode ==")
       for (b <- 0 until nBatches) {
-        val df = batchDf(b).localCheckpoint()
+        val df0 = batchDf(b)
+        val df = (if (mode == "pipeline")
+            df0.withColumn("lang", lit("en"))
+              .withColumn("source",
+                when(pmod(col("doc_id"), lit(2)) === 0, "web").otherwise("books"))
+          else df0).localCheckpoint()
         val t0 = System.nanoTime()
-        val n =
-          if (mode == "indexed") DedupIndex.ingestBatch(df, corpus, index)
-          else StreamOps.dedupIngestBatch(df, corpus)
+        val n = mode match {
+          case "indexed" => DedupIndex.ingestBatch(df, corpus, index)
+          case "pipeline" =>
+            // the curationPipelineStream(nearDedup) foreachBatch body
+            StreamOps.dataCardIngestBatch(df, s"$pipe/card", b.toLong,
+              dupSketch = true)
+            StreamOps.sampleByIngestBatch(df, s"$pipe/cap", b.toLong,
+              "source", "doc_id", k = 20)
+            StreamOps.healPartials(spark, corpus)
+            DedupIndex.ingestBatch(df, corpus, index)
+          case _ => StreamOps.dedupIngestBatch(df, corpus)
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"batch=$b%-2d appended=$n%-6d time=$sec%6.2fs")
         spark.sparkContext.getPersistentRDDs.values

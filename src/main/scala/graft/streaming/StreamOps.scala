@@ -861,8 +861,24 @@ object StreamOps {
     val partialRoots =
       CardFamilies.map(f => s"$pipeDir/card/$f") :+ s"$pipeDir/cap/bkg"
     val folded = partialRoots.map(d => compactPartials(spark, d)).sum
-    val files = compactCorpus(spark, s"$pipeDir/corpus",
-      sortCol = Some("__fp"))
+    // follow the corpus layout the pipeline wrote: the exact-dedup
+    // corpus carries __fp and keeps its fp-sorted range layout (the
+    // presence probe page-prunes on it); the near-dup corpus stores the
+    // caller's row shape — its probes go through the DedupIndex's own
+    // sorted tables, so the corpus folds unsorted
+    val corpusDir = s"$pipeDir/corpus"
+    val sortCol =
+      if (hasCommittedData(spark, corpusDir) &&
+          spark.read.parquet(corpusDir).columns.contains("__fp"))
+        Some("__fp")
+      else None
+    val files = compactCorpus(spark, corpusDir, sortCol = sortCol)
+    // a near-dup pipeline also folds its index's per-batch small files
+    // (fp/sig/bands keep their probe-key sort through the rewrite)
+    val idxPath = new org.apache.hadoop.fs.Path(s"$pipeDir/dedup_idx")
+    if (idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(idxPath))
+      graft.text.DedupIndex.compact(spark, s"$pipeDir/dedup_idx"): Unit
     (folded, files)
   }
 
@@ -1366,7 +1382,27 @@ object StreamOps {
     * approximate (~±2% relative) — every other rendered column is
     * unchanged and stays exact. The mode is pinned at the card's first
     * batch ([[dataCardRender]] refuses a mixed layout), so flipping it
-    * on an EXISTING pipeline root is refused rather than blended. */
+    * on an EXISTING pipeline root is refused rather than blended.
+    *
+    * `nearDedup` upgrades the corpus stage from exact-fingerprint to
+    * NEAR-duplicate dedup backed by the persisted
+    * [[graft.text.DedupIndex]] at `pipeDir/dedup_idx`: each batch is
+    * probed against the index (fp anti-join, then banded-LSH candidates
+    * -> signature estimate -> exact-Jaccard verify against candidate
+    * corpus texts only) and survivors append to the corpus AND the
+    * index. Per-batch cost stays flat as the corpus grows — the corpus
+    * is never re-signed and never shuffles (the DedupIndex contract,
+    * flat-at-10x probed) — where the scan-form near-dup ingest
+    * ([[dedupIngestBatch]]) re-reads the accumulated corpus per batch.
+    * Replay-absorbed like the exact stage: a re-delivered batch's fps
+    * all match its first delivery's index rows. The card and cap keep
+    * auditing every DECONTAMINATED doc (their established semantics);
+    * only corpus membership changes. The near-dup corpus stores the
+    * batch's own row shape (no __fp column, no fp-sorted layout —
+    * presence probes run against the index's own sorted fp table
+    * instead); [[curationCompact]] follows whichever layout it finds.
+    * Params are pinned at the index's first batch, so changing them on
+    * an existing pipeline root is refused, not silently blended. */
   def curationPipelineStream(docs: DataFrame, pipeDir: String,
                              benchmark: DataFrame,
                              benchTextCol: String = "text", n: Int = 5,
@@ -1374,7 +1410,8 @@ object StreamOps {
                              textCol: String = "text",
                              langCol: String = "lang",
                              sourceCol: String = "source",
-                             dupSketch: Boolean = false)
+                             dupSketch: Boolean = false,
+                             nearDedup: Option[graft.text.DedupIndex.Params] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val gated = decontaminateStream(docs, benchmark, textCol, benchTextCol, n)
     gated.writeStream.outputMode("append")
@@ -1387,7 +1424,17 @@ object StreamOps {
             langCol, sourceCol, dupSketch)
           sampleByIngestBatch(b, s"$pipeDir/cap", batchId, sourceCol,
             idCol, capK)
-          fpDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit
+          nearDedup match {
+            case Some(p) =>
+              // heal a compactCorpus mid-swap crash BEFORE the index
+              // ingest opens the corpus — a renamed-away corpus would
+              // read as empty and silently re-admit every duplicate
+              healPartials(b.sparkSession, s"$pipeDir/corpus")
+              graft.text.DedupIndex.ingestBatch(b, s"$pipeDir/corpus",
+                s"$pipeDir/dedup_idx", idCol, textCol, p): Unit
+            case None =>
+              fpDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit
+          }
         }
       }
   }

@@ -1643,6 +1643,95 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows(again) == rows(expect))
   }
 
+  test("curation pipeline in NEAR-dup mode: DedupIndex-backed corpus stage across a restart; replay absorbed; compaction invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_curnear_")
+    val srcDir = java.nio.file.Files.createDirectories(dir.resolve("src"))
+    val ckpt = dir.resolve("ck").toString
+    val pipeDir = dir.resolve("pipe").toString
+    val benchText = "the forbidden benchmark passage appears right here today"
+    def body(i: Long): String = i match {
+      case 2L  => body(1L) // exact dup IN batch 1 -> collapsed
+      case 6L  => benchText // decontaminated away
+      case 11L => body(3L) // exact dup ACROSS batches -> fp probe drops
+      case 12L => body(4L) + " added" // near dup (J~0.82) of an admitted doc -> verify drops
+      case 16L => benchText
+      case 13L => "one common body shared by two odd documents here"
+      case 14L => "one common body shared by two odd documents here different"
+        // 13/14 near-dup EACH OTHER inside batch 2: candidates come
+        // only from the index, so both are admitted — batch semantics
+      case i   =>
+        // filler docs share NO shingle across ids (every 3-gram carries
+        // an id-specific token), so the only near-dup pairs are the
+        // constructed high-J ones — keeps the expectation deterministic
+        // (banding recall at threshold-grazing J=0.5 is not total)
+        s"document number $i carries tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e trailing words"
+    }
+    def mkDocs(ids: Seq[Long]) = ids.map(i =>
+      (i, body(i), "en", if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    def writeFile(ids: Seq[Long], name: String): Unit = {
+      val staging = dir.resolve(s"_s$name")
+      mkDocs(ids).coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"$name.parquet")): Unit
+    }
+    val bench = Seq(benchText).toDF("text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    val params = graft.text.DedupIndex.Params()
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = graft.streaming.StreamOps.curationPipelineStream(
+          docs, pipeDir, bench, "text", n = 3, capK = 5,
+          nearDedup = Some(params))
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the first half lands as TWO micro-batches so compaction below has
+    // >= 2 foldable subdirs under the max batch id (the fold contract);
+    // the exact-dup pair (1, 2) drops identically whether the pair
+    // shares a batch or crosses one — the fp probe owns both cases
+    writeFile(1L to 4L, "d0a")
+    writeFile(5L to 8L, "d0b")
+    run()
+    writeFile(11L to 18L, "d1")
+    run() // checkpoint restart: the odd half probes the seeded index
+    def corpusIds() = spark.read.parquet(s"$pipeDir/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Set(1L, 3L, 4L, 5L, 7L, 8L, 13L, 14L, 15L, 17L, 18L)
+    assert(corpusIds() == expected)
+    // a crash replay of batch 2 re-probes and appends NOTHING
+    val replay = graft.streaming.StreamOps.decontaminateStream(
+      mkDocs(11L to 18L), bench, "text", "text", n = 3)
+    assert(graft.text.DedupIndex.ingestBatch(replay, s"$pipeDir/corpus",
+      s"$pipeDir/dedup_idx", params = params) == 0L)
+    // maintenance: folds partials + the (unsorted) corpus + the index's
+    // per-batch files; render and admitted set must be unchanged
+    val renderBefore = graft.streaming.StreamOps.curationRender(
+      spark, pipeDir, capK = 5).collect().map(_.toSeq).toSet
+    val (folded, files) = graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+    assert(folded > 0, "partials should have folded across two batches")
+    assert(files >= 0) // tiny corpora may already be at the target
+    assert(corpusIds() == expected)
+    assert(graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = 5)
+      .collect().map(_.toSeq).toSet == renderBefore)
+    // the index survives compaction: replays still absorb, and a fresh
+    // near-dup of an admitted doc is still dropped
+    assert(graft.text.DedupIndex.ingestBatch(replay, s"$pipeDir/corpus",
+      s"$pipeDir/dedup_idx", params = params) == 0L)
+    val fresh = Seq((21L, body(5L) + " added", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(graft.text.DedupIndex.ingestBatch(fresh, s"$pipeDir/corpus",
+      s"$pipeDir/dedup_idx", params = params) == 0L)
+    assert(corpusIds() == expected)
+  }
+
   test("hidden-ancestor filter: a mid-write task-attempt file neither unwedges the presence gate nor inflates the compaction count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hidanc_")
