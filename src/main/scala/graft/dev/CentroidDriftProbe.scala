@@ -20,7 +20,13 @@ import graft.vec.{VecIndex, VectorOps}
   * bounded-sample claim (same recall repair, cheaper sweeps) is
   * measured, not asserted. All data is hash-deterministic — reruns
   * reproduce the table.
-  * Usage: graft.dev.CentroidDriftProbe [nBase] [nDrift] [dim] [k] [nprobe]
+  *
+  * The `pq` tier runs the same scenario on the IVF-PQ layout with
+  * [[VecIndex.refreshCentroidsPq]] vs [[VecIndex.rebalancePq]]; ground
+  * truth there is brute-force L2 (the PQ metric — these vectors are not
+  * unit-norm, so cosine brute force would rank differently) and the
+  * probe is the refined deployment shape.
+  * Usage: graft.dev.CentroidDriftProbe [nBase] [nDrift] [dim] [k] [nprobe] [tiers]
   */
 object CentroidDriftProbe {
   def main(args: Array[String]): Unit = {
@@ -80,36 +86,86 @@ object CentroidDriftProbe {
     val drift = (0L until nDrift).map(i => (nBase + i, clusterDrift(i)))
       .toDF("vec_id", "embedding")
 
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_drift_probe_").toString + "/idx"
-    VecIndex.build(base, dir, nlist = nlist, kmeansIters = 2)
-    // stream the drifted mass in via the real ingest discipline
-    drift.repartition(8).localCheckpoint().write.mode("overwrite")
-      .parquet(s"$dir/__stage")
-    val staged = spark.read.parquet(s"$dir/__stage")
-    VecIndex.append(staged, dir)
-
+    val tiers = args.lift(5).getOrElse("plain,pq").split(",").map(_.trim).toSeq
     val queries = drift.where($"vec_id" % 997 === 0).localCheckpoint()
-    val all = base.unionByName(drift)
-    val exact = VectorOps.bruteForceTopK(all, queries, "vec_id", "embedding", k)
-      .localCheckpoint()
-    def recallNow(): Double = VectorOps.recallAtK(
-      VecIndex.topK(queries, dir, k = k, nprobe = nprobe), exact)
+    val all = base.unionByName(drift).localCheckpoint()
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val cvBefore = VecIndex.listStats(spark, dir).cv
-    val rBefore = recallNow()
-    val ((_, afterRefresh), tRefresh) = time(
-      VecIndex.refreshCentroids(spark, dir, sampleSize = 2000, kmeansIters = 2))
-    val rRefresh = recallNow()
-    val ((_, afterRebal), tRebal) = time(
-      VecIndex.rebalance(spark, dir, kmeansIters = 2))
-    val rRebal = recallNow()
-    println(f"${"stage"}%-16s ${"recall@" + k}%-10s ${"cv"}%-8s repair_s")
-    println(f"${"drifted"}%-16s $rBefore%-10.4f $cvBefore%-8.3f -")
-    println(f"${"refresh(2k)"}%-16s $rRefresh%-10.4f ${afterRefresh.cv}%-8.3f $tRefresh%.1f")
-    println(f"${"full rebalance"}%-16s $rRebal%-10.4f ${afterRebal.cv}%-8.3f $tRebal%.1f")
+    def report(tag: String, rows: Seq[(String, Double, Double, String)]): Unit = {
+      println(s"== $tag ==")
+      println(f"${"stage"}%-16s ${"recall@" + k}%-10s ${"cv"}%-8s repair_s")
+      rows.foreach { case (st, r, cv, t) =>
+        println(f"$st%-16s $r%-10.4f $cv%-8.3f $t")
+      }
+    }
+    def stage(drifted: DataFrame, dir: String): Unit = {
+      // stream the drifted mass in via the real ingest discipline
+      drifted.repartition(8).localCheckpoint().write.mode("overwrite")
+        .parquet(s"$dir/__stage")
+    }
+
+    if (tiers.contains("plain")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_drift_probe_").toString + "/idx"
+      VecIndex.build(base, dir, nlist = nlist, kmeansIters = 2)
+      stage(drift, dir)
+      VecIndex.append(spark.read.parquet(s"$dir/__stage"), dir)
+      val exact = VectorOps.bruteForceTopK(all, queries, "vec_id", "embedding", k)
+        .localCheckpoint()
+      def recallNow(): Double = VectorOps.recallAtK(
+        VecIndex.topK(queries, dir, k = k, nprobe = nprobe), exact)
+      val cvBefore = VecIndex.listStats(spark, dir).cv
+      val rBefore = recallNow()
+      val ((_, afterRefresh), tRefresh) = time(
+        VecIndex.refreshCentroids(spark, dir, sampleSize = 2000, kmeansIters = 2))
+      val rRefresh = recallNow()
+      val ((_, afterRebal), tRebal) = time(
+        VecIndex.rebalance(spark, dir, kmeansIters = 2))
+      val rRebal = recallNow()
+      report("plain tier", Seq(
+        ("drifted", rBefore, cvBefore, "-"),
+        ("refresh(2k)", rRefresh, afterRefresh.cv, f"$tRefresh%.1f"),
+        ("full rebalance", rRebal, afterRebal.cv, f"$tRebal%.1f")))
+    }
+
+    if (tiers.contains("pq")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_drift_probe_").toString + "/idxpq"
+      VecIndex.buildPq(base, dir, nlist = nlist, kmeansIters = 2,
+        m = 8, ksub = 64, pqIters = 2)
+      stage(drift, dir)
+      VecIndex.appendPq(spark.read.parquet(s"$dir/__stage"), dir)
+      // exact L2 ground truth — the PQ metric; query side broadcast
+      val cand = all.select($"vec_id".as("cand_id"),
+          VectorOps.asDouble($"embedding").as("cand_vec"))
+        .repartition($"cand_id")
+      val qb = queries.select($"vec_id".as("query_id"),
+        VectorOps.asDouble($"embedding").as("q_vec"))
+      val wL2 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"dist", $"cand_id")
+      val exactL2 = cand.crossJoin(broadcast(qb))
+        .where($"cand_id" =!= $"query_id")
+        .withColumn("dist", VectorOps.l2sq($"cand_vec", $"q_vec"))
+        .withColumn("rank", row_number().over(wL2)).where($"rank" <= k)
+        .select($"query_id", $"cand_id".as("neighbor_id"))
+        .localCheckpoint()
+      def recallPq(): Double = VectorOps.recallAtK(
+        VecIndex.topKPq(queries, dir, k = k, nprobe = nprobe,
+          refineWith = Some(all), refine = 4), exactL2)
+      val cvBefore = VecIndex.listStats(spark, dir).cv
+      val rBefore = recallPq()
+      val ((_, afterRefresh), tRefresh) = time(
+        VecIndex.refreshCentroidsPq(all, dir, sampleSize = 2000, kmeansIters = 2))
+      val rRefresh = recallPq()
+      val ((_, afterRebal), tRebal) = time(
+        VecIndex.rebalancePq(all, dir, kmeansIters = 2))
+      val rRebal = recallPq()
+      report("pq tier", Seq(
+        ("drifted", rBefore, cvBefore, "-"),
+        ("refresh(2k)", rRefresh, afterRefresh.cv, f"$tRefresh%.1f"),
+        ("full rebalance", rRebal, afterRebal.cv, f"$tRebal%.1f")))
+    }
     spark.stop()
   }
 }

@@ -538,6 +538,9 @@ object VecIndex {
     require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
       s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
         "use rebalancePq with the original vector table")
+    require(!isSq8(spark, indexDir),
+      s"VecIndex at $indexDir is IVF-SQ8 (lists hold codes, not vectors); " +
+        "use refreshCentroidsSq8 — it re-fits from the dequantized codes")
     val before = listStats(spark, indexDir)
     val cents0 = loadCentroids(spark, indexDir)
     val base = spark.read.parquet(s"$indexDir/lists")
@@ -570,20 +573,19 @@ object VecIndex {
     require(sampleSize >= 1, s"refreshCentroids: sampleSize >= 1, got $sampleSize")
     require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
       s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
-        "use rebalancePq with the original vector table")
+        "use refreshCentroidsPq with the original vector table")
+    require(!isSq8(spark, indexDir),
+      s"VecIndex at $indexDir is IVF-SQ8 (lists hold codes, not vectors); " +
+        "use refreshCentroidsSq8 — it re-fits from the dequantized codes")
     val before = listStats(spark, indexDir)
     val cents0 = loadCentroids(spark, indexDir)
     val base = spark.read.parquet(s"$indexDir/lists")
       .select(col("id"), col("vec"))
       .repartition(col("id"))
       .localCheckpoint() // feeds the sample filter AND the re-assignment
-    // 1-in-d hash thinning: d from the incrementally-maintained stats
-    // count, so sizing the sample never scans the lists
-    val d = math.max(1L, before.nVectors / sampleSize)
-    val sample =
-      if (d == 1L) base
-      else base.where(pmod(xxhash64(col("id"), lit("cref")), lit(d)) === 0)
-    val cents = VectorOps.kmeansCentroids(sample, "vec", cents0, kmeansIters)
+    val cents = VectorOps.kmeansCentroids(
+      kmeansSample(base, before.nVectors, Some(sampleSize)), "vec",
+      cents0, kmeansIters)
     reassignAll(spark, indexDir, base, cents)
     (before, listStats(spark, indexDir))
   }
@@ -719,7 +721,36 @@ object VecIndex {
     * rebuild, a different verb). */
   def rebalancePq(vectors: DataFrame, indexDir: String,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  kmeansIters: Int = 2): (ListStats, ListStats) = {
+                  kmeansIters: Int = 2): (ListStats, ListStats) =
+    rebalancePqImpl(vectors, indexDir, idCol, vecCol, kmeansIters,
+      sampleSize = None)
+
+  /** [[refreshCentroids]] for the IVF-PQ layout: the k-means sweeps run
+    * over a bounded deterministic sample (same 1-in-d hash thinning,
+    * sized from the metadata-scale stats count), so refinement cost is
+    * flat in the corpus. The caller still supplies the FULL original
+    * vector table — new centroids change every residual, so every row
+    * must re-encode regardless of how the centroids were fit; that
+    * reassign-and-reencode pass is the irreducible cost of ANY centroid
+    * change on a PQ index, not of the refresh (the same contract as
+    * [[rebalancePq]], whose coverage check and epoch-stamped install
+    * this shares). The PQ CODEBOOKS stay frozen: they were trained on
+    * residual distributions, which a centroid nudge barely moves —
+    * retraining them is a [[buildPq]] rebuild, a different verb. */
+  def refreshCentroidsPq(vectors: DataFrame, indexDir: String,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         sampleSize: Int = 100000,
+                         kmeansIters: Int = 2): (ListStats, ListStats) = {
+    require(sampleSize >= 1,
+      s"refreshCentroidsPq: sampleSize >= 1, got $sampleSize")
+    rebalancePqImpl(vectors, indexDir, idCol, vecCol, kmeansIters,
+      sampleSize = Some(sampleSize))
+  }
+
+  private def rebalancePqImpl(vectors: DataFrame, indexDir: String,
+                              idCol: String, vecCol: String,
+                              kmeansIters: Int,
+                              sampleSize: Option[Int]): (ListStats, ListStats) = {
     val spark = vectors.sparkSession
     val before = listStats(spark, indexDir)
     val cents0 = loadCentroids(spark, indexDir)
@@ -736,7 +767,9 @@ object VecIndex {
     require(nGot == nIdx,
       s"rebalancePq: vector table covers $nGot of $nIdx indexed ids — " +
         "a rebalance with missing vectors would silently drop them")
-    val cents = VectorOps.kmeansCentroids(base, "vec", cents0, kmeansIters)
+    val cents = VectorOps.kmeansCentroids(
+      kmeansSample(base, before.nVectors, sampleSize), "vec",
+      cents0, kmeansIters)
     def centVec(cid: org.apache.spark.sql.Column) =
       cents.foldLeft(lit(null).cast("array<double>")) { case (acc, (id, cv)) =>
         when(cid === id, typedLit(cv.toSeq)).otherwise(acc)
@@ -752,6 +785,63 @@ object VecIndex {
       .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     installReassigned(spark, indexDir, tmp, cents)
     (before, listStats(spark, indexDir))
+  }
+
+  /** [[refreshCentroids]] for the IVF-SQ8 layout — self-contained: SQ8
+    * codes DEQUANTIZE deterministically, so the drifted index repairs
+    * itself from its own lists with no original vector table. K-means
+    * refines over a bounded sample of the dequantized vectors, every
+    * row reassigns to its nearest new centroid by its dequantized form
+    * — which is exactly the representation probes SCORE, so assignment
+    * and scoring stay aligned — and the codes themselves ride along
+    * UNCHANGED (the frozen quantization grid is index contract; only
+    * list membership moves). Same epoch-stamped install and concurrency
+    * contract as every reassign. */
+  def refreshCentroidsSq8(spark: SparkSession, indexDir: String,
+                          sampleSize: Int = 100000,
+                          kmeansIters: Int = 2): (ListStats, ListStats) = {
+    require(sampleSize >= 1,
+      s"refreshCentroidsSq8: sampleSize >= 1, got $sampleSize")
+    require(isSq8(spark, indexDir),
+      s"VecIndex at $indexDir has no sq8/ scales — " +
+        "use refreshCentroids (plain) or refreshCentroidsPq (PQ)")
+    val before = listStats(spark, indexDir)
+    val cents0 = loadCentroids(spark, indexDir)
+    val model = loadSq8Model(spark, indexDir)
+    val base = spark.read.parquet(s"$indexDir/lists")
+      .select(col("id"), col("codes"))
+      .withColumn("vec", Quantize.sq8Dequant(col("codes"), model))
+      .repartition(col("id"))
+      .localCheckpoint() // feeds the sample filter AND the re-assignment
+    val cents = VectorOps.kmeansCentroids(
+      kmeansSample(base, before.nVectors, Some(sampleSize)), "vec",
+      cents0, kmeansIters)
+    val tmp = s"$indexDir/lists__rebal_tmp"
+    base.withColumn("list_id",
+        element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
+      .select(col("id"), col("codes"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+    installReassigned(spark, indexDir, tmp, cents)
+    (before, listStats(spark, indexDir))
+  }
+
+  /** The shared 1-in-d deterministic thinning the refresh verbs feed
+    * k-means: d sized from the incrementally-maintained stats count, so
+    * the sample never costs a scan to size; None = full table (the
+    * rebalance verbs). */
+  private def kmeansSample(base: DataFrame, nVectors: Long,
+                           sampleSize: Option[Int]): DataFrame =
+    sampleSize match {
+      case Some(sz) =>
+        val d = math.max(1L, nVectors / sz)
+        if (d == 1L) base
+        else base.where(pmod(xxhash64(col("id"), lit("cref")), lit(d)) === 0)
+      case None => base
+    }
+
+  private def isSq8(spark: SparkSession, indexDir: String): Boolean = {
+    val (f, _) = fsPath(spark, indexDir)
+    f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq8"))
   }
 
   private def writeCentroids(spark: SparkSession, indexDir: String,

@@ -390,7 +390,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // two broadcast 1-row stats folds
       "text/TextOps.scala" -> 3,
       // q_x_ann oracle harness (8-query broadcast) + near-dup 1-row agg
-      "SparkEntry.scala" -> 2)
+      "SparkEntry.scala" -> 2,
+      // drift probe's exact-L2 ground truth: broadcast query side
+      // (probe-batch-sized), dev harness only
+      "dev/CentroidDriftProbe.scala" -> 1)
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val re = """\.crossJoin\(""".r
     val found = scala.collection.mutable.Map.empty[String, Int]

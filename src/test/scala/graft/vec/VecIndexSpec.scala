@@ -174,6 +174,68 @@ class VecIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("IVF-PQ"))
   }
 
+  test("refreshCentroidsPq: bounded-sample refinement repairs drift on the PQ tier; full-coverage refined probe is refresh-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.buildPq(early, dir, nlist = 4, kmeansIters = 2, m = 4, ksub = 64)
+    VecIndex.appendPq(late, dir)
+    val skewed = VecIndex.listStats(spark, dir)
+    // k * refine covers the whole index, so the exact-L2 re-rank sees
+    // EVERY candidate: the refined result is the true L2 top-k and must
+    // be identical before and after the refresh (codes and centroids
+    // change, the answer must not)
+    def fullRefined() = shapeD(VecIndex.topKPq(queries, dir, k = 4,
+      nprobe = 4, refineWith = Some(vecs), refine = 30))
+    val before = fullRefined()
+    val (pre, post) = VecIndex.refreshCentroidsPq(vecs, dir,
+      sampleSize = 40, kmeansIters = 2)
+    assert(pre == skewed)
+    assert(post.nVectors == 120L, "refresh must re-encode, never drop rows")
+    assert(post.cv < skewed.cv,
+      s"PQ refresh should reduce drift skew: cv ${skewed.cv} -> ${post.cv}")
+    assert(fullRefined() == before,
+      "exact re-rank over a full shortlist must be refresh-invariant")
+    // missing vectors are refused, exactly like rebalancePq
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.refreshCentroidsPq(vecs.limit(10), dir, sampleSize = 40)
+    }
+    assert(e.getMessage.contains("covers"))
+  }
+
+  test("refreshCentroidsSq8: self-contained repair from dequantized codes; full-probe results are refresh-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.buildSq8(early, dir, nlist = 4, kmeansIters = 2)
+    VecIndex.appendSq8(late, dir)
+    val skewed = VecIndex.listStats(spark, dir)
+    // probing every list scores every (unchanged) code — the result
+    // must be identical across the refresh, whatever the centroids do
+    def fullProbe() = shape(VecIndex.topKSq8(queries, dir, k = 4, nprobe = 4))
+    val before = fullProbe()
+    val (pre, post) = VecIndex.refreshCentroidsSq8(spark, dir,
+      sampleSize = 40, kmeansIters = 2)
+    assert(pre == skewed)
+    assert(post.nVectors == 120L, "refresh must reassign, never drop rows")
+    assert(post.cv < skewed.cv,
+      s"SQ8 refresh should reduce drift skew: cv ${skewed.cv} -> ${post.cv}")
+    assert(fullProbe() == before,
+      "codes are untouched; a full probe must be refresh-invariant")
+    // layout guards: plain/PQ refresh verbs refuse the SQ8 layout and
+    // the SQ8 verb refuses indexes without sq8/ scales
+    val e1 = intercept[IllegalArgumentException] {
+      VecIndex.refreshCentroids(spark, dir, sampleSize = 40)
+    }
+    assert(e1.getMessage.contains("IVF-SQ8"))
+    val e2 = intercept[IllegalArgumentException] {
+      VecIndex.rebalance(spark, dir)
+    }
+    assert(e2.getMessage.contains("IVF-SQ8"))
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(early, plainDir, nlist = 4, kmeansIters = 1)
+    val e3 = intercept[IllegalArgumentException] {
+      VecIndex.refreshCentroidsSq8(spark, plainDir, sampleSize = 40)
+    }
+    assert(e3.getMessage.contains("sq8"))
+  }
+
   test("reassign install is crash-consistent: heal completes or aborts a pending install by epoch") {
     import org.apache.spark.sql.functions.{col, expr}
     def centroidRows(d: String) = spark.read.parquet(s"$d/centroids")
