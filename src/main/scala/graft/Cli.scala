@@ -53,7 +53,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> data-card <docs.parquet> [idCol] [textCol] [langCol] [sourceCol] [--out D]
   * graft.Cli <root> <collection> zipf <docs.parquet> [textCol] [topK] [--out D]
   * graft.Cli <root> <collection> novelty <docs.parquet> [idCol] [textCol] [n] [--out D]
-  * graft.Cli <root> <collection> curation <pipeDir> [render|compact] [capK] [idCol] [sourceCol] [--out D]
+  * graft.Cli <root> <collection> curation <pipeDir> [render|compact|compact-if-due|status] [capK] [idCol] [sourceCol] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */

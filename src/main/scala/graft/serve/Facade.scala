@@ -506,25 +506,34 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
   /** Live curation pipeline audit + maintenance
     * (`graft.streaming.StreamOps`): "render" reduces the accumulated
     * partials of a `curationPipelineStream` root to the per-source
-    * audit row; "compact" folds every partials family plus the
-    * exact-dedup corpus (fp-sorted layout preserved) and returns one
-    * row of fold counts — the quiesced-stream maintenance verb. */
+    * audit row; "compact" folds every partials family plus the dedup
+    * corpus (and index, when the pipeline runs near-dup mode) — the
+    * quiesced-stream maintenance verb, refused while the pipeline's
+    * named query is active; "status" reports the maintenance policy
+    * (per-component file/subdir counts vs thresholds, fs metadata
+    * only); "compact-if-due" is the auto-compact hook — it compacts
+    * only when "status" says some component is due. */
   def curation(pipeDir: String, mode: String = "render", capK: Int = 20,
                idCol: String = "doc_id",
                sourceCol: String = "source"): DataFrame = mode match {
     case "render" =>
       graft.streaming.StreamOps.curationRender(spark, pipeDir,
         capK = capK, idCol = idCol, sourceCol = sourceCol)
-    case "compact" =>
+    case "compact" | "compact-if-due" =>
       // the family list lives with the ingests (StreamOps owns the
       // pipeline's directory layout)
       val (folded, files) =
-        graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+        if (mode == "compact")
+          graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+        else graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir)
       import spark.implicits._
       Seq((folded.toLong, files.toLong))
         .toDF("n_partials_folded", "n_corpus_files_folded")
+    case "status" =>
+      graft.streaming.StreamOps.maintenanceDue(spark, pipeDir)
     case other => throw new IllegalArgumentException(
-      s"curation: mode must be 'render' or 'compact', got '$other'")
+      "curation: mode must be 'render', 'compact', 'compact-if-due' " +
+        s"or 'status', got '$other'")
   }
 
   /** Zipf rank-frequency fit (`graft.text.CorpusStats.zipfFit`). */

@@ -858,6 +858,7 @@ object StreamOps {
     * instead of silently accumulating subdirs forever. Returns
     * (partials subdirs folded, corpus files folded). */
   def curationCompact(spark: SparkSession, pipeDir: String): (Int, Int) = {
+    requireQuiesced(spark, pipeDir)
     val partialRoots =
       CardFamilies.map(f => s"$pipeDir/card/$f") :+ s"$pipeDir/cap/bkg"
     val folded = partialRoots.map(d => compactPartials(spark, d)).sum
@@ -880,6 +881,96 @@ object StreamOps {
         .exists(idxPath))
       graft.text.DedupIndex.compact(spark, s"$pipeDir/dedup_idx"): Unit
     (folded, files)
+  }
+
+  /** The streaming-query name [[curationPipelineStream]] stamps on its
+    * writer: `graft_curation:<pipeDir>`. This is what turns the
+    * "compact only with the stream quiesced" contract from documentation
+    * into an ENFORCED check — maintenance verbs look the name up in
+    * `spark.streams.active` and refuse while the pipeline's query runs.
+    * Callers who rename the query opt out of the enforcement (the
+    * contract itself still binds them). */
+  def curationQueryName(pipeDir: String): String = s"graft_curation:$pipeDir"
+
+  private def requireQuiesced(spark: SparkSession, pipeDir: String): Unit = {
+    val name = curationQueryName(pipeDir)
+    if (spark.streams.active.exists(q => q.name == name))
+      throw new IllegalStateException(
+        s"curation maintenance on $pipeDir refused: streaming query " +
+          s"'$name' is active — an append landing mid-swap would be lost " +
+          "with the old tree. Stop the stream, compact, restart from the " +
+          "checkpoint (maintenance is restart-invisible).")
+  }
+
+  /** Is maintenance DUE on a [[curationPipelineStream]] root? One row
+    * per maintainable component from fs METADATA only (subdir/file
+    * counts — no parquet opened, no job run): each partials family's
+    * `batch_id=` subdir count against `maxSubdirs`, the corpus's
+    * committed part-file count and (when present) the dedup index's
+    * against `maxFiles`. Cheap enough to call at every stream stop; the
+    * thresholds are where render/probe cost starts drifting from data
+    * to file-open overhead (the compactPartials/compactCorpus walls).
+    * Drives [[curationCompactIfDue]]; also the `status` facade verb. */
+  def maintenanceDue(spark: SparkSession, pipeDir: String,
+                     maxSubdirs: Int = 64,
+                     maxFiles: Int = 64): DataFrame = {
+    require(maxSubdirs >= 1 && maxFiles >= 1,
+      s"maintenanceDue: thresholds must be >= 1, got ($maxSubdirs, $maxFiles)")
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def subdirCount(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id=")).toLong
+    }
+    def fileCount(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) 0L
+      else {
+        val it = f.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.startsWith("part-") &&
+              graft.ops.FsPaths.committedUnder(p, st.getPath)) n += 1
+        }
+        n
+      }
+    }
+    val partials = (CardFamilies.map(f => s"card/$f") :+ "cap/bkg").map { rel =>
+      val n = subdirCount(s"$pipeDir/$rel")
+      (rel, n, maxSubdirs.toLong, n >= maxSubdirs)
+    }
+    val corpusN = fileCount(s"$pipeDir/corpus")
+    val corpus = Seq(("corpus", corpusN, maxFiles.toLong, corpusN >= maxFiles))
+    val idxP = new org.apache.hadoop.fs.Path(s"$pipeDir/dedup_idx")
+    val idx =
+      if (idxP.getFileSystem(conf).exists(idxP)) {
+        val n = fileCount(s"$pipeDir/dedup_idx")
+        Seq(("dedup_idx", n, maxFiles.toLong, n >= maxFiles))
+      } else Nil
+    (partials ++ corpus ++ idx)
+      .toDF("component", "n", "threshold", "due")
+  }
+
+  /** The opt-in auto-compact hook for a quiesced stream stop: check the
+    * policy ([[maintenanceDue]], fs metadata only), and run
+    * [[curationCompact]] ONLY when some component is due — callers put
+    * this after `query.stop()` and maintenance happens exactly when the
+    * file counts say it should, never as a fixed-cost ritual. Refuses
+    * (loudly, like every maintenance verb) while the pipeline's named
+    * query is active. Returns (partials folded, corpus files folded) —
+    * (0, 0) when nothing was due. */
+  def curationCompactIfDue(spark: SparkSession, pipeDir: String,
+                           maxSubdirs: Int = 64,
+                           maxFiles: Int = 64): (Int, Int) = {
+    requireQuiesced(spark, pipeDir)
+    val due = maintenanceDue(spark, pipeDir, maxSubdirs, maxFiles)
+      .where(col("due")).count()
+    if (due == 0L) (0, 0) else curationCompact(spark, pipeDir)
   }
 
   /** One micro-batch of the LIVE corpus data card: per-batch partials
@@ -1415,6 +1506,9 @@ object StreamOps {
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val gated = decontaminateStream(docs, benchmark, textCol, benchTextCol, n)
     gated.writeStream.outputMode("append")
+      // the name is the maintenance verbs' non-concurrency guard — see
+      // [[curationQueryName]]
+      .queryName(curationQueryName(pipeDir))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // one materialization feeds all three consumers — the

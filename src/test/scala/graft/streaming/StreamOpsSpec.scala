@@ -1732,6 +1732,66 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(corpusIds() == expected)
   }
 
+  test("maintenance policy: due at the threshold, no-op below, refused while the pipeline's named query is active") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_")
+    val pipeDir = dir.resolve("pipe").toString
+    def mkBatch(ids: Seq[Long]) = ids.map(i =>
+      (i, s"maintenance test document $i with words", "en",
+        if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    // three direct batch ingests = three batch_id subdirs per family
+    (0L to 2L).foreach { b =>
+      val batch = mkBatch((b * 4 + 1) to (b * 4 + 4))
+      graft.streaming.StreamOps.dataCardIngestBatch(batch, s"$pipeDir/card", b)
+      graft.streaming.StreamOps.sampleByIngestBatch(batch, s"$pipeDir/cap", b,
+        "source", "doc_id", k = 5)
+      graft.streaming.StreamOps.fpDedupIngestBatch(batch, s"$pipeDir/corpus"): Unit
+    }
+    def due(maxSubdirs: Int) = graft.streaming.StreamOps
+      .maintenanceDue(spark, pipeDir, maxSubdirs = maxSubdirs, maxFiles = 999)
+      .where($"due").select($"component").collect().map(_.getString(0)).toSet
+    // below threshold: nothing due, the hook is a strict no-op
+    assert(due(maxSubdirs = 5).isEmpty)
+    assert(graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir,
+      maxSubdirs = 5, maxFiles = 999) == ((0, 0)))
+    def subdirs(rel: String) = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(pipeDir, rel))
+      try s.filter(_.getFileName.toString.startsWith("batch_id=")).count()
+      finally s.close()
+    }
+    assert(subdirs("card/stats") == 3, "no-op must leave partials untouched")
+    // at the threshold: the partials families report due and the hook acts
+    assert(due(maxSubdirs = 3).contains("card/stats"))
+    val (folded, _) = graft.streaming.StreamOps.curationCompactIfDue(
+      spark, pipeDir, maxSubdirs = 3, maxFiles = 999)
+    assert(folded > 0)
+    assert(subdirs("card/stats") == 2) // base + preserved max id
+    // post-compaction the policy is satisfied again — the hook re-arms
+    assert(due(maxSubdirs = 3).isEmpty)
+    assert(graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir,
+      maxSubdirs = 3, maxFiles = 999) == ((0, 0)))
+    // ENFORCED non-concurrency: while a query carrying the pipeline's
+    // name runs, every maintenance verb refuses
+    val guard = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .writeStream.format("noop")
+      .queryName(graft.streaming.StreamOps.curationQueryName(pipeDir))
+      .start()
+    try {
+      intercept[IllegalStateException] {
+        graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+      }
+      intercept[IllegalStateException] {
+        graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir)
+      }
+    } finally guard.stop()
+    // quiesced again: the verb works (nothing due -> no-op)
+    assert(graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir,
+      maxSubdirs = 3, maxFiles = 999) == ((0, 0)))
+  }
+
   test("hidden-ancestor filter: a mid-write task-attempt file neither unwedges the presence gate nor inflates the compaction count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hidanc_")
