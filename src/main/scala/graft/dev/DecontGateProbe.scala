@@ -36,7 +36,7 @@ object DecontGateProbe {
         .select(col("doc_id"), col("text")).localCheckpoint()
       val bench = docs.where(pmod(col("doc_id"), lit(37)) === 0)
         .localCheckpoint()
-      Seq("exact" -> Int.MaxValue, "bloom" -> 0).foreach { case (label, cap) =>
+      Seq("exact" -> (Int.MaxValue - 1), "bloom" -> 0).foreach { case (label, cap) =>
         // discarded warm-up + 2 timed runs, min reported
         def run() = time(StreamOps.decontaminateStream(
           docs, bench, "text", "text", n, maxExactGrams = cap).count())
@@ -44,6 +44,36 @@ object DecontGateProbe {
         val rs = Seq(run(), run())
         val kept = rs.head._1
         println(f"$d%-24s $label%-8s $kept%-9d ${rs.map(_._2).min}%.2f")
+      }
+    }
+
+    // OVER-CAP gram-growth sweep: docs fixed (the 10x corpus), the
+    // benchmark slice widened so its distinct gram set grows from ~cap
+    // to far past it. The claim under test is the gate's reason to
+    // exist: bloom per-row cost is gram-set-INDEPENDENT (the sweep time
+    // must stay ~flat as grams grow), where the exact literal kernel is
+    // O(|grams|) per row (timed at the smallest slice for reference —
+    // linear extrapolation is the r11 measurement).
+    {
+      import graft.text.TextOps
+      val docs = spark.read.parquet(s"$bigDir/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      println(f"${"bench_mod"}%-10s ${"n_grams"}%-10s ${"kernel"}%-8s kept      sec")
+      Seq(37, 13, 5).foreach { m =>
+        val bench = docs.where(pmod(col("doc_id"), lit(m)) === 0)
+          .localCheckpoint()
+        val nGrams = bench.select(explode(TextOps.wordShingles(
+            TextOps.tokens(col("text")), n)).as("g")).distinct().count()
+        def run(cap: Int) = time(StreamOps.decontaminateStream(
+          docs, bench, "text", "text", n, maxExactGrams = cap).count())
+        run(0)
+        val rs = Seq(run(0), run(0))
+        println(f"$m%-10d $nGrams%-10d bloom    ${rs.head._1}%-9d ${rs.map(_._2).min}%.2f")
+        if (m == 37) {
+          run(Int.MaxValue - 1)
+          val es = Seq(run(Int.MaxValue - 1), run(Int.MaxValue - 1))
+          println(f"$m%-10d $nGrams%-10d exact    ${es.head._1}%-9d ${es.map(_._2).min}%.2f")
+        }
       }
     }
     spark.stop()
