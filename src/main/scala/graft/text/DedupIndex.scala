@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * Replay safety is inherited from the dedup semantics themselves
   * (see [[StreamOps.dedupIngestBatch]]): a re-delivered batch
   * exact-matches the fp rows its first delivery appended and drops out
-  * before any write.
+  * before any write. Replays of a batch whose ingest CRASHED mid-write
+  * converge too — see [[ingestBatch]]'s write-ordering note (fp last as
+  * the commit marker, corpus re-appends skipped by id presence,
+  * duplicate sig/bands rows absorbed by the probe's distincts).
   */
 object DedupIndex {
 
@@ -205,11 +208,15 @@ object DedupIndex {
         val matched = bandTable
           .join(broadcast(probe.select(bandKey.map(col): _*).distinct()), bandKey)
           .localCheckpoint()
-        // partial-aggregated COUNT per key (map-side combine, no
+        // partial-aggregated count per key (map-side combine, no
         // mega-bucket ever materializes in one task); surviving keys are
-        // bounded by the batch's own band count, so they broadcast
+        // bounded by the batch's own band count, so they broadcast.
+        // DISTINCT ids, not raw rows: a crash replay can leave duplicate
+        // band rows (see [[ingestBatch]]'s write ordering), and a raw
+        // count would let them push a boundary bucket past the cap and
+        // silently drop its candidates
         val okKeys = matched.groupBy(bandKey.map(col): _*)
-          .agg(count(lit(1)).as("__n"))
+          .agg(countDistinct(col("id")).as("__n"))
           .where(col("__n") <= params.maxBucket)
           .select(bandKey.map(col): _*)
         val candidates = matched
@@ -305,39 +312,70 @@ object DedupIndex {
     * near dups (band probe -> signature estimate -> exact-Jaccard verify
     * against candidate corpus texts only), append survivors to
     * `corpusDir` and their index rows to `indexDir`. Returns the number
-    * of appended rows.
+    * of rows appended to the CORPUS.
     *
     * `batch` must carry at least (idCol, textCol); survivor rows are
-    * appended to the corpus with ALL their columns. */
+    * appended to the corpus with ALL their columns.
+    *
+    * CRASH ordering (the WinnowIndex fp-then-ids discipline): the fp
+    * table is written LAST — it is the replay decision key (the exact
+    * probe drops on it), so it must be the ingest's commit marker. The
+    * possible interrupted states then all converge on replay:
+    *  - corpus appended, index not: the replay's survivors id-match the
+    *    corpus (the check below — ids ride two broadcast joins against
+    *    a column-pruned corpus id scan, the vecIndexIngestBatch shape),
+    *    so the corpus is NOT re-appended while the index rows are
+    *    written for the first time. Without this check the replay
+    *    re-appended the whole batch — duplicate corpus rows forever.
+    *  - sig and/or bands appended, fp not: the replay re-appends them —
+    *    duplicate sig/bands rows are absorbed by the probe's distincts
+    *    (and the bucket cap counts DISTINCT ids), so probe results are
+    *    unchanged; the bloat is one crashed batch's rows until the next
+    *    [[compact]] rewrite.
+    *  - everything appended: the replay drops at the fp probe — 0 rows.
+    * Ids are unique by engine contract; a caller re-using an id for new
+    * content forfeits that row's corpus append (documented, refused
+    * nowhere — the id is the identity). */
   def ingestBatch(batch: DataFrame, corpusDir: String, indexDir: String,
                   idCol: String = "doc_id", textCol: String = "text",
                   params: Params = Params()): Long = {
     val spark = batch.sparkSession
     checkOrWriteParams(spark, indexDir, params)
+    val hadCorpus = hasData(spark, corpusDir)
     val corpus =
-      if (hasData(spark, corpusDir)) spark.read.parquet(corpusDir)
+      if (hadCorpus) spark.read.parquet(corpusDir)
       else batch.limit(0)
     val survivors =
       probeWithSigs(batch, corpus, indexDir, idCol, textCol, params)
         .localCheckpoint() // materialize BEFORE the appends, so the probes
                            // cannot see the rows this call is itself writing
     val n = survivors.count()
-    if (n > 0) {
+    if (n == 0) return 0L
+    val fresh =
+      if (hadCorpus) {
+        val ids = corpus.select(col(idCol))
+        val present = ids.join(broadcast(survivors.select(col(idCol))),
+          Seq(idCol), "left_semi")
+        survivors.join(broadcast(present), Seq(idCol), "left_anti")
+          .localCheckpoint()
+      } else survivors
+    val appended = fresh.count()
+    if (appended > 0)
       // corpus keeps the caller's full row shape
-      survivors.select(batch.columns.map(col): _*)
+      fresh.select(batch.columns.map(col): _*)
         .write.mode("append").parquet(corpusDir)
-      writeSorted(survivors.select(col(idCol).as("id"), col("__fp").as("fp")),
-        s"$indexDir/fp", Seq("fp"))
-      writeSorted(survivors.where(col("__sig").isNotNull)
-          .select(col(idCol).as("id"), col("__sig").as("sig")),
-        s"$indexDir/sig", Seq("id"))
-      writeSorted(survivors.where(col("__bands").isNotNull)
-          .select(col(idCol).as("id"),
-            posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
-          .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods))),
-        s"$indexDir/bands", Seq("band_mod", "band_hash"), Seq("band_mod"))
-    }
-    n
+    writeSorted(survivors.where(col("__sig").isNotNull)
+        .select(col(idCol).as("id"), col("__sig").as("sig")),
+      s"$indexDir/sig", Seq("id"))
+    writeSorted(survivors.where(col("__bands").isNotNull)
+        .select(col(idCol).as("id"),
+          posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+        .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods))),
+      s"$indexDir/bands", Seq("band_mod", "band_hash"), Seq("band_mod"))
+    // fp LAST: the commit marker (see the ordering note above)
+    writeSorted(survivors.select(col(idCol).as("id"), col("__fp").as("fp")),
+      s"$indexDir/fp", Seq("fp"))
+    appended
   }
 
   /** Fold the per-batch small files each ingest appends — every table

@@ -163,4 +163,57 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L, 5L))
   }
+
+  test("crash window A (corpus appended, index not): the replay heals — no duplicate corpus rows, index rows land") {
+    val (corpus, index) = dirs()
+    val b1 = Seq((1L, tA, "s1"), (2L, tB, "s1")).toDF("doc_id", "text", "source")
+    assert(DedupIndex.ingestBatch(b1, corpus, index) == 2L)
+    // simulate the crash: batch 2's rows reached the corpus but the
+    // ingest died before ANY index write
+    val b2 = Seq((3L, tC, "s2")).toDF("doc_id", "text", "source")
+    b2.write.mode("append").parquet(corpus)
+    assert(spark.read.parquet(s"$index/fp").count() == 2) // index unaware
+    // the foreachBatch replay re-delivers b2: the fp probe keeps it
+    // (not indexed), the id-presence check skips the corpus re-append,
+    // the index writes land — both sides converge
+    assert(DedupIndex.ingestBatch(b2, corpus, index) == 0L,
+      "replay must not re-append corpus rows")
+    assert(spark.read.parquet(corpus).count() == 3L, "no duplicates")
+    assert(spark.read.parquet(s"$index/fp").count() == 3, "index healed")
+    // a SECOND replay now drops at the fp probe (the committed state)
+    assert(DedupIndex.ingestBatch(b2, corpus, index) == 0L)
+    assert(spark.read.parquet(corpus).count() == 3L)
+    assert(spark.read.parquet(s"$index/fp").count() == 3)
+    // and the healed index actually dedups: a near-dup of the healed
+    // doc is dropped
+    val near = Seq((9L, tC + " tail", "s3")).toDF("doc_id", "text", "source")
+    assert(DedupIndex.ingestBatch(near, corpus, index) == 0L)
+  }
+
+  test("crash window B (sig/bands appended, fp not): duplicate index rows are absorbed — probe results unchanged") {
+    val (corpus, index) = dirs()
+    val docs = (0L until 30L)
+      .map(i => (i, s"document number $i body token$i filler words here"))
+      .toDF("doc_id", "text")
+    assert(DedupIndex.ingestBatch(docs, corpus, index) == 30L)
+    val probe = Seq(
+      (100L, "document number 7 body token7 filler words here"),   // exact
+      (101L, "document number 8 body token8 filler words tail"),   // near
+      (102L, "entirely novel content nothing shared with anything")) // novel
+      .toDF("doc_id", "text")
+    val baseline = DedupIndex.probeBatch(probe, spark.read.parquet(corpus),
+      index).select("doc_id").as[Long].collect().toSet
+    // simulate the replay's duplicate appends: every sig and band row
+    // written twice (the state a crash between bands and fp leaves
+    // after its replay re-appends them)
+    val sig = spark.read.parquet(s"$index/sig").localCheckpoint()
+    sig.write.mode("append").parquet(s"$index/sig")
+    val bands = spark.read.parquet(s"$index/bands").localCheckpoint()
+    bands.write.mode("append")
+      .partitionBy("band_mod").parquet(s"$index/bands")
+    val got = DedupIndex.probeBatch(probe, spark.read.parquet(corpus),
+      index).select("doc_id").as[Long].collect().toSet
+    assert(got == baseline,
+      "duplicate sig/bands rows must not change probe survivors")
+  }
 }
