@@ -38,7 +38,7 @@ object Compaction {
       // `_temporary/` has a clean final name, and compacting it INTO
       // the table would resurrect uncommitted rows
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          FsPaths.committedUnder(p, f.getPath))
+          FsPaths.committedUnder(fs, p, f.getPath))
         out += ((f.getPath.toString, f.getLen))
     }
     out.toSeq

@@ -23,12 +23,15 @@ object FsPaths {
     * — callers match it against their expected pattern (`part-*`,
     * `*.parquet`) which already excludes hidden names. Paths returned
     * by `listFiles` are fully qualified while callers routinely hold an
-    * unqualified `root`, so the comparison uses the URI path component
-    * (scheme/authority-insensitive — both sides name the same
-    * filesystem because one walk produced them). */
-  def committedUnder(root: org.apache.hadoop.fs.Path,
+    * unqualified (possibly relative) `root`, so the root is qualified
+    * through the caller's filesystem first and the comparison uses the
+    * URI path component (scheme/authority-insensitive — both sides name
+    * the same filesystem because one walk produced them). A file not
+    * under `root` at all returns false. */
+  def committedUnder(fs: org.apache.hadoop.fs.FileSystem,
+                     root: org.apache.hadoop.fs.Path,
                      file: org.apache.hadoop.fs.Path): Boolean = {
-    val rootPath = root.toUri.getPath
+    val rootPath = fs.makeQualified(root).toUri.getPath
     var p = file.getParent
     while (p != null && p.toUri.getPath != rootPath) {
       val n = p.getName

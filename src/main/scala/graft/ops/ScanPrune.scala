@@ -77,7 +77,7 @@ object ScanPrune {
       val st = it.next()
       val name = st.getPath.getName
       if (st.isFile && name.startsWith("part-") && name.endsWith(".parquet") &&
-          FsPaths.committedUnder(p, st.getPath)) {
+          FsPaths.committedUnder(fs, p, st.getPath)) {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         try {

@@ -669,7 +669,7 @@ object StreamOps {
       while (it.hasNext && !found) {
         val st = it.next()
         found = st.getPath.getName.startsWith("part-") &&
-          graft.ops.FsPaths.committedUnder(p, st.getPath)
+          graft.ops.FsPaths.committedUnder(f, p, st.getPath)
       }
       found
     }
@@ -816,7 +816,7 @@ object StreamOps {
       while (it.hasNext) {
         val st = it.next()
         if (st.getPath.getName.startsWith("part-") &&
-            graft.ops.FsPaths.committedUnder(live, st.getPath)) n += 1
+            graft.ops.FsPaths.committedUnder(f, live, st.getPath)) n += 1
       }
       n
     }
@@ -935,7 +935,7 @@ object StreamOps {
         while (it.hasNext) {
           val st = it.next()
           if (st.getPath.getName.startsWith("part-") &&
-              graft.ops.FsPaths.committedUnder(p, st.getPath)) n += 1
+              graft.ops.FsPaths.committedUnder(f, p, st.getPath)) n += 1
         }
         n
       }

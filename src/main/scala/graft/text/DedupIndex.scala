@@ -66,7 +66,7 @@ object DedupIndex {
       while (it.hasNext && !found) {
         val st = it.next()
         found = st.getPath.getName.startsWith("part-") &&
-          graft.ops.FsPaths.committedUnder(p, st.getPath)
+          graft.ops.FsPaths.committedUnder(fs, p, st.getPath)
       }
       found
     }

@@ -97,7 +97,7 @@ object WinnowIndex {
       while (it.hasNext && !found) {
         val st = it.next()
         found = st.getPath.getName.startsWith("part-") &&
-          graft.ops.FsPaths.committedUnder(p, st.getPath)
+          graft.ops.FsPaths.committedUnder(f, p, st.getPath)
       }
       found
     }

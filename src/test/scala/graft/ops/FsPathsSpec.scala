@@ -4,23 +4,25 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class FsPathsSpec extends AnyFunSuite {
   private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+  private val lfs = org.apache.hadoop.fs.FileSystem.getLocal(
+    new org.apache.hadoop.conf.Configuration())
 
   test("committedUnder: plain children and partition subdirs pass") {
     val root = p("/data/corpus")
-    assert(FsPaths.committedUnder(root, p("/data/corpus/part-00000.parquet")))
-    assert(FsPaths.committedUnder(root,
+    assert(FsPaths.committedUnder(lfs, root, p("/data/corpus/part-00000.parquet")))
+    assert(FsPaths.committedUnder(lfs, root,
       p("/data/corpus/batch_id=-1/part-0.parquet")))
-    assert(FsPaths.committedUnder(root,
+    assert(FsPaths.committedUnder(lfs, root,
       p("/data/corpus/list_id=3/part-0.parquet")))
   }
 
   test("committedUnder: any hidden ancestor between root and file fails") {
     val root = p("/data/corpus")
-    assert(!FsPaths.committedUnder(root,
+    assert(!FsPaths.committedUnder(lfs, root,
       p("/data/corpus/_temporary/0/_temporary/attempt_1/part-0.parquet")))
-    assert(!FsPaths.committedUnder(root,
+    assert(!FsPaths.committedUnder(lfs, root,
       p("/data/corpus/.staging/part-0.parquet")))
-    assert(!FsPaths.committedUnder(root,
+    assert(!FsPaths.committedUnder(lfs, root,
       p("/data/corpus/batch_id=0/_temporary/part-0.parquet")))
   }
 
@@ -28,18 +30,18 @@ class FsPathsSpec extends AnyFunSuite {
     // FileSystem.listFiles returns fully-qualified paths; callers hold
     // the unqualified dir string they were given
     val root = p("/data/corpus")
-    assert(FsPaths.committedUnder(root, p("file:/data/corpus/part-0.parquet")))
-    assert(!FsPaths.committedUnder(root,
+    assert(FsPaths.committedUnder(lfs, root, p("file:/data/corpus/part-0.parquet")))
+    assert(!FsPaths.committedUnder(lfs, root,
       p("file:/data/corpus/_tmp/part-0.parquet")))
   }
 
   test("committedUnder: a file outside root never counts; a hidden ROOT's own children do") {
-    assert(!FsPaths.committedUnder(p("/data/corpus"),
+    assert(!FsPaths.committedUnder(lfs, p("/data/corpus"),
       p("/elsewhere/part-0.parquet")))
     // only ancestors STRICTLY below the root are checked — walking a
     // directory that is itself _-prefixed (a staging area) still sees
     // its own committed children
-    assert(FsPaths.committedUnder(p("/data/_staged"),
+    assert(FsPaths.committedUnder(lfs, p("/data/_staged"),
       p("/data/_staged/part-0.parquet")))
   }
 }
