@@ -63,7 +63,8 @@ object Compaction {
     * the partitioning — refused with an error instead. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long,
               sortBy: Seq[String] = Nil,
-              partitionBy: Seq[String] = Nil): CompactionStats = {
+              partitionBy: Seq[String] = Nil,
+              distinctRows: Boolean = false): CompactionStats = {
     val before = dataFiles(spark, dir)
     require(before.nonEmpty, s"compact: no data files under $dir")
     val dirLen = new Path(dir).toUri.getPath.length
@@ -74,7 +75,12 @@ object Compaction {
       s"compact: $dir is hive-partitioned; pass partitionBy to preserve " +
         "the layout (a plain rewrite would flatten it)")
     val nOut = planFiles(spark, dir, targetBytes)
-    val df = spark.read.parquet(dir)
+    // distinctRows: for APPEND-ONLY tables whose writers can replay a
+    // crashed append (duplicate full rows, absorbed at read time) —
+    // the compact rewrite is the one place duplicates heal DURABLY.
+    // Not for tables where repeated rows are data.
+    val df0 = spark.read.parquet(dir)
+    val df = if (distinctRows) df0.distinct() else df0
     // partitionBy + sortBy compose: keys cluster to their hive dirs and
     // rows sort by (partition cols ++ sortBy) within each task — the
     // partition-col prefix satisfies the dynamic writer's required

@@ -389,16 +389,22 @@ object DedupIndex {
               targetBytes: Long = 128L << 20)
       : Map[String, graft.ops.Compaction.CompactionStats] = {
     // each table keeps its probe-key sort through the rewrite, so
-    // ScanPrune page pruning survives compaction
+    // ScanPrune page pruning survives compaction. sig/bands rewrite
+    // DISTINCT: a crashed ingest's replay can re-append them (see
+    // [[ingestBatch]]'s ordering note) — duplicates are absorbed at
+    // probe time, and the compact rewrite heals them DURABLY (the
+    // WinnowIndex fp-distinct discipline). fp cannot duplicate (it is
+    // the commit marker: written once, or the replay drops the batch),
+    // so it skips the distinct's shuffle.
     val tables = Seq(
-      ("fp", Seq("fp"), Nil),
-      ("sig", Seq("id"), Nil),
-      ("bands", Seq("band_hash"), Seq("band_mod")))
-    tables.flatMap { case (t, sortCols, parts) =>
+      ("fp", Seq("fp"), Nil, false),
+      ("sig", Seq("id"), Nil, true),
+      ("bands", Seq("band_hash"), Seq("band_mod"), true))
+    tables.flatMap { case (t, sortCols, parts, dedup) =>
       val dir = s"$indexDir/$t"
       if (hasData(spark, dir))
         Some(t -> graft.ops.Compaction.compact(spark, dir, targetBytes,
-          sortBy = sortCols, partitionBy = parts))
+          sortBy = sortCols, partitionBy = parts, distinctRows = dedup))
       else None
     }.toMap
   }

@@ -1687,9 +1687,11 @@ class StreamOpsSpec extends AnyFunSuite {
     def run(): Unit = {
       val docs = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      // the full deployed configuration: sketch card + near-dup corpus
+      // (the two beyond-default modes compose — independent stages)
       val q = graft.streaming.StreamOps.curationPipelineStream(
           docs, pipeDir, bench, "text", n = 3, capK = 5,
-          nearDedup = Some(params))
+          dupSketch = true, nearDedup = Some(params))
         .option("checkpointLocation", ckpt).start()
       try q.processAllAvailable() finally q.stop()
     }

@@ -215,5 +215,17 @@ class DedupIndexSpec extends AnyFunSuite {
       index).select("doc_id").as[Long].collect().toSet
     assert(got == baseline,
       "duplicate sig/bands rows must not change probe survivors")
+    // compact heals the duplicates DURABLY (distinct rewrite), and the
+    // probe is still unchanged after
+    val nSig = sig.count(); val nBands = bands.count()
+    DedupIndex.compact(spark, index)
+    assert(spark.read.parquet(s"$index/sig").count() == nSig,
+      "compact must fold duplicate sig rows back to the distinct set")
+    assert(spark.read.parquet(s"$index/bands").count() == nBands,
+      "compact must fold duplicate bands rows back to the distinct set")
+    val afterCompact = DedupIndex.probeBatch(probe,
+      spark.read.parquet(corpus), index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterCompact == baseline)
   }
 }
