@@ -866,8 +866,13 @@ object StreamOps {
     // corpus carries __fp and keeps its fp-sorted range layout (the
     // presence probe page-prunes on it); the near-dup corpus stores the
     // caller's row shape — its probes go through the DedupIndex's own
-    // sorted tables, so the corpus folds unsorted
+    // sorted tables, so the corpus folds unsorted. Heal FIRST: a
+    // compactCorpus crashed mid-swap leaves the corpus under __old, and
+    // probing the schema of the missing live dir would mis-detect an
+    // exact-mode corpus as sortless — recompacting it UNSORTED and
+    // silently voiding the presence probe's page pruning
     val corpusDir = s"$pipeDir/corpus"
+    healPartials(spark, corpusDir)
     val sortCol =
       if (hasCommittedData(spark, corpusDir) &&
           spark.read.parquet(corpusDir).columns.contains("__fp"))

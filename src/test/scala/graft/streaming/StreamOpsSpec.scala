@@ -1794,6 +1794,36 @@ class StreamOpsSpec extends AnyFunSuite {
       maxSubdirs = 3, maxFiles = 999) == ((0, 0)))
   }
 
+  test("curationCompact heals a crashed corpus swap BEFORE probing its layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_curheal_")
+    val pipeDir = dir.resolve("pipe").toString
+    def mkBatch(ids: Seq[Long]) = ids.map(i =>
+      (i, s"compact heal document $i with words", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    (0L to 2L).foreach { b =>
+      val batch = mkBatch((b * 4 + 1) to (b * 4 + 4))
+      graft.streaming.StreamOps.dataCardIngestBatch(batch, s"$pipeDir/card", b)
+      graft.streaming.StreamOps.sampleByIngestBatch(batch, s"$pipeDir/cap", b,
+        "source", "doc_id", k = 5)
+      graft.streaming.StreamOps.fpDedupIngestBatch(batch, s"$pipeDir/corpus"): Unit
+    }
+    val before = graft.streaming.StreamOps.curationRender(spark, pipeDir,
+      capK = 5).collect().map(_.toSeq).toSet
+    // a compactCorpus crash mid-swap: live renamed aside, nothing
+    // installed — the EXACT-mode corpus (with its __fp column) is only
+    // visible after the heal; probing the missing live dir first would
+    // mis-detect it as sortless and fold it unsorted
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(pipeDir, "corpus"),
+      java.nio.file.Paths.get(pipeDir, "corpus__old"))
+    graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+    assert(spark.read.parquet(s"$pipeDir/corpus").columns.contains("__fp"),
+      "heal must restore the exact-mode corpus before layout detection")
+    assert(graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = 5)
+      .collect().map(_.toSeq).toSet == before)
+  }
+
   test("hidden-ancestor filter: a mid-write task-attempt file neither unwedges the presence gate nor inflates the compaction count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hidanc_")
