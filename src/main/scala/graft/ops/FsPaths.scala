@@ -40,4 +40,22 @@ object FsPaths {
     }
     p != null
   }
+
+  /** Count of COMMITTED part files under `dir` (recursive, hidden
+    * ancestors excluded) — the fs-metadata signal every maintenance
+    * policy keys on: per-append file accumulation is what drifts scan
+    * cost from data to file-open overhead, and this count is what a
+    * compaction resets. 0 for a missing dir. */
+  def committedPartCount(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): Long = {
+    if (!fs.exists(dir)) return 0L
+    val it = fs.listFiles(dir, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.startsWith("part-") &&
+          committedUnder(fs, dir, st.getPath)) n += 1
+    }
+    n
+  }
 }

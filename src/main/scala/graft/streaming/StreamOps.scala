@@ -807,19 +807,10 @@ object StreamOps {
     if (!hasCommittedData(spark, corpusDir)) return 0
     val live = new org.apache.hadoop.fs.Path(corpusDir)
     val f = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nFiles = {
-      // committed files only (hidden-ancestor filter): an orphaned
-      // _temporary attempt from a crashed append must not inflate the
-      // count and trigger rewrites of an already-compact corpus
-      val it = f.listFiles(live, true)
-      var n = 0
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.startsWith("part-") &&
-            graft.ops.FsPaths.committedUnder(f, live, st.getPath)) n += 1
-      }
-      n
-    }
+    // committed files only (hidden-ancestor filter): an orphaned
+    // _temporary attempt from a crashed append must not inflate the
+    // count and trigger rewrites of an already-compact corpus
+    val nFiles = graft.ops.FsPaths.committedPartCount(f, live).toInt
     if (nFiles <= targetFiles) return 0
     val tmp = s"${corpusDir}__tmp"
     val live0 = spark.read.parquet(corpusDir)
@@ -932,18 +923,7 @@ object StreamOps {
     }
     def fileCount(dir: String): Long = {
       val p = new org.apache.hadoop.fs.Path(dir)
-      val f = p.getFileSystem(conf)
-      if (!f.exists(p)) 0L
-      else {
-        val it = f.listFiles(p, true)
-        var n = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.getPath.getName.startsWith("part-") &&
-              graft.ops.FsPaths.committedUnder(f, p, st.getPath)) n += 1
-        }
-        n
-      }
+      graft.ops.FsPaths.committedPartCount(p.getFileSystem(conf), p)
     }
     val partials = (CardFamilies.map(f => s"card/$f") :+ "cap/bkg").map { rel =>
       val n = subdirCount(s"$pipeDir/$rel")

@@ -385,6 +385,23 @@ object DedupIndex {
     * [[graft.ops.Compaction.compact]]: same atomic tmp-write + swap, the
     * band table keeps its band_mod partitioning. Run between ingests
     * (the swap is not concurrent-safe against an in-flight probe). */
+  /** Is maintenance DUE? fs metadata only: committed part-file counts
+    * of the three index tables against `maxFiles` — the signal
+    * [[compact]] resets. The curation pipeline's
+    * [[StreamOps.maintenanceDue]] sibling for standalone dedup
+    * indexes. */
+  def maintenanceDue(spark: SparkSession, indexDir: String,
+                     maxFiles: Int = 64): DataFrame = {
+    require(maxFiles >= 1, s"maintenanceDue: maxFiles >= 1, got $maxFiles")
+    import spark.implicits._
+    Seq("fp", "sig", "bands").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      val n = graft.ops.FsPaths.committedPartCount(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      (t, n, maxFiles.toLong, n >= maxFiles)
+    }.toDF("component", "n", "threshold", "due")
+  }
+
   def compact(spark: SparkSession, indexDir: String,
               targetBytes: Long = 128L << 20)
       : Map[String, graft.ops.Compaction.CompactionStats] = {

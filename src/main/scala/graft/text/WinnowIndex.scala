@@ -321,6 +321,25 @@ object WinnowIndex {
     * can heal the staged table back mid-swap; compact then restores
     * and throws rather than leaving a headless index). Returns the row
     * count compacted. */
+  /** Is maintenance DUE? fs metadata only: committed part-file counts
+    * of the fp table and the ids manifest against `maxFiles` — the
+    * signal [[compact]] resets (appends add one file per (ingest,
+    * modulus), and probe/ingest cost drifts to file-open overhead as
+    * they accumulate). The curation pipeline's
+    * [[graft.streaming.StreamOps.maintenanceDue]] sibling for
+    * standalone winnow indexes. */
+  def maintenanceDue(spark: SparkSession, indexDir: String,
+                     maxFiles: Int = 64): DataFrame = {
+    require(maxFiles >= 1, s"maintenanceDue: maxFiles >= 1, got $maxFiles")
+    import spark.implicits._
+    val (f, _) = fs(spark, indexDir)
+    Seq("fp", "ids").map { t =>
+      val n = graft.ops.FsPaths.committedPartCount(f,
+        new org.apache.hadoop.fs.Path(s"$indexDir/$t"))
+      (t, n, maxFiles.toLong, n >= maxFiles)
+    }.toDF("component", "n", "threshold", "due")
+  }
+
   def compact(spark: SparkSession, indexDir: String): Long = {
     healCompact(spark, indexDir)
     if (!hasData(spark, s"$indexDir/fp")) return 0L

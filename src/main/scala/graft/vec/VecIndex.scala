@@ -844,6 +844,51 @@ object VecIndex {
     f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sq8"))
   }
 
+  /** Fold the lists' per-append small files. [[append]] and its PQ/SQ8
+    * siblings add one file set per call, and a WELL-BALANCED index never
+    * triggers the cv-driven rebalance that would rewrite them — so a
+    * long-appended index hits the small-files wall with no repair verb
+    * on its cadence. This is that verb: a pure file reorganisation of
+    * `lists/` (layout-agnostic — plain vectors, PQ codes and SQ8 codes
+    * all fold the same; the `list_id` partitioning is preserved, which
+    * is what probe-time partition pruning keys on), installed through
+    * [[graft.ops.Compaction]]'s live/_bak swap — the SAME `_bak` suffix
+    * [[healReassign]] already restores on every open, so a mid-swap
+    * crash heals like every other maintenance crash here. Row counts
+    * are untouched, so `stats/` stays valid. Not concurrent-safe
+    * against in-flight probes (the rebalance contract). */
+  def compactLists(spark: SparkSession, indexDir: String,
+                   targetBytes: Long = 128L << 20)
+      : graft.ops.Compaction.CompactionStats = {
+    healReassign(spark, indexDir)
+    graft.ops.Compaction.compact(spark, s"$indexDir/lists", targetBytes,
+      partitionBy = Seq("list_id"))
+  }
+
+  /** Is maintenance DUE on this index? One row per policy signal, fs
+    * metadata only: the lists' committed part-file count against
+    * `maxFiles` (repair: [[compactLists]]) and the occupancy cv against
+    * `maxCv` (repair: [[rebalance]] / the layout's refresh verb) — cv
+    * comes from the incrementally-maintained `stats/`, never a scan.
+    * The curation pipeline's [[graft.streaming.StreamOps.maintenanceDue]]
+    * sibling, for standalone-index operators. */
+  def maintenanceDue(spark: SparkSession, indexDir: String,
+                     maxFiles: Int = 64, maxCv: Double = 1.0): DataFrame = {
+    require(maxFiles >= 1 && maxCv > 0,
+      s"maintenanceDue: bad thresholds ($maxFiles, $maxCv)")
+    import spark.implicits._
+    val (f, _) = fsPath(spark, indexDir)
+    val nFiles = graft.ops.FsPaths.committedPartCount(f,
+      new org.apache.hadoop.fs.Path(s"$indexDir/lists"))
+    val st = listStats(spark, indexDir)
+    Seq(
+      ("lists_files", nFiles.toDouble, maxFiles.toDouble,
+        nFiles >= maxFiles, "compactLists"),
+      ("occupancy_cv", st.cv, maxCv, st.cv > maxCv,
+        "rebalance/refreshCentroids"))
+      .toDF("component", "value", "threshold", "due", "repair")
+  }
+
   private def writeCentroids(spark: SparkSession, indexDir: String,
                              cents: Seq[(Long, Array[Double])]): Unit = {
     import spark.implicits._

@@ -138,8 +138,15 @@ class DedupIndexSpec extends AnyFunSuite {
       n
     }
     val before = nFiles(s"$index/fp")
+    // the maintenance policy keys on exactly the count compact resets
+    def due(maxFiles: Int) = DedupIndex
+      .maintenanceDue(spark, index, maxFiles = maxFiles)
+      .where($"due").select("component").as[String].collect().toSet
+    assert(due(maxFiles = before).contains("fp"))
+    assert(!due(maxFiles = before + 10).contains("fp"))
     val stats = DedupIndex.compact(spark, index)
     assert(stats.keySet == Set("fp", "sig", "bands"))
+    assert(!due(maxFiles = before).contains("fp"), "compact re-arms the policy")
     assert(nFiles(s"$index/fp") < before)
     assert(stats("bands").filesAfter <= stats("bands").filesBefore)
     // post-compaction probe: exact + near dups still caught

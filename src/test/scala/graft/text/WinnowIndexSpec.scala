@@ -163,9 +163,16 @@ class WinnowIndexSpec extends AnyFunSuite {
       n
     }
     val filesBefore = fileCount
+    // the maintenance policy keys on exactly the count compact resets
+    def due(maxFiles: Int) = WinnowIndex
+      .maintenanceDue(spark, dir, maxFiles = maxFiles)
+      .where($"due").select("component").as[String].collect().toSet
+    assert(due(maxFiles = filesBefore).contains("fp"))
+    assert(!due(maxFiles = filesBefore + 10).contains("fp"))
     val rows = WinnowIndex.compact(spark, dir)
     assert(rows > 0)
     assert(fileCount < filesBefore, "compact must shrink the file count")
+    assert(!due(maxFiles = filesBefore).contains("fp"), "compact re-arms the policy")
     val after = WinnowIndex.probeBatch(spark, dir, batch, "doc_id", "text",
       minShared = 1, maxDocsPerHash = 50)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet

@@ -236,6 +236,33 @@ class VecIndexSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("sq8"))
   }
 
+  test("compactLists folds per-append small files; probes, stats and the maintenance policy agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs.where($"vec_id" < 40L), dir, nlist = 4, kmeansIters = 2)
+    // many small appends -> many file sets in the list partitions
+    (40L until 120L by 10L).foreach { lo =>
+      VecIndex.append(vecs.where($"vec_id" >= lo && $"vec_id" < lo + 10L), dir)
+    }
+    def due(maxFiles: Int) = VecIndex
+      .maintenanceDue(spark, dir, maxFiles = maxFiles)
+      .where(org.apache.spark.sql.functions.col("due"))
+      .select("component").as[String].collect().toSet
+    val before = shape(VecIndex.topK(queries, dir, k = 4, nprobe = 4))
+    val statsBefore = VecIndex.listStats(spark, dir)
+    val listsP = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    val nFiles = graft.ops.FsPaths.committedPartCount(
+      listsP.getFileSystem(spark.sparkContext.hadoopConfiguration), listsP)
+    assert(nFiles > 8, s"appends should have accumulated files, got $nFiles")
+    assert(due(maxFiles = nFiles.toInt) == Set("lists_files"))
+    assert(!due(maxFiles = nFiles.toInt + 1).contains("lists_files"))
+    val st = VecIndex.compactLists(spark, dir)
+    assert(st.filesAfter < st.filesBefore)
+    // pure file reorganisation: probes, row counts and occupancy agree
+    assert(shape(VecIndex.topK(queries, dir, k = 4, nprobe = 4)) == before)
+    assert(VecIndex.listStats(spark, dir) == statsBefore)
+    assert(!due(maxFiles = nFiles.toInt).contains("lists_files"))
+  }
+
   test("reassign install is crash-consistent: heal completes or aborts a pending install by epoch") {
     import org.apache.spark.sql.functions.{col, expr}
     def centroidRows(d: String) = spark.read.parquet(s"$d/centroids")
