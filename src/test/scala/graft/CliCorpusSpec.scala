@@ -372,6 +372,20 @@ class CliCorpusSpec extends AnyFunSuite {
     val after = spark.read.parquet(s"$dir/ren2")
       .collect().map(_.toSeq).toSet
     assert(after == before, "compaction must be invisible to the render")
+    // round-13 verbs: status reports the policy (one row per component,
+    // nothing due right after a compact at default thresholds), and the
+    // compact-if-due hook is a strict no-op when nothing is due
+    Cli.main(Array(root, "c1", "curation", pipe, "status", "3",
+      "--out", s"$dir/status"))
+    val status = spark.read.parquet(s"$dir/status")
+    assert(status.columns.toSet == Set("component", "n", "threshold", "due"))
+    assert(status.count() >= 5L) // 4 card families + cap + corpus
+    assert(status.where($"due").count() == 0L)
+    Cli.main(Array(root, "c1", "curation", pipe, "compact-if-due", "3",
+      "--out", s"$dir/ifdue"))
+    val ifdue = spark.read.parquet(s"$dir/ifdue").head()
+    assert(ifdue.getLong(0) == 0L && ifdue.getLong(1) == 0L,
+      "compact-if-due must be a no-op when the policy is satisfied")
     assert(!spark.sparkContext.isStopped)
   }
 }
