@@ -72,32 +72,57 @@ object DedupIndex {
     }
   }
 
+  /** The validated params pin, memoized per dir (the sampleParamsCache
+    * discipline): without it EVERY micro-batch ingest/probe paid a
+    * driver parquet-read JOB just to re-verify an immutable pin — on
+    * the live pipeline path, a per-batch tax that dwarfs the check it
+    * funds. Revalidated by one cheap fs-exists so an index deleted and
+    * re-created with different params in one long-lived process re-pins
+    * instead of validating against the dead index. Single-writer per
+    * index by contract (as all maintenance here). */
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Int)]()
+
+  private def storedParams(spark: SparkSession,
+                           indexDir: String): Option[(Int, Int, Int, Int)] = {
+    val cached = paramsCache.get(indexDir)
+    val dir = s"$indexDir/params"
+    if (cached != null) {
+      if (exists(spark, dir)) return Some(cached)
+      paramsCache.remove(indexDir)
+    }
+    if (!exists(spark, dir)) None
+    else {
+      val r = spark.read.parquet(dir).head()
+      val s0 = (r.getAs[Int]("shingle_n"), r.getAs[Int]("num_perm"),
+        r.getAs[Int]("bands"), r.getAs[Int]("n_mods"))
+      paramsCache.put(indexDir, s0)
+      Some(s0)
+    }
+  }
+
   /** Verify stored params match; no-op if the index has none yet. The
     * threshold is a per-probe knob (not index state) and is not pinned. */
   private def checkParams(spark: SparkSession, indexDir: String,
-                          p: Params): Unit = {
-    val dir = s"$indexDir/params"
-    if (exists(spark, dir)) {
-      val r = spark.read.parquet(dir).head()
-      val stored = (r.getAs[Int]("shingle_n"), r.getAs[Int]("num_perm"),
-        r.getAs[Int]("bands"), r.getAs[Int]("n_mods"))
+                          p: Params): Unit =
+    storedParams(spark, indexDir).foreach { stored =>
       require(stored == ((p.shingleN, p.numPerm, p.bands, p.nMods)),
         s"DedupIndex at $indexDir was built with (shingleN, numPerm, bands, nMods) = " +
           s"$stored; probing with ${(p.shingleN, p.numPerm, p.bands, p.nMods)} " +
           "would silently miss duplicates")
     }
-  }
 
   /** Write params on first use; verify they match on reopen. */
   private def checkOrWriteParams(spark: SparkSession, indexDir: String,
                                  p: Params): Unit = {
     import spark.implicits._
     checkParams(spark, indexDir, p)
-    val dir = s"$indexDir/params"
-    if (!exists(spark, dir))
+    if (paramsCache.get(indexDir) == null) {
       Seq((p.shingleN, p.numPerm, p.bands, p.nMods))
         .toDF("shingle_n", "num_perm", "bands", "n_mods")
-        .coalesce(1).write.parquet(dir)
+        .coalesce(1).write.parquet(s"$indexDir/params")
+      paramsCache.put(indexDir, (p.shingleN, p.numPerm, p.bands, p.nMods))
+    }
   }
 
 

@@ -103,19 +103,40 @@ object WinnowIndex {
     }
   }
 
+  /** The validated params pin, memoized per dir (the DedupIndex /
+    * sampleParamsCache discipline): without it every micro-batch ingest
+    * and every probe paid a driver parquet-read JOB to re-verify an
+    * immutable pin. Revalidated by one cheap fs-exists so a
+    * deleted-and-recreated index re-pins instead of validating against
+    * the dead one. Single-writer per index by contract. */
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+
   private def checkOrWriteParams(spark: SparkSession, indexDir: String,
                                  p: Params): Unit = {
     import spark.implicits._
     val dir = s"$indexDir/params"
-    if (exists(spark, dir)) {
-      val r = spark.read.parquet(dir).head()
-      val stored = (r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("n_mods"))
-      require(stored == ((p.k, p.w, p.nMods)),
-        s"WinnowIndex at $indexDir was built with (k, w, nMods) = $stored; " +
-          s"probing with ${(p.k, p.w, p.nMods)} would silently miss passages")
-    } else {
-      Seq((p.k, p.w, p.nMods)).toDF("k", "w", "n_mods")
-        .coalesce(1).write.parquet(dir)
+    val cached = paramsCache.get(indexDir)
+    val stored: Option[(Int, Int, Int)] =
+      if (cached != null && exists(spark, dir)) Some(cached)
+      else {
+        if (cached != null) paramsCache.remove(indexDir)
+        if (exists(spark, dir)) {
+          val r = spark.read.parquet(dir).head()
+          val s0 = (r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("n_mods"))
+          paramsCache.put(indexDir, s0)
+          Some(s0)
+        } else None
+      }
+    stored match {
+      case Some(s) =>
+        require(s == ((p.k, p.w, p.nMods)),
+          s"WinnowIndex at $indexDir was built with (k, w, nMods) = $s; " +
+            s"probing with ${(p.k, p.w, p.nMods)} would silently miss passages")
+      case None =>
+        Seq((p.k, p.w, p.nMods)).toDF("k", "w", "n_mods")
+          .coalesce(1).write.parquet(dir)
+        paramsCache.put(indexDir, (p.k, p.w, p.nMods))
     }
   }
 

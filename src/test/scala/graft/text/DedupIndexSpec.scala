@@ -121,6 +121,18 @@ class DedupIndexSpec extends AnyFunSuite {
     // threshold is a probe knob, not index state — no throw
     DedupIndex.ingestBatch(Seq((2L, tB)).toDF("doc_id", "text"), corpus, index,
       params = DedupIndex.Params(threshold = 0.7))
+    // a DELETED-and-recreated index re-pins against the new dir — the
+    // memoized pin must not validate against the dead index
+    val hp = new org.apache.hadoop.fs.Path(index)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    DedupIndex.ingestBatch(Seq((3L, tC)).toDF("doc_id", "text"), corpus, index,
+      params = DedupIndex.Params(numPerm = 128, bands = 16))
+    // and the NEW pin enforces from the cache path
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.probeBatch(Seq((4L, tA)).toDF("doc_id", "text"),
+        spark.read.parquet(corpus), index)
+    }
+    assert(e2.getMessage.contains("silently miss"))
   }
 
   test("compaction folds per-batch files; the index still probes correctly after") {

@@ -67,6 +67,17 @@ class WinnowIndexSpec extends AnyFunSuite {
         WinnowIndex.Params(k = 5, w = 4))
     }
     assert(e.getMessage.contains("was built with"))
+    // a DELETED-and-recreated index re-pins against the new dir — the
+    // memoized pin must not validate against the dead index
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    WinnowIndex.ingestBatch(spark, dir, corpusDocs, "doc_id", "text",
+      WinnowIndex.Params(k = 5, w = 4))
+    val e2 = intercept[IllegalArgumentException] {
+      WinnowIndex.probeBatch(spark, dir, corpusDocs, "doc_id", "text",
+        WinnowIndex.Params(k = 8, w = 4))
+    }
+    assert(e2.getMessage.contains("was built with"))
   }
 
   test("the per-hash doc cap drops corpus-wide boilerplate") {
