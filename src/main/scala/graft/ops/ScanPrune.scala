@@ -102,6 +102,36 @@ object ScanPrune {
     nKeys > 0 && nKeys <= MaxPushKeys &&
       tableBytes(spark, dir) >= PushMinTableBytes
 
+  /** Cached verdict of the COLUMN-size gate — the right gate for probes
+    * over a FULL-ROW table, where [[tableBytes]] alone would engage the
+    * ~1 s pushdown for a key column that is a sliver of the total. The
+    * [[columnBytes]] footer walk opens every file, and between
+    * compactions an absorbing-append table gains a file set per batch —
+    * paying the walk per batch makes the gate itself O(files). The
+    * verdict is monotone under the table's two writers (append grows
+    * the column; compaction is a row-preserving rewrite), so TRUE is
+    * sticky, and FALSE holds until the total size — already in hand
+    * from the caller's cheap [[tableBytes]] precheck — grows ~12.5%
+    * past the last measurement: walks amortize to O(log growth). A
+    * table that SHRANK below half its measured size was deleted and
+    * recreated in-process (tests do this); the entry drops and
+    * remeasures. */
+  private val columnGateCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Boolean)]()
+  def columnGate(spark: SparkSession, dir: String, colName: String,
+                 totalBytes: Long): Boolean = {
+    val key = (dir, colName)
+    val cached = columnGateCache.get(key)
+    if (cached != null) {
+      val (atCheck, verdict) = cached
+      if (totalBytes >= atCheck / 2 &&
+          (verdict || totalBytes < atCheck + atCheck / 8)) return verdict
+    }
+    val v = columnBytes(spark, dir, colName) >= PushMinTableBytes
+    columnGateCache.put(key, (totalBytes, v))
+    v
+  }
+
   /** The one gated pushdown every index probe should use: returns
     * `scan` filtered to the probe's key point set when BOTH gates pass,
     * `scan` unchanged otherwise. `keys` is by-name so the driver

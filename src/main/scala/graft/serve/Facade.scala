@@ -524,8 +524,9 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       // pipeline's directory layout)
       val (folded, files) =
         if (mode == "compact")
-          graft.streaming.StreamOps.curationCompact(spark, pipeDir)
-        else graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir)
+          graft.streaming.StreamOps.curationCompact(spark, pipeDir, idCol)
+        else graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir,
+          idCol = idCol)
       import spark.implicits._
       Seq((folded.toLong, files.toLong))
         .toDF("n_partials_folded", "n_corpus_files_folded")

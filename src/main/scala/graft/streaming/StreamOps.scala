@@ -848,27 +848,30 @@ object StreamOps {
     * a family added to the pipeline is compacted by construction
     * instead of silently accumulating subdirs forever. Returns
     * (partials subdirs folded, corpus files folded). */
-  def curationCompact(spark: SparkSession, pipeDir: String): (Int, Int) = {
+  def curationCompact(spark: SparkSession, pipeDir: String,
+                      idCol: String = "doc_id"): (Int, Int) = {
     requireQuiesced(spark, pipeDir)
     val partialRoots =
       CardFamilies.map(f => s"$pipeDir/card/$f") :+ s"$pipeDir/cap/bkg"
     val folded = partialRoots.map(d => compactPartials(spark, d)).sum
     // follow the corpus layout the pipeline wrote: the exact-dedup
     // corpus carries __fp and keeps its fp-sorted range layout (the
-    // presence probe page-prunes on it); the near-dup corpus stores the
-    // caller's row shape — its probes go through the DedupIndex's own
-    // sorted tables, so the corpus folds unsorted. Heal FIRST: a
-    // compactCorpus crashed mid-swap leaves the corpus under __old, and
-    // probing the schema of the missing live dir would mis-detect an
-    // exact-mode corpus as sortless — recompacting it UNSORTED and
-    // silently voiding the presence probe's page pruning
+    // presence probe page-prunes on it); the near-dup corpus keeps its
+    // ID-sorted layout (DedupIndex.ingestBatch's id-presence pushdown
+    // page-prunes on THAT). Heal FIRST: a compactCorpus crashed
+    // mid-swap leaves the corpus under __old, and probing the schema of
+    // the missing live dir would mis-detect the layout — recompacting
+    // it unsorted and silently voiding the presence probe's pruning
     val corpusDir = s"$pipeDir/corpus"
     healPartials(spark, corpusDir)
     val sortCol =
-      if (hasCommittedData(spark, corpusDir) &&
-          spark.read.parquet(corpusDir).columns.contains("__fp"))
-        Some("__fp")
-      else None
+      if (!hasCommittedData(spark, corpusDir)) None
+      else {
+        val cols = spark.read.parquet(corpusDir).columns
+        if (cols.contains("__fp")) Some("__fp")
+        else if (cols.contains(idCol)) Some(idCol)
+        else None
+      }
     val files = compactCorpus(spark, corpusDir, sortCol = sortCol)
     // a near-dup pipeline also folds its index's per-batch small files
     // (fp/sig/bands keep their probe-key sort through the rewrite)
@@ -951,11 +954,12 @@ object StreamOps {
     * (0, 0) when nothing was due. */
   def curationCompactIfDue(spark: SparkSession, pipeDir: String,
                            maxSubdirs: Int = 64,
-                           maxFiles: Int = 64): (Int, Int) = {
+                           maxFiles: Int = 64,
+                           idCol: String = "doc_id"): (Int, Int) = {
     requireQuiesced(spark, pipeDir)
     val due = maintenanceDue(spark, pipeDir, maxSubdirs, maxFiles)
       .where(col("due")).count()
-    if (due == 0L) (0, 0) else curationCompact(spark, pipeDir)
+    if (due == 0L) (0, 0) else curationCompact(spark, pipeDir, idCol)
   }
 
   /** One micro-batch of the LIVE corpus data card: per-batch partials
@@ -1389,7 +1393,8 @@ object StreamOps {
         val fpScan = spark.read.parquet(corpusDir).select(col("__fp"))
         val total = sp.tableBytes(spark, corpusDir)
         val scan =
-          if (total >= sp.PushMinTableBytes && fpColumnGate(spark, corpusDir, total))
+          if (total >= sp.PushMinTableBytes &&
+              sp.columnGate(spark, corpusDir, "__fp", total))
             sp.prunedScanDf(spark, corpusDir, fpScan, "__fp",
               withFp.select(col("__fp")), minTableBytes = 0L)
           else fpScan
@@ -1404,36 +1409,6 @@ object StreamOps {
       .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
       .parquet(corpusDir)
     n
-  }
-
-  /** Cached verdict of the fp-COLUMN size gate ([[fpDedupIngestBatch]]):
-    * the footer walk behind [[graft.ops.ScanPrune.columnBytes]] opens
-    * every parquet footer under the corpus, and between compactions the
-    * file count grows one file-set per micro-batch — so paying the walk
-    * per batch makes the GATE itself O(files) even when it then rejects
-    * the pushdown. The verdict is monotone under the corpus's only two
-    * writers (append grows the column; compaction is a row-preserving
-    * rewrite), so TRUE is sticky, and FALSE holds until the table's
-    * total size — already in hand from the cheap [[graft.ops.ScanPrune
-    * .tableBytes]] precheck — has grown ~12.5% past the last
-    * measurement: footer walks amortize to O(log growth), not
-    * O(batches). A table that SHRANK below half its measured size was
-    * deleted and recreated in-process (tests do this); the stale entry
-    * is dropped and remeasured. */
-  private val fpGateCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
-  private def fpColumnGate(spark: SparkSession, corpusDir: String,
-                           totalBytes: Long): Boolean = {
-    val sp = graft.ops.ScanPrune
-    val cached = fpGateCache.get(corpusDir)
-    if (cached != null) {
-      val (atCheck, verdict) = cached
-      if (totalBytes >= atCheck / 2 &&
-          (verdict || totalBytes < atCheck + atCheck / 8)) return verdict
-    }
-    val v = sp.columnBytes(spark, corpusDir, "__fp") >= sp.PushMinTableBytes
-    fpGateCache.put(corpusDir, (totalBytes, v))
-    v
   }
 
   /** The END-TO-END live curation pipeline — the streaming twin of the

@@ -378,7 +378,23 @@ object DedupIndex {
     if (n == 0) return 0L
     val fresh =
       if (hadCorpus) {
-        val ids = corpus.select(col(idCol))
+        // the corpus is written id-sorted with page-capped rows (below),
+        // so once it clears the ScanPrune gates this per-batch presence
+        // scan reads only the pages the survivors' ids can touch —
+        // without the pushdown the id-column scan would grow linearly
+        // with the corpus, the exact drift the fp probe's sorted layout
+        // already prevents on the index side. FULL-ROW table, so the
+        // gate weighs the ID COLUMN's bytes (cached footer walk), not
+        // the total — the fpDedupIngestBatch discipline
+        val sp = graft.ops.ScanPrune
+        val idScan = corpus.select(col(idCol))
+        val total = sp.tableBytes(spark, corpusDir)
+        val ids =
+          if (total >= sp.PushMinTableBytes &&
+              sp.columnGate(spark, corpusDir, idCol, total))
+            sp.prunedScanDf(spark, corpusDir, idScan, idCol,
+              survivors.select(col(idCol)), minTableBytes = 0L)
+          else idScan
         val present = ids.join(broadcast(survivors.select(col(idCol))),
           Seq(idCol), "left_semi")
         survivors.join(broadcast(present), Seq(idCol), "left_anti")
@@ -386,9 +402,13 @@ object DedupIndex {
       } else survivors
     val appended = fresh.count()
     if (appended > 0)
-      // corpus keeps the caller's full row shape
+      // corpus keeps the caller's full row shape, id-sorted within each
+      // file for the presence pushdown above
       fresh.select(batch.columns.map(col): _*)
-        .write.mode("append").parquet(corpusDir)
+        .sortWithinPartitions(col(idCol))
+        .write.mode("append")
+        .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
+        .parquet(corpusDir)
     writeSorted(survivors.where(col("__sig").isNotNull)
         .select(col(idCol).as("id"), col("__sig").as("sig")),
       s"$indexDir/sig", Seq("id"))
