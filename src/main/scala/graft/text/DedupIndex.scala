@@ -167,7 +167,8 @@ object DedupIndex {
     * semi-probes, never scanned for signatures. */
   private def probeWithSigs(batch: DataFrame, corpus: DataFrame,
                             indexDir: String, idCol: String, textCol: String,
-                            params: Params): DataFrame = {
+                            params: Params,
+                            corpusDir: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     Seq("__fp", "__sig", "__bands", "__rn").foreach(c =>
       require(!batch.columns.contains(c), s"DedupIndex probe: input already has a $c column"))
@@ -269,8 +270,19 @@ object DedupIndex {
           .where(col("est") >= params.threshold * 0.5)
           .select(col("id_l"), col("id_r"))
         // exact verify: fetch TEXT for candidate ids only — a semi-probe
-        // into the corpus, not a corpus scan-and-sign
-        val lSets = corpus
+        // into the corpus, not a corpus scan-and-sign. When the caller
+        // owns the corpus DIRECTORY (the ingest path, whose writes keep
+        // it id-sorted with page caps), the candidate id point set also
+        // pushes down, so the fetch reads only the pages those ids can
+        // touch instead of every id+text page — the text column is the
+        // table's fat column, making this the probe's dominant IO once
+        // the corpus outgrows the gate
+        val corpusForTexts = corpusDir match {
+          case Some(d) => graft.ops.ScanPrune.prunedScanDf(spark, d,
+            corpus, idCol, estimated.select(col("id_l")).distinct())
+          case None => corpus
+        }
+        val lSets = corpusForTexts
           .select(col(idCol).as("id_l"), col(textCol).as("ltext"))
           .join(estimated.select(col("id_l")).distinct(), Seq("id_l"), "left_semi")
           .withColumn("sset_l", array_distinct(
@@ -299,12 +311,18 @@ object DedupIndex {
     * for candidate ids — so the cost stays FLAT as the corpus grows,
     * where [[TextOps.dedupIncremental]]'s scan form re-signs the whole
     * corpus every batch (O(corpus) CPU per batch). `corpus` supplies
-    * candidate texts for the exact-verify stage only. */
+    * candidate texts for the exact-verify stage only. Pass `corpusDir`
+    * when the corpus directory's writes keep it id-sorted with
+    * page-capped rows ([[ingestBatch]]'s layout): the candidate-text
+    * fetch then pushes the candidate id point set and reads only the
+    * pages those ids can touch — above the size gate the text column is
+    * otherwise the probe's dominant IO. */
   def probeBatch(batch: DataFrame, corpus: DataFrame, indexDir: String,
                  idCol: String = "doc_id", textCol: String = "text",
-                 params: Params = Params()): DataFrame = {
+                 params: Params = Params(),
+                 corpusDir: Option[String] = None): DataFrame = {
     checkParams(batch.sparkSession, indexDir, params)
-    probeWithSigs(batch, corpus, indexDir, idCol, textCol, params)
+    probeWithSigs(batch, corpus, indexDir, idCol, textCol, params, corpusDir)
       .drop("__fp", "__sig", "__bands")
   }
 
@@ -371,7 +389,8 @@ object DedupIndex {
       if (hadCorpus) spark.read.parquet(corpusDir)
       else batch.limit(0)
     val survivors =
-      probeWithSigs(batch, corpus, indexDir, idCol, textCol, params)
+      probeWithSigs(batch, corpus, indexDir, idCol, textCol, params,
+          corpusDir = Some(corpusDir))
         .localCheckpoint() // materialize BEFORE the appends, so the probes
                            // cannot see the rows this call is itself writing
     val n = survivors.count()
