@@ -313,7 +313,8 @@ object SparkEntry {
     * (mid-stream compaction + checkpoint restart), not an operator's
     * throughput. They still run — and hash-match — under the Verify
     * correctness gate on every round. */
-  val benchVerifyOnly: Set[String] = Set("q_x_stream_pipeline_compacted")
+  val benchVerifyOnly: Set[String] = Set("q_x_stream_pipeline_compacted",
+    "q_x_stream_pipeline_neardup_compacted")
 
   /** One-time bench warm-up for queries with PERSISTENT setup state:
     * builds the [[graft.text.DedupIndex]] for `dir` (the steady-state
@@ -3551,6 +3552,71 @@ object SparkEntry {
       run()
       land(base.where(pmod(col("doc_id"), lit(2)) === 1), "b", files = 2)
       run()
+      s.read.parquet(s"$pipeDir/corpus").select(col("doc_id"), col("source"))
+    }),
+
+    // X: the SAME near-dup pipeline with MAINTENANCE between its two
+    // batches — after the even half seeds corpus + index, the stream
+    // stops, the corpus folds (compactCorpus, id-sorted layout kept)
+    // and the DedupIndex compacts (distinct rewrite, probe-key sorts
+    // kept), then the stream restarts from its checkpoint and the odd
+    // half probes the COMPACTED state. Same oracle SQL as
+    // q_x_stream_pipeline_neardup: maintenance must be invisible to
+    // the admitted set, proven end to end by the hash match.
+    // Deliberately redundant with that query's throughput — declared
+    // verify-only (benchVerifyOnly), never silently skipped
+    "q_x_stream_pipeline_neardup_compacted" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_spipenc_q_")
+      val srcDir = java.nio.file.Files.createDirectories(streamDir.resolve("src"))
+      val pipeDir = streamDir.resolve("pipe").toString
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val bench = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+      def land(half: DataFrame, tag: String, files: Int): Unit = {
+        val staging = streamDir.resolve(s"stage_$tag")
+        half.repartition(files).write.parquet(staging.toString)
+        val listing = java.nio.file.Files.list(staging)
+        try {
+          val it = listing.iterator(); var i = 0
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.endsWith(".parquet")) {
+              java.nio.file.Files.copy(f,
+                srcDir.resolve(f"${tag}_$i%05d.parquet"))
+              i += 1
+            }
+          }
+        } finally listing.close()
+      }
+      def run(): Unit = {
+        val docs = s.readStream.schema(docsStreamSchema)
+          .option("maxFilesPerTrigger", "4").parquet(srcDir.toString)
+        val q = StreamOps.curationPipelineStream(docs, pipeDir, bench,
+            "text", n = 5, capK = 20,
+            nearDedup = Some(graft.text.DedupIndex.Params()))
+          .option("checkpointLocation", streamDir.resolve("ck").toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      land(base.where(pmod(col("doc_id"), lit(2)) === 0), "a", files = 2)
+      run()
+      // quiesced maintenance on the seeded state. The INDEX compaction
+      // must ACT (distinct + probe-key-sorted rewrite of fp/sig/bands —
+      // the state the odd half's probes depend on); the corpus fold is
+      // attempted too but a one-batch seed writes a single file, so it
+      // is legitimately a no-op here — corpus-fold invisibility is the
+      // exact twin's proof (q_x_stream_pipeline_compacted, whose
+      // 3-batch structure gives it something to fold)
+      val idxStats = graft.text.DedupIndex.compact(s, s"$pipeDir/dedup_idx")
+      require(idxStats.keySet == Set("fp", "sig", "bands"),
+        s"neardup-compacted twin degenerated: index compacted $idxStats")
+      StreamOps.compactCorpus(s, s"$pipeDir/corpus",
+        sortCol = Some("doc_id")): Unit
+      land(base.where(pmod(col("doc_id"), lit(2)) === 1), "b", files = 2)
+      run() // checkpoint restart over the compacted state
       s.read.parquet(s"$pipeDir/corpus").select(col("doc_id"), col("source"))
     }),
 
@@ -7391,7 +7457,24 @@ object SparkEntry {
     // 3-shingle Jaccard >= 0.5 against any admitted even-half doc.
     // NOT EXISTS (not NOT IN) for the fp probe: a null fingerprint
     // never equi-matches in the Spark anti-join either
-    "q_x_stream_pipeline_neardup" ->
+    "q_x_stream_pipeline_neardup" -> streamPipelineNeardupOracleSql,
+
+    // identical composition with maintenance (corpus + index compaction
+    // and a checkpoint restart) between the two batches — same oracle,
+    // because maintenance must be invisible to the admitted set
+    "q_x_stream_pipeline_neardup_compacted" -> streamPipelineNeardupOracleSql,
+    // the compacted twin runs on a 1/3 subset: its job is proving the
+    // MAINTENANCE machinery invisible across a restart, which needs
+    // batches + folds, not corpus mass (the full-corpus pipeline cost
+    // is already carried by q_x_stream_pipeline)
+    "q_x_stream_pipeline_compacted" -> streamPipelineOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 3 = 0)"),
+  )
+
+  /** The near-dup pipeline's admitted set, brute-forced — shared by the
+    * plain query and its maintenance twin (compaction + restart must be
+    * invisible to the admitted set, so both hash against the SAME SQL). */
+  private lazy val streamPipelineNeardupOracleSql: String =
       """WITH src AS (SELECT * FROM documents),
          tok AS (SELECT doc_id,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
@@ -7427,14 +7510,7 @@ object SparkEntry {
          SELECT doc_id, source FROM ak
          UNION ALL
          SELECT doc_id, source FROM bex
-         WHERE doc_id NOT IN (SELECT doc_id FROM bdrop)""",
-    // the compacted twin runs on a 1/3 subset: its job is proving the
-    // MAINTENANCE machinery invisible across a restart, which needs
-    // batches + folds, not corpus mass (the full-corpus pipeline cost
-    // is already carried by q_x_stream_pipeline)
-    "q_x_stream_pipeline_compacted" -> streamPipelineOracleSql(
-      "(SELECT * FROM documents WHERE doc_id % 3 = 0)"),
-  )
+         WHERE doc_id NOT IN (SELECT doc_id FROM bdrop)"""
 
   /** The live-pipeline oracle with its document source injectable, so
     * the full-corpus stream and the subset maintenance twin share the
