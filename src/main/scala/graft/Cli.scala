@@ -54,6 +54,8 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> zipf <docs.parquet> [textCol] [topK] [--out D]
   * graft.Cli <root> <collection> novelty <docs.parquet> [idCol] [textCol] [n] [--out D]
   * graft.Cli <root> <collection> curation <pipeDir> [render|compact|compact-if-due|status] [capK] [idCol] [sourceCol] [--out D]
+  * graft.Cli <root> <collection> dedup-index <indexDir> [status|compact] [--out D]
+  * graft.Cli <root> <collection> vec-index <indexDir> [status|compact-lists] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -182,7 +184,8 @@ object Cli {
          | "align" | "shard-audit" | "label-prop" | "winnow-index"
          | "label-audit" | "bradley-terry" | "privacy-audit"
          | "url-curate" | "readability" | "skew-report" | "silhouette"
-         | "data-card" | "zipf" | "novelty" | "curation" =>
+         | "data-card" | "zipf" | "novelty" | "curation"
+         | "dedup-index" | "vec-index" =>
         val out = rest.sliding(2).collectFirst {
           case Array("--out", d) if !d.startsWith("--") => d
         }
@@ -281,6 +284,10 @@ object Cli {
           case "curation" =>
             facade.curation(inPath, p(1, "render"), p(2, "20").toInt,
               p(3, "doc_id"), p(4, "source"))
+          case "dedup-index" =>
+            facade.dedupIndexMaint(inPath, p(1, "status"))
+          case "vec-index" =>
+            facade.vecIndexMaint(inPath, p(1, "status"))
           case "zipf" =>
             facade.zipf(inPath, p(1, "text"), p(2, "100").toInt)
           case "novelty" =>

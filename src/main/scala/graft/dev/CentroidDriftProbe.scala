@@ -161,10 +161,26 @@ object CentroidDriftProbe {
       val ((_, afterRebal), tRebal) = time(
         VecIndex.rebalancePq(all, dir, kmeansIters = 2))
       val rRebal = recallPq()
+      // CODEBOOK staleness: refresh/rebalance re-learn centroids but
+      // keep the codebooks FROZEN (trained on the base distribution).
+      // A full rebuild over the union re-trains them too — the gap
+      // between this row and "full rebalance" is the recoverable
+      // recall the frozen codebooks cost under drift, and decides
+      // whether a codebook-retrain repair verb is worth having.
+      val rebuildDir = java.nio.file.Files
+        .createTempDirectory("graft_drift_probe_").toString + "/idxpq_rebuild"
+      val (_, tRebuild) = time(
+        VecIndex.buildPq(all, rebuildDir, nlist = nlist, kmeansIters = 2,
+          m = 8, ksub = 64, pqIters = 2))
+      val rRebuild = VectorOps.recallAtK(
+        VecIndex.topKPq(queries, rebuildDir, k = k, nprobe = nprobe,
+          refineWith = Some(all), refine = 4), exactL2)
       report("pq tier", Seq(
         ("drifted", rBefore, cvBefore, "-"),
         ("refresh(2k)", rRefresh, afterRefresh.cv, f"$tRefresh%.1f"),
-        ("full rebalance", rRebal, afterRebal.cv, f"$tRebal%.1f")))
+        ("full rebalance", rRebal, afterRebal.cv, f"$tRebal%.1f"),
+        ("full rebuild", rRebuild, VecIndex.listStats(spark, rebuildDir).cv,
+          f"$tRebuild%.1f")))
     }
     spark.stop()
   }

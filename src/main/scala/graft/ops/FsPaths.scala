@@ -47,15 +47,90 @@ object FsPaths {
     * cost from data to file-open overhead, and this count is what a
     * compaction resets. 0 for a missing dir. */
   def committedPartCount(fs: org.apache.hadoop.fs.FileSystem,
-                         dir: org.apache.hadoop.fs.Path): Long = {
-    if (!fs.exists(dir)) return 0L
+                         dir: org.apache.hadoop.fs.Path): Long =
+    committedPartStats(fs, dir)._1
+
+  /** (count, total bytes) of COMMITTED part files under `dir` — the
+    * same walk as [[committedPartCount]] with the byte sum the
+    * byte-aware maintenance policies key on: N files of 1 MB and N
+    * files of 1 GB are different problems, and the mean committed file
+    * size (bytes / count) against a compaction target tells them
+    * apart from fs metadata alone. (0, 0) for a missing dir. */
+  def committedPartStats(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): (Long, Long) = {
+    if (!fs.exists(dir)) return (0L, 0L)
     val it = fs.listFiles(dir, true)
     var n = 0L
+    var bytes = 0L
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.startsWith("part-") &&
-          committedUnder(fs, dir, st.getPath)) n += 1
+          committedUnder(fs, dir, st.getPath)) {
+        n += 1
+        bytes += st.getLen
+      }
     }
-    n
+    (n, bytes)
+  }
+
+  /** Per-LEAF-dir (count, bytes) of committed part files under `dir`,
+    * keyed by each file's parent — the grain [[fileCountDue]]'s byte
+    * rule evaluates at (compaction folds within a leaf dir, never
+    * across). Same single recursive walk as [[committedPartStats]]. */
+  def committedPartDirStats(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Seq[(Long, Long)] = {
+    if (!fs.exists(dir)) return Nil
+    val acc = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.startsWith("part-") &&
+          committedUnder(fs, dir, st.getPath)) {
+        val k = st.getPath.getParent.toUri.getPath
+        val (n, b) = acc.getOrElse(k, (0L, 0L))
+        acc.update(k, (n + 1L, b + st.getLen))
+      }
+    }
+    acc.values.toSeq
+  }
+
+  /** The shared maintenance-due rule for file-counted components:
+    * due on COUNT (total n >= maxFiles — file-open overhead drifting
+    * scan cost away from data) or, when a `targetBytes` compaction
+    * target is supplied (> 0), on BYTES — some LEAF directory holds
+    * more than one file whose mean size is below HALF the target.
+    *
+    * Per-leaf-dir, because that is the grain compaction can fix: a
+    * rewrite folds files WITHIN a (partition) dir, never across dirs,
+    * so a hive-partitioned table legitimately holds one small file per
+    * partition forever — a global mean would keep it due with no
+    * actionable repair. The half matters for convergence: a compaction
+    * packs a dir's bytes into ceil(bytes/target) files whose mean is
+    * always >= target/2 (a single-file dir is excluded by n > 1), so
+    * a fresh compaction never re-trips the policy it just satisfied.
+    * targetBytes = 0 (the default everywhere) disables the byte rule:
+    * counts alone, the pre-byte policy. */
+  def fileCountDue(perDir: Seq[(Long, Long)], maxFiles: Int,
+                   targetBytes: Long): Boolean =
+    perDir.map(_._1).sum >= maxFiles ||
+      (targetBytes > 0L && perDir.exists { case (n, bytes) =>
+        n > 1L && bytes / n < targetBytes / 2 })
+
+  /** Metadata fingerprint of a directory's IMMEDIATE children: sorted
+    * (name, length, mtime) triples, Nil for a missing dir. One
+    * driver-side listStatus — the revalidation cost a memoized
+    * params pin pays per check. A bare fs-exists is NOT enough: an
+    * index deleted and rebuilt with different params BY ANOTHER
+    * PROCESS leaves the params dir existing at check time, and the
+    * stale cached pin would then validate probes against the dead
+    * index's params — silently missing duplicates. Part-file names
+    * carry write-unique UUIDs, so any rewrite changes the
+    * fingerprint even inside one mtime tick. */
+  def dirFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                     dir: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1)
   }
 }

@@ -376,6 +376,44 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       s"winnowIndex: mode must be 'ingest', 'probe' or 'compact', got '$other'")
   }
 
+  /** Standalone [[graft.text.DedupIndex]] maintenance — the same verb
+    * shape as `curation`: `status` is the per-table policy row set
+    * (fp/sig/bands file counts + byte means vs thresholds, fs metadata
+    * only), `compact` folds the per-batch small files and reports the
+    * per-table before/after. */
+  def dedupIndexMaint(indexDir: String, mode: String = "status"): DataFrame =
+    mode match {
+      case "status" =>
+        graft.text.DedupIndex.maintenanceDue(spark, indexDir)
+      case "compact" =>
+        import spark.implicits._
+        graft.text.DedupIndex.compact(spark, indexDir).toSeq.sortBy(_._1)
+          .map { case (t, s) =>
+            (t, s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter) }
+          .toDF("component", "files_before", "bytes_before",
+            "files_after", "bytes_after")
+      case other => throw new IllegalArgumentException(
+        s"dedupIndexMaint: mode must be 'status' or 'compact', got '$other'")
+    }
+
+  /** Standalone [[graft.vec.VecIndex]] maintenance — `status` is the
+    * policy row set (lists file count, occupancy cv, each with its
+    * repair verb), `compact-lists` folds the per-ingest small files
+    * (layout-agnostic, list_id partitioning preserved). */
+  def vecIndexMaint(indexDir: String, mode: String = "status"): DataFrame =
+    mode match {
+      case "status" =>
+        graft.vec.VecIndex.maintenanceDue(spark, indexDir)
+      case "compact-lists" =>
+        import spark.implicits._
+        val s = graft.vec.VecIndex.compactLists(spark, indexDir)
+        Seq(("lists", s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter))
+          .toDF("component", "files_before", "bytes_before",
+            "files_after", "bytes_after")
+      case other => throw new IllegalArgumentException(
+        s"vecIndexMaint: mode must be 'status' or 'compact-lists', got '$other'")
+    }
+
   /** k-center greedy coreset (`graft.vec.Coreset`): the k selected
     * frontier points as (rank, vec_id, dist). */
   def coreset(inPath: String, idCol: String = "vec_id",

@@ -341,6 +341,8 @@ object StreamOps {
     import graft.text.TextOps
     require(!benchmark.isStreaming,
       "decontaminateStream: benchmark side must be static")
+    require(maxExactGrams >= 0,
+      s"decontaminateStream: maxExactGrams >= 0, got $maxExactGrams")
     val gramsDf = benchmark
       .select(explode(TextOps.wordShingles(
         TextOps.tokens(col(benchTextCol)), n)).as("__ng"))
@@ -348,8 +350,11 @@ object StreamOps {
     // ONE gate job, not count-then-collect: a limit(cap+1) collect both
     // decides the gate (size cap+1 means over) and, when at or under
     // the cap, IS the complete literal gram set — and it bounds driver
-    // memory in the over-cap case instead of counting the whole set
-    val gramSample = gramsDf.limit(maxExactGrams + 1)
+    // memory in the over-cap case instead of counting the whole set.
+    // The +1 saturates instead of overflowing: maxExactGrams =
+    // Int.MaxValue (force-exact) must not become a negative limit
+    val gramSample = gramsDf
+      .limit(math.min(maxExactGrams.toLong + 1L, Int.MaxValue.toLong).toInt)
       .as[String](org.apache.spark.sql.Encoders.STRING).collect()
     val docGrams = TextOps.wordShingles(TextOps.tokens(col(textCol)), n)
     if (gramSample.length <= maxExactGrams) {
@@ -849,8 +854,17 @@ object StreamOps {
     * instead of silently accumulating subdirs forever. Returns
     * (partials subdirs folded, corpus files folded). */
   def curationCompact(spark: SparkSession, pipeDir: String,
-                      idCol: String = "doc_id"): (Int, Int) = {
-    requireQuiesced(spark, pipeDir)
+                      idCol: String = "doc_id",
+                      leaseTtlMs: Long = LeaseTtlMs,
+                      targetBytes: Long = 0L): (Int, Int) =
+    curationCompactImpl(spark, pipeDir, idCol, leaseTtlMs, targetBytes,
+      skipLease = false)
+
+  private def curationCompactImpl(spark: SparkSession, pipeDir: String,
+                                  idCol: String, leaseTtlMs: Long,
+                                  targetBytes: Long,
+                                  skipLease: Boolean): (Int, Int) = {
+    requireQuiesced(spark, pipeDir, leaseTtlMs, skipLease)
     val partialRoots =
       CardFamilies.map(f => s"$pipeDir/card/$f") :+ s"$pipeDir/cap/bkg"
     val folded = partialRoots.map(d => compactPartials(spark, d)).sum
@@ -872,13 +886,26 @@ object StreamOps {
         else if (cols.contains(idCol)) Some(idCol)
         else None
       }
-    val files = compactCorpus(spark, corpusDir, sortCol = sortCol)
+    // when the caller maintains by a byte target, the corpus file
+    // target derives from it (ceil(bytes/target), the Compaction
+    // sizing) — otherwise a byte-due corpus below the fixed 32-file
+    // wall would never actually fold and the policy could not re-arm
+    val corpusTarget =
+      if (targetBytes > 0L) {
+        val cp = new org.apache.hadoop.fs.Path(corpusDir)
+        val (_, bytes) = graft.ops.FsPaths.committedPartStats(
+          cp.getFileSystem(spark.sparkContext.hadoopConfiguration), cp)
+        math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      } else 32
+    val files = compactCorpus(spark, corpusDir, targetFiles = corpusTarget,
+      sortCol = sortCol)
     // a near-dup pipeline also folds its index's per-batch small files
     // (fp/sig/bands keep their probe-key sort through the rewrite)
     val idxPath = new org.apache.hadoop.fs.Path(s"$pipeDir/dedup_idx")
     if (idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(idxPath))
-      graft.text.DedupIndex.compact(spark, s"$pipeDir/dedup_idx"): Unit
+      graft.text.DedupIndex.compact(spark, s"$pipeDir/dedup_idx",
+        targetBytes = if (targetBytes > 0L) targetBytes else 128L << 20): Unit
     (folded, files)
   }
 
@@ -891,7 +918,108 @@ object StreamOps {
     * contract itself still binds them). */
   def curationQueryName(pipeDir: String): String = s"graft_curation:$pipeDir"
 
-  private def requireQuiesced(spark: SparkSession, pipeDir: String): Unit = {
+  /** How stale a writer lease's heartbeat may be before maintenance
+    * treats the writer as crashed and reclaims the lease. Heartbeats
+    * land on every micro-batch AND on every progress/idle event of a
+    * [[curationPipelineStart]]-managed query (trigger cadence —
+    * seconds), so ten minutes of silence is a dead writer, not a slow
+    * one. */
+  val LeaseTtlMs: Long = 10L * 60L * 1000L
+
+  private def leasePath(pipeDir: String) =
+    new org.apache.hadoop.fs.Path(s"$pipeDir/_lease")
+
+  private def leaseFs(spark: SparkSession, pipeDir: String) =
+    leasePath(pipeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def leaseHolder(): String = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "unknown-host" }
+    s"$pid@$host"
+  }
+
+  /** Take the pipeline writer's exclusive `_lease` marker under
+    * `pipeDir` — what makes the quiesced-maintenance contract hold
+    * ACROSS processes: the in-JVM named-query check
+    * ([[curationQueryName]]) sees only `spark.streams.active` in its
+    * own JVM, so a SECOND Spark application compacting under a live
+    * stream bypassed it entirely, and an append landing mid-swap was
+    * lost with the old tree. With the lease, every maintenance verb
+    * refuses while a live (recently-heartbeated) marker exists, in any
+    * process. A live lease also refuses a second WRITER (single-writer
+    * per pipeline is the contract the replay convergence relies on); a
+    * stale one (crashed writer — heartbeat older than `ttlMs`) is
+    * reclaimed with a loud log. Create-exclusive, so two racing
+    * acquirers cannot both win. */
+  def acquireLease(spark: SparkSession, pipeDir: String,
+                   ttlMs: Long = LeaseTtlMs): Unit = {
+    val f = leaseFs(spark, pipeDir)
+    val p = leasePath(pipeDir)
+    if (f.exists(p)) {
+      val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      if (age <= ttlMs)
+        throw new IllegalStateException(
+          s"curation writer lease on $pipeDir refused: a live lease " +
+            s"(heartbeated ${age} ms ago, holder '${readLease(f, p)}') " +
+            "exists — a second concurrent writer would break the " +
+            "single-writer replay contract. Stop the other pipeline " +
+            "first, or wait out its lease.")
+      System.err.println(
+        s"[graft] reclaiming STALE curation lease on $pipeDir " +
+          s"(holder '${readLease(f, p)}', heartbeat ${age} ms old > ttl " +
+          s"$ttlMs ms): treating the writer as crashed.")
+      f.delete(p, false): Unit
+    }
+    val parent = p.getParent
+    if (!f.exists(parent)) f.mkdirs(parent): Unit
+    // create-exclusive (overwrite = false): a concurrent acquirer loses
+    // with an IOException instead of both winning
+    val out = f.create(p, false)
+    try out.write(leaseHolder().getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readLease(f: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        if (n <= 0) "unknown" else new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+    } catch { case _: java.io.IOException => "unknown" }
+
+  /** Release the writer lease (no-op when absent — release must be
+    * idempotent so stop paths can call it unconditionally). */
+  def releaseLease(spark: SparkSession, pipeDir: String): Unit = {
+    val f = leaseFs(spark, pipeDir)
+    val p = leasePath(pipeDir)
+    if (f.exists(p)) f.delete(p, false): Unit
+  }
+
+  /** Refresh the lease heartbeat IF one is held — refresh-only, never
+    * create: the unmanaged [[curationPipelineStream]] oracle paths run
+    * without a lease (their post-stop compactions would otherwise be
+    * refused by their own fresh marker), while a managed writer's
+    * marker stays fresh through every batch. One driver setTimes —
+    * atomic, no content rewrite. */
+  private def heartbeatLeaseIfHeld(spark: SparkSession, pipeDir: String): Unit = {
+    val f = leaseFs(spark, pipeDir)
+    val p = leasePath(pipeDir)
+    try {
+      if (f.exists(p)) f.setTimes(p, System.currentTimeMillis(), -1)
+    } catch { case _: java.io.IOException => () } // next heartbeat retries
+  }
+
+  /** `skipLease = true` is reserved for the terminated-writer path
+    * ([[curationPipelineStart]]'s listener): the writer compacts under
+    * its OWN still-held lease, so the lease keeps excluding every
+    * OTHER process until the maintenance finishes — lease removal is
+    * the all-clear. */
+  private def requireQuiesced(spark: SparkSession, pipeDir: String,
+                              leaseTtlMs: Long = LeaseTtlMs,
+                              skipLease: Boolean = false): Unit = {
     val name = curationQueryName(pipeDir)
     if (spark.streams.active.exists(q => q.name == name))
       throw new IllegalStateException(
@@ -899,22 +1027,56 @@ object StreamOps {
           s"'$name' is active — an append landing mid-swap would be lost " +
           "with the old tree. Stop the stream, compact, restart from the " +
           "checkpoint (maintenance is restart-invisible).")
+    // cross-process: a live writer lease refuses maintenance even when
+    // the stream runs in ANOTHER Spark application; a stale one is a
+    // crashed writer — reclaim it (loudly) and proceed
+    if (skipLease) return
+    val f = leaseFs(spark, pipeDir)
+    val p = leasePath(pipeDir)
+    if (f.exists(p)) {
+      val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
+      if (age <= leaseTtlMs)
+        throw new IllegalStateException(
+          s"curation maintenance on $pipeDir refused: a live writer " +
+            s"lease (_lease, heartbeated ${age} ms ago, holder " +
+            s"'${readLease(f, p)}') exists — the pipeline is streaming " +
+            "in another process, and an append landing mid-swap would " +
+            "be lost with the old tree. Stop that stream (or wait out " +
+            s"the ${leaseTtlMs} ms lease TTL if it crashed).")
+      System.err.println(
+        s"[graft] reclaiming STALE curation lease on $pipeDir " +
+          s"(holder '${readLease(f, p)}', heartbeat ${age} ms old > ttl " +
+          s"$leaseTtlMs ms): treating the writer as crashed and " +
+          "proceeding with maintenance.")
+      f.delete(p, false): Unit
+    }
   }
 
   /** Is maintenance DUE on a [[curationPipelineStream]] root? One row
     * per maintainable component from fs METADATA only (subdir/file
     * counts — no parquet opened, no job run): each partials family's
     * `batch_id=` subdir count against `maxSubdirs`, the corpus's
-    * committed part-file count and (when present) the dedup index's
-    * against `maxFiles`. Cheap enough to call at every stream stop; the
-    * thresholds are where render/probe cost starts drifting from data
+    * committed part-file count and (when present) each dedup-index
+    * table's — fp/sig/bands PER TABLE, the grain [[DedupIndex.compact]]
+    * folds and [[DedupIndex.maintenanceDue]] reports; a lumped count
+    * would trip the same threshold ~3x earlier through this verb than
+    * through the sibling (and the never-folded params part file would
+    * contribute a permanent +1). File-counted components also take the
+    * byte rule when `targetBytes` > 0 ([[graft.ops.FsPaths.fileCountDue]]:
+    * mean committed file size below half the compaction target —
+    * deployments derive "too many files" from their byte target, not a
+    * fixed count). Cheap enough to call at every stream stop; the
+    * defaults are where render/probe cost starts drifting from data
     * to file-open overhead (the compactPartials/compactCorpus walls).
     * Drives [[curationCompactIfDue]]; also the `status` facade verb. */
   def maintenanceDue(spark: SparkSession, pipeDir: String,
                      maxSubdirs: Int = 64,
-                     maxFiles: Int = 64): DataFrame = {
+                     maxFiles: Int = 64,
+                     targetBytes: Long = 0L): DataFrame = {
     require(maxSubdirs >= 1 && maxFiles >= 1,
       s"maintenanceDue: thresholds must be >= 1, got ($maxSubdirs, $maxFiles)")
+    require(targetBytes >= 0L,
+      s"maintenanceDue: targetBytes >= 0, got $targetBytes")
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     def subdirCount(dir: String): Long = {
@@ -924,24 +1086,32 @@ object StreamOps {
       else f.listStatus(p).count(s =>
         s.isDirectory && s.getPath.getName.startsWith("batch_id=")).toLong
     }
-    def fileCount(dir: String): Long = {
+    def fileRow(component: String, dir: String) = {
       val p = new org.apache.hadoop.fs.Path(dir)
-      graft.ops.FsPaths.committedPartCount(p.getFileSystem(conf), p)
+      val perDir =
+        graft.ops.FsPaths.committedPartDirStats(p.getFileSystem(conf), p)
+      val n = perDir.map(_._1).sum
+      val bytes = perDir.map(_._2).sum
+      (component, n, maxFiles.toLong, if (n == 0) 0L else bytes / n,
+        targetBytes,
+        graft.ops.FsPaths.fileCountDue(perDir, maxFiles, targetBytes))
     }
+    // partials subdirs are per-batch by construction (tiny, one per
+    // micro-batch) — their cost driver is the subdir COUNT, so the
+    // byte rule does not apply to them
     val partials = (CardFamilies.map(f => s"card/$f") :+ "cap/bkg").map { rel =>
       val n = subdirCount(s"$pipeDir/$rel")
-      (rel, n, maxSubdirs.toLong, n >= maxSubdirs)
+      (rel, n, maxSubdirs.toLong, 0L, targetBytes, n >= maxSubdirs)
     }
-    val corpusN = fileCount(s"$pipeDir/corpus")
-    val corpus = Seq(("corpus", corpusN, maxFiles.toLong, corpusN >= maxFiles))
+    val corpus = Seq(fileRow("corpus", s"$pipeDir/corpus"))
     val idxP = new org.apache.hadoop.fs.Path(s"$pipeDir/dedup_idx")
     val idx =
-      if (idxP.getFileSystem(conf).exists(idxP)) {
-        val n = fileCount(s"$pipeDir/dedup_idx")
-        Seq(("dedup_idx", n, maxFiles.toLong, n >= maxFiles))
-      } else Nil
+      if (idxP.getFileSystem(conf).exists(idxP))
+        Seq("fp", "sig", "bands").map(t =>
+          fileRow(s"dedup_idx/$t", s"$pipeDir/dedup_idx/$t"))
+      else Nil
     (partials ++ corpus ++ idx)
-      .toDF("component", "n", "threshold", "due")
+      .toDF("component", "n", "threshold", "mean_bytes", "target_bytes", "due")
   }
 
   /** The opt-in auto-compact hook for a quiesced stream stop: check the
@@ -955,11 +1125,23 @@ object StreamOps {
   def curationCompactIfDue(spark: SparkSession, pipeDir: String,
                            maxSubdirs: Int = 64,
                            maxFiles: Int = 64,
-                           idCol: String = "doc_id"): (Int, Int) = {
-    requireQuiesced(spark, pipeDir)
-    val due = maintenanceDue(spark, pipeDir, maxSubdirs, maxFiles)
+                           idCol: String = "doc_id",
+                           targetBytes: Long = 0L,
+                           leaseTtlMs: Long = LeaseTtlMs): (Int, Int) =
+    curationCompactIfDueImpl(spark, pipeDir, maxSubdirs, maxFiles, idCol,
+      targetBytes, leaseTtlMs, skipLease = false)
+
+  private def curationCompactIfDueImpl(spark: SparkSession, pipeDir: String,
+                                       maxSubdirs: Int, maxFiles: Int,
+                                       idCol: String, targetBytes: Long,
+                                       leaseTtlMs: Long,
+                                       skipLease: Boolean): (Int, Int) = {
+    requireQuiesced(spark, pipeDir, leaseTtlMs, skipLease)
+    val due = maintenanceDue(spark, pipeDir, maxSubdirs, maxFiles, targetBytes)
       .where(col("due")).count()
-    if (due == 0L) (0, 0) else curationCompact(spark, pipeDir, idCol)
+    if (due == 0L) (0, 0)
+    else curationCompactImpl(spark, pipeDir, idCol, leaseTtlMs, targetBytes,
+      skipLease)
   }
 
   /** One micro-batch of the LIVE corpus data card: per-batch partials
@@ -1144,26 +1326,32 @@ object StreamOps {
     * a non-bottom-k sample — the WinnowIndex params discipline. The
     * validated pin is memoized per dir so the per-micro-batch hot path
     * pays one fs-exists, not a parquet-read job, after the first batch. */
-  private val sampleParamsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, String)]()
+  private val sampleParamsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Int, String), Seq[(String, Long, Long)])]()
 
-  /** The memoized pin, revalidated by one cheap fs-exists on the params
-    * dir: a sample dir deleted and re-created with different (k, salt)
-    * in one long-lived server process must re-pin against the NEW dir,
-    * not validate against the dead dir's cached pin. The exists check
-    * is the cost the memo was already documented to pay. */
+  private def sampleParamsFingerprint(spark: SparkSession,
+                                      sampleDir: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$sampleDir/params")
+    graft.ops.FsPaths.dirFingerprint(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The memoized pin, revalidated per check against the params dir's
+    * metadata fingerprint ([[graft.ops.FsPaths.dirFingerprint]], one
+    * driver listStatus — no parquet read): a sample dir deleted and
+    * re-created with different (k, salt) must re-pin against the NEW
+    * dir, not validate against the dead dir's cached pin — even when
+    * the recreate happened in another process while the dir existed at
+    * check time (a bare fs-exists misses that). */
   private def cachedSampleParams(spark: SparkSession,
                                  sampleDir: String): Option[(Int, String)] = {
     val cached = sampleParamsCache.get(sampleDir)
     if (cached == null) None
+    else if (cached._2 == sampleParamsFingerprint(spark, sampleDir))
+      Some(cached._1)
     else {
-      val p = new org.apache.hadoop.fs.Path(s"$sampleDir/params")
-      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        Some(cached)
-      else {
-        sampleParamsCache.remove(sampleDir)
-        None
-      }
+      sampleParamsCache.remove(sampleDir)
+      None
     }
   }
 
@@ -1183,7 +1371,8 @@ object StreamOps {
             Seq((k, salt)).toDF("k", "salt").coalesce(1).write.parquet(dir)
             (k, salt)
           }
-        sampleParamsCache.put(sampleDir, s0)
+        sampleParamsCache.put(sampleDir,
+          (s0, sampleParamsFingerprint(spark, sampleDir)))
         s0
       }
     require(stored._1 == k && stored._2 == salt,
@@ -1204,7 +1393,8 @@ object StreamOps {
     else {
       val r = spark.read.parquet(dir).head()
       val s0 = (r.getAs[Int]("k"), r.getAs[String]("salt"))
-      sampleParamsCache.put(sampleDir, s0)
+      sampleParamsCache.put(sampleDir,
+        (s0, sampleParamsFingerprint(spark, sampleDir)))
       Some(s0._1)
     }
   }
@@ -1470,6 +1660,9 @@ object StreamOps {
       // [[curationQueryName]]
       .queryName(curationQueryName(pipeDir))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // keep a held writer lease fresh on every batch (refresh-only:
+        // unmanaged runs carry no lease and stay lease-free)
+        heartbeatLeaseIfHeld(batch.sparkSession, pipeDir)
         if (!batch.isEmpty) {
           // one materialization feeds all three consumers — the
           // checkpointed-frames discipline from the batch pipeline
@@ -1491,6 +1684,85 @@ object StreamOps {
           }
         }
       }
+  }
+
+  /** The MANAGED pipeline start — [[curationPipelineStream]] plus the
+    * deployment lifecycle a long-lived writer needs, in one call:
+    *
+    *  1. the exclusive writer `_lease` is taken BEFORE the stream
+    *     starts ([[acquireLease]] — a second writer, or maintenance in
+    *     any process, is refused while the query lives) and released
+    *     when it terminates;
+    *  2. the lease heartbeat stays fresh through every progress AND
+    *     idle event (a between-batches stream with no arriving data
+    *     must not go stale and get reclaimed under a live writer) on
+    *     top of the per-batch refresh;
+    *  3. when `compactOnStop` (the default), [[curationCompactIfDue]]
+    *     runs exactly once AFTER the query terminates — deployments get
+    *     the maintenance cadence without a manual call, and the
+    *     ordering makes it safe by construction: termination removes
+    *     the query from `spark.streams.active` first, the compact then
+    *     runs UNDER the writer's still-held lease (its own, skipped by
+    *     the check) so no other process can write or maintain mid-fold,
+    *     and the lease release afterwards is the cross-process
+    *     all-clear.
+    *
+    * Returns the RUNNING query (the writer is configured with
+    * `checkpointDir` and started). Listener failures surface on stderr
+    * rather than failing the terminated query — by then there is no
+    * query left to fail. */
+  def curationPipelineStart(docs: DataFrame, pipeDir: String,
+                            benchmark: DataFrame, checkpointDir: String,
+                            benchTextCol: String = "text", n: Int = 5,
+                            capK: Int = 20, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            langCol: String = "lang",
+                            sourceCol: String = "source",
+                            dupSketch: Boolean = false,
+                            nearDedup: Option[graft.text.DedupIndex.Params] = None,
+                            compactOnStop: Boolean = true,
+                            maxSubdirs: Int = 64, maxFiles: Int = 64,
+                            targetBytes: Long = 0L,
+                            leaseTtlMs: Long = LeaseTtlMs)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    acquireLease(spark, pipeDir, leaseTtlMs)
+    val query =
+      try curationPipelineStream(docs, pipeDir, benchmark, benchTextCol, n,
+          capK, idCol, textCol, langCol, sourceCol, dupSketch, nearDedup)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      catch { case e: Throwable => releaseLease(spark, pipeDir); throw e }
+    val qid = query.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == qid) heartbeatLeaseIfHeld(spark, pipeDir)
+      override def onQueryIdle(e: QueryIdleEvent): Unit =
+        if (e.id == qid) heartbeatLeaseIfHeld(spark, pipeDir)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          try {
+            // compact UNDER the still-held lease (skipLease: it is our
+            // own), so no other process can start writing or
+            // maintaining mid-fold; releasing the lease is the
+            // all-clear, released in finally even when the compact
+            // fails (a wedged marker would block everyone for a TTL)
+            if (compactOnStop)
+              curationCompactIfDueImpl(spark, pipeDir, maxSubdirs, maxFiles,
+                idCol, targetBytes, leaseTtlMs, skipLease = true): Unit
+          } catch {
+            case ex: Exception => System.err.println(
+              s"[graft] post-termination maintenance on $pipeDir failed: $ex")
+          } finally {
+            try releaseLease(spark, pipeDir)
+            finally spark.streams.removeListener(this)
+          }
+        }
+    }
+    spark.streams.addListener(listener)
+    query
   }
 
   /** The live pipeline audit row per source: the data card over every

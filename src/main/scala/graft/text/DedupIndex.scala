@@ -76,27 +76,38 @@ object DedupIndex {
     * discipline): without it EVERY micro-batch ingest/probe paid a
     * driver parquet-read JOB just to re-verify an immutable pin — on
     * the live pipeline path, a per-batch tax that dwarfs the check it
-    * funds. Revalidated by one cheap fs-exists so an index deleted and
-    * re-created with different params in one long-lived process re-pins
-    * instead of validating against the dead index. Single-writer per
-    * index by contract (as all maintenance here). */
-  private val paramsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int, Int)]()
+    * funds. Revalidated per check against the params dir's metadata
+    * FINGERPRINT ([[graft.ops.FsPaths.dirFingerprint]], one driver
+    * listStatus — no parquet read): an index deleted and re-created
+    * with different params re-pins instead of validating against the
+    * dead index, even when the rebuild happened in ANOTHER process
+    * while the dir existed at check time (a bare fs-exists misses
+    * that). Single-writer per index by contract (as all maintenance
+    * here). */
+  private val paramsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Int, Int, Int, Int), Seq[(String, Long, Long)])]()
+
+  private def paramsFingerprint(spark: SparkSession,
+                                indexDir: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/params")
+    graft.ops.FsPaths.dirFingerprint(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
   private def storedParams(spark: SparkSession,
                            indexDir: String): Option[(Int, Int, Int, Int)] = {
+    val fp = paramsFingerprint(spark, indexDir)
     val cached = paramsCache.get(indexDir)
-    val dir = s"$indexDir/params"
     if (cached != null) {
-      if (exists(spark, dir)) return Some(cached)
+      if (cached._2 == fp) return Some(cached._1)
       paramsCache.remove(indexDir)
     }
-    if (!exists(spark, dir)) None
+    if (fp.isEmpty) None
     else {
-      val r = spark.read.parquet(dir).head()
+      val r = spark.read.parquet(s"$indexDir/params").head()
       val s0 = (r.getAs[Int]("shingle_n"), r.getAs[Int]("num_perm"),
         r.getAs[Int]("bands"), r.getAs[Int]("n_mods"))
-      paramsCache.put(indexDir, s0)
+      paramsCache.put(indexDir, (s0, fp))
       Some(s0)
     }
   }
@@ -116,12 +127,19 @@ object DedupIndex {
   private def checkOrWriteParams(spark: SparkSession, indexDir: String,
                                  p: Params): Unit = {
     import spark.implicits._
-    checkParams(spark, indexDir, p)
-    if (paramsCache.get(indexDir) == null) {
-      Seq((p.shingleN, p.numPerm, p.bands, p.nMods))
-        .toDF("shingle_n", "num_perm", "bands", "n_mods")
-        .coalesce(1).write.parquet(s"$indexDir/params")
-      paramsCache.put(indexDir, (p.shingleN, p.numPerm, p.bands, p.nMods))
+    storedParams(spark, indexDir) match {
+      case Some(stored) =>
+        require(stored == ((p.shingleN, p.numPerm, p.bands, p.nMods)),
+          s"DedupIndex at $indexDir was built with (shingleN, numPerm, bands, nMods) = " +
+            s"$stored; probing with ${(p.shingleN, p.numPerm, p.bands, p.nMods)} " +
+            "would silently miss duplicates")
+      case None =>
+        Seq((p.shingleN, p.numPerm, p.bands, p.nMods))
+          .toDF("shingle_n", "num_perm", "bands", "n_mods")
+          .coalesce(1).write.parquet(s"$indexDir/params")
+        paramsCache.put(indexDir,
+          ((p.shingleN, p.numPerm, p.bands, p.nMods),
+            paramsFingerprint(spark, indexDir)))
     }
   }
 
@@ -245,10 +263,22 @@ object DedupIndex {
           .agg(countDistinct(col("id")).as("__n"))
           .where(col("__n") <= params.maxBucket)
           .select(bandKey.map(col): _*)
+        // id-identical pairs are excluded: under the id-uniqueness
+        // contract a batch id can only equal a corpus id when a CRASHED
+        // ingest's replay meets its own already-committed bands rows
+        // (bands written, fp not — see [[ingestBatch]]'s ordering).
+        // Without the filter the replay self-matches at Jaccard 1.0 and
+        // drops, so its fp rows are never written — the fp table then
+        // permanently misses those docs and a later exact duplicate
+        // whose band buckets all exceed maxBucket slips through. With
+        // it the replay keeps the row as a survivor, the corpus
+        // id-presence check skips the re-append, and the missing index
+        // rows are written — the documented convergence.
         val candidates = matched
           .join(broadcast(okKeys), bandKey, "left_semi")
           .join(broadcast(probe), bandKey)
           .select(col("id").as("id_l"), col("id_r"))
+          .where(col("id_l") =!= col("id_r"))
           .distinct()
           .localCheckpoint()
         // candidate ids are bucket-capped (bounded by batch x maxBucket):
@@ -374,7 +404,12 @@ object DedupIndex {
     *    duplicate sig/bands rows are absorbed by the probe's distincts
     *    (and the bucket cap counts DISTINCT ids), so probe results are
     *    unchanged; the bloat is one crashed batch's rows until the next
-    *    [[compact]] rewrite.
+    *    [[compact]] rewrite. The replay's rows SURVIVE the probe to get
+    *    there: its banded rows meet their own committed bands rows, and
+    *    the candidate stage excludes id-identical pairs (only a crashed
+    *    replay can produce them under the id-uniqueness contract) —
+    *    without that exclusion the replay self-matched at Jaccard 1.0,
+    *    dropped, and the fp rows were never written.
     *  - everything appended: the replay drops at the fp probe — 0 rows.
     * Ids are unique by engine contract; a caller re-using an id for new
     * content forfeits that row's corpus append (documented, refused
@@ -450,20 +485,30 @@ object DedupIndex {
     * band table keeps its band_mod partitioning. Run between ingests
     * (the swap is not concurrent-safe against an in-flight probe). */
   /** Is maintenance DUE? fs metadata only: committed part-file counts
-    * of the three index tables against `maxFiles` — the signal
-    * [[compact]] resets. The curation pipeline's
+    * of the three index tables against `maxFiles`, and — when a
+    * `targetBytes` compaction target is supplied — mean committed file
+    * size against it ([[graft.ops.FsPaths.fileCountDue]]: 64 files of
+    * 1 MB and 64 files of 1 GB are different problems, so a deployment
+    * derives its threshold from the byte target, not the count). The
+    * signals [[compact]] resets. The curation pipeline's
     * [[StreamOps.maintenanceDue]] sibling for standalone dedup
     * indexes. */
   def maintenanceDue(spark: SparkSession, indexDir: String,
-                     maxFiles: Int = 64): DataFrame = {
+                     maxFiles: Int = 64,
+                     targetBytes: Long = 0L): DataFrame = {
     require(maxFiles >= 1, s"maintenanceDue: maxFiles >= 1, got $maxFiles")
+    require(targetBytes >= 0L,
+      s"maintenanceDue: targetBytes >= 0, got $targetBytes")
     import spark.implicits._
     Seq("fp", "sig", "bands").map { t =>
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
-      val n = graft.ops.FsPaths.committedPartCount(
+      val perDir = graft.ops.FsPaths.committedPartDirStats(
         p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-      (t, n, maxFiles.toLong, n >= maxFiles)
-    }.toDF("component", "n", "threshold", "due")
+      val n = perDir.map(_._1).sum
+      val bytes = perDir.map(_._2).sum
+      (t, n, maxFiles.toLong, if (n == 0) 0L else bytes / n, targetBytes,
+        graft.ops.FsPaths.fileCountDue(perDir, maxFiles, targetBytes))
+    }.toDF("component", "n", "threshold", "mean_bytes", "target_bytes", "due")
   }
 
   def compact(spark: SparkSession, indexDir: String,

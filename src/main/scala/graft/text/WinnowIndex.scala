@@ -106,25 +106,33 @@ object WinnowIndex {
   /** The validated params pin, memoized per dir (the DedupIndex /
     * sampleParamsCache discipline): without it every micro-batch ingest
     * and every probe paid a driver parquet-read JOB to re-verify an
-    * immutable pin. Revalidated by one cheap fs-exists so a
-    * deleted-and-recreated index re-pins instead of validating against
-    * the dead one. Single-writer per index by contract. */
-  private val paramsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+    * immutable pin. Revalidated per check against the params dir's
+    * metadata fingerprint ([[graft.ops.FsPaths.dirFingerprint]], one
+    * driver listStatus) so a deleted-and-recreated index re-pins
+    * instead of validating against the dead one — even when the
+    * rebuild happened in another process while the dir existed at
+    * check time (a bare fs-exists misses that). Single-writer per
+    * index by contract. */
+  private val paramsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Int, Int, Int), Seq[(String, Long, Long)])]()
 
   private def checkOrWriteParams(spark: SparkSession, indexDir: String,
                                  p: Params): Unit = {
     import spark.implicits._
     val dir = s"$indexDir/params"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fsys = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fingerprint() = graft.ops.FsPaths.dirFingerprint(fsys, hp)
+    val fpNow = fingerprint()
     val cached = paramsCache.get(indexDir)
     val stored: Option[(Int, Int, Int)] =
-      if (cached != null && exists(spark, dir)) Some(cached)
+      if (cached != null && cached._2 == fpNow) Some(cached._1)
       else {
         if (cached != null) paramsCache.remove(indexDir)
-        if (exists(spark, dir)) {
+        if (fpNow.nonEmpty) {
           val r = spark.read.parquet(dir).head()
           val s0 = (r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("n_mods"))
-          paramsCache.put(indexDir, s0)
+          paramsCache.put(indexDir, (s0, fpNow))
           Some(s0)
         } else None
       }
@@ -136,7 +144,7 @@ object WinnowIndex {
       case None =>
         Seq((p.k, p.w, p.nMods)).toDF("k", "w", "n_mods")
           .coalesce(1).write.parquet(dir)
-        paramsCache.put(indexDir, (p.k, p.w, p.nMods))
+        paramsCache.put(indexDir, ((p.k, p.w, p.nMods), fingerprint()))
     }
   }
 
@@ -350,15 +358,21 @@ object WinnowIndex {
     * [[graft.streaming.StreamOps.maintenanceDue]] sibling for
     * standalone winnow indexes. */
   def maintenanceDue(spark: SparkSession, indexDir: String,
-                     maxFiles: Int = 64): DataFrame = {
+                     maxFiles: Int = 64,
+                     targetBytes: Long = 0L): DataFrame = {
     require(maxFiles >= 1, s"maintenanceDue: maxFiles >= 1, got $maxFiles")
+    require(targetBytes >= 0L,
+      s"maintenanceDue: targetBytes >= 0, got $targetBytes")
     import spark.implicits._
     val (f, _) = fs(spark, indexDir)
     Seq("fp", "ids").map { t =>
-      val n = graft.ops.FsPaths.committedPartCount(f,
+      val perDir = graft.ops.FsPaths.committedPartDirStats(f,
         new org.apache.hadoop.fs.Path(s"$indexDir/$t"))
-      (t, n, maxFiles.toLong, n >= maxFiles)
-    }.toDF("component", "n", "threshold", "due")
+      val n = perDir.map(_._1).sum
+      val bytes = perDir.map(_._2).sum
+      (t, n, maxFiles.toLong, if (n == 0) 0L else bytes / n, targetBytes,
+        graft.ops.FsPaths.fileCountDue(perDir, maxFiles, targetBytes))
+    }.toDF("component", "n", "threshold", "mean_bytes", "target_bytes", "due")
   }
 
   def compact(spark: SparkSession, indexDir: String): Long = {

@@ -873,17 +873,26 @@ object VecIndex {
     * The curation pipeline's [[graft.streaming.StreamOps.maintenanceDue]]
     * sibling, for standalone-index operators. */
   def maintenanceDue(spark: SparkSession, indexDir: String,
-                     maxFiles: Int = 64, maxCv: Double = 1.0): DataFrame = {
+                     maxFiles: Int = 64, maxCv: Double = 1.0,
+                     targetBytes: Long = 0L): DataFrame = {
     require(maxFiles >= 1 && maxCv > 0,
       s"maintenanceDue: bad thresholds ($maxFiles, $maxCv)")
+    require(targetBytes >= 0L,
+      s"maintenanceDue: targetBytes >= 0, got $targetBytes")
     import spark.implicits._
     val (f, _) = fsPath(spark, indexDir)
-    val nFiles = graft.ops.FsPaths.committedPartCount(f,
+    val perDir = graft.ops.FsPaths.committedPartDirStats(f,
       new org.apache.hadoop.fs.Path(s"$indexDir/lists"))
+    val nFiles = perDir.map(_._1).sum
     val st = listStats(spark, indexDir)
     Seq(
+      // byte-aware when a compaction target is supplied (the shared
+      // FsPaths.fileCountDue rule, per list_id partition dir): a
+      // deployment derives "too many files" from its byte target, not
+      // a fixed count
       ("lists_files", nFiles.toDouble, maxFiles.toDouble,
-        nFiles >= maxFiles, "compactLists"),
+        graft.ops.FsPaths.fileCountDue(perDir, maxFiles, targetBytes),
+        "compactLists"),
       ("occupancy_cv", st.cv, maxCv, st.cv > maxCv,
         "rebalance/refreshCentroids"))
       .toDF("component", "value", "threshold", "due", "repair")

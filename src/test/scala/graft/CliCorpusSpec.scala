@@ -378,7 +378,8 @@ class CliCorpusSpec extends AnyFunSuite {
     Cli.main(Array(root, "c1", "curation", pipe, "status", "3",
       "--out", s"$dir/status"))
     val status = spark.read.parquet(s"$dir/status")
-    assert(status.columns.toSet == Set("component", "n", "threshold", "due"))
+    assert(status.columns.toSet == Set("component", "n", "threshold",
+      "mean_bytes", "target_bytes", "due"))
     assert(status.count() >= 5L) // 4 card families + cap + corpus
     assert(status.where($"due").count() == 0L)
     Cli.main(Array(root, "c1", "curation", pipe, "compact-if-due", "3",
@@ -386,6 +387,67 @@ class CliCorpusSpec extends AnyFunSuite {
     val ifdue = spark.read.parquet(s"$dir/ifdue").head()
     assert(ifdue.getLong(0) == 0L && ifdue.getLong(1) == 0L,
       "compact-if-due must be a no-op when the policy is satisfied")
+    assert(!spark.sparkContext.isStopped)
+  }
+
+  test("dedup-index and vec-index maintenance verbs: status reports the policy, compact folds and probes are invariant") {
+    val dir = Files.createTempDirectory("graft_cli_corpus13_")
+    val root = Files.createTempDirectory("graft_cli_root13_").toString
+    // --- dedup-index: two ingests leave per-batch files in every table
+    val corpus = s"$dir/ndcorpus"; val didx = s"$dir/didx"
+    def docs(ids: Seq[Long]) = ids.map(i =>
+        (i, s"cli dedup index document $i alpha$i beta$i gamma$i delta$i"))
+      .toDF("doc_id", "text")
+    graft.text.DedupIndex.ingestBatch(docs(1L to 3L), corpus, didx): Unit
+    graft.text.DedupIndex.ingestBatch(docs(4L to 6L), corpus, didx): Unit
+    Cli.main(Array(root, "c1", "dedup-index", didx, "status",
+      "--out", s"$dir/dstat"))
+    val dstat = spark.read.parquet(s"$dir/dstat")
+    assert(dstat.select($"component").as[String].collect().toSet ==
+      Set("fp", "sig", "bands"))
+    assert(dstat.columns.contains("mean_bytes"))
+    val probeBatchDf = docs(Seq(2L)) // exact dup of an indexed doc
+    def survivors() = graft.text.DedupIndex.probeBatch(
+        probeBatchDf.withColumnRenamed("doc_id", "doc_id"),
+        spark.read.parquet(corpus), didx)
+      .count()
+    val before = survivors()
+    Cli.main(Array(root, "c1", "dedup-index", didx, "compact",
+      "--out", s"$dir/dcmp"))
+    val dcmp = spark.read.parquet(s"$dir/dcmp")
+    assert(dcmp.select($"component").as[String].collect().toSet ==
+      Set("fp", "sig", "bands"))
+    assert(dcmp.where($"files_after" > $"files_before").count() == 0L)
+    assert(survivors() == before, "compact must be probe-invariant")
+    // --- vec-index: build + append leave foldable list files
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val vidx = s"$dir/vidx"
+    graft.vec.VecIndex.build(vecs, vidx, nlist = 4)
+    graft.vec.VecIndex.append(
+      vecs.where($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 100L), vidx)
+    Cli.main(Array(root, "c1", "vec-index", vidx, "status",
+      "--out", s"$dir/vstat"))
+    val vstat = spark.read.parquet(s"$dir/vstat")
+    assert(vstat.select($"component").as[String].collect().toSet ==
+      Set("lists_files", "occupancy_cv"))
+    val q = vecs.where($"vec_id" === 0L)
+    def top() = graft.vec.VecIndex.topK(q, vidx, k = 5, nprobe = 4)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val topBefore = top()
+    Cli.main(Array(root, "c1", "vec-index", vidx, "compact-lists",
+      "--out", s"$dir/vcmp"))
+    val vcmp = spark.read.parquet(s"$dir/vcmp").head()
+    assert(vcmp.getString(0) == "lists")
+    assert(top() == topBefore, "compact-lists must be probe-invariant")
+    // unknown modes are refused
+    intercept[IllegalArgumentException] {
+      Cli.main(Array(root, "c1", "dedup-index", didx, "rebuild"))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.main(Array(root, "c1", "vec-index", vidx, "rebuild"))
+    }
     assert(!spark.sparkContext.isStopped)
   }
 }

@@ -1898,4 +1898,189 @@ class StreamOpsSpec extends AnyFunSuite {
         k = 2, salt = "s1")
     }
   }
+
+  test("writer lease: maintenance refuses under a live foreign lease, reclaims a stale one; acquire is exclusive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease_")
+    val pipeDir = dir.resolve("pipe").toString
+    val batch = Seq((1L, "lease test document body", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    graft.streaming.StreamOps.dataCardIngestBatch(batch, s"$pipeDir/card", 0L)
+    graft.streaming.StreamOps.fpDedupIngestBatch(batch, s"$pipeDir/corpus"): Unit
+    // simulate a SECOND Spark process streaming this pipeline: its live
+    // lease marker exists but NO query is active in THIS JVM — exactly
+    // the case the in-JVM named-query check cannot see
+    val lease = java.nio.file.Paths.get(pipeDir, "_lease")
+    java.nio.file.Files.write(lease, "99999@other-host".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+    }
+    assert(e.getMessage.contains("another process"))
+    intercept[IllegalStateException] {
+      graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir)
+    }
+    // a second WRITER is refused too (single-writer contract)
+    intercept[IllegalStateException] {
+      graft.streaming.StreamOps.acquireLease(spark, pipeDir)
+    }
+    assert(java.nio.file.Files.readAllLines(lease).get(0)
+      .contains("other-host"), "a refused acquire must not clobber the holder")
+    // stale lease (crashed writer): heartbeat beyond the TTL — every
+    // verb reclaims it loudly and proceeds
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - graft.streaming.StreamOps.LeaseTtlMs - 60000L))
+    assert(graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir,
+      maxSubdirs = 999, maxFiles = 999) == ((0, 0)))
+    assert(!java.nio.file.Files.exists(lease), "stale lease must be reclaimed")
+    // a fresh acquire now succeeds; release is idempotent
+    graft.streaming.StreamOps.acquireLease(spark, pipeDir)
+    assert(java.nio.file.Files.exists(lease))
+    intercept[IllegalStateException] {
+      graft.streaming.StreamOps.acquireLease(spark, pipeDir)
+    }
+    graft.streaming.StreamOps.releaseLease(spark, pipeDir)
+    graft.streaming.StreamOps.releaseLease(spark, pipeDir)
+    assert(!java.nio.file.Files.exists(lease))
+    // a stale lease is also reclaimable by a NEW writer, not just by
+    // maintenance (crash-restart without waiting out maintenance)
+    java.nio.file.Files.write(lease, "99999@other-host".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - graft.streaming.StreamOps.LeaseTtlMs - 60000L))
+    graft.streaming.StreamOps.acquireLease(spark, pipeDir)
+    graft.streaming.StreamOps.releaseLease(spark, pipeDir)
+  }
+
+  test("managed pipeline start: lease held and refreshed while the query runs; auto-compact fires once after stop when due; render unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_managed_")
+    val srcDir = java.nio.file.Files.createDirectories(dir.resolve("src"))
+    val pipeDir = dir.resolve("pipe").toString
+    val ckpt = dir.resolve("ck").toString
+    def mkDocs(ids: Seq[Long]) = ids.map(i =>
+      (i, s"managed pipeline document $i with tok${i}a tok${i}b words", "en",
+        if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    def writeFile(ids: Seq[Long], name: String): Unit = {
+      val staging = dir.resolve(s"_s$name")
+      mkDocs(ids).coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"$name.parquet")): Unit
+    }
+    // three files -> three micro-batches -> three batch_id subdirs per
+    // family: compactable (fold keeps base + preserved max id = 2)
+    writeFile(1L to 3L, "f1"); writeFile(4L to 6L, "f2"); writeFile(7L to 9L, "f3")
+    val bench = Seq("totally unrelated benchmark passage").toDF("text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val lease = java.nio.file.Paths.get(pipeDir, "_lease")
+    // maxSubdirs = 3 makes the three-subdir families DUE at stop
+    val q = graft.streaming.StreamOps.curationPipelineStart(
+      docs, pipeDir, bench, ckpt, "text", n = 3, capK = 5,
+      maxSubdirs = 3, maxFiles = 999)
+    val renderBefore = try {
+      q.processAllAvailable()
+      assert(java.nio.file.Files.exists(lease),
+        "the managed writer must hold the lease while the query runs")
+      // never while active: in-JVM name AND lease both refuse
+      intercept[IllegalStateException] {
+        graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+      }
+      graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = 5)
+        .collect().map(_.toSeq).toSet
+    } finally q.stop()
+    // the termination listener is async; the compact runs UNDER the
+    // still-held lease and the release is the all-clear — poll for it
+    def subdirs(rel: String) = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(pipeDir, rel))
+      try s.filter(_.getFileName.toString.startsWith("batch_id=")).count()
+      finally s.close()
+    }
+    val deadline = System.currentTimeMillis() + 60000L
+    while (java.nio.file.Files.exists(lease) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100L)
+    assert(!java.nio.file.Files.exists(lease),
+      "termination must release the lease")
+    assert(subdirs("card/stats") == 2,
+      "auto-compact must fold the due partials after stop")
+    // compaction is maintenance: the render is unchanged
+    assert(graft.streaming.StreamOps.curationRender(spark, pipeDir, capK = 5)
+      .collect().map(_.toSeq).toSet == renderBefore)
+    // policy satisfied -> the hook fired once and re-armed: nothing due
+    assert(graft.streaming.StreamOps.maintenanceDue(spark, pipeDir,
+      maxSubdirs = 3, maxFiles = 999)
+      .where($"due").count() == 0L)
+  }
+
+  test("maintenance policy: per-table dedup_idx counts (params excluded) and the byte-aware rule") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bytepol_")
+    val pipeDir = dir.resolve("pipe").toString
+    // three tiny ingests -> several small committed corpus files and a
+    // near-dup index with per-batch files in each table
+    (0L until 3L).foreach { b =>
+      val batch = Seq((b * 2 + 1, s"byte policy document ${b * 2 + 1} alpha beta gamma delta"),
+          (b * 2 + 2, s"byte policy document ${b * 2 + 2} epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      graft.text.DedupIndex.ingestBatch(batch, s"$pipeDir/corpus",
+        s"$pipeDir/dedup_idx"): Unit
+    }
+    def status(targetBytes: Long) = graft.streaming.StreamOps
+      .maintenanceDue(spark, pipeDir, maxSubdirs = 999, maxFiles = 999,
+        targetBytes = targetBytes)
+    // the dedup index reports PER TABLE — the grain compact folds; a
+    // lumped count would trip the shared threshold ~3x early and the
+    // params part file would add a permanent +1
+    val components = status(0L).select($"component").as[String].collect().toSet
+    assert(Set("dedup_idx/fp", "dedup_idx/sig", "dedup_idx/bands")
+      .subsetOf(components))
+    assert(!components.contains("dedup_idx"))
+    val fpN = status(0L).where($"component" === "dedup_idx/fp")
+      .select($"n").as[Long].head()
+    val fpDir = new org.apache.hadoop.fs.Path(s"$pipeDir/dedup_idx/fp")
+    assert(fpN == graft.ops.FsPaths.committedPartCount(
+      fpDir.getFileSystem(spark.sparkContext.hadoopConfiguration), fpDir))
+    // byte rule off by default: KB-sized files do not trip counts-only
+    assert(status(0L).where($"due").count() == 0L)
+    // with a 1 MB compaction target, multi-file KB-mean tables are due
+    val dueByBytes = status(1L << 20).where($"due")
+      .select($"component").as[String].collect().toSet
+    assert(dueByBytes.contains("corpus"),
+      "three KB-sized corpus files against a 1 MB target must be due")
+    // partials subdirs never take the byte rule
+    assert(!dueByBytes.exists(_.startsWith("card/")))
+    // compacting BY the byte target folds the corpus to
+    // ceil(bytes/target) = 1 file and each index partition dir to one
+    // file — the policy re-arms (n > 1 per leaf dir is part of the
+    // rule; the bands table keeps one small file per band_mod dir
+    // forever, which is exactly why the rule is per-dir)
+    graft.streaming.StreamOps.curationCompact(spark, pipeDir,
+      targetBytes = 1L << 20)
+    assert(status(1L << 20).where($"due").count() == 0L,
+      "a byte-target compaction must satisfy the byte-target policy")
+    // the standalone sibling takes the same rule
+    assert(graft.text.DedupIndex.maintenanceDue(spark, s"$pipeDir/dedup_idx",
+      maxFiles = 999, targetBytes = 0L).where($"due").count() == 0L)
+  }
+
+  test("decontaminateStream: maxExactGrams = Int.MaxValue force-exact instead of overflowing the gate; negative refused") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "clean text right here"))
+      .toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma").toDF("text")
+    val out = graft.streaming.StreamOps.decontaminateStream(
+      docs, bench, "text", "text", n = 3, maxExactGrams = Int.MaxValue)
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(2L))
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.decontaminateStream(
+        docs, bench, "text", "text", n = 3, maxExactGrams = -1)
+    }
+  }
 }

@@ -247,4 +247,68 @@ class DedupIndexSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(afterCompact == baseline)
   }
+
+  test("crash window C (corpus+sig+bands committed, fp not): the replay does not self-match — the missing fp rows land") {
+    val (corpus, index) = dirs()
+    val b1 = Seq((1L, tA, "s1"), (2L, tB, "s1")).toDF("doc_id", "text", "source")
+    assert(DedupIndex.ingestBatch(b1, corpus, index) == 2L)
+    val b2 = Seq((3L, tC, "s2")).toDF("doc_id", "text", "source")
+    assert(DedupIndex.ingestBatch(b2, corpus, index) == 1L)
+    // simulate a crash between the bands write and the fp write (fp is
+    // written LAST — the commit marker): strip batch 2's fp rows
+    val fpDir = s"$index/fp"
+    val keep = spark.read.parquet(fpDir).where($"id" < 3L).localCheckpoint()
+    val hp = new org.apache.hadoop.fs.Path(fpDir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    keep.write.parquet(fpDir)
+    assert(spark.read.parquet(fpDir).count() == 2)
+    // the replay's banded rows meet their own committed bands rows
+    // (id_l == id_r, estimate 1.0): without the id-identical-pair
+    // exclusion they dropped as duplicates and doc 3's fp row was never
+    // written — the fp table then permanently missed it. With it the
+    // row survives the probe, the corpus id-presence check skips the
+    // re-append, and the missing fp row is written.
+    assert(DedupIndex.ingestBatch(b2, corpus, index) == 0L,
+      "replay must not re-append corpus rows")
+    assert(spark.read.parquet(corpus).count() == 3L, "no duplicate corpus rows")
+    assert(spark.read.parquet(fpDir).where($"id" === 3L).count() == 1L,
+      "the crashed batch's fp row must land on replay")
+    // the healed fp probe drops a later exact duplicate (new id, same
+    // text) — the boilerplate case the fp table exists to cover even
+    // when every band bucket is over the cap
+    assert(DedupIndex.ingestBatch(
+      Seq((9L, tC, "s3")).toDF("doc_id", "text", "source"), corpus, index) == 0L)
+    // the replay's duplicate sig/bands rows are healed durably
+    DedupIndex.compact(spark, index)
+    assert(spark.read.parquet(s"$index/sig").where($"id" === 3L).count() == 1L)
+    assert(spark.read.parquet(s"$index/bands").select("id", "band_idx")
+      .where($"id" === 3L).distinct().count() ==
+      spark.read.parquet(s"$index/bands").where($"id" === 3L).count())
+  }
+
+  test("params pin: an out-of-band rebuild (another process) is re-read, not validated from the stale cached pin") {
+    val (corpus, index) = dirs()
+    // pins the default params in this JVM's memo
+    DedupIndex.ingestBatch(Seq((1L, tA)).toDF("doc_id", "text"), corpus, index)
+    // simulate ANOTHER process deleting and rebuilding the index with
+    // different params while this JVM's cache still holds the old pin:
+    // rewrite the params dir directly, bypassing this JVM's API — at
+    // the next check the dir EXISTS, so a bare fs-exists revalidation
+    // would wrongly validate against the dead pin and silently miss
+    // duplicates; the metadata fingerprint catches the rewrite
+    val pDir = s"$index/params"
+    val hp = new org.apache.hadoop.fs.Path(pDir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    Seq((3, 128, 16, 64)).toDF("shingle_n", "num_perm", "bands", "n_mods")
+      .coalesce(1).write.parquet(pDir)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probeBatch(Seq((2L, tB)).toDF("doc_id", "text"),
+        spark.read.parquet(corpus), index)
+    }
+    assert(e.getMessage.contains("silently miss"))
+    // and probing with the REBUILT params is accepted (the re-pin)
+    DedupIndex.probeBatch(Seq((2L, tB)).toDF("doc_id", "text"),
+      spark.read.parquet(corpus), index,
+      params = DedupIndex.Params(numPerm = 128))
+  }
 }
