@@ -381,13 +381,17 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * (fp/sig/bands file counts + byte means vs thresholds, fs metadata
     * only), `compact` folds the per-batch small files and reports the
     * per-table before/after. */
-  def dedupIndexMaint(indexDir: String, mode: String = "status"): DataFrame =
+  def dedupIndexMaint(indexDir: String, mode: String = "status",
+                      targetBytes: Long = 0L): DataFrame =
     mode match {
       case "status" =>
-        graft.text.DedupIndex.maintenanceDue(spark, indexDir)
+        graft.text.DedupIndex.maintenanceDue(spark, indexDir,
+          targetBytes = targetBytes)
       case "compact" =>
         import spark.implicits._
-        graft.text.DedupIndex.compact(spark, indexDir).toSeq.sortBy(_._1)
+        graft.text.DedupIndex.compact(spark, indexDir,
+            targetBytes = if (targetBytes > 0L) targetBytes else 128L << 20)
+          .toSeq.sortBy(_._1)
           .map { case (t, s) =>
             (t, s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter) }
           .toDF("component", "files_before", "bytes_before",
@@ -400,13 +404,16 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * policy row set (lists file count, occupancy cv, each with its
     * repair verb), `compact-lists` folds the per-ingest small files
     * (layout-agnostic, list_id partitioning preserved). */
-  def vecIndexMaint(indexDir: String, mode: String = "status"): DataFrame =
+  def vecIndexMaint(indexDir: String, mode: String = "status",
+                    targetBytes: Long = 0L): DataFrame =
     mode match {
       case "status" =>
-        graft.vec.VecIndex.maintenanceDue(spark, indexDir)
+        graft.vec.VecIndex.maintenanceDue(spark, indexDir,
+          targetBytes = targetBytes)
       case "compact-lists" =>
         import spark.implicits._
-        val s = graft.vec.VecIndex.compactLists(spark, indexDir)
+        val s = graft.vec.VecIndex.compactLists(spark, indexDir,
+          targetBytes = if (targetBytes > 0L) targetBytes else 128L << 20)
         Seq(("lists", s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter))
           .toDF("component", "files_before", "bytes_before",
             "files_after", "bytes_after")
@@ -553,23 +560,27 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * only when "status" says some component is due. */
   def curation(pipeDir: String, mode: String = "render", capK: Int = 20,
                idCol: String = "doc_id",
-               sourceCol: String = "source"): DataFrame = mode match {
+               sourceCol: String = "source",
+               targetBytes: Long = 0L): DataFrame = mode match {
     case "render" =>
       graft.streaming.StreamOps.curationRender(spark, pipeDir,
         capK = capK, idCol = idCol, sourceCol = sourceCol)
     case "compact" | "compact-if-due" =>
       // the family list lives with the ingests (StreamOps owns the
-      // pipeline's directory layout)
+      // pipeline's directory layout); targetBytes > 0 switches the
+      // policy AND the corpus file target to the byte rule
       val (folded, files) =
         if (mode == "compact")
-          graft.streaming.StreamOps.curationCompact(spark, pipeDir, idCol)
+          graft.streaming.StreamOps.curationCompact(spark, pipeDir, idCol,
+            targetBytes = targetBytes)
         else graft.streaming.StreamOps.curationCompactIfDue(spark, pipeDir,
-          idCol = idCol)
+          idCol = idCol, targetBytes = targetBytes)
       import spark.implicits._
       Seq((folded.toLong, files.toLong))
         .toDF("n_partials_folded", "n_corpus_files_folded")
     case "status" =>
-      graft.streaming.StreamOps.maintenanceDue(spark, pipeDir)
+      graft.streaming.StreamOps.maintenanceDue(spark, pipeDir,
+        targetBytes = targetBytes)
     case other => throw new IllegalArgumentException(
       "curation: mode must be 'render', 'compact', 'compact-if-due' " +
         s"or 'status', got '$other'")
