@@ -924,20 +924,7 @@ object StreamOps {
     * [[curationPipelineStart]]-managed query (trigger cadence —
     * seconds), so ten minutes of silence is a dead writer, not a slow
     * one. */
-  val LeaseTtlMs: Long = 10L * 60L * 1000L
-
-  private def leasePath(pipeDir: String) =
-    new org.apache.hadoop.fs.Path(s"$pipeDir/_lease")
-
-  private def leaseFs(spark: SparkSession, pipeDir: String) =
-    leasePath(pipeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def leaseHolder(): String = {
-    val pid = java.lang.ProcessHandle.current().pid()
-    val host = try java.net.InetAddress.getLocalHost.getHostName
-      catch { case _: java.net.UnknownHostException => "unknown-host" }
-    s"$pid@$host"
-  }
+  val LeaseTtlMs: Long = graft.ops.Lease.DefaultTtlMs
 
   /** Take the pipeline writer's exclusive `_lease` marker under
     * `pipeDir` — what makes the quiesced-maintenance contract hold
@@ -949,68 +936,25 @@ object StreamOps {
     * refuses while a live (recently-heartbeated) marker exists, in any
     * process. A live lease also refuses a second WRITER (single-writer
     * per pipeline is the contract the replay convergence relies on); a
-    * stale one (crashed writer — heartbeat older than `ttlMs`) is
-    * reclaimed with a loud log. Create-exclusive, so two racing
-    * acquirers cannot both win. */
+    * stale one (crashed writer) is reclaimed with a loud log. The
+    * mechanics live in [[graft.ops.Lease]] — the same guard every
+    * persisted index's maintenance verbs check. */
   def acquireLease(spark: SparkSession, pipeDir: String,
-                   ttlMs: Long = LeaseTtlMs): Unit = {
-    val f = leaseFs(spark, pipeDir)
-    val p = leasePath(pipeDir)
-    if (f.exists(p)) {
-      val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-      if (age <= ttlMs)
-        throw new IllegalStateException(
-          s"curation writer lease on $pipeDir refused: a live lease " +
-            s"(heartbeated ${age} ms ago, holder '${readLease(f, p)}') " +
-            "exists — a second concurrent writer would break the " +
-            "single-writer replay contract. Stop the other pipeline " +
-            "first, or wait out its lease.")
-      System.err.println(
-        s"[graft] reclaiming STALE curation lease on $pipeDir " +
-          s"(holder '${readLease(f, p)}', heartbeat ${age} ms old > ttl " +
-          s"$ttlMs ms): treating the writer as crashed.")
-      f.delete(p, false): Unit
-    }
-    val parent = p.getParent
-    if (!f.exists(parent)) f.mkdirs(parent): Unit
-    // create-exclusive (overwrite = false): a concurrent acquirer loses
-    // with an IOException instead of both winning
-    val out = f.create(p, false)
-    try out.write(leaseHolder().getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readLease(f: org.apache.hadoop.fs.FileSystem,
-                        p: org.apache.hadoop.fs.Path): String =
-    try {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        if (n <= 0) "unknown" else new String(buf, 0, n, "UTF-8")
-      } finally in.close()
-    } catch { case _: java.io.IOException => "unknown" }
+                   ttlMs: Long = LeaseTtlMs): Unit =
+    graft.ops.Lease.acquire(spark, pipeDir, ttlMs, "curation writer")
 
   /** Release the writer lease (no-op when absent — release must be
     * idempotent so stop paths can call it unconditionally). */
-  def releaseLease(spark: SparkSession, pipeDir: String): Unit = {
-    val f = leaseFs(spark, pipeDir)
-    val p = leasePath(pipeDir)
-    if (f.exists(p)) f.delete(p, false): Unit
-  }
+  def releaseLease(spark: SparkSession, pipeDir: String): Unit =
+    graft.ops.Lease.release(spark, pipeDir)
 
   /** Refresh the lease heartbeat IF one is held — refresh-only, never
     * create: the unmanaged [[curationPipelineStream]] oracle paths run
     * without a lease (their post-stop compactions would otherwise be
     * refused by their own fresh marker), while a managed writer's
-    * marker stays fresh through every batch. One driver setTimes —
-    * atomic, no content rewrite. */
-  private def heartbeatLeaseIfHeld(spark: SparkSession, pipeDir: String): Unit = {
-    val f = leaseFs(spark, pipeDir)
-    val p = leasePath(pipeDir)
-    try {
-      if (f.exists(p)) f.setTimes(p, System.currentTimeMillis(), -1)
-    } catch { case _: java.io.IOException => () } // next heartbeat retries
-  }
+    * marker stays fresh through every batch. */
+  private def heartbeatLeaseIfHeld(spark: SparkSession, pipeDir: String): Unit =
+    graft.ops.Lease.heartbeatIfHeld(spark, pipeDir)
 
   /** `skipLease = true` is reserved for the terminated-writer path
     * ([[curationPipelineStart]]'s listener): the writer compacts under
@@ -1029,27 +973,10 @@ object StreamOps {
           "checkpoint (maintenance is restart-invisible).")
     // cross-process: a live writer lease refuses maintenance even when
     // the stream runs in ANOTHER Spark application; a stale one is a
-    // crashed writer — reclaim it (loudly) and proceed
+    // crashed writer — reclaimed (loudly) by the shared Lease check
     if (skipLease) return
-    val f = leaseFs(spark, pipeDir)
-    val p = leasePath(pipeDir)
-    if (f.exists(p)) {
-      val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-      if (age <= leaseTtlMs)
-        throw new IllegalStateException(
-          s"curation maintenance on $pipeDir refused: a live writer " +
-            s"lease (_lease, heartbeated ${age} ms ago, holder " +
-            s"'${readLease(f, p)}') exists — the pipeline is streaming " +
-            "in another process, and an append landing mid-swap would " +
-            "be lost with the old tree. Stop that stream (or wait out " +
-            s"the ${leaseTtlMs} ms lease TTL if it crashed).")
-      System.err.println(
-        s"[graft] reclaiming STALE curation lease on $pipeDir " +
-          s"(holder '${readLease(f, p)}', heartbeat ${age} ms old > ttl " +
-          s"$leaseTtlMs ms): treating the writer as crashed and " +
-          "proceeding with maintenance.")
-      f.delete(p, false): Unit
-    }
+    graft.ops.Lease.requireAbsentOrStale(spark, pipeDir, leaseTtlMs,
+      "curation maintenance")
   }
 
   /** Is maintenance DUE on a [[curationPipelineStream]] root? One row

@@ -418,6 +418,9 @@ object DedupIndex {
                   idCol: String = "doc_id", textCol: String = "text",
                   params: Params = Params()): Long = {
     val spark = batch.sparkSession
+    // a writer that took graft.ops.Lease.acquire(indexDir) stays fresh
+    // through every batch (refresh-only: lease-free callers untouched)
+    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
     val hadCorpus = hasData(spark, corpusDir)
     val corpus =
@@ -514,6 +517,11 @@ object DedupIndex {
   def compact(spark: SparkSession, indexDir: String,
               targetBytes: Long = 128L << 20)
       : Map[String, graft.ops.Compaction.CompactionStats] = {
+    // cross-process quiesce: the swap is not concurrent-safe against an
+    // in-flight ingest, and "run between ingests" is unenforceable
+    // against ANOTHER Spark application without the durable lease
+    graft.ops.Lease.requireAbsentOrStale(spark, indexDir,
+      what = "DedupIndex compact")
     // each table keeps its probe-key sort through the rewrite, so
     // ScanPrune page pruning survives compaction. sig/bands rewrite
     // DISTINCT: a crashed ingest's replay can re-append them (see

@@ -268,6 +268,9 @@ object WinnowIndex {
   def ingestBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
                   idCol: String, textCol: String,
                   params: Params = Params()): Long = {
+    // a writer that took graft.ops.Lease.acquire(indexDir) stays fresh
+    // through every batch (refresh-only: lease-free callers untouched)
+    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
     healCompact(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
     val fresh0 = batch.dropDuplicates(idCol)
@@ -376,6 +379,11 @@ object WinnowIndex {
   }
 
   def compact(spark: SparkSession, indexDir: String): Long = {
+    // cross-process quiesce: the swap is not concurrent-safe against an
+    // in-flight ingest in ANOTHER Spark application — the durable lease
+    // is the only guard that sees one
+    graft.ops.Lease.requireAbsentOrStale(spark, indexDir,
+      what = "WinnowIndex compact")
     healCompact(spark, indexDir)
     if (!hasData(spark, s"$indexDir/fp")) return 0L
     val (f, _) = fs(spark, indexDir)

@@ -69,9 +69,22 @@ object VecIndex {
     * centroids stay fixed (the IVF contract — rebuild when drift
     * matters), new rows are assigned by the same ranking projection and
     * appended to their partitions. */
+  // cross-process quiesce for every swap-based repair verb: the swap
+  // is not concurrent-safe against an in-flight append in ANOTHER
+  // Spark application — the durable lease (graft.ops.Lease) is the
+  // only guard that sees one. The holder's own process passes (e.g.
+  // appendWithPolicy's auto-rebalance under the writer's lease).
+  private def maintLease(spark: SparkSession, indexDir: String,
+                         what: String): Unit =
+    graft.ops.Lease.requireAbsentOrStale(spark, indexDir,
+      what = s"VecIndex $what")
+
   def append(vectors: DataFrame, indexDir: String,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
+    // a writer that took graft.ops.Lease.acquire(indexDir) stays fresh
+    // through every batch (refresh-only: lease-free callers untouched)
+    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     checkDim(spark, indexDir, vectors, idCol, vecCol)
     val assigned = vectors.select(col(idCol).as("id"),
@@ -172,6 +185,7 @@ object VecIndex {
   def appendPq(vectors: DataFrame, indexDir: String,
                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
+    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     val model = loadPqModel(spark, indexDir)
     checkDim(spark, indexDir, vectors, idCol, vecCol)
@@ -374,6 +388,7 @@ object VecIndex {
   def appendSq8(vectors: DataFrame, indexDir: String,
                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
+    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     checkDim(spark, indexDir, vectors, idCol, vecCol)
     val model = loadSq8Model(spark, indexDir)
@@ -535,6 +550,7 @@ object VecIndex {
     * [[rebalancePq]] — their lists hold codes, not vectors. */
   def rebalance(spark: SparkSession, indexDir: String,
                 kmeansIters: Int = 2): (ListStats, ListStats) = {
+    maintLease(spark, indexDir, "rebalance")
     require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
       s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
         "use rebalancePq with the original vector table")
@@ -570,6 +586,7 @@ object VecIndex {
   def refreshCentroids(spark: SparkSession, indexDir: String,
                        sampleSize: Int = 100000,
                        kmeansIters: Int = 2): (ListStats, ListStats) = {
+    maintLease(spark, indexDir, "refreshCentroids")
     require(sampleSize >= 1, s"refreshCentroids: sampleSize >= 1, got $sampleSize")
     require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
       s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
@@ -752,6 +769,8 @@ object VecIndex {
                               kmeansIters: Int,
                               sampleSize: Option[Int]): (ListStats, ListStats) = {
     val spark = vectors.sparkSession
+    maintLease(spark, indexDir,
+      if (sampleSize.isEmpty) "rebalancePq" else "refreshCentroidsPq")
     val before = listStats(spark, indexDir)
     val cents0 = loadCentroids(spark, indexDir)
     val model = loadPqModel(spark, indexDir)
@@ -800,6 +819,7 @@ object VecIndex {
   def refreshCentroidsSq8(spark: SparkSession, indexDir: String,
                           sampleSize: Int = 100000,
                           kmeansIters: Int = 2): (ListStats, ListStats) = {
+    maintLease(spark, indexDir, "refreshCentroidsSq8")
     require(sampleSize >= 1,
       s"refreshCentroidsSq8: sampleSize >= 1, got $sampleSize")
     require(isSq8(spark, indexDir),
@@ -860,6 +880,7 @@ object VecIndex {
   def compactLists(spark: SparkSession, indexDir: String,
                    targetBytes: Long = 128L << 20)
       : graft.ops.Compaction.CompactionStats = {
+    maintLease(spark, indexDir, "compactLists")
     healReassign(spark, indexDir)
     graft.ops.Compaction.compact(spark, s"$indexDir/lists", targetBytes,
       partitionBy = Seq("list_id"))

@@ -311,4 +311,41 @@ class DedupIndexSpec extends AnyFunSuite {
       spark.read.parquet(corpus), index,
       params = DedupIndex.Params(numPerm = 128))
   }
+
+  test("cross-process writer lease: compact refused under a live foreign lease, allowed under our own, stale reclaimed; ingest heartbeats") {
+    val (corpus, index) = dirs()
+    DedupIndex.ingestBatch(
+      Seq((1L, tA), (2L, tB)).toDF("doc_id", "text"), corpus, index)
+    // a SECOND process's live writer lease: compact must refuse — the
+    // swap under its in-flight ingest would lose the append
+    val lease = java.nio.file.Paths.get(index, "_lease")
+    java.nio.file.Files.write(lease, "99999@other-host".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      DedupIndex.compact(spark, index)
+    }
+    assert(e.getMessage.contains("another process"))
+    // ingest heartbeats a held lease (refresh-only): the mtime advances
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+    DedupIndex.ingestBatch(Seq((3L, tC)).toDF("doc_id", "text"),
+      corpus, index)
+    assert(java.nio.file.Files.getLastModifiedTime(lease).toMillis >
+      System.currentTimeMillis() - 30000L, "ingest must refresh the heartbeat")
+    // the holder's OWN process may maintain under its lease (a process
+    // cannot race itself; the lease keeps excluding everyone else)
+    java.nio.file.Files.delete(lease)
+    graft.ops.Lease.acquire(spark, index)
+    DedupIndex.compact(spark, index)
+    assert(java.nio.file.Files.exists(lease), "own-lease compact must not release it")
+    graft.ops.Lease.release(spark, index)
+    // a stale foreign lease (crashed writer) is reclaimed and compact
+    // proceeds; the marker is gone after
+    java.nio.file.Files.write(lease, "99999@other-host".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()
+        - graft.ops.Lease.DefaultTtlMs - 60000L))
+    DedupIndex.compact(spark, index)
+    assert(!java.nio.file.Files.exists(lease))
+  }
 }

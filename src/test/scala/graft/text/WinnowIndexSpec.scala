@@ -255,4 +255,18 @@ class WinnowIndexSpec extends AnyFunSuite {
       assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/$d")), d)
     }
   }
+
+  test("cross-process writer lease: compact refused under a live foreign lease, allowed under our own") {
+    val dir = tmp()
+    assert(WinnowIndex.ingestBatch(spark, dir, corpusDocs,
+      "doc_id", "text") == 3)
+    val lease = java.nio.file.Paths.get(dir, "_lease")
+    java.nio.file.Files.write(lease, "99999@other-host".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { WinnowIndex.compact(spark, dir) }
+    assert(e.getMessage.contains("another process"))
+    java.nio.file.Files.delete(lease)
+    graft.ops.Lease.acquire(spark, dir)
+    assert(WinnowIndex.compact(spark, dir) > 0) // own holder passes
+    graft.ops.Lease.release(spark, dir)
+  }
 }

@@ -498,4 +498,22 @@ class VecIndexSpec extends AnyFunSuite {
     val probe = VecIndex.topKSq8(queries.limit(1), dir, k = 120, nprobe = 4)
     assert(probe.where($"neighbor_id" === 999L).count() == 1)
   }
+
+  test("cross-process writer lease: repair verbs refused under a live foreign lease, allowed under our own") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_").toString
+    VecIndex.build(vecs, dir, nlist = 4, kmeansIters = 1)
+    val lease = java.nio.file.Paths.get(dir, "_lease")
+    java.nio.file.Files.write(lease, "99999@other-host".getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException] { VecIndex.compactLists(spark, dir) }
+    assert(e1.getMessage.contains("another process"))
+    intercept[IllegalStateException] { VecIndex.rebalance(spark, dir) }
+    intercept[IllegalStateException] { VecIndex.refreshCentroids(spark, dir) }
+    java.nio.file.Files.delete(lease)
+    // the holder's own process passes — appendWithPolicy's auto-repair
+    // must keep working under the writer's lease
+    graft.ops.Lease.acquire(spark, dir)
+    VecIndex.compactLists(spark, dir): Unit
+    VecIndex.rebalance(spark, dir): Unit
+    graft.ops.Lease.release(spark, dir)
+  }
 }
