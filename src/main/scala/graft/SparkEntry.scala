@@ -314,7 +314,7 @@ object SparkEntry {
     * throughput. They still run — and hash-match — under the Verify
     * correctness gate on every round. */
   val benchVerifyOnly: Set[String] = Set("q_x_stream_pipeline_compacted",
-    "q_x_stream_pipeline_neardup_compacted")
+    "q_x_stream_pipeline_neardup_compacted", "q_x_stream_pipeline_managed")
 
   /** One-time bench warm-up for queries with PERSISTENT setup state:
     * builds the [[graft.text.DedupIndex]] for `dir` (the steady-state
@@ -3496,6 +3496,53 @@ object SparkEntry {
       // compacted state
       land(base.where(pmod(col("doc_id"), lit(2)) === 1), "b", files = 2)
       run(filesPerTrigger = 2)
+      StreamOps.curationRender(s, pipeDir, capK = 20)
+    }),
+
+    // X: the live pipeline through the MANAGED lifecycle
+    // (curationPipelineStart): the writer lease is taken before start
+    // (the cross-process single-writer + quiesced-maintenance
+    // enforcement), heartbeated through the run, and the due
+    // maintenance auto-runs exactly once AFTER termination under the
+    // still-held lease — lease removal is the all-clear the render
+    // waits on. Same oracle SQL shape as the plain pipeline (1/5
+    // subset): the whole managed lifecycle — lease, listener,
+    // auto-compaction — must be invisible to the rendered audit,
+    // proven end to end by the hash match.
+    "q_x_stream_pipeline_managed" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_spipem_q_")
+      val srcDir = streamDir.resolve("src")
+      val subset = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+      // three files + one-file triggers -> three micro-batches -> three
+      // batch_id subdirs per family: maxSubdirs = 3 makes the policy
+      // DUE at stop, so the auto-compaction must actually act (and
+      // re-arm: post-fold 2 subdirs < 3)
+      subset.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartition(3).write.parquet(srcDir.toString)
+      val pipeDir = streamDir.resolve("pipe").toString
+      val bench = subset
+        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+      val docs = s.readStream.schema(docsStreamSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = StreamOps.curationPipelineStart(docs, pipeDir, bench,
+        streamDir.resolve("ck").toString, "text", n = 5, capK = 20,
+        maxSubdirs = 3)
+      try q.processAllAvailable() finally q.stop()
+      // the release happens AFTER the auto-compact (the lease keeps
+      // excluding every other process through the fold): its removal
+      // is the deterministic all-clear
+      val lease = java.nio.file.Paths.get(pipeDir, "_lease")
+      val deadline = System.currentTimeMillis() + 120000L
+      while (java.nio.file.Files.exists(lease) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100L)
+      require(!java.nio.file.Files.exists(lease),
+        "managed stop did not release the writer lease")
+      require(StreamOps.maintenanceDue(s, pipeDir, maxSubdirs = 3)
+          .where(col("due")).count() == 0L,
+        "managed stop did not run the due auto-compaction")
       StreamOps.curationRender(s, pipeDir, capK = 20)
     }),
 
@@ -7469,6 +7516,11 @@ object SparkEntry {
     // is already carried by q_x_stream_pipeline)
     "q_x_stream_pipeline_compacted" -> streamPipelineOracleSql(
       "(SELECT * FROM documents WHERE doc_id % 3 = 0)"),
+    // the managed twin runs on a 1/5 subset: its job is proving the
+    // managed LIFECYCLE (lease + listener + post-termination
+    // auto-compaction) invisible to the audit, not corpus throughput
+    "q_x_stream_pipeline_managed" -> streamPipelineOracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 5 = 0)"),
   )
 
   /** The near-dup pipeline's admitted set, brute-forced — shared by the
