@@ -81,7 +81,17 @@ object Lease {
     }
     val parent = p.getParent
     if (!f.exists(parent)) f.mkdirs(parent): Unit
-    val out = f.create(p, false) // overwrite = false: racing acquirer loses
+    // overwrite = false: of two racing acquirers (e.g. both reclaimed
+    // the same stale lease above), exactly one creates — the loser's
+    // IOException becomes the same refusal contract as a live lease
+    val out =
+      try f.create(p, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"$what lease on $dir refused: lost the acquire race to a " +
+            "concurrent writer (the marker appeared between the check " +
+            "and the exclusive create).", e)
+      }
     try out.write(holder().getBytes("UTF-8")) finally out.close()
   }
 

@@ -1661,6 +1661,26 @@ object StreamOps {
         .start()
       catch { case e: Throwable => releaseLease(spark, pipeDir); throw e }
     val qid = query.id
+    // shared by the listener and the missed-event fallback below; safe
+    // to run twice (the due re-check finds nothing the second time,
+    // release is idempotent)
+    def handleTerminated(remove: Option[org.apache.spark.sql.streaming.StreamingQueryListener]): Unit =
+      try {
+        // compact UNDER the still-held lease (skipLease: it is our
+        // own), so no other process can start writing or maintaining
+        // mid-fold; releasing the lease is the all-clear, released in
+        // finally even when the compact fails (a wedged marker would
+        // block everyone for a TTL)
+        if (compactOnStop)
+          curationCompactIfDueImpl(spark, pipeDir, maxSubdirs, maxFiles,
+            idCol, targetBytes, leaseTtlMs, skipLease = true): Unit
+      } catch {
+        case ex: Exception => System.err.println(
+          s"[graft] post-termination maintenance on $pipeDir failed: $ex")
+      } finally {
+        try releaseLease(spark, pipeDir)
+        finally remove.foreach(spark.streams.removeListener)
+      }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -1669,26 +1689,16 @@ object StreamOps {
       override def onQueryIdle(e: QueryIdleEvent): Unit =
         if (e.id == qid) heartbeatLeaseIfHeld(spark, pipeDir)
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == qid) {
-          try {
-            // compact UNDER the still-held lease (skipLease: it is our
-            // own), so no other process can start writing or
-            // maintaining mid-fold; releasing the lease is the
-            // all-clear, released in finally even when the compact
-            // fails (a wedged marker would block everyone for a TTL)
-            if (compactOnStop)
-              curationCompactIfDueImpl(spark, pipeDir, maxSubdirs, maxFiles,
-                idCol, targetBytes, leaseTtlMs, skipLease = true): Unit
-          } catch {
-            case ex: Exception => System.err.println(
-              s"[graft] post-termination maintenance on $pipeDir failed: $ex")
-          } finally {
-            try releaseLease(spark, pipeDir)
-            finally spark.streams.removeListener(this)
-          }
-        }
+        if (e.id == qid) handleTerminated(remove = Some(this))
     }
     spark.streams.addListener(listener)
+    // belt-and-braces: a query that died in the instant BEFORE the
+    // listener landed on the bus would otherwise leak the lease (until
+    // its TTL) and the listener (forever). The handler is idempotent —
+    // if the terminated event still arrives, its copy re-checks "due"
+    // (nothing left), re-releases (no-op) and re-removes (no-op).
+    if (!spark.streams.active.exists(_.id == qid))
+      handleTerminated(remove = Some(listener))
     query
   }
 
