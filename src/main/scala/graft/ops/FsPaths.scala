@@ -116,6 +116,22 @@ object FsPaths {
       (targetBytes > 0L && perDir.exists { case (n, bytes) =>
         n > 1L && bytes / n < targetBytes / 2 })
 
+  /** The policy-OPERATIVE mean for a status row: the smallest
+    * per-leaf-dir mean among multi-file dirs — the number
+    * [[fileCountDue]]'s byte rule actually compares — falling back to
+    * the global mean for tables with no multi-file leaf. Reporting the
+    * global mean instead would show due=true next to a healthy-looking
+    * number whenever one partition dir trips the rule while the others
+    * hold large files, making the policy undiagnosable from `status`. */
+  def operativeMeanBytes(perDir: Seq[(Long, Long)]): Long = {
+    val multi = perDir.filter(_._1 > 1L)
+    if (multi.nonEmpty) multi.map(t => t._2 / t._1).min
+    else {
+      val n = perDir.map(_._1).sum
+      if (n == 0L) 0L else perDir.map(_._2).sum / n
+    }
+  }
+
   /** Metadata fingerprint of a directory's IMMEDIATE children: sorted
     * (name, length, mtime) triples, Nil for a missing dir. One
     * driver-side listStatus — the revalidation cost a memoized

@@ -12,18 +12,31 @@ import org.apache.spark.sql.SparkSession
   *
   * Mechanics: an exclusive `_lease` marker file under the guarded
   * directory (hidden-prefixed, so every scan and walk ignores it).
-  * Content = `pid@host` (diagnostics), heartbeat = mtime (one atomic
-  * driver `setTimes` to refresh — no content rewrite, no partial
-  * reads). A lease whose heartbeat is older than the TTL belongs to a
-  * crashed writer and is reclaimable with a loud log; heartbeats land
-  * per micro-batch / progress event (seconds), so the default ten
-  * minutes of silence is a dead writer, not a slow one.
+  * Content = `pid@host\nepochMillis`; the heartbeat refreshes the
+  * mtime (one atomic driver `setTimes`) AND falls back to rewriting
+  * the content epoch when the filesystem ignores `setTimes` (object
+  * stores: S3A inherits the empty base implementation — an
+  * mtime-only heartbeat there would silently never refresh and a live
+  * writer would be "reclaimed" mid-append). Staleness therefore reads
+  * `max(mtime, content epoch)`. A lease whose heartbeat is older than
+  * the TTL belongs to a crashed writer and is reclaimed by an ATOMIC
+  * rename-aside (two racing reclaimers cannot both win: one rename
+  * succeeds, the loser refuses). Heartbeats land per micro-batch /
+  * progress event (seconds), so the default ten minutes of silence is
+  * a dead writer, not a slow one.
   *
   * Writers call [[acquire]] / heartbeat via [[heartbeatIfHeld]] /
-  * [[release]]; maintenance verbs call [[requireAbsentOrStale]].
-  * Heartbeat is refresh-ONLY (never creates), so lease-free callers —
-  * single-process deployments, tests, the verify oracles — pay one
-  * fs-exists and are otherwise untouched. */
+  * [[release]]. Maintenance verbs run their fold inside [[withHeld]],
+  * which HOLDS the lease for the duration — merely checking absence
+  * would let a writer acquire and start appending mid-swap — and
+  * passes through when the CALLER's process already holds it (a
+  * process cannot race itself; in-process call discipline governs,
+  * e.g. a policy-triggered auto-repair under the writer's own lease).
+  * Heartbeat is refresh-ONLY and refreshes only OUR OWN lease — a
+  * lease-free writer sharing the dir must not resurrect a crashed
+  * writer's marker forever — so lease-free callers (single-process
+  * deployments, tests, the verify oracles) pay one fs read and are
+  * otherwise untouched. */
 object Lease {
 
   /** Default heartbeat TTL — see the object doc. */
@@ -35,8 +48,9 @@ object Lease {
   private def fsFor(spark: SparkSession, dir: String) =
     path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** This process's lease identity (diagnostics only — liveness is the
-    * heartbeat, not the pid). */
+  /** This process's lease identity. Liveness is the heartbeat, not the
+    * pid; the identity decides own-process pass-through (same pid@host
+    * = same process = cannot race itself). */
   def holder(): String = {
     val pid = java.lang.ProcessHandle.current().pid()
     val host = try java.net.InetAddress.getLocalHost.getHostName
@@ -44,46 +58,88 @@ object Lease {
     s"$pid@$host"
   }
 
-  private def readHolder(f: org.apache.hadoop.fs.FileSystem,
-                         p: org.apache.hadoop.fs.Path): String =
+  /** (holder line, content epoch or -1) — "unknown" on any read
+    * failure: the safe direction, an unknown FRESH lease refuses. */
+  private def readLease(f: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): (String, Long) =
     try {
       val in = f.open(p)
       try {
-        val buf = new Array[Byte](256)
+        val buf = new Array[Byte](512)
         val n = in.read(buf)
-        if (n <= 0) "unknown" else new String(buf, 0, n, "UTF-8")
+        if (n <= 0) ("unknown", -1L)
+        else {
+          val lines = new String(buf, 0, n, "UTF-8").split("\n")
+          val epoch = lines.lift(1).flatMap(_.trim.toLongOption).getOrElse(-1L)
+          (lines(0).trim, epoch)
+        }
       } finally in.close()
-    } catch { case _: java.io.IOException => "unknown" }
+    } catch { case _: java.io.IOException => ("unknown", -1L) }
+
+  private def leaseBody(): Array[Byte] =
+    s"${holder()}\n${System.currentTimeMillis()}".getBytes("UTF-8")
+
+  /** Heartbeat age from max(mtime, content epoch) — mtime alone is a
+    * silent no-op to refresh on object stores. None = lease vanished
+    * between the caller's exists and this read (a concurrent release):
+    * treated as absent, never as an error. */
+  private def ageMs(f: org.apache.hadoop.fs.FileSystem,
+                    p: org.apache.hadoop.fs.Path): Option[Long] =
+    try {
+      val mtime = f.getFileStatus(p).getModificationTime
+      val epoch = readLease(f, p)._2
+      Some(System.currentTimeMillis() - math.max(mtime, epoch))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Atomically take a STALE marker out of the way: rename-aside (one
+    * winner) + delete the tombstone. False = lost the race. */
+  private def reclaimStale(f: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path,
+                           dir: String): Boolean = {
+    val tomb = new org.apache.hadoop.fs.Path(
+      s"$dir/_lease.reclaim.${java.util.UUID.randomUUID().toString.take(8)}")
+    val won = try f.rename(p, tomb)
+      catch { case _: java.io.IOException => false }
+    if (won) { try f.delete(tomb, false): Unit
+      catch { case _: java.io.IOException => () } }
+    won
+  }
 
   /** Take the exclusive writer lease on `dir`. Refuses while a LIVE
     * lease exists (a second concurrent writer breaks the single-writer
-    * replay contracts); reclaims a stale one loudly. Create-exclusive,
-    * so two racing acquirers cannot both win. */
+    * replay contracts — even one in this same process); reclaims a
+    * stale one loudly and atomically (rename-aside: two racing
+    * reclaimers get exactly one winner). Create-exclusive, so two
+    * racing acquirers cannot both win either. */
   def acquire(spark: SparkSession, dir: String,
               ttlMs: Long = DefaultTtlMs,
               what: String = "writer"): Unit = {
     require(ttlMs > 0L, s"Lease.acquire: ttlMs > 0, got $ttlMs")
     val f = fsFor(spark, dir)
     val p = path(dir)
-    if (f.exists(p)) {
-      val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-      if (age <= ttlMs)
+    if (f.exists(p)) ageMs(f, p) match {
+      case Some(age) if age <= ttlMs =>
         throw new IllegalStateException(
           s"$what lease on $dir refused: a live lease (heartbeated " +
-            s"${age} ms ago, holder '${readHolder(f, p)}') exists — a " +
-            "second concurrent writer would break the single-writer " +
-            "contract. Stop the other writer first, or wait out its lease.")
-      System.err.println(
-        s"[graft] reclaiming STALE $what lease on $dir " +
-          s"(holder '${readHolder(f, p)}', heartbeat ${age} ms old > ttl " +
-          s"$ttlMs ms): treating the writer as crashed.")
-      f.delete(p, false): Unit
+            s"${age} ms ago, holder '${readLease(f, p)._1}') exists — " +
+            "the holder may be active in another process, and a second " +
+            "concurrent writer would break the single-writer contract. " +
+            "Stop the other writer first, or wait out its lease.")
+      case Some(age) =>
+        System.err.println(
+          s"[graft] reclaiming STALE $what lease on $dir " +
+            s"(holder '${readLease(f, p)._1}', heartbeat ${age} ms old > " +
+            s"ttl $ttlMs ms): treating the writer as crashed.")
+        if (!reclaimStale(f, p, dir))
+          throw new IllegalStateException(
+            s"$what lease on $dir refused: lost the stale-lease reclaim " +
+              "race to a concurrent acquirer.")
+      case None => () // released concurrently — absent is what we want
     }
     val parent = p.getParent
     if (!f.exists(parent)) f.mkdirs(parent): Unit
-    // overwrite = false: of two racing acquirers (e.g. both reclaimed
-    // the same stale lease above), exactly one creates — the loser's
-    // IOException becomes the same refusal contract as a live lease
+    // overwrite = false: of two racing acquirers exactly one creates —
+    // the loser's IOException becomes the same refusal contract
     val out =
       try f.create(p, false)
       catch {
@@ -92,59 +148,66 @@ object Lease {
             "concurrent writer (the marker appeared between the check " +
             "and the exclusive create).", e)
       }
-    try out.write(holder().getBytes("UTF-8")) finally out.close()
+    try out.write(leaseBody()) finally out.close()
   }
 
   /** Release the lease (no-op when absent — stop paths call it
-    * unconditionally). */
+    * unconditionally). Releases whatever marker is present: release is
+    * only called from paths that acquired (or [[withHeld]]-hold) it. */
   def release(spark: SparkSession, dir: String): Unit = {
     val f = fsFor(spark, dir)
     val p = path(dir)
-    if (f.exists(p)) f.delete(p, false): Unit
+    try { if (f.exists(p)) f.delete(p, false): Unit }
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
-  /** Refresh the heartbeat IF a lease is held — refresh-only, never
-    * create: lease-free callers stay lease-free. One atomic driver
-    * setTimes; a transient IO failure is swallowed (the next heartbeat
-    * retries well inside the TTL). */
+  /** Refresh the heartbeat IF this process's own lease is held —
+    * refresh-only (never creates: lease-free callers stay lease-free)
+    * and own-only (a lease-free writer sharing the dir must not
+    * resurrect a crashed writer's marker forever). setTimes first (one
+    * atomic driver call); when the filesystem ignored it (object
+    * stores), rewrite the content epoch instead — staleness reads
+    * max(mtime, epoch), so either refresh counts. */
   def heartbeatIfHeld(spark: SparkSession, dir: String): Unit = {
     val f = fsFor(spark, dir)
     val p = path(dir)
     try {
-      if (f.exists(p)) f.setTimes(p, System.currentTimeMillis(), -1)
-    } catch { case _: java.io.IOException => () }
+      if (!f.exists(p) || readLease(f, p)._1 != holder()) return
+      val now = System.currentTimeMillis()
+      f.setTimes(p, now, -1)
+      val applied =
+        try f.getFileStatus(p).getModificationTime >= now - 1000L
+        catch { case _: java.io.FileNotFoundException => true }
+      if (!applied) {
+        // object-store fallback: PUT a fresh body (new content epoch).
+        // Readers race a PUT atomically (old or new object, never a
+        // torn read) on stores; on local/HDFS setTimes already worked.
+        val out = f.create(p, true)
+        try out.write(leaseBody()) finally out.close()
+      }
+    } catch { case _: java.io.IOException => () } // next heartbeat retries
   }
 
-  /** The maintenance-side check: refuse while a LIVE lease exists (the
-    * writer is streaming in another process — an append landing
-    * mid-swap would be lost with the old tree), reclaim a stale one
-    * loudly and proceed. `what` names the refusing verb in the error. */
-  def requireAbsentOrStale(spark: SparkSession, dir: String,
-                           ttlMs: Long = DefaultTtlMs,
-                           what: String = "maintenance"): Unit = {
+  /** Run a maintenance fold HOLDING the lease: merely checking the
+    * marker is absent would let a writer acquire it and start
+    * appending in the middle of the fold's swap (and two maintenance
+    * processes would race each other's rewrite). Pass-through when
+    * this PROCESS already holds the lease — the owner cannot race
+    * itself and keeps its lease; otherwise acquire (live foreign lease
+    * refuses, stale reclaims — [[acquire]]'s contract) and release in
+    * finally. */
+  def withHeld[A](spark: SparkSession, dir: String,
+                  ttlMs: Long = DefaultTtlMs,
+                  what: String = "maintenance")(body: => A): A = {
     val f = fsFor(spark, dir)
     val p = path(dir)
-    if (!f.exists(p)) return
-    // the holder's OWN process may maintain under its lease: a single
-    // process cannot race itself (in-process call discipline — e.g.
-    // VecIndex.appendWithPolicy's auto-rebalance — already governs),
-    // and the held lease keeps excluding every OTHER process through
-    // the maintenance. (A reused pid matching a DEAD writer's lease
-    // proceeds too — which is the reclaim outcome anyway.)
-    if (readHolder(f, p) == holder()) return
-    val age = System.currentTimeMillis() - f.getFileStatus(p).getModificationTime
-    if (age <= ttlMs)
-      throw new IllegalStateException(
-        s"$what on $dir refused: a live writer lease (_lease, " +
-          s"heartbeated ${age} ms ago, holder '${readHolder(f, p)}') " +
-          "exists — the writer is active in another process, and a " +
-          "swap under its in-flight append would lose data. Stop that " +
-          s"writer (or wait out the $ttlMs ms lease TTL if it crashed).")
-    System.err.println(
-      s"[graft] reclaiming STALE writer lease on $dir " +
-        s"(holder '${readHolder(f, p)}', heartbeat ${age} ms old > ttl " +
-        s"$ttlMs ms): treating the writer as crashed and proceeding " +
-        s"with $what.")
-    f.delete(p, false): Unit
+    val ownAlready =
+      try f.exists(p) && readLease(f, p)._1 == holder()
+      catch { case _: java.io.FileNotFoundException => false }
+    if (ownAlready) body
+    else {
+      acquire(spark, dir, ttlMs, what)
+      try body finally release(spark, dir)
+    }
   }
 }

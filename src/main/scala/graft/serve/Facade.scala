@@ -389,8 +389,8 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
           targetBytes = targetBytes)
       case "compact" =>
         import spark.implicits._
-        graft.text.DedupIndex.compact(spark, indexDir,
-            targetBytes = if (targetBytes > 0L) targetBytes else 128L << 20)
+        // 0 = the callee's default compaction target
+        graft.text.DedupIndex.compact(spark, indexDir, targetBytes)
           .toSeq.sortBy(_._1)
           .map { case (t, s) =>
             (t, s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter) }
@@ -412,8 +412,8 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
           targetBytes = targetBytes)
       case "compact-lists" =>
         import spark.implicits._
-        val s = graft.vec.VecIndex.compactLists(spark, indexDir,
-          targetBytes = if (targetBytes > 0L) targetBytes else 128L << 20)
+        // 0 = the callee's default compaction target
+        val s = graft.vec.VecIndex.compactLists(spark, indexDir, targetBytes)
         Seq(("lists", s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter))
           .toDF("component", "files_before", "bytes_before",
             "files_after", "bytes_after")

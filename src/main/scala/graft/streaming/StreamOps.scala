@@ -856,15 +856,15 @@ object StreamOps {
   def curationCompact(spark: SparkSession, pipeDir: String,
                       idCol: String = "doc_id",
                       leaseTtlMs: Long = LeaseTtlMs,
-                      targetBytes: Long = 0L): (Int, Int) =
-    curationCompactImpl(spark, pipeDir, idCol, leaseTtlMs, targetBytes,
-      skipLease = false)
-
-  private def curationCompactImpl(spark: SparkSession, pipeDir: String,
-                                  idCol: String, leaseTtlMs: Long,
-                                  targetBytes: Long,
-                                  skipLease: Boolean): (Int, Int) = {
-    requireQuiesced(spark, pipeDir, leaseTtlMs, skipLease)
+                      targetBytes: Long = 0L): (Int, Int) = {
+    requireQuiesced(spark, pipeDir)
+    // the fold runs HOLDING the writer lease (merely checking absence
+    // would let a writer in another process acquire it and start
+    // appending mid-swap); a caller that already holds it — the
+    // managed stop path, a writer maintaining its own pipeline —
+    // passes through and keeps its lease
+    graft.ops.Lease.withHeld(spark, pipeDir, leaseTtlMs,
+        "curation maintenance") {
     val partialRoots =
       CardFamilies.map(f => s"$pipeDir/card/$f") :+ s"$pipeDir/cap/bkg"
     val folded = partialRoots.map(d => compactPartials(spark, d)).sum
@@ -904,9 +904,13 @@ object StreamOps {
     val idxPath = new org.apache.hadoop.fs.Path(s"$pipeDir/dedup_idx")
     if (idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(idxPath))
+      // targetBytes = 0 means the callee's 128 MB default; its own
+      // (index-dir) lease check passes — no lease lives there, the
+      // pipeline's guard is pipeDir/_lease held above
       graft.text.DedupIndex.compact(spark, s"$pipeDir/dedup_idx",
-        targetBytes = if (targetBytes > 0L) targetBytes else 128L << 20): Unit
+        targetBytes): Unit
     (folded, files)
+    }
   }
 
   /** The streaming-query name [[curationPipelineStream]] stamps on its
@@ -956,14 +960,12 @@ object StreamOps {
   private def heartbeatLeaseIfHeld(spark: SparkSession, pipeDir: String): Unit =
     graft.ops.Lease.heartbeatIfHeld(spark, pipeDir)
 
-  /** `skipLease = true` is reserved for the terminated-writer path
-    * ([[curationPipelineStart]]'s listener): the writer compacts under
-    * its OWN still-held lease, so the lease keeps excluding every
-    * OTHER process until the maintenance finishes — lease removal is
-    * the all-clear. */
-  private def requireQuiesced(spark: SparkSession, pipeDir: String,
-                              leaseTtlMs: Long = LeaseTtlMs,
-                              skipLease: Boolean = false): Unit = {
+  /** The in-JVM half of the quiesce check (the named active query);
+    * the cross-process half is [[graft.ops.Lease.withHeld]] around the
+    * maintenance fold itself — a live FOREIGN lease refuses there, a
+    * stale one reclaims, and the fold runs holding the lease so no
+    * writer can acquire mid-swap. */
+  private def requireQuiesced(spark: SparkSession, pipeDir: String): Unit = {
     val name = curationQueryName(pipeDir)
     if (spark.streams.active.exists(q => q.name == name))
       throw new IllegalStateException(
@@ -971,12 +973,6 @@ object StreamOps {
           s"'$name' is active — an append landing mid-swap would be lost " +
           "with the old tree. Stop the stream, compact, restart from the " +
           "checkpoint (maintenance is restart-invisible).")
-    // cross-process: a live writer lease refuses maintenance even when
-    // the stream runs in ANOTHER Spark application; a stale one is a
-    // crashed writer — reclaimed (loudly) by the shared Lease check
-    if (skipLease) return
-    graft.ops.Lease.requireAbsentOrStale(spark, pipeDir, leaseTtlMs,
-      "curation maintenance")
   }
 
   /** Is maintenance DUE on a [[curationPipelineStream]] root? One row
@@ -1017,10 +1013,11 @@ object StreamOps {
       val p = new org.apache.hadoop.fs.Path(dir)
       val perDir =
         graft.ops.FsPaths.committedPartDirStats(p.getFileSystem(conf), p)
-      val n = perDir.map(_._1).sum
-      val bytes = perDir.map(_._2).sum
-      (component, n, maxFiles.toLong, if (n == 0) 0L else bytes / n,
-        targetBytes,
+      // mean_bytes is the policy-OPERATIVE mean (the worst multi-file
+      // leaf dir — what the byte rule compares), not the global mean,
+      // so a due=true row always shows the number that tripped it
+      (component, perDir.map(_._1).sum, maxFiles.toLong,
+        graft.ops.FsPaths.operativeMeanBytes(perDir), targetBytes,
         graft.ops.FsPaths.fileCountDue(perDir, maxFiles, targetBytes))
     }
     // partials subdirs are per-batch by construction (tiny, one per
@@ -1054,21 +1051,17 @@ object StreamOps {
                            maxFiles: Int = 64,
                            idCol: String = "doc_id",
                            targetBytes: Long = 0L,
-                           leaseTtlMs: Long = LeaseTtlMs): (Int, Int) =
-    curationCompactIfDueImpl(spark, pipeDir, maxSubdirs, maxFiles, idCol,
-      targetBytes, leaseTtlMs, skipLease = false)
-
-  private def curationCompactIfDueImpl(spark: SparkSession, pipeDir: String,
-                                       maxSubdirs: Int, maxFiles: Int,
-                                       idCol: String, targetBytes: Long,
-                                       leaseTtlMs: Long,
-                                       skipLease: Boolean): (Int, Int) = {
-    requireQuiesced(spark, pipeDir, leaseTtlMs, skipLease)
-    val due = maintenanceDue(spark, pipeDir, maxSubdirs, maxFiles, targetBytes)
-      .where(col("due")).count()
-    if (due == 0L) (0, 0)
-    else curationCompactImpl(spark, pipeDir, idCol, leaseTtlMs, targetBytes,
-      skipLease)
+                           leaseTtlMs: Long = LeaseTtlMs): (Int, Int) = {
+    requireQuiesced(spark, pipeDir)
+    // held across the due-check AND the fold (the nested
+    // curationCompact's withHeld passes through as our own)
+    graft.ops.Lease.withHeld(spark, pipeDir, leaseTtlMs,
+        "curation maintenance") {
+      val due = maintenanceDue(spark, pipeDir, maxSubdirs, maxFiles,
+        targetBytes).where(col("due")).count()
+      if (due == 0L) (0, 0)
+      else curationCompact(spark, pipeDir, idCol, leaseTtlMs, targetBytes)
+    }
   }
 
   /** One micro-batch of the LIVE corpus data card: per-batch partials
@@ -1629,10 +1622,10 @@ object StreamOps {
     *     the maintenance cadence without a manual call, and the
     *     ordering makes it safe by construction: termination removes
     *     the query from `spark.streams.active` first, the compact then
-    *     runs UNDER the writer's still-held lease (its own, skipped by
-    *     the check) so no other process can write or maintain mid-fold,
-    *     and the lease release afterwards is the cross-process
-    *     all-clear.
+    *     runs UNDER the writer's still-held lease (withHeld passes
+    *     through our own marker) so no other process can write or
+    *     maintain mid-fold, and the lease release afterwards is the
+    *     cross-process all-clear.
     *
     * Returns the RUNNING query (the writer is configured with
     * `checkpointDir` and started). Listener failures surface on stderr
@@ -1661,19 +1654,26 @@ object StreamOps {
         .start()
       catch { case e: Throwable => releaseLease(spark, pipeDir); throw e }
     val qid = query.id
-    // shared by the listener and the missed-event fallback below; safe
-    // to run twice (the due re-check finds nothing the second time,
-    // release is idempotent)
-    def handleTerminated(remove: Option[org.apache.spark.sql.streaming.StreamingQueryListener]): Unit =
+    // shared by the listener and the missed-event fallback below. The
+    // once-guard matters: the fallback can otherwise run CONCURRENTLY
+    // with a late-delivered terminated event on the listener bus, and
+    // two simultaneous compactions race each other's tmp-write + swap
+    // (idempotence only holds sequentially).
+    val terminatedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def handleTerminated(remove: Option[org.apache.spark.sql.streaming.StreamingQueryListener]): Unit = {
+      if (!terminatedOnce.compareAndSet(false, true)) {
+        remove.foreach(spark.streams.removeListener)
+        return
+      }
       try {
-        // compact UNDER the still-held lease (skipLease: it is our
-        // own), so no other process can start writing or maintaining
-        // mid-fold; releasing the lease is the all-clear, released in
-        // finally even when the compact fails (a wedged marker would
-        // block everyone for a TTL)
+        // compact UNDER the still-held lease (withHeld passes through
+        // our own marker), so no other process can start writing or
+        // maintaining mid-fold; releasing the lease is the all-clear,
+        // released in finally even when the compact fails (a wedged
+        // marker would block everyone for a TTL)
         if (compactOnStop)
-          curationCompactIfDueImpl(spark, pipeDir, maxSubdirs, maxFiles,
-            idCol, targetBytes, leaseTtlMs, skipLease = true): Unit
+          curationCompactIfDue(spark, pipeDir, maxSubdirs, maxFiles,
+            idCol, targetBytes, leaseTtlMs): Unit
       } catch {
         case ex: Exception => System.err.println(
           s"[graft] post-termination maintenance on $pipeDir failed: $ex")
@@ -1681,6 +1681,7 @@ object StreamOps {
         try releaseLease(spark, pipeDir)
         finally remove.foreach(spark.streams.removeListener)
       }
+    }
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -1694,9 +1695,9 @@ object StreamOps {
     spark.streams.addListener(listener)
     // belt-and-braces: a query that died in the instant BEFORE the
     // listener landed on the bus would otherwise leak the lease (until
-    // its TTL) and the listener (forever). The handler is idempotent —
-    // if the terminated event still arrives, its copy re-checks "due"
-    // (nothing left), re-releases (no-op) and re-removes (no-op).
+    // its TTL) and the listener (forever). The once-guard makes this
+    // safe against a late-delivered terminated event: whichever copy
+    // loses the CAS only removes the listener.
     if (!spark.streams.active.exists(_.id == qid))
       handleTerminated(remove = Some(listener))
     query

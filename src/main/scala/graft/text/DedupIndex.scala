@@ -507,21 +507,23 @@ object DedupIndex {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
       val perDir = graft.ops.FsPaths.committedPartDirStats(
         p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-      val n = perDir.map(_._1).sum
-      val bytes = perDir.map(_._2).sum
-      (t, n, maxFiles.toLong, if (n == 0) 0L else bytes / n, targetBytes,
+      (t, perDir.map(_._1).sum, maxFiles.toLong,
+        graft.ops.FsPaths.operativeMeanBytes(perDir), targetBytes,
         graft.ops.FsPaths.fileCountDue(perDir, maxFiles, targetBytes))
     }.toDF("component", "n", "threshold", "mean_bytes", "target_bytes", "due")
   }
 
   def compact(spark: SparkSession, indexDir: String,
-              targetBytes: Long = 128L << 20)
-      : Map[String, graft.ops.Compaction.CompactionStats] = {
+              targetBytes: Long = 0L)
+      : Map[String, graft.ops.Compaction.CompactionStats] =
     // cross-process quiesce: the swap is not concurrent-safe against an
     // in-flight ingest, and "run between ingests" is unenforceable
-    // against ANOTHER Spark application without the durable lease
-    graft.ops.Lease.requireAbsentOrStale(spark, indexDir,
-      what = "DedupIndex compact")
+    // against ANOTHER Spark application without the durable lease —
+    // HELD for the whole fold, so a writer cannot acquire mid-swap.
+    // targetBytes = 0 means the 128 MB default (callers forwarding an
+    // optional byte policy pass their knob through unchanged).
+    graft.ops.Lease.withHeld(spark, indexDir, what = "DedupIndex compact") {
+    val tb = if (targetBytes > 0L) targetBytes else 128L << 20
     // each table keeps its probe-key sort through the rewrite, so
     // ScanPrune page pruning survives compaction. sig/bands rewrite
     // DISTINCT: a crashed ingest's replay can re-append them (see
@@ -537,11 +539,11 @@ object DedupIndex {
     tables.flatMap { case (t, sortCols, parts, dedup) =>
       val dir = s"$indexDir/$t"
       if (hasData(spark, dir))
-        Some(t -> graft.ops.Compaction.compact(spark, dir, targetBytes,
+        Some(t -> graft.ops.Compaction.compact(spark, dir, tb,
           sortBy = sortCols, partitionBy = parts, distinctRows = dedup))
       else None
     }.toMap
-  }
+    }
 
   /** Streaming form: [[StreamOps.dedupIngestStream]] with the index
     * doing the per-batch work instead of a corpus re-scan. */

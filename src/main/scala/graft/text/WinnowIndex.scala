@@ -371,45 +371,47 @@ object WinnowIndex {
     Seq("fp", "ids").map { t =>
       val perDir = graft.ops.FsPaths.committedPartDirStats(f,
         new org.apache.hadoop.fs.Path(s"$indexDir/$t"))
-      val n = perDir.map(_._1).sum
-      val bytes = perDir.map(_._2).sum
-      (t, n, maxFiles.toLong, if (n == 0) 0L else bytes / n, targetBytes,
+      (t, perDir.map(_._1).sum, maxFiles.toLong,
+        graft.ops.FsPaths.operativeMeanBytes(perDir), targetBytes,
         graft.ops.FsPaths.fileCountDue(perDir, maxFiles, targetBytes))
     }.toDF("component", "n", "threshold", "mean_bytes", "target_bytes", "due")
   }
 
-  def compact(spark: SparkSession, indexDir: String): Long = {
+  def compact(spark: SparkSession, indexDir: String): Long =
     // cross-process quiesce: the swap is not concurrent-safe against an
-    // in-flight ingest in ANOTHER Spark application — the durable lease
-    // is the only guard that sees one
-    graft.ops.Lease.requireAbsentOrStale(spark, indexDir,
-      what = "WinnowIndex compact")
-    healCompact(spark, indexDir)
-    if (!hasData(spark, s"$indexDir/fp")) return 0L
-    val (f, _) = fs(spark, indexDir)
-    // compact owns the staging dirs: clear any crashed rewrite's
-    // leftovers (writeFp/writeIds append — stale rows would double-count)
-    Seq("fp__tmp", "ids__tmp").foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
-      if (f.exists(p)) f.delete(p, true): Unit
+    // in-flight ingest in ANOTHER Spark application — the fold runs
+    // HOLDING the durable lease (the only guard that sees one), so a
+    // writer cannot acquire and start appending mid-swap either
+    graft.ops.Lease.withHeld(spark, indexDir,
+        what = "WinnowIndex compact") {
+      healCompact(spark, indexDir)
+      if (!hasData(spark, s"$indexDir/fp")) 0L
+      else {
+        val (f, _) = fs(spark, indexDir)
+        // compact owns the staging dirs: clear any crashed rewrite's
+        // leftovers (writeFp/writeIds append — stale rows would double-count)
+        Seq("fp__tmp", "ids__tmp").foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$indexDir/$d")
+          if (f.exists(p)) f.delete(p, true): Unit
+        }
+        // DISTINCT: heals the duplicate (hash, id) rows an ingest crash
+        // between its fp append and its ids append can leave behind
+        val rows = spark.read.parquet(s"$indexDir/fp")
+          .select(col("hash"), col("id"), col("fp_mod")).distinct()
+          .localCheckpoint() // feeds the fp rewrite AND the manifest rebuild
+        val n = rows.count()
+        writeFp(rows, s"$indexDir/fp__tmp")
+        // the manifest is REBUILT from the compacted fp rows, not copied:
+        // compact is the self-heal point where ids/ provably matches fp/
+        writeIds(rows.select(col("id")).distinct(), s"$indexDir/ids__tmp")
+        installCompacted(f, indexDir, "fp")
+        // a crash between the two installs leaves the OLD manifest under
+        // the new fp — same id set (compact never changes it), so ingest
+        // dedup stays exact; the next compact converges the layout
+        installCompacted(f, indexDir, "ids")
+        n
+      }
     }
-    // DISTINCT: heals the duplicate (hash, id) rows an ingest crash
-    // between its fp append and its ids append can leave behind
-    val rows = spark.read.parquet(s"$indexDir/fp")
-      .select(col("hash"), col("id"), col("fp_mod")).distinct()
-      .localCheckpoint() // feeds the fp rewrite AND the manifest rebuild
-    val n = rows.count()
-    writeFp(rows, s"$indexDir/fp__tmp")
-    // the manifest is REBUILT from the compacted fp rows, not copied:
-    // compact is the self-heal point where ids/ provably matches fp/
-    writeIds(rows.select(col("id")).distinct(), s"$indexDir/ids__tmp")
-    installCompacted(f, indexDir, "fp")
-    // a crash between the two installs leaves the OLD manifest under
-    // the new fp — same id set (compact never changes it), so ingest
-    // dedup stays exact; the next compact converges the layout
-    installCompacted(f, indexDir, "ids")
-    n
-  }
 
   /** Two-rename install of `<name>__tmp` over `<name>`, healed by
     * [[healCompact]] at every crash point. */

@@ -71,13 +71,15 @@ object VecIndex {
     * appended to their partitions. */
   // cross-process quiesce for every swap-based repair verb: the swap
   // is not concurrent-safe against an in-flight append in ANOTHER
-  // Spark application — the durable lease (graft.ops.Lease) is the
-  // only guard that sees one. The holder's own process passes (e.g.
-  // appendWithPolicy's auto-rebalance under the writer's lease).
-  private def maintLease(spark: SparkSession, indexDir: String,
-                         what: String): Unit =
-    graft.ops.Lease.requireAbsentOrStale(spark, indexDir,
-      what = s"VecIndex $what")
+  // Spark application, so the repair runs HOLDING the durable lease
+  // (graft.ops.Lease.withHeld) — merely checking absence would let a
+  // writer acquire it and start appending mid-swap. The holder's own
+  // process passes through (e.g. appendWithPolicy's auto-rebalance
+  // under the writer's lease).
+  private def withMaintLease[A](spark: SparkSession, indexDir: String,
+                                what: String)(body: => A): A =
+    graft.ops.Lease.withHeld(spark, indexDir,
+      what = s"VecIndex $what")(body)
 
   def append(vectors: DataFrame, indexDir: String,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -549,8 +551,8 @@ object VecIndex {
     * Returns (before, after) skew stats. PQ indexes must use
     * [[rebalancePq]] — their lists hold codes, not vectors. */
   def rebalance(spark: SparkSession, indexDir: String,
-                kmeansIters: Int = 2): (ListStats, ListStats) = {
-    maintLease(spark, indexDir, "rebalance")
+                kmeansIters: Int = 2): (ListStats, ListStats) =
+      withMaintLease(spark, indexDir, "rebalance") {
     require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
       s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
         "use rebalancePq with the original vector table")
@@ -585,8 +587,8 @@ object VecIndex {
     * Returns (before, after) skew stats. */
   def refreshCentroids(spark: SparkSession, indexDir: String,
                        sampleSize: Int = 100000,
-                       kmeansIters: Int = 2): (ListStats, ListStats) = {
-    maintLease(spark, indexDir, "refreshCentroids")
+                       kmeansIters: Int = 2): (ListStats, ListStats) =
+      withMaintLease(spark, indexDir, "refreshCentroids") {
     require(sampleSize >= 1, s"refreshCentroids: sampleSize >= 1, got $sampleSize")
     require(!spark.read.parquet(s"$indexDir/params").columns.contains("m"),
       s"VecIndex at $indexDir is IVF-PQ (lists hold codes, not vectors); " +
@@ -769,8 +771,8 @@ object VecIndex {
                               kmeansIters: Int,
                               sampleSize: Option[Int]): (ListStats, ListStats) = {
     val spark = vectors.sparkSession
-    maintLease(spark, indexDir,
-      if (sampleSize.isEmpty) "rebalancePq" else "refreshCentroidsPq")
+    withMaintLease(spark, indexDir,
+        if (sampleSize.isEmpty) "rebalancePq" else "refreshCentroidsPq") {
     val before = listStats(spark, indexDir)
     val cents0 = loadCentroids(spark, indexDir)
     val model = loadPqModel(spark, indexDir)
@@ -804,6 +806,7 @@ object VecIndex {
       .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     installReassigned(spark, indexDir, tmp, cents)
     (before, listStats(spark, indexDir))
+    }
   }
 
   /** [[refreshCentroids]] for the IVF-SQ8 layout — self-contained: SQ8
@@ -818,8 +821,8 @@ object VecIndex {
     * contract as every reassign. */
   def refreshCentroidsSq8(spark: SparkSession, indexDir: String,
                           sampleSize: Int = 100000,
-                          kmeansIters: Int = 2): (ListStats, ListStats) = {
-    maintLease(spark, indexDir, "refreshCentroidsSq8")
+                          kmeansIters: Int = 2): (ListStats, ListStats) =
+      withMaintLease(spark, indexDir, "refreshCentroidsSq8") {
     require(sampleSize >= 1,
       s"refreshCentroidsSq8: sampleSize >= 1, got $sampleSize")
     require(isSq8(spark, indexDir),
@@ -878,13 +881,16 @@ object VecIndex {
     * are untouched, so `stats/` stays valid. Not concurrent-safe
     * against in-flight probes (the rebalance contract). */
   def compactLists(spark: SparkSession, indexDir: String,
-                   targetBytes: Long = 128L << 20)
-      : graft.ops.Compaction.CompactionStats = {
-    maintLease(spark, indexDir, "compactLists")
-    healReassign(spark, indexDir)
-    graft.ops.Compaction.compact(spark, s"$indexDir/lists", targetBytes,
-      partitionBy = Seq("list_id"))
-  }
+                   targetBytes: Long = 0L)
+      : graft.ops.Compaction.CompactionStats =
+    // targetBytes = 0 means the 128 MB default (callers forwarding an
+    // optional byte policy pass their knob through unchanged)
+    withMaintLease(spark, indexDir, "compactLists") {
+      healReassign(spark, indexDir)
+      graft.ops.Compaction.compact(spark, s"$indexDir/lists",
+        if (targetBytes > 0L) targetBytes else 128L << 20,
+        partitionBy = Seq("list_id"))
+    }
 
   /** Is maintenance DUE on this index? One row per policy signal, fs
     * metadata only: the lists' committed part-file count against

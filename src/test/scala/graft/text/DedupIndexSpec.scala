@@ -324,18 +324,32 @@ class DedupIndexSpec extends AnyFunSuite {
       DedupIndex.compact(spark, index)
     }
     assert(e.getMessage.contains("another process"))
-    // ingest heartbeats a held lease (refresh-only): the mtime advances
+    // ingest heartbeats are OWN-only: a lease-free writer sharing the
+    // dir must NOT resurrect a crashed foreign writer's marker forever
+    // (that would refuse all maintenance and every new acquire past
+    // any TTL) — the foreign mtime stays where it was
     java.nio.file.Files.setLastModifiedTime(lease,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 60000L))
     DedupIndex.ingestBatch(Seq((3L, tC)).toDF("doc_id", "text"),
       corpus, index)
-    assert(java.nio.file.Files.getLastModifiedTime(lease).toMillis >
-      System.currentTimeMillis() - 30000L, "ingest must refresh the heartbeat")
-    // the holder's OWN process may maintain under its lease (a process
-    // cannot race itself; the lease keeps excluding everyone else)
+    assert(java.nio.file.Files.getLastModifiedTime(lease).toMillis <=
+      System.currentTimeMillis() - 30000L,
+      "a foreign lease must not be refreshed by a lease-free ingest")
+    // OUR OWN held lease IS refreshed by every ingest
     java.nio.file.Files.delete(lease)
     graft.ops.Lease.acquire(spark, index)
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+    DedupIndex.ingestBatch(
+      Seq((4L, "a separate novel body for the heartbeat check"))
+        .toDF("doc_id", "text"), corpus, index)
+    assert(java.nio.file.Files.getLastModifiedTime(lease).toMillis >
+      System.currentTimeMillis() - 30000L,
+      "ingest must refresh the holder's own heartbeat")
+    // the holder's OWN process may maintain under its lease (a process
+    // cannot race itself; the lease keeps excluding everyone else)
     DedupIndex.compact(spark, index)
     assert(java.nio.file.Files.exists(lease), "own-lease compact must not release it")
     graft.ops.Lease.release(spark, index)
