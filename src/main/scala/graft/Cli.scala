@@ -54,8 +54,8 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> zipf <docs.parquet> [textCol] [topK] [--out D]
   * graft.Cli <root> <collection> novelty <docs.parquet> [idCol] [textCol] [n] [--out D]
   * graft.Cli <root> <collection> curation <pipeDir> [render|compact|compact-if-due|status] [capK] [idCol] [sourceCol] [targetBytes] [--out D]
-  * graft.Cli <root> <collection> dedup-index <indexDir> [status|compact] [targetBytes] [--out D]
-  * graft.Cli <root> <collection> vec-index <indexDir> [status|compact-lists] [targetBytes] [--out D]
+  * graft.Cli <root> <collection> dedup-index <indexDir> [status|compact] [targetBytes] [leaseTtlMs] [--out D]
+  * graft.Cli <root> <collection> vec-index <indexDir> [status|compact-lists] [targetBytes] [leaseTtlMs] [--out D]
   * graft.Cli config [--show-current] [--root P] [--export-path P]
   * }}}
   */
@@ -285,9 +285,11 @@ object Cli {
             facade.curation(inPath, p(1, "render"), p(2, "20").toInt,
               p(3, "doc_id"), p(4, "source"), p(5, "0").toLong)
           case "dedup-index" =>
-            facade.dedupIndexMaint(inPath, p(1, "status"), p(2, "0").toLong)
+            facade.dedupIndexMaint(inPath, p(1, "status"), p(2, "0").toLong,
+              p(3, graft.ops.Lease.DefaultTtlMs.toString).toLong)
           case "vec-index" =>
-            facade.vecIndexMaint(inPath, p(1, "status"), p(2, "0").toLong)
+            facade.vecIndexMaint(inPath, p(1, "status"), p(2, "0").toLong,
+              p(3, graft.ops.Lease.DefaultTtlMs.toString).toLong)
           case "zipf" =>
             facade.zipf(inPath, p(1, "text"), p(2, "100").toInt)
           case "novelty" =>

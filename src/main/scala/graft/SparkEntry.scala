@@ -1023,6 +1023,54 @@ object SparkEntry {
       store.history("regions", Seq("r_regionkey"), Seq("val"))
     }),
 
+    // K + lease (round 15): the parity store's writer verbs run HOLDING
+    // the durable root `_lease` — the reference's documented
+    // single-writer assumption (utils.py:194) enforced ACROSS processes
+    // instead of by call discipline. This round trip drives the write
+    // path THROUGH the lease machinery and asserts its contract inline:
+    // a crashed writer's STALE lease is reclaimed by the first verb,
+    // every verb releases on the way out (no wedged marker), and a LIVE
+    // foreign lease refuses maintenance without touching the data.
+    // Output = the staged PROD snapshot, hash-matched against the same
+    // as-of winner in SQL.
+    "q_store_lease_writer" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lease_store_").toString
+      // a crashed writer left a stale root lease: old mtime AND old
+      // content epoch (staleness reads max of the two)
+      val leaseP = java.nio.file.Paths.get(tmp, "_lease")
+      val old = System.currentTimeMillis() - 3600000L // 1 h >> 10 min TTL
+      java.nio.file.Files.write(leaseP,
+        s"99999@crashed-host\n$old".getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(leaseP,
+        java.nio.file.attribute.FileTime.fromMillis(old))
+      val store = new graft.store.Store(s, tmp, "demo")
+      store.initialize()
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      store.ingest(n.withColumn("version", lit(1L)), "nations",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      require(!java.nio.file.Files.exists(leaseP),
+        "ingest must reclaim the stale lease and release it on the way out")
+      store.ingest(n.withColumn("version", lit(2L)), "nations",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+      store.stage()
+      require(!java.nio.file.Files.exists(leaseP),
+        "stage must release the lease on the way out")
+      // a second process's LIVE lease refuses the next writer verb
+      java.nio.file.Files.write(leaseP,
+        s"99999@other-host\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      val refused =
+        try { store.vacuum(1); false }
+        catch { case _: IllegalStateException => true }
+      require(refused, "a live foreign lease must refuse store maintenance")
+      require(java.nio.file.Files.readAllLines(leaseP).get(0)
+        .contains("other-host"), "the refusal must not clobber the holder")
+      java.nio.file.Files.delete(leaseP)
+      store.readProd()
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("version"))
+    }),
+
     // X: exact deduplication — hash-groupBy on content digest
     "q_x_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -4310,6 +4358,10 @@ object SparkEntry {
 
     "q_store_roundtrip" ->
       """SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS version FROM region""",
+
+    "q_store_lease_writer" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+           CAST(2 AS BIGINT) AS version FROM nation""",
 
     "q_store_history" ->
       """SELECT r_regionkey, CAST(r_regionkey * 10 AS BIGINT) AS val,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 
 /** The durable writer lease: what makes a "single writer, quiesced
@@ -21,9 +22,7 @@ import org.apache.spark.sql.SparkSession
   * `max(mtime, content epoch)`. A lease whose heartbeat is older than
   * the TTL belongs to a crashed writer and is reclaimed by an ATOMIC
   * rename-aside (two racing reclaimers cannot both win: one rename
-  * succeeds, the loser refuses). Heartbeats land per micro-batch /
-  * progress event (seconds), so the default ten minutes of silence is
-  * a dead writer, not a slow one.
+  * succeeds, the loser refuses).
   *
   * Writers call [[acquire]] / heartbeat via [[heartbeatIfHeld]] /
   * [[release]]. Maintenance verbs run their fold inside [[withHeld]],
@@ -32,21 +31,55 @@ import org.apache.spark.sql.SparkSession
   * passes through when the CALLER's process already holds it (a
   * process cannot race itself; in-process call discipline governs,
   * e.g. a policy-triggered auto-repair under the writer's own lease).
-  * Heartbeat is refresh-ONLY and refreshes only OUR OWN lease — a
-  * lease-free writer sharing the dir must not resurrect a crashed
-  * writer's marker forever — so lease-free callers (single-process
-  * deployments, tests, the verify oracles) pay one fs read and are
-  * otherwise untouched. */
+  * While the fold runs, a daemon thread heartbeats the lease every
+  * ttl/4 — a fold longer than the TTL (a 100 TB corpus compaction is
+  * the expected case, not the edge) must not go stale mid-swap and get
+  * reclaimed under its own feet. [[release]] deletes ONLY this
+  * process's own marker: if our lease WAS reclaimed (a >TTL stall) and
+  * a new holder acquired, the stalled process's release must not
+  * delete the new holder's live lease. Heartbeat is refresh-ONLY and
+  * refreshes only OUR OWN lease — a lease-free writer sharing the dir
+  * must not resurrect a crashed writer's marker forever — so
+  * lease-free callers (single-process deployments, tests, the verify
+  * oracles) pay one fs read and are otherwise untouched; it RETURNS
+  * whether the lease is (still) ours, so a managed writer can fence
+  * itself (stop appending as a zombie) the moment it observes a
+  * foreign holder.
+  *
+  * TTL invariant (pick `ttlMs` per deployment surface):
+  * heartbeat period << ttlMs << acceptable crash-detection latency.
+  * Heartbeats land per micro-batch / per progress event for managed
+  * writers (trigger cadence — seconds) and every ttl/4 inside
+  * [[withHeld]] folds, so the default ten minutes of silence is a
+  * dead writer, not a slow one; a smaller TTL detects crashes faster
+  * but must stay comfortably above the slowest heartbeat gap (one
+  * micro-batch / one fold-heartbeat period plus fs latency).
+  *
+  * Atomicity contract: mutual exclusion is EXACT on filesystems with
+  * atomic create-exclusive and rename (local, HDFS). Object stores
+  * (S3A) implement create(overwrite=false) as exists-check-then-PUT
+  * and rename as copy+delete, so two racers can both "succeed" there;
+  * [[acquire]] therefore re-reads the marker AFTER writing it and
+  * refuses when another holder's body won (check-after-write — the
+  * etag-less equivalent), and the heartbeat's object-store fallback
+  * re-verifies the holder immediately before its overwrite PUT and
+  * reports a post-write foreign holder to the caller (the fencing
+  * path). A sub-millisecond two-PUT window remains on such stores —
+  * documented residual, closed in practice by the fencing check at
+  * the next heartbeat. */
 object Lease {
 
-  /** Default heartbeat TTL — see the object doc. */
+  /** Default heartbeat TTL — see the TTL invariant in the object doc. */
   val DefaultTtlMs: Long = 10L * 60L * 1000L
 
   private def path(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/_lease")
 
-  private def fsFor(spark: SparkSession, dir: String) =
-    path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fsFor(conf: Configuration, dir: String) =
+    path(dir).getFileSystem(conf)
+
+  private def confOf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
 
   /** This process's lease identity. Liveness is the heartbeat, not the
     * pid; the identity decides own-process pass-through (same pid@host
@@ -59,17 +92,23 @@ object Lease {
   }
 
   /** (holder line, content epoch or -1) — "unknown" on any read
-    * failure: the safe direction, an unknown FRESH lease refuses. */
+    * failure: the safe direction, an unknown FRESH lease refuses.
+    * Reads to EOF: a short first read splitting the holder line would
+    * make a held lease appear foreign — the heartbeat would silently
+    * stop refreshing and a live writer would be reclaimed as stale. */
   private def readLease(f: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path): (String, Long) =
     try {
       val in = f.open(p)
       try {
+        val bos = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](512)
-        val n = in.read(buf)
-        if (n <= 0) ("unknown", -1L)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        val bytes = bos.toByteArray
+        if (bytes.isEmpty) ("unknown", -1L)
         else {
-          val lines = new String(buf, 0, n, "UTF-8").split("\n")
+          val lines = new String(bytes, "UTF-8").split("\n")
           val epoch = lines.lift(1).flatMap(_.trim.toLongOption).getOrElse(-1L)
           (lines(0).trim, epoch)
         }
@@ -109,13 +148,16 @@ object Lease {
     * lease exists (a second concurrent writer breaks the single-writer
     * replay contracts — even one in this same process); reclaims a
     * stale one loudly and atomically (rename-aside: two racing
-    * reclaimers get exactly one winner). Create-exclusive, so two
-    * racing acquirers cannot both win either. */
-  def acquire(spark: SparkSession, dir: String,
-              ttlMs: Long = DefaultTtlMs,
-              what: String = "writer"): Unit = {
+    * reclaimers get exactly one winner). Create-exclusive, then
+    * check-after-write: on filesystems with atomic create (local,
+    * HDFS) the exclusive create alone decides the race; on object
+    * stores it is exists-then-PUT, so the marker is re-read after the
+    * write and a foreign winner refuses here (see the atomicity
+    * contract in the object doc). */
+  def acquire(conf: Configuration, dir: String, ttlMs: Long,
+              what: String): Unit = {
     require(ttlMs > 0L, s"Lease.acquire: ttlMs > 0, got $ttlMs")
-    val f = fsFor(spark, dir)
+    val f = fsFor(conf, dir)
     val p = path(dir)
     if (f.exists(p)) ageMs(f, p) match {
       case Some(age) if age <= ttlMs =>
@@ -149,16 +191,41 @@ object Lease {
             "and the exclusive create).", e)
       }
     try out.write(leaseBody()) finally out.close()
+    // check-after-write: on stores without atomic create-exclusive two
+    // racers can both reach the write — the surviving content decides,
+    // and every non-winner refuses here instead of proceeding to write
+    // data under a lease it does not hold
+    if (readLease(f, p)._1 != holder())
+      throw new IllegalStateException(
+        s"$what lease on $dir refused: lost the acquire race to a " +
+          "concurrent writer (another holder's marker body survived the " +
+          "write — non-atomic create on this filesystem).")
   }
 
-  /** Release the lease (no-op when absent — stop paths call it
-    * unconditionally). Releases whatever marker is present: release is
-    * only called from paths that acquired (or [[withHeld]]-hold) it. */
-  def release(spark: SparkSession, dir: String): Unit = {
-    val f = fsFor(spark, dir)
+  /** Release this process's OWN lease (no-op when absent — stop paths
+    * call it unconditionally). Own-only: if our lease was reclaimed
+    * after a >TTL stall and a NEW holder acquired, deleting "whatever
+    * marker is present" would kill the new holder's live lease and let
+    * a third writer in (double-writer) — so the holder line is compared
+    * first, and a foreign marker is left untouched (it ages out on its
+    * own if its holder is dead). An unreadable marker is also left: it
+    * cannot be proven ours, and a wrongly-kept own marker merely ages
+    * out after one TTL. */
+  def release(conf: Configuration, dir: String): Unit = {
+    val f = fsFor(conf, dir)
     val p = path(dir)
-    try { if (f.exists(p)) f.delete(p, false): Unit }
-    catch { case _: java.io.FileNotFoundException => () }
+    try {
+      if (!f.exists(p)) return
+      val h = readLease(f, p)._1
+      if (h == holder()) f.delete(p, false): Unit
+      else System.err.println(
+        s"[graft] lease release on $dir skipped: marker is held by '$h', " +
+          s"not us ('${holder()}') — ours was reclaimed; leaving the new " +
+          "holder's lease untouched.")
+    } catch {
+      case _: java.io.FileNotFoundException => ()
+      case _: java.io.IOException => () // unreadable: ages out after TTL
+    }
   }
 
   /** Refresh the heartbeat IF this process's own lease is held —
@@ -167,12 +234,24 @@ object Lease {
     * resurrect a crashed writer's marker forever). setTimes first (one
     * atomic driver call); when the filesystem ignored it (object
     * stores), rewrite the content epoch instead — staleness reads
-    * max(mtime, epoch), so either refresh counts. */
-  def heartbeatIfHeld(spark: SparkSession, dir: String): Unit = {
-    val f = fsFor(spark, dir)
+    * max(mtime, epoch), so either refresh counts.
+    *
+    * Returns whether the lease is (still) OURS: `false` means the
+    * marker is positively absent or positively held by someone else —
+    * a writer that sees `false` after having acquired was reclaimed as
+    * stale (a >TTL GC pause / partition) and MUST stop writing (the
+    * fencing check [[graft.streaming.StreamOps.curationPipelineStart]]
+    * runs per batch). Indeterminate IO errors return `true` — a
+    * transient fs blip must not abort a live writer; the next beat
+    * re-checks. */
+  def heartbeatIfHeld(conf: Configuration, dir: String): Boolean = {
+    val f = fsFor(conf, dir)
     val p = path(dir)
     try {
-      if (!f.exists(p) || readLease(f, p)._1 != holder()) return
+      if (!f.exists(p)) return false // positively absent
+      val h = readLease(f, p)._1
+      if (h == "unknown") return true // indeterminate: retry next beat
+      if (h != holder()) return false // positively foreign: fence
       val now = System.currentTimeMillis()
       f.setTimes(p, now, -1)
       val applied =
@@ -180,12 +259,19 @@ object Lease {
         catch { case _: java.io.FileNotFoundException => true }
       if (!applied) {
         // object-store fallback: PUT a fresh body (new content epoch).
-        // Readers race a PUT atomically (old or new object, never a
-        // torn read) on stores; on local/HDFS setTimes already worked.
+        // Check-then-act twice over: re-read the holder immediately
+        // before the PUT (a reclaimer may have installed its lease
+        // since the check above — do not clobber it), and verify after
+        // (a racing PUT that landed on top of ours means ours lost —
+        // report not-ours so a fenced writer aborts). Readers race a
+        // PUT atomically (old or new object, never a torn read) on
+        // stores; on local/HDFS setTimes already worked.
+        if (readLease(f, p)._1 != holder()) return false
         val out = f.create(p, true)
         try out.write(leaseBody()) finally out.close()
-      }
-    } catch { case _: java.io.IOException => () } // next heartbeat retries
+        readLease(f, p)._1 == holder()
+      } else true
+    } catch { case _: java.io.IOException => true } // indeterminate
   }
 
   /** Run a maintenance fold HOLDING the lease: merely checking the
@@ -195,19 +281,67 @@ object Lease {
     * this PROCESS already holds the lease — the owner cannot race
     * itself and keeps its lease; otherwise acquire (live foreign lease
     * refuses, stale reclaims — [[acquire]]'s contract) and release in
-    * finally. */
-  def withHeld[A](spark: SparkSession, dir: String,
-                  ttlMs: Long = DefaultTtlMs,
-                  what: String = "maintenance")(body: => A): A = {
-    val f = fsFor(spark, dir)
+    * finally (own-only: a mid-fold reclaim must not see its successor's
+    * marker deleted by our cleanup).
+    *
+    * A daemon thread heartbeats every ttl/4 WHILE the fold runs — in
+    * both modes: a fold longer than the TTL (the expected case for a
+    * 100 TB compaction, and equally for the managed stop path's
+    * pass-through compact, where no micro-batches beat anymore) must
+    * not go stale mid-swap and get reclaimed — the mid-swap corruption
+    * this lease exists to prevent. */
+  def withHeld[A](conf: Configuration, dir: String, ttlMs: Long,
+                  what: String)(body: => A): A = {
+    val f = fsFor(conf, dir)
     val p = path(dir)
     val ownAlready =
       try f.exists(p) && readLease(f, p)._1 == holder()
       catch { case _: java.io.FileNotFoundException => false }
-    if (ownAlready) body
-    else {
-      acquire(spark, dir, ttlMs, what)
-      try body finally release(spark, dir)
+    if (!ownAlready) acquire(conf, dir, ttlMs, what)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val period = math.max(200L, ttlMs / 4)
+    val beat = new Thread(() => {
+      while (!stop.get()) {
+        try { if (!stop.get()) heartbeatIfHeld(conf, dir): Unit }
+        catch { case _: Throwable => () } // next beat retries
+        try Thread.sleep(period)
+        catch { case _: InterruptedException => () }
+      }
+    }, s"graft-lease-heartbeat:$dir")
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      stop.set(true)
+      beat.interrupt()
+      try beat.join(2000L) catch { case _: InterruptedException => () }
+      if (!ownAlready) release(conf, dir)
     }
   }
+
+  // ------------------------------------------------------- Spark façade
+  // The engine's call sites hold a SparkSession; the Configuration core
+  // above is what a Spark-free process (the two-process integration
+  // test's fork helper, an ops script) uses directly. Scala permits
+  // default arguments on only one overload per name — they live here.
+
+  /** [[acquire]] with the session's Hadoop configuration. */
+  def acquire(spark: SparkSession, dir: String,
+              ttlMs: Long = DefaultTtlMs,
+              what: String = "writer"): Unit =
+    acquire(confOf(spark), dir, ttlMs, what)
+
+  /** [[release]] with the session's Hadoop configuration. */
+  def release(spark: SparkSession, dir: String): Unit =
+    release(confOf(spark), dir)
+
+  /** [[heartbeatIfHeld]] with the session's Hadoop configuration. */
+  def heartbeatIfHeld(spark: SparkSession, dir: String): Boolean =
+    heartbeatIfHeld(confOf(spark), dir)
+
+  /** [[withHeld]] with the session's Hadoop configuration. */
+  def withHeld[A](spark: SparkSession, dir: String,
+                  ttlMs: Long = DefaultTtlMs,
+                  what: String = "maintenance")(body: => A): A =
+    withHeld(confOf(spark), dir, ttlMs, what)(body)
 }

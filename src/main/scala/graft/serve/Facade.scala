@@ -382,15 +382,17 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * only), `compact` folds the per-batch small files and reports the
     * per-table before/after. */
   def dedupIndexMaint(indexDir: String, mode: String = "status",
-                      targetBytes: Long = 0L): DataFrame =
+                      targetBytes: Long = 0L,
+                      leaseTtlMs: Long = graft.ops.Lease.DefaultTtlMs): DataFrame =
     mode match {
       case "status" =>
         graft.text.DedupIndex.maintenanceDue(spark, indexDir,
           targetBytes = targetBytes)
       case "compact" =>
         import spark.implicits._
-        // 0 = the callee's default compaction target
-        graft.text.DedupIndex.compact(spark, indexDir, targetBytes)
+        // 0 = the callee's default compaction target; leaseTtlMs is the
+        // deployment's crash-detection knob (the Lease TTL invariant)
+        graft.text.DedupIndex.compact(spark, indexDir, targetBytes, leaseTtlMs)
           .toSeq.sortBy(_._1)
           .map { case (t, s) =>
             (t, s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter) }
@@ -405,15 +407,18 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
     * repair verb), `compact-lists` folds the per-ingest small files
     * (layout-agnostic, list_id partitioning preserved). */
   def vecIndexMaint(indexDir: String, mode: String = "status",
-                    targetBytes: Long = 0L): DataFrame =
+                    targetBytes: Long = 0L,
+                    leaseTtlMs: Long = graft.ops.Lease.DefaultTtlMs): DataFrame =
     mode match {
       case "status" =>
         graft.vec.VecIndex.maintenanceDue(spark, indexDir,
           targetBytes = targetBytes)
       case "compact-lists" =>
         import spark.implicits._
-        // 0 = the callee's default compaction target
-        val s = graft.vec.VecIndex.compactLists(spark, indexDir, targetBytes)
+        // 0 = the callee's default compaction target; leaseTtlMs is the
+        // deployment's crash-detection knob (the Lease TTL invariant)
+        val s = graft.vec.VecIndex.compactLists(spark, indexDir, targetBytes,
+          leaseTtlMs)
         Seq(("lists", s.filesBefore, s.bytesBefore, s.filesAfter, s.bytesAfter))
           .toDF("component", "files_before", "bytes_before",
             "files_after", "bytes_after")

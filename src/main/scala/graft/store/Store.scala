@@ -28,12 +28,35 @@ import org.apache.spark.sql.types._
   *   reference's nunique()), larger ones get `approx_count_distinct` —
   *   at 100 TB an exact distinct is an O(distinct-values) shuffle per
   *   stage for stats nobody reads at full precision. The count that
-  *   gates the switch is parquet-footer metadata, not a scan. */
+  *   gates the switch is parquet-footer metadata, not a scan.
+  * @param leaseTtlMs how stale the root writer lease's heartbeat may be
+  *   before another process treats this writer as crashed and reclaims —
+  *   see the [[graft.ops.Lease]] TTL invariant. */
 final class Store(spark: SparkSession, root: String, collection: String,
-                  exactStatsMaxRows: Long = Store.DefaultExactStatsMaxRows) {
+                  exactStatsMaxRows: Long = Store.DefaultExactStatsMaxRows,
+                  leaseTtlMs: Long = graft.ops.Lease.DefaultTtlMs) {
   import Store._
 
   private def p(sub: String) = s"$root/$sub"
+
+  /** Every mutating verb (ingest / stage / stageIncremental / vacuum /
+    * compactZone) runs HOLDING the durable root `_lease`
+    * ([[graft.ops.Lease.withHeld]]): the reference documents a
+    * single-writer assumption (sqlite autoincrement, utils.py:194) that
+    * used to bind here purely by call discipline — but the log swap
+    * ([[rewriteLog]]), the PROD swap ([[swapDir]]) and vacuum's
+    * partition swaps are not concurrent-safe against a SECOND PROCESS
+    * (two CLI invocations racing a stage would interleave renames, and
+    * two ingests would read the same max ingest_id). The lease is at
+    * the ROOT because the ingest log is shared across collections under
+    * one root — ingest-id uniqueness is a root-wide contract. A live
+    * foreign lease refuses loudly; a stale one (crashed writer) is
+    * reclaimed; this process passes through its own (a long-lived
+    * writer that took [[graft.ops.Lease.acquire]] keeps it, and nested
+    * verbs — stageIncremental's fallback stage — do not self-deadlock).
+    * Read verbs stay lease-free. */
+  private def withWriterLease[A](what: String)(body: => A): A =
+    graft.ops.Lease.withHeld(spark, root, leaseTtlMs, s"store $what")(body)
   val rawPath: String = p(s"${collection}_raw")
   val prodPath: String = p(s"${collection}_prod")
   val logPath: String = p("_ingest_log")
@@ -86,9 +109,11 @@ final class Store(spark: SparkSession, root: String, collection: String,
       case other  => throw new IllegalArgumentException(
         s"compactZone: unknown zone '$other' (raw|prod)")
     }
-    withPartitionInferenceOff {
-      graft.ops.Compaction.compact(spark, path, targetBytes,
-        partitionBy = Seq("table_name"))
+    withWriterLease("compactZone") {
+      withPartitionInferenceOff {
+        graft.ops.Compaction.compact(spark, path, targetBytes,
+          partitionBy = Seq("table_name"))
+      }
     }
   }
 
@@ -167,15 +192,19 @@ final class Store(spark: SparkSession, root: String, collection: String,
     * ordering is the crash-safety story and is preserved exactly. */
   def ingest(df: DataFrame, tableName: String, url: String = "",
              description: String = "",
-             ingestTs: Timestamp = new Timestamp(System.currentTimeMillis())): Long = {
-    val id = nextIngestId()
-    appendLogRow(id, ingestTs, tableName, url, description, success = 0)
-    df.withColumn("ingest_id", lit(id))
-      .withColumn("table_name", lit(tableName))
-      .write.mode("append").partitionBy("table_name").parquet(rawPath)
-    setLogSuccess(id)
-    id
-  }
+             ingestTs: Timestamp = new Timestamp(System.currentTimeMillis())): Long =
+    // the lease spans id allocation through the success flip: two racing
+    // ingests in different processes would otherwise both read the same
+    // max ingest_id and tag DISTINCT data with ONE id
+    withWriterLease("ingest") {
+      val id = nextIngestId()
+      appendLogRow(id, ingestTs, tableName, url, description, success = 0)
+      df.withColumn("ingest_id", lit(id))
+        .withColumn("table_name", lit(tableName))
+        .write.mode("append").partitionBy("table_name").parquet(rawPath)
+      setLogSuccess(id)
+      id
+    }
 
   private[store] def appendLogRow(id: Long, ts: Timestamp, tableName: String,
                            url: String, description: String, success: Int): Unit = {
@@ -309,7 +338,7 @@ final class Store(spark: SparkSession, root: String, collection: String,
     * pagination (reference rowid, app.py:138-147; SURVEY.md §7.3).
     * row_uid = ingest_id * 2^32 + row — stable across identical stages,
     * unique because `row` is unique within one (ingest, table). */
-  def stage(cutoff: Option[Timestamp] = None): Unit = {
+  def stage(cutoff: Option[Timestamp] = None): Unit = withWriterLease("stage") {
     val withUid = withRowUid(snapshot(cutoff))
     // never overwrite PROD in place: a failed stage job (or a crash
     // mid-commit) must leave the previous snapshot intact. Write the new
@@ -437,7 +466,7 @@ final class Store(spark: SparkSession, root: String, collection: String,
     * partitions and leaves the rest of PROD untouched.
     *
     * Falls back to a full stage when PROD does not exist yet. */
-  def stageIncremental(cutoff: Option[Timestamp] = None): Seq[String] = {
+  def stageIncremental(cutoff: Option[Timestamp] = None): Seq[String] = withWriterLease("stage") {
     if (!isStaged) { stage(cutoff); return Seq("*") }
     // winners per table under the cutoff (tiny frame, driver-collectable)
     val winners = logWinners(cutoff)
@@ -491,7 +520,7 @@ final class Store(spark: SparkSession, root: String, collection: String,
     * Scale shape: the keep-set comes from the tiny log; RAW is rewritten
     * only for table partitions that actually lose rows, via dynamic
     * partition overwrite. */
-  def vacuum(retainVersions: Int = 2): Seq[Long] = {
+  def vacuum(retainVersions: Int = 2): Seq[Long] = withWriterLease("vacuum") {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     val w = Window.partitionBy("table_name")
       .orderBy(col("ingest_ts").desc, col("ingest_id").desc)

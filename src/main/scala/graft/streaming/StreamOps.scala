@@ -948,7 +948,9 @@ object StreamOps {
     graft.ops.Lease.acquire(spark, pipeDir, ttlMs, "curation writer")
 
   /** Release the writer lease (no-op when absent — release must be
-    * idempotent so stop paths can call it unconditionally). */
+    * idempotent so stop paths can call it unconditionally; own-only —
+    * a stalled writer whose lease was reclaimed must not delete its
+    * successor's live marker). */
   def releaseLease(spark: SparkSession, pipeDir: String): Unit =
     graft.ops.Lease.release(spark, pipeDir)
 
@@ -956,9 +958,19 @@ object StreamOps {
     * create: the unmanaged [[curationPipelineStream]] oracle paths run
     * without a lease (their post-stop compactions would otherwise be
     * refused by their own fresh marker), while a managed writer's
-    * marker stays fresh through every batch. */
-  private def heartbeatLeaseIfHeld(spark: SparkSession, pipeDir: String): Unit =
+    * marker stays fresh through every batch. Returns whether the lease
+    * is still OURS — the managed pipeline's per-batch fencing signal. */
+  private def heartbeatLeaseIfHeld(spark: SparkSession, pipeDir: String): Boolean =
     graft.ops.Lease.heartbeatIfHeld(spark, pipeDir)
+
+  /** pipeDirs whose lease THIS process's [[curationPipelineStart]]
+    * currently manages — the per-batch fencing check consults it: a
+    * managed writer that observes a foreign/absent lease was reclaimed
+    * as stale (a >TTL GC pause or partition) and must abort instead of
+    * appending as a zombie under the new holder; an UNMANAGED
+    * (lease-free) pipeline run is never fenced. */
+  private val managedLeaseDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The in-JVM half of the quiesce check (the named active query);
     * the cross-process half is [[graft.ops.Lease.withHeld]] around the
@@ -1581,8 +1593,19 @@ object StreamOps {
       .queryName(curationQueryName(pipeDir))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // keep a held writer lease fresh on every batch (refresh-only:
-        // unmanaged runs carry no lease and stay lease-free)
-        heartbeatLeaseIfHeld(batch.sparkSession, pipeDir)
+        // unmanaged runs carry no lease and stay lease-free) — and
+        // SELF-FENCE: a managed writer that lost its lease (reclaimed
+        // as stale after a >TTL stall) must fail the query before this
+        // batch appends as a zombie under the new holder's feet
+        val leaseOurs = heartbeatLeaseIfHeld(batch.sparkSession, pipeDir)
+        if (!leaseOurs && managedLeaseDirs.contains(pipeDir))
+          throw new IllegalStateException(
+            s"curation writer on $pipeDir fenced: the writer lease is no " +
+              "longer ours (reclaimed as stale — this process stalled " +
+              "past the lease TTL and another writer or maintenance " +
+              "process took over). Aborting before batch " + batchId +
+              " appends as a zombie; restart from the checkpoint once " +
+              "the new holder is done.")
         if (!batch.isEmpty) {
           // one materialization feeds all three consumers — the
           // checkpointed-frames discipline from the batch pipeline
@@ -1616,7 +1639,11 @@ object StreamOps {
     *  2. the lease heartbeat stays fresh through every progress AND
     *     idle event (a between-batches stream with no arriving data
     *     must not go stale and get reclaimed under a live writer) on
-    *     top of the per-batch refresh;
+    *     top of the per-batch refresh — which also SELF-FENCES: a
+    *     writer whose lease was reclaimed (it stalled past the TTL —
+    *     GC pause, partition — and another process took over) fails
+    *     its query at the next batch instead of appending as a zombie
+    *     under the new holder;
     *  3. when `compactOnStop` (the default), [[curationCompactIfDue]]
     *     runs exactly once AFTER the query terminates — deployments get
     *     the maintenance cadence without a manual call, and the
@@ -1647,12 +1674,15 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
     acquireLease(spark, pipeDir, leaseTtlMs)
+    managedLeaseDirs.add(pipeDir): Unit
     val query =
       try curationPipelineStream(docs, pipeDir, benchmark, benchTextCol, n,
           capK, idCol, textCol, langCol, sourceCol, dupSketch, nearDedup)
         .option("checkpointLocation", checkpointDir)
         .start()
-      catch { case e: Throwable => releaseLease(spark, pipeDir); throw e }
+      catch { case e: Throwable =>
+        managedLeaseDirs.remove(pipeDir): Unit
+        releaseLease(spark, pipeDir); throw e }
     val qid = query.id
     // shared by the listener and the missed-event fallback below. The
     // once-guard matters: the fallback can otherwise run CONCURRENTLY
@@ -1678,7 +1708,9 @@ object StreamOps {
         case ex: Exception => System.err.println(
           s"[graft] post-termination maintenance on $pipeDir failed: $ex")
       } finally {
-        try releaseLease(spark, pipeDir)
+        // release is own-only: if this writer was fenced (lease
+        // reclaimed mid-run), the new holder's marker is left intact
+        try { managedLeaseDirs.remove(pipeDir): Unit; releaseLease(spark, pipeDir) }
         finally remove.foreach(spark.streams.removeListener)
       }
     }

@@ -514,15 +514,19 @@ object DedupIndex {
   }
 
   def compact(spark: SparkSession, indexDir: String,
-              targetBytes: Long = 0L)
+              targetBytes: Long = 0L,
+              ttlMs: Long = graft.ops.Lease.DefaultTtlMs)
       : Map[String, graft.ops.Compaction.CompactionStats] =
     // cross-process quiesce: the swap is not concurrent-safe against an
     // in-flight ingest, and "run between ingests" is unenforceable
     // against ANOTHER Spark application without the durable lease —
-    // HELD for the whole fold, so a writer cannot acquire mid-swap.
+    // HELD for the whole fold (heartbeated every ttl/4 inside, so a
+    // fold longer than the TTL stays un-reclaimable), so a writer
+    // cannot acquire mid-swap. ttlMs is the deployment's crash-detection
+    // knob (see the Lease TTL invariant).
     // targetBytes = 0 means the 128 MB default (callers forwarding an
     // optional byte policy pass their knob through unchanged).
-    graft.ops.Lease.withHeld(spark, indexDir, what = "DedupIndex compact") {
+    graft.ops.Lease.withHeld(spark, indexDir, ttlMs, "DedupIndex compact") {
     val tb = if (targetBytes > 0L) targetBytes else 128L << 20
     // each table keeps its probe-key sort through the rewrite, so
     // ScanPrune page pruning survives compaction. sig/bands rewrite

@@ -377,13 +377,15 @@ object WinnowIndex {
     }.toDF("component", "n", "threshold", "mean_bytes", "target_bytes", "due")
   }
 
-  def compact(spark: SparkSession, indexDir: String): Long =
+  def compact(spark: SparkSession, indexDir: String,
+              ttlMs: Long = graft.ops.Lease.DefaultTtlMs): Long =
     // cross-process quiesce: the swap is not concurrent-safe against an
     // in-flight ingest in ANOTHER Spark application — the fold runs
-    // HOLDING the durable lease (the only guard that sees one), so a
-    // writer cannot acquire and start appending mid-swap either
-    graft.ops.Lease.withHeld(spark, indexDir,
-        what = "WinnowIndex compact") {
+    // HOLDING the durable lease (the only guard that sees one, and it
+    // heartbeats every ttl/4 inside so a fold longer than the TTL stays
+    // un-reclaimable), so a writer cannot acquire mid-swap either
+    graft.ops.Lease.withHeld(spark, indexDir, ttlMs,
+        "WinnowIndex compact") {
       healCompact(spark, indexDir)
       if (!hasData(spark, s"$indexDir/fp")) 0L
       else {

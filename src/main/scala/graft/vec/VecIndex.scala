@@ -77,9 +77,11 @@ object VecIndex {
   // process passes through (e.g. appendWithPolicy's auto-rebalance
   // under the writer's lease).
   private def withMaintLease[A](spark: SparkSession, indexDir: String,
-                                what: String)(body: => A): A =
-    graft.ops.Lease.withHeld(spark, indexDir,
-      what = s"VecIndex $what")(body)
+                                what: String,
+                                ttlMs: Long = graft.ops.Lease.DefaultTtlMs)
+                               (body: => A): A =
+    graft.ops.Lease.withHeld(spark, indexDir, ttlMs,
+      s"VecIndex $what")(body)
 
   def append(vectors: DataFrame, indexDir: String,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -881,11 +883,13 @@ object VecIndex {
     * are untouched, so `stats/` stays valid. Not concurrent-safe
     * against in-flight probes (the rebalance contract). */
   def compactLists(spark: SparkSession, indexDir: String,
-                   targetBytes: Long = 0L)
+                   targetBytes: Long = 0L,
+                   ttlMs: Long = graft.ops.Lease.DefaultTtlMs)
       : graft.ops.Compaction.CompactionStats =
     // targetBytes = 0 means the 128 MB default (callers forwarding an
-    // optional byte policy pass their knob through unchanged)
-    withMaintLease(spark, indexDir, "compactLists") {
+    // optional byte policy pass their knob through unchanged);
+    // ttlMs is the deployment's crash-detection knob (Lease invariant)
+    withMaintLease(spark, indexDir, "compactLists", ttlMs) {
       healReassign(spark, indexDir)
       graft.ops.Compaction.compact(spark, s"$indexDir/lists",
         if (targetBytes > 0L) targetBytes else 128L << 20,

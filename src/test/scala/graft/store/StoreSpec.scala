@@ -386,4 +386,47 @@ class StoreSpec extends AnyFunSuite {
     assert(got.map(r => r._2 -> r._4.isDefined) ==
       Seq(None -> true, Some("") -> false)) // null -> "" IS a change
   }
+
+  test("writer lease: a second process's live lease refuses every writer verb; a stale one reclaims; reads and a holder's own verbs pass") {
+    val st = freshStore()
+    st.ingest(frame(1), "1.1")
+    st.stage()
+    val root = new java.io.File(st.rawPath).getParent
+    val lease = java.nio.file.Paths.get(root, "_lease")
+    assert(!java.nio.file.Files.exists(lease),
+      "every verb must release the lease on the way out")
+    // a SECOND process's live writer lease (the case in-JVM discipline
+    // cannot see): every mutating verb refuses, loudly
+    java.nio.file.Files.write(lease,
+      s"99999@other-host\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { st.ingest(frame(2), "1.1") }
+    assert(e.getMessage.contains("another process"))
+    intercept[IllegalStateException] { st.stage() }
+    intercept[IllegalStateException] { st.stageIncremental() }
+    intercept[IllegalStateException] { st.vacuum(1) }
+    intercept[IllegalStateException] { st.compactZone("raw") }
+    // reads stay lease-free
+    assert(st.snapshot().count() == 2L)
+    assert(st.readProd().count() == 2L)
+    // stale (crashed writer): the next verb reclaims it, folds, releases
+    val old = System.currentTimeMillis() - graft.ops.Lease.DefaultTtlMs - 60000L
+    java.nio.file.Files.write(lease,
+      s"99999@other-host\n$old".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    st.ingest(frame(2), "1.1")
+    assert(!java.nio.file.Files.exists(lease),
+      "the reclaimed lease must be released after the verb")
+    // a long-lived writer that ACQUIRED the root lease passes through
+    // its own verbs and keeps the lease (nested stage inside
+    // stageIncremental must not self-deadlock either)
+    graft.ops.Lease.acquire(spark, root)
+    st.ingest(frame(3), "1.1")
+    assert(st.stageIncremental() == Seq("1.1"))
+    assert(java.nio.file.Files.exists(lease),
+      "a holder's own verbs must not release its lease")
+    graft.ops.Lease.release(spark, root)
+    assert(!java.nio.file.Files.exists(lease))
+    assert(st.readProd().where(col("version") === 3).count() == 2L)
+  }
 }

@@ -2019,6 +2019,81 @@ class StreamOpsSpec extends AnyFunSuite {
       .where($"due").count() == 0L)
   }
 
+  test("zombie-writer fencing: a managed writer whose lease was reclaimed aborts within one batch and never touches the new holder's marker") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_fence_")
+    val srcDir = java.nio.file.Files.createDirectories(dir.resolve("src"))
+    val pipeDir = dir.resolve("pipe").toString
+    val ckpt = dir.resolve("ck").toString
+    def mkDocs(ids: Seq[Long]) = ids.map(i =>
+      (i, s"fencing document $i with tok${i}a tok${i}b words", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    def writeFile(ids: Seq[Long], name: String): Unit = {
+      val staging = dir.resolve(s"_s$name")
+      mkDocs(ids).coalesce(1).write.parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"$name.parquet")): Unit
+    }
+    writeFile(1L to 3L, "f1")
+    val bench = Seq("totally unrelated benchmark passage").toDF("text")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val leaseP = new org.apache.hadoop.fs.Path(s"$pipeDir/_lease")
+    val fs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = graft.streaming.StreamOps.curationPipelineStart(
+      docs, pipeDir, bench, ckpt, "text", n = 3, capK = 5,
+      maxSubdirs = 999, maxFiles = 999)
+    try {
+      q.processAllAvailable()
+      assert(fs.exists(leaseP))
+      val corpusAfterB1 = spark.read.parquet(s"$pipeDir/corpus").count()
+      assert(corpusAfterB1 == 3L)
+      // ANOTHER process reclaims the lease (simulating this writer
+      // having stalled past the TTL) and installs its own — via the
+      // hadoop fs API, exactly as a real reclaimer would (and so the
+      // checksum sidecar stays consistent on local fs)
+      val out = fs.create(leaseP, true)
+      try out.write(
+        s"99999@other-host\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+      // next batch: the fencing check must fail the query BEFORE the
+      // zombie appends under the new holder
+      writeFile(4L to 6L, "f2")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("fenced")),
+        s"expected the fencing abort, got: ${messages(e).mkString(" | ")}")
+      assert(!q.isActive, "the fenced query must be terminated")
+      // the zombie never appended: corpus still holds only batch 1
+      assert(spark.read.parquet(s"$pipeDir/corpus").count() == corpusAfterB1)
+      // the new holder's marker survives the zombie's entire cleanup
+      // path (post-termination maintenance refused by the live foreign
+      // lease; release is own-only) — poll past the async listener
+      Thread.sleep(2000L)
+      def holderLine(): String = {
+        val in = fs.open(leaseP)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+        finally in.close()
+      }
+      assert(fs.exists(leaseP) && holderLine().contains("other-host"),
+        "the stalled writer's cleanup must not delete the new holder's lease")
+      // a restart while the new holder is live refuses up front
+      intercept[IllegalStateException] {
+        graft.streaming.StreamOps.curationPipelineStart(
+          docs, pipeDir, bench, s"$ckpt-2", "text", n = 3, capK = 5)
+      }
+    } finally { if (q.isActive) q.stop() }
+    fs.delete(leaseP, false): Unit
+  }
+
   test("maintenance policy: per-table dedup_idx counts (params excluded) and the byte-aware rule") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bytepol_")
