@@ -314,7 +314,8 @@ object SparkEntry {
     * throughput. They still run — and hash-match — under the Verify
     * correctness gate on every round. */
   val benchVerifyOnly: Set[String] = Set("q_x_stream_pipeline_compacted",
-    "q_x_stream_pipeline_neardup_compacted", "q_x_stream_pipeline_managed")
+    "q_x_stream_pipeline_neardup_compacted", "q_x_stream_pipeline_managed",
+    "q_store_lease_writer")
 
   /** One-time bench warm-up for queries with PERSISTENT setup state:
     * builds the [[graft.text.DedupIndex]] for `dir` (the steady-state
@@ -1028,9 +1029,10 @@ object SparkEntry {
     // single-writer assumption (utils.py:194) enforced ACROSS processes
     // instead of by call discipline. This round trip drives the write
     // path THROUGH the lease machinery and asserts its contract inline:
-    // a crashed writer's STALE lease is reclaimed by the first verb,
-    // every verb releases on the way out (no wedged marker), and a LIVE
-    // foreign lease refuses maintenance without touching the data.
+    // a crashed writer's STALE lease is reclaimed by the first verb
+    // (initialize), every verb releases on the way out (no wedged
+    // marker), and a LIVE foreign lease refuses maintenance without
+    // touching the data.
     // Output = the staged PROD snapshot, hash-matched against the same
     // as-of winner in SQL.
     "q_store_lease_writer" -> ((s, dir) => {

@@ -72,6 +72,31 @@ object Lease {
   /** Default heartbeat TTL — see the TTL invariant in the object doc. */
   val DefaultTtlMs: Long = 10L * 60L * 1000L
 
+  /** Dirs whose lease THIS process acquired and has not released — the
+    * fencing registry: [[fenceIfLost]] (and the managed pipeline's
+    * per-batch check) throws only for dirs the process actually
+    * claimed, so lease-free callers can never be false-fenced. */
+  private val acquiredDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Did THIS process acquire (and not yet release) the lease on
+    * `dir`? The caller-side half of the fencing signal. */
+  def acquiredHere(dir: String): Boolean = acquiredDirs.contains(dir)
+
+  /** Per-dir in-process mutual exclusion for [[withHeld]]: two sibling
+    * verbs in ONE process both see the process's own marker and would
+    * both pass through — and the first to finish would release the
+    * lease out from under the second's still-running fold, dropping
+    * cross-process protection mid-swap. Reentrant, so nested folds
+    * (compact-if-due -> compact) keep working; contended tryLock
+    * REFUSES like the cross-process path does (loud, no silent wait). */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+  private def lockFor(dir: String) =
+    dirLocks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+
   private def path(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/_lease")
 
@@ -194,12 +219,23 @@ object Lease {
     // check-after-write: on stores without atomic create-exclusive two
     // racers can both reach the write — the surviving content decides,
     // and every non-winner refuses here instead of proceeding to write
-    // data under a lease it does not hold
-    if (readLease(f, p)._1 != holder())
+    // data under a lease it does not hold. Refuse only on a POSITIVELY
+    // foreign holder: the exclusive create above already succeeded, so
+    // on atomic-create filesystems we provably won, and treating a
+    // transient unreadable marker ("unknown", retried once) as a lost
+    // race would wedge OUR OWN fresh marker on the dir for a whole TTL.
+    // On stores where create is not exclusive, the per-batch fencing
+    // heartbeat is the backstop for the residual both-unknown case.
+    val seen = readLease(f, p)._1 match {
+      case "unknown" => readLease(f, p)._1
+      case h => h
+    }
+    if (seen != holder() && seen != "unknown")
       throw new IllegalStateException(
         s"$what lease on $dir refused: lost the acquire race to a " +
           "concurrent writer (another holder's marker body survived the " +
           "write — non-atomic create on this filesystem).")
+    acquiredDirs.add(dir): Unit
   }
 
   /** Release this process's OWN lease (no-op when absent — stop paths
@@ -212,6 +248,7 @@ object Lease {
     * cannot be proven ours, and a wrongly-kept own marker merely ages
     * out after one TTL. */
   def release(conf: Configuration, dir: String): Unit = {
+    acquiredDirs.remove(dir): Unit // we no longer claim it, kept or not
     val f = fsFor(conf, dir)
     val p = path(dir)
     try {
@@ -258,6 +295,9 @@ object Lease {
         try f.getFileStatus(p).getModificationTime >= now - 1000L
         catch { case _: java.io.FileNotFoundException => true }
       if (!applied) {
+        // (a reclaimer racing this PUT is the documented residual; the
+        // caller-side fencing — fenceIfLost / the managed per-batch
+        // check — turns any lost race into a one-batch abort)
         // object-store fallback: PUT a fresh body (new content epoch).
         // Check-then-act twice over: re-read the holder immediately
         // before the PUT (a reclaimer may have installed its lease
@@ -272,6 +312,25 @@ object Lease {
         readLease(f, p)._1 == holder()
       } else true
     } catch { case _: java.io.IOException => true } // indeterminate
+  }
+
+  /** Heartbeat + self-fence in one call — the per-batch discipline for
+    * every leased WRITER path (index ingests, the managed pipeline):
+    * refreshes this process's own lease if held, and THROWS when the
+    * process had acquired this dir's lease but no longer holds it
+    * (reclaimed as stale after a >TTL stall — GC pause, partition):
+    * a zombie writer must abort before its batch appends under the new
+    * holder's feet. Lease-free callers (never acquired) are never
+    * fenced — for them this is exactly the refresh-only heartbeat. */
+  def fenceIfLost(conf: Configuration, dir: String): Unit = {
+    val ours = heartbeatIfHeld(conf, dir)
+    if (!ours && acquiredHere(dir))
+      throw new IllegalStateException(
+        s"writer on $dir fenced: the lease this process acquired is no " +
+          "longer ours (reclaimed as stale — this process stalled past " +
+          "the lease TTL and another writer or maintenance process took " +
+          "over). Aborting before a zombie write lands; re-run once the " +
+          "new holder is done.")
   }
 
   /** Run a maintenance fold HOLDING the lease: merely checking the
@@ -289,34 +348,78 @@ object Lease {
     * 100 TB compaction, and equally for the managed stop path's
     * pass-through compact, where no micro-batches beat anymore) must
     * not go stale mid-swap and get reclaimed — the mid-swap corruption
-    * this lease exists to prevent. */
+    * this lease exists to prevent. A beat that POSITIVELY observes the
+    * lease gone/foreign mid-fold latches the loss: it is logged the
+    * moment it is seen, and a completed fold still FAILS (the swap may
+    * have raced the new holder — the caller must not trust it).
+    *
+    * In-process exclusion rides the same call: two sibling verbs in one
+    * process would both pass the own-marker check, and the first to
+    * finish would release the lease under the second's fold — so entry
+    * takes a per-dir reentrant tryLock and a contended call refuses
+    * exactly like the cross-process path. */
   def withHeld[A](conf: Configuration, dir: String, ttlMs: Long,
                   what: String)(body: => A): A = {
-    val f = fsFor(conf, dir)
-    val p = path(dir)
-    val ownAlready =
-      try f.exists(p) && readLease(f, p)._1 == holder()
-      catch { case _: java.io.FileNotFoundException => false }
-    if (!ownAlready) acquire(conf, dir, ttlMs, what)
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val period = math.max(200L, ttlMs / 4)
-    val beat = new Thread(() => {
-      while (!stop.get()) {
-        try { if (!stop.get()) heartbeatIfHeld(conf, dir): Unit }
-        catch { case _: Throwable => () } // next beat retries
-        try Thread.sleep(period)
-        catch { case _: InterruptedException => () }
+    val lock = lockFor(dir)
+    if (!lock.tryLock())
+      throw new IllegalStateException(
+        s"$what lease on $dir refused: another thread in this process " +
+          "is holding the lease for its own fold — the single-writer " +
+          "contract applies in-process too. Wait for it to finish.")
+    try {
+      val f = fsFor(conf, dir)
+      val p = path(dir)
+      val ownAlready =
+        try f.exists(p) && readLease(f, p)._1 == holder()
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!ownAlready) acquire(conf, dir, ttlMs, what)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val period = math.max(200L, ttlMs / 4)
+      val beat = new Thread(() => {
+        while (!stop.get()) {
+          try {
+            if (!stop.get() && !heartbeatIfHeld(conf, dir) && !stop.get() &&
+                lost.compareAndSet(false, true))
+              System.err.println(
+                s"[graft] $what on $dir LOST its lease mid-fold (marker " +
+                  "gone or foreign): another process reclaimed it — the " +
+                  "fold will fail at the end rather than trust its swap.")
+          } catch { case _: Throwable => () } // next beat retries
+          try Thread.sleep(period)
+          catch { case _: InterruptedException => () }
+        }
+      }, s"graft-lease-heartbeat:$dir")
+      beat.setDaemon(true)
+      beat.start()
+      try {
+        val result = body
+        if (lost.get())
+          throw new IllegalStateException(
+            s"$what on $dir lost its lease MID-FOLD (reclaimed by " +
+              "another process after a heartbeat gap): the fold " +
+              "completed but its swap may have raced the new holder — " +
+              "verify the directory before trusting it, then re-run.")
+        result
+      } finally {
+        stop.set(true)
+        beat.interrupt()
+        try beat.join(2000L) catch { case _: InterruptedException => () }
+        if (!ownAlready) release(conf, dir)
+        // a beat wedged in slow fs I/O past the join can resurrect the
+        // marker (its object-store fallback PUT) AFTER the release —
+        // wait it out and release again so no orphaned live-looking
+        // lease wedges the dir for a TTL
+        if (beat.isAlive) {
+          try beat.join(10000L) catch { case _: InterruptedException => () }
+          if (!ownAlready) release(conf, dir)
+          if (beat.isAlive) System.err.println(
+            s"[graft] lease heartbeat thread for $dir is wedged in fs " +
+              "I/O; if a stray _lease marker remains it expires after " +
+              "its TTL.")
+        }
       }
-    }, s"graft-lease-heartbeat:$dir")
-    beat.setDaemon(true)
-    beat.start()
-    try body
-    finally {
-      stop.set(true)
-      beat.interrupt()
-      try beat.join(2000L) catch { case _: InterruptedException => () }
-      if (!ownAlready) release(conf, dir)
-    }
+    } finally lock.unlock()
   }
 
   // ------------------------------------------------------- Spark façade
@@ -338,6 +441,10 @@ object Lease {
   /** [[heartbeatIfHeld]] with the session's Hadoop configuration. */
   def heartbeatIfHeld(spark: SparkSession, dir: String): Boolean =
     heartbeatIfHeld(confOf(spark), dir)
+
+  /** [[fenceIfLost]] with the session's Hadoop configuration. */
+  def fenceIfLost(spark: SparkSession, dir: String): Unit =
+    fenceIfLost(confOf(spark), dir)
 
   /** [[withHeld]] with the session's Hadoop configuration. */
   def withHeld[A](spark: SparkSession, dir: String,

@@ -39,8 +39,9 @@ final class Store(spark: SparkSession, root: String, collection: String,
 
   private def p(sub: String) = s"$root/$sub"
 
-  /** Every mutating verb (ingest / stage / stageIncremental / vacuum /
-    * compactZone) runs HOLDING the durable root `_lease`
+  /** Every mutating verb (initialize / ingest / stage /
+    * stageIncremental / vacuum / compactZone) runs HOLDING the durable
+    * root `_lease`
     * ([[graft.ops.Lease.withHeld]]): the reference documents a
     * single-writer assumption (sqlite autoincrement, utils.py:194) that
     * used to bind here purely by call discipline — but the log swap
@@ -124,7 +125,11 @@ final class Store(spark: SparkSession, root: String, collection: String,
     * Recovery MUST run first: after a crash inside the log swap the live
     * log is missing but the backup holds the real provenance — writing a
     * fresh empty log here would bury it and let ingest ids be reused. */
-  def initialize(): Unit = {
+  def initialize(): Unit = withWriterLease("initialize") {
+    // leased like every mutating verb: a second process's bootstrap
+    // racing a first-ever ingest could otherwise pass its exists check
+    // before the ingest's log row lands and bury it under a fresh
+    // empty log (the overwrite deletes the dir first)
     recoverLogIfNeeded()
     if (!exists(logPath)) {
       spark.createDataFrame(

@@ -963,14 +963,12 @@ object StreamOps {
   private def heartbeatLeaseIfHeld(spark: SparkSession, pipeDir: String): Boolean =
     graft.ops.Lease.heartbeatIfHeld(spark, pipeDir)
 
-  /** pipeDirs whose lease THIS process's [[curationPipelineStart]]
-    * currently manages — the per-batch fencing check consults it: a
-    * managed writer that observes a foreign/absent lease was reclaimed
-    * as stale (a >TTL GC pause or partition) and must abort instead of
-    * appending as a zombie under the new holder; an UNMANAGED
-    * (lease-free) pipeline run is never fenced. */
-  private val managedLeaseDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // the per-batch fencing signal rides graft.ops.Lease's process-level
+  // acquired-dirs registry: a MANAGED writer (acquired via
+  // curationPipelineStart) that observes a foreign/absent lease was
+  // reclaimed as stale (>TTL GC pause / partition) and must abort
+  // instead of appending as a zombie; an UNMANAGED (lease-free)
+  // pipeline run is never in the registry and never fenced.
 
   /** The in-JVM half of the quiesce check (the named active query);
     * the cross-process half is [[graft.ops.Lease.withHeld]] around the
@@ -1595,17 +1593,10 @@ object StreamOps {
         // keep a held writer lease fresh on every batch (refresh-only:
         // unmanaged runs carry no lease and stay lease-free) — and
         // SELF-FENCE: a managed writer that lost its lease (reclaimed
-        // as stale after a >TTL stall) must fail the query before this
-        // batch appends as a zombie under the new holder's feet
-        val leaseOurs = heartbeatLeaseIfHeld(batch.sparkSession, pipeDir)
-        if (!leaseOurs && managedLeaseDirs.contains(pipeDir))
-          throw new IllegalStateException(
-            s"curation writer on $pipeDir fenced: the writer lease is no " +
-              "longer ours (reclaimed as stale — this process stalled " +
-              "past the lease TTL and another writer or maintenance " +
-              "process took over). Aborting before batch " + batchId +
-              " appends as a zombie; restart from the checkpoint once " +
-              "the new holder is done.")
+        // as stale after a >TTL stall) fails the query before this
+        // batch appends as a zombie under the new holder's feet; the
+        // query restarts from its checkpoint once the new holder is done
+        graft.ops.Lease.fenceIfLost(batch.sparkSession, pipeDir)
         if (!batch.isEmpty) {
           // one materialization feeds all three consumers — the
           // checkpointed-frames discipline from the batch pipeline
@@ -1673,16 +1664,13 @@ object StreamOps {
                             leaseTtlMs: Long = LeaseTtlMs)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
-    acquireLease(spark, pipeDir, leaseTtlMs)
-    managedLeaseDirs.add(pipeDir): Unit
+    acquireLease(spark, pipeDir, leaseTtlMs) // registers for fencing too
     val query =
       try curationPipelineStream(docs, pipeDir, benchmark, benchTextCol, n,
           capK, idCol, textCol, langCol, sourceCol, dupSketch, nearDedup)
         .option("checkpointLocation", checkpointDir)
         .start()
-      catch { case e: Throwable =>
-        managedLeaseDirs.remove(pipeDir): Unit
-        releaseLease(spark, pipeDir); throw e }
+      catch { case e: Throwable => releaseLease(spark, pipeDir); throw e }
     val qid = query.id
     // shared by the listener and the missed-event fallback below. The
     // once-guard matters: the fallback can otherwise run CONCURRENTLY
@@ -1710,7 +1698,8 @@ object StreamOps {
       } finally {
         // release is own-only: if this writer was fenced (lease
         // reclaimed mid-run), the new holder's marker is left intact
-        try { managedLeaseDirs.remove(pipeDir): Unit; releaseLease(spark, pipeDir) }
+        // (and the fencing registration is dropped either way)
+        try releaseLease(spark, pipeDir)
         finally remove.foreach(spark.streams.removeListener)
       }
     }

@@ -420,7 +420,9 @@ object DedupIndex {
     val spark = batch.sparkSession
     // a writer that took graft.ops.Lease.acquire(indexDir) stays fresh
     // through every batch (refresh-only: lease-free callers untouched)
-    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
+    // and SELF-FENCES: a writer whose lease was reclaimed (>TTL stall)
+    // aborts here instead of appending as a zombie mid-maintenance
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
     val hadCorpus = hasData(spark, corpusDir)
     val corpus =

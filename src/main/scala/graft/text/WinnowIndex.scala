@@ -270,7 +270,9 @@ object WinnowIndex {
                   params: Params = Params()): Long = {
     // a writer that took graft.ops.Lease.acquire(indexDir) stays fresh
     // through every batch (refresh-only: lease-free callers untouched)
-    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
+    // and SELF-FENCES: a writer whose lease was reclaimed (>TTL stall)
+    // aborts here instead of appending as a zombie mid-maintenance
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     healCompact(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
     val fresh0 = batch.dropDuplicates(idCol)

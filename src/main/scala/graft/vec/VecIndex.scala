@@ -88,7 +88,9 @@ object VecIndex {
     val spark = vectors.sparkSession
     // a writer that took graft.ops.Lease.acquire(indexDir) stays fresh
     // through every batch (refresh-only: lease-free callers untouched)
-    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
+    // and SELF-FENCES: a writer whose lease was reclaimed (>TTL stall)
+    // aborts here instead of appending as a zombie mid-maintenance
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     checkDim(spark, indexDir, vectors, idCol, vecCol)
     val assigned = vectors.select(col(idCol).as("id"),
@@ -189,7 +191,7 @@ object VecIndex {
   def appendPq(vectors: DataFrame, indexDir: String,
                idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
-    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     val model = loadPqModel(spark, indexDir)
     checkDim(spark, indexDir, vectors, idCol, vecCol)
@@ -392,7 +394,7 @@ object VecIndex {
   def appendSq8(vectors: DataFrame, indexDir: String,
                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = vectors.sparkSession
-    graft.ops.Lease.heartbeatIfHeld(spark, indexDir)
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     val cents = loadCentroids(spark, indexDir)
     checkDim(spark, indexDir, vectors, idCol, vecCol)
     val model = loadSq8Model(spark, indexDir)

@@ -22,14 +22,17 @@ class LeaseSpec extends AnyFunSuite {
 
   test("withHeld heartbeats THROUGH a fold longer than the TTL: the lease stays live mid-fold and is released after") {
     val dir = tmpDir()
-    Lease.withHeld(conf, dir, 1200L, "maintenance") {
-      Thread.sleep(2600L)
-      // without the in-fold heartbeat the marker would now be 2.6 s
-      // stale (> the 1.2 s TTL) and this acquire would RECLAIM the
+    // ttl 3 s, beats every ttl/4 = 750 ms: the 4x margin holds even
+    // under the host's documented CPU-steal bursts (a 1 s TTL flaked
+    // the margin when a burst delayed one beat past it)
+    Lease.withHeld(conf, dir, 3000L, "maintenance") {
+      Thread.sleep(6500L)
+      // without the in-fold heartbeat the marker would now be 6.5 s
+      // stale (> the 3 s TTL) and this acquire would RECLAIM the
       // lease mid-fold — the mid-swap corruption the lease exists to
       // prevent. With it, the acquire refuses on a LIVE lease.
       val e = intercept[IllegalStateException] {
-        Lease.acquire(conf, dir, 1200L, "writer")
+        Lease.acquire(conf, dir, 3000L, "writer")
       }
       assert(e.getMessage.contains("live lease"),
         s"expected a live-lease refusal, got: ${e.getMessage}")
@@ -37,7 +40,7 @@ class LeaseSpec extends AnyFunSuite {
     assert(!Files.exists(marker(dir)),
       "withHeld must release the lease it acquired after the fold")
     // and the dir is acquirable again
-    Lease.acquire(conf, dir, 1200L, "writer")
+    Lease.acquire(conf, dir, 3000L, "writer")
     Lease.release(conf, dir)
     assert(!Files.exists(marker(dir)))
   }
@@ -107,6 +110,64 @@ class LeaseSpec extends AnyFunSuite {
     assert(Files.readAllLines(marker(dir)).get(0) == Lease.holder())
     Lease.release(conf, dir)
     assert(!Files.exists(marker(dir)))
+  }
+
+  test("fenceIfLost: lease-free callers never fence; an acquirer whose lease was reclaimed throws; release clears the registration") {
+    val dir = tmpDir()
+    // lease-free: dir never acquired by this process -> plain heartbeat
+    Lease.fenceIfLost(conf, dir) // no marker at all
+    Files.createDirectories(Paths.get(dir))
+    Files.write(marker(dir),
+      s"99999@other-host\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    Lease.fenceIfLost(conf, dir) // foreign marker, but we never acquired
+    Files.delete(marker(dir))
+    // acquired: the fence arms
+    Lease.acquire(conf, dir, Lease.DefaultTtlMs, "writer")
+    Lease.fenceIfLost(conf, dir) // ours -> refresh, no fence
+    // another process reclaims + installs its own (hadoop write keeps
+    // the checksum sidecar consistent so the read stays readable)
+    val f = new org.apache.hadoop.fs.Path(s"$dir/_lease").getFileSystem(conf)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/_lease"), true)
+    try out.write(
+      s"99999@other-host\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] { Lease.fenceIfLost(conf, dir) }
+    assert(e.getMessage.contains("fenced"))
+    // release drops the registration (own-only: foreign marker stays) —
+    // afterwards the same caller is lease-free again and never fenced
+    Lease.release(conf, dir)
+    assert(Files.exists(marker(dir)))
+    Lease.fenceIfLost(conf, dir)
+    Files.delete(marker(dir))
+  }
+
+  test("withHeld refuses a concurrent fold from ANOTHER THREAD of this process (the sibling would otherwise release under the first's fold)") {
+    val dir = tmpDir()
+    val inFold = new java.util.concurrent.CountDownLatch(1)
+    val finish = new java.util.concurrent.CountDownLatch(1)
+    val worker = new Thread(() => {
+      Lease.withHeld(conf, dir, Lease.DefaultTtlMs, "maintenance") {
+        inFold.countDown()
+        finish.await()
+      }
+    })
+    worker.start()
+    assert(inFold.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val e = intercept[IllegalStateException] {
+      Lease.withHeld(conf, dir, Lease.DefaultTtlMs, "maintenance") {
+        fail("the sibling fold must not run")
+      }
+    }
+    assert(e.getMessage.contains("another thread"))
+    finish.countDown()
+    worker.join(30000L)
+    assert(!worker.isAlive)
+    assert(!Files.exists(marker(dir)),
+      "the first fold's release must still happen")
+    // free again: a fresh fold runs
+    var ran = false
+    Lease.withHeld(conf, dir, Lease.DefaultTtlMs, "maintenance") { ran = true }
+    assert(ran)
   }
 
   test("withHeld releases on a fold failure (own-only), and a foreign LIVE lease refuses the fold without running it") {

@@ -87,6 +87,37 @@ class LeaseTwoProcessSpec extends AnyFunSuite {
       "the reclaimed-and-released marker must be gone")
   }
 
+  test("streaming maintenance vs a REAL second process: curationCompact refuses while the other JVM holds the lease, runs once it releases, and reclaims a crashed one") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val pipeDir = tmpDir()
+    val batch = Seq((1L, "two process lease test document body", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    graft.streaming.StreamOps.dataCardIngestBatch(batch, s"$pipeDir/card", 0L)
+    graft.streaming.StreamOps.fpDedupIngestBatch(batch, s"$pipeDir/corpus"): Unit
+    // a real second JVM is the pipeline's writer (heartbeats for 8 s)
+    val child = fork(pipeDir, "hold-release", "8000", "600000")
+    try {
+      awaitMarker(pipeDir)
+      val e = intercept[IllegalStateException] {
+        graft.streaming.StreamOps.curationCompact(spark, pipeDir)
+      }
+      assert(e.getMessage.contains("another process"))
+      assert(child.waitFor(60, TimeUnit.SECONDS) && child.exitValue() == 0)
+      // writer gone (released): maintenance folds now
+      graft.streaming.StreamOps.curationCompact(spark, pipeDir): Unit
+      assert(!Files.exists(marker(pipeDir)),
+        "maintenance must release the lease it held for the fold")
+      // and a CRASHED second writer's lease reclaims after its TTL
+      val crasher = fork(pipeDir, "acquire-exit", "0", "600000")
+      assert(crasher.waitFor(60, TimeUnit.SECONDS) && crasher.exitValue() == 0)
+      Thread.sleep(2500L)
+      graft.streaming.StreamOps.curationCompact(spark, pipeDir,
+        leaseTtlMs = 2000L): Unit
+      assert(!Files.exists(marker(pipeDir)))
+    } finally if (child.isAlive) child.destroyForcibly(): Unit
+  }
+
   test("two processes racing acquire: exactly one wins") {
     val dir = tmpDir()
     val c1 = fork(dir, "contend", "0", "600000")

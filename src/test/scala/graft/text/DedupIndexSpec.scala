@@ -361,5 +361,27 @@ class DedupIndexSpec extends AnyFunSuite {
         - graft.ops.Lease.DefaultTtlMs - 60000L))
     DedupIndex.compact(spark, index)
     assert(!java.nio.file.Files.exists(lease))
+    // FENCING: a writer that ACQUIRED, then lost the lease to a
+    // reclaimer (>TTL stall), aborts its next ingest instead of
+    // appending as a zombie under the new holder (the hadoop write
+    // keeps the checksum sidecar consistent for the read)
+    graft.ops.Lease.acquire(spark, index)
+    val hfs = new org.apache.hadoop.fs.Path(s"$index/_lease")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hout = hfs.create(new org.apache.hadoop.fs.Path(s"$index/_lease"), true)
+    try hout.write(
+      s"99999@other-host\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally hout.close()
+    val fe = intercept[IllegalStateException] {
+      DedupIndex.ingestBatch(
+        Seq((9L, "a zombie batch that must never land"))
+          .toDF("doc_id", "text"), corpus, index)
+    }
+    assert(fe.getMessage.contains("fenced"))
+    // release drops the fencing registration without touching the new
+    // holder's marker; the now-lease-free writer is never fenced again
+    graft.ops.Lease.release(spark, index)
+    assert(java.nio.file.Files.exists(lease))
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$index/_lease"), false): Unit
   }
 }
