@@ -47,6 +47,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> bradley-terry <games.parquet> [winnerCol] [loserCol] [iters] [--out D]
   * graft.Cli <root> <collection> privacy-audit <rows.parquet> [report|classes|ldiv|tclose] [quasiCol,quasiCol...] [k] [sensitiveCol] [t] [--out D]
   * graft.Cli <root> <collection> url-curate <urls.parquet> [canon|domain|dedup] [urlCol] [--out D]
+  * graft.Cli <root> <collection> substring-dedup <docs.parquet> [stats|cut] [minTokens] [idCol] [textCol] [--out D]
   * graft.Cli <root> <collection> readability <docs.parquet> [idCol] [textCol] [--out D]
   * graft.Cli <root> <collection> skew-report <rows.parquet> [keyCol,keyCol...] [targetRowsPerTask] [--out D]
   * graft.Cli <root> <collection> silhouette <vecs.parquet> [idCol] [vecCol] [labelCol] [dims] [--out D]
@@ -183,7 +184,8 @@ object Cli {
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
          | "align" | "shard-audit" | "label-prop" | "winnow-index"
          | "label-audit" | "bradley-terry" | "privacy-audit"
-         | "url-curate" | "readability" | "skew-report" | "silhouette"
+         | "url-curate" | "substring-dedup" | "readability"
+         | "skew-report" | "silhouette"
          | "data-card" | "zipf" | "novelty" | "curation"
          | "dedup-index" | "vec-index" =>
         val out = rest.sliding(2).collectFirst {
@@ -269,6 +271,9 @@ object Cli {
               p(3, "10").toLong, p(4, ""), p(5, "0.2").toDouble)
           case "url-curate" =>
             facade.urlCurate(inPath, p(1, "canon"), p(2, "url"))
+          case "substring-dedup" =>
+            facade.substringDedup(inPath, p(1, "stats"), p(3, "doc_id"),
+              p(4, "text"), p(2, "50").toInt)
           case "readability" =>
             facade.readability(inPath, p(1, "doc_id"), p(2, "text"))
           case "skew-report" =>

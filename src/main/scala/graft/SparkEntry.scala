@@ -2513,6 +2513,23 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text"))
     }),
 
+    // X: exact substring dedup (Lee et al. ACL'22 ExactSubstr re-expressed
+    // distributed): duplicated >=20-token spans survive only at their
+    // first (doc_id, pos) occurrence; affected docs reassemble from the
+    // surviving tokens, untouched docs keep their text verbatim
+    "q_x_dedup_substrings" -> ((s, dir) => {
+      graft.text.TextOps.dedupSubstrings(
+          t(s, dir, "documents"), "doc_id", "text", minTokens = 20)
+        .select(col("id").as("doc_id"), col("text"))
+    }),
+
+    // X: corpus-level effect summary of the same substring cut — size the
+    // cut before committing to one
+    "q_x_substring_stats" -> ((s, dir) => {
+      graft.text.TextOps.substringDedupStats(
+        t(s, dir, "documents"), "doc_id", "text", minTokens = 20)
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -6282,6 +6299,68 @@ object SparkEntry {
                FROM k WHERE rn = 1 OR trim(line) = '' GROUP BY doc_id)
          SELECT m.doc_id, coalesce(r.text, '') AS text
          FROM m LEFT JOIN r ON m.doc_id = r.doc_id""",
+
+    "q_x_dedup_substrings" ->
+      """WITH d AS (SELECT doc_id, text,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         g AS (SELECT doc_id, s.pos AS pos, md5(s.gram) AS gk
+           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 19),
+               i -> {'pos': i - 1, 'gram': array_to_string(list_slice(toks, i, i + 19), ' ')})) AS s
+             FROM d WHERE len(toks) >= 20)),
+         m AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+             FROM g) WHERE rn > 1),
+         u AS (SELECT doc_id, s.pos AS pos, 1 AS kind, s.tok AS tok
+           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                   i -> {'pos': i - 1, 'tok': toks[i]})) AS s FROM d)
+           UNION ALL
+           SELECT doc_id, pos, 0 AS kind, NULL AS tok FROM m),
+         c AS (SELECT doc_id, pos, kind, tok,
+             max(CASE WHEN kind = 0 THEN pos + 20 END)
+               OVER (PARTITION BY doc_id ORDER BY pos, kind
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covend
+           FROM u),
+         r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS newtext
+           FROM c WHERE kind = 1 AND (covend IS NULL OR pos >= covend) GROUP BY doc_id),
+         ch AS (SELECT DISTINCT doc_id FROM m)
+         SELECT d.doc_id,
+           CASE WHEN ch.doc_id IS NOT NULL THEN coalesce(r.newtext, '') ELSE d.text END AS text
+         FROM d LEFT JOIN r ON d.doc_id = r.doc_id LEFT JOIN ch ON d.doc_id = ch.doc_id""",
+
+    "q_x_substring_stats" ->
+      """WITH d AS (SELECT doc_id, text,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         g AS (SELECT doc_id, s.pos AS pos, md5(s.gram) AS gk
+           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 19),
+               i -> {'pos': i - 1, 'gram': array_to_string(list_slice(toks, i, i + 19), ' ')})) AS s
+             FROM d WHERE len(toks) >= 20)),
+         m AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+             FROM g) WHERE rn > 1),
+         u AS (SELECT doc_id, s.pos AS pos, 1 AS kind, s.tok AS tok
+           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                   i -> {'pos': i - 1, 'tok': toks[i]})) AS s FROM d)
+           UNION ALL
+           SELECT doc_id, pos, 0 AS kind, NULL AS tok FROM m),
+         c AS (SELECT doc_id, pos, kind,
+             max(CASE WHEN kind = 0 THEN pos + 20 END)
+               OVER (PARTITION BY doc_id ORDER BY pos, kind
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covend
+           FROM u),
+         k AS (SELECT doc_id, count(*)::BIGINT AS kept
+           FROM c WHERE kind = 1 AND (covend IS NULL OR pos >= covend) GROUP BY doc_id),
+         ch AS (SELECT DISTINCT doc_id FROM m),
+         cd AS (SELECT count(*)::BIGINT AS docs_changed,
+                  sum(len(d.toks) - coalesce(k.kept, 0))::BIGINT AS tokens_removed
+                FROM ch JOIN d ON ch.doc_id = d.doc_id
+                LEFT JOIN k ON ch.doc_id = k.doc_id)
+         SELECT (SELECT count(*)::BIGINT FROM d) AS docs, cd.docs_changed,
+           (SELECT sum(len(toks))::BIGINT FROM d) AS tokens_total,
+           coalesce(cd.tokens_removed, 0)::BIGINT AS tokens_removed,
+           (SELECT count(*)::BIGINT FROM m) AS windows_marked
+         FROM cd""",
 
     "q_x_jaccard_pairs" ->
       """WITH s AS (SELECT doc_id,

@@ -525,6 +525,21 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       s"url-curate mode '$other' (expected canon|domain|dedup)")
   }
 
+  /** Exact substring dedup (`graft.text.TextOps.dedupSubstrings`):
+    * "cut" rewrites the corpus with every duplicated >=minTokens-token
+    * span removed at all but its first occurrence; "stats" returns the
+    * one-row effect summary to size a cut before committing to it. */
+  def substringDedup(inPath: String, mode: String = "stats",
+                     idCol: String = "doc_id", textCol: String = "text",
+                     minTokens: Int = 50): DataFrame = mode match {
+    case "cut" => graft.text.TextOps.dedupSubstrings(corpus(inPath),
+      idCol, textCol, minTokens)
+    case "stats" => graft.text.TextOps.substringDedupStats(corpus(inPath),
+      idCol, textCol, minTokens)
+    case other => throw new IllegalArgumentException(
+      s"substring-dedup mode '$other' (expected cut|stats)")
+  }
+
   /** Flesch readability (`graft.text.Readability.flesch`): per-doc
     * word/sentence/syllable counts, reading ease, FK grade. */
   def readability(inPath: String, idCol: String = "doc_id",

@@ -136,6 +136,126 @@ object TextOps {
       .select(col("id"), coalesce(col("__text"), lit("")).as(textCol))
   }
 
+  /** Exact substring deduplication at token grain — the distributed
+    * re-expression of Lee et al., ACL'22 ("Deduplicating Training Data
+    * Makes Language Models Better", the suffix-array ExactSubstr tool):
+    * any token span of at least `minTokens` tokens that also occurs
+    * EARLIER in the corpus is cut out, where "earlier" is the
+    * engine-reproducible (doc id, token position) order; documents
+    * reassemble from their surviving tokens (single-space joined — the
+    * token-grain analogue of the paper's byte splice, over
+    * [[normalizeText]] tokens). Documents with no duplicated span keep
+    * their text verbatim; a fully-duplicated document comes back with
+    * empty text instead of vanishing.
+    *
+    * Why this equals the suffix-array semantics with no suffix array: a
+    * repeated span of m >= L tokens is exactly the union of its aligned
+    * L-token windows, each of which repeats — and conversely every
+    * repeated L-window lies inside a repeated span. So marking every
+    * (doc, pos) whose L-gram has an earlier corpus twin covers
+    * precisely the non-first copies of every maximal repeat, and a
+    * running max over marked window ends decides per token whether any
+    * marked window still covers it.
+    *
+    * Scale shape (the 100 TB path):
+    *  1. the corpus-wide shuffle is keyed on a 128-bit gram digest
+    *     (`unhex(md5(gram))` — 16 bytes instead of a 50-token string;
+    *     64-bit keys would already expect birthday collisions at
+    *     trillions of grams, and a collision here DELETES text);
+    *     row_number is a streaming window frame, no buffering;
+    *  2. marked positions are only the duplicated windows — usually a
+    *     tiny fraction — and ride a doc-keyed union with the token
+    *     stream, so the coverage pass is one doc-id shuffle of tokens
+    *     plus a streaming running-max frame (same shape as
+    *     [[dedupLines]]); the reassembly groupBy reuses that
+    *     partitioning;
+    *  3. everything per-row is codegen'd array/string ops — no UDFs.
+    */
+  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int = 50): DataFrame = {
+    val marked = markedWindows(docs, idCol, textCol, minTokens)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__orig"),
+      tokens(col(textCol)).as("__toks"))
+    val rebuilt = coveredKeepTokens(base, marked, minTokens)
+      .groupBy(col("id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+        " ").as("__text"))
+    val changed = marked.select(col("id")).distinct()
+      .withColumn("__hit", lit(true))
+    base.join(rebuilt, Seq("id"), "left").join(changed, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__hit"), coalesce(col("__text"), lit("")))
+          .otherwise(col("__orig")).as(textCol))
+  }
+
+  /** Corpus-level effect summary for [[dedupSubstrings]] at the same
+    * `minTokens`: one row of (docs, docs_changed, tokens_total,
+    * tokens_removed, windows_marked). Same two shuffles as the dedup
+    * itself; run it to size a cut before committing to one. */
+  def substringDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int = 50): DataFrame = {
+    val marked = markedWindows(docs, idCol, textCol, minTokens)
+    val base = docs.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__toks"))
+    val keptPerDoc = coveredKeepTokens(base, marked, minTokens)
+      .groupBy(col("id")).agg(count(lit(1)).as("kept"))
+    val changedTok = base
+      .join(marked.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), size(col("__toks")).cast("long").as("n"))
+      .join(keptPerDoc, Seq("id"), "left")
+      .agg(count(lit(1)).as("docs_changed"),
+        sum(col("n") - coalesce(col("kept"), lit(0L))).as("tokens_removed"))
+    val totals = base.agg(count(lit(1)).as("docs"),
+      sum(size(col("__toks"))).as("tokens_total"))
+    val nMarked = marked.agg(count(lit(1)).as("windows_marked"))
+    totals.crossJoin(changedTok).crossJoin(nMarked)
+      .select(col("docs"), col("docs_changed"), col("tokens_total"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        col("windows_marked"))
+  }
+
+  /** Duplicated `minTokens`-token windows: every (id, pos) whose gram
+    * digest has an earlier ((id, pos)-ordered) corpus occurrence. */
+  private def markedWindows(docs: DataFrame, idCol: String,
+                            textCol: String, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minTokens >= 2,
+      s"dedupSubstrings: minTokens must be >= 2, got $minTokens")
+    val grams = docs.select(col(idCol).as("id"),
+      posexplode(wordShingles(tokens(col(textCol)), minTokens))
+        .as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), unhex(md5(col("gram"))).as("gk"))
+    val firstSeen = Window.partitionBy(col("gk"))
+      .orderBy(col("id"), col("pos"))
+    grams.withColumn("rn", row_number().over(firstSeen))
+      .where(col("rn") > 1).select(col("id"), col("pos"))
+  }
+
+  /** Tokens that survive the cut: union the token stream with the
+    * marked window starts, run the streaming per-doc running max of
+    * window ends (mark rows sort BEFORE the token at the same
+    * position, so a window covers its own start), keep tokens past
+    * every end seen so far. Output: (id, pos, tok) of kept tokens. */
+  private def coveredKeepTokens(base: DataFrame, marked: DataFrame,
+                                minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = base.select(col("id"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .withColumn("kind", lit(1))
+    val u = toks.select(col("id"), col("pos"), col("kind"), col("tok"))
+      .unionByName(marked.select(col("id"), col("pos"), lit(0).as("kind"),
+        lit(null).cast("string").as("tok")))
+    val cover = Window.partitionBy(col("id"))
+      .orderBy(col("pos"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("covend",
+        max(when(col("kind") === 0, col("pos") + minTokens)).over(cover))
+      .where(col("kind") === 1 &&
+        (col("covend").isNull || col("pos") >= col("covend")))
+      .select(col("id"), col("pos"), col("tok"))
+  }
+
   /** Word n-gram shingles (n consecutive tokens joined by a space);
     * empty/short docs produce an empty array. A fused expression — the
     * transform(sequence)/slice/concat_ws composition is an interpreted

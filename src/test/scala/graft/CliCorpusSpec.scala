@@ -315,6 +315,30 @@ class CliCorpusSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("substring-dedup verb: stats sizes the cut, cut rewrites, unknown mode refused") {
+    val dir = Files.createTempDirectory("graft_cli_corpus_ssd_")
+    val root = Files.createTempDirectory("graft_cli_root_ssd_").toString
+    Seq((1L, "a b c d e"), (2L, "x a b c d e y"), (3L, "zz qq"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Cli.main(Array(root, "c1", "substring-dedup", s"$dir/docs", "stats", "3",
+      "--out", s"$dir/st_out"))
+    val st = spark.read.parquet(s"$dir/st_out")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // doc 2 contains doc 1's 5-token run: 5 tokens cut, 3 windows marked
+    assert(st == ((3L, 1L, 14L, 5L, 3L)))
+    Cli.main(Array(root, "c1", "substring-dedup", s"$dir/docs", "cut", "3",
+      "doc_id", "text", "--out", s"$dir/cu_out"))
+    val cu = spark.read.parquet(s"$dir/cu_out")
+      .as[(Long, String)].collect().toMap
+    assert(cu == Map(1L -> "a b c d e", 2L -> "x y", 3L -> "zz qq"))
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array(root, "c1", "substring-dedup", s"$dir/docs", "nope",
+        "--out", s"$dir/xx_out"))
+    }
+    assert(e.getMessage.contains("substring-dedup mode"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("readability, skew-report and silhouette verbs dispatch") {
     val dir = Files.createTempDirectory("graft_cli_corpus11_")
     val root = Files.createTempDirectory("graft_cli_root11_").toString

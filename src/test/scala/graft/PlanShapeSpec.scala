@@ -387,8 +387,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // kappa/alpha/BT folds: broadcast 1-row/domain-sized aggs
       "text/Labels.scala" -> 4,
       // containment validation mode (CAPPED exhaustive, documented) +
-      // two broadcast 1-row stats folds
-      "text/TextOps.scala" -> 3,
+      // two broadcast 1-row stats folds + substring-dedup stats folds
+      // (two 1-row agg sides)
+      "text/TextOps.scala" -> 5,
       // q_x_ann oracle harness (8-query broadcast) + near-dup 1-row agg
       "SparkEntry.scala" -> 2,
       // drift probe's exact-L2 ground truth: broadcast query side
@@ -412,6 +413,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"crossJoin sites changed: found=$found allowed=$allowed — bound the " +
         "new cross product (broadcast a 1-row/driver-sized side, or cap " +
         "and document a validation mode) and audit it into this allowlist")
+  }
+
+  test("substring dedup: reassembly agg reuses the coverage window's doc partitioning") {
+    val docs = (0 until 500).map(i =>
+        (i.toLong, if (i % 5 == 0) "a b c d e f g h" else s"u$i v$i w$i x$i y$i z$i q$i r$i"))
+      .toDF("doc_id", "text")
+    val q = graft.text.TextOps.dedupSubstrings(docs, "doc_id", "text", 3)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    // the wide work is two hash exchanges (gram key; doc id for the
+    // coverage window) plus the small rebuilt/changed join sides — a
+    // corpus-sized cross product or nested-loop join must never appear,
+    // and the groupBy after the coverage window must NOT re-shuffle
+    // (its hash(id) requirement is satisfied by the window's exchange:
+    // no exchange may sit between the covend Window and the collect
+    // agg above it)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    val aggIdx = plan.indexOf("collect_list")
+    // first window below the final agg = the covend coverage window
+    // (the gram row_number window sits deeper, inside the union child)
+    val winIdx = plan.indexOf("windowspecdefinition", aggIdx)
+    assert(aggIdx >= 0 && winIdx > aggIdx, plan.take(1500))
+    val between = plan.substring(aggIdx, winIdx)
+    assert(between.contains("covend"), plan.take(1500))
+    assert(!between.contains("Exchange"),
+      s"reassembly re-shuffled after the coverage window:\n$between")
   }
 
   test("parquet aggregate pushdown: count/min/max answer from footer stats") {
