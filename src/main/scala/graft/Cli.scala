@@ -48,6 +48,7 @@ import graft.serve.{Facade, HttpApi}
   * graft.Cli <root> <collection> privacy-audit <rows.parquet> [report|classes|ldiv|tclose] [quasiCol,quasiCol...] [k] [sensitiveCol] [t] [--out D]
   * graft.Cli <root> <collection> url-curate <urls.parquet> [canon|domain|dedup] [urlCol] [--out D]
   * graft.Cli <root> <collection> substring-dedup <docs.parquet> [stats|cut] [minTokens] [idCol] [textCol] [--out D]
+  * graft.Cli <root> <collection> substr-index <docs.parquet> <indexDir> [probe|ingest|status|compact] [minTokens] [targetBytes] [ttlMs] [--out D]
   * graft.Cli <root> <collection> readability <docs.parquet> [idCol] [textCol] [--out D]
   * graft.Cli <root> <collection> skew-report <rows.parquet> [keyCol,keyCol...] [targetRowsPerTask] [--out D]
   * graft.Cli <root> <collection> silhouette <vecs.parquet> [idCol] [vecCol] [labelCol] [dims] [--out D]
@@ -184,7 +185,7 @@ object Cli {
          | "rank-eval" | "winnow" | "corrupt" | "bitext" | "diversity"
          | "align" | "shard-audit" | "label-prop" | "winnow-index"
          | "label-audit" | "bradley-terry" | "privacy-audit"
-         | "url-curate" | "substring-dedup" | "readability"
+         | "url-curate" | "substring-dedup" | "substr-index" | "readability"
          | "skew-report" | "silhouette"
          | "data-card" | "zipf" | "novelty" | "curation"
          | "dedup-index" | "vec-index" =>
@@ -274,6 +275,10 @@ object Cli {
           case "substring-dedup" =>
             facade.substringDedup(inPath, p(1, "stats"), p(3, "doc_id"),
               p(4, "text"), p(2, "50").toInt)
+          case "substr-index" =>
+            facade.substrIndex(inPath, pos(1), p(2, "probe"),
+              minTokens = p(3, "50").toInt, targetBytes = p(4, "0").toLong,
+              ttlMs = p(5, graft.ops.Lease.DefaultTtlMs.toString).toLong)
           case "readability" =>
             facade.readability(inPath, p(1, "doc_id"), p(2, "text"))
           case "skew-report" =>

@@ -315,7 +315,7 @@ object SparkEntry {
     * correctness gate on every round. */
   val benchVerifyOnly: Set[String] = Set("q_x_stream_pipeline_compacted",
     "q_x_stream_pipeline_neardup_compacted", "q_x_stream_pipeline_managed",
-    "q_store_lease_writer")
+    "q_store_lease_writer", "q_x_substr_index")
 
   /** One-time bench warm-up for queries with PERSISTENT setup state:
     * builds the [[graft.text.DedupIndex]] for `dir` (the steady-state
@@ -2530,6 +2530,34 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", minTokens = 20)
     }),
 
+    // X: persisted substring-dedup index — the continuous-ingest form of
+    // q_x_dedup_substrings: the corpus arrives in two id-ordered batches,
+    // each cut against everything ingested before it; the unioned output
+    // hash-matches the one-shot batch operator (the sequential-ingest
+    // equivalence documented on graft.text.SubstrIndex). Inline requires
+    // prove the replay contract on live data: re-ingesting batch 2
+    // returns the identical cut and appends nothing.
+    "q_x_substr_index" -> ((s, dir) => {
+      import graft.text.SubstrIndex
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_substr_idx_q_").toString
+      val p = SubstrIndex.Params(minTokens = 20)
+      val cut1 = SubstrIndex.ingestBatch(
+        docs.where(col("doc_id") < half), idx, params = p).localCheckpoint()
+      val cut2 = SubstrIndex.ingestBatch(
+        docs.where(col("doc_id") >= half), idx, params = p).localCheckpoint()
+      val grams = s.read.parquet(s"$idx/grams").count()
+      val replay = SubstrIndex.ingestBatch(
+        docs.where(col("doc_id") >= half), idx, params = p)
+      require(replay.exceptAll(cut2).isEmpty && cut2.exceptAll(replay).isEmpty,
+        "q_x_substr_index: a replayed batch must return the identical cut")
+      require(s.read.parquet(s"$idx/grams").count() == grams,
+        "q_x_substr_index: a replayed batch must append nothing")
+      cut1.unionByName(cut2).select(col("id").as("doc_id"), col("text"))
+    }),
+
     // X: n-gram Jaccard similarity — exact pairwise over a probe subset
     "q_x_jaccard_pairs" -> ((s, dir) => {
       import graft.text.TextOps
@@ -4156,6 +4184,40 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS BIGINT) AS rank,
                 cand_id AS neighbor_id, round(cos, 4) + 0.0 AS cos
          FROM r WHERE rank <= 5"""
+
+  /** The substring-cut oracle, shared VERBATIM by `q_x_dedup_substrings`
+    * (one-shot batch operator) and `q_x_substr_index` (sequential
+    * id-ordered ingest through the persisted index) — the two are
+    * semantically identical by the first-occurrence argument documented
+    * on [[graft.text.SubstrIndex]], and sharing the SQL makes the gate
+    * prove it. */
+  private val SubstrCutSql: String =
+    """WITH d AS (SELECT doc_id, text,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+         FROM documents),
+         g AS (SELECT doc_id, s.pos AS pos, md5(s.gram) AS gk
+           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 19),
+               i -> {'pos': i - 1, 'gram': array_to_string(list_slice(toks, i, i + 19), ' ')})) AS s
+             FROM d WHERE len(toks) >= 20)),
+         m AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
+             FROM g) WHERE rn > 1),
+         u AS (SELECT doc_id, s.pos AS pos, 1 AS kind, s.tok AS tok
+           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                   i -> {'pos': i - 1, 'tok': toks[i]})) AS s FROM d)
+           UNION ALL
+           SELECT doc_id, pos, 0 AS kind, NULL AS tok FROM m),
+         c AS (SELECT doc_id, pos, kind, tok,
+             max(CASE WHEN kind = 0 THEN pos + 20 END)
+               OVER (PARTITION BY doc_id ORDER BY pos, kind
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covend
+           FROM u),
+         r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS newtext
+           FROM c WHERE kind = 1 AND (covend IS NULL OR pos >= covend) GROUP BY doc_id),
+         ch AS (SELECT DISTINCT doc_id FROM m)
+         SELECT d.doc_id,
+           CASE WHEN ch.doc_id IS NOT NULL THEN coalesce(r.newtext, '') ELSE d.text END AS text
+         FROM d LEFT JOIN r ON d.doc_id = r.doc_id LEFT JOIN ch ON d.doc_id = ch.doc_id"""
 
   def oracleSql: Map[String, String] = {
     val dup = oracleSqlHead.keySet.intersect(oracleSqlTail.keySet)
@@ -6300,33 +6362,12 @@ object SparkEntry {
          SELECT m.doc_id, coalesce(r.text, '') AS text
          FROM m LEFT JOIN r ON m.doc_id = r.doc_id""",
 
-    "q_x_dedup_substrings" ->
-      """WITH d AS (SELECT doc_id, text,
-           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-         FROM documents),
-         g AS (SELECT doc_id, s.pos AS pos, md5(s.gram) AS gk
-           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 19),
-               i -> {'pos': i - 1, 'gram': array_to_string(list_slice(toks, i, i + 19), ' ')})) AS s
-             FROM d WHERE len(toks) >= 20)),
-         m AS (SELECT doc_id, pos FROM (
-             SELECT doc_id, pos, row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn
-             FROM g) WHERE rn > 1),
-         u AS (SELECT doc_id, s.pos AS pos, 1 AS kind, s.tok AS tok
-           FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
-                   i -> {'pos': i - 1, 'tok': toks[i]})) AS s FROM d)
-           UNION ALL
-           SELECT doc_id, pos, 0 AS kind, NULL AS tok FROM m),
-         c AS (SELECT doc_id, pos, kind, tok,
-             max(CASE WHEN kind = 0 THEN pos + 20 END)
-               OVER (PARTITION BY doc_id ORDER BY pos, kind
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covend
-           FROM u),
-         r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS newtext
-           FROM c WHERE kind = 1 AND (covend IS NULL OR pos >= covend) GROUP BY doc_id),
-         ch AS (SELECT DISTINCT doc_id FROM m)
-         SELECT d.doc_id,
-           CASE WHEN ch.doc_id IS NOT NULL THEN coalesce(r.newtext, '') ELSE d.text END AS text
-         FROM d LEFT JOIN r ON d.doc_id = r.doc_id LEFT JOIN ch ON d.doc_id = ch.doc_id""",
+    "q_x_dedup_substrings" -> SubstrCutSql,
+
+    // the persisted-index form is semantically IDENTICAL to the batch
+    // operator (sequential id-ordered ingest == global first-occurrence
+    // rule), so it shares the oracle verbatim
+    "q_x_substr_index" -> SubstrCutSql,
 
     "q_x_substring_stats" ->
       """WITH d AS (SELECT doc_id, text,

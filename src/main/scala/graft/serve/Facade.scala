@@ -525,6 +525,38 @@ final class Facade(spark: SparkSession, root: String, collection: String) {
       s"url-curate mode '$other' (expected canon|domain|dedup)")
   }
 
+  /** Persisted exact-substring index (`graft.text.SubstrIndex`):
+    * "ingest" cuts a batch against everything ever ingested and grows
+    * the index; "probe" cuts without growing it; "status" reports the
+    * maintenance policy; "compact" folds the gram table (lease-held). */
+  def substrIndex(inPath: String, indexDir: String, mode: String = "probe",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  minTokens: Int = 50, targetBytes: Long = 0L,
+                  ttlMs: Long = graft.ops.Lease.DefaultTtlMs): DataFrame = {
+    import spark.implicits._
+    val p = graft.text.SubstrIndex.Params(minTokens)
+    mode match {
+      case "probe" =>
+        graft.text.SubstrIndex.probeBatch(corpus(inPath), indexDir,
+          idCol, textCol, p)
+      case "ingest" =>
+        graft.text.SubstrIndex.ingestBatch(corpus(inPath), indexDir,
+          idCol, textCol, p)
+      case "status" =>
+        graft.text.SubstrIndex.maintenanceDue(spark, indexDir,
+          targetBytes = targetBytes)
+      case "compact" =>
+        graft.text.SubstrIndex.compact(spark, indexDir, targetBytes, ttlMs)
+          .map(s => Seq(("grams", s.filesBefore, s.bytesBefore,
+            s.filesAfter, s.bytesAfter)))
+          .getOrElse(Seq.empty[(String, Long, Long, Long, Long)])
+          .toDF("component", "files_before", "bytes_before",
+            "files_after", "bytes_after")
+      case other => throw new IllegalArgumentException(
+        s"substr-index mode '$other' (expected probe|ingest|status|compact)")
+    }
+  }
+
   /** Exact substring dedup (`graft.text.TextOps.dedupSubstrings`):
     * "cut" rewrites the corpus with every duplicated >=minTokens-token
     * span removed at all but its first occurrence; "stats" returns the

@@ -172,10 +172,20 @@ object TextOps {
     *  3. everything per-row is codegen'd array/string ops — no UDFs.
     */
   def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
-                      minTokens: Int = 50): DataFrame = {
-    val marked = markedWindows(docs, idCol, textCol, minTokens)
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("__orig"),
-      tokens(col(textCol)).as("__toks"))
+                      minTokens: Int = 50): DataFrame =
+    rebuildFromMarks(
+      docs.select(col(idCol).as("id"), col(textCol).as("__orig"),
+        tokens(col(textCol)).as("__toks")),
+      markedWindows(docs, idCol, textCol, minTokens), minTokens, textCol)
+
+  /** The cut-and-reassemble tail shared with [[SubstrIndex]]: given
+    * `base` = (id, __orig, __toks) and `marked` = (id, pos) duplicated
+    * window starts (duplicate mark rows tolerated — the running max
+    * absorbs them), rebuild every marked doc from its surviving tokens
+    * and pass every unmarked doc through verbatim. Output (id, textCol). */
+  private[text] def rebuildFromMarks(base: DataFrame, marked: DataFrame,
+                                     minTokens: Int,
+                                     textCol: String): DataFrame = {
     val rebuilt = coveredKeepTokens(base, marked, minTokens)
       .groupBy(col("id"))
       .agg(array_join(

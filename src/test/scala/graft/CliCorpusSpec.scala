@@ -339,6 +339,40 @@ class CliCorpusSpec extends AnyFunSuite {
     assert(!spark.sparkContext.isStopped)
   }
 
+  test("substr-index verb: ingest cuts and grows, probe is pure, status/compact maintain") {
+    val dir = Files.createTempDirectory("graft_cli_corpus_sidx_")
+    val root = Files.createTempDirectory("graft_cli_root_sidx_").toString
+    val idx = s"$dir/idx"
+    Seq((1L, "a b c d e")).toDF("doc_id", "text").write.parquet(s"$dir/b1")
+    Seq((2L, "x a b c d e y"), (3L, "zz qq ww"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/b2")
+    Cli.main(Array(root, "c1", "substr-index", s"$dir/b1", idx, "ingest", "3",
+      "--out", s"$dir/i1_out"))
+    Cli.main(Array(root, "c1", "substr-index", s"$dir/b2", idx, "probe", "3",
+      "--out", s"$dir/p_out"))
+    val probed = spark.read.parquet(s"$dir/p_out")
+      .as[(Long, String)].collect().toMap
+    assert(probed == Map(2L -> "x y", 3L -> "zz qq ww"))
+    Cli.main(Array(root, "c1", "substr-index", s"$dir/b2", idx, "ingest", "3",
+      "--out", s"$dir/i2_out"))
+    Cli.main(Array(root, "c1", "substr-index", s"$dir/b2", idx, "status", "3",
+      "--out", s"$dir/st_out"))
+    val st = spark.read.parquet(s"$dir/st_out").head()
+    assert(st.getString(0) == "grams" && st.getLong(1) >= 1L)
+    Cli.main(Array(root, "c1", "substr-index", s"$dir/b2", idx, "compact", "3",
+      "--out", s"$dir/cp_out"))
+    val cp = spark.read.parquet(s"$dir/cp_out").head()
+    assert(cp.getString(0) == "grams" &&
+      cp.getLong(cp.fieldIndex("files_after")) <=
+        cp.getLong(cp.fieldIndex("files_before")))
+    val e = intercept[IllegalArgumentException] {
+      Cli.main(Array(root, "c1", "substr-index", s"$dir/b2", idx, "nope",
+        "--out", s"$dir/xx_out"))
+    }
+    assert(e.getMessage.contains("substr-index mode"))
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("readability, skew-report and silhouette verbs dispatch") {
     val dir = Files.createTempDirectory("graft_cli_corpus11_")
     val root = Files.createTempDirectory("graft_cli_root11_").toString

@@ -118,6 +118,39 @@ class LeaseTwoProcessSpec extends AnyFunSuite {
     } finally if (child.isAlive) child.destroyForcibly(): Unit
   }
 
+  test("parity store vs a REAL second process: ingest/stage refuse while the other JVM holds the root lease, run once it releases") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val root = tmpDir()
+    val store = new graft.store.Store(spark, root, "c2p")
+    store.initialize()
+    val df = Seq((1, "a"), (2, "b")).toDF("row", "label")
+    store.ingest(df, "1.1",
+      ingestTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    // a real second JVM holds the STORE ROOT lease for 6 s
+    val child = fork(root, "hold-release", "6000", "600000")
+    try {
+      awaitMarker(root)
+      val e1 = intercept[IllegalStateException] {
+        store.ingest(df, "2.1",
+          ingestTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      }
+      assert(e1.getMessage.contains("another process"))
+      val e2 = intercept[IllegalStateException] { store.stage() }
+      assert(e2.getMessage.contains("another process"))
+      // reads stay lease-free while the foreign writer lives
+      assert(store.readLog().count() == 1L)
+      assert(child.waitFor(60, TimeUnit.SECONDS) && child.exitValue() == 0)
+      // writer gone (released): the refused verbs run now, data intact
+      store.ingest(df, "2.1",
+        ingestTs = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      store.stage()
+      assert(!Files.exists(marker(root)),
+        "every store verb must release the lease on the way out")
+      assert(store.readProd().count() == 4L)
+    } finally if (child.isAlive) child.destroyForcibly(): Unit
+  }
+
   test("two processes racing acquire: exactly one wins") {
     val dir = tmpDir()
     val c1 = fork(dir, "contend", "0", "600000")
