@@ -460,6 +460,11 @@ object DedupIndex {
           .localCheckpoint()
       } else survivors
     val appended = fresh.count()
+    // re-fence at the write boundary: the probe's shuffles/checkpoints
+    // sit between the batch-entry fence and the appends — a writer
+    // stalled past the TTL in that window aborts HERE, before a zombie
+    // append lands under a reclaimed lease
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     if (appended > 0)
       // corpus keeps the caller's full row shape, id-sorted within each
       // file for the presence pushdown above

@@ -40,12 +40,17 @@ import org.apache.spark.sql.functions._
   * (oracle-gated as `q_x_substr_index`).
   *
   * Replay safety: the index stores each gram's first-occurrence ID, and
-  * the probe marks only FOREIGN hits (`index id != batch id`). A
+  * the INGEST path marks only FOREIGN hits (`index id != batch id`) —
+  * which presumes the ingest id-uniqueness contract (an id seen again
+  * IS a replay of the same doc, never a new doc reusing an old id). A
   * replayed batch — even one whose first run crashed mid-append — finds
   * its own grams under its own ids: own hits are kept (not cut) and not
   * re-appended; grams the crash lost are appended; the returned cut is
   * identical. The same own-id rule makes the returned frame safe to
-  * evaluate lazily AFTER the append has landed.
+  * evaluate lazily AFTER the append has landed. The pure PROBE path
+  * ([[probeBatch]]) deliberately does NOT apply the rule: a probe
+  * frame's id space is independent of the corpus's, so an id collision
+  * there is coincidence and every index hit counts as a duplicate.
   *
   * Maintenance mirrors the other persisted indexes: per-batch appends
   * accumulate small files; [[maintenanceDue]] reports the fs-metadata
@@ -102,7 +107,13 @@ object SubstrIndex {
       if (cached._2 == fp) return Some(cached._1)
       paramsCache.remove(indexDir)
     }
-    if (fp.isEmpty) None
+    // a params dir with no COMMITTED data file (a first ingest that
+    // crashed mid-pin left _temporary/ or a partial part) is ABSENT,
+    // not corrupt: reading it would wedge every later open on an
+    // opaque schema-inference error, where the grams table heals from
+    // exactly this crash class — checkOrWriteParams clears the residue
+    // and re-pins
+    if (fp.isEmpty || !hasData(spark, s"$indexDir/params")) None
     else {
       val l = spark.read.parquet(s"$indexDir/params")
         .head().getAs[Int]("min_tokens")
@@ -128,6 +139,11 @@ object SubstrIndex {
           s"SubstrIndex at $indexDir was built with minTokens = $stored; " +
             s"cutting with ${p.minTokens} would produce wrong cuts")
       case None =>
+        // clear a crashed first pin's residue (uncommitted dir) so the
+        // rewrite does not die on "path already exists"
+        val (f, _) = fs(spark, indexDir)
+        val pdir = new org.apache.hadoop.fs.Path(s"$indexDir/params")
+        if (f.exists(pdir)) f.delete(pdir, true): Unit
         Seq(p.minTokens).toDF("min_tokens")
           .coalesce(1).write.parquet(s"$indexDir/params")
         paramsCache.put(indexDir,
@@ -139,11 +155,22 @@ object SubstrIndex {
 
   /** (base, marked, toAppend) for one batch, all CHECKPOINTED where
     * consumed more than once: base = (id, __orig, __toks), marked =
-    * duplicated window starts (in-batch rn > 1, plus FOREIGN index
-    * hits), toAppend = grams new to the corpus (in-batch firsts absent
-    * from the index) with their first-occurrence id. */
+    * duplicated window starts (in-batch rn > 1, plus index hits),
+    * toAppend = grams new to the corpus (in-batch firsts absent from
+    * the index) with their first-occurrence id.
+    *
+    * `excludeOwnIds` controls whether an index hit whose stored
+    * first-occurrence id EQUALS the probing doc's id counts as a
+    * duplicate. The INGEST path must exclude them — that is the replay
+    * convergence rule, and it presumes the ingest id-uniqueness
+    * contract (every ingested batch carries ids never ingested before;
+    * an id seen again IS a replay of the same doc). The pure PROBE path
+    * must NOT: a probe frame's id space is independent of the corpus's
+    * (an eval set and a training corpus both numbering docs from 1 is
+    * the normal case), so an id collision there is coincidence and
+    * skipping the hit would silently under-cut the decontamination. */
   private def probeCore(batch: DataFrame, indexDir: String, idCol: String,
-                        textCol: String, p: Params)
+                        textCol: String, p: Params, excludeOwnIds: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     Seq("__orig", "__toks", "__idx_id").foreach(c =>
@@ -177,12 +204,14 @@ object SubstrIndex {
     // evaluates lazily after the append — the own-id rule keeps that
     // correct, the checkpoint keeps it from re-probing)
     val joined = firsts.join(idx, Seq("gk"), "left").localCheckpoint()
-    val foreignHits = joined
-      .where(col("__idx_id").isNotNull && col("__idx_id") =!= col("id"))
+    val idxHits = joined.where(
+      if (excludeOwnIds)
+        col("__idx_id").isNotNull && col("__idx_id") =!= col("id")
+      else col("__idx_id").isNotNull)
       .select(col("id"), col("pos"))
     val toAppend = joined.where(col("__idx_id").isNull)
       .select(col("gk"), col("id"))
-    (base, inBatch.unionByName(foreignHits), toAppend)
+    (base, inBatch.unionByName(idxHits), toAppend)
   }
 
   /** Cut `batch` against everything ever ingested WITHOUT growing the
@@ -194,7 +223,8 @@ object SubstrIndex {
                  params: Params = Params()): DataFrame = {
     val spark = batch.sparkSession
     checkParams(spark, indexDir, params)
-    val (base, marked, _) = probeCore(batch, indexDir, idCol, textCol, params)
+    val (base, marked, _) = probeCore(batch, indexDir, idCol, textCol,
+      params, excludeOwnIds = false)
     TextOps.rebuildFromMarks(base, marked, params.minTokens, textCol)
   }
 
@@ -210,7 +240,14 @@ object SubstrIndex {
     graft.ops.Lease.fenceIfLost(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
     val (base, marked, toAppend) =
-      probeCore(batch, indexDir, idCol, textCol, params)
+      probeCore(batch, indexDir, idCol, textCol, params,
+        excludeOwnIds = true)
+    // re-fence at the write boundary: the probe's shuffles and
+    // checkpoints sit between the batch-entry fence above and this
+    // append — a writer stalled past the TTL in that window must abort
+    // HERE, before its zombie append lands under a reclaimed lease
+    // (the next-batch fence would fire only after the damage)
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     toAppend.sortWithinPartitions(col("gk"))
       .write.mode("append")
       .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)

@@ -182,17 +182,26 @@ object TextOps {
     * `base` = (id, __orig, __toks) and `marked` = (id, pos) duplicated
     * window starts (duplicate mark rows tolerated — the running max
     * absorbs them), rebuild every marked doc from its surviving tokens
-    * and pass every unmarked doc through verbatim. Output (id, textCol). */
+    * and pass every unmarked doc through verbatim. Output (id, textCol).
+    *
+    * Only MARKED docs enter the explode/coverage/reassembly path (a
+    * semi-join against the distinct marked ids up front): on a typical
+    * corpus a few percent of docs carry duplicated spans, and exploding
+    * the other ~95% only to throw their rebuilt text away at the
+    * passthrough would make the doc-id shuffle corpus-sized instead of
+    * changed-doc-sized. */
   private[text] def rebuildFromMarks(base: DataFrame, marked: DataFrame,
                                      minTokens: Int,
                                      textCol: String): DataFrame = {
-    val rebuilt = coveredKeepTokens(base, marked, minTokens)
+    val changed = marked.select(col("id")).distinct()
+      .withColumn("__hit", lit(true))
+    val changedBase = base
+      .join(changed.select(col("id")), Seq("id"), "left_semi")
+    val rebuilt = coveredKeepTokens(changedBase, marked, minTokens)
       .groupBy(col("id"))
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
         " ").as("__text"))
-    val changed = marked.select(col("id")).distinct()
-      .withColumn("__hit", lit(true))
     base.join(rebuilt, Seq("id"), "left").join(changed, Seq("id"), "left")
       .select(col("id"),
         when(col("__hit"), coalesce(col("__text"), lit("")))
@@ -208,10 +217,13 @@ object TextOps {
     val marked = markedWindows(docs, idCol, textCol, minTokens)
     val base = docs.select(col(idCol).as("id"),
       tokens(col(textCol)).as("__toks"))
-    val keptPerDoc = coveredKeepTokens(base, marked, minTokens)
-      .groupBy(col("id")).agg(count(lit(1)).as("kept"))
-    val changedTok = base
+    // the coverage pass runs over MARKED docs only (the rebuildFromMarks
+    // semi-join discipline): unmarked docs contribute zero removals
+    val changedBase = base
       .join(marked.select(col("id")).distinct(), Seq("id"), "left_semi")
+    val keptPerDoc = coveredKeepTokens(changedBase, marked, minTokens)
+      .groupBy(col("id")).agg(count(lit(1)).as("kept"))
+    val changedTok = changedBase
       .select(col("id"), size(col("__toks")).cast("long").as("n"))
       .join(keptPerDoc, Seq("id"), "left")
       .agg(count(lit(1)).as("docs_changed"),

@@ -300,6 +300,10 @@ object WinnowIndex {
       } else fresh0
     val rows = fpRows(fresh, idCol, textCol, params).localCheckpoint()
     val n = rows.select(col("id")).distinct().count()
+    // re-fence at the write boundary: a writer stalled past the TTL in
+    // the probe/checkpoint work above aborts HERE, before a zombie
+    // append lands under a reclaimed lease
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     if (n > 0) {
       // fp FIRST, manifest second: a crash in between lets the replay
       // re-append fp rows (harmless duplicates — probeBatch dedups its

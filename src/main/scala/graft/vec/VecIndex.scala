@@ -98,6 +98,9 @@ object VecIndex {
       .withColumn("list_id",
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
       .localCheckpoint() // one assignment pass feeds write AND stat delta
+    // write-boundary re-fence: a writer stalled past the TTL in the
+    // assignment/checkpoint work aborts before a zombie append lands
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     assigned.write.mode("append").partitionBy("list_id")
       .parquet(s"$indexDir/lists")
     mergeStatCounts(spark, indexDir,
@@ -206,6 +209,8 @@ object VecIndex {
       .withColumn("residual",
         zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
       .localCheckpoint() // one assignment pass feeds write AND stat delta
+    // write-boundary re-fence (see append's note)
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     VectorOps.pqEncode(resid, "id", "residual", model)
       .join(resid.select(col("id"), col("list_id")), "id")
       .write.mode("append").partitionBy("list_id")
@@ -405,6 +410,8 @@ object VecIndex {
       .select(col("id"), Quantize.sq8Encode(col("vec"), model).as("codes"),
         col("list_id"))
       .localCheckpoint()
+    // write-boundary re-fence (see append's note)
+    graft.ops.Lease.fenceIfLost(spark, indexDir)
     assigned.write.mode("append").partitionBy("list_id")
       .parquet(s"$indexDir/lists")
     mergeStatCounts(spark, indexDir,

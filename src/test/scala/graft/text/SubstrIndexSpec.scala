@@ -120,6 +120,33 @@ class SubstrIndexSpec extends AnyFunSuite {
       docsDf(batch1 ++ batch2), "doc_id", "text", 3)))
   }
 
+  test("probeBatch ignores id collisions: a probe doc reusing a corpus id still gets cut") {
+    val dir = tmp()
+    SubstrIndex.ingestBatch(docsDf(batch1), dir, params = P).count()
+    // the eval set numbers its docs from 1 too — id 1 collides with the
+    // corpus doc that owns the span's first occurrence
+    val eval = docsDf(Seq(1L -> "a b c d e", 2L -> "clean eval row"))
+    val got = cutMap(SubstrIndex.probeBatch(eval, dir, params = P))
+    assert(got(1L) == "", "an id collision must not skip the cut on a pure probe")
+    assert(got(2L) == "clean eval row")
+  }
+
+  test("a first pin that crashed mid-write (uncommitted params residue) heals on the next ingest") {
+    val dir = tmp()
+    val residue = java.nio.file.Paths.get(dir, "params", "_temporary", "0")
+    java.nio.file.Files.createDirectories(residue)
+    java.nio.file.Files.write(residue.resolve("junk"), "x".getBytes("UTF-8"))
+    // the wedge would be an opaque schema-inference error here
+    val got = cutMap(SubstrIndex.ingestBatch(docsDf(batch1), dir, params = P))
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // and the re-pin is real: a different minTokens now refuses
+    val e = intercept[IllegalArgumentException] {
+      SubstrIndex.probeBatch(docsDf(batch2), dir,
+        params = SubstrIndex.Params(minTokens = 4)).count()
+    }
+    assert(e.getMessage.contains("minTokens"))
+  }
+
   test("params pin: a different minTokens is refused on reopen") {
     val dir = tmp()
     SubstrIndex.ingestBatch(docsDf(batch1), dir, params = P).count()
