@@ -1293,11 +1293,15 @@ object StreamOps {
         val dir = s"$sampleDir/params"
         val p = new org.apache.hadoop.fs.Path(dir)
         val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a params dir with no COMMITTED file (a first pin that crashed
+        // mid-write) is ABSENT, not corrupt: clear the residue and
+        // re-pin instead of wedging on a schema-inference error
         val s0 =
-          if (fsys.exists(p)) {
+          if (graft.ops.FsPaths.committedPartCount(fsys, p) > 0) {
             val r = spark.read.parquet(dir).head()
             (r.getAs[Int]("k"), r.getAs[String]("salt"))
           } else {
+            if (fsys.exists(p)) fsys.delete(p, true): Unit
             Seq((k, salt)).toDF("k", "salt").coalesce(1).write.parquet(dir)
             (k, salt)
           }
@@ -1319,7 +1323,9 @@ object StreamOps {
     val dir = s"$sampleDir/params"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fsys.exists(p)) None
+    // uncommitted residue (crashed first pin) reads as absent — the
+    // pre-pinning behavior — instead of wedging the render
+    if (graft.ops.FsPaths.committedPartCount(fsys, p) == 0) None
     else {
       val r = spark.read.parquet(dir).head()
       val s0 = (r.getAs[Int]("k"), r.getAs[String]("salt"))

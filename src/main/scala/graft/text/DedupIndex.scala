@@ -102,7 +102,11 @@ object DedupIndex {
       if (cached._2 == fp) return Some(cached._1)
       paramsCache.remove(indexDir)
     }
-    if (fp.isEmpty) None
+    // a params dir with no COMMITTED file (a first pin that crashed
+    // mid-write) is ABSENT, not corrupt — reading it would wedge every
+    // later open on a schema-inference error; checkOrWriteParams clears
+    // the residue and re-pins
+    if (fp.isEmpty || !hasData(spark, s"$indexDir/params")) None
     else {
       val r = spark.read.parquet(s"$indexDir/params").head()
       val s0 = (r.getAs[Int]("shingle_n"), r.getAs[Int]("num_perm"),
@@ -134,6 +138,11 @@ object DedupIndex {
             s"$stored; probing with ${(p.shingleN, p.numPerm, p.bands, p.nMods)} " +
             "would silently miss duplicates")
       case None =>
+        // clear a crashed first pin's residue (uncommitted dir) so the
+        // rewrite does not die on "path already exists"
+        val pdir = new org.apache.hadoop.fs.Path(s"$indexDir/params")
+        val fsys = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fsys.exists(pdir)) fsys.delete(pdir, true): Unit
         Seq((p.shingleN, p.numPerm, p.bands, p.nMods))
           .toDF("shingle_n", "num_perm", "bands", "n_mods")
           .coalesce(1).write.parquet(s"$indexDir/params")

@@ -129,7 +129,11 @@ object WinnowIndex {
       if (cached != null && cached._2 == fpNow) Some(cached._1)
       else {
         if (cached != null) paramsCache.remove(indexDir)
-        if (fpNow.nonEmpty) {
+        // a params dir with no COMMITTED file (a first pin that crashed
+        // mid-write) is ABSENT, not corrupt — reading it would wedge
+        // every later open on a schema-inference error; the None branch
+        // clears the residue and re-pins
+        if (fpNow.nonEmpty && graft.ops.FsPaths.committedPartCount(fsys, hp) > 0) {
           val r = spark.read.parquet(dir).head()
           val s0 = (r.getAs[Int]("k"), r.getAs[Int]("w"), r.getAs[Int]("n_mods"))
           paramsCache.put(indexDir, (s0, fpNow))
@@ -142,6 +146,7 @@ object WinnowIndex {
           s"WinnowIndex at $indexDir was built with (k, w, nMods) = $s; " +
             s"probing with ${(p.k, p.w, p.nMods)} would silently miss passages")
       case None =>
+        if (fsys.exists(hp)) fsys.delete(hp, true): Unit
         Seq((p.k, p.w, p.nMods)).toDF("k", "w", "n_mods")
           .coalesce(1).write.parquet(dir)
         paramsCache.put(indexDir, ((p.k, p.w, p.nMods), fingerprint()))

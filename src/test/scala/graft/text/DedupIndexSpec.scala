@@ -286,6 +286,25 @@ class DedupIndexSpec extends AnyFunSuite {
       spark.read.parquet(s"$index/bands").where($"id" === 3L).count())
   }
 
+  test("params pin: a first pin that crashed mid-write (uncommitted residue) heals on the next ingest") {
+    val (corpus, index) = dirs()
+    val residue = java.nio.file.Paths.get(index, "params", "_temporary", "0")
+    java.nio.file.Files.createDirectories(residue)
+    java.nio.file.Files.write(residue.resolve("junk"), "x".getBytes("UTF-8"))
+    // the wedge would be an opaque schema-inference error here
+    assert(DedupIndex.ingestBatch(
+      Seq((1L, tA, "s1")).toDF("doc_id", "text", "source"),
+      corpus, index) == 1L)
+    // and the re-pin is real: different params now refuse
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.probeBatch(
+        Seq((2L, tB, "s1")).toDF("doc_id", "text", "source"),
+        spark.read.parquet(corpus), index,
+        params = DedupIndex.Params(shingleN = 5))
+    }
+    assert(e.getMessage.contains("was built with"))
+  }
+
   test("params pin: an out-of-band rebuild (another process) is re-read, not validated from the stale cached pin") {
     val (corpus, index) = dirs()
     // pins the default params in this JVM's memo

@@ -58,6 +58,22 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(pairs == Set(1L, 2L)) // each corpus doc indexed exactly once
   }
 
+  test("a first pin that crashed mid-write (uncommitted params residue) heals on the next ingest") {
+    val dir = tmp()
+    val residue = java.nio.file.Paths.get(dir, "params", "_temporary", "0")
+    java.nio.file.Files.createDirectories(residue)
+    java.nio.file.Files.write(residue.resolve("junk"), "x".getBytes("UTF-8"))
+    // the wedge would be an opaque schema-inference error here
+    assert(WinnowIndex.ingestBatch(spark, dir, corpusDocs,
+      "doc_id", "text") == 3)
+    // and the re-pin is real: different params now refuse
+    val e = intercept[IllegalArgumentException] {
+      WinnowIndex.probeBatch(spark, dir, corpusDocs, "doc_id", "text",
+        params = WinnowIndex.Params(k = 3, w = 2))
+    }
+    assert(e.getMessage.contains("was built with"))
+  }
+
   test("probing with different winnowing params throws") {
     val dir = tmp()
     WinnowIndex.ingestBatch(spark, dir, corpusDocs, "doc_id", "text",
