@@ -151,6 +151,32 @@ class LeaseTwoProcessSpec extends AnyFunSuite {
     } finally if (child.isAlive) child.destroyForcibly(): Unit
   }
 
+  test("substr index vs a REAL second process: compact refuses while the other JVM holds the lease; lease-free ingest keeps working") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val idx = tmpDir()
+    val p = graft.text.SubstrIndex.Params(minTokens = 3)
+    graft.text.SubstrIndex.ingestBatch(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), idx, params = p).count()
+    val child = fork(idx, "hold-release", "6000", "600000")
+    try {
+      awaitMarker(idx)
+      val e = intercept[IllegalStateException] {
+        graft.text.SubstrIndex.compact(spark, idx)
+      }
+      assert(e.getMessage.contains("another process"))
+      // lease-FREE ingest keeps working under the foreign holder (it
+      // never acquired, so it is never fenced — the writer contract is
+      // the caller's; only maintenance must quiesce)
+      graft.text.SubstrIndex.ingestBatch(
+        Seq((2L, "f g h i j")).toDF("doc_id", "text"), idx, params = p).count()
+      assert(child.waitFor(60, TimeUnit.SECONDS) && child.exitValue() == 0)
+      // holder released: maintenance folds now and releases after
+      assert(graft.text.SubstrIndex.compact(spark, idx).nonEmpty)
+      assert(!Files.exists(marker(idx)))
+    } finally if (child.isAlive) child.destroyForcibly(): Unit
+  }
+
   test("two processes racing acquire: exactly one wins") {
     val dir = tmpDir()
     val c1 = fork(dir, "contend", "0", "600000")
