@@ -2565,10 +2565,14 @@ object SparkEntry {
         .where(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("doc_id"),
           array_distinct(TextOps.tokens(col("text"))).as("st"))
+      // |A ∪ B| = |A| + |B| - |A ∩ B| (array_distinct'ed token sets):
+      // one hash-set pass per pair instead of two across the quadratic
+      // probe-pair space
       sub.as("a").join(sub.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("__inter", size(array_intersect(col("a.st"), col("b.st"))))
         .withColumn("jaccard",
-          size(array_intersect(col("a.st"), col("b.st"))).cast("double") /
-            size(array_union(col("a.st"), col("b.st"))).cast("double"))
+          col("__inter").cast("double") /
+            (size(col("a.st")) + size(col("b.st")) - col("__inter")).cast("double"))
         .where(col("jaccard") >= 0.4)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           round(col("jaccard"), 4).as("jaccard"))
@@ -2583,10 +2587,12 @@ object SparkEntry {
       val sub = docs.where(pmod(col("doc_id"), lit(50)) === 0)
         .select(col("doc_id"),
           array_distinct(TextOps.tokens(col("text"))).as("st"))
+      // same union-size arithmetic as q_x_jaccard_pairs
       val pairs = sub.as("a").join(sub.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("__inter", size(array_intersect(col("a.st"), col("b.st"))))
         .withColumn("jaccard",
-          size(array_intersect(col("a.st"), col("b.st"))).cast("double") /
-            size(array_union(col("a.st"), col("b.st"))).cast("double"))
+          col("__inter").cast("double") /
+            (size(col("a.st")) + size(col("b.st")) - col("__inter")).cast("double"))
         .where(col("jaccard") >= 0.3)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       val assignments = docs.select(col("doc_id"),

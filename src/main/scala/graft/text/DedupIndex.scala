@@ -205,11 +205,15 @@ object DedupIndex {
       .partitionBy(TextOps.fingerprintMd5(col(textCol))).orderBy(col(idCol))
     val collapsed = batch.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    // checkpoint: the signed batch is consumed FOUR times downstream
-    // (band probe, signature join, shingle-set verify, final anti-join);
-    // without truncation each consumer re-runs the MinHash signing —
-    // the single most expensive per-row step — 4x over
-    val sigs = batchSignatures(collapsed, textCol, params).localCheckpoint()
+    // the signed batch is consumed FOUR times downstream (band probe,
+    // signature join, shingle-set verify, final anti-join); without
+    // truncation each consumer re-runs the MinHash signing — the single
+    // most expensive per-row step — 4x over. batchSignatures ends with
+    // the localCheckpoint that provides exactly that truncation; the
+    // second checkpoint this call used to add on top re-materialized
+    // the already-pinned frame into a second block set — one wasted
+    // job + block write per micro-batch
+    val sigs = batchSignatures(collapsed, textCol, params)
 
     // exact probe: fp anti-join — the index side streams through its
     // scan, the (small) batch is the build side. When the fp table has
@@ -332,7 +336,10 @@ object DedupIndex {
             TextOps.wordShingles(TextOps.tokens(col(textCol)), params.shingleN)).as("sset_r"))
         estimated.join(lSets, "id_l").join(rSets, "id_r")
           .withColumn("inter", size(array_intersect(col("sset_l"), col("sset_r"))))
-          .withColumn("uni", size(array_union(col("sset_l"), col("sset_r"))))
+          // |A ∪ B| = |A| + |B| - |A ∩ B| (both sides array_distinct'ed):
+          // one hash-set pass per pair instead of two
+          .withColumn("uni",
+            size(col("sset_l")) + size(col("sset_r")) - col("inter"))
           .where(col("uni") > 0 &&
             col("inter").cast("double") / col("uni") >= params.threshold)
           .select(col("id_r")).distinct()

@@ -345,6 +345,14 @@ object TextOps {
     // signature-agreement estimate: unbiased Jaccard estimator, 64 longs
     // per side instead of the full shingle sets
     val sigs = withSig.select(col("id"), col("sig"))
+    // pinned: the surviving pair set feeds THREE consumers (the two
+    // survivor-id branches and the verify join) — left lazy, the whole
+    // candidate+estimate subtree (bucket aggregation, distinct, two
+    // signature joins) is PLANNED 3x into one consumer query, and each
+    // copy becomes its own chain of AQE stages (measured: 52 Exchange
+    // nodes for one call, no ReusedExchange in the initial plan). The
+    // pair set is small by construction (bucket-capped), so the pin is
+    // one cheap job that collapses ~2/3 of the query's stages.
     val estimated = candidates
       .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
@@ -354,6 +362,7 @@ object TextOps {
           lit(0), (acc, v) => acc + v).cast("double") / numPerm)
       .where(col("est") >= threshold * 0.5)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     // exact-verify sets: computed ONLY for ids that appear in surviving
     // candidate pairs (a left-semi probe), not for the whole corpus
     val survivorIds = estimated.select(col("id_a").as("id"))
@@ -364,9 +373,13 @@ object TextOps {
     estimated
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sset", "set_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sset", "set_b"), "id_b")
+      // |A ∪ B| = |A| + |B| - |A ∩ B| (sets are array_distinct'ed):
+      // one hash-set pass per pair instead of two, and no union array
+      // is ever materialized
+      .withColumn("__inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+        col("__inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("__inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -564,9 +577,11 @@ object TextOps {
     estimated
       .join(lSets.select(col("id").as("id_l"), col("sset").as("set_l")), "id_l")
       .join(rSets.select(col("id").as("id_r"), col("sset").as("set_r")), "id_r")
+      // |A ∪ B| arithmetic identity — see minhashDedupPairs's verify
+      .withColumn("__inter", size(array_intersect(col("set_l"), col("set_r"))))
       .withColumn("jaccard",
-        size(array_intersect(col("set_l"), col("set_r"))).cast("double") /
-          size(array_union(col("set_l"), col("set_r"))).cast("double"))
+        col("__inter").cast("double") /
+          (size(col("set_l")) + size(col("set_r")) - col("__inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_l"), col("id_r"), round(col("jaccard"), 4).as("jaccard"))
   }
