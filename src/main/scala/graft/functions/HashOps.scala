@@ -394,4 +394,80 @@ object HashOps {
     }
     prev(n).toLong
   }
+
+  /** Sum over tokens of max(1, number of maximal `[aeiouy]+` runs) —
+    * the Flesch vowel-group syllable estimate as ONE byte scan per
+    * token. Byte-level run counting is exact for an ASCII char class:
+    * every byte of a multi-byte UTF-8 char is >= 0x80 and so never
+    * matches a vowel, hence maximal runs of vowel BYTES coincide with
+    * maximal runs of vowel CHARS. Replaces
+    * `aggregate(transform(toks, w -> size(regexp_extract_all(w,
+    * "[aeiouy]+"))))` — an interpreted higher-order lambda running a
+    * regex (and materializing its match array) per WORD, the data
+    * card's dominant per-row cost. Null tokens contribute the same
+    * min-1 as the regex form (size(null-safe extract over null) -> the
+    * lambda yields greatest(..., 1)). */
+  def syllableRunsSum(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      var runs = 0L
+      if (!toks.isNullAt(i)) {
+        val b = toks.getUTF8String(i).getBytes
+        var j = 0
+        var inRun = false
+        while (j < b.length) {
+          val c = b(j)
+          val v = c == 'a' || c == 'e' || c == 'i' || c == 'o' ||
+            c == 'u' || c == 'y'
+          if (v && !inRun) { runs += 1L; inRun = true }
+          else if (!v) inRun = false
+          j += 1
+        }
+      }
+      total += (if (runs < 1L) 1L else runs)
+      i += 1
+    }
+    total
+  }
+
+  /** Number of maximal `[.!?]+` runs in the text — the Flesch sentence
+    * estimate as one byte scan (same ASCII-class argument as
+    * [[syllableRunsSum]]). Replaces size(regexp_extract_all(text,
+    * "[.!?]+")). */
+  def sentenceRuns(text: UTF8String): Long = {
+    val b = text.getBytes
+    var runs = 0L
+    var inRun = false
+    var j = 0
+    while (j < b.length) {
+      val c = b(j)
+      val v = c == '.' || c == '!' || c == '?'
+      if (v && !inRun) { runs += 1L; inRun = true }
+      else if (!v) inRun = false
+      j += 1
+    }
+    runs
+  }
+
+  /** Membership probe of an array's elements against a PREBUILT hash set
+    * (see [[TextExpressions]]' OverlapsConstSet): true iff any non-null
+    * element is in the set. The set is built once per operator instance
+    * by the expression, not per row — Spark's ArraysOverlap instead
+    * rebuilds the smaller side's set on EVERY invocation, which makes a
+    * row-local n-gram gate against a 10^4-gram benchmark O(rows x set)
+    * in set construction alone. Null elements never match (the call
+    * sites feed null-free arrays — wordShingles containsNull=false). */
+  def overlapsSet(arr: ArrayData,
+                  set: java.util.HashSet[UTF8String]): Boolean = {
+    if (set.isEmpty) return false
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) return true
+      i += 1
+    }
+    false
+  }
 }

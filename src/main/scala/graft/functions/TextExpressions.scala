@@ -303,6 +303,79 @@ case class LcsLength(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Flesch vowel-group syllable sum over a token array — see
+  * [[HashOps.syllableRunsSum]]: one byte scan per token instead of an
+  * interpreted per-word lambda running regexp_extract_all (the data
+  * card's dominant per-row cost; value-identical by the ASCII-class
+  * byte-run argument). */
+case class SyllableRunsSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "syllable_runs_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashOps.syllableRunsSum(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.syllableRunsSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SyllableRunsSum =
+    copy(child = newChild)
+}
+
+/** Count of maximal `[.!?]+` runs — the Flesch sentence estimate as one
+  * byte scan; see [[HashOps.sentenceRuns]]. */
+case class SentenceRuns(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sentence_runs"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashOps.sentenceRuns(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.sentenceRuns($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SentenceRuns =
+    copy(child = newChild)
+}
+
+/** `arrays_overlap(child, lit(grams))` with the constant side's hash set
+  * built ONCE per operator instance instead of per row: Spark's
+  * ArraysOverlap rebuilds the smaller array's set on every invocation,
+  * so a row-local gate against a 10^4-gram benchmark literal paid a
+  * full set construction (and a probe of the 10^4 literal elements)
+  * per document. Here the document's grams probe a prebuilt set —
+  * O(|doc grams|) lookups per row. Child arrays must be null-free
+  * (wordShingles guarantees containsNull=false); with that, the result
+  * is boolean-identical to arrays_overlap against a null-free literal. */
+case class OverlapsConstSet(child: Expression, grams: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "overlaps_const_set"
+
+  @transient private lazy val set
+      : java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(16, grams.size * 2))
+    grams.foreach(g =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(g)): Unit)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      HashOps.overlapsSet(input.asInstanceOf[ArrayData], set))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("overlapsConstSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.overlapsSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OverlapsConstSet =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graftx.{toColumn, toExpression}
 
@@ -330,6 +403,12 @@ object TextExpressions {
     toColumn(WinnowFingerprints(toExpression(text), k, w))
   def lcs_length(a: Column, b: Column): Column =
     toColumn(LcsLength(toExpression(a), toExpression(b)))
+  def overlaps_const_set(c: Column, grams: Seq[String]): Column =
+    toColumn(OverlapsConstSet(toExpression(c), grams))
+  def syllable_runs_sum(tokens: Column): Column =
+    toColumn(SyllableRunsSum(toExpression(tokens)))
+  def sentence_runs(c: Column): Column =
+    toColumn(SentenceRuns(toExpression(c)))
 
   /** Register both for use inside SQL / expr() strings. */
   def register(spark: SparkSession): Unit = {

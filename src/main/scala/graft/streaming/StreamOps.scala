@@ -358,7 +358,13 @@ object StreamOps {
       .as[String](org.apache.spark.sql.Encoders.STRING).collect()
     val docGrams = TextOps.wordShingles(TextOps.tokens(col(textCol)), n)
     if (gramSample.length <= maxExactGrams) {
-      docs.where(!arrays_overlap(docGrams, typedlit(gramSample.sorted.toSeq)))
+      // overlaps_const_set == arrays_overlap against the same null-free
+      // literal, but the literal's hash set is built once per operator
+      // instead of per row (ArraysOverlap rebuilds the smaller side's
+      // set on every invocation — at a ~10^4-gram benchmark that made
+      // the gate's per-row cost O(set), dominating every micro-batch)
+      docs.where(!graft.functions.TextExpressions.overlaps_const_set(
+        docGrams, gramSample.sorted.toSeq))
     } else {
       // over-cap: the count runs only here, purely to size the Bloom
       val nGrams = gramsDf.count()
@@ -695,6 +701,33 @@ object StreamOps {
     val out = if (singleFile) partial.coalesce(1) else partial
     out.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
   }
+
+  /** Run INDEPENDENT per-batch ingest stages concurrently from driver
+    * threads — the overlap-independent-jobs discipline: Spark's
+    * scheduler runs several jobs in one application happily, and each
+    * tiny partial write otherwise serializes behind the previous one's
+    * straggler tasks and commit wait while the executor pool sits
+    * idle. Callers pass only MUTUALLY INDEPENDENT stages (disjoint
+    * directories, no ordering contract between them); every stage
+    * keeps its own idempotent-replay discipline, so a crash mid-batch
+    * leaves exactly the any-subset-completed states a sequential run
+    * could. The first failure is rethrown so foreachBatch still fails
+    * the query. */
+  private[graft] def inParallel(stages: (() => Unit)*): Unit =
+    if (stages.sizeIs <= 1) stages.foreach(_.apply())
+    else {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ts = stages.map { f =>
+        val t = new Thread(() =>
+          try f() catch { case e: Throwable => errs.add(e): Unit })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      ts.foreach(_.join())
+      val e = errs.peek()
+      if (e != null) throw e
+    }
 
   /** The reserved batch_id the folded base partial lives under — never
     * a real micro-batch id (Structured Streaming batch ids start at 0),
@@ -1111,31 +1144,38 @@ object StreamOps {
     val t = col(textCol)
     val nTok = when(length(trim(t)) === 0, lit(0L))
       .otherwise(size(TextOps.tokens(t)).cast("long"))
+    // regexp_count: same engine/count as size(regexp_extract_all(...))
+    // without materializing the match array per row
     val pii = Seq(TextOps.urlPattern, TextOps.emailPattern,
         TextOps.ipv4Pattern, TextOps.phonePattern)
-      .map(p => size(regexp_extract_all(t, lit(p), lit(0))).cast("long"))
+      .map(p => regexp_count(t, lit(p)).cast("long"))
       .reduce(_ + _)
     val base = batch.select(col(sourceCol).as("source"),
       col(langCol).as("lang"), nTok.as("__ntok"), pii.as("__pii"),
       Readability.readingEase(t).as("__ease"),
       TextOps.fingerprintMd5(t).as("fp")).localCheckpoint()
-    writeBatchPartial(base.groupBy(col("source")).agg(
-        count(lit(1)).cast("long").as("n_docs"),
-        sum(col("__ntok")).cast("long").as("n_tokens"),
-        sum(col("__pii")).cast("long").as("pii_sum"),
-        sum(col("__ease")).as("ease_sum"),
-        count(col("__ease")).cast("long").as("ease_n")),
-      s"$cardDir/stats", batchId)
-    writeBatchPartial(base.groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).cast("long").as("n")),
-      s"$cardDir/langs", batchId)
-    if (dupSketch)
-      writeBatchPartial(base.groupBy(col("source"))
-          .agg(hll_sketch_agg(col("fp")).as("fp_sketch")),
-        s"$cardDir/fps_hll", batchId)
-    else
-      writeBatchPartial(base.select(col("source"), col("fp")).distinct(),
-        s"$cardDir/fps", batchId, singleFile = false)
+    // the three family partials are disjoint dirs computed from the one
+    // checkpointed base — overlap them ([[inParallel]]) instead of
+    // paying three sequential job+commit latencies per micro-batch
+    inParallel(
+      () => writeBatchPartial(base.groupBy(col("source")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("__ntok")).cast("long").as("n_tokens"),
+          sum(col("__pii")).cast("long").as("pii_sum"),
+          sum(col("__ease")).as("ease_sum"),
+          count(col("__ease")).cast("long").as("ease_n")),
+        s"$cardDir/stats", batchId),
+      () => writeBatchPartial(base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).cast("long").as("n")),
+        s"$cardDir/langs", batchId),
+      () =>
+        if (dupSketch)
+          writeBatchPartial(base.groupBy(col("source"))
+              .agg(hll_sketch_agg(col("fp")).as("fp_sketch")),
+            s"$cardDir/fps_hll", batchId)
+        else
+          writeBatchPartial(base.select(col("source"), col("fp")).distinct(),
+            s"$cardDir/fps", batchId, singleFile = false))
   }
 
   /** Render the live card from the accumulated partials — the same
@@ -1607,21 +1647,26 @@ object StreamOps {
           // one materialization feeds all three consumers — the
           // checkpointed-frames discipline from the batch pipeline
           val b = batch.localCheckpoint()
-          dataCardIngestBatch(b, s"$pipeDir/card", batchId, idCol, textCol,
-            langCol, sourceCol, dupSketch)
-          sampleByIngestBatch(b, s"$pipeDir/cap", batchId, sourceCol,
-            idCol, capK)
-          nearDedup match {
-            case Some(p) =>
-              // heal a compactCorpus mid-swap crash BEFORE the index
-              // ingest opens the corpus — a renamed-away corpus would
-              // read as empty and silently re-admit every duplicate
-              healPartials(b.sparkSession, s"$pipeDir/corpus")
-              graft.text.DedupIndex.ingestBatch(b, s"$pipeDir/corpus",
-                s"$pipeDir/dedup_idx", idCol, textCol, p): Unit
-            case None =>
-              fpDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit
-          }
+          // card, cap and corpus are disjoint directory families with no
+          // ordering contract between them (each is replay-idempotent on
+          // its own): overlap them ([[inParallel]]) so the micro-batch
+          // pays one wall-clock of the slowest stage, not the sum
+          inParallel(
+            () => dataCardIngestBatch(b, s"$pipeDir/card", batchId, idCol,
+              textCol, langCol, sourceCol, dupSketch),
+            () => sampleByIngestBatch(b, s"$pipeDir/cap", batchId, sourceCol,
+              idCol, capK),
+            () => nearDedup match {
+              case Some(p) =>
+                // heal a compactCorpus mid-swap crash BEFORE the index
+                // ingest opens the corpus — a renamed-away corpus would
+                // read as empty and silently re-admit every duplicate
+                healPartials(b.sparkSession, s"$pipeDir/corpus")
+                graft.text.DedupIndex.ingestBatch(b, s"$pipeDir/corpus",
+                  s"$pipeDir/dedup_idx", idCol, textCol, p): Unit
+              case None =>
+                fpDedupIngestBatch(b, s"$pipeDir/corpus", textCol): Unit
+            })
         }
       }
   }

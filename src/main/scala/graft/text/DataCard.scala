@@ -27,9 +27,12 @@ object DataCard {
     val t = col(textCol)
     val nTok = when(length(trim(t)) === 0, lit(0L))
       .otherwise(size(TextOps.tokens(t)).cast("long"))
+    // regexp_count: same regex engine and match count as
+    // size(regexp_extract_all(...)) without materializing the match
+    // array per row
     val pii = Seq(TextOps.urlPattern, TextOps.emailPattern,
         TextOps.ipv4Pattern, TextOps.phonePattern)
-      .map(p => size(regexp_extract_all(t, lit(p), lit(0))).cast("long"))
+      .map(p => regexp_count(t, lit(p)).cast("long"))
       .reduce(_ + _)
     val base = df.select(
       col(sourceCol).as("source"), col(langCol).as("__lang"),

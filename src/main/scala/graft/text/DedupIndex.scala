@@ -489,14 +489,20 @@ object DedupIndex {
         .write.mode("append")
         .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
         .parquet(corpusDir)
-    writeSorted(survivors.where(col("__sig").isNotNull)
-        .select(col(idCol).as("id"), col("__sig").as("sig")),
-      s"$indexDir/sig", Seq("id"))
-    writeSorted(survivors.where(col("__bands").isNotNull)
-        .select(col(idCol).as("id"),
-          posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
-        .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods))),
-      s"$indexDir/bands", Seq("band_mod", "band_hash"), Seq("band_mod"))
+    // sig and bands have no ordering contract BETWEEN them (both must
+    // only precede fp, the commit marker): overlap the two writes so the
+    // per-batch append pays one job latency, not two — the corpus write
+    // above stays first (the replay id-presence check reads it) and fp
+    // stays strictly last
+    graft.streaming.StreamOps.inParallel(
+      () => writeSorted(survivors.where(col("__sig").isNotNull)
+          .select(col(idCol).as("id"), col("__sig").as("sig")),
+        s"$indexDir/sig", Seq("id")),
+      () => writeSorted(survivors.where(col("__bands").isNotNull)
+          .select(col(idCol).as("id"),
+            posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+          .withColumn("band_mod", pmod(col("band_hash"), lit(params.nMods))),
+        s"$indexDir/bands", Seq("band_mod", "band_hash"), Seq("band_mod")))
     // fp LAST: the commit marker (see the ordering note above)
     writeSorted(survivors.select(col(idCol).as("id"), col("__fp").as("fp")),
       s"$indexDir/fp", Seq("fp"))

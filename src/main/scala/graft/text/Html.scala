@@ -58,7 +58,8 @@ object Html {
     * boilerplate classifiers lean on (navigation chrome is link-dense,
     * prose is not). Counted BEFORE stripping, from `<a` tag opens. */
   def linkCount(html: Column): Column =
-    size(regexp_extract_all(html, lit("(?i)<a\\b"), lit(0))).cast("long")
+    // regexp_count: same engine/count, no match-array materialization
+    regexp_count(html, lit("(?i)<a\\b")).cast("long")
 
   /** Per-paragraph stopword ratio: fraction of whitespace tokens that
     * are English stopwords. Prose runs ~0.3-0.6; menus, code and

@@ -19,9 +19,12 @@ object Readability {
 
   private def words(text: Column): Column = TextOps.tokens(text)
 
-  /** Vowel-group syllable estimate for one word (min 1). */
-  private def syllablesOf(w: Column): Column =
-    greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+  // Syllable and sentence counts are byte-scan kernels
+  // ([[graft.functions.HashOps.syllableRunsSum]] / sentenceRuns):
+  // value-identical to the regex forms (maximal [aeiouy]+ / [.!?]+ run
+  // counts, min-1 per word), but one codegen'd scan instead of an
+  // interpreted per-word lambda materializing a regex match array —
+  // the dominant per-row cost of the data card's projection.
 
   /** Flesch reading ease as a bare column (null for blank text) — the
     * composable form [[flesch]] and the data card build on. */
@@ -30,10 +33,9 @@ object Readability {
     val nWords = when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(w).cast("long"))
     val nSents = greatest(
-      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      graft.functions.TextExpressions.sentence_runs(text), lit(1L))
       .cast("long")
-    val nSyl = aggregate(transform(w, syllablesOf(_)), lit(0L),
-      (acc, x) => acc + x.cast("long"))
+    val nSyl = graft.functions.TextExpressions.syllable_runs_sum(w)
     when(nWords > 0,
       lit(206.835) - lit(1.015) * (nWords.cast("double") / nSents)
         - lit(84.6) * (nSyl.cast("double") / nWords))
@@ -49,11 +51,10 @@ object Readability {
     val nWords = when(length(trim(t)) === 0, lit(0L))
       .otherwise(size(w).cast("long"))
     val nSents = greatest(
-      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+      graft.functions.TextExpressions.sentence_runs(t), lit(1L))
       .cast("long")
     val nSyl = coalesce(
-      aggregate(transform(w, syllablesOf(_)), lit(0L),
-        (acc, x) => acc + x.cast("long")), lit(0L))
+      graft.functions.TextExpressions.syllable_runs_sum(w), lit(0L))
     val wps = nWords.cast("double") / nSents
     val spw = nSyl.cast("double") / nWords
     df.select(col(idCol),
