@@ -1406,6 +1406,11 @@ object TextOps {
     val batch = newDocs
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
+    // exactNew feeds three consumers and re-plans its (cheap, batch-
+    // sized) window+anti subtree per consumer — measured: pinning it
+    // here LOST ~0.3 s (the eager materialization barrier and the
+    // checkpoint's stats loss cost more than the recompute it saves),
+    // so it deliberately stays lazy
     val exactNew = batch.join(
       existing.select(fingerprintMd5(col(textCol)).as("__fp")).distinct(),
       fingerprintMd5(col(textCol)) === col("__fp"), "left_anti")

@@ -52,9 +52,16 @@ object Bitext {
       .orderBy(col("cos").desc, col("tgt_id"))
     val wb = Window.partitionBy(col("tgt_id"))
       .orderBy(col("cos").desc, col("src_id"))
+    // pinned: ranked feeds THREE consumers (both neighborhood means and
+    // the kept-union filter) — left lazy, each consumer re-planned the
+    // whole candidate generation (in exhaustive mode, the full cosine
+    // cross join) plus both rank windows. Candidate-pair-sized by
+    // construction (the scale path feeds ANN candidates, not the cross
+    // product), so the pin is bounded by the candidate set.
     val ranked = pairs
       .withColumn("__rf", row_number().over(wf))
       .withColumn("__rb", row_number().over(wb))
+      .localCheckpoint()
     // per-side neighborhood means over the top-k candidates only —
     // vocabulary-sized frames (one row per id), partial-aggregated
     val avgF = ranked.where(col("__rf") <= k)
