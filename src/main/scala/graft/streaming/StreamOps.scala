@@ -702,32 +702,10 @@ object StreamOps {
     out.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
   }
 
-  /** Run INDEPENDENT per-batch ingest stages concurrently from driver
-    * threads — the overlap-independent-jobs discipline: Spark's
-    * scheduler runs several jobs in one application happily, and each
-    * tiny partial write otherwise serializes behind the previous one's
-    * straggler tasks and commit wait while the executor pool sits
-    * idle. Callers pass only MUTUALLY INDEPENDENT stages (disjoint
-    * directories, no ordering contract between them); every stage
-    * keeps its own idempotent-replay discipline, so a crash mid-batch
-    * leaves exactly the any-subset-completed states a sequential run
-    * could. The first failure is rethrown so foreachBatch still fails
-    * the query. */
+  /** See [[graft.ops.Par.inParallel]] — kept as a local alias for the
+    * streaming ingest call sites. */
   private[graft] def inParallel(stages: (() => Unit)*): Unit =
-    if (stages.sizeIs <= 1) stages.foreach(_.apply())
-    else {
-      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-      val ts = stages.map { f =>
-        val t = new Thread(() =>
-          try f() catch { case e: Throwable => errs.add(e): Unit })
-        t.setDaemon(true)
-        t.start()
-        t
-      }
-      ts.foreach(_.join())
-      val e = errs.peek()
-      if (e != null) throw e
-    }
+    graft.ops.Par.inParallel(stages: _*)
 
   /** The reserved batch_id the folded base partial lives under — never
     * a real micro-batch id (Structured Streaming batch ids start at 0),

@@ -494,7 +494,7 @@ object DedupIndex {
     // per-batch append pays one job latency, not two — the corpus write
     // above stays first (the replay id-presence check reads it) and fp
     // stays strictly last
-    graft.streaming.StreamOps.inParallel(
+    graft.ops.Par.inParallel(
       () => writeSorted(survivors.where(col("__sig").isNotNull)
           .select(col(idCol).as("id"), col("__sig").as("sig")),
         s"$indexDir/sig", Seq("id")),

@@ -170,8 +170,7 @@ object VecIndex {
         zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
       .localCheckpoint() // feeds PQ training sweeps AND the encode below
     val model = VectorOps.pqTrain(resid, "id", "residual", m, ksub, pqIters)
-    VectorOps.pqEncode(resid, "id", "residual", model)
-      .join(resid.select(col("id"), col("list_id")), "id")
+    VectorOps.pqEncode(resid, "id", "residual", model, keep = Seq("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexDir/lists")
     cents.map { case (cid, v) => (cid, v.toSeq) }
@@ -211,8 +210,7 @@ object VecIndex {
       .localCheckpoint() // one assignment pass feeds write AND stat delta
     // write-boundary re-fence (see append's note)
     graft.ops.Lease.fenceIfLost(spark, indexDir)
-    VectorOps.pqEncode(resid, "id", "residual", model)
-      .join(resid.select(col("id"), col("list_id")), "id")
+    VectorOps.pqEncode(resid, "id", "residual", model, keep = Seq("list_id"))
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$indexDir/lists")
     mergeStatCounts(spark, indexDir,
@@ -812,8 +810,7 @@ object VecIndex {
       .withColumn("residual",
         zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
     val tmp = s"$indexDir/lists__rebal_tmp"
-    VectorOps.pqEncode(resid, "id", "residual", model)
-      .join(resid.select(col("id"), col("list_id")), "id")
+    VectorOps.pqEncode(resid, "id", "residual", model, keep = Seq("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
     installReassigned(spark, indexDir, tmp, cents)
     (before, listStats(spark, indexDir))

@@ -246,10 +246,15 @@ object VectorOps {
     * A single [[PqEncodeExpr]] projection over one scan — no join, no
     * shuffle, no per-subspace row explosion; the corpus is touched
     * exactly once and the encode loop runs inside whole-stage codegen. */
+  /** `keep` carries extra columns of `vectors` through the projection —
+    * the index writers need (codes, list_id) together, and re-attaching
+    * list_id with a join after a codes-only projection paid a whole
+    * shuffle join per build/append for a column the frame already had. */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame =
-    vectors.select(col(idCol).cast("long").as("id"),
-      PqExpressions.encode(asDouble(col(vecCol)), model).as("codes"))
+               model: PqModel, keep: Seq[String] = Nil): DataFrame =
+    vectors.select(col(idCol).cast("long").as("id") +:
+      PqExpressions.encode(asDouble(col(vecCol)), model).as("codes") +:
+      keep.map(col): _*)
 
   /** PQ asymmetric-distance (ADC) top-k: each query precomputes, driver-
     * side, its m x ksub table of squared distances to every codebook
