@@ -451,6 +451,20 @@ object HashOps {
     runs
   }
 
+  /** Count of non-overlapping matches of a PRECOMPILED regex — the
+    * value regexp_count/size(regexp_extract_all(...)) computes (same
+    * java.util.regex engine, same find() traversal), but Spark's
+    * RegExpCount is RuntimeReplaceable sugar for the extract-all form
+    * and materializes every matched substring into an array just to
+    * take its size. Here the matcher only advances. */
+  def regexpCountCompiled(text: UTF8String,
+                          p: java.util.regex.Pattern): Long = {
+    val m = p.matcher(text.toString)
+    var n = 0L
+    while (m.find()) n += 1L
+    n
+  }
+
   /** Membership probe of an array's elements against a PREBUILT hash set
     * (see [[TextExpressions]]' OverlapsConstSet): true iff any non-null
     * element is in the set. The set is built once per operator instance

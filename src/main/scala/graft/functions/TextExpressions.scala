@@ -340,6 +340,35 @@ case class SentenceRuns(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Non-overlapping match count of a constant regex — see
+  * [[HashOps.regexpCountCompiled]]: the same count as
+  * size(regexp_extract_all(child, pattern)) (Spark's regexp_count is
+  * RuntimeReplaceable sugar for exactly that form), without
+  * materializing the matched substrings into an array per row. The
+  * pattern compiles once per operator instance. */
+case class RegexCount(child: Expression, pattern: String)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "regex_count"
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashOps.regexpCountCompiled(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], compiled))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("regexCountPattern", compiled,
+      "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.regexpCountCompiled($c, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexCount =
+    copy(child = newChild)
+}
+
 /** `arrays_overlap(child, lit(grams))` with the constant side's hash set
   * built ONCE per operator instance instead of per row: Spark's
   * ArraysOverlap rebuilds the smaller array's set on every invocation,
@@ -407,6 +436,8 @@ object TextExpressions {
     toColumn(OverlapsConstSet(toExpression(c), grams))
   def syllable_runs_sum(tokens: Column): Column =
     toColumn(SyllableRunsSum(toExpression(tokens)))
+  def regex_count(c: Column, pattern: String): Column =
+    toColumn(RegexCount(toExpression(c), pattern))
   def sentence_runs(c: Column): Column =
     toColumn(SentenceRuns(toExpression(c)))
 

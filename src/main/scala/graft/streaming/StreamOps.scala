@@ -1122,11 +1122,12 @@ object StreamOps {
     val t = col(textCol)
     val nTok = when(length(trim(t)) === 0, lit(0L))
       .otherwise(size(TextOps.tokens(t)).cast("long"))
-    // regexp_count: same engine/count as size(regexp_extract_all(...))
-    // without materializing the match array per row
+    // regex_count kernel: same engine/count as
+    // size(regexp_extract_all(...)) without materializing the match
+    // array per row (Spark's regexp_count is sugar for the array form)
     val pii = Seq(TextOps.urlPattern, TextOps.emailPattern,
         TextOps.ipv4Pattern, TextOps.phonePattern)
-      .map(p => regexp_count(t, lit(p)).cast("long"))
+      .map(p => graft.functions.TextExpressions.regex_count(t, p))
       .reduce(_ + _)
     val base = batch.select(col(sourceCol).as("source"),
       col(langCol).as("lang"), nTok.as("__ntok"), pii.as("__pii"),

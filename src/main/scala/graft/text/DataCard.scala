@@ -27,12 +27,13 @@ object DataCard {
     val t = col(textCol)
     val nTok = when(length(trim(t)) === 0, lit(0L))
       .otherwise(size(TextOps.tokens(t)).cast("long"))
-    // regexp_count: same regex engine and match count as
-    // size(regexp_extract_all(...)) without materializing the match
-    // array per row
+    // regex_count kernel: same engine and count as
+    // size(regexp_extract_all(...)) — Spark's own regexp_count is
+    // RuntimeReplaceable sugar for exactly that — without materializing
+    // the matched substrings per row
     val pii = Seq(TextOps.urlPattern, TextOps.emailPattern,
         TextOps.ipv4Pattern, TextOps.phonePattern)
-      .map(p => regexp_count(t, lit(p)).cast("long"))
+      .map(p => graft.functions.TextExpressions.regex_count(t, p))
       .reduce(_ + _)
     val base = df.select(
       col(sourceCol).as("source"), col(langCol).as("__lang"),

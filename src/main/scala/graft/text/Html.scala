@@ -58,8 +58,8 @@ object Html {
     * boilerplate classifiers lean on (navigation chrome is link-dense,
     * prose is not). Counted BEFORE stripping, from `<a` tag opens. */
   def linkCount(html: Column): Column =
-    // regexp_count: same engine/count, no match-array materialization
-    regexp_count(html, lit("(?i)<a\\b")).cast("long")
+    // regex_count kernel: same engine/count, no match-array materialization
+    graft.functions.TextExpressions.regex_count(html, "(?i)<a\\b")
 
   /** Per-paragraph stopword ratio: fraction of whitespace tokens that
     * are English stopwords. Prose runs ~0.3-0.6; menus, code and
