@@ -472,8 +472,15 @@ object DedupIndex {
           else idScan
         val present = ids.join(broadcast(survivors.select(col(idCol))),
           Seq(idCol), "left_semi")
+        // deliberately NOT pinned: fresh has two consumers (the count and
+        // the corpus write), but its subtree above the checkpointed
+        // survivors is one pruned id scan + two broadcast joins — both
+        // evaluations read the PRE-append corpus (count runs before the
+        // write, the write's own evaluation precedes its append), so
+        // laziness is safe, and the eager checkpoint barrier measured
+        // more expensive than the recompute (the dedupIncremental
+        // exactNew lesson)
         survivors.join(broadcast(present), Seq(idCol), "left_anti")
-          .localCheckpoint()
       } else survivors
     val appended = fresh.count()
     // re-fence at the write boundary: the probe's shuffles/checkpoints
