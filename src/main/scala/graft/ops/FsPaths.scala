@@ -50,6 +50,28 @@ object FsPaths {
                          dir: org.apache.hadoop.fs.Path): Long =
     committedPartStats(fs, dir)._1
 
+  /** The COMMITTED part-file paths under `dir` (recursive, hidden
+    * ancestors excluded, sorted for determinism) — the read-set
+    * SNAPSHOT for a job that must read a directory it is itself about
+    * to append to: constructing the scan from these explicit paths
+    * pins the read set at listing time, so a re-listing (planner
+    * re-plan, object-store listing inconsistency, a stage retry after
+    * partial commit) can never pull the in-flight append into the
+    * read. Empty for a missing dir. */
+  def committedPartPaths(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(dir)) return Nil
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.startsWith("part-") &&
+          committedUnder(fs, dir, st.getPath))
+        out += st.getPath.toString
+    }
+    out.result().sorted
+  }
+
   /** (count, total bytes) of COMMITTED part files under `dir` — the
     * same walk as [[committedPartCount]] with the byte sum the
     * byte-aware maintenance policies key on: N files of 1 MB and N

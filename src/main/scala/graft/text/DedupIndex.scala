@@ -251,9 +251,7 @@ object DedupIndex {
         // shared by hundreds of corpus docs is boilerplate, carries no
         // dedup signal, and would turn the probe into an
         // O(batch x bucket) pair blowup (measured 10x wall on a corpus
-        // with a uniform J~0.3 background). Aggregate the MATCHED index
-        // rows per band key first (linear in matches, never pairs),
-        // drop oversized buckets, THEN expand against the probe rows.
+        // with a uniform J~0.3 background).
         // band-hash point set from the CHECKPOINTED sigs (a SUPERSET of
         // the probe's keys — exactness stays with the join): pushes the
         // page filter when the band table clears the size gate
@@ -262,20 +260,24 @@ object DedupIndex {
           spark.read.parquet(bandsDir), "band_hash",
           sigs.where(col("__bands").isNotNull)
             .select(explode(col("__bands")).as("__bh")).distinct())
-        val matched = bandTable
-          .join(broadcast(probe.select(bandKey.map(col): _*).distinct()), bandKey)
-          .localCheckpoint()
-        // partial-aggregated count per key (map-side combine, no
-        // mega-bucket ever materializes in one task); surviving keys are
-        // bounded by the batch's own band count, so they broadcast.
-        // DISTINCT ids, not raw rows: a crash replay can leave duplicate
-        // band rows (see [[ingestBatch]]'s write ordering), and a raw
-        // count would let them push a boundary bucket past the cap and
-        // silently drop its candidates
-        val okKeys = matched.groupBy(bandKey.map(col): _*)
-          .agg(countDistinct(col("id")).as("__n"))
-          .where(col("__n") <= params.maxBucket)
-          .select(bandKey.map(col): _*)
+        // The cap is a per-band-key DISTINCT-id count (a crash replay
+        // can leave duplicate band rows — see [[ingestBatch]]'s write
+        // ordering — and a raw count would let them push a boundary
+        // bucket past the cap and silently drop its candidates). r15
+        // computed it as a separate groupBy over a CHECKPOINTED
+        // `matched` plus a broadcast semi-join back — two extra job
+        // barriers per micro-batch on the probe's sequential chain. Two
+        // streaming window functions over one band-key shuffle compute
+        // the same count in the same pass that feeds the expansion
+        // (dense_rank numbers each key's distinct ids, max over the key
+        // takes the count): no per-key id set ever materializes (the
+        // no-mega-bucket discipline — both frames are running counters
+        // over the sorted partition), and over-cap keys drop exactly as
+        // before.
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(bandKey.map(col): _*).orderBy(col("id"))
+        val wKey = org.apache.spark.sql.expressions.Window
+          .partitionBy(bandKey.map(col): _*)
         // id-identical pairs are excluded: under the id-uniqueness
         // contract a batch id can only equal a corpus id when a CRASHED
         // ingest's replay meets its own already-committed bands rows
@@ -287,22 +289,44 @@ object DedupIndex {
         // it the replay keeps the row as a survivor, the corpus
         // id-presence check skips the re-append, and the missing index
         // rows are written — the documented convergence.
-        val candidates = matched
-          .join(broadcast(okKeys), bandKey, "left_semi")
+        val candidates0 = bandTable
+          .join(broadcast(probe.select(bandKey.map(col): _*).distinct()), bandKey)
+          .withColumn("__dr", dense_rank().over(wOrd))
+          .withColumn("__n", max(col("__dr")).over(wKey))
+          .where(col("__n") <= params.maxBucket)
           .join(broadcast(probe), bandKey)
           .select(col("id").as("id_l"), col("id_r"))
           .where(col("id_l") =!= col("id_r"))
           .distinct()
-          .localCheckpoint()
+        // pin the pair set ONLY when the sig table clears the pushdown
+        // gate: the gated point-set collect below is then a SECOND
+        // consumer that would otherwise recompute the whole band probe
+        // for its keys. Below the gate the chain has exactly one
+        // consumer (the pinned `estimated`), and the pin would be one
+        // wasted job + block write per micro-batch (the exactNew
+        // lesson: pin only what is actually re-consumed).
+        val sigDir = s"$indexDir/sig"
+        val candidates =
+          if (graft.ops.ScanPrune.tableBytes(spark, sigDir) >=
+              graft.ops.ScanPrune.PushMinTableBytes)
+            candidates0.localCheckpoint()
+          else candidates0
         // candidate ids are bucket-capped (bounded by batch x maxBucket):
         // push them as a point set when the sig table clears the gate —
         // prunedScan dispatches on the actual id type (long/int/string)
         // instead of assuming bigint ids
-        val sigDir = s"$indexDir/sig"
         val sigTable = graft.ops.ScanPrune.prunedScanDf(spark, sigDir,
           spark.read.parquet(sigDir), "id",
           candidates.select(col("id_l")).distinct())
-        val estimated = candidates
+        // estimate fused onto the candidate chain and pinned HERE: the
+        // est-filtered pair set is the frame with three consumers (the
+        // corpus text-fetch point set, the lSets semi-probe, the final
+        // verify join) and is SMALLER than the raw candidates the r15
+        // shape pinned — one materialization job covers band probe +
+        // cap + expansion + estimate where r15 spent three
+        // (matched/candidates pins + the estimate re-planned per
+        // consumer).
+        val estimated = (candidates
           .join(sigTable
             .withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
           .join(afterExact.select(col(idCol).as("id_r"), col("__sig").as("sig_r")), "id_r")
@@ -311,7 +335,8 @@ object DedupIndex {
                 (x, y) => when(x === y, 1).otherwise(0)),
               lit(0), (acc, v) => acc + v).cast("double") / params.numPerm)
           .where(col("est") >= params.threshold * 0.5)
-          .select(col("id_l"), col("id_r"))
+          .select(col("id_l"), col("id_r")))
+          .localCheckpoint()
         // exact verify: fetch TEXT for candidate ids only — a semi-probe
         // into the corpus, not a corpus scan-and-sign. When the caller
         // owns the corpus DIRECTORY (the ingest path, whose writes keep
@@ -440,9 +465,21 @@ object DedupIndex {
     // aborts here instead of appending as a zombie mid-maintenance
     graft.ops.Lease.fenceIfLost(spark, indexDir)
     checkOrWriteParams(spark, indexDir, params)
-    val hadCorpus = hasData(spark, corpusDir)
+    // SNAPSHOT the corpus read set (committed part files at entry):
+    // this call both READS corpusDir (candidate texts; the id-presence
+    // probe inside the corpus-append action itself) and APPENDS to it.
+    // Reading the directory lazily leaves each consumer's planner to
+    // re-list it — locally safe (listing precedes the job's commit),
+    // but an object-store listing inconsistency or a re-listing retry
+    // after partial commit could pull this call's own append into its
+    // read and double-count. Explicit paths pin the read set once.
+    val corpusSnapshot = graft.ops.FsPaths.committedPartPaths(
+      new org.apache.hadoop.fs.Path(corpusDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(corpusDir))
+    val hadCorpus = corpusSnapshot.nonEmpty
     val corpus =
-      if (hadCorpus) spark.read.parquet(corpusDir)
+      if (hadCorpus) spark.read.parquet(corpusSnapshot: _*)
       else batch.limit(0)
     val survivors =
       probeWithSigs(batch, corpus, indexDir, idCol, textCol, params,
@@ -482,26 +519,39 @@ object DedupIndex {
         // exactNew lesson)
         survivors.join(broadcast(present), Seq(idCol), "left_anti")
       } else survivors
-    val appended = fresh.count()
     // re-fence at the write boundary: the probe's shuffles/checkpoints
     // sit between the batch-entry fence and the appends — a writer
     // stalled past the TTL in that window aborts HERE, before a zombie
     // append lands under a reclaimed lease
     graft.ops.Lease.fenceIfLost(spark, indexDir)
-    if (appended > 0)
+    // the appended count rides the corpus write itself via observe():
+    // a separate fresh.count() evaluated the presence anti-join twice
+    // per batch (once to count, once to write) and was one more
+    // sequential job barrier on the chain. When the corpus is fresh,
+    // fresh == survivors and the count is already in hand (n > 0), so
+    // the write keeps its non-empty guard.
+    val freshObs = new org.apache.spark.sql.Observation()
+    def writeCorpus(): Long = {
       // corpus keeps the caller's full row shape, id-sorted within each
       // file for the presence pushdown above
-      fresh.select(batch.columns.map(col): _*)
+      fresh.observe(freshObs, count(lit(1)).as("n"))
+        .select(batch.columns.map(col): _*)
         .sortWithinPartitions(col(idCol))
         .write.mode("append")
         .option("parquet.page.row.count.limit", graft.ops.ScanPrune.PageRowLimit)
         .parquet(corpusDir)
-    // sig and bands have no ordering contract BETWEEN them (both must
-    // only precede fp, the commit marker): overlap the two writes so the
-    // per-batch append pays one job latency, not two — the corpus write
-    // above stays first (the replay id-presence check reads it) and fp
-    // stays strictly last
+      freshObs.get("n").asInstanceOf[Number].longValue()
+    }
+    // corpus, sig and bands have no ordering contract BETWEEN them (all
+    // three must only precede fp, the commit marker — every partial
+    // crash state converges on replay, see the ordering note above; the
+    // presence check reads the SNAPSHOT listing, so the overlapped
+    // corpus append cannot leak into its own read): overlap the three
+    // writes so the per-batch append pays one job latency, not three.
+    // fp stays strictly last.
+    @volatile var appended = 0L
     graft.ops.Par.inParallel(
+      () => appended = if (hadCorpus) writeCorpus() else { writeCorpus(): Unit; n },
       () => writeSorted(survivors.where(col("__sig").isNotNull)
           .select(col(idCol).as("id"), col("__sig").as("sig")),
         s"$indexDir/sig", Seq("id")),

@@ -44,4 +44,24 @@ class FsPathsSpec extends AnyFunSuite {
     assert(FsPaths.committedUnder(lfs, p("/data/_staged"),
       p("/data/_staged/part-0.parquet")))
   }
+
+  test("committedPartPaths: committed files only, sorted; hidden subtrees and non-part names excluded; missing dir empty") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fsp_snap_")
+    def touch(rel: String): Unit = {
+      val f = root.resolve(rel)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, Array[Byte](1)): Unit
+    }
+    touch("part-00001-b.parquet")
+    touch("part-00000-a.parquet")
+    touch("_SUCCESS")
+    touch("_temporary/0/_temporary/attempt_1/part-00002-c.parquet")
+    touch(".hidden/part-00003-d.parquet")
+    val got = FsPaths.committedPartPaths(lfs, p(root.toString))
+    assert(got.map(new org.apache.hadoop.fs.Path(_).getName) ==
+      Seq("part-00000-a.parquet", "part-00001-b.parquet"))
+    assert(got == got.sorted)
+    assert(FsPaths.committedPartPaths(lfs,
+      p(root.resolve("nope").toString)).isEmpty)
+  }
 }

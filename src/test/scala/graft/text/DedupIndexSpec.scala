@@ -40,6 +40,35 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$index/sig").count() == 3)
   }
 
+  test("ingest corpus read set is a SNAPSHOT: files landing after the listing never join the read") {
+    // ingestBatch both reads corpusDir (candidate texts; the id-presence
+    // probe inside the corpus-append action) and appends to it — the
+    // read must be pinned to the entry-time committed file set, or a
+    // re-listing (planner re-plan, object-store inconsistency, stage
+    // retry after partial commit) could pull the call's own append into
+    // its read and double-count. This asserts the exact wiring the
+    // ingest uses: an explicit committedPartPaths read is invariant
+    // under later appends, where a directory read picks them up.
+    val (corpus, index) = dirs()
+    val b1 = Seq((1L, tA, "s1"), (2L, tB, "s1")).toDF("doc_id", "text", "source")
+    assert(DedupIndex.ingestBatch(b1, corpus, index) == 2L)
+    val fs = new org.apache.hadoop.fs.Path(corpus)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = graft.ops.FsPaths.committedPartPaths(
+      fs, new org.apache.hadoop.fs.Path(corpus))
+    assert(snap.nonEmpty)
+    val pinnedRead = spark.read.parquet(snap: _*)
+    val before = pinnedRead.select("doc_id").as[Long].collect().toSet
+    // a concurrent append lands AFTER the listing
+    Seq((99L, tC, "s9")).toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(corpus)
+    // re-evaluating the pinned frame still reads the snapshot; a fresh
+    // directory read sees the new row
+    assert(pinnedRead.select("doc_id").as[Long].collect().toSet == before)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == before + 99L)
+  }
+
   test("index probe agrees with the scan-everything dedupIncremental") {
     val (corpus, index) = dirs()
     val existing = (0L until 40L).map(i => (i, s"document number $i body token$i filler words here"))
