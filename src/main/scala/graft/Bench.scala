@@ -168,15 +168,23 @@ object Bench {
     // would push the headline fields out of it
     val line = s"""{"mins":$mins,"spread":$spreads,"sentinel_series":$sentinelSeries,"queries":$qs,"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"sentinel":{"base":${r3(sentinelBase)},"max":${r3(sentinelMax)},"flagged":$loadFlagged},"n_queries":${results.size},"n_runs":$nRuns,"n_failed":$nFailed,"failed":$failed,"verify_only_skipped":$skipped,"sf":"$sfDir"}"""
     println(line)
-    // only a FULL run may overwrite the inspection file — a
+    // only a FULL run may overwrite the inspection files — a
     // SPARK_GRAFT_BENCH_ONLY iteration run would clobber the complete
-    // per-query record with its filtered subset
-    if (only.isEmpty) try {
-      val out = new java.io.File("/root/repo/BENCH_FULL.json")
-      if (out.getParentFile.isDirectory) {
-        val w = new java.io.PrintWriter(out); try w.println(line) finally w.close()
-      }
-    } catch { case _: Throwable => () }
+    // per-query record with its filtered subset. BENCH_LAST.json is the
+    // driver-consumable copy of the SAME line (round 15's PERF came back
+    // empty because the driver's bounded stdout-tail capture truncated
+    // the ~10 KB line mid-JSON; a file is not subject to tail capture).
+    // Additions-only: the print contract and the timed methodology are
+    // byte-identical.
+    if (only.isEmpty) Seq("/root/repo/BENCH_FULL.json",
+        "/root/repo/BENCH_LAST.json").foreach { path =>
+      try {
+        val out = new java.io.File(path)
+        if (out.getParentFile.isDirectory) {
+          val w = new java.io.PrintWriter(out); try w.println(line) finally w.close()
+        }
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }
