@@ -3384,8 +3384,13 @@ object SparkEntry {
       copyParquetInput(s"$dir/events.parquet", streamDir)
       val agg = StreamOps.windowedCounts(
         StreamOps.readEventsStream(s, streamDir.toString))
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_win").start()
+      // stateful: state-store partitions sized by the scale-adaptive
+      // knob (conf-overridable), not the batch shuffle default — see
+      // StreamOps.statePartitions
+      val q = StreamOps.withStatePartitions(s) {
+        agg.writeStream.outputMode("complete")
+          .format("memory").queryName("graft_stream_win").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_stream_win")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
@@ -3402,12 +3407,16 @@ object SparkEntry {
       import graft.streaming.StreamOps
       val streamDir = java.nio.file.Files.createTempDirectory("graft_funnel_q_")
       copyParquetInput(s"$dir/events.parquet", streamDir)
-      val q = StreamOps.funnelStream(
-          StreamOps.readEventsStream(s, streamDir.toString),
-          Seq("signup", "view", "click"),
-          maxSpanMs = 30 * 60 * 1000L, watermark = "10 minutes")
-        .writeStream.outputMode("append")
-        .format("memory").queryName("graft_stream_funnel").start()
+      // stateful (flatMapGroupsWithState): scale-adaptive state-store
+      // partition count, see StreamOps.statePartitions
+      val q = StreamOps.withStatePartitions(s) {
+        StreamOps.funnelStream(
+            StreamOps.readEventsStream(s, streamDir.toString),
+            Seq("signup", "view", "click"),
+            maxSpanMs = 30 * 60 * 1000L, watermark = "10 minutes")
+          .writeStream.outputMode("append")
+          .format("memory").queryName("graft_stream_funnel").start()
+      }
       try { q.processAllAvailable(); q.processAllAvailable() } finally q.stop()
       s.table("graft_stream_funnel")
     }),
@@ -3856,9 +3865,13 @@ object SparkEntry {
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
         .withColumn("ts", expr(
           "timestampadd(MINUTE, doc_id, TIMESTAMP'2026-01-01 00:00:00')"))
-      val q = StreamOps.healthStream(docs)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_health").start()
+      // stateful (windowed agg): scale-adaptive state-store partition
+      // count, see StreamOps.statePartitions
+      val q = StreamOps.withStatePartitions(s) {
+        StreamOps.healthStream(docs)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("graft_stream_health").start()
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_stream_health")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
@@ -3883,14 +3896,13 @@ object SparkEntry {
       // a streaming job sizes its state-store partition count to the
       // stream rate, not the batch default: 32 HDFS-backed stores per
       // side doubled the wall time of this join (measured 10.8 -> 5.9 s
-      // at 8). Scoped + restored — the conf is pinned into the query's
-      // checkpoint at start(), so later batch queries see the original.
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q =
-        try joined.writeStream.outputMode("append")
+      // at 8). The r15 hard-coded "8" is now the scale-adaptive knob
+      // (same value at local[32], conf-overridable, grows with the
+      // cluster) — see StreamOps.statePartitions.
+      val q = StreamOps.withStatePartitions(s) {
+        joined.writeStream.outputMode("append")
           .format("memory").queryName("graft_stream_ij").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       try q.processAllAvailable() finally q.stop()
       s.table("graft_stream_ij").select(col("l_event_id"), col("r_event_id"))
     }),

@@ -41,6 +41,45 @@ object StreamOps {
       case _ => raw
     }
 
+  /** State-store partition count for a NEW stateful streaming query
+    * (windowed agg, stream-stream join, flatMapGroupsWithState).
+    * Structured Streaming sizes its state stores from
+    * `spark.sql.shuffle.partitions` at the query's FIRST batch and pins
+    * that into the checkpoint forever — and each HDFS-backed store pays
+    * a fixed per-partition per-batch maintenance cost (delta file +
+    * commit) that is independent of the data, so a batch-sized default
+    * (= total cores) makes small/medium-rate streams pay a state-commit
+    * floor that dwarfs the rows (measured on the interval join: 32
+    * stores per side doubled wall time vs 8). Resolution order:
+    *
+    *  - `spark.graft.stream.statePartitions` (session conf) — the
+    *    deployment override: size to the stream's RATE (rows/sec per
+    *    partition), which no core-count formula can know;
+    *  - else `max(defaultParallelism / 4, 8)`: scales WITH the cluster
+    *    (a 1000-core deployment gets 250 state partitions, not a
+    *    local-mode constant) while keeping state tasks a fraction of
+    *    the compute slots — state tasks are commit-latency-bound, not
+    *    CPU-bound, and fewer+larger stores amortize their fixed cost
+    *    (guide §2.2's fewer-larger-partitions rule applied to state).
+    *
+    * Only NEW queries consult this (existing checkpoints keep their
+    * pinned count). */
+  def statePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions").map(_.toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism / 4, 8))
+
+  /** Scope `spark.sql.shuffle.partitions` to [[statePartitions]] around
+    * a stateful query's `start()` — the conf is read once at start and
+    * pinned into the checkpoint, so the session value is restored
+    * immediately after; later BATCH queries see the original. */
+  def withStatePartitions[T](spark: SparkSession)(start: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statePartitions(spark).toString)
+    try start
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling-window aggregation with a watermark for late data —
     * identical logic batch or stream. */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
@@ -1769,8 +1808,13 @@ object StreamOps {
       .agg(count(lit(1)).cast("long").as("cap_n"),
         min(col(idCol)).as("cap_min_doc"))
     healPartials(spark, s"$pipeDir/corpus") // compactCorpus mid-swap crash
-    val corpusDocs = spark.read.parquet(s"$pipeDir/corpus").count()
-    card.join(cap, "source").withColumn("corpus_docs", lit(corpusDocs))
+    // the corpus total rides the render query as a 1-row aggregate
+    // (broadcast cross join) instead of an EAGER driver count(): one
+    // job per render instead of two, and the corpus scan overlaps the
+    // card/cap scans inside it — same column, same value
+    val corpusDocs = spark.read.parquet(s"$pipeDir/corpus")
+      .groupBy().agg(count(lit(1)).cast("long").as("corpus_docs"))
+    card.join(cap, "source").crossJoin(corpusDocs)
   }
 
   /** Render the live ratings: reduce the accumulated win partials and
