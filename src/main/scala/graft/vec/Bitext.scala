@@ -55,12 +55,17 @@ object Bitext {
     // pinned: ranked feeds THREE consumers (both neighborhood means and
     // the kept-union filter) — left lazy, each consumer re-planned the
     // whole candidate generation (in exhaustive mode, the full cosine
-    // cross join) plus both rank windows. Candidate-pair-sized by
-    // construction (the scale path feeds ANN candidates, not the cross
-    // product), so the pin is bounded by the candidate set.
+    // cross join) plus both rank windows. Every consumer only reads
+    // rows inside some side's top-k, so the kept-union filter moves
+    // BEFORE the pin: the checkpointed frame is bounded by ~2*N*k rows
+    // even when the candidate feed is the exhaustive N_src x N_tgt
+    // cross product — without the pre-filter, exhaustive validation
+    // runs materialized the whole cross product to executor block
+    // storage where the lazy form streamed it.
     val ranked = pairs
       .withColumn("__rf", row_number().over(wf))
       .withColumn("__rb", row_number().over(wb))
+      .where(col("__rf") <= k || col("__rb") <= k)
       .localCheckpoint()
     // per-side neighborhood means over the top-k candidates only —
     // vocabulary-sized frames (one row per id), partial-aggregated
@@ -68,7 +73,7 @@ object Bitext {
       .groupBy(col("src_id")).agg(avg(col("cos")).as("__af"))
     val avgB = ranked.where(col("__rb") <= k)
       .groupBy(col("tgt_id")).agg(avg(col("cos")).as("__ab"))
-    ranked.where(col("__rf") <= k || col("__rb") <= k)
+    ranked
       .join(avgF, "src_id").join(avgB, "tgt_id")
       .select(col("src_id"), col("tgt_id"), col("cos"),
         (col("cos") / ((col("__af") + col("__ab")) / lit(2.0))).as("margin"))
