@@ -345,7 +345,14 @@ case class SentenceRuns(child: Expression) extends UnaryExpression {
   * size(regexp_extract_all(child, pattern)) (Spark's regexp_count is
   * RuntimeReplaceable sugar for exactly that form), without
   * materializing the matched substrings into an array per row. The
-  * pattern compiles once per operator instance. */
+  * pattern compiles once per operator instance.
+  *
+  * NULL input yields NULL (UnaryExpression's null-intolerant default)
+  * — an INTENTIONAL divergence from the builtin composition, whose
+  * size(NULL) answers -1 under this engine's legacy sizeOfNull (ansi
+  * off): that sentinel silently subtracted from sums it rode into,
+  * where null rows simply drop out. Pinned in
+  * KernelEquivalenceSpec's null-text case. */
 case class RegexCount(child: Expression, pattern: String)
     extends UnaryExpression {
   override def dataType: DataType = LongType

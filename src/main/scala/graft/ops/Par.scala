@@ -22,7 +22,31 @@ object Par {
         t.start()
         t
       }
-      ts.foreach(_.join())
+      // An interrupt of the CALLING thread (streaming query shutdown,
+      // bench timeout cancel) must not return with workers still
+      // writing in the background: a restarted/replayed micro-batch
+      // could then overwrite the same batch_id directory CONCURRENTLY
+      // with a zombie write — the idempotent-replay discipline only
+      // holds when at most one writer touches a partial at a time. So
+      // on interrupt, interrupt every worker and re-join them
+      // UNINTERRUPTIBLY before rethrowing: the group never outlives the
+      // call.
+      var interrupted = false
+      ts.foreach { t =>
+        var joined = false
+        while (!joined)
+          try { t.join(); joined = true }
+          catch {
+            case _: InterruptedException =>
+              interrupted = true
+              ts.foreach(_.interrupt())
+          }
+      }
+      if (interrupted) {
+        Thread.currentThread().interrupt() // restore the flag
+        throw new InterruptedException(
+          "Par.inParallel interrupted; worker stages interrupted and joined")
+      }
       val e = errs.peek()
       if (e != null) throw e
     }

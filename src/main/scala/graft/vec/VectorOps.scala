@@ -245,8 +245,8 @@ object VectorOps {
   /** Encode every vector to its m codebook codes: (id, codes array<int>).
     * A single [[PqEncodeExpr]] projection over one scan — no join, no
     * shuffle, no per-subspace row explosion; the corpus is touched
-    * exactly once and the encode loop runs inside whole-stage codegen. */
-  /** `keep` carries extra columns of `vectors` through the projection —
+    * exactly once and the encode loop runs inside whole-stage codegen.
+    * `keep` carries extra columns of `vectors` through the projection —
     * the index writers need (codes, list_id) together, and re-attaching
     * list_id with a join after a codes-only projection paid a whole
     * shuffle join per build/append for a column the frame already had. */

@@ -58,6 +58,22 @@ class KernelEquivalenceSpec extends AnyFunSuite {
           .cast("long").as("regex")).collect()
       rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"$p: $r"))
     }
+    // NULL text: the two forms DIVERGE by design, pinned here so the
+    // difference stays documented instead of latent. regex_count is
+    // null-in/null-out (a count of matches in no string is undefined);
+    // the builtin under this engine's legacy sizeOfNull (ansi off)
+    // answers size(NULL) = -1 — a sentinel that silently SUBTRACTED
+    // from every sum() it rode into (DataCard pii_sum added -1 per
+    // pattern per null-text row), where null is simply dropped by
+    // sum(). No oracled dataset carries null text (the r15 kernel swap
+    // passed hash-identical), so this pins semantics, not results.
+    val nullRow = Seq((null: String)).toDF("text").select(
+      TextExpressions.regex_count(col("text"), pats.head).as("kernel"),
+      size(regexp_extract_all(col("text"), lit(pats.head), lit(0)))
+        .cast("long").as("regex")).collect().head
+    assert(nullRow.isNullAt(0), "regex_count(NULL) must be NULL")
+    assert(nullRow.getLong(1) == -1L,
+      "builtin size(regexp_extract_all(NULL)) is -1 under legacy sizeOfNull")
   }
 
   test("overlaps_const_set == arrays_overlap against the same null-free literal") {
