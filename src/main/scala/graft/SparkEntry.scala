@@ -2545,9 +2545,9 @@ object SparkEntry {
         .createTempDirectory("graft_substr_idx_q_").toString
       val p = SubstrIndex.Params(minTokens = 20)
       val cut1 = SubstrIndex.ingestBatch(
-        docs.where(col("doc_id") < half), idx, params = p).localCheckpoint()
+        docs.where(col("doc_id") < half), idx, params = p).transform(graft.ops.Pins.pin)
       val cut2 = SubstrIndex.ingestBatch(
-        docs.where(col("doc_id") >= half), idx, params = p).localCheckpoint()
+        docs.where(col("doc_id") >= half), idx, params = p).transform(graft.ops.Pins.pin)
       val grams = s.read.parquet(s"$idx/grams").count()
       val replay = SubstrIndex.ingestBatch(
         docs.where(col("doc_id") >= half), idx, params = p)
@@ -3482,7 +3482,7 @@ object SparkEntry {
       val streamDir = java.nio.file.Files.createTempDirectory("graft_sdec_q_")
       copyParquetInput(s"$dir/documents.parquet", streamDir)
       val bench = t(s, dir, "documents")
-        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+        .where(pmod(col("doc_id"), lit(37)) === 0).transform(graft.ops.Pins.pin)
       val schema = docsStreamSchema
       val docs = s.readStream.schema(schema).parquet(streamDir.toString)
       val q = StreamOps.decontaminateStream(docs, bench, "text", "text",
@@ -3532,7 +3532,7 @@ object SparkEntry {
         .repartition(4).write.parquet(srcDir.toString)
       val pipeDir = streamDir.resolve("pipe").toString
       val bench = t(s, dir, "documents")
-        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+        .where(pmod(col("doc_id"), lit(37)) === 0).transform(graft.ops.Pins.pin)
       val docs = s.readStream.schema(docsStreamSchema)
         .option("maxFilesPerTrigger", "2").parquet(srcDir.toString)
       val q = StreamOps.curationPipelineStream(docs, pipeDir, bench,
@@ -3560,7 +3560,7 @@ object SparkEntry {
       val subset = t(s, dir, "documents")
         .where(pmod(col("doc_id"), lit(3)) === 0)
       val bench = subset
-        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+        .where(pmod(col("doc_id"), lit(37)) === 0).transform(graft.ops.Pins.pin)
       val base = subset
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
@@ -3634,7 +3634,7 @@ object SparkEntry {
         .repartition(3).write.parquet(srcDir.toString)
       val pipeDir = streamDir.resolve("pipe").toString
       val bench = subset
-        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+        .where(pmod(col("doc_id"), lit(37)) === 0).transform(graft.ops.Pins.pin)
       val docs = s.readStream.schema(docsStreamSchema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
       val q = StreamOps.curationPipelineStart(docs, pipeDir, bench,
@@ -3676,7 +3676,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
       val bench = t(s, dir, "documents")
-        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+        .where(pmod(col("doc_id"), lit(37)) === 0).transform(graft.ops.Pins.pin)
       def land(half: DataFrame, tag: String, files: Int): Unit = {
         val staging = streamDir.resolve(s"stage_$tag")
         half.repartition(files).write.parquet(staging.toString)
@@ -3731,7 +3731,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
       val bench = t(s, dir, "documents")
-        .where(pmod(col("doc_id"), lit(37)) === 0).localCheckpoint()
+        .where(pmod(col("doc_id"), lit(37)) === 0).transform(graft.ops.Pins.pin)
       def land(half: DataFrame, tag: String, files: Int): Unit = {
         val staging = streamDir.resolve(s"stage_$tag")
         half.repartition(files).write.parquet(staging.toString)

@@ -55,17 +55,17 @@ object ConnectedComponents {
     // each recompute it.
     val p = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // all labeled vertices (self-pairs are dropped above; vertices outside
     // any pair are implicitly their own component and not listed — same
     // contract as the keep list)
     val vertices = p.select(col("u")).union(p.select(col("v")))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.ops.Pins.pin)
 
     // canonical undirected edges oriented (u > v)
     var cur = p
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.ops.Pins.pin)
 
     var iter = 0
     var curCount = cur.count()
@@ -96,7 +96,7 @@ object ConnectedComponents {
         .where(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.ops.Pins.pin)
       // fixpoint: the canonical edge set is unchanged. Both sides are
       // distinct, so equal counts + empty one-way difference <=> equal;
       // the previous round's count is reused and the difference probe is

@@ -32,16 +32,16 @@ object Graph {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pagerank: damping must be in (0, 1), got $damping")
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst")).transform(graft.ops.Pins.pin)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
       .repartition(col("node"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val n = nodes.count()
     val outdeg = e0.groupBy(col("src"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
-    val e = e0.join(outdeg, "src").localCheckpoint()
+    val e = e0.join(outdeg, "src").transform(graft.ops.Pins.pin)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 0 until iters) {
       val contrib = e.join(ranks, e("src") === ranks("node"))
@@ -51,7 +51,7 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .transform(graft.ops.Pins.pin)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
   }

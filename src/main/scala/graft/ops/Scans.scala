@@ -31,7 +31,7 @@ object Scans {
       .repartitionByRange(col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val totals = spread.groupBy(col("__pid"))
       .agg(sum(col(valueCol).cast("long")).as("tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

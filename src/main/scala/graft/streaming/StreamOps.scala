@@ -531,7 +531,7 @@ object StreamOps {
       batch, existing, idCol, textCol, shingleN, threshold)
     // count() materializes BEFORE the append so the filter cannot see the
     // rows it is itself writing; survivors is small (a micro-batch slice)
-    val kept = survivors.localCheckpoint()
+    val kept = survivors.transform(graft.ops.Pins.pin)
     val n = kept.count()
     if (n > 0) kept.write.mode("append").parquet(corpusDir)
     n
@@ -648,7 +648,7 @@ object StreamOps {
       Seq("id"), "left_semi")
     val fresh = deduped
       .join(broadcast(present), deduped(idCol) === present("id"), "left_anti")
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     if (fresh.isEmpty) VecIndex.SkewVerdict(VecIndex.listStats(spark, indexDir),
       needsRebalance = false, rebalanced = false)
     else VecIndex.appendWithPolicy(fresh, indexDir, idCol, vecCol,
@@ -1171,7 +1171,7 @@ object StreamOps {
     val base = batch.select(col(sourceCol).as("source"),
       col(langCol).as("lang"), nTok.as("__ntok"), pii.as("__pii"),
       Readability.readingEase(t).as("__ease"),
-      TextOps.fingerprintMd5(t).as("fp")).localCheckpoint()
+      TextOps.fingerprintMd5(t).as("fp")).transform(graft.ops.Pins.pin)
     // the three family partials are disjoint dirs computed from the one
     // checkpointed base — overlap them ([[inParallel]]) instead of
     // paying three sequential job+commit latencies per micro-batch
@@ -1586,7 +1586,7 @@ object StreamOps {
           .join(broadcast(withFp.select(col("__fp"))), Seq("__fp"), "left_semi")
         withFp.join(broadcast(present), Seq("__fp"), "left_anti")
       } else withFp
-    val kept = fresh.localCheckpoint()
+    val kept = fresh.transform(graft.ops.Pins.pin)
     val n = kept.count()
     if (n > 0) kept.sortWithinPartitions(col("__fp"))
       .write.mode("append")
@@ -1664,7 +1664,7 @@ object StreamOps {
         if (!batch.isEmpty) {
           // one materialization feeds all three consumers — the
           // checkpointed-frames discipline from the batch pipeline
-          val b = batch.localCheckpoint()
+          val b = batch.transform(graft.ops.Pins.pin)
           // card, cap and corpus are disjoint directory families with no
           // ordering contract between them (each is replay-idempotent on
           // its own): overlap them ([[inParallel]]) so the micro-batch

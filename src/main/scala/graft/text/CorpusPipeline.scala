@@ -133,7 +133,7 @@ object CorpusPipeline {
     val exactKept = redacted
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val exactCount = exactKept.count()
 
     // near-dup clusters over survivors; drop non-representatives
@@ -186,7 +186,7 @@ object CorpusPipeline {
             // materialize or the whole upstream (including the MinHash
             // pair subtree) would re-run per consumer; its count then
             // reads the materialized blocks and fills nearObs
-            val pinned = c0.localCheckpoint()
+            val pinned = c0.transform(graft.ops.Pins.pin)
             val nExact = pinned.count()
             val c = TextOps.decontaminateNgramOverlap(
               pinned, bRed, "id", "text", "text", ng)
@@ -272,7 +272,7 @@ object CorpusPipeline {
     val kept = rendered
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val nKept = kept.count() // the action that also fills obs
     def g(n: String): Long = obs.get(n).asInstanceOf[Number].longValue()
     val audit = Seq("input" -> g("input"),

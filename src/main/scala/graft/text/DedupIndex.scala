@@ -183,7 +183,7 @@ object DedupIndex {
       .withColumn("__bands",
         when(col("__sig").isNotNull,
           TextOps.lshBandHashes(col("__sig"), p.bands, p.rowsPerBand)))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
 
   /** The probe core shared by [[probeBatch]] (pure, the recurring
     * per-batch cost) and [[ingestBatch]] (probe + append): survivors of
@@ -309,7 +309,7 @@ object DedupIndex {
         val candidates =
           if (graft.ops.ScanPrune.tableBytes(spark, sigDir) >=
               graft.ops.ScanPrune.PushMinTableBytes)
-            candidates0.localCheckpoint()
+            candidates0.transform(graft.ops.Pins.pin)
           else candidates0
         // candidate ids are bucket-capped (bounded by batch x maxBucket):
         // push them as a point set when the sig table clears the gate —
@@ -336,7 +336,7 @@ object DedupIndex {
               lit(0), (acc, v) => acc + v).cast("double") / params.numPerm)
           .where(col("est") >= params.threshold * 0.5)
           .select(col("id_l"), col("id_r")))
-          .localCheckpoint()
+          .transform(graft.ops.Pins.pin)
         // exact verify: fetch TEXT for candidate ids only — a semi-probe
         // into the corpus, not a corpus scan-and-sign. When the caller
         // owns the corpus DIRECTORY (the ingest path, whose writes keep
@@ -484,7 +484,7 @@ object DedupIndex {
     val survivors =
       probeWithSigs(batch, corpus, indexDir, idCol, textCol, params,
           corpusDir = Some(corpusDir))
-        .localCheckpoint() // materialize BEFORE the appends, so the probes
+        .transform(graft.ops.Pins.pin) // materialize BEFORE the appends, so the probes
                            // cannot see the rows this call is itself writing
     val n = survivors.count()
     if (n == 0) return 0L

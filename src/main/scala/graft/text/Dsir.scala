@@ -72,7 +72,7 @@ object Dsir {
     val joint = ct.join(cr, Seq("feat"), "full_outer")
       .select(col("feat"), coalesce(col("c_t"), lit(0L)).as("c_t"),
         coalesce(col("c_r"), lit(0L)).as("c_r"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val s = joint.agg(count(lit(1)), sum(col("c_t")), sum(col("c_r"))).head()
     val (v, nt, nr) = (s.getLong(0), s.getLong(1), s.getLong(2))
     require(nt > 0 && nr > 0, "Dsir.fit: both corpora must contain tokens")
@@ -81,7 +81,7 @@ object Dsir {
     val ratios = joint.select(col("feat"),
         (log((col("c_t") + k) / denomT) - log((col("c_r") + k) / denomR))
           .as("log_ratio"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     DsirModel(ratios, math.log(denomR / denomT))
   }
 

@@ -52,7 +52,7 @@ object MultilingPipeline {
     // twice (the same two-consumer shape as `sized` below)
     val contaminated = TextOps.ngramOverlapIds(
       docs, benchmark, docIdCol, textCol, textCol, ngramN)
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val clean = mined
       .join(contaminated.select(col(docIdCol).as("src_id")),
         Seq("src_id"), "left_anti")
@@ -67,7 +67,7 @@ object MultilingPipeline {
         col("__nt").as("__ntg")), "tgt_id")
       .select(col("src_id"), col("tgt_id"),
         (col("__ns") + col("__ntg")).as("pair_tokens"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     Packing.packSequences(sized, "src_id", "pair_tokens", ctxLen)
       .join(sized.select(col("src_id"), col("tgt_id")), "src_id")
       .select(col("src_id"), col("tgt_id"),

@@ -191,7 +191,7 @@ object QualityClassifier {
     val docs = side(pos, 1.0).unionByName(side(neg, 0.0))
       .select(col("__k"), col("__y"), col("__t"),
         size(col("__t")).cast("double").as("__n"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // (doc, bucket, occurrences/n): the per-occurrence gradient weight
     // 1/n is folded into the count so each iteration is pure join+agg
     val feats = docs.where(col("__n") > 0)
@@ -201,7 +201,7 @@ object QualityClassifier {
       .groupBy(col("__k"), col("__n"), col("__j"))
       .agg((count(lit(1)).cast("double") / col("__n")).as("__cn"))
       .select(col("__k"), col("__j"), col("__cn"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val used = feats.select(col("__j")).distinct().as[Int].collect().sorted
     val w = new Array[Double](dim)
     var b = 0.0
@@ -242,7 +242,7 @@ object QualityClassifier {
         monotonically_increasing_id().as("__k"),
         col(labelCol).cast("double").as("__y"), col(toksCol).as("__t"))
       .withColumn("__n", size(col("__t")).cast("double"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val feats = docs.where(col("__n") > 0)
       .select(col("__k"), col("__n"), explode(col("__t")).as("__tok"))
       .select(col("__k"), col("__n"),

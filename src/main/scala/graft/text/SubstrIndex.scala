@@ -187,7 +187,7 @@ object SubstrIndex {
     // checkpoint: consumed by the in-batch marks, the index probe and
     // the append — without truncation each consumer re-grams the batch
     val ranked = grams.withColumn("rn", row_number().over(w))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val inBatch = ranked.where(col("rn") > 1).select(col("id"), col("pos"))
     val firsts = ranked.where(col("rn") === 1)
     val gramsDir = s"$indexDir/grams"
@@ -203,7 +203,7 @@ object SubstrIndex {
     // checkpoint: joined feeds marked AND toAppend (and the returned cut
     // evaluates lazily after the append — the own-id rule keeps that
     // correct, the checkpoint keeps it from re-probing)
-    val joined = firsts.join(idx, Seq("gk"), "left").localCheckpoint()
+    val joined = firsts.join(idx, Seq("gk"), "left").transform(graft.ops.Pins.pin)
     val idxHits = joined.where(
       if (excludeOwnIds)
         col("__idx_id").isNotNull && col("__idx_id") =!= col("id")

@@ -362,7 +362,7 @@ object TextOps {
           lit(0), (acc, v) => acc + v).cast("double") / numPerm)
       .where(col("est") >= threshold * 0.5)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // exact-verify sets: computed ONLY for ids that appear in surviving
     // candidate pairs (a left-semi probe), not for the whole corpus
     val survivorIds = estimated.select(col("id_a").as("id"))
@@ -417,7 +417,7 @@ object TextOps {
     // (or the exhaustive cross join) would re-run per consumer
     val candidates = (
       if (exhaustive) {
-        val ids = base.select(col("id")).localCheckpoint()
+        val ids = base.select(col("id")).transform(graft.ops.Pins.pin)
         ids.select(col("id").as("id_a"))
           .crossJoin(ids.select(col("id").as("id_b")))
           .where(col("id_a") < col("id_b"))
@@ -429,7 +429,7 @@ object TextOps {
         val banded = withSig.select(col("id"),
           posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
         bucketPairs(banded, maxBucket)
-      }).localCheckpoint()
+      }).transform(graft.ops.Pins.pin)
     // shingle sets ONLY for ids that appear in candidate pairs (the
     // same candidate-bounded discipline as minhashDedupPairs's verify
     // stage): under LSH candidates are a sliver of the corpus, and
@@ -480,7 +480,7 @@ object TextOps {
         graft.functions.TextExpressions.minhash_shingles(
           tokens(col("text")), shingleN, numPerm).as("sig"))
       .withColumn("bands", lshBandHashes(col("sig"), bands, rowsPerBand))
-    if (checkpoint) sig.localCheckpoint() else sig
+    if (checkpoint) sig.transform(graft.ops.Pins.pin) else sig
   }
 
   /** Bucket-local candidate-pair generation shared by the MinHash and
@@ -549,7 +549,7 @@ object TextOps {
       .distinct()
     // with lazy left signatures, pin the small candidate set instead so
     // the full-corpus scan runs exactly once per consumer chain
-    val candidates = if (checkpointLeft) candidates0 else candidates0.localCheckpoint()
+    val candidates = if (checkpointLeft) candidates0 else candidates0.transform(graft.ops.Pins.pin)
     val lSigForEst =
       if (checkpointLeft) lSig.select(col("id").as("id_l"), col("sig").as("sig_l"))
       else signatures(
@@ -658,7 +658,7 @@ object TextOps {
       .select(col("id"),
         graft.functions.TextExpressions.simhash64(
           wordShingles(tokens(col("text")), shingleN)).as("sig"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // (sig >> (j*width)) & mask: the arithmetic shift's sign-extension is
     // masked off, so it equals the logical shift for every chunk
     val banded = withSig.select(col("id"),
@@ -708,7 +708,7 @@ object TextOps {
       .withColumn("rn", row_number().over(byFp.orderBy(col("id"))))
       .where(col("rn") === 1)
       .drop("rn")
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val groups = reps.select(col("fp"), col("id").as("keep_id"), col("n_copies"))
     val pairs = minhashDedupPairs(reps.select(col("id"), col("text")), "id", "text",
       shingleN, numPerm, bands, threshold, repartitionInput = true)
@@ -1145,11 +1145,11 @@ object TextOps {
     * discipline (train the LM on a trusted corpus, score candidates
     * against it) without the external model dependency. */
   def bigramLmTrain(corpus: DataFrame, idCol: String, textCol: String): BigramLm = {
-    val pairs = bigramPairs(corpus, idCol, textCol).localCheckpoint()
+    val pairs = bigramPairs(corpus, idCol, textCol).transform(graft.ops.Pins.pin)
     val bCounts = pairs.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val uCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     BigramLm(bCounts, uCounts, uCounts.count())
   }
 

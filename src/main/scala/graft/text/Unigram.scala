@@ -42,7 +42,7 @@ object Unigram {
     * distribution. */
   def train(docs: DataFrame, textCol: String, topWords: Int = 30): Model = {
     val words = docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .localCheckpoint() // two bounded aggs ride one corpus pass
+      .transform(graft.ops.Pins.pin) // two bounded aggs ride one corpus pass
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word"))
       .limit(topWords)
@@ -126,7 +126,7 @@ object Unigram {
       // distinct — re-evaluating the fold per word INSTANCE (measured:
       // the full 85 s again). Materializing the vocab-sized frame pins
       // the fold to one evaluation per distinct word.
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     words.join(encoded, Seq("word"))
       .select(col(idCol), col("widx"),
         posexplode(col("__pieces")).as(Seq("pi", "piece")))

@@ -250,7 +250,7 @@ object WinnowIndex {
       // exchange over cand (probe-sized), never the corpus; compact
       // heals the duplicates durably.
       .dropDuplicates("fp_mod", "hash", "id")
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val okHash = cand.groupBy(col("fp_mod"), col("hash"))
       .agg(count(lit(1)).as("__nd"))
       .where(col("__nd") <= maxDocsPerHash)
@@ -303,7 +303,7 @@ object WinnowIndex {
         fresh0.join(broadcast(present), fresh0(idCol) === present("id"),
           "left_anti")
       } else fresh0
-    val rows = fpRows(fresh, idCol, textCol, params).localCheckpoint()
+    val rows = fpRows(fresh, idCol, textCol, params).transform(graft.ops.Pins.pin)
     val n = rows.select(col("id")).distinct().count()
     // re-fence at the write boundary: a writer stalled past the TTL in
     // the probe/checkpoint work above aborts HERE, before a zombie
@@ -411,7 +411,7 @@ object WinnowIndex {
         // between its fp append and its ids append can leave behind
         val rows = spark.read.parquet(s"$indexDir/fp")
           .select(col("hash"), col("id"), col("fp_mod")).distinct()
-          .localCheckpoint() // feeds the fp rewrite AND the manifest rebuild
+          .transform(graft.ops.Pins.pin) // feeds the fp rewrite AND the manifest rebuild
         val n = rows.count()
         writeFp(rows, s"$indexDir/fp__tmp")
         // the manifest is REBUILT from the compacted fp rows, not copied:

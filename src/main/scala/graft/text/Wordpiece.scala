@@ -105,7 +105,7 @@ object Wordpiece {
       // distinct — re-evaluating the fold per word INSTANCE (measured:
       // the full 85 s again). Materializing the vocab-sized frame pins
       // the fold to one evaluation per distinct word.
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     words.join(encoded, Seq("word"))
       .select(col(idCol), col("widx"),
         posexplode(col("__pieces")).as(Seq("pi", "piece")))

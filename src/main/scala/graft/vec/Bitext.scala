@@ -66,7 +66,7 @@ object Bitext {
       .withColumn("__rf", row_number().over(wf))
       .withColumn("__rb", row_number().over(wb))
       .where(col("__rf") <= k || col("__rb") <= k)
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // per-side neighborhood means over the top-k candidates only —
     // vocabulary-sized frames (one row per id), partial-aggregated
     val avgF = ranked.where(col("__rf") <= k)

@@ -37,7 +37,7 @@ object Coreset {
     import spark.implicits._
     val v = vectors.select(col(idCol).cast("long").as("id"),
         VectorOps.asDouble(col(vecCol)).as("v"))
-      .localCheckpoint() // scanned k times; pin it once
+      .transform(graft.ops.Pins.pin) // scanned k times; pin it once
     val first = v.orderBy(col("id")).limit(1).head()
     var picked = Vector[(Long, Seq[Double], Double)](
       (first.getLong(0), first.getSeq[Double](1), 0.0))

@@ -42,11 +42,11 @@ object GraphAnn {
     val nodes = vectors
       .select(col(idCol).cast("long").as("node"),
         VectorOps.asDouble(col(vecCol)).as("__nv"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val q = queries
       .select(col(idCol).cast("long").as("query_id"),
         VectorOps.asDouble(col(vecCol)).as("__qv"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val e = edges.select(col("src_id").cast("long").as("__src"),
       col("dst_id").cast("long").as("__dst"))
     def score(cands: DataFrame): DataFrame = cands
@@ -56,7 +56,7 @@ object GraphAnn {
         VecExpressions.cosineSim(col("__qv"), col("__nv")).as("cos"))
     val entry = nodes.orderBy(col("node")).limit(1).select(col("node"))
     var visited = score(broadcast(q.select(col("query_id"))).crossJoin(entry))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     var frontier = visited
     val perQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
@@ -66,7 +66,7 @@ object GraphAnn {
         .select(col("query_id"), col("__dst").as("node")).distinct()
       val fresh = expanded.join(visited.select(col("query_id"), col("node")),
         Seq("query_id", "node"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
+      visited = visited.unionByName(score(fresh)).transform(graft.ops.Pins.pin)
       frontier = visited
         .withColumn("__rn", row_number().over(perQuery))
         .where(col("__rn") <= beam).drop("__rn")

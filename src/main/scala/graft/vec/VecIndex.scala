@@ -45,7 +45,7 @@ object VecIndex {
     val base = vectors.select(col(idCol).as("id"),
         VectorOps.asDouble(col(vecCol)).as("vec"))
       .repartition(col("id"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val seed = base.orderBy(col("id")).limit(nlist)
       .collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
@@ -97,7 +97,7 @@ object VecIndex {
         VectorOps.asDouble(col(vecCol)).as("vec"))
       .withColumn("list_id",
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
-      .localCheckpoint() // one assignment pass feeds write AND stat delta
+      .transform(graft.ops.Pins.pin) // one assignment pass feeds write AND stat delta
     // write-boundary re-fence: a writer stalled past the TTL in the
     // assignment/checkpoint work aborts before a zombie append lands
     graft.ops.Lease.fenceIfLost(spark, indexDir)
@@ -151,7 +151,7 @@ object VecIndex {
     val base = vectors.select(col(idCol).as("id"),
         VectorOps.asDouble(col(vecCol)).as("vec"))
       .repartition(col("id"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val seed = base.orderBy(col("id")).limit(nlist)
       .collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
@@ -168,7 +168,7 @@ object VecIndex {
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
       .withColumn("residual",
         zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
-      .localCheckpoint() // feeds PQ training sweeps AND the encode below
+      .transform(graft.ops.Pins.pin) // feeds PQ training sweeps AND the encode below
     val model = VectorOps.pqTrain(resid, "id", "residual", m, ksub, pqIters)
     VectorOps.pqEncode(resid, "id", "residual", model, keep = Seq("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
@@ -207,7 +207,7 @@ object VecIndex {
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
       .withColumn("residual",
         zip_with(col("vec"), centVec(col("list_id")), (x, c) => x - c))
-      .localCheckpoint() // one assignment pass feeds write AND stat delta
+      .transform(graft.ops.Pins.pin) // one assignment pass feeds write AND stat delta
     // write-boundary re-fence (see append's note)
     graft.ops.Lease.fenceIfLost(spark, indexDir)
     VectorOps.pqEncode(resid, "id", "residual", model, keep = Seq("list_id"))
@@ -320,7 +320,7 @@ object VecIndex {
         VectorOps.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("list_id",
         explode(slice(VectorOps.centroidRanking(col("q_vec"), cents), 1, nprobe)))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // the probed list set is a collected LITERAL by plan time, so the
     // partitioned read prunes every unprobed list directory
     val probedLists = probes.select(col("list_id")).distinct()
@@ -363,7 +363,7 @@ object VecIndex {
     val base = vectors.select(col(idCol).as("id"),
         VectorOps.asDouble(col(vecCol)).as("vec"))
       .repartition(col("id"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val seed = base.orderBy(col("id")).limit(nlist)
       .collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
@@ -407,7 +407,7 @@ object VecIndex {
         element_at(VectorOps.centroidRanking(col("vec"), cents), 1))
       .select(col("id"), Quantize.sq8Encode(col("vec"), model).as("codes"),
         col("list_id"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // write-boundary re-fence (see append's note)
     graft.ops.Lease.fenceIfLost(spark, indexDir)
     assigned.write.mode("append").partitionBy("list_id")
@@ -440,7 +440,7 @@ object VecIndex {
         VectorOps.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("list_id",
         explode(slice(VectorOps.centroidRanking(col("q_vec"), cents), 1, nprobe)))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val lists = spark.read.parquet(s"$indexDir/lists")
@@ -573,7 +573,7 @@ object VecIndex {
     val base = spark.read.parquet(s"$indexDir/lists")
       .select(col("id"), col("vec"))
       .repartition(col("id"))
-      .localCheckpoint() // feeds refinement sweeps AND the re-assignment
+      .transform(graft.ops.Pins.pin) // feeds refinement sweeps AND the re-assignment
     val cents = VectorOps.kmeansCentroids(base, "vec", cents0, kmeansIters)
     reassignAll(spark, indexDir, base, cents)
     (before, listStats(spark, indexDir))
@@ -610,7 +610,7 @@ object VecIndex {
     val base = spark.read.parquet(s"$indexDir/lists")
       .select(col("id"), col("vec"))
       .repartition(col("id"))
-      .localCheckpoint() // feeds the sample filter AND the re-assignment
+      .transform(graft.ops.Pins.pin) // feeds the sample filter AND the re-assignment
     val cents = VectorOps.kmeansCentroids(
       kmeansSample(base, before.nVectors, Some(sampleSize)), "vec",
       cents0, kmeansIters)
@@ -791,7 +791,7 @@ object VecIndex {
         vectors.select(col(idCol).as("id"),
           VectorOps.asDouble(col(vecCol)).as("vec")), Seq("id"))
       .repartition(col("id"))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val nIdx = ids.count()
     val nGot = base.count()
     require(nGot == nIdx,
@@ -843,7 +843,7 @@ object VecIndex {
       .select(col("id"), col("codes"))
       .withColumn("vec", Quantize.sq8Dequant(col("codes"), model))
       .repartition(col("id"))
-      .localCheckpoint() // feeds the sample filter AND the re-assignment
+      .transform(graft.ops.Pins.pin) // feeds the sample filter AND the re-assignment
     val cents = VectorOps.kmeansCentroids(
       kmeansSample(base, before.nVectors, Some(sampleSize)), "vec",
       cents0, kmeansIters)

@@ -204,7 +204,7 @@ object VectorOps {
     val base = vectors.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("v"))
       .repartition(col("id"))
-      .localCheckpoint() // seed TakeOrdered + every sweep share one scan
+      .transform(graft.ops.Pins.pin) // seed TakeOrdered + every sweep share one scan
     // ksub-smallest ids via TakeOrdered (no full sort, no shuffle)
     val seedRows = base.orderBy(col("id")).limit(ksub).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -355,7 +355,7 @@ object VectorOps {
     val base = vectors.select(col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("cand_vec"))
       .repartition(col("cand_id"))
-      .localCheckpoint() // seed + k-means sweeps + residual projection
+      .transform(graft.ops.Pins.pin) // seed + k-means sweeps + residual projection
     // nlist smallest ids by RANK (TakeOrdered — robust to sparse/offset
     // id spaces, the same discipline as the PQ seeds)
     val seed = base.orderBy(col("cand_id")).limit(nlist)
@@ -374,7 +374,7 @@ object VectorOps {
         element_at(centroidRanking(col("cand_vec"), cents), 1))
       .withColumn("residual",
         zip_with(col("cand_vec"), centVec(col("centroid_id")), (x, c) => x - c))
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     val model = pqTrain(resid, "cand_id", "residual", m, ksub, pqIters)
     val encoded = pqEncode(resid, "cand_id", "residual", model)
       .withColumnRenamed("id", "cand_id")
@@ -439,7 +439,7 @@ object VectorOps {
       // consumed by the seed TakeOrdered, every k-means sweep, AND the
       // final assignment — each a separate job that would otherwise
       // re-scan and re-shuffle the full vector table
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // seed from the nlist SMALLEST ids by rank (TakeOrdered — robust to
     // sparse/offset id spaces; for dense ids this is the same set as the
     // old id < nlist filter, so the measured numbers stand): first-ids
@@ -525,7 +525,7 @@ object VectorOps {
       .repartition(col("id"))
       // seed TakeOrdered, each k-means sweep, and the assignment all
       // re-consume the scan — same discipline as ivfTopK
-      .localCheckpoint()
+      .transform(graft.ops.Pins.pin)
     // getAs[Number]: int ids work as-is (the pqTrain lesson — never
     // assume the id column is a long)
     val seed = base.orderBy(col("id")).limit(nlist)
@@ -564,7 +564,7 @@ object VectorOps {
                               kmeansIters: Int): DataFrame = {
     val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .repartition(col("id"))
-      .localCheckpoint() // seed TakeOrdered + sweeps + assignment share one scan
+      .transform(graft.ops.Pins.pin) // seed TakeOrdered + sweeps + assignment share one scan
     val seed = base.orderBy(col("id")).limit(nlist)
       .collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
@@ -662,7 +662,7 @@ object VectorOps {
       s"knnGraph: nassign must be in [1, nlist], got $nassign")
     val base = vectors.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .repartition(col("id"))
-      .localCheckpoint() // seed + sweeps + both join sides share one scan
+      .transform(graft.ops.Pins.pin) // seed + sweeps + both join sides share one scan
     val seed = base.orderBy(col("id")).limit(nlist)
       .collect()
       .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1).toArray)
