@@ -473,6 +473,24 @@ object HashOps {
     * row-local n-gram gate against a 10^4-gram benchmark O(rows x set)
     * in set construction alone. Null elements never match (the call
     * sites feed null-free arrays — wordShingles containsNull=false). */
+  /** Count of positions where two long arrays agree — the MinHash
+    * signature-agreement estimator's core. Value-identical to
+    * aggregate(zip_with(a, b, (x, y) -> if(x = y, 1, 0)), 0, +):
+    * zip_with pads the shorter side with nulls and a null comparison
+    * contributes 0, so only the overlapping prefix's equal non-null
+    * positions count. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1L
+      i += 1
+    }
+    c
+  }
+
   def overlapsSet(arr: ArrayData,
                   set: java.util.HashSet[UTF8String]): Boolean = {
     if (set.isEmpty) return false

@@ -385,6 +385,32 @@ case class RegexCount(child: Expression, pattern: String)
   * O(|doc grams|) lookups per row. Child arrays must be null-free
   * (wordShingles guarantees containsNull=false); with that, the result
   * is boolean-identical to arrays_overlap against a null-free literal. */
+/** Position-agreement count of two long arrays (the MinHash
+  * signature-agreement estimator) — value-identical to
+  * aggregate(zip_with(a, b, (x, y) -> if(x = y, 1, 0)), 0, +), but a
+  * tight codegen'd loop: the higher-order-function composition is
+  * CodegenFallback (interpreted lambda evaluation with boxing per
+  * element, numPerm iterations x 2 HOFs per candidate pair) — the
+  * estimate stage's per-row cost at document scale. Pinned
+  * value-identical in KernelEquivalenceSpec. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sig_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(HashOps.sigAgreement(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashOps.sigAgreement($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 case class OverlapsConstSet(child: Expression, grams: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = BooleanType
@@ -441,6 +467,8 @@ object TextExpressions {
     toColumn(LcsLength(toExpression(a), toExpression(b)))
   def overlaps_const_set(c: Column, grams: Seq[String]): Column =
     toColumn(OverlapsConstSet(toExpression(c), grams))
+  def sig_agreement(a: Column, b: Column): Column =
+    toColumn(SigAgreement(toExpression(a), toExpression(b)))
   def syllable_runs_sum(tokens: Column): Column =
     toColumn(SyllableRunsSum(toExpression(tokens)))
   def regex_count(c: Column, pattern: String): Column =

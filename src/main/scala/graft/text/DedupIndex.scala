@@ -330,10 +330,11 @@ object DedupIndex {
           .join(sigTable
             .withColumnRenamed("id", "id_l").withColumnRenamed("sig", "sig_l"), "id_l")
           .join(afterExact.select(col(idCol).as("id_r"), col("__sig").as("sig_r")), "id_r")
+          // sig_agreement kernel — codegen'd agreement count instead of
+          // the interpreted zip_with/aggregate HOF composition
           .withColumn("est",
-            aggregate(zip_with(col("sig_l"), col("sig_r"),
-                (x, y) => when(x === y, 1).otherwise(0)),
-              lit(0), (acc, v) => acc + v).cast("double") / params.numPerm)
+            graft.functions.TextExpressions.sig_agreement(
+              col("sig_l"), col("sig_r")).cast("double") / params.numPerm)
           .where(col("est") >= params.threshold * 0.5)
           .select(col("id_l"), col("id_r")))
           .transform(graft.ops.Pins.pin)

@@ -356,10 +356,13 @@ object TextOps {
     val estimated = candidates
       .join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
       .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+      // sig_agreement kernel: the zip_with/aggregate HOF composition is
+      // interpreted (CodegenFallback) — numPerm boxed iterations x 2
+      // per pair; the kernel is one codegen'd loop, value-identical
+      // (KernelEquivalenceSpec)
       .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numPerm)
+        graft.functions.TextExpressions.sig_agreement(
+          col("sig_a"), col("sig_b")).cast("double") / numPerm)
       .where(col("est") >= threshold * 0.5)
       .select(col("id_a"), col("id_b"))
       .transform(graft.ops.Pins.pin)
@@ -562,10 +565,10 @@ object TextOps {
     val estimated = candidates
       .join(lSigForEst, "id_l")
       .join(rSig.select(col("id").as("id_r"), col("sig").as("sig_r")), "id_r")
+      // sig_agreement kernel — see minhashDedupPairs's estimate note
       .withColumn("est",
-        aggregate(zip_with(col("sig_l"), col("sig_r"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numPerm)
+        graft.functions.TextExpressions.sig_agreement(
+          col("sig_l"), col("sig_r")).cast("double") / numPerm)
       .where(col("est") >= threshold * 0.5)
       .select(col("id_l"), col("id_r"))
     def sets(base: DataFrame, ids: DataFrame): DataFrame =

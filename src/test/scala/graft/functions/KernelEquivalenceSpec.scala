@@ -76,6 +76,26 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       "builtin size(regexp_extract_all(NULL)) is -1 under legacy sizeOfNull")
   }
 
+  test("sig_agreement == aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)), 0, +)") {
+    // equal-length signatures (the MinHash case), unequal lengths
+    // (zip_with pads with nulls -> count 0 on the tail), empties, and
+    // arrays with null ELEMENTS (null comparison contributes 0)
+    val rows = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[java.lang.Long](1L, 9L, 3L, 4L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](), Seq[java.lang.Long](5L)),
+      (Seq[java.lang.Long](null, 7L, null), Seq[java.lang.Long](null, 7L, 8L)),
+      (Seq[java.lang.Long](Long.MaxValue, Long.MinValue),
+        Seq[java.lang.Long](Long.MaxValue, Long.MinValue)))
+      .toDF("a", "b")
+    val got = rows.select(
+      TextExpressions.sig_agreement(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("long").as("builtin")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("overlaps_const_set == arrays_overlap against the same null-free literal") {
     val grams = Seq("quick brown fox", "lazy dog end", "no match gram",
       "café naïve déjà-vu")
