@@ -56,8 +56,8 @@ object ClusterEval {
     val labels = cents.keys.toSeq.sorted
     require(labels.size >= 2, "silhouette needs at least 2 clusters")
     def dist(c: Array[Double]): Column =
-      sqrt(aggregate(zip_with(v, lit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
+      // l2sq kernel: bit-identical index-ordered fold, codegen'd
+      sqrt(VecExpressions.l2Sq(v, typedLit(c.toSeq)))
     val aCol = labels.tail
       .foldLeft(when(lab === labels.head, dist(cents(labels.head)))) {
         (acc, l) => acc.when(lab === l, dist(cents(l)))

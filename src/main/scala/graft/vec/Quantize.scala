@@ -107,8 +107,8 @@ object Quantize {
     val v = VectorOps.asDouble(col(vecCol))
     val dq = sq8Roundtrip(col(vecCol), model)
     vectors.select(col(idCol),
-      sqrt(aggregate(zip_with(v, dq, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e)).as("l2_err"))
+      // l2sq kernel: bit-identical index-ordered fold, codegen'd
+      sqrt(VecExpressions.l2Sq(v, dq)).as("l2_err"))
   }
 
   /** Asymmetric SQ8 top-k: full-precision queries scored against

@@ -39,6 +39,36 @@ object VecKernels {
     while (i < n) { d += a.getDouble(i) * b.getDouble(i); i += 1 }
     d
   }
+
+  /** Squared L2 distance (index-ordered fold — the association of
+    * aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +), so the
+    * swap changes no output bit). Same equal-length/non-null-element
+    * contract as [[cosine]]. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0; var i = 0
+    while (i < n) {
+      val t = a.getDouble(i) - b.getDouble(i)
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  /** PQ asymmetric-distance table lookup: sum_i tables(i)(codes(i)) —
+    * index-ordered fold, the association of
+    * aggregate(zip_with(codes, tables, (c, t) -> element_at(t, c+1)),
+    * 0.0, +). codes are 0-based ints, tables per-subspace double
+    * arrays. */
+  def adcLookup(codes: ArrayData, tables: ArrayData): Double = {
+    val n = codes.numElements()
+    var d = 0.0; var i = 0
+    while (i < n) {
+      d += tables.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    d
+  }
 }
 
 case class CosineSimExpr(left: Expression, right: Expression)
@@ -75,6 +105,40 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.vec.VecKernels.l2sq($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AdcLookupExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lookup"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.adcLookup(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.vec.VecKernels.adcLookup($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookupExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExpressions {
   import org.apache.spark.sql.graftx.{toColumn, toExpression}
 
@@ -85,4 +149,13 @@ object VecExpressions {
   /** Codegen dot product over two double-array columns. */
   def dotProduct(a: Column, b: Column): Column =
     toColumn(DotProductExpr(toExpression(a), toExpression(b)))
+
+  /** Codegen squared L2 distance over two double-array columns. */
+  def l2Sq(a: Column, b: Column): Column =
+    toColumn(L2SqExpr(toExpression(a), toExpression(b)))
+
+  /** Codegen ADC table-lookup sum: codes array<int> x tables
+    * array<array<double>>. */
+  def adcLookup(codes: Column, tables: Column): Column =
+    toColumn(AdcLookupExpr(toExpression(codes), toExpression(tables)))
 }

@@ -276,6 +276,13 @@ object VecIndex {
       .where(col("list_id").isin(probedLists.map(x => x: Any): _*))
     val scored = lists.join(broadcast(probeTables), Seq("list_id"))
       .where(col("id") =!= col("query_id"))
+      // ADC stays the HOF form HERE deliberately: swapping in the
+      // adc_lookup kernel measured a consistent LOSS on this parquet-
+      // scan + broadcast-join path (q_x_ann_vecidx_pq 2.77-3.33 ->
+      // 3.31-3.97 s, exhaustive 1.62-1.73 -> 1.85-1.97 s, 3 interleaved
+      // min-of-5 samples each) while the same kernel WINS on the
+      // in-memory pqTopK path (VectorOps) — the fallback split appears
+      // to be load-bearing for this stage's shape at local scale.
       .withColumn("dist",
         aggregate(zip_with(col("codes"), col("tables"),
             (c, tab) => element_at(tab, c + 1)),

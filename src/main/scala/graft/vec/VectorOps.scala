@@ -168,10 +168,13 @@ object VectorOps {
 
   // ------------------------------------------------------ product quantization
 
-  /** Squared L2 distance (the PQ training/search metric). */
+  /** Squared L2 distance (the PQ training/search metric) — a native
+    * codegen kernel: the HOF form (aggregate(zip_with(...))) is
+    * CodegenFallback, and this runs per candidate in every PQ re-rank
+    * and per (point, centroid) in the coreset sampler. Bit-identical
+    * (same index-ordered fold and association). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    VecExpressions.l2Sq(a, b)
 
   /** A trained product-quantization model: the vector space is split into
     * `m` subspaces of `subDim` dimensions; each subspace has its own
@@ -281,10 +284,10 @@ object VectorOps {
     }.toDF("query_id", "tables")
     val scored = encoded.crossJoin(broadcast(tables))
       .where(col("cand_id") =!= col("query_id"))
+      // adc_lookup kernel: the HOF lookup is CodegenFallback per
+      // scanned candidate; bit-identical index-ordered fold
       .withColumn("dist",
-        aggregate(zip_with(col("codes"), col("tables"),
-            (c, tab) => element_at(tab, c + 1)),
-          lit(0.0), (acc, x) => acc + x))
+        VecExpressions.adcLookup(col("codes"), col("tables")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cand_id"))))
       .where(col("rank") <= k)
@@ -406,10 +409,10 @@ object VectorOps {
     }.toDF("query_id", "centroid_id", "tables")
     val scored = encoded.join(broadcast(probeTables), Seq("centroid_id"))
       .where(col("cand_id") =!= col("query_id"))
+      // adc_lookup kernel: the HOF lookup is CodegenFallback per
+      // scanned candidate; bit-identical index-ordered fold
       .withColumn("dist",
-        aggregate(zip_with(col("codes"), col("tables"),
-            (c, tab) => element_at(tab, c + 1)),
-          lit(0.0), (acc, x) => acc + x))
+        VecExpressions.adcLookup(col("codes"), col("tables")))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cand_id"))))
       .where(col("rank") <= k)

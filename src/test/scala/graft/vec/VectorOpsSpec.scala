@@ -24,6 +24,40 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(self.forall(_ == 1.0))
   }
 
+  test("l2sq kernel is BIT-identical to the aggregate(zip_with) HOF fold") {
+    val pairs = Seq(
+      (Array(1.0, 2.0, -3.5), Array(0.5, -2.0, 3.25)),
+      (Array(0.1, 0.2, 0.3), Array(0.1, 0.2, 0.3)),
+      (Array(1e-17, 1e17, -1e-17), Array(-1e17, 1e-17, 1e17)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val rows = pairs.select(
+      VectorOps.l2sq(col("a"), col("b")).as("kernel"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
+  test("adc_lookup kernel is BIT-identical to the aggregate(zip_with/element_at) HOF fold") {
+    val rows = Seq(
+      (Seq(1, 0, 2), Seq(Seq(1.5, 2.5, 3.5), Seq(0.25, 1.25, 2.25), Seq(7.0, 8.0, 9.0))),
+      (Seq(0), Seq(Seq(1e-17))),
+      (Seq.empty[Int], Seq.empty[Seq[Double]]))
+      .toDF("codes", "tables")
+    val got = rows.select(
+      VecExpressions.adcLookup(col("codes"), col("tables")).as("kernel"),
+      aggregate(zip_with(col("codes"), col("tables"),
+          (c, tab) => element_at(tab, c + 1)),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+    }
+  }
+
   test("hardNegatives: top-k by cosine among DIFFERENT-label candidates only") {
     val labeled = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),
