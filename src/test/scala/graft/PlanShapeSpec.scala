@@ -394,7 +394,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "SparkEntry.scala" -> 2,
       // drift probe's exact-L2 ground truth: broadcast query side
       // (probe-batch-sized), dev harness only
-      "dev/CentroidDriftProbe.scala" -> 1)
+      "dev/CentroidDriftProbe.scala" -> 1,
+      // curationRender's corpus total: a 1-row aggregate side riding the
+      // render query (replaces an eager driver count — r16)
+      "streaming/StreamOps.scala" -> 1)
     val root = java.nio.file.Paths.get("src/main/scala/graft")
     val re = """\.crossJoin\(""".r
     val found = scala.collection.mutable.Map.empty[String, Int]
